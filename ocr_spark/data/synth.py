@@ -1,0 +1,347 @@
+"""Deterministic seeded synthesizer for the ``pages`` corpus.
+
+Emits exactly the shape mandated by BASELINE.json ``input_hint``:
+
+    pages(url string, warc_ts timestamp, html binary, text string, lang string)
+
+Genres per FIXTURES.md §1: boilerplate-heavy articles, link farms,
+table-heavy pages, empty bodies, broken markup, multi-charset
+(utf-8 / cp949 / latin-1 / BOM), a giant page + many tiny pages on one
+host (skew), duplicate urls at different ``warc_ts``, restricted-subset
+PDFs (1-page, multi-page, empty, Tj/TJ/Td/TD/Tm variety), and random
+unsupported bytes.
+
+Everything derives from ``random.Random(seed)`` — no wall clock, no
+os-level entropy — so regeneration is byte-stable (SURVEY.md §5.2.3).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import random
+
+__all__ = ["gen_pages", "write_pages_parquet", "build_pdf", "GENRES"]
+
+_WORDS = (
+    "the quick brown fox jumps over lazy dog data spark engine extract "
+    "content boiler plate main article news report table row column "
+    "value page crawl web text density link block classify batch arrow "
+    "partition shuffle bucket salt skew resume manifest lineage metric "
+    "deterministic oracle golden fixture parse charset normalize span"
+).split()
+
+_KO_WORDS = (
+    "사업자 등록증 상호 대표자 개업 연월일 법인 주소 업태 종목 문서 추출 "
+    "본문 내용 기사 표 행 열 값 페이지 웹 텍스트 밀도 링크 블록 분류"
+).split()
+
+_EPOCH = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+
+GENRES = (
+    "article", "linkfarm", "tableheavy", "emptybody", "broken",
+    "cp949", "latin1", "bom", "giant", "tiny", "pdf1", "pdfmulti",
+    "pdfempty", "unsupported", "shortarticle",
+)
+
+
+def _sent(rng: random.Random, n: int, words=_WORDS) -> str:
+    return " ".join(rng.choice(words) for _ in range(n))
+
+
+def _nav(rng: random.Random, n_links: int = 8) -> str:
+    items = "".join(
+        f'<li><a href="/{_sent(rng, 1)}/{i}">{_sent(rng, 2)}</a></li>'
+        for i in range(n_links)
+    )
+    return f"<nav><ul>{items}</ul></nav>"
+
+
+def _footer(rng: random.Random) -> str:
+    links = " ".join(
+        f'<a href="/f{i}">{_sent(rng, 1)}</a>' for i in range(5)
+    )
+    return f"<footer><p>{links}</p><p>copyright {_sent(rng, 3)}</p></footer>"
+
+
+def _sidebar(rng: random.Random) -> str:
+    items = "".join(
+        f'<li><a href="/s/{i}">{_sent(rng, 3)}</a></li>' for i in range(6)
+    )
+    return f"<aside><h3>{_sent(rng, 2)}</h3><ul>{items}</ul></aside>"
+
+
+def _article_html(rng: random.Random, n_paras: int, words_per: int,
+                  charset: str = "utf-8", lang_words=_WORDS,
+                  bom: bool = False) -> bytes:
+    paras = "".join(
+        f"<p>{_sent(rng, max(2, words_per + rng.randint(-5, 5)), lang_words)}</p>"
+        for _ in range(n_paras)
+    )
+    title = _sent(rng, 4, lang_words)
+    html = (
+        f'<!DOCTYPE html><html><head><meta charset="{charset}">'
+        f"<title>{title}</title>"
+        f"<script>var x = {rng.randint(0, 9)};</script>"
+        f"<style>body {{ margin: 0 }}</style></head><body>"
+        f"{_nav(rng)}<article><h1>{title}</h1>{paras}</article>"
+        f"{_sidebar(rng)}{_footer(rng)}</body></html>"
+    )
+    enc = {"utf-8": "utf-8", "euc-kr": "cp949", "iso-8859-1": "latin-1"}[charset]
+    payload = html.encode(enc, "replace")
+    if bom and enc == "utf-8":
+        payload = b"\xef\xbb\xbf" + payload
+    return payload
+
+
+def _linkfarm_html(rng: random.Random) -> bytes:
+    links = "".join(
+        f'<p><a href="/l/{i}">{_sent(rng, rng.randint(2, 6))}</a></p>'
+        for i in range(rng.randint(15, 40))
+    )
+    return (
+        f"<html><head><meta charset=\"utf-8\"></head><body>{_nav(rng, 12)}"
+        f"<div>{links}</div>{_footer(rng)}</body></html>"
+    ).encode()
+
+
+def _tableheavy_html(rng: random.Random) -> bytes:
+    rows = "".join(
+        "<tr>" + "".join(
+            f"<td>{_sent(rng, rng.randint(3, 8))}</td>" for _ in range(4)
+        ) + "</tr>"
+        for _ in range(rng.randint(6, 15))
+    )
+    lead = _sent(rng, 30)
+    return (
+        f'<html><head><meta charset="utf-8"></head><body>{_nav(rng)}'
+        f"<main><p>{lead}</p><table>{rows}</table></main>"
+        f"{_footer(rng)}</body></html>"
+    ).encode()
+
+
+def _broken_html(rng: random.Random) -> bytes:
+    # Unclosed tags, stray brackets, nested misuse.
+    return (
+        f"<html><body><div><p>{_sent(rng, 25)}<p>{_sent(rng, 22)}"
+        f"<ul><li>{_sent(rng, 6)}<li><a href=x>{_sent(rng, 3)}</a>"
+        f"<table><tr><td>{_sent(rng, 20)}</body>"
+    ).encode()
+
+
+def _empty_html(rng: random.Random) -> bytes:
+    return b"<html><head><title>t</title></head><body>   \n\t  </body></html>"
+
+
+def build_pdf(blocks: list[list[str]], operators: str = "mixed",
+              n_pages: int = 1, rng: random.Random | None = None) -> bytes:
+    """Build a restricted-subset, uncompressed PDF the oracle parser
+    handles: page tree, per-page content stream, BT/ET + Td/TD/Tm/T*/Tj/TJ.
+
+    ``blocks`` is a list of blocks, each a list of lines (page 0 content;
+    later pages get a deterministic footer line so multi-page tests can
+    assert page-0-only semantics, services/file_processor.py:77).
+    """
+    rng = rng or random.Random(0)
+
+    def esc(s: str) -> str:
+        return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+
+    def page_stream(blks: list[list[str]], page_no: int) -> bytes:
+        parts = ["BT", "/F1 12 Tf", "16 TL"]
+        y = 760
+        style_cycle = ["Td", "TD", "Tm", "Tstar", "TJ"]
+        k = page_no
+        for blk in blks:
+            first = True
+            for line in blk:
+                style = style_cycle[k % len(style_cycle)] if operators == "mixed" else operators
+                k += 1
+                if style == "Tm":
+                    parts.append(f"1 0 0 1 72 {y} Tm")
+                    parts.append(f"({esc(line)}) Tj")
+                elif style == "TD":
+                    parts.append(f"72 {y} TD" if first else f"0 -16 TD")
+                    parts.append(f"({esc(line)}) Tj")
+                    parts.append(f"1 0 0 1 0 0 Tm")  # reset for next abs move
+                    parts.append(f"1 0 0 1 72 {y} Tm")
+                elif style == "Tstar":
+                    parts.append(f"1 0 0 1 72 {y} Tm")
+                    parts.append(f"({esc(line)}) Tj")
+                elif style == "TJ":
+                    mid = max(1, len(line) // 2)
+                    parts.append(f"1 0 0 1 72 {y} Tm")
+                    parts.append(f"[({esc(line[:mid])}) -250 ({esc(line[mid:])})] TJ")
+                else:  # Td
+                    parts.append(f"1 0 0 1 72 {y} Tm")
+                    parts.append(f"({esc(line)}) Tj")
+                y -= 16
+                first = False
+            y -= 40  # block gap >> line leading
+        parts.append("ET")
+        return "\n".join(parts).encode("latin-1")
+
+    objs: list[bytes] = []
+
+    def add(body: str | bytes) -> int:
+        objs.append(body if isinstance(body, bytes) else body.encode("latin-1"))
+        return len(objs)  # 1-based object number
+
+    page_ids, content_ids = [], []
+    pages_obj_num = 2 * n_pages + 1  # (content,page)*n then pages node
+    for p in range(n_pages):
+        blks = blocks if p == 0 else [[f"page {p} footer line"]]
+        stream = page_stream(blks, p)
+        cid = add(
+            f"<< /Length {len(stream)} >>\nstream\n".encode("latin-1")
+            + stream + b"\nendstream"
+        )
+        content_ids.append(cid)
+        pid = add(
+            f"<< /Type /Page /Parent {pages_obj_num} 0 R "
+            f"/MediaBox [0 0 612 792] /Contents {cid} 0 R >>"
+        )
+        page_ids.append(pid)
+    kids = " ".join(f"{pid} 0 R" for pid in page_ids)
+    pages_id = add(f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>")
+    catalog_id = add(f"<< /Type /Catalog /Pages {pages_id} 0 R >>")
+
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = [0]
+    for i, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += f"{i} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref_off = len(out)
+    out += f"xref\n0 {len(objs)+1}\n".encode()
+    out += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (
+        f"trailer\n<< /Size {len(objs)+1} /Root {catalog_id} 0 R >>\n"
+        f"startxref\n{xref_off}\n%%EOF\n"
+    ).encode()
+    return bytes(out)
+
+
+def _empty_pdf() -> bytes:
+    return (
+        b"%PDF-1.4\n1 0 obj\n<< /Type /Pages /Kids [] /Count 0 >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Catalog /Pages 1 0 R >>\nendobj\n"
+        b"trailer\n<< /Size 3 /Root 2 0 R >>\n%%EOF\n"
+    )
+
+
+def _pdf_blocks(rng: random.Random) -> list[list[str]]:
+    return [
+        [_sent(rng, rng.randint(4, 9)) for _ in range(rng.randint(1, 5))]
+        for _ in range(rng.randint(1, 4))
+    ]
+
+
+def _one_page(rng: random.Random, idx: int, genre: str) -> dict:
+    host = f"host{rng.randint(0, 49)}.example.com"
+    lang = rng.choice(["en", "en", "en", "ko", "es", "de", "zh"])
+    if genre == "article":
+        html = _article_html(rng, rng.randint(3, 10), rng.randint(15, 40))
+    elif genre == "shortarticle":
+        html = _article_html(rng, 1, rng.randint(3, 8))
+    elif genre == "linkfarm":
+        html = _linkfarm_html(rng)
+    elif genre == "tableheavy":
+        html = _tableheavy_html(rng)
+    elif genre == "emptybody":
+        html = _empty_html(rng)
+    elif genre == "broken":
+        html = _broken_html(rng)
+    elif genre == "cp949":
+        html = _article_html(rng, rng.randint(2, 6), rng.randint(8, 20),
+                             charset="euc-kr", lang_words=_KO_WORDS)
+        lang = "ko"
+    elif genre == "latin1":
+        html = _article_html(rng, rng.randint(2, 6), rng.randint(10, 25),
+                             charset="iso-8859-1")
+        html = html.replace(b"fox", b"f\xf6x")  # force non-ascii byte
+    elif genre == "bom":
+        html = _article_html(rng, rng.randint(2, 5), rng.randint(10, 25), bom=True)
+    elif genre == "giant":
+        html = _article_html(rng, 400, 60)
+        host = "bighost.example.com"
+    elif genre == "tiny":
+        html = _article_html(rng, 1, 20)
+        host = "bighost.example.com"
+    elif genre == "pdf1":
+        html = build_pdf(_pdf_blocks(rng), n_pages=1, rng=rng)
+    elif genre == "pdfmulti":
+        html = build_pdf(_pdf_blocks(rng), n_pages=rng.randint(2, 4), rng=rng)
+    elif genre == "pdfempty":
+        html = _empty_pdf()
+    elif genre == "unsupported":
+        html = bytes(rng.randrange(1, 256) for _ in range(rng.randint(16, 128)))
+    else:
+        raise ValueError(genre)
+    url = f"https://{host}/{genre}/{idx}"
+    ts = _EPOCH + dt.timedelta(seconds=rng.randint(0, 365 * 24 * 3600))
+    return {
+        "url": url,
+        "warc_ts": ts,
+        "html": html,
+        "text": "",  # stale crawl text; the engine never trusts it
+        "lang": lang,
+    }
+
+
+# genre mix: mostly articles, with every edge genre represented.
+_GENRE_WEIGHTS = [
+    ("article", 40), ("shortarticle", 6), ("linkfarm", 8), ("tableheavy", 8),
+    ("emptybody", 3), ("broken", 6), ("cp949", 6), ("latin1", 4), ("bom", 3),
+    ("tiny", 6), ("pdf1", 6), ("pdfmulti", 3), ("pdfempty", 1),
+    ("unsupported", 3),
+]
+
+
+def gen_pages(n: int, seed: int = 42, dup_frac: float = 0.05,
+              giant_every: int = 400) -> list[dict]:
+    """Generate ``n`` pages rows. ``dup_frac`` of rows are re-captures of
+    an earlier url at a later ``warc_ts`` (keep-latest dedup tests);
+    every ``giant_every``-th row is a multi-MB page on one hot host
+    (skew/salting tests)."""
+    rng = random.Random(seed)
+    genres = [g for g, w in _GENRE_WEIGHTS for _ in range(w)]
+    rows: list[dict] = []
+    for i in range(n):
+        if giant_every and i and i % giant_every == 0:
+            row = _one_page(rng, i, "giant")
+        else:
+            row = _one_page(rng, i, rng.choice(genres))
+        rows.append(row)
+        if rows and rng.random() < dup_frac:
+            # duplicate an earlier url with a later capture and new bytes
+            victim = rows[rng.randrange(len(rows))]
+            dup = _one_page(rng, i, "article")
+            dup["url"] = victim["url"]
+            dup["warc_ts"] = victim["warc_ts"] + dt.timedelta(days=1)
+            dup["lang"] = victim["lang"]
+            rows.append(dup)
+    return rows
+
+
+def write_pages_parquet(path: str, n: int, seed: int = 42, **kw) -> int:
+    """Write the synthetic pages table as parquet (pyarrow, no Spark).
+    Returns row count."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = gen_pages(n, seed=seed, **kw)
+    table = pa.table(
+        {
+            "url": pa.array([r["url"] for r in rows], pa.string()),
+            "warc_ts": pa.array(
+                [r["warc_ts"].replace(tzinfo=None) for r in rows],
+                pa.timestamp("us"),
+            ),
+            "html": pa.array([r["html"] for r in rows], pa.binary()),
+            "text": pa.array([r["text"] for r in rows], pa.string()),
+            "lang": pa.array([r["lang"] for r in rows], pa.string()),
+        }
+    )
+    pq.write_table(table, path)
+    return len(rows)

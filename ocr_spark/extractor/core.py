@@ -1,0 +1,733 @@
+"""The oracle: pure-Python, zero-Spark-deps document extractor.
+
+This module is the byte-equality contract for the whole engine
+(SURVEY.md §5.1).  The Spark job must produce, for every url,
+``text`` bytes identical to ``extract_bytes(html)["text"]`` applied
+row-by-row.  Everything here is a pure function of the single input
+document: no cross-document state, no environment, locale or hash-seed
+dependence.
+
+Semantics re-expressed from the reference (gml9812/OCR), cited per
+function:
+  * doc-kind dispatch      <- services/file_processor.py:11-47 (O3)
+  * PDF page-0 default     <- services/file_processor.py:77     (O5)
+  * empty-PDF error row    <- services/file_processor.py:70-74  (O5)
+  * unsupported -> validation_error (400 analogue)
+                           <- services/file_processor.py:38-41  (O3/O16)
+  * error taxonomy         <- utils/error_handlers.py:8-30      (O16)
+
+The core extraction replaces the reference's Gemini call
+(services/gemini_service.py:61-146, O9) with a deterministic
+Boilerpipe-style block classifier (Kohlschuetter et al., WSDM 2010 —
+public algorithm) plus a restricted-subset PDF text parser.
+"""
+
+from __future__ import annotations
+
+import re
+import unicodedata
+from dataclasses import dataclass, field
+from html.parser import HTMLParser
+
+__all__ = [
+    "sniff_doc_kind",
+    "sniff_charset",
+    "decode_html",
+    "extract_html",
+    "extract_pdf",
+    "extract_bytes",
+    "STATUS_OK",
+    "STATUS_VALIDATION_ERROR",
+    "STATUS_PROCESSING_ERROR",
+]
+
+# Error taxonomy mirrors the reference's APIError hierarchy
+# (utils/error_handlers.py:8-30): ValidationError (400-class) vs
+# ProcessingError (500-class).  Errors are rows, not exceptions.
+STATUS_OK = "ok"
+STATUS_VALIDATION_ERROR = "validation_error"
+STATUS_PROCESSING_ERROR = "processing_error"
+
+
+# --------------------------------------------------------------------------
+# doc-kind sniffing (batch analogue of extension dispatch, O3)
+# --------------------------------------------------------------------------
+
+_BOMS = (
+    (b"\xef\xbb\xbf", "utf-8-sig"),
+    (b"\xff\xfe\x00\x00", "utf-32-le"),
+    (b"\x00\x00\xfe\xff", "utf-32-be"),
+    (b"\xff\xfe", "utf-16-le"),
+    (b"\xfe\xff", "utf-16-be"),
+)
+
+
+def sniff_doc_kind(payload: bytes) -> str:
+    """Classify raw payload bytes as ``html | pdf | unsupported``.
+
+    Deterministic precedence:
+      1. ``%PDF-`` magic at offset 0 -> ``pdf``
+      2. first non-whitespace byte (after any Unicode BOM) is ``<`` -> ``html``
+      3. ``<html`` appears (case-insensitive) in the first 1024 bytes -> ``html``
+      4. otherwise ``unsupported``
+
+    Replaces filename-extension dispatch (services/file_processor.py:28-41).
+    """
+    if not payload:
+        return "unsupported"
+    if payload.startswith(b"%PDF-"):
+        return "pdf"
+    body = payload
+    for bom, _ in _BOMS:
+        if body.startswith(bom):
+            body = body[len(bom):]
+            break
+    stripped = body.lstrip(b" \t\r\n\f")
+    if stripped[:1] == b"<":
+        return "html"
+    if b"<html" in payload[:1024].lower():
+        return "html"
+    return "unsupported"
+
+
+# --------------------------------------------------------------------------
+# charset sniffing (deterministic precedence; SURVEY.md §7.3.2)
+# --------------------------------------------------------------------------
+
+_META_CHARSET_RE = re.compile(
+    rb"""<meta[^>]{0,512}?charset\s*=\s*["']?([a-zA-Z0-9_\-]{2,32})""",
+    re.IGNORECASE,
+)
+
+# Codec aliases we accept from <meta charset=...>; anything else falls
+# through to the utf-8 -> latin-1 ladder.  Keep this table closed so
+# behaviour never depends on the Python build's codec registry.
+_KNOWN_CODECS = {
+    "utf-8": "utf-8",
+    "utf8": "utf-8",
+    "euc-kr": "cp949",
+    "euckr": "cp949",
+    "cp949": "cp949",
+    "ks_c_5601-1987": "cp949",
+    "iso-8859-1": "latin-1",
+    "latin-1": "latin-1",
+    "latin1": "latin-1",
+    "windows-1252": "cp1252",
+    "cp1252": "cp1252",
+    "ascii": "ascii",
+    "us-ascii": "ascii",
+    "utf-16": "utf-16",
+    "utf-16-le": "utf-16-le",
+    "utf-16-be": "utf-16-be",
+}
+
+
+def sniff_charset(payload: bytes) -> str:
+    """Pick the decode codec: BOM > <meta charset> (first 4096 bytes) >
+    strict utf-8 probe > latin-1 fallback (never fails)."""
+    for bom, codec in _BOMS:
+        if payload.startswith(bom):
+            return codec
+    m = _META_CHARSET_RE.search(payload[:4096])
+    if m:
+        name = m.group(1).decode("ascii", "replace").strip().lower()
+        codec = _KNOWN_CODECS.get(name)
+        if codec:
+            return codec
+    try:
+        payload.decode("utf-8", "strict")
+        return "utf-8"
+    except UnicodeDecodeError:
+        return "latin-1"
+
+
+def decode_html(payload: bytes) -> tuple[str, str]:
+    """Decode raw html bytes -> (text, codec_used). Deterministic."""
+    codec = sniff_charset(payload)
+    try:
+        return payload.decode(codec, "replace"), codec
+    except Exception:  # pragma: no cover - unreachable with _KNOWN_CODECS
+        return payload.decode("latin-1", "replace"), "latin-1"
+
+
+# --------------------------------------------------------------------------
+# HTML block model + Boilerpipe-style classification
+# --------------------------------------------------------------------------
+
+# Elements whose subtree content is never text (dropped wholesale).
+_IGNORE_SUBTREE = frozenset(
+    {"script", "style", "noscript", "template", "svg", "iframe", "head",
+     "object", "embed", "canvas", "audio", "video", "map", "title"}
+)
+
+# Structural ancestors that force boilerplate regardless of density.
+_BOILERPLATE_ANCESTORS = frozenset({"nav", "header", "footer", "aside"})
+
+# Semantic content ancestors: low-link blocks inside these are content
+# even when short (HTML5 semantic prior).
+_CONTENT_ANCESTORS = frozenset({"article", "main"})
+
+# Tags that terminate the current text block.
+_BLOCK_TAGS = frozenset(
+    {"p", "div", "h1", "h2", "h3", "h4", "h5", "h6", "li", "ul", "ol",
+     "table", "tr", "td", "th", "thead", "tbody", "tfoot", "blockquote",
+     "pre", "section", "article", "main", "header", "footer", "nav",
+     "aside", "form", "fieldset", "figure", "figcaption", "hr", "br",
+     "dl", "dt", "dd", "caption", "body", "html", "center", "option",
+     "select", "button", "textarea", "address", "summary", "details"}
+)
+
+_VOID_TAGS = frozenset(
+    {"br", "hr", "img", "input", "meta", "link", "area", "base", "col",
+     "embed", "source", "track", "wbr", "param"}
+)
+
+_WS_RE = re.compile("[\\s\u200b\u200c\ufeff]+")  # \\s (Unicode) + zero-width chars
+
+
+def _collapse(s: str) -> str:
+    """The normalization policy (the byte-equality contract):
+    NFC-normalize, collapse all whitespace runs (incl. NBSP/ZWSP) to a
+    single ASCII space, strip ends."""
+    return _WS_RE.sub(" ", unicodedata.normalize("NFC", s)).strip()
+
+
+@dataclass
+class _Block:
+    kind: str = "p"
+    chunks: list = field(default_factory=list)       # text chunks
+    anchor_chars: int = 0                            # non-ws chars inside <a>
+    total_chars: int = 0                             # non-ws chars total
+    start: int = -1                                  # char offset of first chunk
+    end: int = -1                                    # char offset past last chunk
+    in_content_ancestor: bool = False
+    in_boiler_ancestor: bool = False
+
+    def text(self) -> str:
+        return _collapse("".join(self.chunks))
+
+
+class _BlockParser(HTMLParser):
+    """Streams the DOM into a flat sequence of text blocks with link /
+    char statistics and char-offset spans into the decoded document."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.blocks: list[_Block] = []
+        self._cur = _Block()
+        self._stack: list[str] = []
+        self._ignore_depth = 0
+        self._anchor_depth = 0
+        self._content_depth = 0
+        self._boiler_depth = 0
+        self._line_starts: list[int] = [0]
+
+    # -- offset bookkeeping ------------------------------------------------
+    def feed(self, data: str) -> None:  # type: ignore[override]
+        # Precompute char offset of each line start so getpos() -> offset.
+        starts = [0]
+        for m in re.finditer("\n", data):
+            starts.append(m.end())
+        self._line_starts = starts
+        super().feed(data)
+        self.close()
+
+    def _offset(self) -> int:
+        line, col = self.getpos()
+        if line - 1 < len(self._line_starts):
+            return self._line_starts[line - 1] + col
+        return self._line_starts[-1] + col
+
+    # -- block lifecycle ----------------------------------------------------
+    def _flush(self, next_kind: str = "p") -> None:
+        b = self._cur
+        if b.chunks and b.text():
+            self.blocks.append(b)
+        self._cur = _Block(
+            kind=next_kind,
+            in_content_ancestor=self._content_depth > 0,
+            in_boiler_ancestor=self._boiler_depth > 0,
+        )
+
+    # -- HTMLParser hooks ----------------------------------------------------
+    def handle_starttag(self, tag, attrs):
+        tag = tag.lower()
+        if tag in _IGNORE_SUBTREE:
+            if tag not in _VOID_TAGS:
+                self._ignore_depth += 1
+            return
+        if self._ignore_depth:
+            return
+        if tag == "a":
+            self._anchor_depth += 1
+            return
+        if tag in _BLOCK_TAGS:
+            if tag in _CONTENT_ANCESTORS:
+                self._content_depth += 1
+            if tag in _BOILERPLATE_ANCESTORS:
+                self._boiler_depth += 1
+            self._flush(next_kind=tag)
+            if tag in _VOID_TAGS:  # br, hr: flush only
+                if tag in _CONTENT_ANCESTORS:
+                    self._content_depth -= 1
+                if tag in _BOILERPLATE_ANCESTORS:
+                    self._boiler_depth -= 1
+            else:
+                self._stack.append(tag)
+
+    def handle_startendtag(self, tag, attrs):
+        tag = tag.lower()
+        if self._ignore_depth:
+            return
+        if tag in _BLOCK_TAGS:
+            self._flush(next_kind=tag)
+
+    def handle_endtag(self, tag):
+        tag = tag.lower()
+        if tag in _IGNORE_SUBTREE:
+            if self._ignore_depth:
+                self._ignore_depth -= 1
+            return
+        if self._ignore_depth:
+            return
+        if tag == "a":
+            if self._anchor_depth:
+                self._anchor_depth -= 1
+            return
+        if tag in _BLOCK_TAGS:
+            # Unwind the open-tag stack (tolerates unclosed markup).
+            if tag in self._stack:
+                while self._stack:
+                    popped = self._stack.pop()
+                    if popped in _CONTENT_ANCESTORS:
+                        self._content_depth -= 1
+                    if popped in _BOILERPLATE_ANCESTORS:
+                        self._boiler_depth -= 1
+                    if popped == tag:
+                        break
+            self._flush()
+
+    def handle_data(self, data):
+        if self._ignore_depth or not data:
+            return
+        off = self._offset()
+        b = self._cur
+        if b.start < 0:
+            b.start = off
+        b.end = off + len(data)
+        b.chunks.append(data)
+        nws = sum(1 for ch in data if not ch.isspace())
+        b.total_chars += nws
+        if self._anchor_depth:
+            b.anchor_chars += nws
+
+    def close(self) -> None:  # final flush
+        super().close()
+        b = self._cur
+        if b.chunks and b.text():
+            self.blocks.append(b)
+            self._cur = _Block()
+
+
+def _link_density(b: _Block) -> float:
+    return b.anchor_chars / b.total_chars if b.total_chars else 0.0
+
+
+def _classify(blocks: list[_Block]) -> list[bool]:
+    """Boilerpipe NumWordsRulesClassifier (Kohlschuetter et al., WSDM
+    2010; rules as published in the boilerpipe source — public), with
+    two structural priors: nav/header/footer/aside ancestry forces
+    boilerplate, article/main ancestry admits short low-link blocks."""
+    n = len(blocks)
+    words = [len(b.text().split()) for b in blocks]
+    link = [_link_density(b) for b in blocks]
+    keep = [False] * n
+    for i in range(n):
+        b = blocks[i]
+        if b.in_boiler_ancestor:
+            continue
+        if link[i] > 0.333333:
+            continue
+        if b.in_content_ancestor and words[i] >= 2:
+            keep[i] = True
+            continue
+        prev_words = words[i - 1] if i > 0 else 0
+        prev_link = link[i - 1] if i > 0 else 0.0
+        next_words = words[i + 1] if i + 1 < n else 0
+        if prev_link <= 0.555555:
+            keep[i] = words[i] > 16 or next_words > 15 or prev_words > 4
+        else:
+            keep[i] = words[i] > 40 or next_words > 17
+    return keep
+
+
+def extract_html(payload: bytes) -> dict:
+    """HTML bytes -> {text, spans, n_blocks, status, error_msg}.
+
+    ``text``: content blocks (normalized per ``_collapse``) joined by a
+    single ``\\n``, no trailing newline; empty string when no block
+    survives.  ``spans``: one ``(start, end, kind)`` per kept block —
+    **byte** offsets into the source payload.
+    """
+    try:
+        decoded, codec = decode_html(payload)
+        parser = _BlockParser()
+        parser.feed(decoded)
+        blocks = parser.blocks
+        keep = _classify(blocks)
+        kept = [b for b, k in zip(blocks, keep) if k]
+        text = "\n".join(b.text() for b in kept)
+        spans = _char_spans_to_bytes(
+            decoded, codec, [(b.start, b.end, b.kind) for b in kept]
+        )
+        return {
+            "text": text,
+            "spans": spans,
+            "n_blocks": len(kept),
+            "status": STATUS_OK,
+            "error_msg": None,
+        }
+    except Exception as exc:  # never raise per-document (O16)
+        return {
+            "text": "",
+            "spans": [],
+            "n_blocks": 0,
+            "status": STATUS_PROCESSING_ERROR,
+            "error_msg": f"{type(exc).__name__}: {exc}",
+        }
+
+
+def _char_spans_to_bytes(decoded, codec, spans):
+    """Map char-offset spans to byte offsets via one incremental encode
+    pass (O(n) total, not O(n * spans))."""
+    if not spans:
+        return []
+    # BOM-stripping codecs: account for the BOM bytes at offset 0.
+    bom_len = 0
+    enc_codec = codec
+    if codec == "utf-8-sig":
+        bom_len, enc_codec = 3, "utf-8"
+    elif codec in ("utf-16", "utf-32"):
+        bom_len = 2 if codec == "utf-16" else 4
+        enc_codec = codec + "-le"  # offsets only; synth never emits these
+    elif codec in ("utf-16-le", "utf-16-be"):
+        bom_len = 2
+    elif codec in ("utf-32-le", "utf-32-be"):
+        bom_len = 4
+    marks = sorted({off for s, e, _ in spans for off in (s, e) if off >= 0})
+    byte_at: dict[int, int] = {}
+    pos_c, pos_b = 0, bom_len
+    for m in marks:
+        pos_b += len(decoded[pos_c:m].encode(enc_codec, "replace"))
+        byte_at[m] = pos_b
+        pos_c = m
+    out = []
+    for s, e, kind in spans:
+        if s < 0:
+            continue
+        out.append((byte_at[s], byte_at.get(e, byte_at[s]), kind))
+    return out
+
+
+# --------------------------------------------------------------------------
+# PDF restricted-subset parser (replaces O5's fitz page-0 rasterize)
+# --------------------------------------------------------------------------
+
+_PDF_OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b(.*?)\bendobj", re.DOTALL)
+_PDF_STREAM_RE = re.compile(rb"stream\r?\n(.*?)\r?\nendstream", re.DOTALL)
+_PDF_PAGES_KIDS_RE = re.compile(rb"/Kids\s*\[(.*?)\]", re.DOTALL)
+_PDF_REF_RE = re.compile(rb"(\d+)\s+(\d+)\s+R")
+_PDF_CONTENTS_RE = re.compile(rb"/Contents\s+(\d+)\s+(\d+)\s+R")
+_PDF_TYPE_PAGE_RE = re.compile(rb"/Type\s*/Page\b")
+
+# Content-stream tokens: literal string, hex string, number, operator.
+_PDF_TOK_RE = re.compile(
+    rb"""(\((?:\\.|[^()\\])*\))      # literal string
+       | (<[0-9A-Fa-f\s]*>)          # hex string
+       | ([-+]?\d*\.?\d+)            # number
+       | (BT|ET|Tj|TJ|Td|TD|Tm|T\*|Tf|TL|'|")  # operators we honor
+       | (\[|\])                     # array delims
+    """,
+    re.VERBOSE,
+)
+
+_PDF_ESCAPES = {
+    b"n": "\n", b"r": "\r", b"t": "\t", b"b": "\b", b"f": "\f",
+    b"(": "(", b")": ")", b"\\": "\\",
+}
+
+
+def _pdf_literal_to_str(tok: bytes) -> str:
+    """Decode a PDF literal string ( ... ) with backslash escapes.
+    Text is latin-1 (the synth subset emits WinAnsi/ASCII only)."""
+    body = tok[1:-1]
+    out = []
+    i = 0
+    while i < len(body):
+        c = body[i:i + 1]
+        if c == b"\\" and i + 1 < len(body):
+            nxt = body[i + 1:i + 2]
+            if nxt in _PDF_ESCAPES:
+                out.append(_PDF_ESCAPES[nxt])
+                i += 2
+                continue
+            if nxt.isdigit():  # octal \ddd
+                j = i + 1
+                while j < len(body) and j < i + 4 and body[j:j + 1].isdigit():
+                    j += 1
+                out.append(chr(int(body[i + 1:j], 8) & 0xFF))
+                i = j
+                continue
+            i += 1  # line continuation / unknown escape: drop backslash
+            continue
+        out.append(c.decode("latin-1"))
+        i += 1
+    return "".join(out)
+
+
+def _pdf_hex_to_str(tok: bytes) -> str:
+    hexdigits = re.sub(rb"\s", b"", tok[1:-1])
+    if len(hexdigits) % 2:
+        hexdigits += b"0"
+    return bytes.fromhex(hexdigits.decode("ascii")).decode("latin-1")
+
+
+@dataclass
+class _PdfRun:
+    x: float
+    y: float
+    text: str
+    start: int  # byte offset of the string token in the pdf payload
+    end: int
+
+
+def _pdf_parse_content(stream: bytes, base_off: int) -> tuple[list[_PdfRun], float]:
+    """Interpret the text-op subset of a content stream into positioned
+    glyph runs.  Honors BT/ET, Td, TD, Tm, T*, TL, Tj, ', ", TJ.
+    Returns (runs, last-seen leading) — leading drives line/block grouping."""
+    runs: list[_PdfRun] = []
+    x = y = 0.0
+    lx = ly = 0.0   # line start (Td is relative to line start)
+    leading = 14.0
+    in_text = False
+    stack_nums: list[float] = []
+    pending_strings: list[tuple[str, int, int]] = []
+    in_array = False
+
+    def emit(s: str, so: int, eo: int) -> None:
+        if s:
+            runs.append(_PdfRun(x, y, s, base_off + so, base_off + eo))
+
+    for m in _PDF_TOK_RE.finditer(stream):
+        lit, hexs, num, op, arr = m.groups()
+        if lit is not None:
+            s = _pdf_literal_to_str(lit)
+            if in_array:
+                pending_strings.append((s, m.start(), m.end()))
+            else:
+                pending_strings = [(s, m.start(), m.end())]
+        elif hexs is not None:
+            s = _pdf_hex_to_str(hexs)
+            if in_array:
+                pending_strings.append((s, m.start(), m.end()))
+            else:
+                pending_strings = [(s, m.start(), m.end())]
+        elif num is not None:
+            stack_nums.append(float(num))
+        elif arr is not None:
+            if arr == b"[":
+                in_array = True
+                pending_strings = []
+            else:
+                in_array = False
+        elif op is not None:
+            if op == b"BT":
+                in_text = True
+                x = y = lx = ly = 0.0
+                stack_nums = []
+            elif op == b"ET":
+                in_text = False
+                stack_nums = []
+            elif not in_text:
+                stack_nums = []
+            elif op == b"Td":
+                if len(stack_nums) >= 2:
+                    lx += stack_nums[-2]
+                    ly += stack_nums[-1]
+                    x, y = lx, ly
+                stack_nums = []
+            elif op == b"TD":
+                if len(stack_nums) >= 2:
+                    leading = -stack_nums[-1]
+                    lx += stack_nums[-2]
+                    ly += stack_nums[-1]
+                    x, y = lx, ly
+                stack_nums = []
+            elif op == b"Tm":
+                if len(stack_nums) >= 6:
+                    lx, ly = stack_nums[-2], stack_nums[-1]
+                    x, y = lx, ly
+                stack_nums = []
+            elif op == b"TL":
+                if stack_nums:
+                    leading = stack_nums[-1]
+                stack_nums = []
+            elif op == b"T*":
+                ly -= leading
+                x, y = lx, ly
+                stack_nums = []
+            elif op == b"Tf":
+                stack_nums = []
+            elif op in (b"Tj", b"TJ", b"'", b'"'):
+                if op in (b"'", b'"'):
+                    ly -= leading
+                    x, y = lx, ly
+                # One show op = one run: TJ array segments concatenate
+                # directly (subset policy: word spacing is explicit in
+                # the strings, kern numbers never imply spaces).
+                if pending_strings:
+                    joined = "".join(s for s, _, _ in pending_strings)
+                    emit(joined, pending_strings[0][1], pending_strings[-1][2])
+                    x += 6.0 * len(joined)  # nominal advance
+                    x += 6.0 * len(s)
+                pending_strings = []
+                stack_nums = []
+    return runs, leading
+
+
+def _pdf_pages(payload: bytes) -> list[tuple[bytes, int]]:
+    """Return [(content_stream_bytes, byte_offset_of_stream)] per page,
+    in page-tree order."""
+    objs: dict[int, tuple[bytes, int]] = {}
+    for m in _PDF_OBJ_RE.finditer(payload):
+        objs[int(m.group(1))] = (m.group(3), m.start(3))
+    # page order: find /Type /Pages object's /Kids, else all /Type /Page
+    page_ids: list[int] = []
+    for num, (body, _) in objs.items():
+        if b"/Type" in body and b"/Pages" in body and b"/Kids" in body:
+            km = _PDF_PAGES_KIDS_RE.search(body)
+            if km:
+                page_ids = [int(r.group(1)) for r in _PDF_REF_RE.finditer(km.group(1))]
+                break
+    if not page_ids:
+        page_ids = sorted(
+            num for num, (body, _) in objs.items()
+            if _PDF_TYPE_PAGE_RE.search(body)
+        )
+    pages: list[tuple[bytes, int]] = []
+    for pid in page_ids:
+        if pid not in objs:
+            continue
+        body, body_off = objs[pid]
+        cm = _PDF_CONTENTS_RE.search(body)
+        if not cm:
+            continue
+        cid = int(cm.group(1))
+        if cid not in objs:
+            continue
+        cbody, cbody_off = objs[cid]
+        sm = _PDF_STREAM_RE.search(cbody)
+        if not sm:
+            continue
+        if b"/Filter" in cbody[:sm.start()]:
+            raise ValueError("unsupported PDF: filtered content stream")
+        pages.append((sm.group(1), cbody_off + sm.start(1)))
+    return pages
+
+
+def extract_pdf(payload: bytes, all_pages: bool = False) -> dict:
+    """PDF bytes -> same shape as :func:`extract_html`.
+
+    Default processes **page 0 only**, mirroring the reference's
+    first-page rule (services/file_processor.py:77, README.md:13);
+    ``all_pages=True`` extends to the whole document.  A PDF with zero
+    pages is a processing_error row, mirroring the reference's 400 on
+    ``doc.page_count == 0`` (services/file_processor.py:70-74).
+    """
+    try:
+        pages = _pdf_pages(payload)
+        if not pages:
+            return {
+                "text": "", "spans": [], "n_blocks": 0,
+                "status": STATUS_PROCESSING_ERROR,
+                "error_msg": "PDF has no pages",
+            }
+        if not all_pages:
+            pages = pages[:1]
+        block_texts: list[str] = []
+        spans: list[tuple[int, int, str]] = []
+        for stream, off in pages:
+            runs, leading = _pdf_parse_content(stream, off)
+            if not runs:
+                continue
+            # lines: group by y (descending = top-to-bottom), then x.
+            lines: dict[float, list[_PdfRun]] = {}
+            for r in runs:
+                lines.setdefault(round(r.y, 3), []).append(r)
+            ordered_ys = sorted(lines.keys(), reverse=True)
+            # blocks: consecutive lines split where the y-gap exceeds
+            # 1.8x the line leading (TL if declared, else smallest gap).
+            gaps = [ordered_ys[i] - ordered_ys[i + 1]
+                    for i in range(len(ordered_ys) - 1)]
+            lead_est = leading if leading > 0 else (min(gaps) if gaps else 14.0)
+            block_gap = max(lead_est * 1.8, 1e-6)
+            cur_lines: list[str] = []
+            cur_start = cur_end = -1
+            prev_y = None
+            for yv in ordered_ys:
+                rs = sorted(lines[yv], key=lambda r: (r.x, r.start))
+                line_text = _collapse(" ".join(r.text for r in rs))
+                s0 = min(r.start for r in rs)
+                e0 = max(r.end for r in rs)
+                if prev_y is not None and (prev_y - yv) > block_gap and cur_lines:
+                    block_texts.append("\n".join(cur_lines))
+                    spans.append((cur_start, cur_end, "pdfblock"))
+                    cur_lines, cur_start = [], -1
+                if line_text:
+                    cur_lines.append(line_text)
+                    if cur_start < 0:
+                        cur_start = s0
+                    cur_end = e0
+                prev_y = yv
+            if cur_lines:
+                block_texts.append("\n".join(cur_lines))
+                spans.append((cur_start, cur_end, "pdfblock"))
+        text = "\n".join(block_texts)
+        return {
+            "text": text,
+            "spans": spans,
+            "n_blocks": len(block_texts),
+            "status": STATUS_OK,
+            "error_msg": None,
+        }
+    except Exception as exc:
+        return {
+            "text": "", "spans": [], "n_blocks": 0,
+            "status": STATUS_PROCESSING_ERROR,
+            "error_msg": f"{type(exc).__name__}: {exc}",
+        }
+
+
+# --------------------------------------------------------------------------
+# the single per-document entry point (what the Arrow UDF batches over)
+# --------------------------------------------------------------------------
+
+def extract_bytes(payload: bytes, all_pages: bool = False) -> dict:
+    """Dispatch on sniffed kind; unsupported payloads become
+    ``validation_error`` rows (the 400 analogue,
+    services/file_processor.py:38-41)."""
+    if payload is None:
+        payload = b""
+    kind = sniff_doc_kind(bytes(payload))
+    if kind == "html":
+        out = extract_html(bytes(payload))
+    elif kind == "pdf":
+        out = extract_pdf(bytes(payload), all_pages=all_pages)
+    else:
+        out = {
+            "text": "", "spans": [], "n_blocks": 0,
+            "status": STATUS_VALIDATION_ERROR,
+            "error_msg": "Unsupported file format",
+        }
+    out["doc_kind"] = kind
+    return out

@@ -1,0 +1,147 @@
+"""Unit tests for the oracle HTML extractor (SURVEY.md §5.2.2-3)."""
+
+import hashlib
+
+from ocr_spark.data.synth import gen_pages
+from ocr_spark.extractor import core
+
+
+def ex(html: bytes):
+    return core.extract_html(html)
+
+
+def test_article_strips_nav_sidebar_footer():
+    html = (
+        b'<html><head><meta charset="utf-8"><title>T</title>'
+        b"<script>nope()</script><style>p{}</style></head><body>"
+        b'<nav><ul><li><a href="/a">home</a></li><li><a href="/b">about us</a></li></ul></nav>'
+        b"<article><h1>real headline here</h1>"
+        b"<p>" + b"word " * 30 + b"</p>"
+        b"<p>" + b"more " * 25 + b"</p></article>"
+        b'<aside><ul><li><a href="/x">related thing one</a></li></ul></aside>'
+        b'<footer><p><a href="/p">privacy</a> <a href="/t">terms</a></p></footer>'
+        b"</body></html>"
+    )
+    out = ex(html)
+    assert out["status"] == "ok"
+    assert "home" not in out["text"]
+    assert "privacy" not in out["text"]
+    assert "related thing" not in out["text"]
+    assert "nope()" not in out["text"]
+    assert out["text"].startswith("real headline here\n")
+    assert out["text"].count("word") == 30
+    assert out["n_blocks"] == 3
+
+
+def test_linkfarm_extracts_empty():
+    links = b"".join(
+        b'<p><a href="/%d">some link text here</a></p>' % i for i in range(30)
+    )
+    out = ex(b"<html><body>" + links + b"</body></html>")
+    assert out["status"] == "ok"
+    assert out["text"] == ""
+    assert out["n_blocks"] == 0
+
+
+def test_empty_body():
+    out = ex(b"<html><body>  \n\t </body></html>")
+    assert out["text"] == ""
+    assert out["status"] == "ok"
+
+
+def test_whitespace_normalization_policy():
+    html = ("<html><body><article><p>  a ​  b\t\tc\n d  " + "x " * 20
+            + "</p></article></body></html>").encode()
+    out = ex(html)
+    assert out["text"].startswith("a b c d ")
+    assert "  " not in out["text"]
+    assert not out["text"].endswith((" ", "\n"))
+
+
+def test_nfc_normalization():
+    # e + combining acute -> precomposed
+    html = ("<html><body><article><p>café " + "w " * 20
+            + "</p></article></body></html>").encode()
+    out = ex(html)
+    assert "café" in out["text"]
+    assert "́" not in out["text"]
+
+
+def test_charset_bom_beats_meta():
+    body = '<html><head><meta charset="euc-kr"></head><body></body></html>'
+    payload = b"\xef\xbb\xbf" + body.encode("utf-8")
+    assert core.sniff_charset(payload) == "utf-8-sig"
+
+
+def test_charset_meta_cp949():
+    body = ('<html><head><meta charset="euc-kr"></head><body><article><p>'
+            + "사업자 등록증 " * 10 + "</p></article></body></html>")
+    payload = body.encode("cp949")
+    assert core.sniff_charset(payload) == "cp949"
+    out = ex(payload)
+    assert "사업자 등록증" in out["text"]
+
+
+def test_charset_latin1_fallback():
+    payload = (b"<html><body><article><p>f\xf6x j\xfcmps "
+               + b"w " * 20 + b"</p></article></body></html>")
+    assert core.sniff_charset(payload) == "latin-1"
+    out = ex(payload)
+    assert "föx" in out["text"]
+
+
+def test_broken_markup_no_crash_deterministic():
+    html = b"<html><body><div><p>" + b"alpha " * 20 + b"<p>" + b"beta " * 20 + b"<table><tr><td>gamma</body>"
+    a, b = ex(html), ex(html)
+    assert a == b
+    assert a["status"] == "ok"
+    assert "alpha" in a["text"] and "beta" in a["text"]
+
+
+def test_spans_point_into_source_bytes():
+    rows = gen_pages(200, seed=7)
+    checked = 0
+    for r in rows:
+        if core.sniff_doc_kind(r["html"]) != "html":
+            continue
+        out = core.extract_html(r["html"])
+        for (s, e, kind) in out["spans"]:
+            assert 0 <= s <= e <= len(r["html"])
+            # normalized slice text must equal the block's contribution
+            raw = r["html"][s:e]
+            assert len(raw) > 0
+            checked += 1
+    assert checked > 50
+
+
+def test_span_bytes_roundtrip_utf8():
+    html = ("<html><body><article><p>한국어 콘텐츠 " + "y " * 20
+            + "</p></article></body></html>").encode("utf-8")
+    out = ex(html)
+    (s, e, kind) = out["spans"][0]
+    sliced = html[s:e].decode("utf-8")
+    assert core._collapse(sliced) == out["text"]
+
+
+def test_oracle_pure_function_stability():
+    rows = gen_pages(150, seed=42)
+    digest = lambda: hashlib.sha256(
+        "\x00".join(core.extract_bytes(r["html"])["text"] for r in rows).encode()
+    ).hexdigest()
+    assert digest() == digest()
+
+
+def test_semantic_article_keeps_short_blocks():
+    html = (b"<html><body><article><p>short but real content</p></article>"
+            b"</body></html>")
+    out = ex(html)
+    assert out["text"] == "short but real content"
+
+
+def test_link_dense_block_dropped_even_in_article():
+    html = (b"<html><body><article>"
+            b"<p>" + b"content " * 20 + b"</p>"
+            b'<p><a href="/z">all of this text is a link and nothing else</a></p>'
+            b"</article></body></html>")
+    out = ex(html)
+    assert "all of this text is a link" not in out["text"]

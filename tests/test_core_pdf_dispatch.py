@@ -1,0 +1,140 @@
+"""Unit tests: PDF subset parser, doc-kind dispatch, profile utilities."""
+
+import random
+
+import pytest
+
+from ocr_spark.data.synth import build_pdf, gen_pages
+from ocr_spark.extractor import core, profiles
+
+
+# -- doc-kind dispatch (O3) --------------------------------------------------
+
+@pytest.mark.parametrize(
+    "payload,kind",
+    [
+        (b"%PDF-1.4\nstuff", "pdf"),
+        (b"<!DOCTYPE html><html></html>", "html"),
+        (b"  \n\t<html><body></body></html>", "html"),
+        (b"\xef\xbb\xbf<html>x</html>", "html"),
+        (b"junk junk <html> late", "html"),
+        (b"\x89PNG\r\n\x1a\n....", "unsupported"),
+        (b"", "unsupported"),
+        (b"plain text no markup", "unsupported"),
+    ],
+)
+def test_sniff_doc_kind(payload, kind):
+    assert core.sniff_doc_kind(payload) == kind
+
+
+def test_unsupported_is_validation_error_row():
+    out = core.extract_bytes(b"\x00\x01\x02\x03 random")
+    assert out["status"] == "validation_error"
+    assert out["text"] == ""
+    assert out["error_msg"] == "Unsupported file format"
+
+
+# -- PDF subset (O5) ----------------------------------------------------------
+
+def test_pdf_single_page_lines_and_blocks():
+    pdf = build_pdf([["first line of block one", "second line"],
+                     ["second block line"]], operators="Td")
+    out = core.extract_pdf(pdf)
+    assert out["status"] == "ok"
+    assert "first line of block one" in out["text"]
+    assert "second block line" in out["text"]
+    assert out["n_blocks"] == 2
+    # block boundary preserved as newline-joined blocks
+    assert out["text"].index("second line") < out["text"].index("second block")
+
+
+def test_pdf_page0_only_default():
+    pdf = build_pdf([["page zero content line"]], n_pages=3)
+    out = core.extract_pdf(pdf)
+    assert "page zero content" in out["text"]
+    assert "page 1 footer" not in out["text"]
+    out_all = core.extract_pdf(pdf, all_pages=True)
+    assert "page 1 footer" in out_all["text"]
+    assert "page 2 footer" in out_all["text"]
+
+
+def test_pdf_empty_is_processing_error():
+    from ocr_spark.data.synth import _empty_pdf
+    out = core.extract_pdf(_empty_pdf())
+    assert out["status"] == "processing_error"
+    assert "no pages" in out["error_msg"]
+
+
+def test_pdf_operator_variety_deterministic():
+    rng = random.Random(5)
+    for ops in ("Td", "TD", "Tm", "TJ", "mixed"):
+        pdf = build_pdf([["alpha beta gamma", "delta epsilon"]], operators=ops, rng=rng)
+        a, b = core.extract_pdf(pdf), core.extract_pdf(pdf)
+        assert a == b
+        assert a["status"] == "ok"
+        assert "alpha beta gamma" in a["text"]
+
+
+def test_pdf_escapes_and_hex_strings():
+    pdf = build_pdf([["paren (x) and \\ backslash"]], operators="Td")
+    out = core.extract_pdf(pdf)
+    assert "paren (x) and \\ backslash" in out["text"]
+
+
+def test_pdf_spans_point_into_bytes():
+    pdf = build_pdf([["span target text line"]], operators="Td")
+    out = core.extract_pdf(pdf)
+    (s, e, kind) = out["spans"][0]
+    assert kind == "pdfblock"
+    assert b"span target text line" in pdf[s:e]
+
+
+def test_pdf_filtered_stream_rejected():
+    pdf = build_pdf([["x"]])
+    bad = pdf.replace(b"<< /Length", b"<< /Filter /FlateDecode /Length")
+    out = core.extract_pdf(bad)
+    assert out["status"] == "processing_error"
+
+
+# -- profiles (O2/O6/O13/O14) --------------------------------------------------
+
+def test_normalize_config_rules():
+    raw = {"KR": {"a": 1}, 7: {"b": 2}, "us": "notadict", "De": {}}
+    out = profiles.normalize_config(raw)
+    assert out == {"kr": {"a": 1}, "de": {}}
+    assert profiles.normalize_config(["not", "dict"]) == {}
+    assert profiles.normalize_config(None) == {}
+
+
+def test_get_schema_and_projection():
+    cfg = {"kr": {"fields": {"f1": "d", "f2": "d"}}}
+    schema = profiles.get_schema(cfg, " KR ")
+    assert set(schema) == {"f1", "f2"}
+    assert profiles.get_schema(cfg, "zz") is None
+    projected = profiles.project_schema({"f1": "x", "extra": "y"}, schema)
+    assert projected == {"f1": "x", "f2": None}
+
+
+def test_validate_lang():
+    cfg = {"kr": {}, "us": {}}
+    assert profiles.validate_lang("KR ", cfg) == "kr"
+    assert profiles.validate_lang("unknown", cfg) is None
+    assert profiles.validate_lang("fr", cfg) is None
+    assert profiles.validate_lang(None, cfg) is None
+
+
+def test_extract_field_dot_path():
+    data = {"a": {"b": {"c": 3}}, "x": [1]}
+    assert profiles.extract_field(data, "a.b.c") == 3
+    assert profiles.extract_field(data, "a.b.z", "dflt") == "dflt"
+    assert profiles.extract_field(data, "x.0") is None  # lists not traversed
+
+
+# -- corpus synthesizer -------------------------------------------------------
+
+def test_gen_pages_deterministic_and_has_dups():
+    r1, r2 = gen_pages(300, seed=42), gen_pages(300, seed=42)
+    assert [a["url"] for a in r1] == [b["url"] for b in r2]
+    assert [a["html"] for a in r1] == [b["html"] for b in r2]
+    urls = [r["url"] for r in r1]
+    assert len(urls) > len(set(urls))  # re-captures exist
