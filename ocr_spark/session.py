@@ -1,0 +1,55 @@
+"""SparkSession factory with the engine's scale-oriented defaults.
+
+Tuned for both local[N] testing and multi-executor clusters: AQE on
+(runtime coalesce + skew-join split), Arrow enabled with a small
+records-per-batch cap because ``html`` is a multi-MB BinaryType column
+(SURVEY.md §7.3.3 — batch memory, not row count, is the limit).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+__all__ = ["get_spark", "ENGINE_CONFS"]
+
+ENGINE_CONFS = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # html pages can be multi-MB; 10k-row default batches would put
+    # GBs into one Python worker batch.  256 rows x ~100KB avg ~ 25MB.
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "256",
+    # idempotent per-bucket re-extraction: overwrite only the touched
+    # bucket partitions on resume (SURVEY.md §7.3.5)
+    "spark.sql.sources.partitionOverwriteMode": "dynamic",
+    "spark.sql.parquet.compression.codec": "zstd",
+    "spark.ui.enabled": "false",
+    "spark.python.worker.reuse": "true",
+}
+
+
+def get_spark(app: str = "ocr_spark", cores: int | None = None,
+              shuffle_partitions: int | None = None,
+              extra: dict | None = None) -> SparkSession:
+    """Build (or reuse) a session.  ``cores=None`` -> local[*] when no
+    master is configured (spark-submit on a cluster supplies its own)."""
+    if cores is None:
+        cores = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or None
+    builder = SparkSession.builder.appName(app)
+    if not os.environ.get("SPARK_MASTER") and "SPARK_ENV_LOADED" not in os.environ:
+        builder = builder.master(f"local[{cores}]" if cores else "local[*]")
+        builder = builder.config("spark.driver.memory",
+                                 os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+    n_shuffle = shuffle_partitions or (cores * 2 if cores else 32)
+    builder = builder.config("spark.sql.shuffle.partitions", str(n_shuffle))
+    for k, v in ENGINE_CONFS.items():
+        builder = builder.config(k, v)
+    for k, v in (extra or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

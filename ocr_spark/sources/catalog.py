@@ -1,0 +1,118 @@
+"""Iceberg-shaped table layer over Parquet directories.
+
+The sandbox has no Iceberg runtime jars (SURVEY.md §7.0), so this thin
+layer implements the table properties the north rule actually
+exercises — identity, schema-on-read, bucket partition layout, append,
+dynamic-partition overwrite, and a manifest/snapshot record for
+checkpoint-resume — over plain Parquet paths.  On a real cluster with
+``spark.jars.packages=org.apache.iceberg:...`` the same call sites swap
+to ``spark.read.table`` / ``df.writeTo(...).append()`` via the
+``use_iceberg`` flag; nothing else in the engine changes.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+__all__ = ["Catalog", "Table"]
+
+MANIFEST_SCHEMA = T.StructType(
+    [
+        T.StructField("run_id", T.StringType(), False),
+        T.StructField("bucket", T.IntegerType(), False),
+        T.StructField("committed_at", T.TimestampType(), False),
+    ]
+)
+
+LINEAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("run_id", T.StringType(), False),
+        T.StructField("bucket", T.IntegerType(), False),
+        T.StructField("n_docs", T.LongType(), True),
+        T.StructField("n_ok", T.LongType(), True),
+        T.StructField("n_err", T.LongType(), True),
+        T.StructField("bytes_in", T.LongType(), True),
+        T.StructField("bytes_out", T.LongType(), True),
+        T.StructField("wall_ms", T.LongType(), True),
+    ]
+)
+
+
+class Table:
+    """One named parquet-backed table under a catalog root."""
+
+    def __init__(self, spark: SparkSession, path: str, name: str):
+        self.spark = spark
+        self.path = path
+        self.name = name
+
+    def exists(self) -> bool:
+        if not os.path.isdir(self.path):
+            return False
+        for root, _dirs, files in os.walk(self.path):
+            if any(f.endswith(".parquet") for f in files):
+                return True
+        return False
+
+    def read(self) -> DataFrame:
+        return self.spark.read.parquet(self.path)
+
+    def read_or_empty(self, schema: T.StructType) -> DataFrame:
+        if self.exists():
+            return self.spark.read.schema(schema).parquet(self.path)
+        return self.spark.createDataFrame([], schema)
+
+    def append(self, df: DataFrame, partition_by: tuple[str, ...] = ()) -> None:
+        w = df.write.mode("append")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(self.path)
+
+    def overwrite_partitions(self, df: DataFrame,
+                             partition_by: tuple[str, ...]) -> None:
+        """Idempotent per-partition replace: with
+        spark.sql.sources.partitionOverwriteMode=dynamic, mode=overwrite
+        replaces only the partitions present in ``df`` — the re-run of an
+        uncommitted bucket lands byte-for-byte in place of the orphan
+        (SURVEY.md §7.3.5)."""
+        df.write.mode("overwrite").partitionBy(*partition_by).parquet(self.path)
+
+
+class Catalog:
+    """A directory of tables + the checkpoint manifest / lineage pair
+    used for idempotent resume (FIXTURES.md §3)."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def table(self, name: str) -> Table:
+        return Table(self.spark, os.path.join(self.root, name), name)
+
+    # -- checkpoint manifest ------------------------------------------------
+    def manifest(self) -> Table:
+        return self.table("manifest")
+
+    def lineage(self) -> Table:
+        return self.table("lineage")
+
+    def committed_buckets(self, run_id: str) -> DataFrame:
+        """Buckets already committed for this run (anti-join target)."""
+        m = self.manifest().read_or_empty(MANIFEST_SCHEMA)
+        return m.filter(F.col("run_id") == run_id).select("bucket").distinct()
+
+    def commit_buckets(self, run_id: str, buckets: list[int]) -> None:
+        """Append manifest rows — the atomic last step per chunk: data
+        files land first, manifest rows only after (write-then-commit
+        ordering, SURVEY.md §4.2)."""
+        if not buckets:
+            return
+        df = self.spark.createDataFrame(
+            [(run_id, int(b)) for b in buckets], "run_id string, bucket int"
+        ).withColumn("committed_at", F.current_timestamp())
+        self.manifest().append(df)
