@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship extraction on sf0.001.
+``queries()`` exposes one callable per implemented operator family
+(SURVEY.md §2); ``oracle_sql()`` gives the DuckDB-equivalent SQL for
+every SQL-expressible one.  Column names are aliased identically on
+both sides (the driver hashes values after sorting columns by name).
 """
 
 from __future__ import annotations
@@ -12,27 +12,551 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+SF0001 = "/root/testdata/sf0.001"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------------
+# flagship: wrap documents in boilerplate html, extract, byte-match
+# --------------------------------------------------------------------------
+
+_WRAP_PREFIX = (
+    '<html><head><meta charset="utf-8"><title>doc</title></head><body>'
+    '<nav><ul><li><a href="/home">home page link</a></li>'
+    '<li><a href="/about">about this site</a></li></ul></nav>'
+    "<article><p>"
+)
+_WRAP_SUFFIX = (
+    "</p></article>"
+    '<footer><p><a href="/contact">contact</a> <a href="/tos">terms</a></p>'
+    "</footer></body></html>"
+)
+
+
+def _wrapped_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> synthetic boilerplate-wrapped pages (html binary).
+    The oracle invariant: extraction strips the nav/footer and returns
+    the document text byte-identically (normalization is the identity
+    on these texts — asserted in tests)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.encode(
+            F.concat(F.lit(_WRAP_PREFIX), F.col("text"), F.lit(_WRAP_SUFFIX)),
+            "utf-8",
+        ).alias("html"),
+    )
+
+
+def q_flagship_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_spark.operators.extract import extract_pages
+
+    pages = _wrapped_pages(spark, sf_dir)
+    out = extract_pages(pages, payload_col="html", passthrough=("doc_id",),
+                        with_spans=False)
+    return out.select("doc_id", "text").orderBy("doc_id")
+
+
+def q_extract_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extraction + per-lang lineage rollup (the groupBy counters of
+    SURVEY.md §2.2 'Aggregations')."""
+    from ocr_spark.operators.extract import extract_pages
+
+    pages = _wrapped_pages(spark, sf_dir)
+    out = extract_pages(pages, payload_col="html",
+                        passthrough=("doc_id", "lang"), with_spans=False)
+    return (
+        out.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("status") == "ok", 1).otherwise(0)).alias("n_ok"),
+            F.sum("n_blocks").alias("sum_blocks"),
+            F.sum("bytes_out").alias("sum_bytes_out"),
+        )
+        .orderBy("lang")
+    )
+
+
+# --------------------------------------------------------------------------
+# dedup family
+# --------------------------------------------------------------------------
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_spark.operators.dedup import exact_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return exact_dedup(docs, "text", "doc_id").select("doc_id", "dup_count")
+
+
+def q_dedup_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window keep-latest per user over events (the per-url dedup
+    pattern of the pages pipeline, on the driver tables)."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type")
+    )
+
+
+def _docs_with_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ perturbed copies (first token dropped, id+1000000):
+    a deterministic near-dup population for the similarity-dedup ops."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    mutated = docs.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.ltrim(
+            F.substring(
+                F.col("text"), F.instr(F.col("text"), " ") + 1, 10_000_000
+            )
+        ).alias("text"),
+    ).filter(F.instr(F.col("text"), " ") > 0)
+    return docs.unionByName(mutated)
+
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_spark.operators.dedup import lsh_candidate_pairs
+
+    docs = _docs_with_near_dups(spark, sf_dir)
+    return lsh_candidate_pairs(docs, "doc_id", "text",
+                               n_hashes=16, bands=8, shingle_k=3)
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = _docs_with_near_dups(spark, sf_dir)
+    return ngram_jaccard_pairs(docs, "doc_id", "text",
+                               shingle_k=3, threshold=0.5)
+
+
+def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """xxhash64-based SimHash (JVM hash — no SQL oracle; rows-only)."""
+    from ocr_spark.operators.dedup import simhash_near_dup_pairs
+
+    docs = _docs_with_near_dups(spark, sf_dir)
+    return simhash_near_dup_pairs(docs, "doc_id", "text", max_hamming=8)
+
+
+def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine near-dup pairs (threshold join). The LSH-bucketed
+    scale variant is q_ann_topk."""
+    from ocr_spark.operators.similarity import cosine
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    l, r = emb.alias("l"), emb.alias("r")
+    return (
+        l.join(r, F.col("l.vec_id") < F.col("r.vec_id"))
+        .withColumn(
+            "cos_sim",
+            F.round(cosine(F.col("l.embedding"), F.col("r.embedding")), 4),
+        )
+        .filter(F.col("cos_sim") >= 0.5)
+        .select(
+            F.col("l.vec_id").alias("id_a"),
+            F.col("r.vec_id").alias("id_b"),
+            "cos_sim",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# similarity search
+# --------------------------------------------------------------------------
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_spark.operators.similarity import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return cosine_topk(queries, emb, k=5).select(
+        "query_id", "neighbor_id", "rank"
+    )
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-k (scale path; numpy hyperplanes ->
+    rows-only check, recall property-tested in pytest)."""
+    from ocr_spark.operators.similarity import ann_topk_lsh
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return ann_topk_lsh(queries, emb, dim=64, k=5, n_planes=6)
+
+
+# --------------------------------------------------------------------------
+# text analysis
+# --------------------------------------------------------------------------
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_spark.functions.text import with_text_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return with_text_stats(docs).select(
+        "doc_id", "n_tokens", "avg_token_len", "stopword_ratio",
+        "non_alnum_ratio", "quality_score",
+    )
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_spark.functions.text import with_lang_id
+
+    docs = _t(spark, sf_dir, "documents")
+    return with_lang_id(docs).select("doc_id", "lang_pred")
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_spark.functions.text import fingerprint
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", fingerprint("text").alias("fp"))
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_spark.functions.text import token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", token_count("text").alias("n_tokens"),
+                       F.length("text").alias("n_chars_actual"))
+
+
+# --------------------------------------------------------------------------
+# relational surface (scan/filter/join/agg/window/set-op/json)
+# --------------------------------------------------------------------------
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+            .alias("revenue"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast join + agg + deterministic top-k."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.join(F.broadcast(cust),
+                    orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("total_spent"),
+             F.count("*").alias("n_orders"))
+        .orderBy(F.col("total_spent").desc(), F.col("c_custkey").asc())
+        .limit(10)
+    )
+
+
+def q_customers_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left anti join (the checkpoint-manifest resume pattern)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").select("o_custkey")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+    )
+
+
+def q_setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set op: users who clicked but never purchased."""
+    ev = _t(spark, sf_dir, "events")
+    clickers = ev.filter(F.col("event_type") == "click").select("user_id").distinct()
+    buyers = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    return clickers.exceptAll(buyers).distinct()
+
+
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dot-path JSON field extraction (O14 analogue,
+    utils/response_parser.py:91-117) + agg over the extracted value."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        ev.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(F.sum("k").alias("sum_k"), F.count("*").alias("n_events"))
+        .orderBy("event_type")
+    )
+
+
+def q_events_sessionless_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running aggregate window per user ordered by time."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return ev.select(
+        "event_id", "user_id",
+        F.round(F.sum("value").over(w), 2).alias("running_value"),
+    )
+
+
+# --------------------------------------------------------------------------
+# driver surface
+# --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: boilerplate-strip extraction over sf0.001 documents."""
+    return q_flagship_extract(spark, SF0001)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "flagship_extract": q_flagship_extract,
+        "extract_metrics": q_extract_metrics,
+        "dedup_exact": q_dedup_exact,
+        "dedup_keep_latest": q_dedup_keep_latest,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "ngram_jaccard": q_ngram_jaccard,
+        "simhash_near_dup": q_simhash_near_dup,
+        "embed_near_dup": q_embed_near_dup,
+        "cosine_topk": q_cosine_topk,
+        "ann_topk": q_ann_topk,
+        "text_stats": q_text_stats,
+        "lang_id": q_lang_id,
+        "fingerprint": q_fingerprint,
+        "token_count": q_token_count,
+        "pricing_summary": q_pricing_summary,
+        "top_customers": q_top_customers,
+        "customers_no_orders": q_customers_no_orders,
+        "setop_except": q_setop_except,
+        "json_extract": q_json_extract,
+        "running_window": q_events_sessionless_window,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    stop_list = "['the','a','of','and','to','in','is','it','that','for']"
+    markers = {
+        "en": "['the','and','of','to','is','that','for','with']",
+        "es": "['el','la','de','que','los','las','una','por']",
+        "de": "['der','die','das','und','ist','nicht','ein','mit']",
+        "fr": "['le','la','les','des','est','une','dans','pour']",
+    }
+    # shared DuckDB fragments ------------------------------------------------
+    toks = "string_split_regex(trim(text), '\\s+')"
+    shingles = (
+        f"list_distinct(CASE WHEN len({toks}) >= 3 THEN "
+        f"list_transform(range(1, len({toks}) - 1), "
+        f"i -> {toks}[i] || ' ' || {toks}[i+1] || ' ' || {toks}[i+2]) "
+        f"WHEN len(trim(text)) > 0 THEN [array_to_string({toks}, ' ')] "
+        f"ELSE [] END)"
+    )
+    near_dup_union = """
+        WITH base AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 1000000 AS doc_id,
+                 ltrim(substring(text, instr(text, ' ') + 1, 10000000)) AS text
+          FROM documents
+          WHERE instr(ltrim(substring(text, instr(text, ' ') + 1, 10000000)), ' ') > 0
+        )
     """
-    return {}
+    return {
+        "flagship_extract": (
+            "SELECT doc_id, text FROM documents ORDER BY doc_id"
+        ),
+        "extract_metrics": (
+            "SELECT lang, count(*) AS n_docs, count(*) AS n_ok, "
+            "count(*) AS sum_blocks, "
+            "sum(strlen(text)) AS sum_bytes_out "
+            "FROM documents GROUP BY lang ORDER BY lang"
+        ),
+        "dedup_exact": (
+            "WITH g AS (SELECT md5(text) AS digest, min(doc_id) AS doc_id, "
+            "count(*) AS dup_count FROM documents GROUP BY md5(text)) "
+            "SELECT d.doc_id, g.dup_count FROM documents d "
+            "JOIN g ON d.doc_id = g.doc_id"
+        ),
+        "dedup_keep_latest": (
+            "SELECT user_id, event_id, event_type FROM ("
+            "  SELECT user_id, event_id, event_type, "
+            "    row_number() OVER (PARTITION BY user_id "
+            "      ORDER BY ts DESC, event_id DESC) AS rn FROM events) "
+            "WHERE rn = 1"
+        ),
+        "minhash_lsh_pairs": near_dup_union + f"""
+        , sigs AS (
+          SELECT doc_id,
+            list_transform(range(0, 16),
+              i -> list_min(list_transform({shingles},
+                     s -> md5(i::VARCHAR || '|' || s)))) AS sig
+          FROM base WHERE len({shingles}) > 0
+        ), banded AS (
+          SELECT doc_id, b.band,
+            array_to_string(sig[b.band * 2 + 1 : b.band * 2 + 2], '') AS band_sig
+          FROM sigs, (SELECT unnest(range(0, 8)) AS band) b
+        )
+        SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+        FROM banded l JOIN banded r
+          ON l.band = r.band AND l.band_sig = r.band_sig
+         AND l.doc_id < r.doc_id
+        """,
+        "ngram_jaccard": near_dup_union + f"""
+        , sh AS (
+          SELECT doc_id, {shingles} AS shl FROM base
+          WHERE len({shingles}) > 0
+        ), sizes AS (SELECT doc_id, len(shl) AS n_sh FROM sh),
+        exploded AS (SELECT doc_id, unnest(shl) AS shingle FROM sh),
+        inter AS (
+          SELECT l.doc_id AS id_a, r.doc_id AS id_b, count(*) AS n_inter
+          FROM exploded l JOIN exploded r
+            ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT id_a, id_b,
+               round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+        """,
+        # simhash_near_dup: xxhash64 not available in DuckDB -> rows-only
+        "embed_near_dup": """
+          SELECT l.vec_id AS id_a, r.vec_id AS id_b,
+                 round(list_dot_product(l.embedding::DOUBLE[], r.embedding::DOUBLE[])
+                   / (sqrt(list_dot_product(l.embedding::DOUBLE[], l.embedding::DOUBLE[]))
+                    * sqrt(list_dot_product(r.embedding::DOUBLE[], r.embedding::DOUBLE[]))), 4)
+                 AS cos_sim
+          FROM embeddings l JOIN embeddings r ON l.vec_id < r.vec_id
+          WHERE round(list_dot_product(l.embedding::DOUBLE[], r.embedding::DOUBLE[])
+                   / (sqrt(list_dot_product(l.embedding::DOUBLE[], l.embedding::DOUBLE[]))
+                    * sqrt(list_dot_product(r.embedding::DOUBLE[], r.embedding::DOUBLE[]))), 4)
+                >= 0.5
+        """,
+        "cosine_topk": """
+          WITH scored AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[])
+                     / (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))
+                      * sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[])))
+                   AS cos_sim
+            FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+            WHERE q.vec_id < 8
+          ), ranked AS (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id
+                     ORDER BY round(cos_sim, 6) DESC, neighbor_id ASC) AS rank
+            FROM scored)
+          SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 5
+        """,
+        # ann_topk: LSH hyperplanes are numpy-seeded -> rows-only
+        "text_stats": f"""
+          SELECT doc_id,
+            CASE WHEN len(trim(text)) = 0 THEN 0 ELSE len({toks}) END AS n_tokens,
+            CASE WHEN len({toks}) > 0
+              THEN round(length(regexp_replace(text, '\\s', '', 'g'))
+                         / len({toks}), 4) ELSE 0.0 END AS avg_token_len,
+            CASE WHEN len({toks}) > 0
+              THEN round(len(list_filter({toks},
+                     t -> list_contains({stop_list}, t))) / len({toks}), 4)
+              ELSE 0.0 END AS stopword_ratio,
+            CASE WHEN length(regexp_replace(text, '\\s', '', 'g')) > 0
+              THEN round(length(regexp_replace(
+                       regexp_replace(text, '\\s', '', 'g'),
+                       '[A-Za-z0-9]', '', 'g'))
+                   / length(regexp_replace(text, '\\s', '', 'g')), 4)
+              ELSE 0.0 END AS non_alnum_ratio,
+            CAST(round(
+              (CASE WHEN len({toks}) > 0 AND
+                round(length(regexp_replace(text, '\\s', '', 'g')) / len({toks}), 4)
+                  BETWEEN 2.5 AND 10.0 THEN 0.4 ELSE 0.0 END)
+            + (CASE WHEN len({toks}) > 0 AND
+                round(len(list_filter({toks}, t -> list_contains({stop_list}, t)))
+                  / len({toks}), 4) >= 0.05 THEN 0.3 ELSE 0.0 END)
+            + (CASE WHEN length(regexp_replace(text, '\\s', '', 'g')) > 0 AND
+                round(length(regexp_replace(regexp_replace(text, '\\s', '', 'g'),
+                  '[A-Za-z0-9]', '', 'g'))
+                  / length(regexp_replace(text, '\\s', '', 'g')), 4) <= 0.2
+                THEN 0.3 ELSE 0.0 END), 4) AS DOUBLE) AS quality_score
+          FROM documents
+        """,
+        "lang_id": f"""
+          WITH c AS (
+            SELECT doc_id,
+              len(list_filter({toks}, t -> list_contains({markers['en']}, t))) AS c_en,
+              len(list_filter({toks}, t -> list_contains({markers['es']}, t))) AS c_es,
+              len(list_filter({toks}, t -> list_contains({markers['de']}, t))) AS c_de,
+              len(list_filter({toks}, t -> list_contains({markers['fr']}, t))) AS c_fr
+            FROM documents)
+          SELECT doc_id,
+            CASE WHEN c_en > 0 AND c_en >= c_es AND c_en >= c_de AND c_en >= c_fr THEN 'en'
+                 WHEN c_es > 0 AND c_es > c_en AND c_es >= c_de AND c_es >= c_fr THEN 'es'
+                 WHEN c_de > 0 AND c_de > c_en AND c_de > c_es AND c_de >= c_fr THEN 'de'
+                 WHEN c_fr > 0 AND c_fr > c_en AND c_fr > c_es AND c_fr > c_de THEN 'fr'
+                 ELSE 'und' END AS lang_pred
+          FROM c
+        """,
+        "fingerprint": f"""
+          SELECT doc_id,
+            array_to_string(
+              list_sort(list_transform({shingles}, s -> md5(s)))[1:4],
+              '') AS fp
+          FROM documents
+        """,
+        "token_count": f"""
+          SELECT doc_id,
+            CASE WHEN len(trim(text)) = 0 THEN 0 ELSE len({toks}) END AS n_tokens,
+            length(text) AS n_chars_actual
+          FROM documents
+        """,
+        "pricing_summary": (
+            "SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, "
+            "round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue, "
+            "count(*) AS count_order FROM lineitem "
+            "WHERE l_shipdate <= DATE '1998-09-02' "
+            "GROUP BY l_returnflag, l_linestatus "
+            "ORDER BY l_returnflag, l_linestatus"
+        ),
+        "top_customers": (
+            "SELECT c_custkey, c_name, "
+            "round(sum(o_totalprice), 2) AS total_spent, "
+            "count(*) AS n_orders "
+            "FROM orders JOIN customer ON o_custkey = c_custkey "
+            "GROUP BY c_custkey, c_name "
+            "ORDER BY total_spent DESC, c_custkey ASC LIMIT 10"
+        ),
+        "customers_no_orders": (
+            "SELECT c_custkey, c_name FROM customer c "
+            "WHERE NOT EXISTS (SELECT 1 FROM orders o "
+            "WHERE o.o_custkey = c.c_custkey)"
+        ),
+        "setop_except": (
+            "SELECT DISTINCT user_id FROM events WHERE event_type = 'click' "
+            "EXCEPT "
+            "SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'"
+        ),
+        "json_extract": (
+            "SELECT event_type, "
+            "sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k, "
+            "count(*) AS n_events "
+            "FROM events GROUP BY event_type ORDER BY event_type"
+        ),
+        "running_window": (
+            "SELECT event_id, user_id, "
+            "round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) "
+            "AS running_value FROM events"
+        ),
+    }

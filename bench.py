@@ -1,0 +1,97 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ...,
+   "extract_docs_per_s": ..., "extract_gb_per_s": ...}
+
+The extraction headline runs the full pipeline (dedup, salt,
+repartition, Arrow extract, write, lineage, manifest) over a seeded
+synthetic pages corpus; corpus parquet is cached under .cache/.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+N_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "4000"))
+CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".cache")
+
+# headline operator queries from the driver contract (timed individually)
+BENCH_QUERIES = [
+    "flagship_extract", "extract_metrics", "dedup_exact",
+    "dedup_keep_latest", "minhash_lsh_pairs", "ngram_jaccard",
+    "simhash_near_dup", "embed_near_dup", "cosine_topk", "ann_topk",
+    "text_stats", "lang_id", "fingerprint", "pricing_summary",
+    "top_customers", "json_extract", "running_window",
+]
+
+
+def ensure_corpus() -> str:
+    from ocr_spark.data.synth import write_pages_parquet
+
+    os.makedirs(CACHE, exist_ok=True)
+    path = os.path.join(CACHE, f"bench_pages_{N_PAGES}.parquet")
+    if not os.path.exists(path):
+        write_pages_parquet(path, n=N_PAGES, seed=42)
+    return path
+
+
+def main() -> None:
+    import __spark_entry__ as entry_mod
+    from ocr_spark.plans.pipeline import JobConfig, run_extraction_job
+    from ocr_spark.session import get_spark
+
+    spark = get_spark("ocr_spark_bench", cores=CPUS,
+                      shuffle_partitions=CPUS * 2)
+
+    sf_label = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    corpus = ensure_corpus()
+    out_root = os.path.join(CACHE, "bench_out")
+    shutil.rmtree(out_root, ignore_errors=True)
+
+    timings: dict[str, float] = {}
+
+    # 1. the e2e extraction pipeline (the engine's headline number)
+    t0 = time.perf_counter()
+    stats = run_extraction_job(
+        spark, corpus, out_root,
+        JobConfig(run_id="bench", n_buckets=CPUS * 2, with_spans=True),
+    )
+    timings["pages_pipeline"] = round(time.perf_counter() - t0, 3)
+
+    # 2. operator queries from the driver contract
+    qs = entry_mod.queries()
+    for name in BENCH_QUERIES:
+        t0 = time.perf_counter()
+        df = qs[name](spark, SF_DIR)
+        n = df.count()  # force full execution
+        timings[name] = round(time.perf_counter() - t0, 3)
+        _ = n
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "bench_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_label,
+        "cpus": CPUS,
+        "extract_docs": stats["n_docs"],
+        "extract_docs_per_s": round(stats["docs_per_s"], 1),
+        "extract_gb_per_s": round(stats["gb_per_s"], 4),
+        "extract_bytes_in": stats["bytes_in"],
+    }))
+
+
+if __name__ == "__main__":
+    main()

