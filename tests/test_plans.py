@@ -1,0 +1,107 @@
+"""Physical-plan assertions: the plans we'd want at 100 TB, not just
+plans that pass.  Checks predicate pushdown, column pruning, broadcast
+join selection, and that no per-row Python UDF appears anywhere."""
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entry_mod
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df, execute: bool = False) -> str:
+    df.sparkSession.conf.set("spark.sql.maxMetadataStringLength", "4000")
+    if execute:
+        df.collect()  # finalize THIS df's AQE plan (count() builds a new one)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def optimized_of(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_pricing_summary_pushdown_and_pruning(spark):
+    df = entry_mod.q_pricing_summary(spark, SF)
+    plan = plan_of(df)
+    # filter reaches the parquet scan
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # scan reads only needed columns, not the whole 11-column table
+    read = plan.split("ReadSchema")[1][:400]
+    for col in ("l_returnflag", "l_linestatus", "l_quantity",
+                "l_extendedprice", "l_discount", "l_shipdate"):
+        assert col in read
+    for col in ("l_orderkey", "l_partkey", "l_suppkey", "l_tax"):
+        assert col not in read
+
+
+def test_top_customers_broadcast_join(spark):
+    plan = plan_of(entry_mod.q_top_customers(spark, SF))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_anti_join_is_broadcast(spark):
+    plan = plan_of(entry_mod.q_customers_no_orders(spark, SF))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_extraction_scan_prunes_unused_columns(spark):
+    """The extract stage must not drag documents.source/n_chars through
+    the scan: mapInPandas input is pruned to (doc_id, html-expr cols)."""
+    df = entry_mod.q_flagship_extract(spark, SF)
+    plan = plan_of(df)
+    read = plan.split("ReadSchema")[1][:300]
+    assert "doc_id" in read and "text" in read
+    assert "source" not in read and "n_chars" not in read
+    # vectorized Arrow stage present; no row-at-a-time Python UDF
+    assert "MapInPandas" in plan or "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan    # per-row Python = forbidden
+
+
+def test_pipeline_has_no_per_row_python(spark, pages_parquet):
+    from ocr_spark.operators.extract import extract_pages
+    from ocr_spark.plans.pipeline import JobConfig, prepare_pages, with_salt, detect_hot_hosts
+
+    pages = prepare_pages(spark.read.parquet(pages_parquet), 16)
+    cfg = JobConfig()
+    salted = with_salt(pages, detect_hot_hosts(pages, cfg), cfg)
+    ext = extract_pages(salted.repartition(8, "bucket", "salt"),
+                        passthrough=("url", "bucket"))
+    plan = plan_of(ext)
+    assert "BatchEvalPython" not in plan
+    assert "MapInPandas" in plan
+    # hot-host dim goes in broadcast
+    assert "BroadcastHashJoin" in plan
+
+
+def test_keep_latest_shuffles_skinny_projection(spark, pages_parquet):
+    """The dedup winner set must aggregate only (url, warc_ts) — html
+    must not appear below the aggregate."""
+    from ocr_spark.plans.pipeline import keep_latest
+
+    import re
+
+    df = keep_latest(spark.read.parquet(pages_parquet))
+    opt = optimized_of(df)
+    m = re.search(r"Aggregate \[url#\d+\].*?Project \[url#\d+, warc_ts#\d+\]",
+                  opt, re.DOTALL)
+    assert m, f"skinny (url, warc_ts) projection not found under Aggregate:\n{opt}"
+
+
+def test_dedup_queries_avoid_cartesian(spark):
+    """LSH candidate generation must be an equi-join, never a cartesian
+    product."""
+    for name in ("minhash_lsh_pairs", "simhash_near_dup"):
+        df = entry_mod.queries()[name](spark, SF)
+        plan = plan_of(df)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_whole_stage_codegen_on_relational_path(spark):
+    import re
+
+    plan = plan_of(entry_mod.q_pricing_summary(spark, SF), execute=True)
+    assert "isFinalPlan=true" in plan
+    # whole-stage codegen spans appear as "*(n)" node prefixes
+    assert re.search(r"\*\(\d+\) HashAggregate", plan)
