@@ -1,0 +1,160 @@
+"""Scaling-efficiency measurement: the same extraction job at two
+parallelism levels (the sandbox substitution for N vs 4N executors —
+BASELINE.json north_rule; no real cluster is available here).
+
+Runs ``job.py`` as a subprocess (fresh JVM per run, so one run's JIT /
+page cache cannot leak into the other configuration's timing) at
+local[8] (N) and local[32] (4N) over the SAME cached synthetic pages
+corpus, RUNS times each, alternating.  Reports median throughput at
+both levels and
+
+    efficiency = X(4N) / (4 * X(N))     where X = docs/sec
+
+Wall time is the job's own ``wall_s`` (first Spark action to last
+manifest commit) — JVM/session startup is excluded on both sides, as
+it would be on a real cluster where executors are provisioned before
+the job is timed.
+
+Writes BENCH/scaling.json and rewrites the results table in
+BENCH/BASELINE.md.
+
+Usage:  python BENCH/run_scaling.py [--pages 60000] [--size-mult 6]
+        [--runs 3] [--low 8] [--high 32]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import statistics
+import subprocess
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+BENCH_DIR = os.path.join(ROOT, "BENCH")
+CACHE = os.path.join(ROOT, ".cache")
+
+
+def ensure_corpus(pages: int, size_mult: int, seed: int = 42) -> str:
+    sys.path.insert(0, ROOT)
+    from ocr_spark.data.synth import (write_pages_parquet,
+                                      write_pages_parquet_parallel)
+
+    os.makedirs(CACHE, exist_ok=True)
+    path = os.path.join(CACHE, f"scaling_pages_{pages}_m{size_mult}.parquet")
+    if not os.path.exists(path):
+        t0 = time.perf_counter()
+        if pages > 25000:
+            n = write_pages_parquet_parallel(path, n=pages, seed=seed,
+                                             size_mult=size_mult, workers=24)
+        else:
+            n = write_pages_parquet(path, n=pages, seed=seed,
+                                    size_mult=size_mult)
+        sz = sum(os.path.getsize(os.path.join(path, f))
+                 for f in os.listdir(path)) if os.path.isdir(path) \
+            else os.path.getsize(path)
+        print(f"synthesized {n} pages -> {path} "
+              f"({time.perf_counter() - t0:.1f}s, {sz / 1e6:.0f} MB parquet)")
+    return path
+
+
+def run_once(corpus: str, cores: int, tag: str) -> dict:
+    # outputs go to /tmp: writing many task files under the repo tree is
+    # ~5x slower in this sandbox (measured; repo dir appears watched)
+    out = os.path.join("/tmp/ocr_spark_bench", f"scaling_out_{tag}")
+    shutil.rmtree(out, ignore_errors=True)
+    env = dict(os.environ, SPARK_GRAFT_CPUS=str(cores))
+    proc = subprocess.run(
+        [sys.executable, os.path.join(ROOT, "job.py"),
+         "--input", corpus, "--output", out,
+         "--cores", str(cores), "--run-id", tag, "--buckets", "64"],
+        capture_output=True, text=True, env=env, cwd=ROOT, timeout=3600,
+    )
+    if proc.returncode != 0:
+        sys.stderr.write(proc.stdout[-2000:] + proc.stderr[-4000:])
+        raise RuntimeError(f"job failed at local[{cores}]")
+    stats = json.loads(proc.stdout.strip().splitlines()[-1])
+    shutil.rmtree(out, ignore_errors=True)
+    print(f"  local[{cores}] {tag}: wall={stats['wall_s']:.1f}s "
+          f"docs/s={stats['docs_per_s']:.0f} GB/s={stats['gb_per_s']:.4f}")
+    return stats
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pages", type=int, default=500000)
+    ap.add_argument("--size-mult", type=int, default=64)
+    ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("--low", type=int, default=8)
+    ap.add_argument("--high", type=int, default=32)
+    args = ap.parse_args()
+
+    corpus = ensure_corpus(args.pages, args.size_mult)
+
+    results: dict[int, list[dict]] = {args.low: [], args.high: []}
+    for i in range(args.runs):
+        # alternate so drift (thermal, page cache) hits both levels evenly
+        for cores in (args.high, args.low):
+            results[cores].append(run_once(corpus, cores, f"c{cores}r{i}"))
+
+    def med(cores: int, key: str) -> float:
+        return statistics.median(r[key] for r in results[cores])
+
+    x_low, x_high = med(args.low, "docs_per_s"), med(args.high, "docs_per_s")
+    g_low, g_high = med(args.low, "gb_per_s"), med(args.high, "gb_per_s")
+    ratio = args.high / args.low
+    eff = x_high / (ratio * x_low) if x_low else 0.0
+
+    summary = {
+        "corpus": {"pages": args.pages, "size_mult": args.size_mult,
+                   "parquet_mb": round(os.path.getsize(corpus) / 1e6, 1),
+                   "n_docs_extracted": results[args.high][0]["n_docs"],
+                   "bytes_in": results[args.high][0]["bytes_in"]},
+        "runs": args.runs,
+        "low": {"cores": args.low, "wall_s": med(args.low, "wall_s"),
+                "docs_per_s": round(x_low, 1), "gb_per_s": round(g_low, 4)},
+        "high": {"cores": args.high, "wall_s": med(args.high, "wall_s"),
+                 "docs_per_s": round(x_high, 1), "gb_per_s": round(g_high, 4)},
+        "scaling_efficiency": round(eff, 3),
+        "target": 0.8,
+        "pass": eff >= 0.8,
+        "all_runs": {str(c): rs for c, rs in results.items()},
+    }
+    os.makedirs(BENCH_DIR, exist_ok=True)
+    with open(os.path.join(BENCH_DIR, "scaling.json"), "w") as f:
+        json.dump(summary, f, indent=2)
+
+    md = f"""# BENCH/BASELINE — measured scaling efficiency
+
+North-rule criterion: throughput scaling efficiency >= 0.8 from N to 4N
+executors.  Sandbox substitution (no real cluster): the identical job on
+the identical input at `local[{args.low}]` (N={args.low} cores) vs
+`local[{args.high}]` (4N={args.high}; the host has 32 cores).  Median of
+{args.runs} alternating runs; fresh JVM per run; wall time is the job's own
+span (startup excluded on both sides).  Produced by
+`python BENCH/run_scaling.py`; raw numbers in `BENCH/scaling.json`.
+
+Corpus: {summary['corpus']['n_docs_extracted']} extracted docs
+({summary['corpus']['parquet_mb']} MB parquet,
+{summary['corpus']['bytes_in'] / 1e9:.2f} GB html bytes), seeded synthetic
+pages (`ocr_spark.data.synth.gen_pages`, seed=42,
+size_mult={args.size_mult}).
+
+| parallelism | median wall (s) | docs/s | GB/s (html in) |
+|---|---|---|---|
+| local[{args.low}] (N) | {med(args.low, 'wall_s'):.1f} | {x_low:.0f} | {g_low:.4f} |
+| local[{args.high}] (4N) | {med(args.high, 'wall_s'):.1f} | {x_high:.0f} | {g_high:.4f} |
+
+**Scaling efficiency = X(4N) / (4 x X(N)) = {eff:.3f}** (target >= 0.8:
+**{'PASS' if eff >= 0.8 else 'FAIL'}**).
+"""
+    with open(os.path.join(BENCH_DIR, "BASELINE.md"), "w") as f:
+        f.write(md)
+    print(json.dumps({k: v for k, v in summary.items() if k != "all_runs"}))
+
+
+if __name__ == "__main__":
+    main()

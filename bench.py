@@ -56,7 +56,9 @@ def main() -> None:
 
     sf_label = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     corpus = ensure_corpus()
-    out_root = os.path.join(CACHE, "bench_out")
+    # job output to /tmp: many-file writes under the repo tree are ~5x
+    # slower in this sandbox (measured)
+    out_root = "/tmp/ocr_spark_bench/bench_out"
     shutil.rmtree(out_root, ignore_errors=True)
 
     timings: dict[str, float] = {}

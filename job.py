@@ -65,7 +65,9 @@ def main() -> None:
     if args.synth:
         from ocr_spark.data.synth import write_pages_parquet
 
-        corpus = os.path.join(args.output, "_synth_pages.parquet")
+        # NOTE: no leading underscore — Spark/Hadoop treats _-prefixed
+        # files as hidden metadata and silently excludes them from scans
+        corpus = os.path.join(args.output, "synth_pages.parquet")
         os.makedirs(args.output, exist_ok=True)
         n = write_pages_parquet(corpus, n=args.synth, seed=args.synth_seed)
         print(f"synthesized {n} pages -> {corpus}")

@@ -20,7 +20,8 @@ from __future__ import annotations
 import datetime as dt
 import random
 
-__all__ = ["gen_pages", "write_pages_parquet", "build_pdf", "GENRES"]
+__all__ = ["gen_pages", "write_pages_parquet", "write_pages_parquet_parallel",
+           "build_pdf", "GENRES"]
 
 _WORDS = (
     "the quick brown fox jumps over lazy dog data spark engine extract "
@@ -237,11 +238,13 @@ def _pdf_blocks(rng: random.Random) -> list[list[str]]:
     ]
 
 
-def _one_page(rng: random.Random, idx: int, genre: str) -> dict:
+def _one_page(rng: random.Random, idx: int, genre: str,
+              size_mult: int = 1) -> dict:
     host = f"host{rng.randint(0, 49)}.example.com"
     lang = rng.choice(["en", "en", "en", "ko", "es", "de", "zh"])
     if genre == "article":
-        html = _article_html(rng, rng.randint(3, 10), rng.randint(15, 40))
+        html = _article_html(rng, rng.randint(3, 10) * size_mult,
+                             rng.randint(15, 40))
     elif genre == "shortarticle":
         html = _article_html(rng, 1, rng.randint(3, 8))
     elif genre == "linkfarm":
@@ -299,19 +302,23 @@ _GENRE_WEIGHTS = [
 
 
 def gen_pages(n: int, seed: int = 42, dup_frac: float = 0.05,
-              giant_every: int = 400) -> list[dict]:
+              giant_every: int = 400, size_mult: int = 1,
+              idx_start: int = 0) -> list[dict]:
     """Generate ``n`` pages rows. ``dup_frac`` of rows are re-captures of
     an earlier url at a later ``warc_ts`` (keep-latest dedup tests);
     every ``giant_every``-th row is a multi-MB page on one hot host
-    (skew/salting tests)."""
+    (skew/salting tests).  ``size_mult`` scales article body length
+    (bench corpora use >1 to approximate real Common-Crawl page sizes
+    without changing the edge-genre mix)."""
     rng = random.Random(seed)
     genres = [g for g, w in _GENRE_WEIGHTS for _ in range(w)]
     rows: list[dict] = []
-    for i in range(n):
+    for j in range(n):
+        i = idx_start + j  # global url index: parallel chunk gen stays collision-free
         if giant_every and i and i % giant_every == 0:
             row = _one_page(rng, i, "giant")
         else:
-            row = _one_page(rng, i, rng.choice(genres))
+            row = _one_page(rng, i, rng.choice(genres), size_mult=size_mult)
         rows.append(row)
         if rows and rng.random() < dup_frac:
             # duplicate an earlier url with a later capture and new bytes
@@ -345,3 +352,35 @@ def write_pages_parquet(path: str, n: int, seed: int = 42, **kw) -> int:
     )
     pq.write_table(table, path)
     return len(rows)
+
+
+def _gen_chunk(args: tuple) -> int:
+    part_path, n, seed, idx_start, kw = args
+    return write_pages_parquet(part_path, n, seed=seed, idx_start=idx_start, **kw)
+
+
+def write_pages_parquet_parallel(dir_path: str, n: int, seed: int = 42,
+                                 workers: int = 16, chunk: int = 25000,
+                                 **kw) -> int:
+    """Multi-process corpus writer for large bench corpora: ``n`` pages
+    split into deterministic chunks (chunk c uses seed ``seed*10007+c``
+    and url index range ``[c*chunk, ...)`` so urls never collide across
+    chunks), written as part files under ``dir_path`` (a parquet
+    directory — Spark and DuckDB read it as one table).  Deterministic
+    for fixed (n, seed, chunk): worker scheduling cannot change file
+    contents, only their write order."""
+    import multiprocessing as mp
+    import os
+
+    os.makedirs(dir_path, exist_ok=True)
+    tasks = []
+    c = 0
+    for start in range(0, n, chunk):
+        tasks.append((
+            os.path.join(dir_path, f"part-{c:05d}.parquet"),
+            min(chunk, n - start), seed * 10007 + c, start, kw,
+        ))
+        c += 1
+    with mp.Pool(min(workers, len(tasks))) as pool:
+        counts = pool.map(_gen_chunk, tasks)
+    return sum(counts)

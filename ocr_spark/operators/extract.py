@@ -56,6 +56,7 @@ def extract_pages(
     passthrough: tuple[str, ...] = ("url",),
     all_pages: bool = False,
     with_spans: bool = True,
+    dedup_first: str | None = None,
 ) -> DataFrame:
     """Run the deterministic extractor over a pages DataFrame.
 
@@ -64,10 +65,21 @@ def extract_pages(
     minimal so Catalyst prunes the parquet scan to exactly what the
     stage needs).  Output: passthrough columns + EXTRACT_RESULT_FIELDS.
 
+    ``dedup_first``: name of a key column (must be in ``passthrough``)
+    for streaming keep-FIRST-per-key dedup inside the kernel.  Contract:
+    the input is partitioned by a pure function of the key (all captures
+    of a url share a partition) and ``sortWithinPartitions(key, ...)``
+    has placed the winning capture first in each key group.  This turns
+    keep-latest dedup into an O(1)-state streaming filter that rides the
+    one html exchange instead of costing its own shuffle of the multi-MB
+    payload column (SURVEY.md §4.2 "never shuffle html twice").
+
     ``extract_ms`` is wall-clock metadata (the analogue of the
     reference's declared-but-unused processing_duration_ms,
     models.py:15-18) and is excluded from determinism contracts.
     """
+    if dedup_first is not None and dedup_first not in passthrough:
+        raise ValueError(f"dedup_first={dedup_first!r} must be in passthrough")
     in_fields = [df.schema[c] for c in passthrough]
     result_fields = list(EXTRACT_RESULT_FIELDS)
     if not with_spans:
@@ -78,7 +90,15 @@ def extract_pages(
     def kernel(batches):
         import pandas as pd  # executor-side import
 
+        prev_key = None  # streaming dedup state; partition == key scope
         for pdf in batches:
+            if dedup_first is not None and len(pdf):
+                keys = pdf[dedup_first]
+                keep = keys.ne(keys.shift())  # first row of each adjacent group
+                if prev_key is not None and len(keys):
+                    keep.iloc[0] = keys.iloc[0] != prev_key
+                prev_key = keys.iloc[-1]
+                pdf = pdf[keep].reset_index(drop=True)
             n = len(pdf)
             if n == 0:
                 continue

@@ -28,6 +28,7 @@ ENGINE_CONFS = {
     "spark.sql.sources.partitionOverwriteMode": "dynamic",
     "spark.sql.parquet.compression.codec": "zstd",
     "spark.ui.enabled": "false",
+    "spark.ui.showConsoleProgress": "false",
     "spark.python.worker.reuse": "true",
 }
 
