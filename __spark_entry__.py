@@ -122,7 +122,12 @@ def _docs_with_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("text"),
     ).filter(F.instr(F.col("text"), " ") > 0)
-    return docs.unionByName(mutated)
+    # explicit fan-out: the sf tables are single small parquet files (one
+    # input split), but shingling/hashing is compute-bound — without this
+    # the whole MinHash/SimHash stage runs on one core
+    return docs.unionByName(mutated).repartition(
+        spark.sparkContext.defaultParallelism
+    )
 
 
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -150,25 +155,13 @@ def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact cosine near-dup pairs (threshold join). The LSH-bucketed
-    scale variant is q_ann_topk."""
-    from ocr_spark.operators.similarity import cosine
+    """Exact cosine near-dup pairs (blocked-GEMM brute force; one side
+    broadcast like a broadcast join).  The LSH-bucketed scale variant
+    is q_ann_topk / cosine_near_dup_pairs."""
+    from ocr_spark.operators.similarity import cosine_pairs_bruteforce
 
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    l, r = emb.alias("l"), emb.alias("r")
-    return (
-        l.join(r, F.col("l.vec_id") < F.col("r.vec_id"))
-        .withColumn(
-            "cos_sim",
-            F.round(cosine(F.col("l.embedding"), F.col("r.embedding")), 4),
-        )
-        .filter(F.col("cos_sim") >= 0.5)
-        .select(
-            F.col("l.vec_id").alias("id_a"),
-            F.col("r.vec_id").alias("id_b"),
-            "cos_sim",
-        )
-    )
+    return cosine_pairs_bruteforce(emb, threshold=0.5)
 
 
 # --------------------------------------------------------------------------
@@ -363,6 +356,14 @@ def oracle_sql() -> dict[str, str]:
         f"WHEN len(trim(text)) > 0 THEN [array_to_string({toks}, ' ')] "
         f"ELSE [] END)"
     )
+    # same shingle expression over a pre-materialized token-list column
+    shingles_col = (
+        "list_distinct(CASE WHEN len(toksl) >= 3 THEN "
+        "list_transform(range(1, len(toksl) - 1), "
+        "i -> toksl[i] || ' ' || toksl[i+1] || ' ' || toksl[i+2]) "
+        "WHEN len(trim(text)) > 0 THEN [array_to_string(toksl, ' ')] "
+        "ELSE [] END)"
+    )
     near_dup_union = """
         WITH base AS (
           SELECT doc_id, text FROM documents
@@ -396,13 +397,18 @@ def oracle_sql() -> dict[str, str]:
             "      ORDER BY ts DESC, event_id DESC) AS rn FROM events) "
             "WHERE rn = 1"
         ),
+        # tokens/shingles materialized stepwise: inlining the shingle
+        # expression re-splits the text per list element (measured 200+s
+        # at sf0.1 in both engines for the nested-minhash form)
         "minhash_lsh_pairs": near_dup_union + f"""
+        , tok AS (SELECT doc_id, text, {toks} AS toksl FROM base)
+        , sh AS (SELECT doc_id, {shingles_col} AS shl FROM tok)
         , sigs AS (
           SELECT doc_id,
             list_transform(range(0, 16),
-              i -> list_min(list_transform({shingles},
+              i -> list_min(list_transform(shl,
                      s -> md5(i::VARCHAR || '|' || s)))) AS sig
-          FROM base WHERE len({shingles}) > 0
+          FROM sh WHERE len(shl) > 0
         ), banded AS (
           SELECT doc_id, b.band,
             array_to_string(sig[b.band * 2 + 1 : b.band * 2 + 2], '') AS band_sig
@@ -414,11 +420,12 @@ def oracle_sql() -> dict[str, str]:
          AND l.doc_id < r.doc_id
         """,
         "ngram_jaccard": near_dup_union + f"""
+        , tok AS (SELECT doc_id, text, {toks} AS toksl FROM base)
         , sh AS (
-          SELECT doc_id, {shingles} AS shl FROM base
-          WHERE len({shingles}) > 0
-        ), sizes AS (SELECT doc_id, len(shl) AS n_sh FROM sh),
-        exploded AS (SELECT doc_id, unnest(shl) AS shingle FROM sh),
+          SELECT doc_id, {shingles_col} AS shl FROM tok
+        ), sh2 AS (SELECT doc_id, shl FROM sh WHERE len(shl) > 0),
+        sizes AS (SELECT doc_id, len(shl) AS n_sh FROM sh2),
+        exploded AS (SELECT doc_id, unnest(shl) AS shingle FROM sh2),
         inter AS (
           SELECT l.doc_id AS id_a, r.doc_id AS id_b, count(*) AS n_inter
           FROM exploded l JOIN exploded r

@@ -72,13 +72,14 @@ def main() -> None:
     timings["pages_pipeline"] = round(time.perf_counter() - t0, 3)
 
     # 2. operator queries from the driver contract
+    print(f"pages_pipeline: {timings['pages_pipeline']}s", file=sys.stderr)
     qs = entry_mod.queries()
     for name in BENCH_QUERIES:
         t0 = time.perf_counter()
         df = qs[name](spark, SF_DIR)
         n = df.count()  # force full execution
         timings[name] = round(time.perf_counter() - t0, 3)
-        _ = n
+        print(f"{name}: {timings[name]}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({

@@ -37,15 +37,23 @@ def token_count(col: str | Column) -> Column:
 def word_shingles(col: str | Column, k: int = 3) -> Column:
     """Distinct k-word shingles as an array<string> (space-joined).
     Documents shorter than k words get a single whole-doc shingle so
-    every non-empty doc has a non-empty shingle set."""
+    every non-empty doc has a non-empty shingle set.
+
+    Built as a zip_with chain over k offset slices of the token array.
+    NOT as ``transform(sequence(...), i -> element_at(toks, i+j))``:
+    a non-lambda subexpression inside a higher-order-function lambda
+    body is re-evaluated per element, which makes the element_at form
+    re-tokenize the document O(n*k) times (measured minutes-vs-seconds
+    at 10k docs once nested under the MinHash loop)."""
     toks = tokens(col)
     n = F.size(toks)
-    shingled = F.transform(
-        F.sequence(F.lit(1), n - (k - 1)),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, i + j) for j in range(k)]
-        ),
-    )
+    cnt = n - (k - 1)
+    shingled = F.slice(toks, 1, cnt)
+    for j in range(1, k):
+        shingled = F.zip_with(
+            shingled, F.slice(toks, 1 + j, cnt),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
     whole = F.array(F.concat_ws(" ", toks))
     return F.array_distinct(
         F.when(n >= k, shingled).when(n > 0, whole).otherwise(

@@ -52,18 +52,34 @@ def minhash_signature(col: str | Column, n_hashes: int = 16,
 
     String-min over md5 hex digests is a valid uniform min-hash family
     and — unlike xxhash64 — is reproducible in DuckDB for the
-    correctness oracle.  Empty docs get an empty signature."""
+    correctness oracle.  Empty docs get an empty signature.
+
+    Shape: ONE aggregate pass over the shingle array, folding an
+    elementwise ``least`` across each shingle's n_hashes digests.  The
+    naive ``transform(sequence(0,n), i -> array_min(transform(sh, ...)))``
+    form re-evaluates the whole shingle expression (and its
+    tokenization) once per hash index — quadratic re-compute that
+    measured 200+ seconds at 10k docs vs seconds for this form."""
     sh = word_shingles(col, shingle_k)
-    return F.when(F.size(sh) > 0, F.transform(
-        F.sequence(F.lit(0), F.lit(n_hashes - 1)),
-        lambda i: F.array_min(
+    # 'z' > any md5 hex char, so 'zz' is +infinity for the string-min fold
+    init = F.array_repeat(F.lit("zz"), n_hashes)
+    idx = F.sequence(F.lit(0), F.lit(n_hashes - 1))
+    folded = F.aggregate(
+        sh,
+        init,
+        lambda acc, s: F.zip_with(
+            acc,
             F.transform(
-                sh,
-                lambda s: F.md5(F.encode(F.concat_ws("|", i.cast("string"), s),
+                idx,
+                lambda i: F.md5(F.encode(F.concat_ws("|", i.cast("string"), s),
                                          "utf-8")),
-            )
+            ),
+            lambda a, b: F.least(a, b),
         ),
-    )).otherwise(F.array().cast("array<string>"))
+    )
+    return F.when(F.size(sh) > 0, folded).otherwise(
+        F.array().cast("array<string>")
+    )
 
 
 def lsh_candidate_pairs(df: DataFrame, key_col: str = "doc_id",
@@ -90,21 +106,31 @@ def lsh_candidate_pairs(df: DataFrame, key_col: str = "doc_id",
             )
         ).alias("bs"),
     ).select(key_col, "bs.band", "bs.band_sig")
-    left = banded.alias("l")
-    right = banded.alias("r")
-    return (
-        left.join(
-            right,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.band_sig") == F.col("r.band_sig"))
-            & (F.col(f"l.{key_col}") < F.col(f"r.{key_col}")),
-        )
-        .select(
-            F.col(f"l.{key_col}").alias("id_a"),
-            F.col(f"r.{key_col}").alias("id_b"),
-        )
-        .distinct()
+    # bucket-local pair expansion instead of a banded self-join: one
+    # hash-agg shuffle + in-bucket explode.  The self-join form computes
+    # the signatures twice (no CSE across join branches) and costs three
+    # extra exchanges; pair count is identical.  Cost is quadratic only
+    # within a (band, band_sig) bucket, which is the LSH design point.
+    buckets = (
+        banded.groupBy("band", "band_sig")
+        .agg(F.array_sort(F.collect_list(key_col)).alias("ids"))
+        .filter(F.size("ids") > 1)
     )
+    pairs = buckets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ids"),
+                    lambda x, i: F.transform(
+                        F.slice(F.col("ids"), i + 2,
+                                F.greatest(F.size("ids") - i - 1, F.lit(0))),
+                        lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
+    return pairs.select("p.id_a", "p.id_b").distinct()
 
 
 def ngram_jaccard_pairs(df: DataFrame, key_col: str = "doc_id",
@@ -156,16 +182,24 @@ def simhash(col: str) -> Column:
     token's xxhash64 bit (``getbit``), take the sign, reassemble.
     Entirely JVM-side nested array lambdas — no shuffle, no Python.
     Built as a SQL expression because ``shiftleft``/``getbit`` need
-    column-valued bit positions (the Python API only takes literals)."""
+    column-valued bit positions (the Python API only takes literals).
+
+    One pass over the token-hash array folding a 64-wide counter vector
+    (zip_with inside aggregate) — the per-bit outer-loop form would
+    re-tokenize and re-hash the document 64 times (HOF lambda bodies
+    re-evaluate embedded subexpressions per element)."""
     expr = f"""
     aggregate(
-      transform(sequence(0, 63), b ->
-        if(aggregate(
-             transform(CASE WHEN length(trim({col})) = 0 THEN array()
-                       ELSE split(trim({col}), '\\\\s+') END,
-                       t -> xxhash64(t)),
-             0, (acc, h) -> acc + (2 * getbit(h, b) - 1)) > 0,
-           shiftleft(1L, b), 0L)),
+      zip_with(
+        aggregate(
+          transform(CASE WHEN length(trim({col})) = 0 THEN array()
+                    ELSE split(trim({col}), '\\\\s+') END,
+                    t -> xxhash64(t)),
+          array_repeat(0, 64),
+          (acc, h) -> zip_with(acc, sequence(0, 63),
+                               (a, b) -> a + (2 * getbit(h, b) - 1))),
+        sequence(0, 63),
+        (c, b) -> if(c > 0, shiftleft(1L, b), 0L)),
       0L, (acc2, v) -> acc2 | v)
     """
     return F.expr(expr)
@@ -190,22 +224,32 @@ def simhash_near_dup_pairs(df: DataFrame, key_col: str = "doc_id",
             )
         ).alias("c"),
     ).select(key_col, "sh", "c.chunk_idx", "c.chunk")
-    l, r = chunked.alias("l"), chunked.alias("r")
-    cand = (
-        l.join(
-            r,
-            (F.col("l.chunk_idx") == F.col("r.chunk_idx"))
-            & (F.col("l.chunk") == F.col("r.chunk"))
-            & (F.col(f"l.{key_col}") < F.col(f"r.{key_col}")),
-        )
-        .select(
-            F.col(f"l.{key_col}").alias("id_a"),
-            F.col(f"r.{key_col}").alias("id_b"),
-            F.col("l.sh").alias("sh_a"),
-            F.col("r.sh").alias("sh_b"),
-        )
-        .distinct()
+    # bucket-local pair expansion (see lsh_candidate_pairs): one hash-agg
+    # shuffle; struct array_sort orders by key, so id_a < id_b holds.
+    buckets = (
+        chunked.groupBy("chunk_idx", "chunk")
+        .agg(F.array_sort(F.collect_list(F.struct(key_col, "sh"))).alias("ms"))
+        .filter(F.size("ms") > 1)
     )
+    cand = buckets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ms"),
+                    lambda x, i: F.transform(
+                        F.slice(F.col("ms"), i + 2,
+                                F.greatest(F.size("ms") - i - 1, F.lit(0))),
+                        lambda y: F.struct(
+                            x[key_col].alias("id_a"),
+                            y[key_col].alias("id_b"),
+                            x["sh"].alias("sh_a"),
+                            y["sh"].alias("sh_b"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.id_a", "p.id_b", "p.sh_a", "p.sh_b").distinct()
     xor = F.col("sh_a").bitwiseXOR(F.col("sh_b"))
     return (
         cand.withColumn("hamming", F.bit_count(xor))

@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window
 
 __all__ = [
-    "dot", "l2norm", "cosine", "cosine_topk",
+    "dot", "l2norm", "cosine", "cosine_topk", "cosine_pairs_bruteforce",
     "lsh_bucket_assign", "ann_topk_lsh", "cosine_near_dup_pairs",
 ]
 
@@ -73,6 +73,63 @@ def cosine_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
     )
+
+
+def cosine_pairs_bruteforce(df: DataFrame, threshold: float,
+                            id_col: str = "vec_id",
+                            vec_col: str = "embedding",
+                            round_to: int = 4) -> DataFrame:
+    """All-pairs cosine >= threshold via blocked matrix multiply.
+
+    One side is collected + broadcast as a normalized numpy matrix
+    (the same fits-in-memory contract as a broadcast hash join); the
+    other side streams through ``mapInPandas`` in Arrow batches, each
+    batch scored against the broadcast matrix with a single GEMM.
+    This replaces the row-at-a-time expression form (a self-join
+    producing |n|^2 pair rows, each paying an interpreted
+    zip_with/aggregate dot product — measured 200+s at 2k vectors vs
+    seconds for this kernel).  At corpus sizes where neither side fits
+    an executor, use ``cosine_near_dup_pairs`` (LSH-bucketed) — brute
+    force all-pairs is only ever the small-side baseline."""
+    import numpy as np
+
+    spark = df.sparkSession
+    rows = df.select(id_col, vec_col).collect()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    mat = np.array([list(r[1]) for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0.0] = np.nan  # zero vectors never match (NaN < any threshold)
+    mat = mat / norms
+    b_ids = spark.sparkContext.broadcast(ids)
+    b_mat = spark.sparkContext.broadcast(mat)
+
+    def kernel(batches):
+        import numpy as _np
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            a_ids = pdf[id_col].to_numpy(dtype=_np.int64)
+            a = _np.stack([_np.asarray(v, dtype=_np.float64)
+                           for v in pdf[vec_col]])
+            an = _np.linalg.norm(a, axis=1, keepdims=True)
+            an[an == 0.0] = _np.nan
+            a = a / an
+            sims = _np.round(a @ b_mat.value.T, round_to)
+            ia, ib = _np.nonzero(sims >= threshold)
+            keep = a_ids[ia] < b_ids.value[ib]
+            yield pd.DataFrame({
+                "id_a": a_ids[ia][keep],
+                "id_b": b_ids.value[ib][keep],
+                "cos_sim": sims[ia, ib][keep],
+            })
+
+    out_schema = "id_a long, id_b long, cos_sim double"
+    src = df.select(id_col, vec_col).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return src.mapInPandas(kernel, schema=out_schema)
 
 
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
