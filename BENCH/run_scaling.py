@@ -67,6 +67,8 @@ def run_once(corpus: str, cores: int, tag: str) -> dict:
     out = os.path.join("/tmp/ocr_spark_bench", f"scaling_out_{tag}")
     shutil.rmtree(out, ignore_errors=True)
     env = dict(os.environ, SPARK_GRAFT_CPUS=str(cores))
+    env.setdefault("SPARK_GRAFT_LOCAL_DIR", "/root/spark_scratch")
+    os.makedirs(env["SPARK_GRAFT_LOCAL_DIR"], exist_ok=True)
     proc = subprocess.run(
         [sys.executable, os.path.join(ROOT, "job.py"),
          "--input", corpus, "--output", out,
@@ -85,14 +87,15 @@ def run_once(corpus: str, cores: int, tag: str) -> dict:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--pages", type=int, default=500000)
+    ap.add_argument("--pages", type=int, default=100000)
     ap.add_argument("--size-mult", type=int, default=64)
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--low", type=int, default=8)
     ap.add_argument("--high", type=int, default=32)
+    ap.add_argument("--corpus", help="pre-built pages parquet (skips synth)")
     args = ap.parse_args()
 
-    corpus = ensure_corpus(args.pages, args.size_mult)
+    corpus = args.corpus or ensure_corpus(args.pages, args.size_mult)
 
     results: dict[int, list[dict]] = {args.low: [], args.high: []}
     for i in range(args.runs):
@@ -108,9 +111,14 @@ def main() -> None:
     ratio = args.high / args.low
     eff = x_high / (ratio * x_low) if x_low else 0.0
 
+    corpus_bytes = (
+        sum(os.path.getsize(os.path.join(corpus, f)) for f in os.listdir(corpus))
+        if os.path.isdir(corpus) else os.path.getsize(corpus)
+    )
     summary = {
         "corpus": {"pages": args.pages, "size_mult": args.size_mult,
-                   "parquet_mb": round(os.path.getsize(corpus) / 1e6, 1),
+                   "path": corpus,
+                   "parquet_mb": round(corpus_bytes / 1e6, 1),
                    "n_docs_extracted": results[args.high][0]["n_docs"],
                    "bytes_in": results[args.high][0]["bytes_in"]},
         "runs": args.runs,

@@ -23,6 +23,10 @@ ENGINE_CONFS = {
     # html pages can be multi-MB; 10k-row default batches would put
     # GBs into one Python worker batch.  256 rows x ~100KB avg ~ 25MB.
     "spark.sql.execution.arrow.maxRecordsPerBatch": "256",
+    # same hazard on the scan side: the vectorized parquet reader's
+    # default 4096-row columnar batch holds ~400MB of 100KB html rows
+    # PER TASK (32 tasks OOM'd a 16g heap).  256 rows x ~100KB ~ 25MB.
+    "spark.sql.parquet.columnarReaderBatchSize": "256",
     # idempotent per-bucket re-extraction: overwrite only the touched
     # bucket partitions on resume (SURVEY.md §7.3.5)
     "spark.sql.sources.partitionOverwriteMode": "dynamic",
@@ -30,6 +34,13 @@ ENGINE_CONFS = {
     "spark.ui.enabled": "false",
     "spark.ui.showConsoleProgress": "false",
     "spark.python.worker.reuse": "true",
+    # the bypass-merge shuffle writer makes (map tasks x reducers) temp
+    # files and deletes them after merging; with multi-MB rows and this
+    # filesystem's slow metadata ops, executor threads serialize on
+    # unlink (observed via jstack).  The sort-based writer emits one
+    # data+index file per map task.
+    "spark.shuffle.sort.bypassMergeThreshold": "8",
+    "spark.shuffle.file.buffer": "1m",
 }
 
 
@@ -44,7 +55,10 @@ def get_spark(app: str = "ocr_spark", cores: int | None = None,
     if not os.environ.get("SPARK_MASTER") and "SPARK_ENV_LOADED" not in os.environ:
         builder = builder.master(f"local[{cores}]" if cores else "local[*]")
         builder = builder.config("spark.driver.memory",
-                                 os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+                                 os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
+    if os.environ.get("SPARK_GRAFT_LOCAL_DIR"):
+        builder = builder.config("spark.local.dir",
+                                 os.environ["SPARK_GRAFT_LOCAL_DIR"])
     n_shuffle = shuffle_partitions or (cores * 2 if cores else 32)
     builder = builder.config("spark.sql.shuffle.partitions", str(n_shuffle))
     for k, v in ENGINE_CONFS.items():
