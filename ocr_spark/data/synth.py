@@ -57,35 +57,40 @@ def _nav(rng: random.Random, n_links: int = 8) -> str:
     return f"<nav><ul>{items}</ul></nav>"
 
 
-def _footer(rng: random.Random) -> str:
+def _footer(rng: random.Random, n_links: int = 5) -> str:
     links = " ".join(
-        f'<a href="/f{i}">{_sent(rng, 1)}</a>' for i in range(5)
+        f'<a href="/f{i}">{_sent(rng, 1)}</a>' for i in range(n_links)
     )
     return f"<footer><p>{links}</p><p>copyright {_sent(rng, 3)}</p></footer>"
 
 
-def _sidebar(rng: random.Random) -> str:
+def _sidebar(rng: random.Random, n_items: int = 6) -> str:
     items = "".join(
-        f'<li><a href="/s/{i}">{_sent(rng, 3)}</a></li>' for i in range(6)
+        f'<li><a href="/s/{i}">{_sent(rng, 3)}</a></li>' for i in range(n_items)
     )
     return f"<aside><h3>{_sent(rng, 2)}</h3><ul>{items}</ul></aside>"
 
 
 def _article_html(rng: random.Random, n_paras: int, words_per: int,
                   charset: str = "utf-8", lang_words=_WORDS,
-                  bom: bool = False) -> bytes:
+                  bom: bool = False, boiler_mult: int = 1) -> bytes:
     paras = "".join(
         f"<p>{_sent(rng, max(2, words_per + rng.randint(-5, 5)), lang_words)}</p>"
         for _ in range(n_paras)
     )
     title = _sent(rng, 4, lang_words)
+    # extra boilerplate units interleave real-page structure: repeated
+    # nav/sidebar/ad-ish link blocks around the article raise the
+    # markup:content ratio toward real web pages (~80% boilerplate)
+    pre_boiler = "".join(_nav(rng, 8) for _ in range(max(0, boiler_mult - 1)))
+    post_boiler = "".join(_sidebar(rng, 6) for _ in range(max(0, boiler_mult - 1)))
     html = (
         f'<!DOCTYPE html><html><head><meta charset="{charset}">'
         f"<title>{title}</title>"
         f"<script>var x = {rng.randint(0, 9)};</script>"
         f"<style>body {{ margin: 0 }}</style></head><body>"
-        f"{_nav(rng)}<article><h1>{title}</h1>{paras}</article>"
-        f"{_sidebar(rng)}{_footer(rng)}</body></html>"
+        f"{_nav(rng)}{pre_boiler}<article><h1>{title}</h1>{paras}</article>"
+        f"{post_boiler}{_sidebar(rng)}{_footer(rng, 5 * boiler_mult)}</body></html>"
     )
     enc = {"utf-8": "utf-8", "euc-kr": "cp949", "iso-8859-1": "latin-1"}[charset]
     payload = html.encode(enc, "replace")
@@ -239,12 +244,12 @@ def _pdf_blocks(rng: random.Random) -> list[list[str]]:
 
 
 def _one_page(rng: random.Random, idx: int, genre: str,
-              size_mult: int = 1) -> dict:
+              size_mult: int = 1, boiler_mult: int = 1) -> dict:
     host = f"host{rng.randint(0, 49)}.example.com"
     lang = rng.choice(["en", "en", "en", "ko", "es", "de", "zh"])
     if genre == "article":
         html = _article_html(rng, rng.randint(3, 10) * size_mult,
-                             rng.randint(15, 40))
+                             rng.randint(15, 40), boiler_mult=boiler_mult)
     elif genre == "shortarticle":
         html = _article_html(rng, 1, rng.randint(3, 8))
     elif genre == "linkfarm":
@@ -303,7 +308,7 @@ _GENRE_WEIGHTS = [
 
 def gen_pages(n: int, seed: int = 42, dup_frac: float = 0.05,
               giant_every: int = 400, size_mult: int = 1,
-              idx_start: int = 0) -> list[dict]:
+              boiler_mult: int = 1, idx_start: int = 0) -> list[dict]:
     """Generate ``n`` pages rows. ``dup_frac`` of rows are re-captures of
     an earlier url at a later ``warc_ts`` (keep-latest dedup tests);
     every ``giant_every``-th row is a multi-MB page on one hot host
@@ -318,7 +323,8 @@ def gen_pages(n: int, seed: int = 42, dup_frac: float = 0.05,
         if giant_every and i and i % giant_every == 0:
             row = _one_page(rng, i, "giant")
         else:
-            row = _one_page(rng, i, rng.choice(genres), size_mult=size_mult)
+            row = _one_page(rng, i, rng.choice(genres), size_mult=size_mult,
+                            boiler_mult=boiler_mult)
         rows.append(row)
         if rows and rng.random() < dup_frac:
             # duplicate an earlier url with a later capture and new bytes

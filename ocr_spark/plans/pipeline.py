@@ -66,6 +66,7 @@ class JobConfig:
     hot_count_threshold: int = 1000
     hot_bytes_threshold: int = 64 << 20
     sample_fraction: float = 0.05   # skew detection reads a sample only
+    sample_bytes: bool = False      # True: also weigh hosts by html bytes
     dedup: bool = True
     all_pages: bool = False
     with_spans: bool = True
@@ -79,23 +80,23 @@ def prepare_pages(df: DataFrame, n_buckets: int) -> DataFrame:
 
 
 def detect_hot_hosts(df: DataFrame, cfg: JobConfig) -> DataFrame:
-    """Sampled per-host (count, bytes) aggregate -> hosts needing a wider
-    salt fan-out.  Sampling keeps this sub-linear: at 10^12 docs you
-    cannot afford a full scan just to find skew."""
+    """Sampled per-host count aggregate -> hosts needing a wider salt
+    fan-out.  Sampling keeps this sub-linear: at 10^12 docs you cannot
+    afford a full scan just to find skew.  The probe reads ONLY the url
+    column (row-level sampling cannot push below the scan, so touching
+    ``html`` here would decompress the whole multi-TB column for a 5%
+    sample); set ``sample_bytes=True`` to also weigh by page size when
+    the byte cost is acceptable."""
     sample = df.sample(fraction=cfg.sample_fraction, seed=42)
     scale = 1.0 / cfg.sample_fraction
-    return (
-        sample.groupBy("host")
-        .agg(
-            (F.count("*") * scale).cast("long").alias("est_docs"),
-            (F.sum(F.octet_length("html")) * scale).cast("long").alias("est_bytes"),
+    aggs = [(F.count("*") * scale).cast("long").alias("est_docs")]
+    cond = F.col("est_docs") >= cfg.hot_count_threshold
+    if cfg.sample_bytes:
+        aggs.append(
+            (F.sum(F.octet_length("html")) * scale).cast("long").alias("est_bytes")
         )
-        .filter(
-            (F.col("est_docs") >= cfg.hot_count_threshold)
-            | (F.col("est_bytes") >= cfg.hot_bytes_threshold)
-        )
-        .select("host", "est_docs", "est_bytes")
-    )
+        cond = cond | (F.col("est_bytes") >= cfg.hot_bytes_threshold)
+    return sample.groupBy("host").agg(*aggs).filter(cond).select("host", "est_docs")
 
 
 def with_salt(df: DataFrame, hot_hosts: DataFrame, cfg: JobConfig) -> DataFrame:

@@ -1,0 +1,111 @@
+"""Structured Streaming expression of the extraction pipeline.
+
+The reference is a stateless request/response service
+(TECHNICAL_GUIDE.md:1409-1412); its streaming analogue is a bounded or
+unbounded stream of pages flowing through the same Arrow extraction
+kernel.  The batch job (plans/pipeline.py) stays the production path
+per the north rule; this module shows the engine's operators are
+streaming-clean:
+
+* the extract stage (``operators.extract.extract_pages``) is reused
+  verbatim — ``mapInPandas`` works unchanged on streaming DataFrames;
+* late data is handled with ``withWatermark('warc_ts', ...)`` feeding
+  tumbling-window lineage counters (the streaming analogue of the
+  per-bucket lineage table);
+* sink is either a parquet append stream or ``foreachBatch`` into the
+  same Catalog tables the batch job writes (micro-batch = chunk).
+
+Everything runs with ``trigger(availableNow=True)`` in tests: process
+whatever is in the source directory, then stop — the bounded-stream
+mode that makes streaming output comparable byte-for-byte with the
+batch job's.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ocr_spark.operators.extract import extract_pages
+
+__all__ = ["PAGES_SCHEMA", "read_pages_stream", "extract_stream",
+           "windowed_lineage", "run_stream_to_parquet"]
+
+PAGES_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("warc_ts", T.TimestampType(), True),
+        T.StructField("html", T.BinaryType(), True),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("lang", T.StringType(), True),
+    ]
+)
+
+
+def read_pages_stream(spark: SparkSession, path: str,
+                      max_files_per_trigger: int | None = None) -> DataFrame:
+    """File-source stream over a pages parquet directory.  Schema is
+    explicit (streaming sources require it); ``maxFilesPerTrigger``
+    bounds micro-batch size the way chunk_buckets bounds batch chunks."""
+    reader = spark.readStream.schema(PAGES_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
+
+
+def extract_stream(pages: DataFrame, with_spans: bool = True,
+                   all_pages: bool = False) -> DataFrame:
+    """The extraction stage on a streaming DataFrame — the SAME Arrow
+    kernel as the batch job, so stream output is byte-identical to
+    batch output for the same input rows.  (No keep-latest dedup here:
+    dedup across an unbounded stream is the keep-latest window of the
+    batch job run per micro-batch via foreachBatch when needed.)"""
+    return extract_pages(
+        pages,
+        payload_col="html",
+        passthrough=("url", "warc_ts", "lang"),
+        with_spans=with_spans,
+        all_pages=all_pages,
+    )
+
+
+def windowed_lineage(extracted: DataFrame, window: str = "1 hour",
+                     watermark: str = "2 hours") -> DataFrame:
+    """Streaming lineage: tumbling-window per-status counters over the
+    capture timestamp, tolerating ``watermark`` of event-time lateness.
+    State is bounded: closed windows are emitted and dropped."""
+    return (
+        extracted.withWatermark("warc_ts", watermark)
+        .groupBy(F.window("warc_ts", window).alias("w"), F.col("status"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("bytes_in").alias("bytes_in"),
+            F.sum("bytes_out").alias("bytes_out"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "status", "n_docs", "bytes_in", "bytes_out",
+        )
+    )
+
+
+def run_stream_to_parquet(pages: DataFrame, out_path: str,
+                          checkpoint_path: str,
+                          available_now: bool = True,
+                          with_spans: bool = True):
+    """Extract a pages stream and append to parquet with exactly-once
+    file-sink semantics (checkpointed).  Returns the StreamingQuery;
+    with ``available_now`` the caller can ``awaitTermination()`` for a
+    bounded run."""
+    extracted = extract_stream(pages, with_spans=with_spans)
+    writer = (
+        extracted.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

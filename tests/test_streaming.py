@@ -1,0 +1,68 @@
+"""Structured Streaming parity: the stream path must produce
+byte-identical extracted text to the batch kernel, and windowed
+lineage must reconcile with batch counters."""
+
+import shutil
+
+from ocr_spark.extractor.core import extract_bytes
+from ocr_spark.streaming.stream import (
+    read_pages_stream, run_stream_to_parquet, extract_stream,
+    windowed_lineage,
+)
+
+
+def _as_source_dir(pages_parquet, tmp_path):
+    """The streaming file source requires a directory, not a file."""
+    d = tmp_path / "src"
+    d.mkdir()
+    shutil.copy(pages_parquet, d / "part-00000.parquet")
+    return str(d)
+
+
+def test_stream_extract_matches_oracle(spark, pages_parquet, tmp_path):
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    stream = read_pages_stream(spark, _as_source_dir(pages_parquet, tmp_path))
+    q = run_stream_to_parquet(stream, out, ckpt, available_now=True,
+                              with_spans=False)
+    q.awaitTermination(300)
+    got = {
+        r["url"]: r["text"]
+        for r in spark.read.parquet(out).select("url", "text").collect()
+    }
+    src = spark.read.parquet(pages_parquet).select("url", "html").collect()
+    # the stream path does no dedup (that's the batch job's keep-latest);
+    # byte-equality is asserted on single-capture urls
+    from collections import Counter
+    n_caps = Counter(r["url"] for r in src)
+    assert len(got) > 0
+    checked = 0
+    for r in src:
+        if n_caps[r["url"]] != 1:
+            continue
+        exp = extract_bytes(bytes(r["html"]))["text"]
+        assert got[r["url"]] == exp
+        checked += 1
+        if checked == 50:
+            break
+    assert checked == 50
+
+
+def test_stream_windowed_lineage_reconciles(spark, pages_parquet, tmp_path):
+    stream = read_pages_stream(spark, _as_source_dir(pages_parquet, tmp_path))
+    lineage = windowed_lineage(extract_stream(stream, with_spans=False),
+                               window="30 days", watermark="1 hour")
+    ckpt = str(tmp_path / "ckpt2")
+    # complete mode: append would hold back the last (never-closed)
+    # window until a later watermark advance that a bounded run lacks
+    q = (
+        lineage.writeStream.format("memory").queryName("lin")
+        .option("checkpointLocation", ckpt)
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300)
+    stream_totals = (
+        spark.sql("SELECT sum(n_docs) AS n FROM lin").collect()[0]["n"]
+    )
+    batch_n = spark.read.parquet(pages_parquet).count()
+    assert stream_totals == batch_n
