@@ -225,6 +225,27 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# multimodal plumbing (opaque binary + typed metadata; decode stubbed —
+# deterministic fake kernel, real codec pluggable via decode_fn)
+# --------------------------------------------------------------------------
+
+def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched media decode/feature plumbing over binary payloads
+    (rows-only check: the fake decode is sha256-derived, deterministic,
+    but not SQL-expressible)."""
+    from ocr_spark.operators.multimodal import decode_media
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+    return decode_media(media, fake=True).select(
+        "media_id", "kind", "width", "height", "n_frames", "status"
+    )
+
+
+# --------------------------------------------------------------------------
 # relational surface (scan/filter/join/agg/window/set-op/json)
 # --------------------------------------------------------------------------
 
@@ -330,6 +351,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
         "token_count": q_token_count,
+        "media_decode": q_media_decode,
         "pricing_summary": q_pricing_summary,
         "top_customers": q_top_customers,
         "customers_no_orders": q_customers_no_orders,

@@ -23,7 +23,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-N_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "4000"))
+N_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "30000"))
 CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".cache")
 
 # headline operator queries from the driver contract (timed individually)
@@ -37,12 +37,15 @@ BENCH_QUERIES = [
 
 
 def ensure_corpus() -> str:
-    from ocr_spark.data.synth import write_pages_parquet
+    """Boilerplate-heavy pages (size_mult=2, boiler_mult=4) approximate
+    real web markup:content ratios; cached under .cache/."""
+    from ocr_spark.data.synth import write_pages_parquet_parallel
 
     os.makedirs(CACHE, exist_ok=True)
-    path = os.path.join(CACHE, f"bench_pages_{N_PAGES}.parquet")
+    path = os.path.join(CACHE, f"bench_pages_{N_PAGES}_m2b4.parquet")
     if not os.path.exists(path):
-        write_pages_parquet(path, n=N_PAGES, seed=42)
+        write_pages_parquet_parallel(path, n=N_PAGES, seed=42, workers=16,
+                                     chunk=5000, size_mult=2, boiler_mult=4)
     return path
 
 
