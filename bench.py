@@ -31,8 +31,8 @@ BENCH_QUERIES = [
     "flagship_extract", "extract_metrics", "dedup_exact",
     "dedup_keep_latest", "minhash_lsh_pairs", "ngram_jaccard",
     "simhash_near_dup", "embed_near_dup", "cosine_topk", "ann_topk",
-    "text_stats", "lang_id", "fingerprint", "pricing_summary",
-    "top_customers", "json_extract", "running_window",
+    "text_stats", "lang_id", "fingerprint", "token_count", "media_decode",
+    "pricing_summary", "top_customers", "json_extract", "running_window",
 ]
 
 
