@@ -168,6 +168,37 @@ def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # similarity search
 # --------------------------------------------------------------------------
 
+def q_embed_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-path embedding near-dup: candidates restricted to LSH
+    buckets (equi-join), exact cosine only within buckets.  Rows-only:
+    hyperplanes are numpy-seeded; recall vs exact is property-tested."""
+    from ocr_spark.operators.similarity import cosine_near_dup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return cosine_near_dup_pairs(emb, dim=64, threshold=0.5, n_planes=4)
+
+
+def q_span_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-offset QA: explode the extraction's span array and roll up
+    per span kind (count, covered bytes).  Rows-only: span offsets come
+    from the non-SQL extractor; invariants (0 <= start < end <= input
+    length, kinds known) are asserted in pytest."""
+    from ocr_spark.operators.extract import extract_pages
+
+    pages = _wrapped_pages(spark, sf_dir)
+    out = extract_pages(pages, payload_col="html", passthrough=("doc_id",),
+                        with_spans=True)
+    return (
+        out.select(F.explode("spans").alias("s"))
+        .groupBy(F.col("s.kind").alias("kind"))
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum(F.col("s.end") - F.col("s.start")).alias("covered_bytes"),
+        )
+        .orderBy("kind")
+    )
+
+
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ocr_spark.operators.similarity import cosine_topk
 
@@ -345,6 +376,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "simhash_near_dup": q_simhash_near_dup,
         "embed_near_dup": q_embed_near_dup,
+        "embed_near_dup_lsh": q_embed_near_dup_lsh,
+        "span_qa": q_span_qa,
         "cosine_topk": q_cosine_topk,
         "ann_topk": q_ann_topk,
         "text_stats": q_text_stats,
