@@ -240,6 +240,38 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_lang_id(docs).select("doc_id", "lang_pred")
 
 
+# Deterministic CJK sample sentences: the driver tables carry no CJK
+# text (lang labels over latin words), so the CJK query derives its
+# input by substituting these per doc_id%4 — identically in Spark and
+# in the DuckDB oracle, making the script-detection path fully oracled.
+CJK_SENTS = {
+    "ko": "한국어 문서 본문 내용 추출 테스트 문장입니다",
+    "zh": "这是一个中文文档内容提取测试句子",
+    "ja": "これは日本語のテキスト抽出テストです",
+}
+
+
+def q_lang_id_cjk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CJK language-ID + CJK-aware token counting (no-whitespace
+    scripts): ko/zh/ja by Unicode-script char counts, latin fallback to
+    the marker heuristic; tokens = whitespace tokens of the non-CJK
+    portion + one per CJK char."""
+    from ocr_spark.functions.text import token_count_cjk, with_lang_id
+
+    docs = _t(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 4
+    text = (
+        F.when(m == 0, F.lit(CJK_SENTS["ko"]))
+        .when(m == 1, F.lit(CJK_SENTS["zh"]))
+        .when(m == 2, F.lit(CJK_SENTS["ja"]))
+        .otherwise(F.col("text"))
+    )
+    aug = docs.select("doc_id", text.alias("text"))
+    return with_lang_id(aug).select(
+        "doc_id", "lang_pred", token_count_cjk("text").alias("n_tokens")
+    )
+
+
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ocr_spark.functions.text import fingerprint
 
@@ -382,6 +414,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "text_stats": q_text_stats,
         "lang_id": q_lang_id,
+        "lang_id_cjk": q_lang_id_cjk,
         "fingerprint": q_fingerprint,
         "token_count": q_token_count,
         "media_decode": q_media_decode,
@@ -392,6 +425,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_extract": q_json_extract,
         "running_window": q_events_sessionless_window,
     }
+
+
+def _lang_id_cjk_sql() -> str:
+    """DuckDB twin of q_lang_id_cjk; script ranges imported from the
+    engine so both sides share one closed range table."""
+    from ocr_spark.functions.text import (CJK_ALL_RANGES, CJK_MIN_CHARS,
+                                          HAN_RANGES, HANGUL_RANGES,
+                                          KANA_RANGES, LANG_MARKERS)
+
+    def cnt(ranges: str) -> str:
+        return (f"length(text) - length(regexp_replace(text, "
+                f"'[{ranges}]', '', 'g'))")
+
+    toks = "string_split_regex(trim(text), '\\s+')"
+    marker_counts = ", ".join(
+        f"len(list_filter({toks}, t -> list_contains("
+        f"{[m for m in LANG_MARKERS[lang]]}, t))) AS c_{lang}"
+        for lang in LANG_MARKERS
+    )
+    non_cjk = f"regexp_replace(text, '[{CJK_ALL_RANGES}]', ' ', 'g')"
+    return f"""
+      WITH aug AS (
+        SELECT doc_id,
+          CASE doc_id % 4
+            WHEN 0 THEN '{CJK_SENTS['ko']}'
+            WHEN 1 THEN '{CJK_SENTS['zh']}'
+            WHEN 2 THEN '{CJK_SENTS['ja']}'
+            ELSE text END AS text
+        FROM documents),
+      sc AS (
+        SELECT doc_id, text,
+          {cnt(KANA_RANGES)} AS n_kana,
+          {cnt(HANGUL_RANGES)} AS n_hangul,
+          {cnt(HAN_RANGES)} AS n_han,
+          {cnt(CJK_ALL_RANGES)} AS n_cjk,
+          {marker_counts}
+        FROM aug)
+      SELECT doc_id,
+        CASE WHEN n_kana >= {CJK_MIN_CHARS} THEN 'ja'
+             WHEN n_hangul >= {CJK_MIN_CHARS} THEN 'ko'
+             WHEN n_han >= {CJK_MIN_CHARS} THEN 'zh'
+             WHEN c_en > 0 AND c_en >= c_es AND c_en >= c_de AND c_en >= c_fr THEN 'en'
+             WHEN c_es > 0 AND c_es > c_en AND c_es >= c_de AND c_es >= c_fr THEN 'es'
+             WHEN c_de > 0 AND c_de > c_en AND c_de > c_es AND c_de >= c_fr THEN 'de'
+             WHEN c_fr > 0 AND c_fr > c_en AND c_fr > c_es AND c_fr > c_de THEN 'fr'
+             ELSE 'und' END AS lang_pred,
+        (CASE WHEN len(trim({non_cjk})) = 0 THEN 0
+              ELSE len(string_split_regex(trim({non_cjk}), '\\s+')) END
+         + n_cjk) AS n_tokens
+      FROM sc
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -433,10 +517,13 @@ def oracle_sql() -> dict[str, str]:
         "flagship_extract": (
             "SELECT doc_id, text FROM documents ORDER BY doc_id"
         ),
+        # CAST the sums: DuckDB sum(BIGINT) returns HUGEINT, which the
+        # driver's value-hash renders as a float (9707.0 vs 9707) — the
+        # one source of round-1 hash mismatches on value-identical rows.
         "extract_metrics": (
             "SELECT lang, count(*) AS n_docs, count(*) AS n_ok, "
             "count(*) AS sum_blocks, "
-            "sum(strlen(text)) AS sum_bytes_out "
+            "CAST(sum(strlen(text)) AS BIGINT) AS sum_bytes_out "
             "FROM documents GROUP BY lang ORDER BY lang"
         ),
         "dedup_exact": (
@@ -570,6 +657,7 @@ def oracle_sql() -> dict[str, str]:
                  ELSE 'und' END AS lang_pred
           FROM c
         """,
+        "lang_id_cjk": _lang_id_cjk_sql(),
         "fingerprint": f"""
           SELECT doc_id,
             array_to_string(
@@ -611,7 +699,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "json_extract": (
             "SELECT event_type, "
-            "sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k, "
+            "CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) "
+            "AS BIGINT) AS sum_k, "
             "count(*) AS n_events "
             "FROM events GROUP BY event_type ORDER BY event_type"
         ),

@@ -42,7 +42,9 @@ def ensure_corpus() -> str:
     from ocr_spark.data.synth import write_pages_parquet_parallel
 
     os.makedirs(CACHE, exist_ok=True)
-    path = os.path.join(CACHE, f"bench_pages_{N_PAGES}_m2b4.parquet")
+    # v2: corpus includes the pdfflate genre (round-2 genre-mix change
+    # shifts the seeded stream, so the round-1 cache must not be reused)
+    path = os.path.join(CACHE, f"bench_pages_{N_PAGES}_m2b4_v2.parquet")
     if not os.path.exists(path):
         write_pages_parquet_parallel(path, n=N_PAGES, seed=42, workers=16,
                                      chunk=5000, size_mult=2, boiler_mult=4)

@@ -21,7 +21,7 @@ import datetime as dt
 import random
 
 __all__ = ["gen_pages", "write_pages_parquet", "write_pages_parquet_parallel",
-           "build_pdf", "GENRES"]
+           "build_pdf", "build_pdf_from_streams", "GENRES"]
 
 _WORDS = (
     "the quick brown fox jumps over lazy dog data spark engine extract "
@@ -41,7 +41,7 @@ _EPOCH = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
 GENRES = (
     "article", "linkfarm", "tableheavy", "emptybody", "broken",
     "cp949", "latin1", "bom", "giant", "tiny", "pdf1", "pdfmulti",
-    "pdfempty", "unsupported", "shortarticle",
+    "pdfflate", "pdfempty", "unsupported", "shortarticle",
 )
 
 
@@ -139,9 +139,11 @@ def _empty_html(rng: random.Random) -> bytes:
 
 
 def build_pdf(blocks: list[list[str]], operators: str = "mixed",
-              n_pages: int = 1, rng: random.Random | None = None) -> bytes:
-    """Build a restricted-subset, uncompressed PDF the oracle parser
-    handles: page tree, per-page content stream, BT/ET + Td/TD/Tm/T*/Tj/TJ.
+              n_pages: int = 1, rng: random.Random | None = None,
+              compress: bool = False) -> bytes:
+    """Build a restricted-subset PDF the oracle parser handles: page
+    tree, per-page content stream, BT/ET + Td/TD/Tm/T*/Tj/TJ;
+    ``compress=True`` deflates the content streams (FlateDecode).
 
     ``blocks`` is a list of blocks, each a list of lines (page 0 content;
     later pages get a deterministic footer line so multi-page tests can
@@ -186,30 +188,45 @@ def build_pdf(blocks: list[list[str]], operators: str = "mixed",
         parts.append("ET")
         return "\n".join(parts).encode("latin-1")
 
-    objs: list[bytes] = []
-
-    def add(body: str | bytes) -> int:
-        objs.append(body if isinstance(body, bytes) else body.encode("latin-1"))
-        return len(objs)  # 1-based object number
-
-    page_ids, content_ids = [], []
-    pages_obj_num = 2 * n_pages + 1  # (content,page)*n then pages node
+    streams = []
     for p in range(n_pages):
         blks = blocks if p == 0 else [[f"page {p} footer line"]]
-        stream = page_stream(blks, p)
+        streams.append(page_stream(blks, p))
+    return build_pdf_from_streams(streams, compress=compress)
+
+
+def build_pdf_from_streams(streams: list[bytes], compress: bool = False) -> bytes:
+    """Assemble a PDF from raw page content streams (one per page).
+    ``compress=True`` deflates each stream and declares
+    ``/Filter /FlateDecode`` — the compressed-PDF genre the extractor
+    must handle (every real-world PDF uses Flate; reference ingests
+    arbitrary PDFs via fitz, services/file_processor.py:64-90)."""
+    import zlib
+
+    objs: list[bytes] = []
+
+    def add(body: bytes) -> int:
+        objs.append(body)
+        return len(objs)
+
+    n_pages = len(streams)
+    pages_obj_num = 2 * n_pages + 1
+    page_ids = []
+    for stream in streams:
+        data = zlib.compress(stream) if compress else stream
+        filt = b"/Filter /FlateDecode " if compress else b""
         cid = add(
-            f"<< /Length {len(stream)} >>\nstream\n".encode("latin-1")
-            + stream + b"\nendstream"
+            b"<< " + filt + f"/Length {len(data)} >>\nstream\n".encode()
+            + data + b"\nendstream"
         )
-        content_ids.append(cid)
         pid = add(
             f"<< /Type /Page /Parent {pages_obj_num} 0 R "
-            f"/MediaBox [0 0 612 792] /Contents {cid} 0 R >>"
+            f"/MediaBox [0 0 612 792] /Contents {cid} 0 R >>".encode()
         )
         page_ids.append(pid)
     kids = " ".join(f"{pid} 0 R" for pid in page_ids)
-    pages_id = add(f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>")
-    catalog_id = add(f"<< /Type /Catalog /Pages {pages_id} 0 R >>")
+    pages_id = add(f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>".encode())
+    catalog_id = add(f"<< /Type /Catalog /Pages {pages_id} 0 R >>".encode())
 
     out = bytearray(b"%PDF-1.4\n")
     offsets = [0]
@@ -280,6 +297,8 @@ def _one_page(rng: random.Random, idx: int, genre: str,
         html = build_pdf(_pdf_blocks(rng), n_pages=1, rng=rng)
     elif genre == "pdfmulti":
         html = build_pdf(_pdf_blocks(rng), n_pages=rng.randint(2, 4), rng=rng)
+    elif genre == "pdfflate":
+        html = build_pdf(_pdf_blocks(rng), n_pages=1, rng=rng, compress=True)
     elif genre == "pdfempty":
         html = _empty_pdf()
     elif genre == "unsupported":
@@ -301,8 +320,8 @@ def _one_page(rng: random.Random, idx: int, genre: str,
 _GENRE_WEIGHTS = [
     ("article", 40), ("shortarticle", 6), ("linkfarm", 8), ("tableheavy", 8),
     ("emptybody", 3), ("broken", 6), ("cp949", 6), ("latin1", 4), ("bom", 3),
-    ("tiny", 6), ("pdf1", 6), ("pdfmulti", 3), ("pdfempty", 1),
-    ("unsupported", 3),
+    ("tiny", 6), ("pdf1", 6), ("pdfmulti", 3), ("pdfflate", 3),
+    ("pdfempty", 1), ("unsupported", 3),
 ]
 
 

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import re
 import unicodedata
+import zlib
 from dataclasses import dataclass, field
 from html.parser import HTMLParser
 
@@ -333,11 +334,24 @@ def _link_density(b: _Block) -> float:
     return b.anchor_chars / b.total_chars if b.total_chars else 0.0
 
 
-def _classify(blocks: list[_Block]) -> list[bool]:
+# Default classifier thresholds — also carried by
+# profiles.DEFAULT_PROFILES['default'] (the O7/O8 schema analogue).
+DEFAULT_MAX_LINK_DENSITY = 1.0 / 3.0
+DEFAULT_MIN_WORDS = 16
+
+
+def _classify(blocks: list[_Block],
+              max_link_density: float = DEFAULT_MAX_LINK_DENSITY,
+              min_words: int = DEFAULT_MIN_WORDS) -> list[bool]:
     """Boilerpipe NumWordsRulesClassifier (Kohlschuetter et al., WSDM
     2010; rules as published in the boilerpipe source — public), with
     two structural priors: nav/header/footer/aside ancestry forces
-    boilerplate, article/main ancestry admits short low-link blocks."""
+    boilerplate, article/main ancestry admits short low-link blocks.
+
+    ``max_link_density`` / ``min_words`` come from the extraction
+    profile (the reference's per-country config analogue,
+    services/business_license_processor.py:24-54 -> profiles.py); the
+    remaining constants are the published Boilerpipe rule set."""
     n = len(blocks)
     words = [len(b.text().split()) for b in blocks]
     link = [_link_density(b) for b in blocks]
@@ -346,7 +360,7 @@ def _classify(blocks: list[_Block]) -> list[bool]:
         b = blocks[i]
         if b.in_boiler_ancestor:
             continue
-        if link[i] > 0.333333:
+        if link[i] > max_link_density:
             continue
         if b.in_content_ancestor and words[i] >= 2:
             keep[i] = True
@@ -355,26 +369,34 @@ def _classify(blocks: list[_Block]) -> list[bool]:
         prev_link = link[i - 1] if i > 0 else 0.0
         next_words = words[i + 1] if i + 1 < n else 0
         if prev_link <= 0.555555:
-            keep[i] = words[i] > 16 or next_words > 15 or prev_words > 4
+            keep[i] = words[i] > min_words or next_words > 15 or prev_words > 4
         else:
             keep[i] = words[i] > 40 or next_words > 17
     return keep
 
 
-def extract_html(payload: bytes) -> dict:
+def extract_html(payload: bytes, profile: dict | None = None) -> dict:
     """HTML bytes -> {text, spans, n_blocks, status, error_msg}.
 
     ``text``: content blocks (normalized per ``_collapse``) joined by a
     single ``\\n``, no trailing newline; empty string when no block
     survives.  ``spans``: one ``(start, end, kind)`` per kept block —
-    **byte** offsets into the source payload.
+    **byte** offsets into the source payload.  ``profile`` optionally
+    overrides the classifier thresholds (keys ``max_link_density``,
+    ``min_words``; missing keys keep defaults).
     """
     try:
         decoded, codec = decode_html(payload)
         parser = _BlockParser()
         parser.feed(decoded)
         blocks = parser.blocks
-        keep = _classify(blocks)
+        prof = profile or {}
+        keep = _classify(
+            blocks,
+            max_link_density=prof.get("max_link_density",
+                                      DEFAULT_MAX_LINK_DENSITY),
+            min_words=prof.get("min_words", DEFAULT_MIN_WORDS),
+        )
         kept = [b for b, k in zip(blocks, keep) if k]
         text = "\n".join(b.text() for b in kept)
         spans = _char_spans_to_bytes(
@@ -589,15 +611,25 @@ def _pdf_parse_content(stream: bytes, base_off: int) -> tuple[list[_PdfRun], flo
                     joined = "".join(s for s, _, _ in pending_strings)
                     emit(joined, pending_strings[0][1], pending_strings[-1][2])
                     x += 6.0 * len(joined)  # nominal advance
-                    x += 6.0 * len(s)
                 pending_strings = []
                 stack_nums = []
     return runs, leading
 
 
-def _pdf_pages(payload: bytes) -> list[tuple[bytes, int]]:
-    """Return [(content_stream_bytes, byte_offset_of_stream)] per page,
-    in page-tree order."""
+_PDF_FILTER_RE = re.compile(rb"/Filter\s*(?:\[\s*)?/(\w+)")
+
+
+def _pdf_pages(payload: bytes) -> list[tuple[bytes, int, bool]]:
+    """Return [(content_stream_bytes, byte_offset_of_stream, exact_spans,
+    raw_stream_len)] per page, in page-tree order.
+
+    ``/Filter /FlateDecode`` streams are inflated with stdlib zlib
+    (every real-world PDF uses Flate; the reference ingests arbitrary
+    PDFs via fitz, services/file_processor.py:64-90).  For those,
+    ``exact_spans`` is False: token offsets index the DECOMPRESSED
+    stream, so the caller substitutes the compressed stream's extent in
+    the payload as a coarse per-block span.  Any other filter raises
+    (-> processing_error row), keeping the subset closed."""
     objs: dict[int, tuple[bytes, int]] = {}
     for m in _PDF_OBJ_RE.finditer(payload):
         objs[int(m.group(1))] = (m.group(3), m.start(3))
@@ -629,9 +661,21 @@ def _pdf_pages(payload: bytes) -> list[tuple[bytes, int]]:
         sm = _PDF_STREAM_RE.search(cbody)
         if not sm:
             continue
-        if b"/Filter" in cbody[:sm.start()]:
-            raise ValueError("unsupported PDF: filtered content stream")
-        pages.append((sm.group(1), cbody_off + sm.start(1)))
+        head = cbody[:sm.start()]
+        if b"/Filter" in head:
+            fm = _PDF_FILTER_RE.search(head)
+            name = fm.group(1).decode("ascii", "replace") if fm else "?"
+            if name != "FlateDecode":
+                raise ValueError(f"unsupported PDF filter: /{name}")
+            try:
+                inflated = zlib.decompress(sm.group(1))
+            except zlib.error as exc:
+                raise ValueError(f"bad FlateDecode stream: {exc}") from exc
+            pages.append((inflated, cbody_off + sm.start(1), False,
+                          len(sm.group(1))))
+        else:
+            pages.append((sm.group(1), cbody_off + sm.start(1), True,
+                          len(sm.group(1))))
     return pages
 
 
@@ -656,10 +700,11 @@ def extract_pdf(payload: bytes, all_pages: bool = False) -> dict:
             pages = pages[:1]
         block_texts: list[str] = []
         spans: list[tuple[int, int, str]] = []
-        for stream, off in pages:
+        for stream, off, exact_spans, raw_len in pages:
             runs, leading = _pdf_parse_content(stream, off)
             if not runs:
                 continue
+            page_span_start = len(spans)
             # lines: group by y (descending = top-to-bottom), then x.
             lines: dict[float, list[_PdfRun]] = {}
             for r in runs:
@@ -692,6 +737,16 @@ def extract_pdf(payload: bytes, all_pages: bool = False) -> dict:
             if cur_lines:
                 block_texts.append("\n".join(cur_lines))
                 spans.append((cur_start, cur_end, "pdfblock"))
+            if not exact_spans:
+                # Flate page: run offsets index the decompressed stream,
+                # not the payload.  Substitute the compressed stream's
+                # payload extent as a coarse span for every block of
+                # this page (invariant 0 <= start <= end <= len(payload)
+                # still holds; kind marks the precision loss).
+                spans[page_span_start:] = [
+                    (off, off + raw_len, "pdfblock_flate")
+                    for _ in spans[page_span_start:]
+                ]
         text = "\n".join(block_texts)
         return {
             "text": text,
@@ -712,15 +767,18 @@ def extract_pdf(payload: bytes, all_pages: bool = False) -> dict:
 # the single per-document entry point (what the Arrow UDF batches over)
 # --------------------------------------------------------------------------
 
-def extract_bytes(payload: bytes, all_pages: bool = False) -> dict:
+def extract_bytes(payload: bytes, all_pages: bool = False,
+                  profile: dict | None = None) -> dict:
     """Dispatch on sniffed kind; unsupported payloads become
     ``validation_error`` rows (the 400 analogue,
-    services/file_processor.py:38-41)."""
+    services/file_processor.py:38-41).  ``profile`` tunes the HTML
+    classifier (O7/O8: the per-lang broadcast profile resolved by the
+    caller; None = defaults)."""
     if payload is None:
         payload = b""
     kind = sniff_doc_kind(bytes(payload))
     if kind == "html":
-        out = extract_html(bytes(payload))
+        out = extract_html(bytes(payload), profile=profile)
     elif kind == "pdf":
         out = extract_pdf(bytes(payload), all_pages=all_pages)
     else:

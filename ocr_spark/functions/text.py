@@ -15,9 +15,26 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = [
-    "tokens", "token_count", "word_shingles", "with_text_stats",
-    "with_lang_id", "fingerprint", "LANG_MARKERS",
+    "tokens", "token_count", "token_count_cjk", "word_shingles",
+    "with_text_stats", "with_lang_id", "fingerprint", "LANG_MARKERS",
+    "HAN_RANGES", "HANGUL_RANGES", "KANA_RANGES",
 ]
+
+# Unicode script ranges for the no-whitespace-script paths (closed,
+# documented set — behaviour must not depend on regex-engine Unicode
+# property tables, so ranges are spelled out and identical in the
+# DuckDB oracle SQL):
+HAN_RANGES = "一-鿿㐀-䶿"        # CJK ideographs + ext A
+HANGUL_RANGES = "가-힣ᄀ-ᇿ㄰-㆏"  # syllables + jamo
+KANA_RANGES = "぀-ゟ゠-ヿ"       # hiragana + katakana
+CJK_ALL_RANGES = HAN_RANGES + HANGUL_RANGES + KANA_RANGES
+
+
+def script_char_count(col: str | Column, ranges: str) -> Column:
+    """Count of chars in the given Unicode ranges — length delta after
+    deleting them (pure built-ins, no Python)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.length(c) - F.length(F.regexp_replace(c, f"[{ranges}]", ""))
 
 
 def tokens(col: str | Column) -> Column:
@@ -32,6 +49,16 @@ def tokens(col: str | Column) -> Column:
 
 def token_count(col: str | Column) -> Column:
     return F.size(tokens(col))
+
+
+def token_count_cjk(col: str | Column) -> Column:
+    """CJK-aware token count: whitespace tokens of the non-CJK portion
+    plus one token per CJK char (han/hangul/kana scripts don't separate
+    words with whitespace, so a whitespace split undercounts them to ~1
+    token per sentence).  Equal to :func:`token_count` on CJK-free text."""
+    c = F.col(col) if isinstance(col, str) else col
+    non_cjk = F.regexp_replace(c, f"[{CJK_ALL_RANGES}]", " ")
+    return F.size(tokens(non_cjk)) + script_char_count(c, CJK_ALL_RANGES)
 
 
 def word_shingles(col: str | Column, k: int = 3) -> Column:
@@ -77,7 +104,6 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     n_tok = F.size(toks)
     n_chars = F.length(F.col(text_col))
     stop = F.array(*[F.lit(w) for w in _STOPWORDS])
-    n_stop = F.size(F.array_intersect(toks, stop))  # distinct-hit variant
     n_stop_total = F.size(F.filter(toks, lambda t: F.array_contains(stop, t)))
     compact = F.regexp_replace(F.col(text_col), r"\s", "")
     non_alnum = F.length(F.regexp_replace(compact, r"[A-Za-z0-9]", ""))
@@ -114,16 +140,26 @@ LANG_MARKERS: dict[str, list[str]] = {
 }
 
 
+# CJK script detection threshold: fewer chars than this is treated as
+# incidental (a quoted name inside latin text), not the document script.
+CJK_MIN_CHARS = 3
+
+
 def with_lang_id(df: DataFrame, text_col: str = "text",
                  out_col: str = "lang_pred") -> DataFrame:
-    """Stopword-marker language ID: count marker hits per language over
-    the token array, argmax with a fixed priority tie-break (en > es >
-    de > fr > und).  Deterministic, SQL-expressible, JVM-side.
+    """Language ID: script-based detection for the no-whitespace CJK
+    scripts first (kana -> ja beats han because Japanese text mixes
+    kanji with kana; hangul -> ko; han -> zh; each needs >=
+    CJK_MIN_CHARS script chars), then the stopword-marker argmax for
+    latin languages with a fixed priority tie-break (en > es > de > fr
+    > und).  Deterministic, SQL-expressible, JVM-side.
 
     This is the engine analogue of the reference's LLM country
-    identification (services/business_license_processor.py:56-116, O6):
-    a deterministic classifier whose output is validated downstream
-    against the configured profile keys."""
+    identification (services/business_license_processor.py:56-116, O6)
+    — the reference's own flagship config is Korean
+    (country_config.json:2-14), which the marker heuristic alone could
+    never detect (Korean particles attach to words, so whitespace
+    tokens don't match single-morpheme markers)."""
     toks = tokens(text_col)
     counts = {}
     for lang, markers in LANG_MARKERS.items():
@@ -140,6 +176,15 @@ def with_lang_id(df: DataFrame, text_col: str = "text",
             elif other != lang:
                 cond = cond & (counts[lang] >= counts[other])
         expr = F.when(cond, F.lit(lang)).otherwise(expr)
+    kana = script_char_count(text_col, KANA_RANGES)
+    hangul = script_char_count(text_col, HANGUL_RANGES)
+    han = script_char_count(text_col, HAN_RANGES)
+    expr = (
+        F.when(kana >= CJK_MIN_CHARS, F.lit("ja"))
+        .when(hangul >= CJK_MIN_CHARS, F.lit("ko"))
+        .when(han >= CJK_MIN_CHARS, F.lit("zh"))
+        .otherwise(expr)
+    )
     return df.withColumn(out_col, expr)
 
 

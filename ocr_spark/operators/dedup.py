@@ -7,8 +7,10 @@ Five families, each with a scale story:
   candidate pairs come from an equi-join on (band, signature), never a
   cross join, so cost is bounded by bucket collision counts.
 * **SimHash**    — 64-bit sign-aggregated token hashes; near-dup pairs
-  by pigeonhole on 4x16-bit chunks (hamming <= 3 guarantees a shared
-  chunk), again an equi-join.
+  by pigeonhole blocking with the chunk count DERIVED from the
+  threshold (max_hamming+1 chunks: <=h differing bits cannot touch all
+  h+1 disjoint chunks, so a true pair always shares one), again an
+  equi-join.
 * **n-gram Jaccard** — exploded shingle equi-join with per-pair
   intersection counts; exact, for verification of LSH candidates.
 * **embedding cosine** — see operators/similarity.py (shared kernels).
@@ -28,7 +30,8 @@ from ocr_spark.functions.text import word_shingles
 
 __all__ = [
     "exact_dedup", "minhash_signature", "lsh_candidate_pairs",
-    "ngram_jaccard_pairs", "simhash", "simhash_near_dup_pairs",
+    "lsh_bucket_overflow", "ngram_jaccard_pairs", "simhash",
+    "simhash_near_dup_pairs", "simhash_bucket_overflow",
 ]
 
 
@@ -82,13 +85,9 @@ def minhash_signature(col: str | Column, n_hashes: int = 16,
     )
 
 
-def lsh_candidate_pairs(df: DataFrame, key_col: str = "doc_id",
-                        text_col: str = "text", n_hashes: int = 16,
-                        bands: int = 4, shingle_k: int = 3) -> DataFrame:
-    """Banded LSH: split the signature into ``bands`` bands of
-    ``n_hashes/bands`` rows; docs sharing any full band signature are
-    candidates.  Implemented as explode + equi-join on (band, band_sig):
-    shuffle cost tracks collisions, never O(n^2)."""
+def _minhash_buckets(df: DataFrame, key_col: str, text_col: str,
+                     n_hashes: int, bands: int, shingle_k: int) -> DataFrame:
+    """(band, band_sig) -> sorted id array, for buckets with >1 member."""
     rows_per = n_hashes // bands
     sig = minhash_signature(text_col, n_hashes, shingle_k)
     with_sig = df.select(F.col(key_col), sig.alias("sig")).filter(F.size("sig") > 0)
@@ -106,16 +105,38 @@ def lsh_candidate_pairs(df: DataFrame, key_col: str = "doc_id",
             )
         ).alias("bs"),
     ).select(key_col, "bs.band", "bs.band_sig")
+    return (
+        banded.groupBy("band", "band_sig")
+        .agg(F.array_sort(F.collect_list(key_col)).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+
+
+def lsh_candidate_pairs(df: DataFrame, key_col: str = "doc_id",
+                        text_col: str = "text", n_hashes: int = 16,
+                        bands: int = 4, shingle_k: int = 3,
+                        max_bucket_size: int | None = None) -> DataFrame:
+    """Banded LSH: split the signature into ``bands`` bands of
+    ``n_hashes/bands`` rows; docs sharing any full band signature are
+    candidates.  Implemented as explode + equi-join on (band, band_sig):
+    shuffle cost tracks collisions, never O(n^2).
+
+    ``max_bucket_size`` guards the web-scale degenerate case: a bucket
+    of near-identical boilerplate (thousands of docs sharing a band
+    signature) would otherwise collect an unbounded id array into one
+    row and expand quadratically.  Oversized buckets are EXCLUDED from
+    pair expansion — never silently: report them via
+    :func:`lsh_bucket_overflow` with the same arguments (such buckets
+    are exact-dup territory anyway; route them through ``exact_dedup``
+    or cluster-by-bucket instead of pairwise comparison)."""
     # bucket-local pair expansion instead of a banded self-join: one
     # hash-agg shuffle + in-bucket explode.  The self-join form computes
     # the signatures twice (no CSE across join branches) and costs three
     # extra exchanges; pair count is identical.  Cost is quadratic only
     # within a (band, band_sig) bucket, which is the LSH design point.
-    buckets = (
-        banded.groupBy("band", "band_sig")
-        .agg(F.array_sort(F.collect_list(key_col)).alias("ids"))
-        .filter(F.size("ids") > 1)
-    )
+    buckets = _minhash_buckets(df, key_col, text_col, n_hashes, bands, shingle_k)
+    if max_bucket_size is not None:
+        buckets = buckets.filter(F.size("ids") <= max_bucket_size)
     pairs = buckets.select(
         F.explode(
             F.flatten(
@@ -131,6 +152,20 @@ def lsh_candidate_pairs(df: DataFrame, key_col: str = "doc_id",
         ).alias("p")
     )
     return pairs.select("p.id_a", "p.id_b").distinct()
+
+
+def lsh_bucket_overflow(df: DataFrame, key_col: str = "doc_id",
+                        text_col: str = "text", n_hashes: int = 16,
+                        bands: int = 4, shingle_k: int = 3,
+                        max_bucket_size: int = 1000) -> DataFrame:
+    """Buckets dropped by ``lsh_candidate_pairs(max_bucket_size=...)``:
+    (band, band_sig, n_ids).  The no-silent-truncation companion —
+    aggregate it for run reports, or feed its members to exact dedup."""
+    return (
+        _minhash_buckets(df, key_col, text_col, n_hashes, bands, shingle_k)
+        .filter(F.size("ids") > max_bucket_size)
+        .select("band", "band_sig", F.size("ids").alias("n_ids"))
+    )
 
 
 def ngram_jaccard_pairs(df: DataFrame, key_col: str = "doc_id",
@@ -205,32 +240,64 @@ def simhash(col: str) -> Column:
     return F.expr(expr)
 
 
-def simhash_near_dup_pairs(df: DataFrame, key_col: str = "doc_id",
-                           text_col: str = "text",
-                           max_hamming: int = 3) -> DataFrame:
-    """Near-dup pairs with hamming(simhash) <= max_hamming.
+def _simhash_chunk_layout(max_hamming: int) -> list[tuple[int, int]]:
+    """(start_bit, width) per chunk.  Pigeonhole: to guarantee recall at
+    hamming <= h, split the 64 bits into h+1 DISJOINT chunks — h
+    differing bits can dirty at most h of them, so at least one chunk
+    matches exactly.  Widths are as even as 64/(h+1) allows.  (Round 1
+    hardcoded 4x16-bit chunks, which only guarantees h <= 3; a pair at
+    hamming 7 with no shared 16-bit chunk was silently missed.)"""
+    n_chunks = min(max(max_hamming, 0) + 1, 64)
+    base, rem = divmod(64, n_chunks)
+    layout, start = [], 0
+    for i in range(n_chunks):
+        width = base + (1 if i < rem else 0)
+        layout.append((start, width))
+        start += width
+    return layout
 
-    Pigeonhole blocking: split the 64-bit hash into 4 x 16-bit chunks;
-    any pair within hamming 3 shares at least one exact chunk, so the
-    candidate join is an equi-join on (chunk_idx, chunk_value)."""
+
+def _simhash_buckets(df: DataFrame, key_col: str, text_col: str,
+                     max_hamming: int) -> DataFrame:
+    """(chunk_idx, chunk) -> sorted (key, sh) struct array per bucket."""
     with_sh = df.select(F.col(key_col), simhash(text_col).alias("sh"))
+    chunks = F.array(*[
+        F.struct(
+            F.lit(i).alias("chunk_idx"),
+            F.shiftrightunsigned(F.col("sh"), start)
+            .bitwiseAND(F.lit((1 << width) - 1)).alias("chunk"),
+        )
+        for i, (start, width) in enumerate(_simhash_chunk_layout(max_hamming))
+    ])
     chunked = with_sh.select(
-        key_col, "sh",
-        F.explode(
-            F.expr(
-                "transform(sequence(0, 3), i -> "
-                "struct(i AS chunk_idx, "
-                "shiftrightunsigned(sh, i * 16) & 65535 AS chunk))"
-            )
-        ).alias("c"),
+        key_col, "sh", F.explode(chunks).alias("c")
     ).select(key_col, "sh", "c.chunk_idx", "c.chunk")
-    # bucket-local pair expansion (see lsh_candidate_pairs): one hash-agg
-    # shuffle; struct array_sort orders by key, so id_a < id_b holds.
-    buckets = (
+    return (
         chunked.groupBy("chunk_idx", "chunk")
         .agg(F.array_sort(F.collect_list(F.struct(key_col, "sh"))).alias("ms"))
         .filter(F.size("ms") > 1)
     )
+
+
+def simhash_near_dup_pairs(df: DataFrame, key_col: str = "doc_id",
+                           text_col: str = "text", max_hamming: int = 3,
+                           max_bucket_size: int | None = None) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) <= max_hamming.
+
+    Pigeonhole blocking with max_hamming+1 disjoint chunks (see
+    ``_simhash_chunk_layout`` — blocking is derived from the threshold,
+    so recall is exact for any h).  Candidates come from an equi-join
+    on (chunk_idx, chunk_value), never all-pairs.
+
+    Scale note: chunk width shrinks as h grows (h=8 -> 7-bit chunks ->
+    only ~2^7 distinct values per chunk index), so buckets fatten; at
+    web scale keep h small (<=4) or set ``max_bucket_size`` and report
+    drops via :func:`simhash_bucket_overflow` (no silent truncation)."""
+    buckets = _simhash_buckets(df, key_col, text_col, max_hamming)
+    if max_bucket_size is not None:
+        buckets = buckets.filter(F.size("ms") <= max_bucket_size)
+    # bucket-local pair expansion (see lsh_candidate_pairs): one hash-agg
+    # shuffle; struct array_sort orders by key, so id_a < id_b holds.
     cand = buckets.select(
         F.explode(
             F.flatten(
@@ -255,4 +322,16 @@ def simhash_near_dup_pairs(df: DataFrame, key_col: str = "doc_id",
         cand.withColumn("hamming", F.bit_count(xor))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+    )
+
+
+def simhash_bucket_overflow(df: DataFrame, key_col: str = "doc_id",
+                            text_col: str = "text", max_hamming: int = 3,
+                            max_bucket_size: int = 1000) -> DataFrame:
+    """Buckets dropped by ``simhash_near_dup_pairs(max_bucket_size=...)``:
+    (chunk_idx, chunk, n_ids) — the no-silent-truncation companion."""
+    return (
+        _simhash_buckets(df, key_col, text_col, max_hamming)
+        .filter(F.size("ms") > max_bucket_size)
+        .select("chunk_idx", "chunk", F.size("ms").alias("n_ids"))
     )

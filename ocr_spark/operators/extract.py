@@ -57,6 +57,8 @@ def extract_pages(
     all_pages: bool = False,
     with_spans: bool = True,
     dedup_first: str | None = None,
+    profiles: dict | None = None,
+    profile_col: str | None = None,
 ) -> DataFrame:
     """Run the deterministic extractor over a pages DataFrame.
 
@@ -74,12 +76,28 @@ def extract_pages(
     one html exchange instead of costing its own shuffle of the multi-MB
     payload column (SURVEY.md §4.2 "never shuffle html twice").
 
+    ``profiles``/``profile_col``: per-key extraction profiles (the
+    reference's per-country config, O7/O8 — normalized exactly per
+    config.py:31-42 rules and shipped to executors with the task
+    closure, the broadcast-dim pattern).  Each row resolves
+    ``profiles[lower(strip(row[profile_col]))]`` falling back to
+    ``profiles['default']`` then engine defaults; the resolved dict
+    tunes the HTML classifier thresholds (core._classify).
+
     ``extract_ms`` is wall-clock metadata (the analogue of the
     reference's declared-but-unused processing_duration_ms,
     models.py:15-18) and is excluded from determinism contracts.
     """
     if dedup_first is not None and dedup_first not in passthrough:
         raise ValueError(f"dedup_first={dedup_first!r} must be in passthrough")
+    if profile_col is not None and profile_col not in passthrough:
+        raise ValueError(f"profile_col={profile_col!r} must be in passthrough")
+    if profiles is not None:
+        from ocr_spark.extractor.profiles import normalize_config
+        norm_profiles = normalize_config(profiles)
+        default_profile = norm_profiles.get("default")
+    else:
+        norm_profiles, default_profile = {}, None
     in_fields = [df.schema[c] for c in passthrough]
     result_fields = list(EXTRACT_RESULT_FIELDS)
     if not with_spans:
@@ -105,10 +123,19 @@ def extract_pages(
             out = {c: pdf[c] for c in passthrough}
             texts, spans, n_blocks, status, error_msg = [], [], [], [], []
             doc_kind, bytes_in, bytes_out, extract_ms = [], [], [], []
-            for payload in pdf[payload_col]:
+            if profile_col is not None and norm_profiles:
+                keys = pdf[profile_col]
+                row_profiles = [
+                    norm_profiles.get(str(k).lower().strip(), default_profile)
+                    if k is not None else default_profile
+                    for k in keys
+                ]
+            else:
+                row_profiles = [default_profile] * n
+            for payload, prof in zip(pdf[payload_col], row_profiles):
                 t0 = time.perf_counter()
                 r = extract_bytes(bytes(payload) if payload is not None else b"",
-                                  all_pages=all_pages)
+                                  all_pages=all_pages, profile=prof)
                 dt_ms = int((time.perf_counter() - t0) * 1000)
                 texts.append(r["text"])
                 if with_spans:

@@ -43,7 +43,7 @@ from __future__ import annotations
 import time
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ocr_spark.operators.extract import extract_pages
@@ -66,10 +66,21 @@ class JobConfig:
     hot_count_threshold: int = 1000
     hot_bytes_threshold: int = 64 << 20
     sample_fraction: float = 0.05   # skew detection reads a sample only
-    sample_bytes: bool = False      # True: also weigh hosts by html bytes
+    # weigh hosts by sampled html bytes as well as doc counts.  Without
+    # this the giant-page-on-one-host skew pattern (few huge docs, far
+    # below hot_count_threshold) never triggers the wide salt fan-out
+    # and hot_bytes_threshold is inert.  Cost: the probe's sample scan
+    # reads the html column (parquet can't sample below the scan), so
+    # at extreme scale where that is unaffordable set sample_bytes=False
+    # and rely on count-based detection only.
+    sample_bytes: bool = True
     dedup: bool = True
     all_pages: bool = False
     with_spans: bool = True
+    # per-lang extraction profiles (O7/O8): dict keyed by lang (plus
+    # 'default'), normalized per config.py:31-42 rules; None = engine
+    # defaults.  Resolved per row inside the Arrow kernel.
+    profiles: dict | None = None
 
 
 def prepare_pages(df: DataFrame, n_buckets: int) -> DataFrame:
@@ -83,10 +94,10 @@ def detect_hot_hosts(df: DataFrame, cfg: JobConfig) -> DataFrame:
     """Sampled per-host count aggregate -> hosts needing a wider salt
     fan-out.  Sampling keeps this sub-linear: at 10^12 docs you cannot
     afford a full scan just to find skew.  The probe reads ONLY the url
-    column (row-level sampling cannot push below the scan, so touching
-    ``html`` here would decompress the whole multi-TB column for a 5%
-    sample); set ``sample_bytes=True`` to also weigh by page size when
-    the byte cost is acceptable."""
+    column unless ``sample_bytes`` is set (row-level sampling cannot
+    push below the scan, so weighing by bytes decompresses the html
+    column for the sampled files); see JobConfig.sample_bytes for the
+    default-on rationale and the 100-TB escape hatch."""
     sample = df.sample(fraction=cfg.sample_fraction, seed=42)
     scale = 1.0 / cfg.sample_fraction
     aggs = [(F.count("*") * scale).cast("long").alias("est_docs")]
@@ -124,11 +135,17 @@ def keep_latest(df: DataFrame) -> DataFrame:
     ``run_extraction_job``), which costs zero extra shuffles.  This
     form computes the winner set on a skinny (url, warc_ts) projection,
     then joins back; ties on (url, warc_ts) are collapsed by a
-    deterministic row_number over the payload hash."""
+    deterministic row_number over the payload hash.
+
+    Determinism caveat (shared with the in-kernel dedup): two captures
+    agreeing on (url, warc_ts, xxhash64(html)) but differing in a
+    passthrough column (e.g. ``lang``) would tie; the in-kernel path
+    appends the remaining columns to the sort key for a total order.
+    NULL ``warc_ts`` sorts last under desc order in both paths — a null
+    capture never beats a dated one."""
     winners = df.groupBy("url").agg(F.max("warc_ts").alias("warc_ts"))
     out = df.join(winners, on=["url", "warc_ts"], how="left_semi")
     # exact-tie safety: same url+ts captured twice -> keep lowest html hash
-    from pyspark.sql import Window
     w = Window.partitionBy("url", "warc_ts").orderBy(F.xxhash64("html"))
     return (
         out.withColumn("_rn", F.row_number().over(w))
@@ -187,8 +204,13 @@ def run_extraction_job(
         if cfg.dedup:
             # partition-local external sort (no shuffle): winner capture
             # first within each url group; kernel keeps first per url.
+            # warc_ts desc places NULL warc_ts last (a null capture never
+            # beats a dated one); the trailing lang key totally orders
+            # captures that tie on (url, warc_ts, payload hash) but
+            # differ in a passthrough column, so the winner is
+            # deterministic across partitionings.
             part = part.sortWithinPartitions(
-                "url", F.col("warc_ts").desc(), F.xxhash64("html")
+                "url", F.col("warc_ts").desc(), F.xxhash64("html"), "lang"
             )
         extracted = extract_pages(
             part,
@@ -197,6 +219,8 @@ def run_extraction_job(
             all_pages=cfg.all_pages,
             with_spans=cfg.with_spans,
             dedup_first="url" if cfg.dedup else None,
+            profiles=cfg.profiles,
+            profile_col="lang" if cfg.profiles else None,
         )
         # narrow exchange of the (much smaller) extracted output: one
         # write task per bucket -> one file per bucket partition dir,

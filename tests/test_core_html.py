@@ -138,6 +138,48 @@ def test_semantic_article_keeps_short_blocks():
     assert out["text"] == "short but real content"
 
 
+def test_profile_thresholds_change_classification():
+    """O8 wiring: the profile's min_words / max_link_density actually
+    reach the classifier; defaults are unchanged (byte-equality holds)."""
+    # a lone 10-word <div> block: dropped at default min_words=16
+    html = (b"<html><body><div>" + b"ten short words here now " * 2
+            + b"</div></body></html>")
+    assert ex(html)["text"] == ""
+    relaxed = core.extract_html(html, profile={"min_words": 5})
+    assert relaxed["text"].startswith("ten short words")
+    # link density ~0.3: kept at default 1/3 cap, dropped at a strict 0.2
+    linky = (b"<html><body><article><p>"
+             b'<a href="/x">six linked words are right here</a> '
+             + b"plain filler word " * 5 + b"</p></article></body></html>")
+    assert "six linked words" in ex(linky)["text"]
+    strict = core.extract_html(linky, profile={"max_link_density": 0.2})
+    assert strict["text"] == ""
+    # None / empty profile == defaults, byte-identical
+    assert core.extract_html(html, profile=None) == ex(html)
+    assert core.extract_html(html, profile={}) == ex(html)
+
+
+def test_profiles_resolved_per_lang_in_spark_kernel(spark):
+    """extract_pages resolves the per-row profile by lang (broadcast-dim
+    pattern): same payload, different lang -> different classification."""
+    from ocr_spark.operators.extract import extract_pages
+
+    payload = bytearray(b"<html><body><div>"
+                        b"ten short words here now ten short words here now"
+                        b"</div></body></html>")
+    df = spark.createDataFrame(
+        [("a", "ko", payload), ("b", "en", payload), ("c", None, payload)],
+        "url string, lang string, html binary")
+    out = extract_pages(
+        df, passthrough=("url", "lang"), with_spans=False,
+        profiles={"KO": {"min_words": 5}, "default": {}},
+        profile_col="lang",
+    )
+    got = {r.url: r.text for r in out.collect()}
+    assert got["a"].startswith("ten short words")   # ko profile (key lowercased)
+    assert got["b"] == "" and got["c"] == ""        # default thresholds
+
+
 def test_link_dense_block_dropped_even_in_article():
     html = (b"<html><body><article>"
             b"<p>" + b"content " * 20 + b"</p>"

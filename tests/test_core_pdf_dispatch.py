@@ -89,11 +89,69 @@ def test_pdf_spans_point_into_bytes():
     assert b"span target text line" in pdf[s:e]
 
 
-def test_pdf_filtered_stream_rejected():
-    pdf = build_pdf([["x"]])
-    bad = pdf.replace(b"<< /Length", b"<< /Filter /FlateDecode /Length")
+def test_pdf_multiple_show_ops_per_line():
+    """Several Tj ops on one line interleaved with repositioning: the
+    nominal x-advance must track only the emitted string (a stale-token
+    advance corrupted within-line ordering in round 1)."""
+    from ocr_spark.data.synth import build_pdf_from_streams
+
+    stream = (
+        b"BT\n/F1 12 Tf\n16 TL\n"
+        b"1 0 0 1 72 700 Tm\n(alpha ) Tj\n(beta ) Tj\n(gamma) Tj\n"
+        b"0 -16 Td\n(second line) Tj\n"
+        b"1 0 0 1 400 684 Tm\n(tail) Tj\n"
+        b"ET"
+    )
+    pdf = build_pdf_from_streams([stream])
+    out = core.extract_pdf(pdf)
+    assert out["status"] == "ok"
+    lines = out["text"].split("\n")
+    assert lines[0] == "alpha beta gamma"
+    # same y as 'second line' but repositioned right: x-order holds
+    assert lines[1] == "second line tail"
+
+
+def test_pdf_flate_decode_matches_uncompressed():
+    """FlateDecode streams (the real-world default) inflate via stdlib
+    zlib and yield the same text as the uncompressed build; spans fall
+    back to the compressed stream's extent (coarse but in-bounds)."""
+    blocks = [["compressed stream line one", "line two"], ["second block"]]
+    plain = core.extract_pdf(build_pdf(blocks, operators="Td"))
+    flate_pdf = build_pdf(blocks, operators="Td", compress=True)
+    flate = core.extract_pdf(flate_pdf)
+    assert flate["status"] == "ok"
+    assert flate["text"] == plain["text"]
+    assert flate["n_blocks"] == plain["n_blocks"]
+    assert len(flate["spans"]) == len(plain["spans"])
+    for s, e, kind in flate["spans"]:
+        assert kind == "pdfblock_flate"
+        assert 0 <= s < e <= len(flate_pdf)
+
+
+def test_pdf_flate_multipage_page0_default():
+    pdf = build_pdf([["page zero flate content"]], n_pages=2, compress=True)
+    out = core.extract_pdf(pdf)
+    assert "page zero flate content" in out["text"]
+    assert "page 1 footer" not in out["text"]
+    assert "page 1 footer" in core.extract_pdf(pdf, all_pages=True)["text"]
+
+
+def test_pdf_corrupt_flate_is_processing_error():
+    pdf = build_pdf([["x y z"]], compress=True)
+    # truncate the deflate payload in place: find the stream body and cut it
+    i = pdf.index(b"stream\n") + len(b"stream\n")
+    bad = pdf[:i] + b"\x00\x00" + pdf[i + 2:]
     out = core.extract_pdf(bad)
     assert out["status"] == "processing_error"
+    assert "FlateDecode" in out["error_msg"]
+
+
+def test_pdf_non_flate_filter_rejected():
+    pdf = build_pdf([["x"]])
+    bad = pdf.replace(b"<< /Length", b"<< /Filter /LZWDecode /Length")
+    out = core.extract_pdf(bad)
+    assert out["status"] == "processing_error"
+    assert "LZWDecode" in out["error_msg"]
 
 
 # -- profiles (O2/O6/O13/O14) --------------------------------------------------

@@ -64,6 +64,72 @@ def test_simhash_properties(spark, docs):
     assert (1, 3) in pairs
 
 
+def test_simhash_blocked_equals_bruteforce(spark):
+    """Recall contract: blocked pairs == driver-side brute-force hamming
+    pairs, for thresholds beyond the old 4x16 pigeonhole guarantee
+    (round-1 bug: a hamming-7 pair with no shared 16-bit chunk was
+    missed at max_hamming=8)."""
+    import random
+
+    from ocr_spark.operators.dedup import simhash, simhash_near_dup_pairs
+
+    rng = random.Random(11)
+    words = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+             "lambda mu nu xi omicron pi rho sigma tau upsilon").split()
+    base_docs = [" ".join(rng.choice(words) for _ in range(30))
+                 for _ in range(40)]
+    rows = [(i, d) for i, d in enumerate(base_docs)]
+    # perturbed copies land at small-but->3 hamming distances
+    for i, d in enumerate(base_docs[:20]):
+        toks = d.split()
+        toks[rng.randrange(len(toks))] = rng.choice(words)
+        toks[rng.randrange(len(toks))] = rng.choice(words)
+        rows.append((1000 + i, " ".join(toks)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = {r.doc_id: r.sh for r in
+          df.select("doc_id", simhash("text").alias("sh")).collect()}
+    ids = sorted(sh)
+    for h in (3, 5, 8):
+        brute = {
+            (a, b)
+            for ai, a in enumerate(ids) for b in ids[ai + 1:]
+            if bin((sh[a] ^ sh[b]) & ((1 << 64) - 1)).count("1") <= h
+        }
+        blocked = {(r.id_a, r.id_b) for r in
+                   simhash_near_dup_pairs(df, max_hamming=h).collect()}
+        assert blocked == brute, f"h={h}: {blocked ^ brute}"
+
+
+def test_bucket_caps_and_overflow_reporting(spark):
+    """A degenerate bucket (1k near-identical docs) completes under the
+    cap with the dropped bucket REPORTED, instead of collecting a huge
+    array and exploding ~500k pairs in one task."""
+    from ocr_spark.operators.dedup import (
+        lsh_bucket_overflow, lsh_candidate_pairs,
+        simhash_bucket_overflow, simhash_near_dup_pairs,
+    )
+
+    rows = [(i, "identical boilerplate text repeated across the whole site "
+                "footer terms privacy contact")
+            for i in range(1000)]
+    rows.append((2000, "something entirely different about spark shuffles"))
+    rows.append((2001, "something entirely different about spark shuffled"))
+    df = spark.createDataFrame(rows, "doc_id long, text string").repartition(8)
+
+    pairs = lsh_candidate_pairs(df, max_bucket_size=50).collect()
+    assert all(r.id_a >= 2000 or r.id_b >= 2000 or False for r in pairs) or \
+        not any(r.id_a < 1000 and r.id_b < 1000 for r in pairs)
+    over = lsh_bucket_overflow(df, max_bucket_size=50).collect()
+    assert over and all(r.n_ids == 1000 for r in over)
+
+    spairs = simhash_near_dup_pairs(df, max_hamming=3,
+                                    max_bucket_size=50).collect()
+    assert not any(r.id_a < 1000 and r.id_b < 1000 for r in spairs)
+    sover = simhash_bucket_overflow(df, max_hamming=3,
+                                    max_bucket_size=50).collect()
+    assert sover and max(r.n_ids for r in sover) == 1000
+
+
 @pytest.fixture(scope="module")
 def vectors(spark):
     import numpy as np
@@ -136,6 +202,38 @@ def test_lang_id(spark):
         "doc_id long, text string")
     got = {r.doc_id: r.lang_pred for r in with_lang_id(df).collect()}
     assert got == {1: "en", 2: "es", 3: "de", 4: "und"}
+
+
+def test_lang_id_cjk_scripts(spark):
+    from ocr_spark.functions.text import with_lang_id
+
+    df = spark.createDataFrame(
+        [(1, "한국어 문서 본문 내용 추출"),          # hangul -> ko
+         (2, "这是一个中文文档内容提取测试句子"),      # han -> zh
+         (3, "これは日本語のテキストです"),           # kana (+han) -> ja
+         (4, "the english text mentions 中 once"),   # 1 CJK char < threshold
+         (5, "the cat and the dog went to the park")],
+        "doc_id long, text string")
+    got = {r.doc_id: r.lang_pred for r in with_lang_id(df).collect()}
+    assert got == {1: "ko", 2: "zh", 3: "ja", 4: "en", 5: "en"}
+
+
+def test_token_count_cjk(spark):
+    from ocr_spark.functions.text import token_count, token_count_cjk
+
+    df = spark.createDataFrame(
+        [(1, "hello world"),                 # no CJK: equals token_count
+         (2, "中文句子"),                     # 4 CJK chars -> 4 tokens
+         (3, "mixed 中文 and english"),       # 3 ws tokens + 2 CJK chars
+         (4, "")],
+        "doc_id long, text string")
+    got = {r.doc_id: (r.a, r.b) for r in df.select(
+        "doc_id", token_count("text").alias("a"),
+        token_count_cjk("text").alias("b")).collect()}
+    assert got[1] == (2, 2)
+    assert got[2][1] == 4
+    assert got[3][1] == 5
+    assert got[4] == (0, 0)
 
 
 def test_fingerprint_stability(spark):
