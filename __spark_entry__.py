@@ -146,6 +146,17 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                                shingle_k=3, threshold=0.5)
 
 
+def q_lsh_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production dedup composition: LSH candidates -> exact
+    n-gram-Jaccard verification on candidates only (never the full
+    quadratic shingle join)."""
+    from ocr_spark.operators.dedup import lsh_jaccard_pairs
+
+    docs = _docs_with_near_dups(spark, sf_dir)
+    return lsh_jaccard_pairs(docs, "doc_id", "text", n_hashes=16, bands=8,
+                             shingle_k=3, threshold=0.5)
+
+
 def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """xxhash64-based SimHash (JVM hash — no SQL oracle; rows-only)."""
     from ocr_spark.operators.dedup import simhash_near_dup_pairs
@@ -169,9 +180,11 @@ def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 def q_embed_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scale-path embedding near-dup: candidates restricted to LSH
-    buckets (equi-join), exact cosine only within buckets.  Rows-only:
-    hyperplanes are numpy-seeded; recall vs exact is property-tested."""
+    """Scale-path embedding near-dup (the 100-TB headline): candidates
+    restricted to LSH buckets (equi-join, never all-pairs), exact
+    cosine only within buckets.  Fully oracled: the hyperplanes are
+    rational literals (similarity._hyperplanes rounds to 3 decimals) so
+    DuckDB re-derives identical bucket assignments."""
     from ocr_spark.operators.similarity import cosine_near_dup_pairs
 
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
@@ -210,13 +223,16 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed approximate top-k (scale path; numpy hyperplanes ->
-    rows-only check, recall property-tested in pytest)."""
+    """LSH-bucketed approximate top-k (scale path).  Oracled via the
+    literal-hyperplane bucket assignment; ranks (not raw cosines) are
+    the compared output, with a deterministic tie-break."""
     from ocr_spark.operators.similarity import ann_topk_lsh
 
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8)
-    return ann_topk_lsh(queries, emb, dim=64, k=5, n_planes=6)
+    return ann_topk_lsh(queries, emb, dim=64, k=5, n_planes=6).select(
+        "query_id", "neighbor_id", "rank"
+    )
 
 
 # --------------------------------------------------------------------------
@@ -293,17 +309,32 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched media decode/feature plumbing over binary payloads
-    (rows-only check: the fake decode is sha256-derived, deterministic,
-    but not SQL-expressible)."""
+    """Arrow-batched media plumbing over REAL image headers: payloads
+    are synthesized PNG/GIF/JPEG headers (magic + dimensions packed
+    with Spark binary/hex built-ins, sized from doc_id), and the
+    codec-free header parser recovers kind/width/height.  Fully
+    oracled: DuckDB recomputes the dimensions arithmetically."""
     from ocr_spark.operators.multimodal import decode_media
 
     docs = _t(spark, sf_dir, "documents")
+    w = (F.lit(64) + F.col("doc_id") % 512).cast("long")
+    h = (F.lit(64) + (F.col("doc_id") * 7) % 512).cast("long")
+    be16 = lambda c: F.lpad(F.hex(c), 4, "0")
+    be32 = lambda c: F.lpad(F.hex(c), 8, "0")
+    le16 = lambda c: F.concat(F.lpad(F.hex(c % 256), 2, "0"),
+                              F.lpad(F.hex(F.shiftright(c, 8)), 2, "0"))
+    png = F.concat(F.lit("89504E470D0A1A0A0000000D49484452"),
+                   be32(w), be32(h), F.lit("0806000000"))
+    gif = F.concat(F.lit("474946383961"), le16(w), le16(h))
+    jpeg = F.concat(F.lit("FFD8FFC0001108"), be16(h), be16(w), F.lit("03"))
+    m = F.col("doc_id") % 3
     media = docs.select(
         F.col("doc_id").cast("string").alias("media_id"),
-        F.encode("text", "utf-8").alias("payload"),
+        F.unhex(
+            F.when(m == 0, png).when(m == 1, gif).otherwise(jpeg)
+        ).alias("payload"),
     )
-    return decode_media(media, fake=True).select(
+    return decode_media(media).select(
         "media_id", "kind", "width", "height", "n_frames", "status"
     )
 
@@ -406,6 +437,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_latest": q_dedup_keep_latest,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "ngram_jaccard": q_ngram_jaccard,
+        "lsh_jaccard": q_lsh_jaccard,
         "simhash_near_dup": q_simhash_near_dup,
         "embed_near_dup": q_embed_near_dup,
         "embed_near_dup_lsh": q_embed_near_dup_lsh,
@@ -425,6 +457,64 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_extract": q_json_extract,
         "running_window": q_events_sessionless_window,
     }
+
+
+def _lsh_bucket_sql(n_planes: int, dim: int = 64) -> str:
+    """DuckDB expression for the engine's LSH bucket id: identical
+    rational hyperplane literals (similarity._hyperplanes) -> identical
+    sign pattern -> identical bucket."""
+    from ocr_spark.operators.similarity import _hyperplanes
+
+    terms = []
+    for i, plane in enumerate(_hyperplanes(dim, n_planes, seed=42)):
+        arr = "[" + ", ".join(repr(x) for x in plane) + "]"
+        terms.append(
+            f"(CASE WHEN list_dot_product(embedding::DOUBLE[], {arr}) >= 0 "
+            f"THEN {1 << i} ELSE 0 END)"
+        )
+    return " + ".join(terms)
+
+
+def _embed_near_dup_lsh_sql() -> str:
+    cos = (
+        "list_dot_product(l.emb, r.emb) / "
+        "(sqrt(list_dot_product(l.emb, l.emb)) * "
+        "sqrt(list_dot_product(r.emb, r.emb)))"
+    )
+    return f"""
+      WITH b AS (
+        SELECT vec_id, embedding::DOUBLE[] AS emb,
+               {_lsh_bucket_sql(n_planes=4)} AS bucket
+        FROM embeddings)
+      SELECT l.vec_id AS id_a, r.vec_id AS id_b,
+             round({cos}, 6) AS cos_sim
+      FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+      WHERE round({cos}, 6) >= 0.5
+    """
+
+
+def _ann_topk_sql() -> str:
+    cos = (
+        "list_dot_product(q.emb, c.emb) / "
+        "(sqrt(list_dot_product(q.emb, q.emb)) * "
+        "sqrt(list_dot_product(c.emb, c.emb)))"
+    )
+    return f"""
+      WITH b AS (
+        SELECT vec_id, embedding::DOUBLE[] AS emb,
+               {_lsh_bucket_sql(n_planes=6)} AS bucket
+        FROM embeddings),
+      scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {cos} AS cos_sim
+        FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id != c.vec_id
+        WHERE q.vec_id < 8),
+      ranked AS (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY round(cos_sim, 6) DESC, neighbor_id ASC) AS rank
+        FROM scored)
+      SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 5
+    """
 
 
 def _lang_id_cjk_sql() -> str:
@@ -561,6 +651,37 @@ def oracle_sql() -> dict[str, str]:
           ON l.band = r.band AND l.band_sig = r.band_sig
          AND l.doc_id < r.doc_id
         """,
+        "lsh_jaccard": near_dup_union + f"""
+        , tok AS (SELECT doc_id, text, {toks} AS toksl FROM base)
+        , sh AS (SELECT doc_id, {shingles_col} AS shl FROM tok)
+        , sh2 AS (SELECT doc_id, shl FROM sh WHERE len(shl) > 0)
+        , sigs AS (
+          SELECT doc_id,
+            list_transform(range(0, 16),
+              i -> list_min(list_transform(shl,
+                     s -> md5(i::VARCHAR || '|' || s)))) AS sig
+          FROM sh2
+        ), banded AS (
+          SELECT doc_id, b.band,
+            array_to_string(sig[b.band * 2 + 1 : b.band * 2 + 2], '') AS band_sig
+          FROM sigs, (SELECT unnest(range(0, 8)) AS band) b
+        ), cand AS (
+          SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+          FROM banded l JOIN banded r
+            ON l.band = r.band AND l.band_sig = r.band_sig
+           AND l.doc_id < r.doc_id
+        )
+        SELECT id_a, id_b,
+               round(len(list_intersect(a.shl, b.shl))
+                 / (len(a.shl) + len(b.shl) - len(list_intersect(a.shl, b.shl))),
+                 6) AS jaccard
+        FROM cand
+        JOIN sh2 a ON a.doc_id = id_a
+        JOIN sh2 b ON b.doc_id = id_b
+        WHERE len(list_intersect(a.shl, b.shl))
+              / (len(a.shl) + len(b.shl) - len(list_intersect(a.shl, b.shl)))
+              >= 0.5
+        """,
         "ngram_jaccard": near_dup_union + f"""
         , tok AS (SELECT doc_id, text, {toks} AS toksl FROM base)
         , sh AS (
@@ -582,6 +703,8 @@ def oracle_sql() -> dict[str, str]:
         WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
         """,
         # simhash_near_dup: xxhash64 not available in DuckDB -> rows-only
+        "embed_near_dup_lsh": _embed_near_dup_lsh_sql(),
+        "ann_topk": _ann_topk_sql(),
         "embed_near_dup": """
           SELECT l.vec_id AS id_a, r.vec_id AS id_b,
                  round(list_dot_product(l.embedding::DOUBLE[], r.embedding::DOUBLE[])
@@ -658,6 +781,12 @@ def oracle_sql() -> dict[str, str]:
           FROM c
         """,
         "lang_id_cjk": _lang_id_cjk_sql(),
+        "media_decode": (
+            "SELECT CAST(doc_id AS VARCHAR) AS media_id, 'image' AS kind, "
+            "CAST(64 + doc_id % 512 AS INT) AS width, "
+            "CAST(64 + (doc_id * 7) % 512 AS INT) AS height, "
+            "1 AS n_frames, 'ok' AS status FROM documents"
+        ),
         "fingerprint": f"""
           SELECT doc_id,
             array_to_string(

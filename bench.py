@@ -30,8 +30,10 @@ CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".cache")
 BENCH_QUERIES = [
     "flagship_extract", "extract_metrics", "dedup_exact",
     "dedup_keep_latest", "minhash_lsh_pairs", "ngram_jaccard",
-    "simhash_near_dup", "embed_near_dup", "cosine_topk", "ann_topk",
-    "text_stats", "lang_id", "fingerprint", "token_count", "media_decode",
+    "lsh_jaccard", "simhash_near_dup", "embed_near_dup",
+    "embed_near_dup_lsh", "cosine_topk", "ann_topk",
+    "text_stats", "lang_id", "lang_id_cjk", "fingerprint", "token_count",
+    "media_decode",
     "pricing_summary", "top_customers", "json_extract", "running_window",
 ]
 

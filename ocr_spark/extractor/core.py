@@ -37,6 +37,7 @@ __all__ = [
     "extract_html",
     "extract_pdf",
     "extract_bytes",
+    "parse_image_header",
     "STATUS_OK",
     "STATUS_VALIDATION_ERROR",
     "STATUS_PROCESSING_ERROR",
@@ -63,14 +64,24 @@ _BOMS = (
 )
 
 
+# Image magic bytes (O4: the reference's supported image set is
+# png/jpg/jpeg/tiff/tif, services/file_processor.py:11-12; gif added as
+# it costs one line and is ubiquitous on the web).
+_IMAGE_MAGICS = (
+    b"\x89PNG\r\n\x1a\n", b"\xff\xd8", b"GIF87a", b"GIF89a",
+    b"II*\x00", b"MM\x00*",
+)
+
+
 def sniff_doc_kind(payload: bytes) -> str:
-    """Classify raw payload bytes as ``html | pdf | unsupported``.
+    """Classify raw payload bytes as ``html | pdf | image | unsupported``.
 
     Deterministic precedence:
       1. ``%PDF-`` magic at offset 0 -> ``pdf``
-      2. first non-whitespace byte (after any Unicode BOM) is ``<`` -> ``html``
-      3. ``<html`` appears (case-insensitive) in the first 1024 bytes -> ``html``
-      4. otherwise ``unsupported``
+      2. PNG/JPEG/GIF/TIFF magic at offset 0 -> ``image``
+      3. first non-whitespace byte (after any Unicode BOM) is ``<`` -> ``html``
+      4. ``<html`` appears (case-insensitive) in the first 1024 bytes -> ``html``
+      5. otherwise ``unsupported``
 
     Replaces filename-extension dispatch (services/file_processor.py:28-41).
     """
@@ -78,6 +89,8 @@ def sniff_doc_kind(payload: bytes) -> str:
         return "unsupported"
     if payload.startswith(b"%PDF-"):
         return "pdf"
+    if payload.startswith(_IMAGE_MAGICS):
+        return "image"
     body = payload
     for bom, _ in _BOMS:
         if body.startswith(bom):
@@ -764,6 +777,91 @@ def extract_pdf(payload: bytes, all_pages: bool = False) -> dict:
 
 
 # --------------------------------------------------------------------------
+# image validity (O4: the reference PIL-opens bytes to verify integrity,
+# services/file_processor.py:49-62; no codec exists in this sandbox, so
+# validity = magic-byte + header parse, dimensions read from headers —
+# no pixel decode needed for either)
+# --------------------------------------------------------------------------
+
+def _be(b: bytes) -> int:
+    return int.from_bytes(b, "big")
+
+
+def _le(b: bytes) -> int:
+    return int.from_bytes(b, "little")
+
+
+# JPEG start-of-frame markers (all SOFn except DHT/JPG/DAC at C4/C8/CC).
+_JPEG_SOF = {0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+             0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF}
+
+
+def parse_image_header(payload: bytes) -> dict | None:
+    """Parse image dimensions from PNG/GIF/JPEG/TIFF headers (stdlib
+    only, no pixel decode).  Returns {format, width, height} or None if
+    the payload is not a structurally valid image header."""
+    try:
+        if payload.startswith(b"\x89PNG\r\n\x1a\n"):
+            if payload[12:16] != b"IHDR" or len(payload) < 24:
+                return None
+            w, h = _be(payload[16:20]), _be(payload[20:24])
+            return {"format": "png", "width": w, "height": h} if w and h else None
+        if payload.startswith((b"GIF87a", b"GIF89a")):
+            if len(payload) < 10:
+                return None
+            w, h = _le(payload[6:8]), _le(payload[8:10])
+            return {"format": "gif", "width": w, "height": h} if w and h else None
+        if payload.startswith(b"\xff\xd8"):
+            i = 2
+            while i + 4 <= len(payload):
+                if payload[i] != 0xFF:
+                    return None
+                marker = payload[i + 1]
+                if marker == 0xD8 or 0xD0 <= marker <= 0xD7 or marker == 0x01:
+                    i += 2
+                    continue
+                seg_len = _be(payload[i + 2:i + 4])
+                if seg_len < 2:
+                    return None
+                if marker in _JPEG_SOF:
+                    if i + 9 > len(payload):
+                        return None
+                    h = _be(payload[i + 5:i + 7])
+                    w = _be(payload[i + 7:i + 9])
+                    return ({"format": "jpeg", "width": w, "height": h}
+                            if w and h else None)
+                i += 2 + seg_len
+            return None
+        if payload.startswith((b"II*\x00", b"MM\x00*")):
+            little = payload[:2] == b"II"
+            rd = _le if little else _be
+            if len(payload) < 8:
+                return None
+            ifd = rd(payload[4:8])
+            if ifd + 2 > len(payload):
+                return None
+            n = rd(payload[ifd:ifd + 2])
+            w = h = 0
+            for k in range(n):
+                e = ifd + 2 + 12 * k
+                if e + 12 > len(payload):
+                    return None
+                tag = rd(payload[e:e + 2])
+                typ = rd(payload[e + 2:e + 4])
+                if tag in (256, 257):
+                    val = (rd(payload[e + 8:e + 10]) if typ == 3
+                           else rd(payload[e + 8:e + 12]))
+                    if tag == 256:
+                        w = val
+                    else:
+                        h = val
+            return {"format": "tiff", "width": w, "height": h} if w and h else None
+    except Exception:
+        return None
+    return None
+
+
+# --------------------------------------------------------------------------
 # the single per-document entry point (what the Arrow UDF batches over)
 # --------------------------------------------------------------------------
 
@@ -781,6 +879,23 @@ def extract_bytes(payload: bytes, all_pages: bool = False,
         out = extract_html(bytes(payload), profile=profile)
     elif kind == "pdf":
         out = extract_pdf(bytes(payload), all_pages=all_pages)
+    elif kind == "image":
+        # O4 semantics: a structurally valid image is a VALID input (the
+        # reference validates and passes it through to OCR); there is no
+        # deterministic pixel-to-text kernel here, so the row is ok with
+        # empty text and the validity verdict in error_msg-free status.
+        hdr = parse_image_header(bytes(payload))
+        if hdr is not None:
+            out = {
+                "text": "", "spans": [], "n_blocks": 0,
+                "status": STATUS_OK, "error_msg": None,
+            }
+        else:
+            out = {
+                "text": "", "spans": [], "n_blocks": 0,
+                "status": STATUS_VALIDATION_ERROR,
+                "error_msg": "Invalid or truncated image",
+            }
     else:
         out = {
             "text": "", "spans": [], "n_blocks": 0,

@@ -30,7 +30,8 @@ from ocr_spark.functions.text import word_shingles
 
 __all__ = [
     "exact_dedup", "minhash_signature", "lsh_candidate_pairs",
-    "lsh_bucket_overflow", "ngram_jaccard_pairs", "simhash",
+    "lsh_bucket_overflow", "lsh_jaccard_pairs", "ngram_jaccard_pairs",
+    "simhash",
     "simhash_near_dup_pairs", "simhash_bucket_overflow",
 ]
 
@@ -204,6 +205,45 @@ def ngram_jaccard_pairs(df: DataFrame, key_col: str = "doc_id",
             F.round(
                 F.col("n_inter")
                 / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def lsh_jaccard_pairs(df: DataFrame, key_col: str = "doc_id",
+                      text_col: str = "text", n_hashes: int = 16,
+                      bands: int = 4, shingle_k: int = 3,
+                      threshold: float = 0.5,
+                      max_bucket_size: int | None = None) -> DataFrame:
+    """The production near-dup composition: MinHash-LSH candidate
+    generation + exact n-gram-Jaccard verification restricted to the
+    candidates.  This is the scale-correct form of
+    :func:`ngram_jaccard_pairs` — the exact verify join runs only on
+    LSH candidate pairs (|candidates| << |corpus|^2), so the exploded
+    shingle self-join's hot-shingle quadratic blowup never happens.
+
+    Verification is a per-pair ``array_intersect`` on the two shingle
+    sets (two skinny equi-joins keyed by id; no shingle explosion at
+    all).  Returns (id_a, id_b, jaccard >= threshold)."""
+    cands = lsh_candidate_pairs(df, key_col, text_col, n_hashes, bands,
+                                shingle_k, max_bucket_size=max_bucket_size)
+    sh = (
+        df.select(F.col(key_col), word_shingles(text_col, shingle_k).alias("sh"))
+        .filter(F.size("sh") > 0)
+    )
+    return (
+        cands
+        .join(sh.withColumnsRenamed({key_col: "id_a", "sh": "sh_a"}), "id_a")
+        .join(sh.withColumnsRenamed({key_col: "id_b", "sh": "sh_b"}), "id_b")
+        .withColumn("n_inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter")
+                / (F.size("sh_a") + F.size("sh_b") - F.col("n_inter")),
                 6,
             ),
         )

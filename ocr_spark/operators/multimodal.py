@@ -2,15 +2,18 @@
 
 The engine treats media exactly like html: an opaque BinaryType column
 plus typed metadata, processed in Arrow batches via ``mapInPandas``.
-The container has no image/audio codecs (no Pillow/ffmpeg — SURVEY.md
-§7.0), so the *decode kernels* are stubbed: by default they raise
-``NotImplementedError``; with ``fake=True`` they produce a
-deterministic fake (seeded from the payload digest) so the Spark-side
-plumbing — schema, partitioning, UDF signature, batch shape — is real
-and testable end-to-end.
 
-Swap a real kernel in by passing ``decode_fn`` (payload: bytes ->
-dict) — the Spark plan is unchanged.
+What is REAL without any codec: magic-byte validity classification and
+header-derived dimensions for PNG/JPEG/GIF/TIFF (O4 semantics — the
+reference PIL-opens bytes only to verify integrity,
+services/file_processor.py:49-62).  That is the default path.
+
+What is stubbed (no Pillow/ffmpeg in this container — SURVEY.md §7.0):
+*pixel/sample decode*.  Non-image payloads therefore yield
+``processing_error`` rows unless ``fake=True`` (deterministic fake
+seeded from the payload digest, for plumbing tests) or a real
+``decode_fn`` (payload: bytes -> dict) is supplied — the Spark plan is
+unchanged either way.
 """
 
 from __future__ import annotations
@@ -19,6 +22,8 @@ import hashlib
 
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
+
+from ocr_spark.extractor.core import parse_image_header
 
 __all__ = ["MEDIA_SCHEMA", "decode_media", "sample_frames"]
 
@@ -57,9 +62,11 @@ def decode_media(df: DataFrame, payload_col: str = "payload",
                  decode_fn=None) -> DataFrame:
     """Decode / feature-extract media binaries in Arrow batches.
 
-    Real deployments pass ``decode_fn`` (e.g. PIL/torchvision decode +
-    resize + embed).  Here: stub (NotImplementedError rows) or the
-    deterministic fake."""
+    Default path: header-based image classification (real, codec-free
+    — kind/width/height from PNG/JPEG/GIF/TIFF headers, n_frames=1).
+    Non-image payloads: ``processing_error`` rows (pixel/sample decode
+    needs a codec) unless ``fake=True`` or a real ``decode_fn`` (e.g.
+    PIL/torchvision decode + resize + embed) is supplied."""
     fn = decode_fn or (_fake_decode if fake else None)
 
     def kernel(batches):
@@ -72,11 +79,17 @@ def decode_media(df: DataFrame, payload_col: str = "payload",
                         "height": None, "duration_ms": None, "n_frames": None,
                         "feature": None, "status": "ok", "error_msg": None}
                 if fn is None:
-                    base["status"] = "processing_error"
-                    base["error_msg"] = (
-                        "NotImplementedError: no media codec in this "
-                        "environment; pass decode_fn or fake=True"
-                    )
+                    hdr = parse_image_header(bytes(payload))
+                    if hdr is not None:
+                        base.update({"kind": "image", "width": hdr["width"],
+                                     "height": hdr["height"], "n_frames": 1})
+                    else:
+                        base["status"] = "processing_error"
+                        base["error_msg"] = (
+                            "NotImplementedError: not an image header and no "
+                            "media codec in this environment; pass decode_fn "
+                            "or fake=True"
+                        )
                 else:
                     try:
                         base.update(fn(bytes(payload)))

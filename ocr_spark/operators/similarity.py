@@ -78,7 +78,8 @@ def cosine_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
 def cosine_pairs_bruteforce(df: DataFrame, threshold: float,
                             id_col: str = "vec_id",
                             vec_col: str = "embedding",
-                            round_to: int = 4) -> DataFrame:
+                            round_to: int = 4,
+                            max_collect_bytes: int = 2 << 30) -> DataFrame:
     """All-pairs cosine >= threshold via blocked matrix multiply.
 
     One side is collected + broadcast as a normalized numpy matrix
@@ -94,6 +95,19 @@ def cosine_pairs_bruteforce(df: DataFrame, threshold: float,
     import numpy as np
 
     spark = df.sparkSession
+    # fail fast instead of OOMing the driver: the fits-in-memory
+    # contract is enforced, not aspirational
+    head = df.select(vec_col).head(1)
+    dim = len(head[0][0]) if head and head[0][0] is not None else 1
+    n_rows = df.count()
+    est = n_rows * max(dim, 1) * 8
+    if est > max_collect_bytes:
+        raise ValueError(
+            f"cosine_pairs_bruteforce would collect ~{est >> 20} MiB "
+            f"({n_rows} x {dim} doubles) to the driver; use "
+            f"cosine_near_dup_pairs (LSH-bucketed) at this scale or raise "
+            f"max_collect_bytes explicitly"
+        )
     rows = df.select(id_col, vec_col).collect()
     ids = np.array([r[0] for r in rows], dtype=np.int64)
     mat = np.array([list(r[1]) for r in rows], dtype=np.float64)
@@ -116,7 +130,12 @@ def cosine_pairs_bruteforce(df: DataFrame, threshold: float,
             an = _np.linalg.norm(a, axis=1, keepdims=True)
             an[an == 0.0] = _np.nan
             a = a / an
-            sims = _np.round(a @ b_mat.value.T, round_to)
+            raw = a @ b_mat.value.T
+            # round half-away-from-zero to match F.round / DuckDB round
+            # (np.round is banker's: 0.00005 would round DOWN and
+            # disagree with the oracle at the threshold boundary)
+            scale = 10.0 ** round_to
+            sims = _np.sign(raw) * _np.floor(_np.abs(raw) * scale + 0.5) / scale
             ia, ib = _np.nonzero(sims >= threshold)
             keep = a_ids[ia] < b_ids.value[ib]
             yield pd.DataFrame({
@@ -134,11 +153,15 @@ def cosine_pairs_bruteforce(df: DataFrame, threshold: float,
 
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     """Deterministic random hyperplanes (driver-side numpy, broadcast as
-    literals — tiny: n_planes x dim doubles)."""
+    literals — tiny: n_planes x dim doubles).  Values are rounded to 3
+    decimals so they are exact rational literals reproducible in any
+    SQL engine — the DuckDB correctness oracle re-derives the same
+    bucket assignment from these literals."""
     import numpy as np
 
     rng = np.random.RandomState(seed)
-    return rng.standard_normal((n_planes, dim)).tolist()
+    return [[round(float(x), 3) for x in row]
+            for row in rng.standard_normal((n_planes, dim))]
 
 
 def lsh_bucket_assign(df: DataFrame, dim: int, n_planes: int = 8,

@@ -135,18 +135,15 @@ def keep_latest(df: DataFrame) -> DataFrame:
     ``run_extraction_job``), which costs zero extra shuffles.  This
     form computes the winner set on a skinny (url, warc_ts) projection,
     then joins back; ties on (url, warc_ts) are collapsed by a
-    deterministic row_number over the payload hash.
-
-    Determinism caveat (shared with the in-kernel dedup): two captures
-    agreeing on (url, warc_ts, xxhash64(html)) but differing in a
-    passthrough column (e.g. ``lang``) would tie; the in-kernel path
-    appends the remaining columns to the sort key for a total order.
-    NULL ``warc_ts`` sorts last under desc order in both paths — a null
+    deterministic row_number over the raw payload bytes (same tie-break
+    contract as the in-kernel dedup: lexicographically smallest html
+    wins — reproducible in Python/SQL, unlike a JVM-only hash).  NULL
+    ``warc_ts`` sorts last under desc order in both paths — a null
     capture never beats a dated one."""
     winners = df.groupBy("url").agg(F.max("warc_ts").alias("warc_ts"))
     out = df.join(winners, on=["url", "warc_ts"], how="left_semi")
-    # exact-tie safety: same url+ts captured twice -> keep lowest html hash
-    w = Window.partitionBy("url", "warc_ts").orderBy(F.xxhash64("html"))
+    # exact-tie safety: same url+ts captured twice -> keep lowest html bytes
+    w = Window.partitionBy("url", "warc_ts").orderBy(F.col("html").asc())
     return (
         out.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
@@ -174,6 +171,7 @@ def run_extraction_job(
     out_table = cat.table("pages_extracted")
 
     t_start = time.perf_counter()
+    phases: dict[str, float] = {}
     df = prepare_pages(pages, cfg.n_buckets)
 
     # resume: drop buckets this run already committed (broadcast anti-join)
@@ -182,7 +180,13 @@ def run_extraction_job(
     if done_ids:
         df = df.filter(~F.col("bucket").isin(done_ids))
 
-    hot = detect_hot_hosts(df, cfg)
+    # skew probe runs eagerly (it is a tiny result by construction), so
+    # its cost is visible in phases and the hot set ships as a literal
+    # broadcast dim instead of re-running lazily under the join
+    t0 = time.perf_counter()
+    hot_rows = [(r.host, r.est_docs) for r in detect_hot_hosts(df, cfg).collect()]
+    phases["probe_s"] = round(time.perf_counter() - t0, 3)
+    hot = spark.createDataFrame(hot_rows, "host string, est_docs long")
     df = with_salt(df, hot, cfg)
 
     parallelism = cfg.parallelism or int(
@@ -205,12 +209,13 @@ def run_extraction_job(
             # partition-local external sort (no shuffle): winner capture
             # first within each url group; kernel keeps first per url.
             # warc_ts desc places NULL warc_ts last (a null capture never
-            # beats a dated one); the trailing lang key totally orders
-            # captures that tie on (url, warc_ts, payload hash) but
-            # differ in a passthrough column, so the winner is
-            # deterministic across partitionings.
+            # beats a dated one).  Exact-ts ties break on the raw html
+            # bytes (unsigned lexicographic — identically comparable in
+            # the JVM, Python and SQL, so the oracle can reproduce the
+            # winner), then lang for a total order even on identical
+            # payloads with divergent passthrough metadata.
             part = part.sortWithinPartitions(
-                "url", F.col("warc_ts").desc(), F.xxhash64("html"), "lang"
+                "url", F.col("warc_ts").desc(), "html", "lang"
             )
         extracted = extract_pages(
             part,
@@ -230,7 +235,12 @@ def run_extraction_job(
         out_table.overwrite_partitions(extracted, partition_by=("bucket",))
         wall_ms = int((time.perf_counter() - t0) * 1000)
 
-        # lineage from the landed files (self-verifying read-back)
+        phases["extract_write_s"] = phases.get("extract_write_s", 0.0) + wall_ms / 1000.0
+
+        # lineage from the landed files (self-verifying read-back; the
+        # scan is column-pruned to the four counter columns, so it does
+        # not re-read text/spans/html)
+        t0 = time.perf_counter()
         landed = out_table.read().filter(F.col("bucket").isin(bucket_ids))
         lineage = (
             landed.groupBy("bucket")
@@ -247,8 +257,13 @@ def run_extraction_job(
                     "bytes_in", "bytes_out", "wall_ms")
         )
         cat.lineage().append(lineage)
+        phases["lineage_s"] = round(
+            phases.get("lineage_s", 0.0) + time.perf_counter() - t0, 3)
         # write-then-commit ordering: manifest rows land strictly after data
+        t0 = time.perf_counter()
         cat.commit_buckets(cfg.run_id, bucket_ids)
+        phases["commit_s"] = round(
+            phases.get("commit_s", 0.0) + time.perf_counter() - t0, 3)
         n_chunks += 1
 
     wall_s = time.perf_counter() - t_start
@@ -272,4 +287,5 @@ def run_extraction_job(
         "bytes_out": totals.bytes_out,
         "docs_per_s": (totals.n_docs or 0) / wall_s if wall_s else 0.0,
         "gb_per_s": (totals.bytes_in or 0) / 1e9 / wall_s if wall_s else 0.0,
+        "phases": phases,
     }

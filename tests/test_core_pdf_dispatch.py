@@ -18,7 +18,10 @@ from ocr_spark.extractor import core, profiles
         (b"  \n\t<html><body></body></html>", "html"),
         (b"\xef\xbb\xbf<html>x</html>", "html"),
         (b"junk junk <html> late", "html"),
-        (b"\x89PNG\r\n\x1a\n....", "unsupported"),
+        (b"\x89PNG\r\n\x1a\n....", "image"),
+        (b"\xff\xd8\xff\xe0junk", "image"),
+        (b"GIF89a\x10\x00\x10\x00", "image"),
+        (b"II*\x00\x08\x00\x00\x00", "image"),
         (b"", "unsupported"),
         (b"plain text no markup", "unsupported"),
     ],
@@ -32,6 +35,49 @@ def test_unsupported_is_validation_error_row():
     assert out["status"] == "validation_error"
     assert out["text"] == ""
     assert out["error_msg"] == "Unsupported file format"
+
+
+# -- image validity without codecs (O4) ---------------------------------------
+
+def _png(w, h):
+    return (b"\x89PNG\r\n\x1a\n" + (13).to_bytes(4, "big") + b"IHDR"
+            + w.to_bytes(4, "big") + h.to_bytes(4, "big") + b"\x08\x06\x00\x00\x00")
+
+
+def test_parse_image_headers():
+    assert core.parse_image_header(_png(640, 480)) == {
+        "format": "png", "width": 640, "height": 480}
+    gif = b"GIF89a" + (320).to_bytes(2, "little") + (200).to_bytes(2, "little")
+    assert core.parse_image_header(gif) == {
+        "format": "gif", "width": 320, "height": 200}
+    jpeg = (b"\xff\xd8\xff\xe0\x00\x04XX"            # APP0 segment, skipped
+            b"\xff\xc0\x00\x11\x08" + (480).to_bytes(2, "big")
+            + (640).to_bytes(2, "big") + b"\x03")
+    assert core.parse_image_header(jpeg) == {
+        "format": "jpeg", "width": 640, "height": 480}
+    # TIFF little-endian: IFD at 8 with width=100 (SHORT), height=50 (LONG)
+    tiff = (b"II*\x00" + (8).to_bytes(4, "little")
+            + (2).to_bytes(2, "little")
+            + (256).to_bytes(2, "little") + (3).to_bytes(2, "little")
+            + (1).to_bytes(4, "little") + (100).to_bytes(2, "little") + b"\x00\x00"
+            + (257).to_bytes(2, "little") + (4).to_bytes(2, "little")
+            + (1).to_bytes(4, "little") + (50).to_bytes(4, "little"))
+    assert core.parse_image_header(tiff) == {
+        "format": "tiff", "width": 100, "height": 50}
+    # truncated / corrupt -> None
+    assert core.parse_image_header(b"\x89PNG\r\n\x1a\nxx") is None
+    assert core.parse_image_header(b"\xff\xd8\x00\x00") is None
+    assert core.parse_image_header(b"plainly not an image") is None
+
+
+def test_image_payload_rows():
+    ok = core.extract_bytes(_png(64, 64))
+    assert ok["doc_kind"] == "image"
+    assert ok["status"] == "ok" and ok["text"] == "" and ok["error_msg"] is None
+    bad = core.extract_bytes(b"\x89PNG\r\n\x1a\ntruncated")
+    assert bad["doc_kind"] == "image"
+    assert bad["status"] == "validation_error"
+    assert "image" in bad["error_msg"]
 
 
 # -- PDF subset (O5) ----------------------------------------------------------

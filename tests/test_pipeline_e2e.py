@@ -17,11 +17,14 @@ from ocr_spark.sources.catalog import Catalog
 
 
 def oracle_expected(rows):
-    """Keep-latest per url, then oracle extraction — the spec."""
+    """Keep-latest per url, then oracle extraction — the spec.  Ties on
+    warc_ts break on the raw html bytes (lexicographically smallest
+    wins), the engine's documented reproducible tie-break."""
     latest = {}
     for r in rows:
         cur = latest.get(r["url"])
-        if cur is None or r["warc_ts"] > cur["warc_ts"]:
+        if (cur is None or r["warc_ts"] > cur["warc_ts"]
+                or (r["warc_ts"] == cur["warc_ts"] and r["html"] < cur["html"])):
             latest[r["url"]] = r
     return {
         url: extract_bytes(r["html"])["text"] for url, r in latest.items()
