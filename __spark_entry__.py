@@ -245,7 +245,7 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return with_text_stats(docs).select(
         "doc_id", "n_tokens", "avg_token_len", "stopword_ratio",
-        "non_alnum_ratio", "quality_score",
+        "non_alnum_ratio", "bpe_count", "quality_score",
     )
 
 
@@ -373,6 +373,31 @@ def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-way join: lineitem |x| orders |x| customer |x| nation |x|
+    region, dims broadcast (the star-join shape of per-lang profile +
+    per-host dim lookups at 100 TB: fact table never re-shuffles for
+    broadcastable dims)."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+            .alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy("r_name")
+    )
+
+
 def q_customers_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Left anti join (the checkpoint-manifest resume pattern)."""
     cust = _t(spark, sf_dir, "customer")
@@ -452,6 +477,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_decode": q_media_decode,
         "pricing_summary": q_pricing_summary,
         "top_customers": q_top_customers,
+        "regional_revenue": q_regional_revenue,
         "customers_no_orders": q_customers_no_orders,
         "setop_except": q_setop_except,
         "json_extract": q_json_extract,
@@ -750,6 +776,8 @@ def oracle_sql() -> dict[str, str]:
                        '[A-Za-z0-9]', '', 'g'))
                    / length(regexp_replace(text, '\\s', '', 'g')), 4)
               ELSE 0.0 END AS non_alnum_ratio,
+            len(regexp_extract_all(text,
+                '[a-z0-9]+|[A-Z][a-z0-9]*|[^A-Za-z0-9\\s]')) AS bpe_count,
             CAST(round(
               (CASE WHEN len({toks}) > 0 AND
                 round(length(regexp_replace(text, '\\s', '', 'g')) / len({toks}), 4)
@@ -815,6 +843,17 @@ def oracle_sql() -> dict[str, str]:
             "FROM orders JOIN customer ON o_custkey = c_custkey "
             "GROUP BY c_custkey, c_name "
             "ORDER BY total_spent DESC, c_custkey ASC LIMIT 10"
+        ),
+        "regional_revenue": (
+            "SELECT r_name, "
+            "round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue, "
+            "count(*) AS n_items "
+            "FROM lineitem "
+            "JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation ON c_nationkey = n_nationkey "
+            "JOIN region ON n_regionkey = r_regionkey "
+            "GROUP BY r_name ORDER BY r_name"
         ),
         "customers_no_orders": (
             "SELECT c_custkey, c_name FROM customer c "

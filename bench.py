@@ -34,7 +34,8 @@ BENCH_QUERIES = [
     "embed_near_dup_lsh", "cosine_topk", "ann_topk",
     "text_stats", "lang_id", "lang_id_cjk", "fingerprint", "token_count",
     "media_decode",
-    "pricing_summary", "top_customers", "json_extract", "running_window",
+    "pricing_summary", "top_customers", "regional_revenue", "json_extract",
+    "running_window",
 ]
 
 
