@@ -158,11 +158,17 @@ def q_lsh_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """xxhash64-based SimHash (JVM hash — no SQL oracle; rows-only)."""
+    """xxhash64-based SimHash (JVM hash — no SQL oracle; rows-only).
+    Blocking is derived from the threshold (h+1 chunks -> exact recall);
+    h=4 keeps chunks 12-13 bits wide (2^12+ bucket values — the scale
+    design point; wider h shrinks chunks and fattens buckets), and the
+    bucket cap is set to the production posture (dropped buckets are
+    reportable via simhash_bucket_overflow, never silent)."""
     from ocr_spark.operators.dedup import simhash_near_dup_pairs
 
     docs = _docs_with_near_dups(spark, sf_dir)
-    return simhash_near_dup_pairs(docs, "doc_id", "text", max_hamming=8)
+    return simhash_near_dup_pairs(docs, "doc_id", "text", max_hamming=4,
+                                  max_bucket_size=500)
 
 
 def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
