@@ -28,6 +28,7 @@ import re
 import unicodedata
 import zlib
 from dataclasses import dataclass, field
+from html import unescape
 from html.parser import HTMLParser
 
 __all__ = [
@@ -216,9 +217,13 @@ class _Block:
     end: int = -1                                    # char offset past last chunk
     in_content_ancestor: bool = False
     in_boiler_ancestor: bool = False
+    _text: str | None = None
 
     def text(self) -> str:
-        return _collapse("".join(self.chunks))
+        # memoized: called from both the flush check and the classifier
+        if self._text is None:
+            self._text = _collapse("".join(self.chunks))
+        return self._text
 
 
 class _BlockParser(HTMLParser):
@@ -330,7 +335,11 @@ class _BlockParser(HTMLParser):
             b.start = off
         b.end = off + len(data)
         b.chunks.append(data)
-        nws = sum(1 for ch in data if not ch.isspace())
+        b._text = None
+        # non-whitespace char count: str.split() splits exactly on
+        # str.isspace() whitespace, so the token-length sum equals the
+        # per-char isspace scan at C speed
+        nws = sum(map(len, data.split()))
         b.total_chars += nws
         if self._anchor_depth:
             b.anchor_chars += nws
@@ -341,6 +350,109 @@ class _BlockParser(HTMLParser):
         if b.chunks and b.text():
             self.blocks.append(b)
             self._cur = _Block()
+
+
+# tag name per html.parser's tagfind_tolerant
+_TAGNAME_RE = re.compile(r"[a-zA-Z][^\t\n\r\f />\x00]*")
+# attribute region up to (excluding) the closing '>', quote-aware
+_TAGEND_RE = re.compile(r"""[^>"']*(?:"[^"]*"[^>"']*|'[^']*'[^>"']*)*""")
+# html.parser's CDATA_CONTENT_ELEMENTS: rawtext until the real close tag
+_CDATA_CLOSE = {
+    "script": re.compile(r"</script(?=[\t\n\r\f />]|$)", re.IGNORECASE),
+    "style": re.compile(r"</style(?=[\t\n\r\f />]|$)", re.IGNORECASE),
+}
+
+
+class _FastBlockParser(_BlockParser):
+    """Drop-in replacement for the stdlib-driven parse: a tolerant
+    regex lexer feeding the SAME block handlers.  ~2x faster because it
+    never tokenizes attributes (the handlers only use tag names) and
+    scans inter-tag text as whole segments.  Behaviour is pinned to the
+    stdlib path by a differential test over every synthesizer genre
+    (tests/test_core_html.py::test_fast_parser_matches_stdlib); known
+    tolerated divergence: a bare quote inside an unquoted attribute
+    value opens a quoted section here (stdlib's attr regex does not).
+
+    Charref decoding matches html.parser's convert_charrefs=True: each
+    inter-tag data segment is html.unescape()d, offsets refer to the
+    source, segment end = start + len(decoded) (same formula as the
+    stdlib path's getpos()-based bookkeeping)."""
+
+    def feed(self, data: str) -> None:  # type: ignore[override]
+        self._pos = 0
+        i, n = 0, len(data)
+        find = data.find
+        while i < n:
+            lt = find("<", i)
+            if lt < 0:
+                self._pos = i
+                seg = data[i:]
+                self.handle_data(unescape(seg) if "&" in seg else seg)
+                break
+            if lt > i:
+                self._pos = i
+                seg = data[i:lt]
+                self.handle_data(unescape(seg) if "&" in seg else seg)
+            c = data[lt + 1:lt + 2]
+            if c and c.isascii() and c.isalpha():
+                m = _TAGNAME_RE.match(data, lt + 1)
+                name = m.group(0).lower()
+                gt = _TAGEND_RE.match(data, m.end()).end()
+                if gt >= n or data[gt] != ">":
+                    # truncated tag at EOF: stdlib flushes it as data
+                    self._pos = lt
+                    self.handle_data(data[lt:])
+                    break
+                if data[gt - 1] == "/" and gt - 1 >= m.end():
+                    self.handle_startendtag(name, [])
+                    i = gt + 1
+                    continue
+                self.handle_starttag(name, [])
+                i = gt + 1
+                cd = _CDATA_CLOSE.get(name)
+                if cd:
+                    mm = cd.search(data, i)
+                    if not mm:
+                        # unterminated rawtext: stdlib emits the rest as
+                        # data in cdata mode (no endtag)
+                        self._pos = i
+                        self.handle_data(data[i:])
+                        break
+                    if mm.start() > i:
+                        self._pos = i
+                        self.handle_data(data[i:mm.start()])
+                    self.handle_endtag(name)
+                    g2 = find(">", mm.end())
+                    i = g2 + 1 if g2 >= 0 else n
+            elif c == "/":
+                m = _TAGNAME_RE.match(data, lt + 2)
+                if m:
+                    g2 = find(">", m.end())
+                    self.handle_endtag(m.group(0).lower())
+                    i = g2 + 1 if g2 >= 0 else n
+                else:
+                    # '</' + non-name: bogus comment, skipped to '>'
+                    g2 = find(">", lt + 2)
+                    i = g2 + 1 if g2 >= 0 else n
+            elif c == "!":
+                if data.startswith("!--", lt + 1):
+                    e = find("-->", lt + 4)
+                    i = e + 3 if e >= 0 else n
+                else:  # declaration / doctype
+                    g2 = find(">", lt + 2)
+                    i = g2 + 1 if g2 >= 0 else n
+            elif c == "?":  # processing instruction
+                g2 = find(">", lt + 2)
+                i = g2 + 1 if g2 >= 0 else n
+            else:
+                # lone '<' not opening a construct: literal text
+                self._pos = lt
+                self.handle_data("<")
+                i = lt + 1
+        self.close()
+
+    def _offset(self) -> int:
+        return self._pos
 
 
 def _link_density(b: _Block) -> float:
@@ -388,6 +500,11 @@ def _classify(blocks: list[_Block],
     return keep
 
 
+# The production lexer.  _BlockParser (stdlib html.parser machinery)
+# remains as the differential-testing reference implementation.
+_PARSER_IMPL = _FastBlockParser
+
+
 def extract_html(payload: bytes, profile: dict | None = None) -> dict:
     """HTML bytes -> {text, spans, n_blocks, status, error_msg}.
 
@@ -400,7 +517,7 @@ def extract_html(payload: bytes, profile: dict | None = None) -> dict:
     """
     try:
         decoded, codec = decode_html(payload)
-        parser = _BlockParser()
+        parser = _PARSER_IMPL()
         parser.feed(decoded)
         blocks = parser.blocks
         prof = profile or {}

@@ -48,6 +48,13 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2norm(a) * l2norm(b))
 
 
+# Note on the join kernels below: norms are materialized as per-row
+# columns BEFORE the pair join, so each vector's norm fold runs once
+# per row instead of once per candidate pair (HOF folds are interpreted
+# — they re-evaluate per use).  dot/(na*nb) is arithmetically identical
+# to cosine(a, b), so oracle parity is unaffected.
+
+
 def cosine_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
                 id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Exact top-k by cosine for each query vector.
@@ -56,14 +63,23 @@ def cosine_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
     ascending corpus id so ranks are deterministic.  Returns
     (query_id, neighbor_id, cos_sim, rank)."""
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"),
+        l2norm(F.col(vec_col)).alias("q_norm"),
     )
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"),
+        l2norm(F.col(vec_col)).alias("c_norm"),
     )
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos_sim", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6))
+        .withColumn(
+            "cos_sim",
+            F.round(
+                dot(F.col("q_vec"), F.col("c_vec"))
+                / (F.col("q_norm") * F.col("c_norm")),
+                6,
+            ),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()
@@ -186,16 +202,23 @@ def ann_topk_lsh(queries: DataFrame, corpus: DataFrame, dim: int, k: int = 5,
     replaces the brute-force cross join."""
     cb = lsh_bucket_assign(corpus, dim, n_planes, seed, vec_col).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"),
-        "lsh_bucket",
+        l2norm(F.col(vec_col)).alias("c_norm"), "lsh_bucket",
     )
     qb = lsh_bucket_assign(queries, dim, n_planes, seed, vec_col).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"),
-        "lsh_bucket",
+        l2norm(F.col(vec_col)).alias("q_norm"), "lsh_bucket",
     )
     scored = (
         cb.join(F.broadcast(qb), on="lsh_bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos_sim", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6))
+        .withColumn(
+            "cos_sim",
+            F.round(
+                dot(F.col("q_vec"), F.col("c_vec"))
+                / (F.col("q_norm") * F.col("c_norm")),
+                6,
+            ),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()
@@ -215,7 +238,8 @@ def cosine_near_dup_pairs(df: DataFrame, dim: int, threshold: float = 0.95,
     restricted to same-LSH-bucket pairs (equi-join, not cross join).
     Fewer planes than search -> higher recall for the dedup use case."""
     b = lsh_bucket_assign(df, dim, n_planes, seed, vec_col).select(
-        F.col(id_col), F.col(vec_col), "lsh_bucket"
+        F.col(id_col), F.col(vec_col), l2norm(F.col(vec_col)).alias("_norm"),
+        "lsh_bucket",
     )
     l, r = b.alias("l"), b.alias("r")
     return (
@@ -226,7 +250,11 @@ def cosine_near_dup_pairs(df: DataFrame, dim: int, threshold: float = 0.95,
         )
         .withColumn(
             "cos_sim",
-            F.round(cosine(F.col(f"l.{vec_col}"), F.col(f"r.{vec_col}")), 6),
+            F.round(
+                dot(F.col(f"l.{vec_col}"), F.col(f"r.{vec_col}"))
+                / (F.col("l._norm") * F.col("r._norm")),
+                6,
+            ),
         )
         .filter(F.col("cos_sim") >= threshold)
         .select(

@@ -138,6 +138,59 @@ def test_semantic_article_keeps_short_blocks():
     assert out["text"] == "short but real content"
 
 
+def _blocks_with(parser_cls, decoded):
+    p = parser_cls()
+    p.feed(decoded)
+    return [(b.text(), b.start, b.end, b.kind, b.anchor_chars, b.total_chars,
+             b.in_content_ancestor, b.in_boiler_ancestor) for b in p.blocks]
+
+
+def test_fast_parser_matches_stdlib_on_corpus():
+    """The production regex lexer must produce identical block streams
+    (text, offsets, stats, ancestry) to the stdlib html.parser-driven
+    reference on every synthesizer genre."""
+    rows = gen_pages(600, seed=321)
+    checked = 0
+    for r in rows:
+        if core.sniff_doc_kind(r["html"]) != "html":
+            continue
+        decoded, _ = core.decode_html(r["html"])
+        assert _blocks_with(core._BlockParser, decoded) == \
+            _blocks_with(core._FastBlockParser, decoded), r["url"]
+        checked += 1
+    assert checked > 300
+
+
+def test_fast_parser_matches_stdlib_adversarial():
+    cases = [
+        # comments, doctype, PI, CDATA-ish declaration
+        "<!DOCTYPE html><!-- c --><?php x ?><html><body><p>a &amp; b "
+        "&#65;&lt;ok&gt; " + "w " * 20 + "</p></body></html>",
+        # script/style rawtext with fake tags and entities inside
+        "<html><body><script>var s = '<p>not a tag &amp;</p>';</script>"
+        "<style>p::before{content:'<div>'}</style><article><p>"
+        + "x " * 20 + "</p></article></body></html>",
+        # unterminated script (rest swallowed as rawtext)
+        "<html><body><p>" + "kept " * 20 + "</p><script>var y = 1;",
+        # lone '<' and '<3' literals, self-closing br, truncated tag at EOF
+        "<html><body><article><p>a < b and <3 hearts " + "y " * 20
+        + "<br/>more</p></article></body></html>",
+        "<html><body><p>" + "z " * 20 + "</p><div class='x",
+        # quoted '>' inside attribute value
+        '<html><body><article data-x="a>b"><p>' + "q " * 20
+        + "</p></article></body></html>",
+        # bogus end tags and stray brackets
+        "<html><body><p>" + "m " * 20 + "</><//><p>" + "n " * 20 + "</body>",
+        # entities split across element boundaries, nbsp handling
+        "<html><body><article><p>caf&eacute;&nbsp;au&nbsp;lait "
+        + "k " * 20 + "</p></article></body></html>",
+    ]
+    for html in cases:
+        a = _blocks_with(core._BlockParser, html)
+        b = _blocks_with(core._FastBlockParser, html)
+        assert a == b, (html[:60], a, b)
+
+
 def test_profile_thresholds_change_classification():
     """O8 wiring: the profile's min_words / max_link_density actually
     reach the classifier; defaults are unchanged (byte-equality holds)."""
