@@ -63,6 +63,32 @@ def q_flagship_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "text").orderBy("doc_id")
 
 
+def q_profile_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O8 end-to-end through the driver oracle: per-lang extraction
+    profiles change classification.  Each document rides as a lone
+    <div> block (no semantic ancestor), which the Boilerpipe rules keep
+    iff words > min_words — es rows get a relaxed profile (min_words=3),
+    everything else the default (16), so the oracle is a closed-form
+    CASE over the token count."""
+    from ocr_spark.operators.extract import extract_pages
+
+    docs = _t(spark, sf_dir, "documents")
+    pages = docs.select(
+        "doc_id", "lang",
+        F.encode(
+            F.concat(F.lit("<html><body><div>"), F.col("text"),
+                     F.lit("</div></body></html>")),
+            "utf-8",
+        ).alias("html"),
+    )
+    out = extract_pages(
+        pages, payload_col="html", passthrough=("doc_id", "lang"),
+        with_spans=False,
+        profiles={"es": {"min_words": 3}}, profile_col="lang",
+    )
+    return out.select("doc_id", "lang", "text").orderBy("doc_id")
+
+
 def q_extract_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Extraction + per-lang lineage rollup (the groupBy counters of
     SURVEY.md §2.2 'Aggregations')."""
@@ -463,6 +489,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_extract": q_flagship_extract,
+        "profile_extract": q_profile_extract,
         "extract_metrics": q_extract_metrics,
         "dedup_exact": q_dedup_exact,
         "dedup_keep_latest": q_dedup_keep_latest,
@@ -639,6 +666,14 @@ def oracle_sql() -> dict[str, str]:
         "flagship_extract": (
             "SELECT doc_id, text FROM documents ORDER BY doc_id"
         ),
+        "profile_extract": f"""
+          SELECT doc_id, lang,
+            CASE WHEN len({toks}) >
+                   (CASE WHEN lang = 'es' THEN 3 ELSE 16 END)
+                 AND len(trim(text)) > 0
+                 THEN text ELSE '' END AS text
+          FROM documents ORDER BY doc_id
+        """,
         # CAST the sums: DuckDB sum(BIGINT) returns HUGEINT, which the
         # driver's value-hash renders as a float (9707.0 vs 9707) — the
         # one source of round-1 hash mismatches on value-identical rows.
