@@ -371,6 +371,22 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing: one row per sampled frame index over a
+    binary media column.  The fake decode kernel is sha256-derived, so
+    the DuckDB oracle reproduces frame counts AND digests exactly."""
+    from ocr_spark.operators.multimodal import sample_frames
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+    return sample_frames(media, every_n=5, fake=True).select(
+        "media_id", "frame_idx", "frame_digest", "status"
+    )
+
+
 # --------------------------------------------------------------------------
 # relational surface (scan/filter/join/agg/window/set-op/json)
 # --------------------------------------------------------------------------
@@ -508,6 +524,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "token_count": q_token_count,
         "media_decode": q_media_decode,
+        "frame_sample": q_frame_sample,
         "pricing_summary": q_pricing_summary,
         "top_customers": q_top_customers,
         "regional_revenue": q_regional_revenue,
@@ -850,6 +867,16 @@ def oracle_sql() -> dict[str, str]:
           FROM c
         """,
         "lang_id_cjk": _lang_id_cjk_sql(),
+        "frame_sample": """
+          WITH m AS (
+            SELECT CAST(doc_id AS VARCHAR) AS media_id, text,
+                   1 + ('0x' || substr(sha256(text), 11, 2))::INT % 30 AS nf
+            FROM documents)
+          SELECT media_id, CAST(f.idx AS INT) AS frame_idx,
+                 substr(sha256(text || ':' || f.idx), 1, 16) AS frame_digest,
+                 'ok' AS status
+          FROM m, unnest(range(0, nf, 5)) AS f(idx)
+        """,
         "media_decode": (
             "SELECT CAST(doc_id AS VARCHAR) AS media_id, 'image' AS kind, "
             "CAST(64 + doc_id % 512 AS INT) AS width, "

@@ -33,7 +33,7 @@ BENCH_QUERIES = [
     "lsh_jaccard", "simhash_near_dup", "embed_near_dup",
     "embed_near_dup_lsh", "cosine_topk", "ann_topk",
     "text_stats", "lang_id", "lang_id_cjk", "fingerprint", "token_count",
-    "media_decode",
+    "media_decode", "frame_sample",
     "pricing_summary", "top_customers", "regional_revenue", "json_extract",
     "running_window",
 ]

@@ -129,8 +129,11 @@ def sample_frames(df: DataFrame, every_n: int = 10,
                     continue
                 meta = _fake_decode(bytes(payload))
                 for idx in range(0, meta["n_frames"], every_n):
+                    # payload:index digest — ':'+decimal keeps the frame
+                    # key VARCHAR-expressible so the SQL oracle can
+                    # reproduce it (sha256 is VARCHAR-only in DuckDB)
                     digest = hashlib.sha256(
-                        bytes(payload) + idx.to_bytes(4, "big")
+                        bytes(payload) + b":" + str(idx).encode()
                     ).hexdigest()[:16]
                     rows.append({"media_id": str(mid), "frame_idx": idx,
                                  "frame_digest": digest, "status": "ok"})
