@@ -225,9 +225,12 @@ def q_embed_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_span_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Span-offset QA: explode the extraction's span array and roll up
-    per span kind (count, covered bytes).  Rows-only: span offsets come
-    from the non-SQL extractor; invariants (0 <= start < end <= input
-    length, kinds known) are asserted in pytest."""
+    per span kind (count, covered bytes).  Oracled: on the wrapped
+    corpus the kept block is exactly the article <p> whose span covers
+    the document text, so covered bytes == sum of utf-8 text lengths
+    and the count is the docs passing the >=2-word content rule.
+    Offset-correctness (0 <= start < end <= input length, slices
+    decode to the block text) is additionally asserted in pytest."""
     from ocr_spark.operators.extract import extract_pages
 
     pages = _wrapped_pages(spark, sf_dir)
@@ -787,6 +790,12 @@ def oracle_sql() -> dict[str, str]:
         WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
         """,
         # simhash_near_dup: xxhash64 not available in DuckDB -> rows-only
+        "span_qa": f"""
+          SELECT 'p' AS kind, count(*) AS n_spans,
+                 CAST(sum(strlen(text)) AS BIGINT) AS covered_bytes
+          FROM documents
+          WHERE len(trim(text)) > 0 AND len({toks}) >= 2
+        """,
         "embed_near_dup_lsh": _embed_near_dup_lsh_sql(),
         "ann_topk": _ann_topk_sql(),
         "embed_near_dup": """
