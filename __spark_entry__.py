@@ -480,6 +480,33 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity closes a session):
+    lag -> new-session flag -> running sum as session id -> per-user
+    rollup.  The batch form of the streaming session-window pattern
+    (applyInPandasWithState's job, expressed in pure window functions)."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # events.ts is TIMESTAMP_NTZ; session tz is UTC, so ltz epoch
+    # seconds equal DuckDB's epoch(ts)
+    tsl = F.col("ts").cast("timestamp").cast("long")
+    prev = F.lag(tsl).over(w)
+    new_sess = F.when(prev.isNull() | ((tsl - prev) > 1800), 1).otherwise(0)
+    sess = F.sum(new_sess).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    per_sess = (
+        ev.withColumn("sess", sess)
+        .groupBy("user_id", "sess")
+        .agg(F.count("*").alias("n_events"))
+    )
+    return per_sess.groupBy("user_id").agg(
+        F.count("*").alias("n_sessions"),
+        F.sum("n_events").alias("n_events"),
+        F.max("n_events").alias("max_session_events"),
+    )
+
+
 def q_events_sessionless_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Running aggregate window per user ordered by time."""
     from pyspark.sql import Window
@@ -535,6 +562,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "setop_except": q_setop_except,
         "json_extract": q_json_extract,
         "running_window": q_events_sessionless_window,
+        "sessionize": q_sessionize,
     }
 
 
@@ -955,4 +983,24 @@ def oracle_sql() -> dict[str, str]:
             "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) "
             "AS running_value FROM events"
         ),
+        "sessionize": """
+          WITH t AS (
+            SELECT user_id, event_id, epoch(ts) AS tsl,
+              CASE WHEN lag(epoch(ts)) OVER w IS NULL
+                     OR epoch(ts) - lag(epoch(ts)) OVER w > 1800
+                   THEN 1 ELSE 0 END AS new_sess
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+          s AS (
+            SELECT user_id,
+              sum(new_sess) OVER (PARTITION BY user_id ORDER BY tsl, event_id
+                ROWS UNBOUNDED PRECEDING) AS sess
+            FROM t),
+          g AS (SELECT user_id, sess, count(*) AS n_events
+                FROM s GROUP BY 1, 2)
+          SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions,
+                 CAST(sum(n_events) AS BIGINT) AS n_events,
+                 CAST(max(n_events) AS BIGINT) AS max_session_events
+          FROM g GROUP BY user_id
+        """,
     }

@@ -35,7 +35,7 @@ BENCH_QUERIES = [
     "text_stats", "lang_id", "lang_id_cjk", "fingerprint", "token_count",
     "media_decode", "frame_sample",
     "pricing_summary", "top_customers", "regional_revenue", "json_extract",
-    "running_window",
+    "running_window", "sessionize",
 ]
 
 
