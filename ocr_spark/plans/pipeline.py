@@ -198,6 +198,7 @@ def run_extraction_job(
     chunks = [all_buckets[i:i + chunk] for i in range(0, len(all_buckets), chunk)]
 
     n_chunks = 0
+    this_run_rows: list = []
     for bucket_ids in chunks:
         part = df.filter(F.col("bucket").isin(bucket_ids)) if len(chunks) > 1 else df
         # THE one wide exchange of html: distribute by (bucket, salt).
@@ -239,7 +240,9 @@ def run_extraction_job(
 
         # lineage from the landed files (self-verifying read-back; the
         # scan is column-pruned to the four counter columns, so it does
-        # not re-read text/spans/html)
+        # not re-read text/spans/html).  The per-bucket rows are tiny,
+        # so they are collected once and re-used for the run totals —
+        # the read-back aggregation runs exactly one Spark job.
         t0 = time.perf_counter()
         landed = out_table.read().filter(F.col("bucket").isin(bucket_ids))
         lineage = (
@@ -256,7 +259,12 @@ def run_extraction_job(
             .select("run_id", "bucket", "n_docs", "n_ok", "n_err",
                     "bytes_in", "bytes_out", "wall_ms")
         )
-        cat.lineage().append(lineage)
+        chunk_rows = lineage.collect()
+        this_run_rows.extend(chunk_rows)
+        if chunk_rows:
+            cat.lineage().append(
+                spark.createDataFrame(chunk_rows, schema=lineage.schema)
+            )
         phases["lineage_s"] = round(
             phases.get("lineage_s", 0.0) + time.perf_counter() - t0, 3)
         # write-then-commit ordering: manifest rows land strictly after data
@@ -267,14 +275,26 @@ def run_extraction_job(
         n_chunks += 1
 
     wall_s = time.perf_counter() - t_start
-    lineage_df = cat.lineage().read().filter(F.col("run_id") == cfg.run_id)
-    totals = lineage_df.agg(
-        F.sum("n_docs").alias("n_docs"),
-        F.sum("n_ok").alias("n_ok"),
-        F.sum("n_err").alias("n_err"),
-        F.sum("bytes_in").alias("bytes_in"),
-        F.sum("bytes_out").alias("bytes_out"),
-    ).collect()[0]
+    if done_ids:
+        # resumed run: totals must also cover buckets committed by the
+        # interrupted run, so read the full lineage for this run_id
+        lineage_df = cat.lineage().read().filter(F.col("run_id") == cfg.run_id)
+        totals = lineage_df.agg(
+            F.sum("n_docs").alias("n_docs"),
+            F.sum("n_ok").alias("n_ok"),
+            F.sum("n_err").alias("n_err"),
+            F.sum("bytes_in").alias("bytes_in"),
+            F.sum("bytes_out").alias("bytes_out"),
+        ).collect()[0]
+    else:
+        # fresh run: totals come from the already-collected per-bucket
+        # rows — no extra Spark action in the serial tail
+        from types import SimpleNamespace
+        s = lambda k: sum(getattr(r, k) or 0 for r in this_run_rows) \
+            if this_run_rows else None
+        totals = SimpleNamespace(n_docs=s("n_docs"), n_ok=s("n_ok"),
+                                 n_err=s("n_err"), bytes_in=s("bytes_in"),
+                                 bytes_out=s("bytes_out"))
     return {
         "run_id": cfg.run_id,
         "wall_s": wall_s,
