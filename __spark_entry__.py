@@ -117,7 +117,9 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ocr_spark.operators.dedup import exact_dedup
 
     docs = _t(spark, sf_dir, "documents")
-    return exact_dedup(docs, "text", "doc_id").select("doc_id", "dup_count")
+    # keys_only: the aggregate sees only (digest, doc_id); no join-back
+    # re-shuffle of the text column (plan-asserted in tests/test_plans.py)
+    return exact_dedup(docs, "text", "doc_id", keys_only=True)
 
 
 def q_dedup_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -354,13 +354,59 @@ class _BlockParser(HTMLParser):
 
 # tag name per html.parser's tagfind_tolerant
 _TAGNAME_RE = re.compile(r"[a-zA-Z][^\t\n\r\f />\x00]*")
-# attribute region up to (excluding) the closing '>', quote-aware
-_TAGEND_RE = re.compile(r"""[^>"']*(?:"[^"]*"[^>"']*|'[^']*'[^>"']*)*""")
-# html.parser's CDATA_CONTENT_ELEMENTS: rawtext until the real close tag
+# attribute region after the tag name, transcribed from html.parser's
+# locatestarttagend_tolerant (CPython 3.11): quotes are special ONLY as
+# attribute-value delimiters right after '='; a stray quote inside an
+# unquoted value (crawl HTML: <div class=a"b>) is a bare-value char and
+# the tag still closes at the next '>'.  (The round-2 quote-aware region
+# regex treated ANY quote as opening a quoted section, which on such
+# input either swallowed content up to a mate quote or fell into the
+# truncated-tag path and leaked the rest of the document as one data
+# blob — ADVICE.md round 2.)
+_ATTRS_RE = re.compile(
+    r"""
+  (?:[\s/]*                          # optional whitespace before attribute name
+    (?:(?<=['"\s/])[^\s/>][^\s/=>]*  # attribute name
+      (?:\s*=+\s*                    # value indicator
+        (?:'[^']*'                   # LITA-enclosed value
+          |"[^"]*"                   # LIT-enclosed value
+          |(?!['"])[^>\s]*           # bare value
+         )
+        \s*                          # possibly followed by a space
+       )?(?:\s|/(?!>))*
+     )*
+   )?
+  \s*                                # trailing whitespace
+""",
+    re.VERBOSE,
+)
+# tagfind_tolerant's trailing whitespace/slash run + attrfind_tolerant,
+# used to re-derive stdlib's end-token (">" vs "/>" vs bogus) in the
+# rare ambiguous case where the char before '>' is '/'
+_TAGTRAIL_RE = re.compile(r"(?:\s|/(?!>))*")
+_ATTRFIND_RE = re.compile(
+    r"""((?<=['"\s/])[^\s/>][^\s/=>]*)(\s*=+\s*"""
+    r"""('[^']*'|"[^"]*"|(?!['"])[^>\s]*))?(?:\s|/(?!>))*"""
+)
+# chars after the attr region that stdlib treats as "incomplete input"
+# (check_for_whole_start_tag -> -1 -> goahead's find('>') data fallback)
+_INCOMPLETE_NEXT = frozenset(
+    "abcdefghijklmnopqrstuvwxyz=/ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+)
+# html.parser's CDATA_CONTENT_ELEMENTS: rawtext until a full close tag.
+# set_cdata_mode's "interesting" pattern is '</\s*elem\s*>' — a lone
+# '</script foo>' does NOT end the section.
 _CDATA_CLOSE = {
-    "script": re.compile(r"</script(?=[\t\n\r\f />]|$)", re.IGNORECASE),
-    "style": re.compile(r"</style(?=[\t\n\r\f />]|$)", re.IGNORECASE),
+    "script": re.compile(r"</\s*script\s*>", re.IGNORECASE),
+    "style": re.compile(r"</\s*style\s*>", re.IGNORECASE),
 }
+# endtagfind / bogus-comment / declaration closers, per html.parser +
+# _markupbase (CPython 3.11)
+_ENDTAG_RE = re.compile(r"</\s*([a-zA-Z][-.a-zA-Z0-9:_]*)\s*>")
+_COMMENTCLOSE_RE = re.compile(r"--\s*>")
+_MARKEDCLOSE_RE = re.compile(r"]\s*]\s*>")
+_MSMARKEDCLOSE_RE = re.compile(r"]\s*>")
+_DECLNAME_RE = re.compile(r"[a-zA-Z][-_.a-zA-Z0-9]*\s*")
 
 
 class _FastBlockParser(_BlockParser):
@@ -369,9 +415,14 @@ class _FastBlockParser(_BlockParser):
     never tokenizes attributes (the handlers only use tag names) and
     scans inter-tag text as whole segments.  Behaviour is pinned to the
     stdlib path by a differential test over every synthesizer genre
-    (tests/test_core_html.py::test_fast_parser_matches_stdlib); known
-    tolerated divergence: a bare quote inside an unquoted attribute
-    value opens a quoted section here (stdlib's attr regex does not).
+    plus adversarial markup shapes
+    (tests/test_core_html.py::test_fast_parser_matches_stdlib*).  Tag
+    ends are located with a transcription of html.parser's
+    locatestarttagend_tolerant, and the three stdlib fallbacks are
+    replicated: incomplete-at-EOF (emit through the next '>' as data),
+    bogus-attr-region (emit the partial tag as raw data, resume at the
+    offending char), and the bare-value '/' disambiguation for
+    XHTML-style self-closing tags.
 
     Charref decoding matches html.parser's convert_charrefs=True: each
     inter-tag data segment is html.unescape()d, offsets refer to the
@@ -397,24 +448,61 @@ class _FastBlockParser(_BlockParser):
             if c and c.isascii() and c.isalpha():
                 m = _TAGNAME_RE.match(data, lt + 1)
                 name = m.group(0).lower()
-                gt = _TAGEND_RE.match(data, m.end()).end()
-                if gt >= n or data[gt] != ">":
-                    # truncated tag at EOF: stdlib flushes it as data
-                    self._pos = lt
-                    self.handle_data(data[lt:])
-                    break
-                if data[gt - 1] == "/" and gt - 1 >= m.end():
-                    self.handle_startendtag(name, [])
-                    i = gt + 1
+                j = _ATTRS_RE.match(data, m.end()).end()
+                nxt = data[j:j + 1]
+                if nxt == ">":
+                    endpos = j + 1
+                elif nxt == "/" and data.startswith("/>", j):
+                    endpos = j + 2
+                elif nxt == "" or nxt in _INCOMPLETE_NEXT:
+                    # incomplete start tag at EOF (stdlib
+                    # check_for_whole_start_tag -> -1)
+                    i = self._incomplete_fallback(data, lt, find)
                     continue
+                else:
+                    # bogus char where an attribute was expected:
+                    # stdlib emits the partial tag as data (with NO
+                    # charref decode — parse_starttag's fallback calls
+                    # handle_data on the raw slice) and resumes at the
+                    # offending char
+                    endpos = j if j > lt else lt + 1
+                    self._pos = lt
+                    self.handle_data(data[lt:endpos])
+                    i = endpos
+                    continue
+                # starttag vs XHTML startendtag, per stdlib
+                # parse_starttag's end-token check.  The attr regions
+                # diverge only when the char before '>' is '/': replay
+                # attrfind there to learn whether that '/' was absorbed
+                # into a bare attribute value (<div a=1/> is a normal
+                # start tag; <br/> is not).
+                if data[endpos - 2:endpos - 1] == "/" and endpos - 2 >= m.end():
+                    k = _TAGTRAIL_RE.match(data, m.end()).end()
+                    while k < endpos:
+                        am = _ATTRFIND_RE.match(data, k)
+                        if not am or am.end() == k:
+                            break
+                        k = am.end()
+                    end_tok = data[k:endpos].strip()
+                    if end_tok not in (">", "/>"):
+                        self._pos = lt
+                        self.handle_data(data[lt:endpos])
+                        i = endpos
+                        continue
+                    if end_tok == "/>":
+                        self.handle_startendtag(name, [])
+                        i = endpos
+                        continue
                 self.handle_starttag(name, [])
-                i = gt + 1
+                i = endpos
                 cd = _CDATA_CLOSE.get(name)
                 if cd:
                     mm = cd.search(data, i)
                     if not mm:
-                        # unterminated rawtext: stdlib emits the rest as
-                        # data in cdata mode (no endtag)
+                        # unterminated rawtext: the section never closes
+                        # (stdlib buffers it away; the block handlers
+                        # drop script/style content either way, so
+                        # emitting it as cdata data is equivalent)
                         self._pos = i
                         self.handle_data(data[i:])
                         break
@@ -422,34 +510,90 @@ class _FastBlockParser(_BlockParser):
                         self._pos = i
                         self.handle_data(data[i:mm.start()])
                     self.handle_endtag(name)
-                    g2 = find(">", mm.end())
-                    i = g2 + 1 if g2 >= 0 else n
+                    i = mm.end()
             elif c == "/":
+                if find(">", lt + 1) < 0:
+                    # parse_endtag -> -1: EOF data fallback
+                    i = self._incomplete_fallback(data, lt, find)
+                    continue
+                em = _ENDTAG_RE.match(data, lt)
+                if em:
+                    self.handle_endtag(em.group(1).lower())
+                    i = em.end()
+                    continue
                 m = _TAGNAME_RE.match(data, lt + 2)
                 if m:
+                    # '>' exists past the name (names can't contain '>')
                     g2 = find(">", m.end())
                     self.handle_endtag(m.group(0).lower())
-                    i = g2 + 1 if g2 >= 0 else n
+                    i = g2 + 1
+                elif data.startswith("</>", lt):
+                    i = lt + 3
                 else:
                     # '</' + non-name: bogus comment, skipped to '>'
-                    g2 = find(">", lt + 2)
-                    i = g2 + 1 if g2 >= 0 else n
+                    # ('>' existence checked above)
+                    i = find(">", lt + 2) + 1
             elif c == "!":
                 if data.startswith("!--", lt + 1):
-                    e = find("-->", lt + 4)
-                    i = e + 3 if e >= 0 else n
-                else:  # declaration / doctype
+                    mm = _COMMENTCLOSE_RE.search(data, lt + 4)
+                    i = mm.end() if mm else self._incomplete_fallback(
+                        data, lt, find)
+                elif data.startswith("![", lt + 1):
+                    # marked section (<![CDATA[ / <![if ...): stdlib
+                    # closes CDATA-family at ']\s*]\s*>', MS-office
+                    # if/else/endif at ']\s*>'; unknown names raise in
+                    # stdlib — treated as a bogus comment here (the
+                    # production parser must never raise per-document)
+                    dm = _DECLNAME_RE.match(data, lt + 3)
+                    sect = dm.group(0).lower().strip() if dm else ""
+                    if sect in ("temp", "cdata", "ignore", "include",
+                                "rcdata"):
+                        mm = _MARKEDCLOSE_RE.search(data, lt + 3)
+                    elif sect in ("if", "else", "endif"):
+                        mm = _MSMARKEDCLOSE_RE.search(data, lt + 3)
+                    else:
+                        mm = None
+                        g2 = find(">", lt + 3)
+                        i = g2 + 1 if g2 >= 0 else self._incomplete_fallback(
+                            data, lt, find)
+                        continue
+                    i = mm.end() if mm else self._incomplete_fallback(
+                        data, lt, find)
+                elif data[lt:lt + 9].lower() == "<!doctype":
+                    g2 = find(">", lt + 9)
+                    i = g2 + 1 if g2 >= 0 else self._incomplete_fallback(
+                        data, lt, find)
+                else:  # bogus comment
                     g2 = find(">", lt + 2)
-                    i = g2 + 1 if g2 >= 0 else n
+                    i = g2 + 1 if g2 >= 0 else self._incomplete_fallback(
+                        data, lt, find)
             elif c == "?":  # processing instruction
                 g2 = find(">", lt + 2)
-                i = g2 + 1 if g2 >= 0 else n
+                i = g2 + 1 if g2 >= 0 else self._incomplete_fallback(
+                    data, lt, find)
             else:
                 # lone '<' not opening a construct: literal text
                 self._pos = lt
                 self.handle_data("<")
                 i = lt + 1
         self.close()
+
+    def _incomplete_fallback(self, data: str, lt: int, find) -> int:
+        """goahead(end=1)'s recovery for a construct whose parser
+        returned -1 at EOF: emit through the next '>' inclusive (else
+        up to the next '<', else one char) as charref-decoded data,
+        then resume parsing.  Returns the resume offset."""
+        g2 = find(">", lt + 1)
+        if g2 >= 0:
+            k2 = g2 + 1
+        else:
+            k2 = find("<", lt + 1)
+            if k2 < 0:
+                k2 = lt + 1
+        self._pos = lt
+        seg = data[lt:k2]
+        self.handle_data(unescape(seg) if "&" in seg else seg)
+        return k2
 
     def _offset(self) -> int:
         return self._pos
@@ -749,7 +893,7 @@ def _pdf_parse_content(stream: bytes, base_off: int) -> tuple[list[_PdfRun], flo
 _PDF_FILTER_RE = re.compile(rb"/Filter\s*(?:\[\s*)?/(\w+)")
 
 
-def _pdf_pages(payload: bytes) -> list[tuple[bytes, int, bool]]:
+def _pdf_pages(payload: bytes) -> list[tuple[bytes, int, bool, int]]:
     """Return [(content_stream_bytes, byte_offset_of_stream, exact_spans,
     raw_stream_len)] per page, in page-tree order.
 
@@ -933,6 +1077,11 @@ def parse_image_header(payload: bytes) -> dict | None:
             while i + 4 <= len(payload):
                 if payload[i] != 0xFF:
                     return None
+                # legal 0xFF fill/padding bytes may precede a marker
+                # (JPEG spec B.1.1.2): skip the run so the marker byte
+                # is never itself read as 0xFF
+                while i + 1 < len(payload) and payload[i + 1] == 0xFF:
+                    i += 1
                 marker = payload[i + 1]
                 if marker == 0xD8 or 0xD0 <= marker <= 0xD7 or marker == 0x01:
                     i += 2

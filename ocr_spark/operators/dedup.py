@@ -37,16 +37,26 @@ __all__ = [
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text",
-                key_col: str = "doc_id") -> DataFrame:
-    """Keep the lowest-key row per exact text digest.  Returns the
-    surviving rows plus ``dup_count`` (group size)."""
+                key_col: str = "doc_id", keys_only: bool = False) -> DataFrame:
+    """Keep the lowest-key row per exact text digest.
+
+    ``keys_only=True`` returns just ``(key, dup_count)`` — the 100-TB
+    posture: the only data that ever shuffles is the skinny
+    (digest, key) projection; callers semi-join the winner keys against
+    the corpus when (and only when) they need the payload back.  The
+    default attaches all of ``df``'s columns via a join-back, which at
+    scale re-shuffles the full text column — opt into that cost
+    knowingly."""
     digest = F.md5(F.encode(F.col(text_col), "utf-8")).alias("digest")
     groups = (
         df.select(digest, F.col(key_col))
         .groupBy("digest")
         .agg(F.min(key_col).alias(key_col), F.count("*").alias("dup_count"))
     )
-    return df.join(groups.select(key_col, "dup_count"), on=key_col, how="inner")
+    winners = groups.select(key_col, "dup_count")
+    if keys_only:
+        return winners
+    return df.join(winners, on=key_col, how="inner")
 
 
 def minhash_signature(col: str | Column, n_hashes: int = 16,

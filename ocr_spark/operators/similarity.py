@@ -111,20 +111,23 @@ def cosine_pairs_bruteforce(df: DataFrame, threshold: float,
     import numpy as np
 
     spark = df.sparkSession
-    # fail fast instead of OOMing the driver: the fits-in-memory
-    # contract is enforced, not aspirational
-    head = df.select(vec_col).head(1)
-    dim = len(head[0][0]) if head and head[0][0] is not None else 1
-    n_rows = df.count()
-    est = n_rows * max(dim, 1) * 8
-    if est > max_collect_bytes:
+    # fail fast instead of OOMing the driver: learn dim from a limit-1
+    # probe, derive the row cap, then collect AT MOST cap+1 rows.  Two
+    # cheap driver actions total — not the probe+count+collect triple
+    # that recomputed the full upstream lineage three times (round-2
+    # ADVICE)
+    probe = df.select(vec_col).head(1)
+    dim = len(probe[0][0]) if probe and probe[0][0] is not None else 1
+    cap = max_collect_bytes // (max(dim, 1) * 8)
+    rows = df.select(id_col, vec_col).limit(cap + 1).collect()
+    if len(rows) > cap:
         raise ValueError(
-            f"cosine_pairs_bruteforce would collect ~{est >> 20} MiB "
-            f"({n_rows} x {dim} doubles) to the driver; use "
-            f"cosine_near_dup_pairs (LSH-bucketed) at this scale or raise "
-            f"max_collect_bytes explicitly"
+            f"cosine_pairs_bruteforce would collect more than "
+            f"{max_collect_bytes >> 20} MiB ({cap}+ rows x {dim}-dim "
+            f"doubles) to the driver; use cosine_near_dup_pairs "
+            f"(LSH-bucketed) at this scale or raise max_collect_bytes "
+            f"explicitly"
         )
-    rows = df.select(id_col, vec_col).collect()
     ids = np.array([r[0] for r in rows], dtype=np.int64)
     mat = np.array([list(r[1]) for r in rows], dtype=np.float64)
     norms = np.linalg.norm(mat, axis=1, keepdims=True)

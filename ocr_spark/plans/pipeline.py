@@ -139,9 +139,17 @@ def keep_latest(df: DataFrame) -> DataFrame:
     contract as the in-kernel dedup: lexicographically smallest html
     wins — reproducible in Python/SQL, unlike a JVM-only hash).  NULL
     ``warc_ts`` sorts last under desc order in both paths — a null
-    capture never beats a dated one."""
-    winners = df.groupBy("url").agg(F.max("warc_ts").alias("warc_ts"))
-    out = df.join(winners, on=["url", "warc_ts"], how="left_semi")
+    capture never beats a dated one; a url whose captures are ALL null
+    keeps one row (max yields NULL, matched via null-safe equality —
+    a plain equi-join would drop the url entirely, diverging from the
+    in-kernel dedup path)."""
+    winners = df.groupBy("url").agg(F.max("warc_ts").alias("_max_ts"))
+    out = df.join(
+        winners,
+        (df["url"] == winners["url"])
+        & df["warc_ts"].eqNullSafe(winners["_max_ts"]),
+        how="left_semi",
+    )
     # exact-tie safety: same url+ts captured twice -> keep lowest html bytes
     w = Window.partitionBy("url", "warc_ts").orderBy(F.col("html").asc())
     return (

@@ -184,11 +184,75 @@ def test_fast_parser_matches_stdlib_adversarial():
         # entities split across element boundaries, nbsp handling
         "<html><body><article><p>caf&eacute;&nbsp;au&nbsp;lait "
         + "k " * 20 + "</p></article></body></html>",
+        # stray quote inside an UNQUOTED attribute value (round-2
+        # ADVICE: the old region regex leaked the rest of the document
+        # as one data blob here)
+        '<html><body><div class=a"b><p>' + "w " * 20 + "</p></body></html>",
+        # ... with a later mate quote (old regex silently swallowed the
+        # intervening content into the tag)
+        '<html><body><div class=a"b>lead</div><p>' + "w " * 20
+        + '</p><div x="mate">tail</div></body></html>',
+        # unterminated quoted attribute with a later '>': stdlib emits
+        # the partial tag through the '>' as data, then keeps parsing
+        '<html><body><p>t</p><div class="a> <p>' + "after " * 10
+        + "</p></body></html>",
+        # bare-value '/' before '>' is NOT a self-closing tag (article
+        # stays open -> content ancestry applies to the <p>)
+        "<html><body><article a=1/><p>" + "k " * 20
+        + "</p></article></body></html>",
+        # ... but these are
+        "<html><body><br/><br //><div a='1'/><p>" + "m " * 18
+        + "</p></body></html>",
+        # quote where an attribute name is expected
+        '<html><body><div "x"><p>' + "n " * 18 + "</p></body></html>",
+        # end tag variants: leading space, attrs in end tag, </>
+        "<html><body><p>" + "e " * 18 + "</ p><p>x</p></div attr=y></>",
+        # '</script foo>' does NOT close the rawtext section
+        "<html><body><script>a</script foo>b</script><p>" + "s " * 18
+        + "</p></body></html>",
+        # comment closers: '--  >' closes, '<!-->' is unterminated
+        "<html><body><!-- c --  ><p>" + "c " * 18 + "</p><!--></body></html>",
+        # unterminated comment with a later '>': emitted as data
+        "<html><body><p>" + "d " * 18 + "</p><!-- open <span>tail</span>",
+        # incomplete tags at EOF: mid-name, mid-attr, after '='
+        "<html><body><p>" + "f " * 18 + "</p><di",
+        "<html><body><p>" + "g " * 18 + "</p><div a",
+        "<html><body><p>" + "h " * 18 + "</p><div a=",
+        "<html><body><p>" + "i " * 18 + '</p><div a="x',
+        "<html><body><p>" + "j " * 18 + "</p></div",
     ]
     for html in cases:
         a = _blocks_with(core._BlockParser, html)
         b = _blocks_with(core._FastBlockParser, html)
         assert a == b, (html[:60], a, b)
+
+
+def test_fast_parser_matches_stdlib_fuzz():
+    """Seeded markup-soup fuzz: the fast lexer must agree with stdlib
+    on arbitrary tag-fragment interleavings (the crawl-HTML reality),
+    wherever stdlib itself does not raise."""
+    import random
+
+    rng = random.Random(20260817)
+    atoms = ['<div', '<p', '<a', '<br', '<script', '</div>', '</p>',
+             '</script>', ' class=', ' href=', '"', "'", 'a"b', "x'y",
+             '=', '/', '>', '/>', ' ', 'word ', '&amp;', '&#65;', '&',
+             '<!--', '-->', '<!', '<?', '<', 'text content here ', '</',
+             '\n', '<nav>', '</nav>', '<article>', '</article>', '\t',
+             '<!doctype html>', '<![CDATA[ x ]]>', '<!-->', '</ p>',
+             '</script foo>', '<div a=1/>', '<div "x">', '</>', ';']
+    checked = 0
+    for _ in range(1500):
+        s = "".join(rng.choice(atoms) for _ in range(rng.randint(2, 30)))
+        try:
+            a = _blocks_with(core._BlockParser, s)
+        except Exception:
+            continue  # stdlib raising (e.g. unknown marked section) is
+            # out of contract; the fast parser never raises
+        b = _blocks_with(core._FastBlockParser, s)
+        assert a == b, (repr(s), a, b)
+        checked += 1
+    assert checked > 1000
 
 
 def test_profile_thresholds_change_classification():

@@ -55,6 +55,13 @@ def test_parse_image_headers():
             + (640).to_bytes(2, "big") + b"\x03")
     assert core.parse_image_header(jpeg) == {
         "format": "jpeg", "width": 640, "height": 480}
+    # legal 0xFF fill bytes between segments (JPEG spec B.1.1.2) must
+    # not be misread as a marker byte
+    jpeg_fill = (b"\xff\xd8\xff\xe0\x00\x04XX" + b"\xff\xff\xff"
+                 b"\xff\xc0\x00\x11\x08" + (480).to_bytes(2, "big")
+                 + (640).to_bytes(2, "big") + b"\x03")
+    assert core.parse_image_header(jpeg_fill) == {
+        "format": "jpeg", "width": 640, "height": 480}
     # TIFF little-endian: IFD at 8 with width=100 (SHORT), height=50 (LONG)
     tiff = (b"II*\x00" + (8).to_bytes(4, "little")
             + (2).to_bytes(2, "little")

@@ -88,6 +88,46 @@ def test_keep_latest_shuffles_skinny_projection(spark, pages_parquet):
     assert m, f"skinny (url, warc_ts) projection not found under Aggregate:\n{opt}"
 
 
+def test_exact_dedup_keys_only_single_exchange(spark):
+    """keys_only exact dedup must be ONE shuffle of the skinny
+    (digest, key) projection — no join-back exchange of the text
+    column (the 100-TB posture for the driver's dedup_exact query)."""
+    from ocr_spark.operators.dedup import exact_dedup
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = plan_of(exact_dedup(docs, "text", "doc_id", keys_only=True))
+    assert plan.count("Exchange") == 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_keep_latest_null_ts_contract(spark):
+    """A url whose captures ALL have NULL warc_ts keeps exactly one row
+    (round-2 ADVICE: the plain equi semi-join dropped such urls, while
+    the in-kernel dedup path kept one — the two paths now share the
+    NULL contract).  NULL never beats a dated capture; exact ties
+    collapse to the lexicographically smallest html."""
+    import datetime
+
+    from ocr_spark.plans.pipeline import keep_latest
+
+    rows = [
+        ("u1", None, b"b", "en"),
+        ("u1", None, b"a", "en"),
+        ("u2", datetime.datetime(2024, 1, 1), b"old", "en"),
+        ("u2", None, b"nullts", "en"),
+        ("u3", datetime.datetime(2024, 1, 2), b"x", "en"),
+        ("u3", datetime.datetime(2024, 1, 2), b"w", "en"),
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, lang string"
+    )
+    out = {r.url: (r.warc_ts, bytes(r.html)) for r in keep_latest(df).collect()}
+    assert len(out) == 3
+    assert out["u1"] == (None, b"a")        # all-NULL url survives
+    assert out["u2"][1] == b"old"           # NULL never beats a dated one
+    assert out["u3"][1] == b"w"             # tie -> smallest html bytes
+
+
 def test_dedup_queries_avoid_cartesian(spark):
     """LSH candidate generation must be an equi-join, never a cartesian
     product."""
