@@ -89,6 +89,51 @@ def q_profile_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang", "text").orderBy("doc_id")
 
 
+def q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF-path extraction through the full driver oracle: each
+    document's tokens are laid out as a deterministic restricted-subset
+    PDF (8 tokens per line, 4 lines per block; odd doc_ids FlateDecode-
+    compressed; every 5th doc multi-page, exercising the page-0 rule;
+    every 17th an empty PDF -> processing_error row), then extracted by
+    the PDF layout parser (reference capability:
+    /root/reference/services/file_processor.py:64-90).  The oracle is
+    closed-form: extracted text == lines of 8 tokens joined by
+    newlines, n_blocks == ceil(n_lines / 4) — compression and the extra
+    page change the bytes but must never change page-0 text."""
+    from ocr_spark.operators.extract import extract_pages
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def build(batches):
+        import pandas as pd
+
+        from ocr_spark.data.synth import _empty_pdf, build_pdf
+
+        for pdf in batches:
+            payloads = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                if doc_id % 17 == 0:
+                    payloads.append(_empty_pdf())
+                    continue
+                toks = (text or "").split()
+                lines = [" ".join(toks[i:i + 8])
+                         for i in range(0, len(toks), 8)]
+                blocks = ([lines[i:i + 4] for i in range(0, len(lines), 4)]
+                          or [[]])
+                payloads.append(build_pdf(
+                    blocks, operators="Td",
+                    n_pages=2 if doc_id % 5 == 0 else 1,
+                    compress=doc_id % 2 == 1,
+                ))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "payload": payloads})
+
+    pdfs = docs.mapInPandas(build, schema="doc_id long, payload binary")
+    out = extract_pages(pdfs, payload_col="payload",
+                        passthrough=("doc_id",), with_spans=False)
+    return out.select("doc_id", "text", "status", "n_blocks").orderBy("doc_id")
+
+
 def q_extract_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Extraction + per-lang lineage rollup (the groupBy counters of
     SURVEY.md §2.2 'Aggregations')."""
@@ -167,11 +212,16 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standalone exact Jaccard join WITH the hot-shingle guard
+    (max_df): a shingle shared by more than 100 docs is dropped from
+    intersection counting before the self-join, bounding the quadratic
+    blowup web boilerplate would otherwise cause.  The scale-correct
+    composition for full-population dedup remains lsh_jaccard."""
     from ocr_spark.operators.dedup import ngram_jaccard_pairs
 
     docs = _docs_with_near_dups(spark, sf_dir)
     return ngram_jaccard_pairs(docs, "doc_id", "text",
-                               shingle_k=3, threshold=0.5)
+                               shingle_k=3, threshold=0.5, max_df=100)
 
 
 def q_lsh_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -186,17 +236,21 @@ def q_lsh_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """xxhash64-based SimHash (JVM hash — no SQL oracle; rows-only).
-    Blocking is derived from the threshold (h+1 chunks -> exact recall);
-    h=4 keeps chunks 12-13 bits wide (2^12+ bucket values — the scale
-    design point; wider h shrinks chunks and fattens buckets), and the
-    bucket cap is set to the production posture (dropped buckets are
-    reportable via simhash_bucket_overflow, never silent)."""
+    """SimHash near-dup with the md5-derived 60-bit token hash, fully
+    value-oracled: DuckDB re-derives the same simhash from
+    ('0x'||substr(md5(t),1,15))::BIGINT and brute-forces hamming <= h
+    (the oracle checks OUTPUT equality; the engine's pigeonhole
+    blocking is a pure-performance strategy whose exact recall is
+    property-tested blocked==bruteforce).  Production default stays
+    xxhash64 (JVM-native, ~2x faster) — hash_mode only swaps the token
+    hash family.  Blocking derived from the threshold (h+1 chunks);
+    bucket cap at the production posture (drops reportable via
+    simhash_bucket_overflow, never silent)."""
     from ocr_spark.operators.dedup import simhash_near_dup_pairs
 
     docs = _docs_with_near_dups(spark, sf_dir)
     return simhash_near_dup_pairs(docs, "doc_id", "text", max_hamming=4,
-                                  max_bucket_size=500)
+                                  max_bucket_size=500, hash_mode="md5_64")
 
 
 def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -293,30 +347,39 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_lang_id(docs).select("doc_id", "lang_pred")
 
 
-# Deterministic CJK sample sentences: the driver tables carry no CJK
-# text (lang labels over latin words), so the CJK query derives its
-# input by substituting these per doc_id%4 — identically in Spark and
-# in the DuckDB oracle, making the script-detection path fully oracled.
+# Deterministic non-latin sample sentences: the driver tables carry no
+# non-latin text (lang labels over latin words), so the script-ID query
+# derives its input by substituting these per doc_id%8 — identically in
+# Spark and in the DuckDB oracle, making the script-detection path
+# (CJK + Arabic/Cyrillic/Devanagari) fully oracled.
 CJK_SENTS = {
     "ko": "한국어 문서 본문 내용 추출 테스트 문장입니다",
     "zh": "这是一个中文文档内容提取测试句子",
     "ja": "これは日本語のテキスト抽出テストです",
+    "ar": "هذه جملة اختبار لاستخراج النص العربي",
+    "ru": "это тестовое предложение для извлечения русского текста",
+    "hi": "यह हिंदी पाठ निकालने के लिए एक परीक्षण वाक्य है",
 }
 
 
 def q_lang_id_cjk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CJK language-ID + CJK-aware token counting (no-whitespace
-    scripts): ko/zh/ja by Unicode-script char counts, latin fallback to
-    the marker heuristic; tokens = whitespace tokens of the non-CJK
-    portion + one per CJK char."""
+    """Script-based language-ID + script-aware token counting:
+    ko/zh/ja by CJK script char counts (no-whitespace scripts),
+    ar/ru/hi by Arabic/Cyrillic/Devanagari counts (whitespace scripts
+    the latin marker heuristic can never see), latin fallback to the
+    marker argmax; tokens = whitespace tokens of the non-CJK portion +
+    one per CJK char."""
     from ocr_spark.functions.text import token_count_cjk, with_lang_id
 
     docs = _t(spark, sf_dir, "documents")
-    m = F.col("doc_id") % 4
+    m = F.col("doc_id") % 8
     text = (
         F.when(m == 0, F.lit(CJK_SENTS["ko"]))
         .when(m == 1, F.lit(CJK_SENTS["zh"]))
         .when(m == 2, F.lit(CJK_SENTS["ja"]))
+        .when(m == 3, F.lit(CJK_SENTS["ar"]))
+        .when(m == 4, F.lit(CJK_SENTS["ru"]))
+        .when(m == 5, F.lit(CJK_SENTS["hi"]))
         .otherwise(F.col("text"))
     )
     aug = docs.select("doc_id", text.alias("text"))
@@ -537,6 +600,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_extract": q_flagship_extract,
+        "pdf_extract": q_pdf_extract,
         "profile_extract": q_profile_extract,
         "extract_metrics": q_extract_metrics,
         "dedup_exact": q_dedup_exact,
@@ -629,9 +693,11 @@ def _ann_topk_sql() -> str:
 def _lang_id_cjk_sql() -> str:
     """DuckDB twin of q_lang_id_cjk; script ranges imported from the
     engine so both sides share one closed range table."""
-    from ocr_spark.functions.text import (CJK_ALL_RANGES, CJK_MIN_CHARS,
-                                          HAN_RANGES, HANGUL_RANGES,
-                                          KANA_RANGES, LANG_MARKERS)
+    from ocr_spark.functions.text import (ARABIC_RANGES, CJK_ALL_RANGES,
+                                          CJK_MIN_CHARS, CYRILLIC_RANGES,
+                                          DEVANAGARI_RANGES, HAN_RANGES,
+                                          HANGUL_RANGES, KANA_RANGES,
+                                          LANG_MARKERS)
 
     def cnt(ranges: str) -> str:
         return (f"length(text) - length(regexp_replace(text, "
@@ -647,10 +713,13 @@ def _lang_id_cjk_sql() -> str:
     return f"""
       WITH aug AS (
         SELECT doc_id,
-          CASE doc_id % 4
+          CASE doc_id % 8
             WHEN 0 THEN '{CJK_SENTS['ko']}'
             WHEN 1 THEN '{CJK_SENTS['zh']}'
             WHEN 2 THEN '{CJK_SENTS['ja']}'
+            WHEN 3 THEN '{CJK_SENTS['ar']}'
+            WHEN 4 THEN '{CJK_SENTS['ru']}'
+            WHEN 5 THEN '{CJK_SENTS['hi']}'
             ELSE text END AS text
         FROM documents),
       sc AS (
@@ -658,6 +727,9 @@ def _lang_id_cjk_sql() -> str:
           {cnt(KANA_RANGES)} AS n_kana,
           {cnt(HANGUL_RANGES)} AS n_hangul,
           {cnt(HAN_RANGES)} AS n_han,
+          {cnt(ARABIC_RANGES)} AS n_arab,
+          {cnt(CYRILLIC_RANGES)} AS n_cyr,
+          {cnt(DEVANAGARI_RANGES)} AS n_deva,
           {cnt(CJK_ALL_RANGES)} AS n_cjk,
           {marker_counts}
         FROM aug)
@@ -665,6 +737,9 @@ def _lang_id_cjk_sql() -> str:
         CASE WHEN n_kana >= {CJK_MIN_CHARS} THEN 'ja'
              WHEN n_hangul >= {CJK_MIN_CHARS} THEN 'ko'
              WHEN n_han >= {CJK_MIN_CHARS} THEN 'zh'
+             WHEN n_arab >= {CJK_MIN_CHARS} THEN 'ar'
+             WHEN n_cyr >= {CJK_MIN_CHARS} THEN 'ru'
+             WHEN n_deva >= {CJK_MIN_CHARS} THEN 'hi'
              WHEN c_en > 0 AND c_en >= c_es AND c_en >= c_de AND c_en >= c_fr THEN 'en'
              WHEN c_es > 0 AND c_es > c_en AND c_es >= c_de AND c_es >= c_fr THEN 'es'
              WHEN c_de > 0 AND c_de > c_en AND c_de > c_es AND c_de >= c_fr THEN 'de'
@@ -716,6 +791,29 @@ def oracle_sql() -> dict[str, str]:
         "flagship_extract": (
             "SELECT doc_id, text FROM documents ORDER BY doc_id"
         ),
+        # closed-form PDF oracle: the PDF layout (8 tokens/line, 4
+        # lines/block, page-0-only) is reconstructed arithmetically;
+        # doc_id%17=0 rows are empty PDFs -> processing_error
+        "pdf_extract": f"""
+          WITH tok AS (
+            SELECT doc_id,
+              CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+                   ELSE {toks} END AS toksl
+            FROM documents),
+          ln AS (
+            SELECT doc_id,
+              list_transform(range(0, CAST(ceil(len(toksl) / 8.0) AS INT)),
+                i -> array_to_string(toksl[i*8+1 : i*8+8], ' ')) AS ls
+            FROM tok)
+          SELECT doc_id,
+            CASE WHEN doc_id % 17 = 0 THEN ''
+                 ELSE array_to_string(ls, chr(10)) END AS text,
+            CASE WHEN doc_id % 17 = 0 THEN 'processing_error'
+                 ELSE 'ok' END AS status,
+            CASE WHEN doc_id % 17 = 0 THEN 0
+                 ELSE CAST(ceil(len(ls) / 4.0) AS INT) END AS n_blocks
+          FROM ln ORDER BY doc_id
+        """,
         "profile_extract": f"""
           SELECT doc_id, lang,
             CASE WHEN len({toks}) >
@@ -806,9 +904,17 @@ def oracle_sql() -> dict[str, str]:
         ), sh2 AS (SELECT doc_id, shl FROM sh WHERE len(shl) > 0),
         sizes AS (SELECT doc_id, len(shl) AS n_sh FROM sh2),
         exploded AS (SELECT doc_id, unnest(shl) AS shingle FROM sh2),
+        -- hot-shingle guard (max_df=100), mirrored from the engine:
+        -- shingles in >100 docs are excluded from intersection counts
+        capped AS (
+          SELECT doc_id, shingle FROM exploded
+          WHERE shingle NOT IN (
+            SELECT shingle FROM exploded
+            GROUP BY shingle HAVING count(*) > 100)
+        ),
         inter AS (
           SELECT l.doc_id AS id_a, r.doc_id AS id_b, count(*) AS n_inter
-          FROM exploded l JOIN exploded r
+          FROM capped l JOIN capped r
             ON l.shingle = r.shingle AND l.doc_id < r.doc_id
           GROUP BY 1, 2
         )
@@ -819,7 +925,29 @@ def oracle_sql() -> dict[str, str]:
         JOIN sizes sb ON sb.doc_id = id_b
         WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
         """,
-        # simhash_near_dup: xxhash64 not available in DuckDB -> rows-only
+        # simhash oracle: same 60-bit md5-derived token hash, simhash
+        # reassembled bit-by-bit, pairs brute-forced (the oracle checks
+        # output, not the engine's blocking strategy)
+        "simhash_near_dup": near_dup_union + f"""
+        , hs AS (
+          SELECT doc_id,
+            CASE WHEN len(trim(text)) = 0 THEN CAST([] AS BIGINT[])
+                 ELSE list_transform({toks},
+                        t -> ('0x' || substr(md5(t), 1, 15))::BIGINT)
+            END AS hl
+          FROM base),
+        sim AS (
+          SELECT doc_id,
+            list_sum(list_transform(range(0, 60), b ->
+              CASE WHEN list_sum(list_transform(hl,
+                     h -> 2 * ((h >> b) & 1) - 1)) > 0
+                   THEN (1::BIGINT << b) ELSE 0 END))::BIGINT AS sh
+          FROM hs)
+        SELECT l.doc_id AS id_a, r.doc_id AS id_b,
+               bit_count(xor(l.sh, r.sh))::INT AS hamming
+        FROM sim l JOIN sim r ON l.doc_id < r.doc_id
+        WHERE bit_count(xor(l.sh, r.sh)) <= 4
+        """,
         "span_qa": f"""
           SELECT 'p' AS kind, count(*) AS n_spans,
                  CAST(sum(strlen(text)) AS BIGINT) AS covered_bytes

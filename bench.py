@@ -22,13 +22,23 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+# default pinned to the measured host capacity: this box exposes 32
+# logical cores but sustained parallelism beyond ~16 measures the
+# co-tenant, not the engine (>2x run-to-run swing at local[32]; full
+# analysis + tmpfs disk control in BENCH/BASELINE.md).  Round-2 bench
+# ran at local[32] and showed 8-30x phantom regressions on unchanged
+# code; local[16] re-runs erased them.
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "16"))
 N_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "30000"))
+# median-of-N per query: co-tenant noise is bursty below query
+# timescale, a single sample is not a measurement
+REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
 CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".cache")
 
 # headline operator queries from the driver contract (timed individually)
 BENCH_QUERIES = [
-    "flagship_extract", "profile_extract", "extract_metrics", "dedup_exact",
+    "flagship_extract", "pdf_extract", "profile_extract", "extract_metrics",
+    "dedup_exact",
     "dedup_keep_latest", "minhash_lsh_pairs", "ngram_jaccard",
     "lsh_jaccard", "simhash_near_dup", "embed_near_dup",
     "embed_near_dup_lsh", "cosine_topk", "ann_topk",
@@ -79,15 +89,24 @@ def main() -> None:
     )
     timings["pages_pipeline"] = round(time.perf_counter() - t0, 3)
 
-    # 2. operator queries from the driver contract
+    # 2. operator queries from the driver contract: median of REPEATS
+    # runs each (plan compile + first-run Python-worker spin-up land in
+    # run 1; the median is the steady-state number)
     print(f"pages_pipeline: {timings['pages_pipeline']}s", file=sys.stderr)
     qs = entry_mod.queries()
+    all_runs: dict[str, list[float]] = {}
     for name in BENCH_QUERIES:
-        t0 = time.perf_counter()
-        df = qs[name](spark, SF_DIR)
-        n = df.count()  # force full execution
-        timings[name] = round(time.perf_counter() - t0, 3)
-        print(f"{name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+        runs = []
+        for _ in range(REPEATS):
+            t0 = time.perf_counter()
+            df = qs[name](spark, SF_DIR)
+            n = df.count()  # force full execution
+            runs.append(round(time.perf_counter() - t0, 3))
+        runs.sort()
+        all_runs[name] = runs
+        timings[name] = runs[len(runs) // 2]
+        print(f"{name}: median {timings[name]}s of {runs} ({n} rows)",
+              file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
@@ -95,6 +114,8 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "query_runs": all_runs,
+        "repeats": REPEATS,
         "sf": sf_label,
         "cpus": CPUS,
         "extract_docs": stats["n_docs"],

@@ -891,6 +891,10 @@ def _pdf_parse_content(stream: bytes, base_off: int) -> tuple[list[_PdfRun], flo
 
 
 _PDF_FILTER_RE = re.compile(rb"/Filter\s*(?:\[\s*)?/(\w+)")
+_PDF_STREAM_KW_RE = re.compile(rb"stream\r?\n")
+# direct /Length only; an indirect '/Length 5 0 R' falls back to the
+# delimiter scan
+_PDF_LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?!\s+\d+\s+R)")
 
 
 def _pdf_pages(payload: bytes) -> list[tuple[bytes, int, bool, int]]:
@@ -932,24 +936,42 @@ def _pdf_pages(payload: bytes) -> list[tuple[bytes, int, bool, int]]:
         if cid not in objs:
             continue
         cbody, cbody_off = objs[cid]
-        sm = _PDF_STREAM_RE.search(cbody)
-        if not sm:
+        km = _PDF_STREAM_KW_RE.search(cbody)
+        if not km:
             continue
-        head = cbody[:sm.start()]
+        head = cbody[:km.start()]
+        # Per ISO 32000 the stream extent is the dict's /Length — a
+        # delimiter scan for 'endstream' mis-splits whenever the binary
+        # (Flate) data happens to contain 'endstream'/'endobj' bytes,
+        # and the object body regex may itself be truncated by an
+        # embedded 'endobj'.  Slice Length bytes from the raw payload;
+        # fall back to the delimiter scan only when /Length is absent
+        # or indirect.
+        lm = _PDF_LENGTH_RE.search(head)
+        if lm:
+            ln = int(lm.group(1))
+            start = cbody_off + km.end()
+            data = payload[start:start + ln]
+            if len(data) != ln:
+                raise ValueError("PDF stream /Length beyond EOF")
+        else:
+            sm = _PDF_STREAM_RE.search(cbody)
+            if not sm:
+                continue
+            data = sm.group(1)
+            start = cbody_off + sm.start(1)
         if b"/Filter" in head:
             fm = _PDF_FILTER_RE.search(head)
             name = fm.group(1).decode("ascii", "replace") if fm else "?"
             if name != "FlateDecode":
                 raise ValueError(f"unsupported PDF filter: /{name}")
             try:
-                inflated = zlib.decompress(sm.group(1))
+                inflated = zlib.decompress(data)
             except zlib.error as exc:
                 raise ValueError(f"bad FlateDecode stream: {exc}") from exc
-            pages.append((inflated, cbody_off + sm.start(1), False,
-                          len(sm.group(1))))
+            pages.append((inflated, start, False, len(data)))
         else:
-            pages.append((sm.group(1), cbody_off + sm.start(1), True,
-                          len(sm.group(1))))
+            pages.append((data, start, True, len(data)))
     return pages
 
 

@@ -18,9 +18,10 @@ __all__ = [
     "tokens", "token_count", "token_count_cjk", "word_shingles",
     "with_text_stats", "with_lang_id", "fingerprint", "LANG_MARKERS",
     "HAN_RANGES", "HANGUL_RANGES", "KANA_RANGES",
+    "ARABIC_RANGES", "CYRILLIC_RANGES", "DEVANAGARI_RANGES",
 ]
 
-# Unicode script ranges for the no-whitespace-script paths (closed,
+# Unicode script ranges for the script-detection paths (closed,
 # documented set — behaviour must not depend on regex-engine Unicode
 # property tables, so ranges are spelled out and identical in the
 # DuckDB oracle SQL):
@@ -28,6 +29,15 @@ HAN_RANGES = "一-鿿㐀-䶿"        # CJK ideographs + ext A
 HANGUL_RANGES = "가-힣ᄀ-ᇿ㄰-㆏"  # syllables + jamo
 KANA_RANGES = "぀-ゟ゠-ヿ"       # hiragana + katakana
 CJK_ALL_RANGES = HAN_RANGES + HANGUL_RANGES + KANA_RANGES
+# whitespace-separated scripts that the latin marker heuristic can
+# never see (marker lists are latin words): detected by script too.
+# Script -> most-spoken language of the script; a production system
+# would sub-classify (ru/uk/bg..., hi/mr/ne...) with per-language
+# markers in these scripts — the mapping here is the documented
+# heuristic, not a claim of full coverage.
+ARABIC_RANGES = "؀-ۿݐ-ݿ"        # Arabic + supplement
+CYRILLIC_RANGES = "Ѐ-ӿ"          # Cyrillic
+DEVANAGARI_RANGES = "ऀ-ॿ"        # Devanagari
 
 
 def script_char_count(col: str | Column, ranges: str) -> Column:
@@ -179,10 +189,16 @@ def with_lang_id(df: DataFrame, text_col: str = "text",
     kana = script_char_count(text_col, KANA_RANGES)
     hangul = script_char_count(text_col, HANGUL_RANGES)
     han = script_char_count(text_col, HAN_RANGES)
+    arab = script_char_count(text_col, ARABIC_RANGES)
+    cyr = script_char_count(text_col, CYRILLIC_RANGES)
+    deva = script_char_count(text_col, DEVANAGARI_RANGES)
     expr = (
         F.when(kana >= CJK_MIN_CHARS, F.lit("ja"))
         .when(hangul >= CJK_MIN_CHARS, F.lit("ko"))
         .when(han >= CJK_MIN_CHARS, F.lit("zh"))
+        .when(arab >= CJK_MIN_CHARS, F.lit("ar"))
+        .when(cyr >= CJK_MIN_CHARS, F.lit("ru"))
+        .when(deva >= CJK_MIN_CHARS, F.lit("hi"))
         .otherwise(expr)
     )
     return df.withColumn(out_col, expr)

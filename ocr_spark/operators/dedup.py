@@ -181,19 +181,37 @@ def lsh_bucket_overflow(df: DataFrame, key_col: str = "doc_id",
 
 def ngram_jaccard_pairs(df: DataFrame, key_col: str = "doc_id",
                         text_col: str = "text", shingle_k: int = 3,
-                        threshold: float = 0.5) -> DataFrame:
+                        threshold: float = 0.5,
+                        max_df: int | None = None) -> DataFrame:
     """Exact n-gram Jaccard similarity join.
 
     ``|A ∩ B|`` via exploded shingle equi-join (distributed, no cross
     join); ``|A ∪ B| = |A| + |B| - |A ∩ B|``.  Returns (id_a, id_b,
-    jaccard) for pairs >= threshold.  Use on LSH candidates at scale;
-    standalone it is quadratic only in per-shingle collision counts."""
+    jaccard) for pairs >= threshold.  Use on LSH candidates at scale
+    (``lsh_jaccard_pairs``); standalone, per-shingle collision counts
+    make the equi-join quadratic on hot shingles — one boilerplate
+    phrase shared by 1M docs is 10^12 join rows.
+
+    ``max_df`` is the standard hot-shingle guard for standalone use:
+    shingles appearing in more than ``max_df`` documents are EXCLUDED
+    from intersection counting (one linear agg + a broadcast anti-join
+    — the hot set is tiny by definition).  Affected pairs undercount
+    |A ∩ B| (recall biased down, never up); union denominators keep the
+    full set sizes."""
     sh = (
         df.select(F.col(key_col), word_shingles(text_col, shingle_k).alias("sh"))
         .filter(F.size("sh") > 0)
     )
     sizes = sh.select(key_col, F.size("sh").alias("n_sh"))
     exploded = sh.select(key_col, F.explode("sh").alias("shingle"))
+    if max_df is not None:
+        hot = (
+            exploded.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_df)
+            .select("shingle")
+        )
+        exploded = exploded.join(F.broadcast(hot), "shingle", "left_anti")
     inter = (
         exploded.alias("l")
         .join(
@@ -262,24 +280,39 @@ def lsh_jaccard_pairs(df: DataFrame, key_col: str = "doc_id",
     )
 
 
-def simhash(col: str) -> Column:
+def simhash(col: str, hash_mode: str = "xxhash64") -> Column:
     """64-bit SimHash over whitespace tokens: per bit, sum +-1 over each
-    token's xxhash64 bit (``getbit``), take the sign, reassemble.
+    token's hash bit (``getbit``), take the sign, reassemble.
     Entirely JVM-side nested array lambdas — no shuffle, no Python.
     Built as a SQL expression because ``shiftleft``/``getbit`` need
     column-valued bit positions (the Python API only takes literals).
+
+    ``hash_mode``: ``'xxhash64'`` (production default — JVM-native,
+    fastest) or ``'md5_64'`` — a 60-bit token hash from the first 15
+    md5 hex chars, reproducible in any SQL engine (the driver's DuckDB
+    oracle re-derives it as ('0x' || substr(md5(t),1,15))::BIGINT; 15
+    chars keeps the value inside signed int64 on both sides).  Bits
+    60-63 are then dead (never set), which only matters for chunk
+    blocking at max_hamming > 14 — documented, not reachable at the
+    h<=4 design point.
 
     One pass over the token-hash array folding a 64-wide counter vector
     (zip_with inside aggregate) — the per-bit outer-loop form would
     re-tokenize and re-hash the document 64 times (HOF lambda bodies
     re-evaluate embedded subexpressions per element)."""
+    if hash_mode == "xxhash64":
+        hash_fn = "xxhash64(t)"
+    elif hash_mode == "md5_64":
+        hash_fn = "cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint)"
+    else:
+        raise ValueError(f"unknown hash_mode: {hash_mode!r}")
     expr = f"""
     aggregate(
       zip_with(
         aggregate(
           transform(CASE WHEN length(trim({col})) = 0 THEN array()
                     ELSE split(trim({col}), '\\\\s+') END,
-                    t -> xxhash64(t)),
+                    t -> {hash_fn}),
           array_repeat(0, 64),
           (acc, h) -> zip_with(acc, sequence(0, 63),
                                (a, b) -> a + (2 * getbit(h, b) - 1))),
@@ -308,9 +341,11 @@ def _simhash_chunk_layout(max_hamming: int) -> list[tuple[int, int]]:
 
 
 def _simhash_buckets(df: DataFrame, key_col: str, text_col: str,
-                     max_hamming: int) -> DataFrame:
+                     max_hamming: int,
+                     hash_mode: str = "xxhash64") -> DataFrame:
     """(chunk_idx, chunk) -> sorted (key, sh) struct array per bucket."""
-    with_sh = df.select(F.col(key_col), simhash(text_col).alias("sh"))
+    with_sh = df.select(F.col(key_col),
+                        simhash(text_col, hash_mode).alias("sh"))
     chunks = F.array(*[
         F.struct(
             F.lit(i).alias("chunk_idx"),
@@ -331,7 +366,8 @@ def _simhash_buckets(df: DataFrame, key_col: str, text_col: str,
 
 def simhash_near_dup_pairs(df: DataFrame, key_col: str = "doc_id",
                            text_col: str = "text", max_hamming: int = 3,
-                           max_bucket_size: int | None = None) -> DataFrame:
+                           max_bucket_size: int | None = None,
+                           hash_mode: str = "xxhash64") -> DataFrame:
     """Near-dup pairs with hamming(simhash) <= max_hamming.
 
     Pigeonhole blocking with max_hamming+1 disjoint chunks (see
@@ -343,7 +379,7 @@ def simhash_near_dup_pairs(df: DataFrame, key_col: str = "doc_id",
     only ~2^7 distinct values per chunk index), so buckets fatten; at
     web scale keep h small (<=4) or set ``max_bucket_size`` and report
     drops via :func:`simhash_bucket_overflow` (no silent truncation)."""
-    buckets = _simhash_buckets(df, key_col, text_col, max_hamming)
+    buckets = _simhash_buckets(df, key_col, text_col, max_hamming, hash_mode)
     if max_bucket_size is not None:
         buckets = buckets.filter(F.size("ms") <= max_bucket_size)
     # bucket-local pair expansion (see lsh_candidate_pairs): one hash-agg
@@ -377,11 +413,12 @@ def simhash_near_dup_pairs(df: DataFrame, key_col: str = "doc_id",
 
 def simhash_bucket_overflow(df: DataFrame, key_col: str = "doc_id",
                             text_col: str = "text", max_hamming: int = 3,
-                            max_bucket_size: int = 1000) -> DataFrame:
+                            max_bucket_size: int = 1000,
+                            hash_mode: str = "xxhash64") -> DataFrame:
     """Buckets dropped by ``simhash_near_dup_pairs(max_bucket_size=...)``:
     (chunk_idx, chunk, n_ids) — the no-silent-truncation companion."""
     return (
-        _simhash_buckets(df, key_col, text_col, max_hamming)
+        _simhash_buckets(df, key_col, text_col, max_hamming, hash_mode)
         .filter(F.size("ms") > max_bucket_size)
         .select("chunk_idx", "chunk", F.size("ms").alias("n_ids"))
     )

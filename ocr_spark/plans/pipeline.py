@@ -47,7 +47,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ocr_spark.operators.extract import extract_pages
-from ocr_spark.sources.catalog import Catalog
+from ocr_spark.sources.catalog import Catalog, LINEAGE_SCHEMA
 
 __all__ = ["JobConfig", "prepare_pages", "detect_hot_hosts", "with_salt",
            "run_extraction_job"]
@@ -270,8 +270,9 @@ def run_extraction_job(
         chunk_rows = lineage.collect()
         this_run_rows.extend(chunk_rows)
         if chunk_rows:
-            cat.lineage().append(
-                spark.createDataFrame(chunk_rows, schema=lineage.schema)
+            # tiny table: driver-side pyarrow append, no Spark job
+            cat.lineage().append_rows(
+                [tuple(r) for r in chunk_rows], LINEAGE_SCHEMA
             )
         phases["lineage_s"] = round(
             phases.get("lineage_s", 0.0) + time.perf_counter() - t0, 3)

@@ -72,6 +72,40 @@ class Table:
             w = w.partitionBy(*partition_by)
         w.parquet(self.path)
 
+    def append_rows(self, rows: list[tuple], schema: T.StructType) -> None:
+        """Driver-side append for TINY tables (manifest/lineage: a few
+        rows per chunk).  A Spark write job costs 1-3 s of serial tail
+        (scheduling + committer temp-dir renames) to land a 1 KB file;
+        writing the parquet file directly with pyarrow is milliseconds
+        and reads back identically through spark.read.parquet.  Data
+        tables keep the distributed write path."""
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        type_map = {
+            T.StringType(): pa.string(),
+            T.IntegerType(): pa.int32(),
+            T.LongType(): pa.int64(),
+            # isAdjustedToUTC=true so Spark reads TimestampType (ltz),
+            # same as its own written timestamps
+            T.TimestampType(): pa.timestamp("us", tz="UTC"),
+        }
+        arrow_schema = pa.schema(
+            [(f.name, type_map[f.dataType]) for f in schema.fields]
+        )
+        cols = list(zip(*rows)) if rows else [[] for _ in schema.fields]
+        table = pa.Table.from_arrays(
+            [pa.array(list(c), type=t)
+             for c, t in zip(cols, arrow_schema.types)],
+            schema=arrow_schema,
+        )
+        os.makedirs(self.path, exist_ok=True)
+        pq.write_table(
+            table, os.path.join(self.path, f"part-{uuid.uuid4().hex}.parquet")
+        )
+
     def overwrite_partitions(self, df: DataFrame,
                              partition_by: tuple[str, ...]) -> None:
         """Idempotent per-partition replace: with
@@ -109,10 +143,13 @@ class Catalog:
     def commit_buckets(self, run_id: str, buckets: list[int]) -> None:
         """Append manifest rows — the atomic last step per chunk: data
         files land first, manifest rows only after (write-then-commit
-        ordering, SURVEY.md §4.2)."""
+        ordering, SURVEY.md §4.2).  Driver-side pyarrow write: no Spark
+        job in the commit path."""
         if not buckets:
             return
-        df = self.spark.createDataFrame(
-            [(run_id, int(b)) for b in buckets], "run_id string, bucket int"
-        ).withColumn("committed_at", F.current_timestamp())
-        self.manifest().append(df)
+        from datetime import datetime, timezone
+
+        now = datetime.now(timezone.utc)
+        self.manifest().append_rows(
+            [(run_id, int(b), now) for b in buckets], MANIFEST_SCHEMA
+        )

@@ -181,6 +181,39 @@ def test_pdf_flate_decode_matches_uncompressed():
         assert 0 <= s < e <= len(flate_pdf)
 
 
+def test_pdf_stream_length_beats_delimiter_bytes():
+    """The stream extent comes from /Length (ISO 32000): stream DATA
+    containing 'endstream'/'endobj' byte sequences must not truncate
+    the object.  Flate output hits this in practice (a doc_id=215
+    corpus payload deflated to bytes containing 'endobj', which the old
+    delimiter scan cut mid-stream); a raw stream with literal delimiter
+    text exercises the same extent logic deterministically."""
+    from ocr_spark.data.synth import build_pdf_from_streams
+
+    raw = b"BT\n/F1 12 Tf\n16 TL\n1 0 0 1 72 760 Tm\n" \
+          b"(endstream endobj ha) Tj\nET"
+    out = core.extract_pdf(build_pdf_from_streams([raw]))
+    assert out["status"] == "ok"
+    assert out["text"] == "endstream endobj ha"
+    # and the Flate corpus shape that originally failed: many repeated
+    # tokens -> deflate bytes that embedded 'endobj'
+    toks = ("slow the batch batch a customer query filter batch fast row "
+            "hash key part fast batch row batch value window window a "
+            "batch customer vector column row order the the key hash "
+            "merge line batch batch stream slow query fast vector sort "
+            "big column data group vector line slow fast column row table "
+            "a window the a sort a value customer hash part the scan "
+            "query row column the window window sort slow sort hash scan "
+            "column agg key a batch merge stream slow query fast batch "
+            "stream window line table the value filter row small the "
+            "merge").split()
+    lines = [" ".join(toks[i:i + 8]) for i in range(0, len(toks), 8)]
+    blocks = [lines[i:i + 4] for i in range(0, len(lines), 4)]
+    out2 = core.extract_pdf(build_pdf(blocks, operators="Td", compress=True))
+    assert out2["status"] == "ok"
+    assert out2["text"] == "\n".join(lines)
+
+
 def test_pdf_flate_multipage_page0_default():
     pdf = build_pdf([["page zero flate content"]], n_pages=2, compress=True)
     out = core.extract_pdf(pdf)

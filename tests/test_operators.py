@@ -49,6 +49,22 @@ def test_ngram_jaccard_values(docs):
     assert (1, 4) not in out
 
 
+def test_ngram_jaccard_hot_shingle_cap(spark):
+    """max_df drops shingles shared by more than max_df docs from
+    intersection counting (the standalone-join guard against quadratic
+    boilerplate blowup); pairs related ONLY through hot shingles
+    disappear, recall is biased down never up."""
+    from ocr_spark.operators.dedup import ngram_jaccard_pairs
+
+    rows = [(i, f"common phrase here unique{i} tail{i} end{i}")
+            for i in range(1, 6)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = ngram_jaccard_pairs(df, threshold=0.1).count()
+    capped = ngram_jaccard_pairs(df, threshold=0.1, max_df=4).count()
+    assert uncapped == 10      # every pair shares 'common phrase here'
+    assert capped == 0         # the one hot shingle (df=5) is excluded
+
+
 def test_simhash_properties(spark, docs):
     from ocr_spark.operators.dedup import simhash, simhash_near_dup_pairs
 
@@ -177,6 +193,51 @@ def test_cosine_near_dup_pairs(vectors):
         assert (i, 100 + i) in pairs
 
 
+def test_ann_multi_probe_recovers_cross_boundary_neighbor(spark):
+    """A near-duplicate pair straddling ONE hyperplane lands in buckets
+    differing by one bit: single-probe ANN misses it silently (the
+    round-2 recall cliff), multi_probe=1 flips the query's
+    smallest-|margin| plane and finds it.  The pair below was derived
+    against the seed-42 hyperplanes at dim=8/n_planes=4: buckets differ
+    only in bit 0, plane 0 is the query's smallest margin, cos=0.9999."""
+    from ocr_spark.operators.similarity import ann_topk_lsh
+
+    a = [1.2832, 0.5337, 0.3519, 0.7675, 2.0939, -0.7509, -0.5775, -0.8934]
+    b = [1.2753, 0.5359, 0.3414, 0.7431, 2.0977, -0.7471, -0.6028, -0.9057]
+    corpus = spark.createDataFrame(
+        [(1, b), (2, [1.0, -1.0, 2.0, 0.5, -0.3, 1.1, 0.2, -2.0])],
+        "vec_id long, embedding array<float>",
+    )
+    queries = spark.createDataFrame(
+        [(100, a)], "vec_id long, embedding array<float>")
+
+    single = {r.neighbor_id for r in
+              ann_topk_lsh(queries, corpus, dim=8, k=5, n_planes=4,
+                           multi_probe=0).collect()}
+    multi = {(r.neighbor_id, r.rank) for r in
+             ann_topk_lsh(queries, corpus, dim=8, k=5, n_planes=4,
+                          multi_probe=1).collect()}
+    assert 1 not in single                  # the recall cliff
+    assert (1, 1) in multi                  # recovered, and it's rank 1
+
+
+def test_similarity_pair_stage_is_arrow_gemm(spark):
+    """The pair-scoring stage must be an Arrow pandas kernel
+    (FlatMap[Co]GroupsInPandas), not per-pair interpreted HOF folds;
+    candidate generation must never be a cartesian product."""
+    import __spark_entry__ as entry_mod
+
+    sf = "/root/testdata/sf0.001"
+    plan_nd = entry_mod.q_embed_near_dup_lsh(spark, sf)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" in plan_nd
+    assert "CartesianProduct" not in plan_nd
+    plan_ann = entry_mod.q_ann_topk(spark, sf)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "FlatMapCoGroupsInPandas" in plan_ann
+    assert "CartesianProduct" not in plan_ann
+
+
 def test_text_stats_edges(spark):
     from ocr_spark.functions.text import with_text_stats
 
@@ -212,10 +273,14 @@ def test_lang_id_cjk_scripts(spark):
          (2, "这是一个中文文档内容提取测试句子"),      # han -> zh
          (3, "これは日本語のテキストです"),           # kana (+han) -> ja
          (4, "the english text mentions 中 once"),   # 1 CJK char < threshold
-         (5, "the cat and the dog went to the park")],
+         (5, "the cat and the dog went to the park"),
+         (6, "هذه جملة اختبار باللغة العربية"),      # arabic script -> ar
+         (7, "это предложение на русском языке"),    # cyrillic -> ru
+         (8, "यह हिंदी में एक वाक्य है")],            # devanagari -> hi
         "doc_id long, text string")
     got = {r.doc_id: r.lang_pred for r in with_lang_id(df).collect()}
-    assert got == {1: "ko", 2: "zh", 3: "ja", 4: "en", 5: "en"}
+    assert got == {1: "ko", 2: "zh", 3: "ja", 4: "en", 5: "en",
+                   6: "ar", 7: "ru", 8: "hi"}
 
 
 def test_token_count_cjk(spark):
