@@ -448,8 +448,26 @@ class _FastBlockParser(_BlockParser):
             if c and c.isascii() and c.isalpha():
                 m = _TAGNAME_RE.match(data, lt + 1)
                 name = m.group(0).lower()
-                j = _ATTRS_RE.match(data, m.end()).end()
-                nxt = data[j:j + 1]
+                ne = m.end()
+                # fast path (the overwhelming majority of crawl tags):
+                # a quote-free attr region always matches _ATTRS_RE up
+                # to exactly the next '>' — attr names/bare values
+                # consume every non-space-non-'>' char and inter-attr
+                # whitespace bridges them, so no bogus/incomplete stop
+                # is possible without a quote.  Two C-level scans
+                # replace the regex engine here; quoted or truncated
+                # tags take the faithful slow path.
+                gt = find(">", ne)
+                if gt >= 0:
+                    seg = data[ne:gt]
+                    if '"' not in seg and "'" not in seg:
+                        j, nxt = gt, ">"
+                    else:
+                        j = _ATTRS_RE.match(data, ne).end()
+                        nxt = data[j:j + 1]
+                else:
+                    j = _ATTRS_RE.match(data, ne).end()
+                    nxt = data[j:j + 1]
                 if nxt == ">":
                     endpos = j + 1
                 elif nxt == "/" and data.startswith("/>", j):
