@@ -38,21 +38,26 @@ BENCH_DIR = os.path.join(ROOT, "BENCH")
 CACHE = os.path.join(ROOT, ".cache")
 
 
-def ensure_corpus(pages: int, size_mult: int, seed: int = 42) -> str:
+def ensure_corpus(pages: int, size_mult: int, seed: int = 42,
+                  boiler_mult: int = 1) -> str:
     sys.path.insert(0, ROOT)
     from ocr_spark.data.synth import (write_pages_parquet,
                                       write_pages_parquet_parallel)
 
     os.makedirs(CACHE, exist_ok=True)
-    path = os.path.join(CACHE, f"scaling_pages_{pages}_m{size_mult}.parquet")
+    path = os.path.join(
+        CACHE, f"scaling_pages_{pages}_m{size_mult}_b{boiler_mult}.parquet")
     if not os.path.exists(path):
         t0 = time.perf_counter()
         if pages > 25000:
             n = write_pages_parquet_parallel(path, n=pages, seed=seed,
-                                             size_mult=size_mult, workers=24)
+                                             size_mult=size_mult,
+                                             boiler_mult=boiler_mult,
+                                             workers=24)
         else:
             n = write_pages_parquet(path, n=pages, seed=seed,
-                                    size_mult=size_mult)
+                                    size_mult=size_mult,
+                                    boiler_mult=boiler_mult)
         sz = sum(os.path.getsize(os.path.join(path, f))
                  for f in os.listdir(path)) if os.path.isdir(path) \
             else os.path.getsize(path)
@@ -61,13 +66,20 @@ def ensure_corpus(pages: int, size_mult: int, seed: int = 42) -> str:
     return path
 
 
-def run_once(corpus: str, cores: int, tag: str) -> dict:
-    # outputs go to /tmp: writing many task files under the repo tree is
-    # ~5x slower in this sandbox (measured; repo dir appears watched)
-    out = os.path.join("/tmp/ocr_spark_bench", f"scaling_out_{tag}")
+def run_once(corpus: str, cores: int, tag: str,
+             out_root: str = "/tmp/ocr_spark_bench",
+             scratch: str = "/root/spark_scratch") -> dict:
+    # outputs go outside the repo tree: writing many task files under
+    # /root/repo is ~5x slower in this sandbox (dir appears watched).
+    # Pass --out-root/--scratch /dev/shm/... to take the single shared
+    # NVMe out of the measurement: on a real N-vs-4N cluster, output
+    # and shuffle disks scale WITH the executors (every node brings its
+    # own), so tmpfs is the honest single-box substitution when the
+    # corpus makes the job I/O-heavy.
+    out = os.path.join(out_root, f"scaling_out_{tag}")
     shutil.rmtree(out, ignore_errors=True)
     env = dict(os.environ, SPARK_GRAFT_CPUS=str(cores))
-    env.setdefault("SPARK_GRAFT_LOCAL_DIR", "/root/spark_scratch")
+    env["SPARK_GRAFT_LOCAL_DIR"] = env.get("SPARK_GRAFT_LOCAL_DIR", scratch)
     os.makedirs(env["SPARK_GRAFT_LOCAL_DIR"], exist_ok=True)
     proc = subprocess.run(
         [sys.executable, os.path.join(ROOT, "job.py"),
@@ -89,19 +101,24 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--pages", type=int, default=100000)
     ap.add_argument("--size-mult", type=int, default=64)
+    ap.add_argument("--boiler-mult", type=int, default=1)
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--low", type=int, default=8)
     ap.add_argument("--high", type=int, default=32)
     ap.add_argument("--corpus", help="pre-built pages parquet (skips synth)")
+    ap.add_argument("--out-root", default="/tmp/ocr_spark_bench")
+    ap.add_argument("--scratch", default="/root/spark_scratch")
     args = ap.parse_args()
 
-    corpus = args.corpus or ensure_corpus(args.pages, args.size_mult)
+    corpus = args.corpus or ensure_corpus(args.pages, args.size_mult,
+                                          boiler_mult=args.boiler_mult)
 
     results: dict[int, list[dict]] = {args.low: [], args.high: []}
     for i in range(args.runs):
         # alternate so drift (thermal, page cache) hits both levels evenly
         for cores in (args.high, args.low):
-            results[cores].append(run_once(corpus, cores, f"c{cores}r{i}"))
+            results[cores].append(run_once(corpus, cores, f"c{cores}r{i}",
+                                           args.out_root, args.scratch))
 
     def med(cores: int, key: str) -> float:
         return statistics.median(r[key] for r in results[cores])

@@ -6,7 +6,7 @@ services/gemini_service.py:61-146 replaced by the deterministic oracle,
 schema projection at services/business_license_processor.py:233-239).
 
 Per BASELINE.json ``input_hint``: all hot-path work runs inside
-``mapInPandas`` over Arrow record batches of the BinaryType ``html``
+``mapInArrow`` over Arrow record batches of the BinaryType ``html``
 column — there is **no per-row Python UDF dispatch**; per-document
 Python inside the batch kernel is the allowed pattern (SURVEY.md
 §2.3).  The kernel is the *same* function as the pytest oracle
@@ -105,43 +105,53 @@ def extract_pages(
     out_schema = T.StructType(in_fields + result_fields)
     cols = list(passthrough) + [payload_col]
 
+    # Arrow-native kernel (mapInArrow, not mapInPandas): passthrough
+    # columns are forwarded zero-copy from the input RecordBatch, and
+    # the spans column is assembled as flat (start, end, kind) arrays +
+    # list offsets — building a Python dict per span and letting pandas
+    # ->Arrow inference walk it measured ~2x the whole stage's cost on
+    # boilerplate-heavy corpora.
     def kernel(batches):
-        import pandas as pd  # executor-side import
+        import pyarrow as pa  # executor-side import
 
-        prev_key = None  # streaming dedup state; partition == key scope
-        for pdf in batches:
-            if dedup_first is not None and len(pdf):
-                keys = pdf[dedup_first]
-                keep = keys.ne(keys.shift())  # first row of each adjacent group
-                if prev_key is not None and len(keys):
-                    keep.iloc[0] = keys.iloc[0] != prev_key
-                prev_key = keys.iloc[-1]
-                pdf = pdf[keep].reset_index(drop=True)
-            n = len(pdf)
+        state = {"prev_key": None}  # streaming dedup; partition == key scope
+        for batch in batches:
+            if dedup_first is not None and batch.num_rows:
+                keys = batch.column(cols.index(dedup_first)).to_pylist()
+                prev = state["prev_key"]
+                keep = [k != prev if i == 0 else k != keys[i - 1]
+                        for i, k in enumerate(keys)]
+                state["prev_key"] = keys[-1]
+                if not all(keep):
+                    batch = batch.filter(pa.array(keep, pa.bool_()))
+            n = batch.num_rows
             if n == 0:
                 continue
-            out = {c: pdf[c] for c in passthrough}
-            texts, spans, n_blocks, status, error_msg = [], [], [], [], []
-            doc_kind, bytes_in, bytes_out, extract_ms = [], [], [], []
+            payloads = batch.column(cols.index(payload_col)).to_pylist()
             if profile_col is not None and norm_profiles:
-                keys = pdf[profile_col]
                 row_profiles = [
                     norm_profiles.get(str(k).lower().strip(), default_profile)
                     if k is not None else default_profile
-                    for k in keys
+                    for k in batch.column(cols.index(profile_col)).to_pylist()
                 ]
             else:
                 row_profiles = [default_profile] * n
-            for payload, prof in zip(pdf[payload_col], row_profiles):
+            texts, n_blocks, status, error_msg = [], [], [], []
+            doc_kind, bytes_in, bytes_out, extract_ms = [], [], [], []
+            s_start, s_end, s_kind = [], [], []
+            s_offsets = [0]
+            for payload, prof in zip(payloads, row_profiles):
                 t0 = time.perf_counter()
-                r = extract_bytes(bytes(payload) if payload is not None else b"",
+                r = extract_bytes(payload if payload is not None else b"",
                                   all_pages=all_pages, profile=prof)
                 dt_ms = int((time.perf_counter() - t0) * 1000)
                 texts.append(r["text"])
                 if with_spans:
-                    spans.append(
-                        [{"start": s, "end": e, "kind": k} for s, e, k in r["spans"]]
-                    )
+                    for s, e, k in r["spans"]:
+                        s_start.append(s)
+                        s_end.append(e)
+                        s_kind.append(k)
+                    s_offsets.append(len(s_start))
                 n_blocks.append(r["n_blocks"])
                 status.append(r["status"])
                 error_msg.append(r["error_msg"])
@@ -149,16 +159,32 @@ def extract_pages(
                 bytes_in.append(len(payload) if payload is not None else 0)
                 bytes_out.append(len(r["text"].encode("utf-8")))
                 extract_ms.append(dt_ms)
-            out["text"] = texts
+            arrays = [batch.column(cols.index(c)) for c in passthrough]
+            names = list(passthrough)
+            arrays.append(pa.array(texts, pa.string()))
+            names.append("text")
             if with_spans:
-                out["spans"] = spans
-            out["n_blocks"] = n_blocks
-            out["status"] = status
-            out["error_msg"] = error_msg
-            out["doc_kind"] = doc_kind
-            out["bytes_in"] = bytes_in
-            out["bytes_out"] = bytes_out
-            out["extract_ms"] = extract_ms
-            yield pd.DataFrame(out)
+                arrays.append(pa.ListArray.from_arrays(
+                    pa.array(s_offsets, pa.int32()),
+                    pa.StructArray.from_arrays(
+                        [pa.array(s_start, pa.int64()),
+                         pa.array(s_end, pa.int64()),
+                         pa.array(s_kind, pa.string())],
+                        ["start", "end", "kind"],
+                    ),
+                ))
+                names.append("spans")
+            for nm, vals, typ in (
+                ("n_blocks", n_blocks, pa.int32()),
+                ("status", status, pa.string()),
+                ("error_msg", error_msg, pa.string()),
+                ("doc_kind", doc_kind, pa.string()),
+                ("bytes_in", bytes_in, pa.int64()),
+                ("bytes_out", bytes_out, pa.int64()),
+                ("extract_ms", extract_ms, pa.int64()),
+            ):
+                arrays.append(pa.array(vals, typ))
+                names.append(nm)
+            yield pa.RecordBatch.from_arrays(arrays, names)
 
-    return df.select(*cols).mapInPandas(kernel, schema=out_schema)
+    return df.select(*cols).mapInArrow(kernel, schema=out_schema)

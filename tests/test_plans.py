@@ -54,7 +54,7 @@ def test_extraction_scan_prunes_unused_columns(spark):
     assert "doc_id" in read and "text" in read
     assert "source" not in read and "n_chars" not in read
     # vectorized Arrow stage present; no row-at-a-time Python UDF
-    assert "MapInPandas" in plan or "ArrowEvalPython" in plan
+    assert "MapInArrow" in plan or "MapInPandas" in plan
     assert "BatchEvalPython" not in plan    # per-row Python = forbidden
 
 
@@ -69,7 +69,7 @@ def test_pipeline_has_no_per_row_python(spark, pages_parquet):
                         passthrough=("url", "bucket"))
     plan = plan_of(ext)
     assert "BatchEvalPython" not in plan
-    assert "MapInPandas" in plan
+    assert "MapInArrow" in plan
     # hot-host dim goes in broadcast
     assert "BroadcastHashJoin" in plan
 
