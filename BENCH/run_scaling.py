@@ -15,8 +15,8 @@ manifest commit) — JVM/session startup is excluded on both sides, as
 it would be on a real cluster where executors are provisioned before
 the job is timed.
 
-Writes BENCH/scaling.json and rewrites the results table in
-BENCH/BASELINE.md.
+Writes BENCH/scaling.json and BENCH/scaling_table.autogen.md (the
+results table, for manual copy-in to the hand-maintained BASELINE.md).
 
 Usage:  python BENCH/run_scaling.py [--pages 60000] [--size-mult 6]
         [--runs 3] [--low 8] [--high 32]
@@ -176,7 +176,10 @@ size_mult={args.size_mult}).
 **Scaling efficiency = X(4N) / (4 x X(N)) = {eff:.3f}** (target >= 0.8:
 **{'PASS' if eff >= 0.8 else 'FAIL'}**).
 """
-    with open(os.path.join(BENCH_DIR, "BASELINE.md"), "w") as f:
+    # BASELINE.md is maintained by hand (it carries the controls and
+    # pathology analysis alongside the numbers); emit the autogen table
+    # next to it for copy-in instead of clobbering.
+    with open(os.path.join(BENCH_DIR, "scaling_table.autogen.md"), "w") as f:
         f.write(md)
     print(json.dumps({k: v for k, v in summary.items() if k != "all_runs"}))
 

@@ -77,6 +77,20 @@ class JobConfig:
     dedup: bool = True
     all_pages: bool = False
     with_spans: bool = True
+    # write-stage task count; 0 = min(parallelism, |buckets|).  Buckets
+    # are the LAYOUT unit (dirs, resume grain); write tasks are the
+    # PARALLELISM unit — decoupled on purpose.  bucket is a function of
+    # the hash-partition key, so each bucket's rows land wholly in one
+    # task and the one-file-per-bucket-dir layout is preserved; a task
+    # owning several buckets writes them as dynamic partitions.  Tying
+    # tasks to |buckets| (the old form) made write tasks tiny and
+    # task-FIXED costs dominant: at local[16] the 64-task write stage
+    # measured 143 JVM-CPU-s + 78 GC-s vs 12 CPU-s at 16 tasks for the
+    # same 64 files (closure deserialization + lambda-form spinning +
+    # allocation storms under concurrent cold starts).  On a real
+    # cluster the same rule holds: tasks ~ total cores, buckets ~
+    # layout (O(4k) at 10^12 docs), never forced equal.
+    write_tasks: int = 0
     # per-lang extraction profiles (O7/O8): dict keyed by lang (plus
     # 'default'), normalized per config.py:31-42 rules; None = engine
     # defaults.  Resolved per row inside the Arrow kernel.
@@ -236,10 +250,14 @@ def run_extraction_job(
             profiles=cfg.profiles,
             profile_col="lang" if cfg.profiles else None,
         )
-        # narrow exchange of the (much smaller) extracted output: one
-        # write task per bucket -> one file per bucket partition dir,
-        # instead of parallelism x |buckets| small files.
-        extracted = extracted.repartition(len(bucket_ids), "bucket")
+        # narrow exchange of the (much smaller) extracted output,
+        # hash-partitioned by bucket alone: every bucket's rows land in
+        # exactly one write task, so each bucket partition dir still
+        # gets exactly one file (a task owning k buckets writes k dirs
+        # as dynamic partitions) — but the task COUNT follows available
+        # parallelism, not |buckets| (see JobConfig.write_tasks).
+        n_write = cfg.write_tasks or min(parallelism, len(bucket_ids))
+        extracted = extracted.repartition(n_write, "bucket")
         t0 = time.perf_counter()
         out_table.overwrite_partitions(extracted, partition_by=("bucket",))
         wall_ms = int((time.perf_counter() - t0) * 1000)

@@ -43,6 +43,37 @@ ENGINE_CONFS = {
     "spark.shuffle.file.buffer": "1m",
 }
 
+# JVM options for any executor that handles multi-MB binary rows.
+# Two measured pathologies (diagnosis artifacts: BENCH/BASELINE.md):
+#
+# 1. Heap commit/uncommit churn.  Spark passes only -Xmx to the local
+#    driver JVM (InitialHeapSize stays ~2g), and html byte[] rows are
+#    "humongous" under the default 16m G1 region, so G1 starts a
+#    concurrent cycle every few seconds (12/63s "G1 Humongous
+#    Allocation" + 8 "Metadata GC Threshold" in GC logs) and each cycle
+#    SHRINKS the heap (MaxHeapFreeRatio), which the next allocation
+#    burst re-commits.  The kernel-side mmap+zeroing scales with
+#    allocation rate, i.e. with parallelism: measured 344 s of *system*
+#    CPU vs 88 s user at local[16] (vs near-zero at local[4]) — an
+#    anti-scaling extract/write stage whose JFR samples sat in
+#    byte-copy frames (the fault happens at the copy instruction).
+#    Fix: pin -Xms to -Xmx (commit once, never uncommit) and lift the
+#    humongous threshold with 32m regions.
+# 2. Lambda-form class unloading.  Each concurrent cycle also unloaded
+#    the generated LambdaForm/DirectMethodHandle classes; every
+#    subsequent task-closure deserialization re-spun them under N-way
+#    contention (793 NoSuchMethodError throws, 10-40x task-deser CPU).
+#    Fix: keep class unloading out of concurrent mark (full-GC
+#    unloading still bounds metaspace) and raise the initial metaspace
+#    over the threshold that triggered cycles.
+#
+# These go on EXECUTOR JVMs on a real cluster (where Spark already
+# pins -Xms=-Xmx for executors, but the G1 flags still apply); in
+# local mode the driver JVM is the executor, so they go on the driver.
+GC_JVM_OPTS = ("-XX:G1HeapRegionSize=32m "
+               "-XX:-ClassUnloadingWithConcurrentMark "
+               "-XX:MetaspaceSize=256m")
+
 
 def get_spark(app: str = "ocr_spark", cores: int | None = None,
               shuffle_partitions: int | None = None,
@@ -54,8 +85,14 @@ def get_spark(app: str = "ocr_spark", cores: int | None = None,
     builder = SparkSession.builder.appName(app)
     if not os.environ.get("SPARK_MASTER") and "SPARK_ENV_LOADED" not in os.environ:
         builder = builder.master(f"local[{cores}]" if cores else "local[*]")
-        builder = builder.config("spark.driver.memory",
-                                 os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
+        heap = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g")
+        builder = builder.config("spark.driver.memory", heap)
+        # local mode: the driver JVM is the executor; -Xms pins the
+        # heap (Spark passes only -Xmx to the driver — see GC_JVM_OPTS
+        # pathology #1; executors get -Xms=-Xmx from Spark itself)
+        builder = builder.config("spark.driver.extraJavaOptions",
+                                 f"-Xms{heap} {GC_JVM_OPTS}")
+    builder = builder.config("spark.executor.extraJavaOptions", GC_JVM_OPTS)
     if os.environ.get("SPARK_GRAFT_LOCAL_DIR"):
         builder = builder.config("spark.local.dir",
                                  os.environ["SPARK_GRAFT_LOCAL_DIR"])
