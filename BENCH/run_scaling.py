@@ -69,6 +69,7 @@ def ensure_corpus(pages: int, size_mult: int, seed: int = 42,
 def run_once(corpus: str, cores: int, tag: str,
              out_root: str = "/tmp/ocr_spark_bench",
              scratch: str = "/root/spark_scratch") -> dict:
+    from hostmeter import read_cpu, cpu_delta
     # outputs go outside the repo tree: writing many task files under
     # /root/repo is ~5x slower in this sandbox (dir appears watched).
     # Pass --out-root/--scratch /dev/shm/... to take the single shared
@@ -81,19 +82,23 @@ def run_once(corpus: str, cores: int, tag: str,
     env = dict(os.environ, SPARK_GRAFT_CPUS=str(cores))
     env["SPARK_GRAFT_LOCAL_DIR"] = env.get("SPARK_GRAFT_LOCAL_DIR", scratch)
     os.makedirs(env["SPARK_GRAFT_LOCAL_DIR"], exist_ok=True)
+    cpu0 = read_cpu()
     proc = subprocess.run(
         [sys.executable, os.path.join(ROOT, "job.py"),
          "--input", corpus, "--output", out,
          "--cores", str(cores), "--run-id", tag, "--buckets", "64"],
         capture_output=True, text=True, env=env, cwd=ROOT, timeout=3600,
     )
+    host = cpu_delta(cpu0, read_cpu())
     if proc.returncode != 0:
         sys.stderr.write(proc.stdout[-2000:] + proc.stderr[-4000:])
         raise RuntimeError(f"job failed at local[{cores}]")
     stats = json.loads(proc.stdout.strip().splitlines()[-1])
+    stats["host_cpu"] = host
     shutil.rmtree(out, ignore_errors=True)
     print(f"  local[{cores}] {tag}: wall={stats['wall_s']:.1f}s "
-          f"docs/s={stats['docs_per_s']:.0f} GB/s={stats['gb_per_s']:.4f}")
+          f"docs/s={stats['docs_per_s']:.0f} GB/s={stats['gb_per_s']:.4f} "
+          f"steal_cores={host['steal_cores']:.2f}", flush=True)
     return stats
 
 
@@ -108,6 +113,9 @@ def main() -> None:
     ap.add_argument("--corpus", help="pre-built pages parquet (skips synth)")
     ap.add_argument("--out-root", default="/tmp/ocr_spark_bench")
     ap.add_argument("--scratch", default="/root/spark_scratch")
+    ap.add_argument("--steal-gate", type=float, default=0.75,
+                    help="max avg hypervisor-stolen cores for a run to count")
+    ap.add_argument("--max-retries", type=int, default=2)
     args = ap.parse_args()
 
     corpus = args.corpus or ensure_corpus(args.pages, args.size_mult,
@@ -117,8 +125,18 @@ def main() -> None:
     for i in range(args.runs):
         # alternate so drift (thermal, page cache) hits both levels evenly
         for cores in (args.high, args.low):
-            results[cores].append(run_once(corpus, cores, f"c{cores}r{i}",
-                                           args.out_root, args.scratch))
+            # hypervisor-steal gate (see hostmeter.py): a run whose
+            # window saw the co-tenant steal more than STEAL_GATE cores
+            # is re-run (bounded retries); all attempts are recorded.
+            for attempt in range(args.max_retries + 1):
+                r = run_once(corpus, cores, f"c{cores}r{i}a{attempt}",
+                             args.out_root, args.scratch)
+                sc = r["host_cpu"]["steal_cores"]
+                if sc <= args.steal_gate:
+                    break
+                print(f"    steal_cores={sc:.2f} > gate "
+                      f"{args.steal_gate} -> rerun", flush=True)
+            results[cores].append(r)
 
     def med(cores: int, key: str) -> float:
         return statistics.median(r[key] for r in results[cores])

@@ -54,7 +54,8 @@ def summarize(path: str) -> None:
             m = e.get("Task Metrics") or {}
             t = tasks.setdefault(sid, dict(n=0, run=0.0, cpu=0.0, gc=0.0,
                                            deser=0.0, desercpu=0.0,
-                                           shread=0, shwrite=0, peak=0))
+                                           shread=0, shwrite=0, peak=0,
+                                           memspill=0, diskspill=0))
             t["n"] += 1
             t["run"] += m.get("Executor Run Time", 0) / 1000
             t["cpu"] += m.get("Executor CPU Time", 0) / 1e9
@@ -66,10 +67,12 @@ def summarize(path: str) -> None:
             t["shread"] += sr.get("Remote Bytes Read", 0) + sr.get("Local Bytes Read", 0)
             t["shwrite"] += sw.get("Shuffle Bytes Written", 0)
             t["peak"] = max(t["peak"], m.get("Peak Execution Memory", 0))
+            t["memspill"] += m.get("Memory Bytes Spilled", 0)
+            t["diskspill"] += m.get("Disk Bytes Spilled", 0)
     print(f"== {path}")
     hdr = (f"{'stage':>5} {'wall_s':>7} {'tasks':>5} {'sumRun':>8} "
            f"{'jvmCPU':>8} {'gc':>6} {'deser':>7} {'deserCPU':>8} "
-           f"{'shMB_r':>7} {'shMB_w':>7}  name")
+           f"{'shMB_r':>7} {'shMB_w':>7} {'spillMB':>8}  name")
     print(hdr)
     for sid in sorted(stages):
         s, t = stages[sid], tasks.get(sid, {})
@@ -78,7 +81,8 @@ def summarize(path: str) -> None:
               f"{t.get('gc', 0):>6.1f} {t.get('deser', 0):>7.1f} "
               f"{t.get('desercpu', 0):>8.1f} "
               f"{t.get('shread', 0) / 1e6:>7.1f} "
-              f"{t.get('shwrite', 0) / 1e6:>7.1f}  {s['name']}")
+              f"{t.get('shwrite', 0) / 1e6:>7.1f} "
+              f"{t.get('diskspill', 0) / 1e6:>8.1f}  {s['name']}")
 
 
 if __name__ == "__main__":

@@ -49,8 +49,8 @@ from pyspark.sql import functions as F
 from ocr_spark.operators.extract import extract_pages
 from ocr_spark.sources.catalog import Catalog, LINEAGE_SCHEMA
 
-__all__ = ["JobConfig", "prepare_pages", "detect_hot_hosts", "with_salt",
-           "run_extraction_job"]
+__all__ = ["JobConfig", "prepare_pages", "detect_hot_hosts", "probe_skew",
+           "with_salt", "run_extraction_job"]
 
 _HOST_RE = r"^[a-z][a-z0-9+.\-]*://([^/]+)"
 
@@ -74,6 +74,17 @@ class JobConfig:
     # at extreme scale where that is unaffordable set sample_bytes=False
     # and rely on count-based detection only.
     sample_bytes: bool = True
+    # target RAW html bytes per exchange partition.  The html exchange
+    # must be sized by DATA, not by core count: partitions follow
+    # max(configured parallelism, est_bytes / this target), so a task's
+    # sortWithinPartitions working set is bounded (~256MB raw) at ANY
+    # cluster size.  Sizing by 2x cores alone made the LOW-parallelism
+    # side of the N-vs-4N scaling pair sort ~630MB per task (spill —
+    # an extra full write+read of the html) while the 4N side sorted
+    # ~160MB in memory, overstating measured efficiency; on a real
+    # cluster the same bug appears as "the job got slower when we
+    # removed executors" for reasons that are spill, not compute.
+    exchange_partition_bytes: int = 256 << 20
     dedup: bool = True
     all_pages: bool = False
     with_spans: bool = True
@@ -104,14 +115,13 @@ def prepare_pages(df: DataFrame, n_buckets: int) -> DataFrame:
     )
 
 
-def detect_hot_hosts(df: DataFrame, cfg: JobConfig) -> DataFrame:
-    """Sampled per-host count aggregate -> hosts needing a wider salt
-    fan-out.  Sampling keeps this sub-linear: at 10^12 docs you cannot
-    afford a full scan just to find skew.  The probe reads ONLY the url
-    column unless ``sample_bytes`` is set (row-level sampling cannot
-    push below the scan, so weighing by bytes decompresses the html
-    column for the sampled files); see JobConfig.sample_bytes for the
-    default-on rationale and the 100-TB escape hatch."""
+def _skew_agg(df: DataFrame, cfg: JobConfig) -> DataFrame:
+    """Sampled per-host aggregate, as a ``rollup`` so the grand-total
+    row (host NULL — a real host can never be NULL, regexp_extract
+    yields '') rides the same map-side partial agg: corpus totals cost
+    nothing beyond the probe scan.  Hot-host filtering stays IN the
+    query so only (hot hosts + 1 total) rows ever reach the driver —
+    host cardinality is unbounded at 10^12 docs."""
     sample = df.sample(fraction=cfg.sample_fraction, seed=42)
     scale = 1.0 / cfg.sample_fraction
     aggs = [(F.count("*") * scale).cast("long").alias("est_docs")]
@@ -121,7 +131,34 @@ def detect_hot_hosts(df: DataFrame, cfg: JobConfig) -> DataFrame:
             (F.sum(F.octet_length("html")) * scale).cast("long").alias("est_bytes")
         )
         cond = cond | (F.col("est_bytes") >= cfg.hot_bytes_threshold)
-    return sample.groupBy("host").agg(*aggs).filter(cond).select("host", "est_docs")
+    agged = sample.rollup("host").agg(*aggs)
+    return agged.filter(F.col("host").isNull() | cond)
+
+
+def detect_hot_hosts(df: DataFrame, cfg: JobConfig) -> DataFrame:
+    """Sampled per-host count aggregate -> hosts needing a wider salt
+    fan-out.  Sampling keeps this sub-linear: at 10^12 docs you cannot
+    afford a full scan just to find skew.  The probe reads ONLY the url
+    column unless ``sample_bytes`` is set (row-level sampling cannot
+    push below the scan, so weighing by bytes decompresses the html
+    column for the sampled files); see JobConfig.sample_bytes for the
+    default-on rationale and the 100-TB escape hatch."""
+    agged = _skew_agg(df, cfg)
+    return agged.filter(F.col("host").isNotNull()).select("host", "est_docs")
+
+
+def probe_skew(df: DataFrame, cfg: JobConfig) -> tuple[list, int, int]:
+    """One collected probe pass -> (hot-host rows, est corpus docs, est
+    corpus html bytes).  The totals size the html exchange (see
+    ``JobConfig.exchange_partition_bytes``); est_bytes is 0 when
+    ``sample_bytes`` is off."""
+    rows = _skew_agg(df, cfg).collect()
+    hot = [(r.host, r.est_docs) for r in rows if r.host is not None]
+    tot = next((r for r in rows if r.host is None), None)
+    est_docs = int(tot.est_docs) if tot is not None else 0
+    est_bytes = (int(tot.est_bytes)
+                 if tot is not None and cfg.sample_bytes else 0)
+    return hot, est_docs, est_bytes
 
 
 def with_salt(df: DataFrame, hot_hosts: DataFrame, cfg: JobConfig) -> DataFrame:
@@ -206,7 +243,7 @@ def run_extraction_job(
     # its cost is visible in phases and the hot set ships as a literal
     # broadcast dim instead of re-running lazily under the join
     t0 = time.perf_counter()
-    hot_rows = [(r.host, r.est_docs) for r in detect_hot_hosts(df, cfg).collect()]
+    hot_rows, est_docs, est_bytes = probe_skew(df, cfg)
     phases["probe_s"] = round(time.perf_counter() - t0, 3)
     hot = spark.createDataFrame(hot_rows, "host string, est_docs long")
     df = with_salt(df, hot, cfg)
@@ -214,6 +251,11 @@ def run_extraction_job(
     parallelism = cfg.parallelism or int(
         spark.conf.get("spark.sql.shuffle.partitions")
     )
+    if est_bytes:
+        # bound the per-task sort working set regardless of core count
+        # (see JobConfig.exchange_partition_bytes)
+        parallelism = max(
+            parallelism, -(-est_bytes // cfg.exchange_partition_bytes))
 
     all_buckets = sorted(set(range(cfg.n_buckets)) - set(done_ids))
     chunk = cfg.chunk_buckets or cfg.n_buckets

@@ -145,3 +145,19 @@ def test_whole_stage_codegen_on_relational_path(spark):
     assert "isFinalPlan=true" in plan
     # whole-stage codegen spans appear as "*(n)" node prefixes
     assert re.search(r"\*\(\d+\) HashAggregate", plan)
+
+
+def test_executor_jvm_flags_pin_heap_and_lambda_classes(spark):
+    """Regression guard for the measured anti-scaling G1 pathologies
+    (see ocr_spark.session.GC_JVM_OPTS): heap must be pinned (-Xms) so
+    G1 never uncommits/recommits under allocation bursts, regions must
+    be 32m so html byte[] rows are not humongous, and generated
+    LambdaForm classes must survive concurrent mark."""
+    conf = spark.sparkContext.getConf()
+    driver_opts = conf.get("spark.driver.extraJavaOptions", "")
+    exec_opts = conf.get("spark.executor.extraJavaOptions", "")
+    assert "-Xms" in driver_opts  # local mode: driver JVM is the executor
+    for opts in (driver_opts, exec_opts):
+        assert "-XX:G1HeapRegionSize=32m" in opts
+        assert "-XX:-ClassUnloadingWithConcurrentMark" in opts
+        assert "-XX:MetaspaceSize=256m" in opts
