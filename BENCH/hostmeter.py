@@ -24,7 +24,7 @@ from __future__ import annotations
 import os
 import time
 
-__all__ = ["read_cpu", "cpu_delta", "steal_cores"]
+__all__ = ["read_cpu", "cpu_delta", "steal_cores", "membw_mbps"]
 
 _CLK = os.sysconf("SC_CLK_TCK")
 
@@ -57,3 +57,24 @@ def cpu_delta(before: dict, after: dict) -> dict:
 
 def steal_cores(before: dict, after: dict) -> float:
     return cpu_delta(before, after)["steal_cores"]
+
+
+def membw_mbps(mb: int = 256, repeat: int = 3) -> float:
+    """Single-thread memcpy throughput (MB/s), best of ``repeat``.
+
+    Steal only measures CPU-time theft; a co-tenant VM also contends
+    for memory bandwidth / LLC, which shows up as wall inflation at
+    near-zero steal (observed: 3x on a 16-core run at 0.79 stolen
+    cores).  This canary (bytearray slice copy = libc memcpy) read
+    before/after a timed run annotates that channel; compare against
+    the quiet-host reference recorded in BENCH/BASELINE.md.
+    """
+    src = bytearray(mb << 20)
+    dst = bytearray(mb << 20)
+    best = 0.0
+    for _ in range(repeat):
+        t0 = time.perf_counter()
+        dst[:] = src
+        dt = time.perf_counter() - t0
+        best = max(best, mb / dt)
+    return round(best, 1)

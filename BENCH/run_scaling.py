@@ -69,7 +69,7 @@ def ensure_corpus(pages: int, size_mult: int, seed: int = 42,
 def run_once(corpus: str, cores: int, tag: str,
              out_root: str = "/tmp/ocr_spark_bench",
              scratch: str = "/root/spark_scratch") -> dict:
-    from hostmeter import read_cpu, cpu_delta
+    from hostmeter import cpu_delta, membw_mbps, read_cpu
     # outputs go outside the repo tree: writing many task files under
     # /root/repo is ~5x slower in this sandbox (dir appears watched).
     # Pass --out-root/--scratch /dev/shm/... to take the single shared
@@ -82,6 +82,7 @@ def run_once(corpus: str, cores: int, tag: str,
     env = dict(os.environ, SPARK_GRAFT_CPUS=str(cores))
     env["SPARK_GRAFT_LOCAL_DIR"] = env.get("SPARK_GRAFT_LOCAL_DIR", scratch)
     os.makedirs(env["SPARK_GRAFT_LOCAL_DIR"], exist_ok=True)
+    bw0 = membw_mbps()
     cpu0 = read_cpu()
     proc = subprocess.run(
         [sys.executable, os.path.join(ROOT, "job.py"),
@@ -90,6 +91,7 @@ def run_once(corpus: str, cores: int, tag: str,
         capture_output=True, text=True, env=env, cwd=ROOT, timeout=3600,
     )
     host = cpu_delta(cpu0, read_cpu())
+    host["membw_before"], host["membw_after"] = bw0, membw_mbps()
     if proc.returncode != 0:
         sys.stderr.write(proc.stdout[-2000:] + proc.stderr[-4000:])
         raise RuntimeError(f"job failed at local[{cores}]")
@@ -98,7 +100,9 @@ def run_once(corpus: str, cores: int, tag: str,
     shutil.rmtree(out, ignore_errors=True)
     print(f"  local[{cores}] {tag}: wall={stats['wall_s']:.1f}s "
           f"docs/s={stats['docs_per_s']:.0f} GB/s={stats['gb_per_s']:.4f} "
-          f"steal_cores={host['steal_cores']:.2f}", flush=True)
+          f"steal_cores={host['steal_cores']:.2f} "
+          f"membw={host['membw_before']:.0f}/{host['membw_after']:.0f}MB/s",
+          flush=True)
     return stats
 
 

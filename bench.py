@@ -66,8 +66,11 @@ def ensure_corpus() -> str:
 
 def main() -> None:
     import __spark_entry__ as entry_mod
+    from BENCH.hostmeter import cpu_delta, read_cpu
     from ocr_spark.plans.pipeline import JobConfig, run_extraction_job
     from ocr_spark.session import get_spark
+
+    cpu_start = read_cpu()
 
     spark = get_spark("ocr_spark_bench", cores=CPUS,
                       shuffle_partitions=CPUS * 2)
@@ -109,6 +112,12 @@ def main() -> None:
               file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
+    # benchmark validity: this VM shares physical cores with a
+    # hypervisor-level co-tenant; steal_cores is the average number of
+    # cores stolen over the whole bench window (see BENCH/hostmeter.py).
+    # Readings > ~1 mean walls here are co-tenant-inflated, not engine
+    # regressions.
+    host = cpu_delta(cpu_start, read_cpu())
     print(json.dumps({
         "metric": "bench_total",
         "value": total,
@@ -122,6 +131,8 @@ def main() -> None:
         "extract_docs_per_s": round(stats["docs_per_s"], 1),
         "extract_gb_per_s": round(stats["gb_per_s"], 4),
         "extract_bytes_in": stats["bytes_in"],
+        "host_cpu": host,
+        "steal_cores": host["steal_cores"],
     }))
 
 

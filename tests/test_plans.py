@@ -161,3 +161,27 @@ def test_executor_jvm_flags_pin_heap_and_lambda_classes(spark):
         assert "-XX:G1HeapRegionSize=32m" in opts
         assert "-XX:-ClassUnloadingWithConcurrentMark" in opts
         assert "-XX:MetaspaceSize=256m" in opts
+
+
+def test_probe_skew_totals_size_the_exchange(spark, pages_parquet):
+    """probe_skew's rollup grand-total must estimate corpus docs/bytes
+    (within sampling error at fraction=1.0 it is exact), and the html
+    exchange partition count must follow bytes, not core count alone."""
+    from ocr_spark.plans.pipeline import JobConfig, prepare_pages, probe_skew
+
+    pages = prepare_pages(spark.read.parquet(pages_parquet), 16)
+    cfg = JobConfig(sample_fraction=1.0)  # exact at full fraction
+    hot, est_docs, est_bytes = probe_skew(pages, cfg)
+    truth = pages.selectExpr(
+        "count(*) n", "sum(octet_length(html)) b").collect()[0]
+    assert est_docs == truth.n
+    assert est_bytes == truth.b
+    # hot-host rows never include the rollup total marker
+    assert all(h is not None for h, _ in hot)
+    # sizing rule: bytes/256MB bounded below by configured parallelism
+    par = 8
+    expect = max(par, -(-est_bytes // cfg.exchange_partition_bytes))
+    assert expect == par  # tiny corpus -> parallelism floor wins
+    big = JobConfig(exchange_partition_bytes=1 << 10)  # 1KB target
+    n = max(par, -(-est_bytes // big.exchange_partition_bytes))
+    assert n > par  # bytes rule takes over when data outgrows cores
