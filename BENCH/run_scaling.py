@@ -126,21 +126,36 @@ def main() -> None:
                                           boiler_mult=args.boiler_mult)
 
     results: dict[int, list[dict]] = {args.low: [], args.high: []}
+    attempts_log: dict[int, list[dict]] = {args.low: [], args.high: []}
     for i in range(args.runs):
         # alternate so drift (thermal, page cache) hits both levels evenly
         for cores in (args.high, args.low):
             # hypervisor-steal gate (see hostmeter.py): a run whose
             # window saw the co-tenant steal more than STEAL_GATE cores
-            # is re-run (bounded retries); all attempts are recorded.
+            # is re-run (bounded retries); every attempt is persisted.
+            attempts: list[dict] = []
             for attempt in range(args.max_retries + 1):
                 r = run_once(corpus, cores, f"c{cores}r{i}a{attempt}",
                              args.out_root, args.scratch)
+                attempts.append(r)
                 sc = r["host_cpu"]["steal_cores"]
                 if sc <= args.steal_gate:
                     break
                 print(f"    steal_cores={sc:.2f} > gate "
                       f"{args.steal_gate} -> rerun", flush=True)
-            results[cores].append(r)
+            # count the least-contaminated attempt for this run slot —
+            # min steal, then min wall (steal/membw contention only ever
+            # SLOWS a run, so at equal steal the faster attempt is the
+            # closer-to-truth one).  Earlier code counted whatever
+            # attempt came last, letting a dirty final retry poison the
+            # median while its cleaner predecessors were discarded.
+            best = min(attempts,
+                       key=lambda a: (a["host_cpu"]["steal_cores"],
+                                      a["wall_s"]))
+            for a in attempts:
+                a["counted"] = a is best
+            results[cores].append(best)
+            attempts_log[cores].extend(attempts)
 
     def med(cores: int, key: str) -> float:
         return statistics.median(r[key] for r in results[cores])
@@ -169,6 +184,7 @@ def main() -> None:
         "target": 0.8,
         "pass": eff >= 0.8,
         "all_runs": {str(c): rs for c, rs in results.items()},
+        "all_attempts": {str(c): rs for c, rs in attempts_log.items()},
     }
     os.makedirs(BENCH_DIR, exist_ok=True)
     with open(os.path.join(BENCH_DIR, "scaling.json"), "w") as f:
