@@ -106,6 +106,32 @@ def run_once(corpus: str, cores: int, tag: str,
     return stats
 
 
+def wait_quiet(gate_cores: float, max_wait_s: int,
+               window_s: float = 20.0) -> None:
+    """Poll hypervisor steal in ``window_s`` windows; return once a
+    window reads below ``gate_cores`` or ``max_wait_s`` elapses (then
+    launch anyway — the post-run gate still applies).  Launching into a
+    known-busy burst wastes a full run; the neighbor's bursts run
+    minutes, its quiet stretches longer."""
+    from hostmeter import read_cpu, steal_cores
+
+    if max_wait_s <= 0:
+        return
+    t0 = time.time()
+    while True:
+        before = read_cpu()
+        time.sleep(window_s)
+        sc = steal_cores(before, read_cpu())
+        if sc <= gate_cores:
+            return
+        waited = time.time() - t0
+        print(f"    wait_quiet: steal={sc:.2f} cores > gate "
+              f"{gate_cores:.2f} ({waited:.0f}s waited)", flush=True)
+        if waited >= max_wait_s:
+            print("    wait_quiet: timeout, launching anyway", flush=True)
+            return
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--pages", type=int, default=100000)
@@ -117,9 +143,21 @@ def main() -> None:
     ap.add_argument("--corpus", help="pre-built pages parquet (skips synth)")
     ap.add_argument("--out-root", default="/tmp/ocr_spark_bench")
     ap.add_argument("--scratch", default="/root/spark_scratch")
-    ap.add_argument("--steal-gate", type=float, default=0.75,
-                    help="max avg hypervisor-stolen cores for a run to count")
+    ap.add_argument("--steal-gate", type=float, default=None,
+                    help="max avg hypervisor-stolen cores for a run to "
+                         "count (flat; legacy — prefer --steal-frac-gate)")
+    ap.add_argument("--steal-frac-gate", type=float, default=0.08,
+                    help="max stolen fraction of the cores under test "
+                         "(steal ticks accrue only on runnable vCPUs, so "
+                         "a flat core gate hits local[4] 4x harder than "
+                         "local[16]; the fraction gate is symmetric)")
     ap.add_argument("--max-retries", type=int, default=2)
+    ap.add_argument("--wait-quiet-s", type=int, default=900,
+                    help="before each attempt, poll hypervisor steal in "
+                         "20s windows up to this long and launch only "
+                         "once a window is below the gate (0 = launch "
+                         "immediately); avoids burning a 10-minute run "
+                         "during a known-busy neighbor burst")
     args = ap.parse_args()
 
     corpus = args.corpus or ensure_corpus(args.pages, args.size_mult,
@@ -133,16 +171,19 @@ def main() -> None:
             # hypervisor-steal gate (see hostmeter.py): a run whose
             # window saw the co-tenant steal more than STEAL_GATE cores
             # is re-run (bounded retries); every attempt is persisted.
+            gate = (args.steal_gate if args.steal_gate is not None
+                    else args.steal_frac_gate * cores)
             attempts: list[dict] = []
             for attempt in range(args.max_retries + 1):
+                wait_quiet(gate, args.wait_quiet_s)
                 r = run_once(corpus, cores, f"c{cores}r{i}a{attempt}",
                              args.out_root, args.scratch)
                 attempts.append(r)
                 sc = r["host_cpu"]["steal_cores"]
-                if sc <= args.steal_gate:
+                if sc <= gate:
                     break
                 print(f"    steal_cores={sc:.2f} > gate "
-                      f"{args.steal_gate} -> rerun", flush=True)
+                      f"{gate:.2f} -> rerun", flush=True)
             # count the least-contaminated attempt for this run slot —
             # min steal, then min wall (steal/membw contention only ever
             # SLOWS a run, so at equal steal the faster attempt is the
