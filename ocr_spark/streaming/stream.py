@@ -30,7 +30,7 @@ from pyspark.sql import types as T
 from ocr_spark.operators.extract import extract_pages
 
 __all__ = ["PAGES_SCHEMA", "read_pages_stream", "extract_stream",
-           "windowed_lineage", "run_stream_to_parquet"]
+           "windowed_lineage", "run_stream_to_parquet", "sessionize_stream"]
 
 PAGES_SCHEMA = T.StructType(
     [
@@ -88,6 +88,76 @@ def windowed_lineage(extracted: DataFrame, window: str = "1 hour",
             F.col("w.end").alias("window_end"),
             "status", "n_docs", "bytes_in", "bytes_out",
         )
+    )
+
+
+def sessionize_stream(events: DataFrame, gap_s: int = 1800,
+                      user_col: str = "user_id",
+                      ts_col: str = "ts") -> DataFrame:
+    """Custom stateful streaming operator: gap-based sessionization via
+    ``applyInPandasWithState`` — the arbitrary-state surface the built-in
+    windowed aggregations can't express (per-key session state carried
+    ACROSS micro-batches; a session spanning two batches is stitched,
+    not split).
+
+    Semantics match the batch ``q_sessionize`` walk: events per user in
+    event-time order; a gap > ``gap_s`` closes the current session.
+    Closed sessions are EMITTED (append mode); the trailing open session
+    per user stays in state and is emitted only once a later event
+    closes it.  On an unbounded production stream an idle-user flush
+    would add a processing-time timeout; bounded runs (availableNow)
+    deliberately leave final open sessions in state so emitted rows are
+    exactly the deterministically-closed ones.
+
+    State per user: (session_start, last_ts, n_events) — O(1) bytes per
+    key regardless of history length, the property that lets this run
+    over an unbounded stream where the batch window (which needs the
+    full per-user history in one sort) cannot.
+
+    Output: (user_id, session_start, session_end, n_events), epoch
+    seconds."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    ev = events.select(
+        F.col(user_col).cast("long").alias("user_id"),
+        F.col(ts_col).cast("timestamp").cast("long").alias("ts_s"),
+    )
+
+    def fn(key, pdfs, state):
+        import pandas as pd
+
+        ts = []
+        for pdf in pdfs:
+            ts.extend(int(t) for t in pdf["ts_s"] if t is not None)
+        ts.sort()
+        if state.exists:
+            start, last, n = state.get
+        else:
+            start, last, n = None, None, 0
+        out = []
+        for t in ts:
+            if start is None:
+                start, last, n = t, t, 1
+            elif t - last > gap_s:
+                out.append((key[0], start, last, n))
+                start, last, n = t, t, 1
+            else:
+                last, n = t, n + 1
+        if start is not None:
+            state.update((start, last, n))
+        yield pd.DataFrame(
+            out, columns=["user_id", "session_start", "session_end",
+                          "n_events"],
+        ).astype({"user_id": "int64", "session_start": "int64",
+                  "session_end": "int64", "n_events": "int64"})
+
+    return ev.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=("user_id long, session_start long, "
+                          "session_end long, n_events long"),
+        stateStructType="session_start long, last_ts long, n_events long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )
 
 

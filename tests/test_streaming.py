@@ -2,12 +2,13 @@
 byte-identical extracted text to the batch kernel, and windowed
 lineage must reconcile with batch counters."""
 
+import os
 import shutil
 
 from ocr_spark.extractor.core import extract_bytes
 from ocr_spark.streaming.stream import (
     read_pages_stream, run_stream_to_parquet, extract_stream,
-    windowed_lineage,
+    windowed_lineage, sessionize_stream,
 )
 
 
@@ -70,3 +71,59 @@ def test_stream_windowed_lineage_reconciles(spark, pages_parquet, tmp_path):
     )
     batch_n = spark.read.parquet(pages_parquet).count()
     assert stream_totals == batch_n
+
+
+def test_stateful_sessionize_stitches_across_microbatches(spark, tmp_path):
+    """applyInPandasWithState sessionization: per-user session state
+    must survive the micro-batch boundary (a session whose events are
+    split across two files/batches is ONE session), and only closed
+    sessions are emitted (append mode)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = tmp_path / "ev_src"
+    src.mkdir()
+
+    def write(name, rows, mtime):
+        tbl = pa.table({
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows],
+                           pa.timestamp("us", tz="UTC")),
+        })
+        p = str(src / name)
+        pq.write_table(tbl, p)
+        os.utime(p, (mtime, mtime))
+
+    base = 1_700_000_000 * 1_000_000  # epoch us
+    s = lambda sec: base + sec * 1_000_000
+    # batch 1: user 1 session A begins (ts 0, 100); user 2 lone event
+    write("f1.parquet", [(1, s(0)), (1, s(100)), (2, s(0))], 1_700_000_000)
+    # batch 2: ts 200 CONTINUES session A across the batch boundary,
+    # ts 5000 closes it (gap > 1800); user 2's ts 10000 closes their
+    # first session.  Trailing opens (1@5000, 2@10000) must NOT emit.
+    write("f2.parquet", [(1, s(200)), (1, s(5000)), (2, s(10000))],
+          1_700_001_000)
+
+    ev = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        sessionize_stream(ev, gap_s=1800)
+        .writeStream.format("memory").queryName("sess")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sess"))
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.sql("SELECT * FROM sess").collect()
+    }
+    t0 = 1_700_000_000
+    assert got == {
+        (1, t0, t0 + 200, 3),   # stitched across batches, closed by 5000
+        (2, t0, t0, 1),         # closed by 10000
+    }
+    # two micro-batches actually ran (the boundary was real)
+    assert len(q.recentProgress) >= 2
