@@ -340,6 +340,56 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals (dup-token / top-bigram /
+    dup-line ratios) — per-row map-side expressions, no shuffle."""
+    from ocr_spark.functions.quality import with_repetition_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return with_repetition_stats(docs).select(
+        "doc_id", "dup_token_ratio", "top_bigram_ratio", "dup_line_ratio",
+    )
+
+
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite keep/drop quality filter (C4/Gopher rule family) with
+    per-document drop_reason taxonomy."""
+    from ocr_spark.functions.quality import with_quality_filter
+
+    docs = _t(spark, sf_dir, "documents")
+    return with_quality_filter(docs).select(
+        "doc_id", "n_tokens", "dup_token_ratio", "top_bigram_ratio",
+        "keep", "drop_reason",
+    )
+
+
+# Deterministic PII injection for the scrub query: the synthetic corpus
+# carries no PII, so doc_id % 4 appends a known email / IPv4 / phone
+# (same augmentation pattern as lang_id_cjk; the DuckDB oracle applies
+# the identical CASE).
+PII_SAMPLES = {
+    0: " contact alice.smith@example-corp.com today",
+    1: " server at 192.168.101.7 responded",
+    2: " call +1 (415) 555-0173 now",
+}
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII count + redaction (emails -> IPs -> phones, order is part of
+    the contract) over deterministically augmented documents."""
+    from ocr_spark.functions.scrub import with_pii_scrub
+
+    docs = _t(spark, sf_dir, "documents")
+    aug = F.col("text")
+    for k, s in PII_SAMPLES.items():
+        aug = F.when(F.col("doc_id") % 4 == k,
+                     F.concat(F.col("text"), F.lit(s))).otherwise(aug)
+    docs = docs.withColumn("text", aug)
+    return with_pii_scrub(docs).select(
+        "doc_id", "n_email", "n_ip", "n_phone", "scrubbed",
+    )
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ocr_spark.functions.text import with_lang_id
 
@@ -615,6 +665,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk,
         "ann_topk": q_ann_topk,
         "text_stats": q_text_stats,
+        "repetition_stats": q_repetition_stats,
+        "quality_filter": q_quality_filter,
+        "pii_scrub": q_pii_scrub,
         "lang_id": q_lang_id,
         "lang_id_cjk": q_lang_id_cjk,
         "fingerprint": q_fingerprint,
@@ -749,6 +802,119 @@ def _lang_id_cjk_sql() -> str:
               ELSE len(string_split_regex(trim({non_cjk}), '\\s+')) END
          + n_cjk) AS n_tokens
       FROM sc
+    """
+
+
+def _repetition_frags() -> dict[str, str]:
+    """Shared DuckDB fragments for the repetition-signal oracles.
+    Semantics must mirror ocr_spark.functions.quality exactly: same
+    tokenization, same empty-input guards, same round(...,4)."""
+    toks = "string_split_regex(trim(text), '\\s+')"
+    lines = "list_filter(str_split(text, chr(10)), x -> len(trim(x)) > 0)"
+    return {
+        "grams": (
+            f"CASE WHEN len(trim(text)) > 0 AND len({toks}) >= 2 THEN "
+            f"list_transform(range(1, len({toks})), "
+            f"i -> {toks}[i] || ' ' || {toks}[i+1]) "
+            f"ELSE [] END"
+        ),
+        "dup_tok": (
+            f"CASE WHEN len(trim(text)) = 0 THEN 0.0 ELSE "
+            f"round(1 - len(list_distinct({toks})) / len({toks}), 4) END"
+        ),
+        # max element frequency via distinct x count — O(distinct*n)
+        # per doc, fine at oracle scale; the engine's sorted run-length
+        # fold is the scale-path equivalent
+        "top_bigram": (
+            "CASE WHEN len(g) > 0 THEN round(list_max("
+            "list_transform(list_distinct(g), "
+            "x -> len(list_filter(g, y -> y = x)))) / len(g), 4) "
+            "ELSE 0.0 END"
+        ),
+        "dup_line": (
+            f"CASE WHEN len({lines}) > 0 THEN "
+            f"round(1 - len(list_distinct({lines})) / len({lines}), 4) "
+            f"ELSE 0.0 END"
+        ),
+        "toks": toks,
+    }
+
+
+def _repetition_stats_sql() -> str:
+    f = _repetition_frags()
+    return f"""
+      WITH t AS (SELECT doc_id, text, {f['grams']} AS g FROM documents)
+      SELECT doc_id,
+        {f['dup_tok']} AS dup_token_ratio,
+        {f['top_bigram']} AS top_bigram_ratio,
+        {f['dup_line']} AS dup_line_ratio
+      FROM t
+    """
+
+
+def _quality_filter_sql() -> str:
+    """DuckDB twin of quality.with_quality_filter; thresholds imported
+    from QUALITY_THRESHOLDS so engine and oracle cannot drift."""
+    from ocr_spark.functions.quality import QUALITY_THRESHOLDS as q
+
+    f = _repetition_frags()
+    toks = f["toks"]
+    compact = "regexp_replace(text, '\\s', '', 'g')"
+    avg_len = (f"CASE WHEN len({toks}) > 0 THEN "
+               f"round(length({compact}) / len({toks}), 4) ELSE 0.0 END")
+    na_ratio = (f"CASE WHEN length({compact}) > 0 THEN "
+                f"round(length(regexp_replace({compact}, '[A-Za-z0-9]', '', 'g'))"
+                f" / length({compact}), 4) ELSE 0.0 END")
+    return f"""
+      WITH t AS (SELECT doc_id, text, {f['grams']} AS g FROM documents),
+      s AS (
+        SELECT doc_id,
+          CASE WHEN len(trim(text)) = 0 THEN 0 ELSE len({toks}) END AS n_tokens,
+          {avg_len} AS avg_token_len,
+          {na_ratio} AS non_alnum_ratio,
+          {f['dup_tok']} AS dup_token_ratio,
+          {f['top_bigram']} AS top_bigram_ratio,
+          {f['dup_line']} AS dup_line_ratio
+        FROM t),
+      r AS (
+        SELECT *,
+          CASE WHEN n_tokens < {q['min_tokens']} THEN 'too_short'
+               WHEN n_tokens > {q['max_tokens']} THEN 'too_long'
+               WHEN avg_token_len < {q['min_avg_token_len']}
+                 OR avg_token_len > {q['max_avg_token_len']} THEN 'token_len'
+               WHEN non_alnum_ratio > {q['max_non_alnum_ratio']} THEN 'symbol_noise'
+               WHEN dup_token_ratio > {q['max_dup_token_ratio']} THEN 'repetitive_tokens'
+               WHEN top_bigram_ratio > {q['max_top_bigram_ratio']} THEN 'repetitive_bigrams'
+               WHEN dup_line_ratio > {q['max_dup_line_ratio']} THEN 'repetitive_lines'
+               ELSE 'ok' END AS drop_reason
+        FROM s)
+      SELECT doc_id, n_tokens, dup_token_ratio, top_bigram_ratio,
+             CASE WHEN drop_reason = 'ok' THEN 1 ELSE 0 END AS keep,
+             drop_reason
+      FROM r
+    """
+
+
+def _pii_scrub_sql() -> str:
+    """DuckDB twin of q_pii_scrub: identical injection CASE, identical
+    pattern text (PII_PATTERNS is written in the Java/RE2-common regex
+    subset precisely so both engines run the same strings), identical
+    redaction order."""
+    from ocr_spark.functions.scrub import PII_PATTERNS
+
+    cases = " ".join(
+        f"WHEN {k} THEN text || '{s}'" for k, s in PII_SAMPLES.items())
+    counts = ", ".join(
+        f"len(regexp_extract_all(text, '{pat}')) AS n_{name}"
+        for name, pat, _ in PII_PATTERNS)
+    scrub = "text"
+    for _, pat, repl in PII_PATTERNS:
+        scrub = f"regexp_replace({scrub}, '{pat}', '{repl}', 'g')"
+    return f"""
+      WITH aug AS (
+        SELECT doc_id, CASE doc_id % 4 {cases} ELSE text END AS text
+        FROM documents)
+      SELECT doc_id, {counts}, {scrub} AS scrubbed FROM aug
     """
 
 
@@ -1017,6 +1183,9 @@ def oracle_sql() -> dict[str, str]:
                 THEN 0.3 ELSE 0.0 END), 4) AS DOUBLE) AS quality_score
           FROM documents
         """,
+        "repetition_stats": _repetition_stats_sql(),
+        "quality_filter": _quality_filter_sql(),
+        "pii_scrub": _pii_scrub_sql(),
         "lang_id": f"""
           WITH c AS (
             SELECT doc_id,

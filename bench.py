@@ -42,7 +42,8 @@ BENCH_QUERIES = [
     "dedup_keep_latest", "minhash_lsh_pairs", "ngram_jaccard",
     "lsh_jaccard", "simhash_near_dup", "embed_near_dup",
     "embed_near_dup_lsh", "cosine_topk", "ann_topk",
-    "text_stats", "lang_id", "lang_id_cjk", "fingerprint", "token_count",
+    "text_stats", "repetition_stats", "quality_filter", "pii_scrub",
+    "lang_id", "lang_id_cjk", "fingerprint", "token_count",
     "media_decode", "frame_sample",
     "pricing_summary", "top_customers", "regional_revenue", "json_extract",
     "running_window", "sessionize",

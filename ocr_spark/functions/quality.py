@@ -1,0 +1,169 @@
+"""Repetition statistics and a composite document-quality filter for
+webtext training-data curation (Gopher/C4-style rules, re-expressed as
+Spark built-ins).
+
+Public heuristics only: the rule family (token-count bounds, mean word
+length, symbol ratio, duplicate-line / duplicate-token / top-n-gram
+repetition caps) follows the published web-corpus filtering literature
+(Rae et al. 2021 "Scaling Language Models" appendix A1.1; Raffel et
+al. 2020 C4).  Thresholds here are constants tuned to be meaningful on
+the synthetic corpus; a production run would sweep them per-corpus.
+
+Everything is built-in ``pyspark.sql.functions`` — JVM-side, no Python
+in the plan.  The only non-codegen pieces are higher-order-function
+folds (``aggregate``/``filter``), which still evaluate inside the JVM
+expression interpreter, per-row, with no shuffle and no Arrow hop.
+
+Scale notes (100 TB):
+- All stats are per-row map-side expressions: zero shuffles, fully
+  pipelined with the scan, safe at any corpus size.
+- ``top_bigram_ratio`` sorts each document's bigram array once
+  (O(n log n) per doc in the JVM) and run-length-scans it with one
+  ``aggregate`` fold — no per-document group-by, no explode.  This is
+  the shape that survives a 100x scale-up: the alternative
+  explode->groupBy(doc, gram) plan shuffles one row per bigram
+  (~corpus token count) which is exactly the blow-up the per-row fold
+  avoids.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ocr_spark.functions.text import tokens, with_text_stats
+
+__all__ = [
+    "word_bigrams_all", "max_sorted_run", "with_repetition_stats",
+    "with_quality_filter", "QUALITY_THRESHOLDS",
+]
+
+# Rule thresholds for the composite filter.  Closed, documented set —
+# the DuckDB oracle in __spark_entry__ re-derives from these exact
+# values (imported, not copied), so engine and oracle cannot drift.
+QUALITY_THRESHOLDS = {
+    "min_tokens": 20,
+    "max_tokens": 100_000,
+    "min_avg_token_len": 2.0,
+    "max_avg_token_len": 12.0,
+    "max_non_alnum_ratio": 0.3,
+    "max_dup_token_ratio": 0.65,
+    "max_top_bigram_ratio": 0.12,
+    "max_dup_line_ratio": 0.3,
+}
+
+
+def word_bigrams_all(col: str | Column) -> Column:
+    """ALL word bigrams (space-joined, duplicates kept — unlike
+    ``text.word_shingles`` which is distinct-only, this feeds frequency
+    counting).  Documents with fewer than 2 tokens yield an empty
+    array.  CASE WHEN short-circuits per row in codegen, so the
+    negative-length slice in the n<2 branch never evaluates (same
+    pattern as ``text.word_shingles``)."""
+    toks = tokens(col)
+    n = F.size(toks)
+    cnt = n - 1
+    grams = F.zip_with(
+        F.slice(toks, 1, cnt), F.slice(toks, 2, cnt),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    return F.when(n >= 2, grams).otherwise(F.array().cast("array<string>"))
+
+
+def max_sorted_run(arr: Column) -> Column:
+    """Length of the longest run of equal adjacent elements in a SORTED
+    string array (= the max element frequency of the unsorted array) via
+    one ``aggregate`` fold.  Empty array -> 0.  The "" sentinel for the
+    initial prev is safe: callers pass space-joined bigrams, which are
+    never empty strings."""
+    step = lambda acc, x: F.struct(
+        x.alias("prev"),
+        F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+        F.greatest(
+            acc["best"],
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+        ).alias("best"),
+    )
+    init = F.struct(
+        F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+    )
+    return F.aggregate(arr, init, step, lambda acc: acc["best"])
+
+
+def with_repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Repetition signals, all per-row map-side expressions:
+
+    - ``dup_token_ratio``: 1 - distinct_tokens/total_tokens (type-token
+      ratio complement); 0.0 for empty text.
+    - ``top_bigram_ratio``: occurrences of the most frequent word
+      bigram / total bigrams; 0.0 below 2 tokens.
+    - ``dup_line_ratio``: 1 - distinct/total over non-blank lines; 0.0
+      for single-line or blank documents it is 0 only when no line
+      repeats (a one-line doc has ratio 0).
+
+    All ratios rounded to 4 places (hash-stable vs the DuckDB oracle).
+    """
+    toks = tokens(text_col)
+    n_tok = F.size(toks)
+    dup_tok = F.when(
+        n_tok > 0,
+        F.round(F.lit(1) - F.size(F.array_distinct(toks)) / n_tok, 4),
+    ).otherwise(F.lit(0.0))
+
+    grams = F.array_sort(word_bigrams_all(text_col))
+    n_grams = F.size(grams)
+    top_bigram = F.when(
+        n_grams > 0, F.round(max_sorted_run(grams) / n_grams, 4)
+    ).otherwise(F.lit(0.0))
+
+    lines = F.filter(
+        F.split(F.col(text_col), "\n"),
+        lambda ln: F.length(F.trim(ln)) > 0,
+    )
+    n_lines = F.size(lines)
+    dup_line = F.when(
+        n_lines > 0,
+        F.round(F.lit(1) - F.size(F.array_distinct(lines)) / n_lines, 4),
+    ).otherwise(F.lit(0.0))
+
+    return (
+        df.withColumn("dup_token_ratio", dup_tok)
+        .withColumn("top_bigram_ratio", top_bigram)
+        .withColumn("dup_line_ratio", dup_line)
+    )
+
+
+def with_quality_filter(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Composite keep/drop decision over the text-stats + repetition
+    signals.  Adds ``drop_reason`` (first failing rule in a fixed
+    priority order; 'ok' when kept) and ``keep`` (int 0/1 — int, not
+    boolean, so the cross-engine value hash is representation-stable).
+
+    Rule order is part of the contract (a doc failing several rules
+    reports the highest-priority one): too_short, too_long, token_len,
+    symbol_noise, repetitive_tokens, repetitive_bigrams,
+    repetitive_lines.
+    """
+    t = QUALITY_THRESHOLDS
+    out = with_repetition_stats(with_text_stats(df, text_col), text_col)
+    reason = (
+        F.when(F.col("n_tokens") < t["min_tokens"], F.lit("too_short"))
+        .when(F.col("n_tokens") > t["max_tokens"], F.lit("too_long"))
+        .when(
+            (F.col("avg_token_len") < t["min_avg_token_len"])
+            | (F.col("avg_token_len") > t["max_avg_token_len"]),
+            F.lit("token_len"),
+        )
+        .when(F.col("non_alnum_ratio") > t["max_non_alnum_ratio"],
+              F.lit("symbol_noise"))
+        .when(F.col("dup_token_ratio") > t["max_dup_token_ratio"],
+              F.lit("repetitive_tokens"))
+        .when(F.col("top_bigram_ratio") > t["max_top_bigram_ratio"],
+              F.lit("repetitive_bigrams"))
+        .when(F.col("dup_line_ratio") > t["max_dup_line_ratio"],
+              F.lit("repetitive_lines"))
+        .otherwise(F.lit("ok"))
+    )
+    return out.withColumn("drop_reason", reason).withColumn(
+        "keep", (F.col("drop_reason") == "ok").cast("int")
+    )

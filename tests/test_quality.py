@@ -1,0 +1,115 @@
+"""Unit tests for the repetition/quality-filter family
+(ocr_spark.functions.quality) against hand-computed values.
+
+Cross-engine value parity at sf0.01 is covered by
+tests/test_oracle_parity.py, which auto-parametrizes over every
+oracle_sql() entry (repetition_stats, quality_filter included).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_spark.functions.quality import (QUALITY_THRESHOLDS, max_sorted_run,
+                                         with_quality_filter,
+                                         with_repetition_stats)
+
+
+def _rep(spark, text):
+    df = spark.createDataFrame([(text,)], "text string")
+    return with_repetition_stats(df).select(
+        "dup_token_ratio", "top_bigram_ratio", "dup_line_ratio"
+    ).first()
+
+
+def test_repetition_hand_computed(spark):
+    r = _rep(spark, "a b a b a b")
+    # 6 tokens, 2 distinct -> 1 - 2/6; bigrams: ab,ba,ab,ba,ab -> 3/5
+    assert r.dup_token_ratio == pytest.approx(0.6667)
+    assert r.top_bigram_ratio == pytest.approx(0.6)
+    assert r.dup_line_ratio == 0.0
+
+
+def test_repetition_lines_raw_not_trimmed(spark):
+    # 4 non-blank lines, ' x ' != 'x' (raw line identity), 3 distinct
+    r = _rep(spark, "x\ny\nx\n\n x ")
+    assert r.dup_line_ratio == pytest.approx(0.25)
+
+
+@pytest.mark.parametrize("text", ["", "   ", "word"])
+def test_repetition_degenerate_inputs(spark, text):
+    r = _rep(spark, text)
+    assert (r.dup_token_ratio, r.top_bigram_ratio, r.dup_line_ratio) == (
+        0.0, 0.0, 0.0)
+
+
+def test_max_sorted_run(spark):
+    df = spark.range(1).select(
+        max_sorted_run(F.array(*[F.lit(x) for x in
+                                 ["a", "a", "b", "c", "c", "c"]])).alias("m"),
+        max_sorted_run(F.array().cast("array<string>")).alias("empty"),
+        max_sorted_run(F.array(F.lit("z"))).alias("one"),
+    ).first()
+    assert (df.m, df.empty, df.one) == (3, 0, 1)
+
+
+def _reason(spark, text):
+    df = spark.createDataFrame([(text,)], "text string")
+    row = with_quality_filter(df).select("keep", "drop_reason").first()
+    return row.keep, row.drop_reason
+
+
+def test_quality_filter_reasons(spark):
+    t = QUALITY_THRESHOLDS
+    assert _reason(spark, "only five short words here") == (0, "too_short")
+    long_word = "pneumonoultramicroscopicsilicovolcanoconiosis"
+    assert _reason(spark, (long_word + " ") * 25) == (0, "token_len")
+    assert _reason(spark, "$$$ %%% ^^^ &&& ((( " * 5) == (0, "symbol_noise")
+    # 30x the same 2-char token: avg_token_len = 2.0 passes, dup fires
+    assert _reason(spark, "ab " * 30) == (0, "repetitive_tokens")
+    # distinct-enough tokens but one hot bigram: 30 unique + 6x "zz yy"
+    uniq = " ".join(f"w{i:02d}" for i in range(30))
+    keep, reason = _reason(spark, uniq + " zz yy" * 6)
+    assert (keep, reason) == (0, "repetitive_bigrams")
+    # repeated LINE but low token/bigram repetition: L1 L2 L1
+    l1 = " ".join(f"aa{i}" for i in range(8))
+    l2 = " ".join(f"bb{i}" for i in range(8))
+    keep, reason = _reason(spark, f"{l1}\n{l2}\n{l1}")
+    assert (keep, reason) == (0, "repetitive_lines")
+    good = " ".join(f"tok{i:03d}" for i in range(t["min_tokens"] + 5))
+    assert _reason(spark, good) == (1, "ok")
+
+
+def test_pii_scrub(spark):
+    from ocr_spark.functions.scrub import with_pii_scrub
+
+    text = ("mail bob@example.com or b.c-d+x@sub.domain.org, "
+            "host 10.0.255.1, call +49 (30) 1234-567 soon")
+    df = spark.createDataFrame([(text,)], "text string")
+    r = with_pii_scrub(df).first()
+    assert (r.n_email, r.n_ip, r.n_phone) == (2, 1, 1)
+    assert r.scrubbed == ("mail <EMAIL> or <EMAIL>, "
+                          "host <IP>, call <PHONE> soon")
+
+
+def test_pii_scrub_order_protects_emails_and_ips(spark):
+    from ocr_spark.functions.scrub import with_pii_scrub
+
+    # the email's domain digits and the IP's dotted quad must not be
+    # half-eaten by the phone pattern (redaction order contract)
+    df = spark.createDataFrame(
+        [("a1.2.3.4b no-match 192.168.0.1 x9@42.co",)], "text string")
+    r = with_pii_scrub(df).first()
+    assert r.n_ip == 1  # a1.2.3.4b has no word boundary match
+    assert "<IP>" in r.scrubbed and "<EMAIL>" in r.scrubbed
+    assert "<PHONE>" not in r.scrubbed
+
+
+def test_quality_filter_splits_documents_table(spark):
+    """On the sf0.001 documents table the filter must be non-trivial:
+    both classes present (a filter that keeps or drops everything
+    proves nothing)."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    counts = dict(
+        with_quality_filter(docs).groupBy("keep").count().collect()
+    )
+    assert set(counts) == {0, 1}
