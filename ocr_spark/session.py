@@ -90,8 +90,19 @@ def get_spark(app: str = "ocr_spark", cores: int | None = None,
         # local mode: the driver JVM is the executor; -Xms pins the
         # heap (Spark passes only -Xmx to the driver — see GC_JVM_OPTS
         # pathology #1; executors get -Xms=-Xmx from Spark itself)
-        builder = builder.config("spark.driver.extraJavaOptions",
-                                 f"-Xms{heap} {GC_JVM_OPTS}")
+        # Size every JVM-internal pool (GC workers, JIT compiler
+        # threads, common ForkJoin) to the parallelism actually
+        # requested, not the host's logical-CPU count: on this 32-lcpu
+        # host a local[16] JVM otherwise spins ~23 parallel GC workers
+        # plus compiler threads, and under the allocation-heavy html
+        # workload the surplus threads overflow task threads onto SMT
+        # siblings (measured: user-CPU per identical run inflates ~1.6x
+        # at local[16] vs local[4]).  On a real cluster Spark sizes
+        # executor JVMs with the same intent via cores-per-executor.
+        builder = builder.config(
+            "spark.driver.extraJavaOptions",
+            f"-Xms{heap} {GC_JVM_OPTS}"
+            + (f" -XX:ActiveProcessorCount={cores}" if cores else ""))
     builder = builder.config("spark.executor.extraJavaOptions", GC_JVM_OPTS)
     if os.environ.get("SPARK_GRAFT_LOCAL_DIR"):
         builder = builder.config("spark.local.dir",
