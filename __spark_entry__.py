@@ -235,6 +235,21 @@ def q_lsh_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                              shingle_k=3, threshold=0.5)
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs -> clusters: MinHash-LSH candidates fed through alternating
+    large-star/small-star connected components (Kiveris et al., SoCC
+    2014), labeling every doc in the near-dup population with the min
+    doc_id of its duplicate cluster plus the cluster size.  This is the
+    step an actual 100-TB dedup run ends with — keep doc_id ==
+    cluster_id, drop the rest.  Oracled in DuckDB by a recursive-CTE
+    transitive closure over the same LSH candidate edges."""
+    from ocr_spark.operators.dedup import near_dup_clusters
+
+    docs = _docs_with_near_dups(spark, sf_dir)
+    return near_dup_clusters(docs, "doc_id", "text",
+                             n_hashes=16, bands=8, shingle_k=3)
+
+
 def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup with the md5-derived 60-bit token hash, fully
     value-oracled: DuckDB re-derives the same simhash from
@@ -658,6 +673,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "ngram_jaccard": q_ngram_jaccard,
         "lsh_jaccard": q_lsh_jaccard,
+        "dedup_clusters": q_dedup_clusters,
         "simhash_near_dup": q_simhash_near_dup,
         "embed_near_dup": q_embed_near_dup,
         "embed_near_dup_lsh": q_embed_near_dup_lsh,
@@ -1062,6 +1078,47 @@ def oracle_sql() -> dict[str, str]:
         WHERE len(list_intersect(a.shl, b.shl))
               / (len(a.shl) + len(b.shl) - len(list_intersect(a.shl, b.shl)))
               >= 0.5
+        """,
+        # clusters = transitive closure over the SAME LSH candidate
+        # edges the engine feeds to connected components; min reachable
+        # id == the star-algorithm label, closed-form in a recursive CTE
+        "dedup_clusters": near_dup_union.replace(
+            "WITH base AS", "WITH RECURSIVE base AS", 1
+        ) + f"""
+        , tok AS (SELECT doc_id, text, {toks} AS toksl FROM base)
+        , sh AS (SELECT doc_id, {shingles_col} AS shl FROM tok)
+        , sigs AS (
+          SELECT doc_id,
+            list_transform(range(0, 16),
+              i -> list_min(list_transform(shl,
+                     s -> md5(i::VARCHAR || '|' || s)))) AS sig
+          FROM sh WHERE len(shl) > 0
+        ), banded AS (
+          SELECT doc_id, b.band,
+            array_to_string(sig[b.band * 2 + 1 : b.band * 2 + 2], '') AS band_sig
+          FROM sigs, (SELECT unnest(range(0, 8)) AS band) b
+        ), cand AS (
+          SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+          FROM banded l JOIN banded r
+            ON l.band = r.band AND l.band_sig = r.band_sig
+           AND l.doc_id < r.doc_id
+        ), edges AS (
+          SELECT id_a AS s, id_b AS d FROM cand
+          UNION
+          SELECT id_b AS s, id_a AS d FROM cand
+        ), reach(node, x) AS (
+          SELECT s, s FROM edges
+          UNION
+          SELECT reach.node, e.d FROM reach JOIN edges e ON reach.x = e.s
+        ), labels AS (
+          SELECT node, min(x) AS cluster_id FROM reach GROUP BY node
+        ), assign AS (
+          SELECT b.doc_id, coalesce(l.cluster_id, b.doc_id) AS cluster_id
+          FROM base b LEFT JOIN labels l ON b.doc_id = l.node
+        )
+        SELECT doc_id, cluster_id,
+               count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+        FROM assign
         """,
         "ngram_jaccard": near_dup_union + f"""
         , tok AS (SELECT doc_id, text, {toks} AS toksl FROM base)

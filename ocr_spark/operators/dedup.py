@@ -33,6 +33,7 @@ __all__ = [
     "lsh_bucket_overflow", "lsh_jaccard_pairs", "ngram_jaccard_pairs",
     "simhash",
     "simhash_near_dup_pairs", "simhash_bucket_overflow",
+    "connected_components", "near_dup_clusters",
 ]
 
 
@@ -408,6 +409,148 @@ def simhash_near_dup_pairs(df: DataFrame, key_col: str = "doc_id",
         cand.withColumn("hamming", F.bit_count(xor))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+    )
+
+
+def _star_round(e: DataFrame) -> DataFrame:
+    """One large-star + small-star round (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC 2014, alg. 4).
+
+    large-star: per node u, m = min(N(u) ∪ {u}); rewire every neighbor
+    v > u to m.  small-star: orient edges large→small, per node u with
+    small-neighborhood N⁻(u), m = min(N⁻(u)); rewire N⁻(u) ∪ {u} to m.
+    Both preserve connectivity; alternating them converges to one star
+    per component (min node at the center) in O(log n) rounds — vs
+    O(diameter) for plain min-label propagation, which an adversarial
+    path graph makes linear.  Each round is two groupBy shuffles plus
+    two equi-join shuffles, all on the skinny (u, v) edge list."""
+    sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    lmin = (
+        sym.groupBy("u").agg(F.min("v").alias("mv"))
+        .select("u", F.least("u", "mv").alias("m"))
+    )
+    large = (
+        sym.join(lmin, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    oriented = large.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    )
+    smin = oriented.groupBy("u").agg(F.min("v").alias("m"))
+    small = (
+        oriented.join(smin, "u")
+        .select(F.col("v").alias("a"), F.col("m").alias("b"))
+        .unionByName(smin.select(F.col("u").alias("a"), F.col("m").alias("b")))
+        .filter(F.col("a") != F.col("b"))
+        .select(F.col("a").alias("u"), F.col("b").alias("v"))
+        .distinct()
+    )
+    return small
+
+
+def connected_components(edges: DataFrame, src: str = "id_a",
+                         dst: str = "id_b", nodes: DataFrame | None = None,
+                         key_col: str = "doc_id",
+                         max_iterations: int = 25) -> DataFrame:
+    """Connected components over an undirected edge list: every node is
+    labeled with the MINIMUM node id reachable from it.  This is the
+    step that turns near-dup *pairs* (LSH / SimHash / cosine output)
+    into dedup *clusters* — pick ``key == cluster_id`` as the canonical
+    document and drop the rest, the standard web-corpus dedup policy.
+
+    Returns ``(key_col, cluster_id)``.  If ``nodes`` is given (any
+    DataFrame carrying ``key_col``), nodes absent from the edge list
+    are included as singletons (``cluster_id == key``).
+
+    Scale story (100 TB): alternating large-star/small-star, so round
+    count is O(log n) even on adversarial path graphs, and real dedup
+    graphs (near-clique LSH buckets) converge in ~2 rounds.  Per-round
+    state is only the (u, v) edge list — never text, never signatures.
+    Each round ends in ``localCheckpoint`` to truncate lineage (an
+    iterative Spark loop otherwise grows the plan exponentially and
+    re-executes every prior round per action); on a real cluster swap
+    in ``checkpoint()`` to durable storage so executor loss cannot
+    silently replay stale lineage.  Convergence is detected from a
+    (count, hash-xor) signature of the edge set — two scalar aggregates
+    per round, no edge-set collect (xor, not sum: order-free like sum
+    but cannot overflow under ANSI arithmetic, and the edge set is
+    distinct so self-cancellation cannot occur).  Known skew point: the component
+    root is the hot key of the final rounds' groupBy; bound it upstream
+    with ``max_bucket_size`` on the pair generators (a 10M-doc
+    boilerplate component is exact-dup territory, not pairwise)."""
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def sig(df: DataFrame) -> tuple[int, int]:
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.expr("bit_xor(xxhash64(u, v))"), F.lit(0)).alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    prev = sig(e)
+    for _ in range(max_iterations):
+        e = _star_round(e).localCheckpoint()
+        cur = sig(e)
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} "
+            "rounds — raise max_iterations (expected only for graphs with "
+            "components spanning > 2^25 nodes)"
+        )
+    # fixpoint is a star per component: each non-root points at its root
+    assign = (
+        e.select(F.col("u").alias(key_col), F.col("v").alias("cluster_id"))
+        .unionByName(
+            e.select(F.col("v").alias(key_col))
+            .distinct()
+            .select(key_col, F.col(key_col).alias("cluster_id"))
+        )
+        .distinct()
+    )
+    if nodes is not None:
+        assign = (
+            nodes.select(key_col)
+            .distinct()
+            .join(assign, key_col, "left")
+            .select(
+                key_col,
+                F.coalesce("cluster_id", F.col(key_col)).alias("cluster_id"),
+            )
+        )
+    return assign
+
+
+def near_dup_clusters(df: DataFrame, key_col: str = "doc_id",
+                      text_col: str = "text", n_hashes: int = 16,
+                      bands: int = 4, shingle_k: int = 3,
+                      max_bucket_size: int | None = None,
+                      max_iterations: int = 25) -> DataFrame:
+    """End-to-end near-dup clustering: MinHash-LSH candidate pairs →
+    connected components → ``(key, cluster_id, cluster_size)`` for
+    EVERY input document (singletons get their own id, size 1).
+    Downstream dedup keeps ``key == cluster_id`` rows; ``cluster_size``
+    feeds the run report (how much of the corpus was duplicate)."""
+    from pyspark.sql import Window
+
+    pairs = lsh_candidate_pairs(df, key_col, text_col, n_hashes, bands,
+                                shingle_k, max_bucket_size=max_bucket_size)
+    cc = connected_components(pairs, "id_a", "id_b",
+                              nodes=df.select(key_col), key_col=key_col,
+                              max_iterations=max_iterations)
+    w = Window.partitionBy("cluster_id")
+    return cc.select(
+        key_col, "cluster_id", F.count(F.lit(1)).over(w).alias("cluster_size")
     )
 
 
