@@ -468,6 +468,35 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.length("text").alias("n_chars_actual"))
 
 
+# corpus-assembly mix specs shared by the Spark queries and their
+# DuckDB oracles (thresholds/budgets must be the SAME integer literals
+# on both sides — see ocr_spark.operators.corpus.sample_thresholds)
+MIX_FRACTIONS = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src5": 0.1}
+MIX_BUDGETS = {"src0": 600, "src1": 1_000_000_000, "src3": 2500}
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-threshold sampling per source stratum — the
+    reproducible replacement for df.sample() when assembling a corpus
+    mix (rand()-based sampling changes with partitioning/retries)."""
+    from ocr_spark.operators.corpus import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return stratified_sample(docs, MIX_FRACTIONS).select(
+        "doc_id", "source", "lang"
+    )
+
+
+def q_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill each source stratum up to a token budget in deterministic
+    hash order via the two-pass distributed prefix sum (never a whole
+    stratum through one window task)."""
+    from ocr_spark.operators.corpus import token_budget_mix
+
+    docs = _t(spark, sf_dir, "documents")
+    return token_budget_mix(docs, MIX_BUDGETS, n_buckets=64)
+
+
 # --------------------------------------------------------------------------
 # multimodal plumbing (opaque binary + typed metadata; decode stubbed —
 # deterministic fake kernel, real codec pluggable via decode_fn)
@@ -688,6 +717,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id_cjk": q_lang_id_cjk,
         "fingerprint": q_fingerprint,
         "token_count": q_token_count,
+        "stratified_sample": q_stratified_sample,
+        "token_budget_mix": q_token_budget_mix,
         "media_decode": q_media_decode,
         "frame_sample": q_frame_sample,
         "pricing_summary": q_pricing_summary,
@@ -699,6 +730,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "running_window": q_events_sessionless_window,
         "sessionize": q_sessionize,
     }
+
+
+def _mix_threshold_cases() -> str:
+    from ocr_spark.operators.corpus import sample_thresholds
+
+    return " ".join(
+        f"WHEN '{s}' THEN {t}"
+        for s, t in sorted(sample_thresholds(MIX_FRACTIONS).items())
+    )
+
+
+def _mix_budget_sources() -> str:
+    return ", ".join(f"'{s}'" for s in sorted(MIX_BUDGETS))
+
+
+def _mix_budget_cases() -> str:
+    return " ".join(
+        f"WHEN '{s}' THEN {b}" for s, b in sorted(MIX_BUDGETS.items())
+    )
 
 
 def _lsh_bucket_sql(n_planes: int, dim: int = 64) -> str:
@@ -1288,6 +1338,35 @@ def oracle_sql() -> dict[str, str]:
             CASE WHEN len(trim(text)) = 0 THEN 0 ELSE len({toks}) END AS n_tokens,
             length(text) AS n_chars_actual
           FROM documents
+        """,
+        # corpus assembly: hash thresholds are the SAME Python-computed
+        # integers the engine filters on (sample_thresholds), and the
+        # single-window cumsum here is definitionally equal to the
+        # engine's two-pass prefix sum because bucket order (h % 64)
+        # leads the ORDER BY
+        "stratified_sample": f"""
+          SELECT doc_id, source, lang FROM documents
+          WHERE ('0x' || substr(md5('|' || doc_id::VARCHAR), 1, 15))::BIGINT
+            < CASE source {_mix_threshold_cases()} ELSE 0 END
+        """,
+        "token_budget_mix": f"""
+          WITH tb AS (
+            SELECT doc_id, source,
+              CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+                   ELSE len({toks}) END AS BIGINT) AS n_tokens,
+              ('0x' || substr(md5('|' || doc_id::VARCHAR), 1, 15))::BIGINT AS h
+            FROM documents
+            WHERE source IN ({_mix_budget_sources()})
+          ), run AS (
+            SELECT doc_id, source, n_tokens,
+              CAST(sum(n_tokens) OVER (PARTITION BY source
+                   ORDER BY h % 64, h, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum_tokens
+            FROM tb
+          )
+          SELECT doc_id, source, n_tokens, cum_tokens FROM run
+          WHERE cum_tokens <= CASE source {_mix_budget_cases()} ELSE 0 END
         """,
         "pricing_summary": (
             "SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, "

@@ -1,0 +1,137 @@
+"""Corpus assembly operators — the last mile of a training-data run.
+
+After dedup and quality filtering, a corpus is *assembled*: each source
+stratum is down-sampled to a target rate or filled up to a token
+budget ("30% web, 20% code, ..." mixes).  Two rules make this a
+distributed-systems problem rather than a one-liner:
+
+* **Determinism.**  ``df.sample()`` draws from a per-partition RNG, so
+  the selected set changes with partitioning, retries, and engine
+  version — unacceptable for a reproducible training corpus.  Both
+  operators here select by a 60-bit md5 hash of the document key
+  (the same ``conv(substring(md5(x),1,15),16,10)`` construction as
+  ``dedup.simhash(hash_mode='md5_64')``), so the sample is a pure
+  function of (key, salt) — identical across runs, engines, and
+  cluster sizes, and re-derivable closed-form by the DuckDB oracle.
+
+* **No single-task strata.**  A running token total per stratum is a
+  prefix sum; the naive ``Window.partitionBy(source)`` form funnels an
+  entire stratum (terabytes for "web") through ONE task.
+  ``token_budget_mix`` instead does the classic two-pass distributed
+  prefix sum: bucket by hash, aggregate per-(stratum, bucket) partial
+  sums (tiny), turn those into per-bucket starting offsets with a
+  window over the TINY partials frame, broadcast the offsets back, and
+  cumsum only within each (stratum, bucket) partition.  Parallelism is
+  ``n_buckets`` per stratum regardless of stratum size.
+
+All hot-path logic is JVM built-ins; no Python in any plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ocr_spark.functions.text import token_count
+
+__all__ = ["stratified_sample", "token_budget_mix", "sample_thresholds"]
+
+# 60-bit hash space: 15 md5 hex chars, inside int64 on every engine
+HASH_SPACE = 1 << 60
+
+
+def _md5_60(col, salt: str):
+    """Uniform 60-bit integer hash of (salt | key) — deterministic and
+    identically computable in DuckDB as
+    ('0x' || substr(md5(salt || '|' || key), 1, 15))::BIGINT."""
+    return F.expr(
+        f"cast(conv(substring(md5(concat('{salt}', '|', "
+        f"cast({col} as string))), 1, 15), 16, 10) as bigint)"
+    )
+
+
+def sample_thresholds(fractions: dict[str, float]) -> dict[str, int]:
+    """fraction -> integer hash threshold, computed ONCE in Python so
+    the engine and the SQL oracle compare against bit-identical
+    literals (float rounding must not happen independently twice)."""
+    return {s: int(f * HASH_SPACE) for s, f in fractions.items()}
+
+
+def stratified_sample(df: DataFrame, fractions: dict[str, float],
+                      strata_col: str = "source", key_col: str = "doc_id",
+                      salt: str = "") -> DataFrame:
+    """Deterministic per-stratum sampling: keep a row iff
+    ``hash60(key) < fraction[stratum] * 2^60``.  Strata absent from
+    ``fractions`` are dropped (a mix spec is a whitelist).
+
+    Scale story: a pure filter — no shuffle, no state, pushes down
+    around it; the kept set is a function of (key, salt) only, so a
+    re-run, a retry, or a 1000-executor repartition selects the exact
+    same documents."""
+    thresholds = sample_thresholds(fractions)
+    h = _md5_60(key_col, salt)
+    thr = F.lit(0)
+    for s, t in sorted(thresholds.items()):
+        thr = F.when(F.col(strata_col) == s, F.lit(t)).otherwise(thr)
+    return df.filter(h < thr)
+
+
+def token_budget_mix(df: DataFrame, budgets: dict[str, int],
+                     strata_col: str = "source", key_col: str = "doc_id",
+                     text_col: str = "text", n_buckets: int = 64,
+                     salt: str = "") -> DataFrame:
+    """Fill each stratum up to a token budget, in deterministic
+    hash order (a reproducible uniform subsample, not "first files
+    scanned" order).  Returns the selected rows as
+    ``(key, stratum, n_tokens, cum_tokens)`` where ``cum_tokens`` is
+    the running per-stratum total including the row itself; rows are
+    kept while ``cum_tokens <= budget[stratum]``.  Strata absent from
+    ``budgets`` are dropped.
+
+    The running total is a two-pass distributed prefix sum (see module
+    docstring): per-(stratum, hash-bucket) partials, offsets via a
+    window over the tiny partials frame, broadcast back, cumsum within
+    buckets.  Only full-data exchange: ONE hash partition by
+    (stratum, bucket) — never a whole stratum in one task.  Bucket
+    order is part of the global order (bucket, hash, key), so the
+    result equals the single-window form exactly."""
+    budget = F.lit(0).cast("long")
+    for s, b in sorted(budgets.items()):
+        budget = F.when(F.col(strata_col) == s, F.lit(int(b))).otherwise(budget)
+    h = _md5_60(key_col, salt)
+    base = (
+        df.select(
+            F.col(key_col),
+            F.col(strata_col),
+            token_count(text_col).cast("long").alias("n_tokens"),
+        )
+        .withColumn("h", h)
+        .withColumn("bucket", F.pmod(F.col("h"), F.lit(n_buckets)))
+        .filter(budget > 0)
+    )
+    partials = base.groupBy(strata_col, "bucket").agg(
+        F.sum("n_tokens").alias("bucket_tokens")
+    )
+    w_off = (
+        Window.partitionBy(strata_col)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = partials.select(
+        strata_col,
+        "bucket",
+        F.coalesce(F.sum("bucket_tokens").over(w_off), F.lit(0)).alias("offset"),
+    )
+    w_run = (
+        Window.partitionBy(strata_col, "bucket")
+        .orderBy("h", key_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        base.join(F.broadcast(offsets), [strata_col, "bucket"])
+        .withColumn(
+            "cum_tokens", F.col("offset") + F.sum("n_tokens").over(w_run)
+        )
+        .filter(F.col("cum_tokens") <= budget)
+        .select(key_col, strata_col, "n_tokens", "cum_tokens")
+    )

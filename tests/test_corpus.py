@@ -1,0 +1,115 @@
+"""Corpus assembly: deterministic stratified sampling + token-budget mix.
+
+The load-bearing properties: selection is a pure function of (key,
+salt) — invariant to partitioning — and the two-pass distributed
+prefix sum in token_budget_mix selects exactly the set the naive
+single-window form would (checked by n_buckets=1 equivalence and by a
+pure-Python reference).
+"""
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from ocr_spark.operators.corpus import (
+    HASH_SPACE,
+    sample_thresholds,
+    stratified_sample,
+    token_budget_mix,
+)
+
+
+def _h60(key, salt=""):
+    return int(hashlib.md5(f"{salt}|{key}".encode()).hexdigest()[:15], 16)
+
+
+def _docs(spark, n=200, n_sources=4):
+    rows = [
+        (i, f"s{i % n_sources}", "tok " * (i % 7 + 1))
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+
+def test_stratified_sample_matches_reference_and_is_partition_invariant(spark):
+    df = _docs(spark)
+    fracs = {"s0": 1.0, "s1": 0.5, "s2": 0.0}
+    thr = sample_thresholds(fracs)
+    want = {
+        i for i in range(200)
+        if f"s{i % 4}" in thr and _h60(i) < thr[f"s{i % 4}"]
+    }
+    got1 = {r["doc_id"] for r in stratified_sample(df, fracs).collect()}
+    got2 = {
+        r["doc_id"]
+        for r in stratified_sample(df.repartition(13), fracs).collect()
+    }
+    assert got1 == want
+    assert got2 == want
+    # s0 fully kept, s2 and unlisted s3 fully dropped
+    assert {i for i in want if i % 4 == 0} == {i for i in range(200) if i % 4 == 0}
+    assert not any(i % 4 in (2, 3) for i in want)
+
+
+def test_sample_thresholds_full_fraction_keeps_max_hash():
+    assert sample_thresholds({"s": 1.0})["s"] == HASH_SPACE
+    assert _h60("anything") < HASH_SPACE
+
+
+def _budget_reference(n, budgets, n_buckets):
+    """Single-pass python reference: per stratum, order by
+    (h % n_buckets, h, key), cumsum, keep while <= budget."""
+    per = {}
+    for i in range(n):
+        s = f"s{i % 4}"
+        if s not in budgets:
+            continue
+        per.setdefault(s, []).append(i)
+    keep = {}
+    for s, ids in per.items():
+        ids.sort(key=lambda i: (_h60(i) % n_buckets, _h60(i), i))
+        run = 0
+        for i in ids:
+            run += i % 7 + 1
+            if run > budgets[s]:
+                break
+            keep[i] = run
+    return keep
+
+
+def test_token_budget_mix_matches_reference(spark):
+    df = _docs(spark)
+    budgets = {"s0": 40, "s1": 10_000, "s3": 1}
+    want = _budget_reference(200, budgets, n_buckets=8)
+    out = token_budget_mix(df, budgets, n_buckets=8).collect()
+    got = {r["doc_id"]: r["cum_tokens"] for r in out}
+    assert got == want
+    # s1's budget is effectively infinite: every s1 doc selected
+    assert {i for i in got if i % 4 == 1} == {i for i in range(200) if i % 4 == 1}
+    # s2 absent from budgets: nothing selected
+    assert not any(i % 4 == 2 for i in got)
+    # n_tokens faithful
+    for r in out:
+        assert r["n_tokens"] == r["doc_id"] % 7 + 1
+
+
+def test_token_budget_mix_bucket_count_invariant(spark):
+    # two-pass prefix sum with B buckets == the single-window form
+    # (n_buckets=1 IS the single-window form, up to the bucket term in
+    # the order key, which is constant at B=1)
+    df = _docs(spark, n=120)
+    budgets = {"s0": 55, "s1": 23}
+    one = sorted(
+        (r["doc_id"], r["cum_tokens"])
+        for r in token_budget_mix(df, budgets, n_buckets=1).collect()
+    )
+    # B=1 reference order is (h, key); B>1 changes the order (bucket
+    # leads), so compare against the python reference per B instead
+    for b in (1, 4, 64):
+        want = sorted(_budget_reference(120, budgets, n_buckets=b).items())
+        got = sorted(
+            (r["doc_id"], r["cum_tokens"])
+            for r in token_budget_mix(df, budgets, n_buckets=b).collect()
+        )
+        assert got == want, f"n_buckets={b}"
+    assert one == sorted(_budget_reference(120, budgets, n_buckets=1).items())

@@ -138,6 +138,18 @@ def test_dedup_queries_avoid_cartesian(spark):
         assert "BroadcastNestedLoopJoin" not in plan, name
 
 
+def test_token_budget_mix_broadcasts_offsets_no_python(spark):
+    """The two-pass prefix sum: per-bucket offsets come back via a
+    broadcast join (the offsets frame is strata x n_buckets rows), the
+    full-data exchange is the single (stratum, bucket) window shuffle,
+    and nothing drops to per-row Python."""
+    df = entry_mod.queries()["token_budget_mix"](spark, SF)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_whole_stage_codegen_on_relational_path(spark):
     import re
 
