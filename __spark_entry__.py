@@ -497,6 +497,24 @@ def q_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_budget_mix(docs, MIX_BUDGETS, n_buckets=64)
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (GPT-3-style n-gram overlap): the
+    'benchmark' is a deterministic derived eval set — the first 60
+    tokens of every doc_id %% 23 == 5 document, re-keyed +5000000 — so
+    contamination exists by construction and partial-overlap pairs
+    exercise the min_shared threshold.  Benchmark shingles broadcast;
+    the corpus is never shuffled."""
+    from ocr_spark.functions.text import tokens
+    from ocr_spark.operators.corpus import contamination_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 23 == 5).select(
+        (F.col("doc_id") + 5000000).alias("bench_id"),
+        F.array_join(F.slice(tokens("text"), 1, 60), " ").alias("text"),
+    )
+    return contamination_pairs(docs, bench, ngram_k=5, min_shared=3)
+
+
 # --------------------------------------------------------------------------
 # multimodal plumbing (opaque binary + typed metadata; decode stubbed —
 # deterministic fake kernel, real codec pluggable via decode_fn)
@@ -719,6 +737,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": q_token_count,
         "stratified_sample": q_stratified_sample,
         "token_budget_mix": q_token_budget_mix,
+        "decontaminate": q_decontaminate,
         "media_decode": q_media_decode,
         "frame_sample": q_frame_sample,
         "pricing_summary": q_pricing_summary,
@@ -730,6 +749,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "running_window": q_events_sessionless_window,
         "sessionize": q_sessionize,
     }
+
+
+def _shingles_sql_k(k: int) -> str:
+    """DuckDB k-word shingle fragment over a pre-materialized ``toksl``
+    token-list column + ``text`` — the general-k form of the k=3
+    fragment in oracle_sql(), matching functions.text.word_shingles
+    (distinct; whole-doc shingle for docs shorter than k words)."""
+    joined = " || ' ' || ".join(f"toksl[i+{j}]" if j else "toksl[i]"
+                                for j in range(k))
+    return (
+        f"list_distinct(CASE WHEN len(toksl) >= {k} THEN "
+        f"list_transform(range(1, len(toksl) - {k - 2}), i -> {joined}) "
+        "WHEN len(trim(text)) > 0 THEN [array_to_string(toksl, ' ')] "
+        "ELSE [] END)"
+    )
 
 
 def _mix_threshold_cases() -> str:
@@ -1367,6 +1401,23 @@ def oracle_sql() -> dict[str, str]:
           )
           SELECT doc_id, source, n_tokens, cum_tokens FROM run
           WHERE cum_tokens <= CASE source {_mix_budget_cases()} ELSE 0 END
+        """,
+        "decontaminate": f"""
+          WITH bt AS (
+            SELECT doc_id + 5000000 AS bench_id,
+              array_to_string(({toks})[1:60], ' ') AS text
+            FROM documents WHERE doc_id % 23 = 5
+          ), btok AS (SELECT bench_id, text, {toks} AS toksl FROM bt),
+          bg AS (
+            SELECT bench_id, unnest({_shingles_sql_k(5)}) AS gram FROM btok
+          ), ctok AS (SELECT doc_id, text, {toks} AS toksl FROM documents),
+          cg AS (
+            SELECT doc_id, unnest({_shingles_sql_k(5)}) AS gram FROM ctok
+          )
+          SELECT doc_id, bench_id, CAST(count(*) AS BIGINT) AS n_shared
+          FROM cg JOIN bg USING (gram)
+          GROUP BY doc_id, bench_id
+          HAVING count(*) >= 3
         """,
         "pricing_summary": (
             "SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, "

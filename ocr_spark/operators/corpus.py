@@ -32,9 +32,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ocr_spark.functions.text import token_count
+from ocr_spark.functions.text import token_count, word_shingles
 
-__all__ = ["stratified_sample", "token_budget_mix", "sample_thresholds"]
+__all__ = ["stratified_sample", "token_budget_mix", "sample_thresholds",
+           "contamination_pairs"]
 
 # 60-bit hash space: 15 md5 hex chars, inside int64 on every engine
 HASH_SPACE = 1 << 60
@@ -134,4 +135,38 @@ def token_budget_mix(df: DataFrame, budgets: dict[str, int],
         )
         .filter(F.col("cum_tokens") <= budget)
         .select(key_col, strata_col, "n_tokens", "cum_tokens")
+    )
+
+
+def contamination_pairs(corpus: DataFrame, benchmark: DataFrame,
+                        corpus_key: str = "doc_id",
+                        bench_key: str = "bench_id",
+                        corpus_text: str = "text", bench_text: str = "text",
+                        ngram_k: int = 8, min_shared: int = 3) -> DataFrame:
+    """Benchmark decontamination: (corpus doc, benchmark doc) pairs
+    sharing at least ``min_shared`` distinct k-word shingles — the
+    standard n-gram-overlap contamination check run before training so
+    eval documents leaked into the crawl are dropped from the corpus.
+
+    Scale story: the benchmark side is small by nature (eval suites are
+    10^3–10^5 docs), so its exploded shingle set is BROADCAST; the
+    corpus side streams map-side through the broadcast hash join —
+    the 100-TB corpus is never shuffled.  The only exchange is the
+    partially-aggregated groupBy on (corpus_key, bench_key), which is
+    proportional to the number of MATCHED grams, not to corpus size.
+    ``word_shingles`` is distinct per document, so ``count(*)`` of
+    joined rows is exactly the distinct-shared-gram count."""
+    cg = corpus.select(
+        F.col(corpus_key),
+        F.explode(word_shingles(corpus_text, ngram_k)).alias("gram"),
+    )
+    bg = benchmark.select(
+        F.col(bench_key),
+        F.explode(word_shingles(bench_text, ngram_k)).alias("gram"),
+    )
+    return (
+        cg.join(F.broadcast(bg), "gram")
+        .groupBy(corpus_key, bench_key)
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
     )

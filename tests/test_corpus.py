@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from ocr_spark.operators.corpus import (
     HASH_SPACE,
+    contamination_pairs,
     sample_thresholds,
     stratified_sample,
     token_budget_mix,
@@ -113,3 +114,29 @@ def test_token_budget_mix_bucket_count_invariant(spark):
         )
         assert got == want, f"n_buckets={b}"
     assert one == sorted(_budget_reference(120, budgets, n_buckets=1).items())
+
+
+def test_contamination_pairs_threshold_and_broadcast(spark):
+    # doc 1 contains the benchmark passage verbatim (many shared
+    # 3-grams); doc 2 shares exactly two 3-grams (below min_shared=3);
+    # doc 3 shares none.
+    passage = "alpha beta gamma delta epsilon zeta"
+    corpus = spark.createDataFrame(
+        [
+            (1, f"intro words {passage} outro words"),
+            (2, "alpha beta gamma unrelated tail content here"),
+            (3, "совершенно другой текст без перекрытия вообще"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, passage)], "bench_id long, text string"
+    )
+    out = contamination_pairs(corpus, bench, ngram_k=3, min_shared=3)
+    rows = {(r["doc_id"], r["bench_id"]): r["n_shared"] for r in out.collect()}
+    # passage has 4 distinct 3-grams, all inside doc 1
+    assert rows == {(1, 100): 4}
+    # scale shape: benchmark side broadcast, corpus never shuffled wide
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan
