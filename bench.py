@@ -40,10 +40,11 @@ BENCH_QUERIES = [
     "flagship_extract", "pdf_extract", "profile_extract", "extract_metrics",
     "dedup_exact",
     "dedup_keep_latest", "minhash_lsh_pairs", "ngram_jaccard",
-    "lsh_jaccard", "simhash_near_dup", "embed_near_dup",
+    "lsh_jaccard", "dedup_clusters", "simhash_near_dup", "embed_near_dup",
     "embed_near_dup_lsh", "cosine_topk", "ann_topk",
     "text_stats", "repetition_stats", "quality_filter", "pii_scrub",
     "lang_id", "lang_id_cjk", "fingerprint", "token_count",
+    "stratified_sample", "token_budget_mix", "decontaminate",
     "media_decode", "frame_sample",
     "pricing_summary", "top_customers", "regional_revenue", "json_extract",
     "running_window", "sessionize",

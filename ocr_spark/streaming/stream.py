@@ -30,7 +30,8 @@ from pyspark.sql import types as T
 from ocr_spark.operators.extract import extract_pages
 
 __all__ = ["PAGES_SCHEMA", "read_pages_stream", "extract_stream",
-           "windowed_lineage", "run_stream_to_parquet", "sessionize_stream"]
+           "windowed_lineage", "run_stream_to_parquet", "sessionize_stream",
+           "dedup_stream"]
 
 PAGES_SCHEMA = T.StructType(
     [
@@ -159,6 +160,28 @@ def sessionize_stream(events: DataFrame, gap_s: int = 1800,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def dedup_stream(pages: DataFrame, keys: list[str] | None = None,
+                 ts_col: str = "warc_ts",
+                 watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact dedup — the streaming analogue of
+    ``operators.dedup.exact_dedup``: keep the first arrival per key
+    (default key: content digest of html, so byte-identical recrawls
+    collapse regardless of url).
+
+    Uses ``dropDuplicatesWithinWatermark``, NOT ``dropDuplicates``:
+    plain dropDuplicates on a stream keeps per-key state FOREVER, which
+    on an unbounded crawl stream is an OOM with a delay.  The
+    watermark form drops a key's state once the watermark passes its
+    event time, bounding state to the late-data horizon — duplicates
+    farther apart than the horizon are by definition the batch job's
+    responsibility (keep-latest over the full table), not the stream's.
+    """
+    if keys is None:
+        pages = pages.withColumn("digest", F.md5(F.col("html")))
+        keys = ["digest"]
+    return pages.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
 
 
 def run_stream_to_parquet(pages: DataFrame, out_path: str,

@@ -8,8 +8,68 @@ import shutil
 from ocr_spark.extractor.core import extract_bytes
 from ocr_spark.streaming.stream import (
     read_pages_stream, run_stream_to_parquet, extract_stream,
-    windowed_lineage, sessionize_stream,
+    windowed_lineage, sessionize_stream, dedup_stream,
 )
+
+
+def test_stream_dedup_by_url_matches_batch_distinct(spark, pages_parquet, tmp_path):
+    """dedup_stream keyed on url keeps exactly one row per url (the
+    fixture's ~5% duplicate captures all arrive in one micro-batch,
+    well inside the watermark horizon)."""
+    out = str(tmp_path / "dd_out")
+    ckpt = str(tmp_path / "dd_ckpt")
+    stream = read_pages_stream(spark, _as_source_dir(pages_parquet, tmp_path))
+    q = (
+        dedup_stream(stream, keys=["url"], watermark="2 hours")
+        .select("url")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    urls = [r["url"] for r in spark.read.parquet(out).collect()]
+    assert len(urls) == len(set(urls))
+    src = spark.read.parquet(pages_parquet)
+    n_src, n_urls = src.count(), src.select("url").distinct().count()
+    assert len(urls) == n_urls
+    assert n_src > n_urls  # the fixture really has duplicate captures
+
+
+def test_stream_dedup_default_digest_key(spark, pages_parquet, tmp_path):
+    """Default key is the html content digest: a byte-identical
+    re-capture (same html, different url/ts) collapses to one row."""
+    import pyarrow.parquet as pq
+    import pyarrow as pa
+
+    t = pq.read_table(pages_parquet)
+    d = t.to_pylist()
+    twin = dict(d[0])
+    twin["url"] = "https://recrawl.example/twin"
+    src_dir = tmp_path / "src_digest"
+    src_dir.mkdir()
+    pq.write_table(pa.Table.from_pylist(d + [twin], schema=t.schema),
+                   src_dir / "part-00000.parquet")
+    out = str(tmp_path / "dg_out")
+    ckpt = str(tmp_path / "dg_ckpt")
+    stream = read_pages_stream(spark, str(src_dir))
+    q = (
+        dedup_stream(stream, watermark="2 hours")
+        .select("url", "digest")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.read.parquet(out).collect()
+    digests = [r["digest"] for r in got]
+    assert len(digests) == len(set(digests))
+    # the twin's digest appears once: original url OR twin url, not both
+    urls = {r["url"] for r in got}
+    assert not ({d[0]["url"], twin["url"]} <= urls)
 
 
 def _as_source_dir(pages_parquet, tmp_path):
