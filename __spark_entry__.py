@@ -341,6 +341,22 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat approximate top-k (the other standard web-scale ANN
+    shape next to LSH): corpus in one inverted list each, queries probe
+    their nprobe=2 nearest lists, per-list GEMM scoring.  Oracled via
+    the seed-deterministic rational-literal centroids (same contract as
+    the LSH hyperplanes); ranks are the compared output."""
+    from ocr_spark.operators.similarity import ann_topk_ivf, ivf_centroids
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    cents = ivf_centroids(dim=64, n_centroids=8, seed=7)
+    return ann_topk_ivf(queries, emb, cents, k=5, nprobe=2).select(
+        "query_id", "neighbor_id", "rank"
+    )
+
+
 # --------------------------------------------------------------------------
 # text analysis
 # --------------------------------------------------------------------------
@@ -727,6 +743,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_qa": q_span_qa,
         "cosine_topk": q_cosine_topk,
         "ann_topk": q_ann_topk,
+        "ann_topk_ivf": q_ann_topk_ivf,
         "text_stats": q_text_stats,
         "repetition_stats": q_repetition_stats,
         "quality_filter": q_quality_filter,
@@ -834,6 +851,47 @@ def _ann_topk_sql() -> str:
         SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {cos} AS cos_sim
         FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id != c.vec_id
         WHERE q.vec_id < 8),
+      ranked AS (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY round(cos_sim, 6) DESC, neighbor_id ASC) AS rank
+        FROM scored)
+      SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 5
+    """
+
+
+def _ann_topk_ivf_sql() -> str:
+    """DuckDB twin of q_ann_topk_ivf: identical rational centroid
+    literals -> identical affinity order (round-6 dot desc, centroid id
+    asc) -> identical assignment (rn=1) and probe set (rn<=2)."""
+    from ocr_spark.operators.similarity import ivf_centroids
+
+    rows = ", ".join(
+        "(%d, [%s]::DOUBLE[])" % (cid, ", ".join(repr(x) for x in cvec))
+        for cid, cvec in enumerate(ivf_centroids(dim=64, n_centroids=8, seed=7))
+    )
+    cos = (
+        "list_dot_product(q.emb, a.emb) / "
+        "(sqrt(list_dot_product(q.emb, q.emb)) * "
+        "sqrt(list_dot_product(a.emb, a.emb)))"
+    )
+    return f"""
+      WITH c(cid, cvec) AS (VALUES {rows}),
+      e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+      aff AS (
+        SELECT e.vec_id, e.emb, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY round(list_dot_product(e.emb, c.cvec), 6) DESC,
+                          c.cid ASC) AS rn
+        FROM e CROSS JOIN c),
+      assign AS (SELECT vec_id, emb, cid FROM aff WHERE rn = 1),
+      probes AS (SELECT vec_id, emb, cid FROM aff
+                 WHERE rn <= 2 AND vec_id < 8),
+      scored AS (
+        SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id,
+               {cos} AS cos_sim
+        FROM probes q JOIN assign a
+          ON q.cid = a.cid AND q.vec_id != a.vec_id),
       ranked AS (
         SELECT query_id, neighbor_id,
                row_number() OVER (PARTITION BY query_id
@@ -1263,6 +1321,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "embed_near_dup_lsh": _embed_near_dup_lsh_sql(),
         "ann_topk": _ann_topk_sql(),
+        "ann_topk_ivf": _ann_topk_ivf_sql(),
         "embed_near_dup": """
           SELECT l.vec_id AS id_a, r.vec_id AS id_b,
                  round(list_dot_product(l.embedding::DOUBLE[], r.embedding::DOUBLE[])

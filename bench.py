@@ -41,7 +41,7 @@ BENCH_QUERIES = [
     "dedup_exact",
     "dedup_keep_latest", "minhash_lsh_pairs", "ngram_jaccard",
     "lsh_jaccard", "dedup_clusters", "simhash_near_dup", "embed_near_dup",
-    "embed_near_dup_lsh", "cosine_topk", "ann_topk",
+    "embed_near_dup_lsh", "cosine_topk", "ann_topk", "ann_topk_ivf",
     "text_stats", "repetition_stats", "quality_filter", "pii_scrub",
     "lang_id", "lang_id_cjk", "fingerprint", "token_count",
     "stratified_sample", "token_budget_mix", "decontaminate",

@@ -32,6 +32,8 @@ __all__ = [
     "dot", "l2norm", "cosine", "cosine_topk", "cosine_pairs_bruteforce",
     "lsh_bucket_assign", "lsh_probe_buckets", "ann_topk_lsh",
     "cosine_near_dup_pairs",
+    "ivf_centroids", "kmeans_refine", "ivf_assign", "ivf_assign_gemm",
+    "ivf_probe_lists", "ann_topk_ivf",
 ]
 
 
@@ -297,43 +299,54 @@ def ann_topk_lsh(queries: DataFrame, corpus: DataFrame, dim: int, k: int = 5,
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"),
         "lsh_bucket",
     )
-
-    def kernel(cpdf, qpdf):
-        import numpy as np
-        import pandas as pd
-
-        empty = pd.DataFrame(
-            {"query_id": [], "neighbor_id": [], "cos_sim": []}
-        ).astype({"query_id": "int64", "neighbor_id": "int64",
-                  "cos_sim": "float64"})
-        if not len(cpdf) or not len(qpdf):
-            return empty
-        c_ids = cpdf["neighbor_id"].to_numpy(np.int64)
-        cmat = np.stack([np.asarray(v, np.float64) for v in cpdf["c_vec"]])
-        q_ids = qpdf["query_id"].to_numpy(np.int64)
-        qmat = np.stack([np.asarray(v, np.float64) for v in qpdf["q_vec"]])
-        cn = np.linalg.norm(cmat, axis=1)
-        qn = np.linalg.norm(qmat, axis=1)
-        cn[cn == 0.0] = np.nan
-        qn[qn == 0.0] = np.nan
-        # dot first, divide after — same op order as the oracle's
-        # dot/(sqrt*sqrt), minimizing float divergence
-        sims = _round_half_away((qmat @ cmat.T) / np.outer(qn, cn), 6)
-        iq, ic = np.nonzero(~np.isnan(sims))
-        keep = q_ids[iq] != c_ids[ic]
-        return pd.DataFrame({
-            "query_id": q_ids[iq][keep],
-            "neighbor_id": c_ids[ic][keep],
-            "cos_sim": sims[iq, ic][keep],
-        })
-
     scored = (
         cb.groupBy("lsh_bucket")
         .cogroup(qb.groupBy("lsh_bucket"))
         .applyInPandas(
-            kernel, schema="query_id long, neighbor_id long, cos_sim double"
+            _cogroup_score_kernel,
+            schema="query_id long, neighbor_id long, cos_sim double",
         )
     )
+    return _rank_topk(scored, k)
+
+
+def _cogroup_score_kernel(cpdf, qpdf):
+    """Per-group Arrow GEMM: score every (query, corpus) pair in one
+    co-located group (an LSH bucket or an IVF inverted list) with one
+    numpy matmul.  Expects corpus cols (neighbor_id, c_vec) and query
+    cols (query_id, q_vec); group-key columns are ignored."""
+    import numpy as np
+    import pandas as pd
+
+    empty = pd.DataFrame(
+        {"query_id": [], "neighbor_id": [], "cos_sim": []}
+    ).astype({"query_id": "int64", "neighbor_id": "int64",
+              "cos_sim": "float64"})
+    if not len(cpdf) or not len(qpdf):
+        return empty
+    c_ids = cpdf["neighbor_id"].to_numpy(np.int64)
+    cmat = np.stack([np.asarray(v, np.float64) for v in cpdf["c_vec"]])
+    q_ids = qpdf["query_id"].to_numpy(np.int64)
+    qmat = np.stack([np.asarray(v, np.float64) for v in qpdf["q_vec"]])
+    cn = np.linalg.norm(cmat, axis=1)
+    qn = np.linalg.norm(qmat, axis=1)
+    cn[cn == 0.0] = np.nan
+    qn[qn == 0.0] = np.nan
+    # dot first, divide after — same op order as the oracle's
+    # dot/(sqrt*sqrt), minimizing float divergence
+    sims = _round_half_away((qmat @ cmat.T) / np.outer(qn, cn), 6)
+    iq, ic = np.nonzero(~np.isnan(sims))
+    keep = q_ids[iq] != c_ids[ic]
+    return pd.DataFrame({
+        "query_id": q_ids[iq][keep],
+        "neighbor_id": c_ids[ic][keep],
+        "cos_sim": sims[iq, ic][keep],
+    })
+
+
+def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Deterministic per-query top-k over (query_id, neighbor_id,
+    cos_sim) candidate rows: cosine desc, neighbor id asc tie-break."""
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()
     )
@@ -396,3 +409,189 @@ def cosine_near_dup_pairs(df: DataFrame, dim: int, threshold: float = 0.95,
         b.groupBy("lsh_bucket")
         .applyInPandas(kernel, schema="id_a long, id_b long, cos_sim double")
     )
+
+
+# --------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the other standard web-scale ANN shape
+# --------------------------------------------------------------------------
+# A coarse quantizer partitions the corpus into n_centroids Voronoi
+# cells (inverted lists); each vector is stored in exactly ONE list
+# (vs LSH where bucket count is 2^planes and cell shape is fixed by
+# random hyperplanes).  A query scores only the ``nprobe`` lists whose
+# centroids it is closest to, so recall/cost is a smooth dial:
+# nprobe/n_centroids of the corpus scanned per query.  This is the
+# IVF-Flat layout of the FAISS / SCANN literature (public knowledge).
+#
+# Determinism/oracle contract: ``ivf_centroids`` derives unit-norm
+# centroids from a seed alone and rounds them to 3-decimal rational
+# literals, exactly like ``_hyperplanes`` — so a SQL oracle re-derives
+# identical assignments from the same literals.  ``kmeans_refine`` is
+# the production training step (driver-side Lloyd's on a bounded
+# sample, like training a coarse quantizer on a corpus sample before a
+# full 100-TB assignment pass); its output is again rounded rational
+# literals, so a refined quantizer is just as oracle-able when the
+# training sample is pinned.
+
+
+def ivf_centroids(dim: int, n_centroids: int = 8, seed: int = 7) -> list[list[float]]:
+    """Seed-deterministic unit-norm centroids, rounded to 3 decimals
+    (exact rational literals — reproducible in any SQL engine)."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    c = rng.standard_normal((n_centroids, dim))
+    c = c / np.linalg.norm(c, axis=1, keepdims=True)
+    return [[round(float(x), 3) for x in row] for row in c]
+
+
+def kmeans_refine(df: DataFrame, centroids: list[list[float]],
+                  iters: int = 5, vec_col: str = "embedding",
+                  id_col: str = "vec_id",
+                  max_sample_rows: int = 100_000) -> list[list[float]]:
+    """Refine coarse-quantizer centroids with Lloyd iterations over a
+    bounded, deterministic corpus sample (driver-side numpy — the
+    quantizer is tiny; the FULL corpus never leaves the cluster, only
+    the ``limit(max_sample_rows)`` sample used to train).
+
+    Spherical k-means: assign by max dot against unit centroids
+    (ties -> lowest centroid id, matching ``ivf_assign``), re-estimate
+    as the renormalized mean, keep the old centroid for empty cells.
+    Output is re-rounded to 3-decimal rational literals so a refined
+    quantizer stays SQL-oracle-able."""
+    import numpy as np
+
+    # id-ordered limit: the training sample is the same set of rows on
+    # every run and every partitioning (a bare limit() is not)
+    rows = (
+        df.select(id_col, vec_col).orderBy(id_col)
+        .limit(max_sample_rows).select(vec_col).collect()
+    )
+    if not rows:
+        return centroids
+    x = np.stack([np.asarray(r[0], np.float64) for r in rows])
+    nrm = np.linalg.norm(x, axis=1, keepdims=True)
+    x = x[nrm[:, 0] > 0.0] / nrm[nrm[:, 0] > 0.0]
+    c = np.array(centroids, np.float64)
+    for _ in range(iters):
+        assign = np.argmax(_round_half_away(x @ c.T, 6), axis=1)
+        for j in range(len(c)):
+            members = x[assign == j]
+            if len(members):
+                m = members.sum(axis=0)
+                n = np.linalg.norm(m)
+                if n > 0:
+                    c[j] = m / n
+    return [[round(float(v), 3) for v in row] for row in c]
+
+
+def _ivf_scored_lists(vec: Column, centroids: list[list[float]]) -> Column:
+    """Array of centroid ids ordered by affinity (rounded dot desc,
+    centroid id asc) — all JVM expressions, one fold per centroid per
+    row.  Element 0 is the assignment; a prefix is the probe set."""
+    scored = F.array(*[
+        F.struct(
+            (-F.round(dot(vec, F.array(*[F.lit(float(x)) for x in cvec])), 6)
+             ).alias("negd"),
+            F.lit(cid).alias("cid"),
+        )
+        for cid, cvec in enumerate(centroids)
+    ])
+    return F.transform(F.array_sort(scored), lambda s: s["cid"])
+
+
+def ivf_assign(df: DataFrame, centroids: list[list[float]],
+               vec_col: str = "embedding",
+               out_col: str = "ivf_list") -> DataFrame:
+    """Assign each vector to its inverted list: argmax rounded dot
+    against the (unit-norm) centroid literals, ties to the lowest
+    centroid id.  Narrow JVM pass, no shuffle — the list id then
+    drives groupBy/join co-location exactly like an LSH bucket."""
+    return df.withColumn(
+        out_col, F.element_at(_ivf_scored_lists(F.col(vec_col), centroids), 1)
+    )
+
+
+def ivf_assign_gemm(df: DataFrame, centroids: list[list[float]],
+                    vec_col: str = "embedding", id_col: str = "vec_id",
+                    out_col: str = "ivf_list") -> DataFrame:
+    """GEMM form of ``ivf_assign`` for production-sized quantizers
+    (n_centroids in the thousands, where n interpreted folds per row
+    would dominate): Arrow batches x one broadcast centroid matrix,
+    one matmul per batch.  Same rounding and tie-break (np.argmax
+    takes the first maximum; centroid ids ascend) -> identical
+    assignments, property-tested against ``ivf_assign``."""
+    import numpy as np
+
+    spark = df.sparkSession
+    b_c = spark.sparkContext.broadcast(np.array(centroids, np.float64))
+
+    def kernel(batches):
+        import numpy as _np
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = _np.stack([_np.asarray(v, _np.float64)
+                             for v in pdf[vec_col]])
+            sims = _round_half_away(mat @ b_c.value.T, 6)
+            yield pd.DataFrame({
+                id_col: pdf[id_col].to_numpy(_np.int64),
+                vec_col: pdf[vec_col],
+                out_col: _np.argmax(sims, axis=1).astype(_np.int32),
+            })
+
+    vec_type = dict(df.dtypes)[vec_col]
+    return df.select(id_col, vec_col).mapInPandas(
+        kernel, schema=f"{id_col} long, {vec_col} {vec_type}, {out_col} int"
+    )
+
+
+def ivf_probe_lists(df: DataFrame, centroids: list[list[float]],
+                    nprobe: int = 2, vec_col: str = "embedding",
+                    out_col: str = "ivf_list") -> DataFrame:
+    """Explode each query row into its ``nprobe`` nearest inverted
+    lists (affinity-ordered prefix).  The IVF recall dial: nprobe=1 is
+    fastest, nprobe=n_centroids degrades gracefully to exact scan."""
+    nprobe = max(1, min(nprobe, len(centroids)))
+    return df.withColumn(
+        out_col,
+        F.explode(
+            F.slice(_ivf_scored_lists(F.col(vec_col), centroids), 1, nprobe)
+        ),
+    )
+
+
+def ann_topk_ivf(queries: DataFrame, corpus: DataFrame,
+                 centroids: list[list[float]], k: int = 5, nprobe: int = 2,
+                 id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """IVF-Flat approximate top-k: corpus vectors live in exactly one
+    inverted list; each query scores only its ``nprobe`` closest lists.
+    Candidate generation is a cogroup on list id (one shuffle of the
+    skinny (id, vec, list) projection); scoring is one numpy GEMM per
+    (list x its probing queries) group — never per-pair interpreted
+    expressions, never all-pairs.  A corpus vector is in one list, so
+    no cross-probe duplicate pairs exist by construction.
+
+    Scale shape for 100 TB: n_centroids grows to ~sqrt(n) so each list
+    stays executor-sized; the quantizer (n_centroids x dim doubles)
+    stays trivially broadcastable; skewed cells are the known IVF
+    hazard and surface as Spark task skew, mitigated by kmeans_refine
+    (balances cells toward the data) before re-assignment."""
+    cb = ivf_assign(corpus, centroids, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"),
+        "ivf_list",
+    )
+    qb = ivf_probe_lists(queries, centroids, nprobe, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"),
+        "ivf_list",
+    )
+    scored = (
+        cb.groupBy("ivf_list")
+        .cogroup(qb.groupBy("ivf_list"))
+        .applyInPandas(
+            _cogroup_score_kernel,
+            schema="query_id long, neighbor_id long, cos_sim double",
+        )
+    )
+    return _rank_topk(scored, k)

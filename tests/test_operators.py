@@ -334,3 +334,85 @@ def test_multimodal_stub_and_fake(spark):
     frames = sample_frames(df, every_n=5, fake=True).collect()
     assert all(r.status == "ok" for r in frames)
     assert len(frames) > 0
+
+
+# --------------------------------------------------------------------------
+# IVF ANN
+# --------------------------------------------------------------------------
+
+def _ivf_cents():
+    from ocr_spark.operators.similarity import ivf_centroids
+
+    return ivf_centroids(dim=16, n_centroids=8, seed=7)
+
+
+def test_ivf_assign_expression_equals_gemm(vectors):
+    """The JVM-expression assignment (oracle path) and the Arrow GEMM
+    assignment (production path for large quantizers) must agree on
+    every row — same rounding, same lowest-centroid-id tie-break."""
+    from ocr_spark.operators.similarity import ivf_assign, ivf_assign_gemm
+
+    cents = _ivf_cents()
+    expr = {r.vec_id: r.ivf_list for r in ivf_assign(vectors, cents).collect()}
+    gemm = {r.vec_id: r.ivf_list
+            for r in ivf_assign_gemm(vectors, cents).collect()}
+    assert expr == gemm
+    assert set(expr.values()) <= set(range(8))
+
+
+def test_ann_ivf_full_probe_equals_exact(vectors):
+    """nprobe = n_centroids degrades gracefully to an exact scan: every
+    corpus vector is in some probed list, so the result must equal the
+    brute-force cosine_topk ranks."""
+    from ocr_spark.operators.similarity import ann_topk_ivf, cosine_topk
+
+    q = vectors.filter(F.col("vec_id") < 5)
+    exact = {(r.query_id, r.neighbor_id, r.rank)
+             for r in cosine_topk(q, vectors, k=3).collect()}
+    full = {(r.query_id, r.neighbor_id, r.rank)
+            for r in ann_topk_ivf(q, vectors, _ivf_cents(), k=3,
+                                  nprobe=8).collect()}
+    assert full == exact
+
+
+def test_ann_ivf_recall_of_near_copies(vectors):
+    from ocr_spark.operators.similarity import ann_topk_ivf
+
+    q = vectors.filter(F.col("vec_id") < 5)
+    out = ann_topk_ivf(q, vectors, _ivf_cents(), k=3, nprobe=2).collect()
+    top1 = {r.query_id: r.neighbor_id for r in out if r.rank == 1}
+    # a 0.01-perturbed copy's argmax list is its original's list or the
+    # runner-up, so nprobe=2 must recover every planted near-copy
+    hits = sum(1 for i in range(5) if top1.get(i) == 100 + i)
+    assert hits == 5
+
+
+def test_kmeans_refine_deterministic_and_improves(vectors):
+    """Lloyd refinement must be run-to-run deterministic (id-ordered
+    sample) and must not worsen the quantizer: mean best-centroid
+    affinity of unit vectors >= the seed quantizer's."""
+    import numpy as np
+    from ocr_spark.operators.similarity import ivf_centroids, kmeans_refine
+
+    seed_c = ivf_centroids(dim=16, n_centroids=8, seed=7)
+    r1 = kmeans_refine(vectors, seed_c, iters=4)
+    r2 = kmeans_refine(vectors, seed_c, iters=4)
+    assert r1 == r2
+
+    rows = vectors.orderBy("vec_id").collect()
+    x = np.stack([np.asarray(r.embedding, np.float64) for r in rows])
+    x = x / np.linalg.norm(x, axis=1, keepdims=True)
+
+    def affinity(c):
+        return float(np.mean(np.max(x @ np.array(c).T, axis=1)))
+
+    assert affinity(r1) >= affinity(seed_c) - 1e-9
+
+
+def test_ann_ivf_pair_stage_is_arrow_gemm(spark):
+    import __spark_entry__ as entry_mod
+
+    plan = entry_mod.q_ann_topk_ivf(spark, "/root/testdata/sf0.001")._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "FlatMapCoGroupsInPandas" in plan
+    assert "CartesianProduct" not in plan
