@@ -167,6 +167,36 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(docs, "text", "doc_id", keys_only=True)
 
 
+# shared literals between q_line_dedup and its oracle: a cookie-banner
+# line every doc carries, a newsletter line a third of docs carry, and
+# a per-doc unique tail — the CCNet-style pass must drop the first two
+# and keep body + tail.
+_LD_COOKIE = "COOKIE NOTICE this site uses cookies accept to continue"
+_LD_NEWS = "subscribe to our newsletter for updates"
+
+
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level boilerplate dedup (CCNet/RefinedWeb pass): derive a
+    multi-line corpus from documents (testdata texts are single-line)
+    with deterministic shared-literal boilerplate lines, then drop
+    every trimmed line that appears in >=2 distinct docs."""
+    from ocr_spark.operators.dedup import line_dedup
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.lit(_LD_COOKIE),
+            F.col("text"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit(_LD_NEWS)).otherwise(
+                F.concat(F.lit("ref code "), F.col("doc_id"))
+            ),
+        ).alias("text"),
+    )
+    return line_dedup(docs, "doc_id", "text",
+                      min_dup_docs=2, min_line_chars=10)
+
+
 def q_dedup_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window keep-latest per user over events (the per-url dedup
     pattern of the pages pipeline, on the driver tables)."""
@@ -732,6 +762,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_extract": q_profile_extract,
         "extract_metrics": q_extract_metrics,
         "dedup_exact": q_dedup_exact,
+        "line_dedup": q_line_dedup,
         "dedup_keep_latest": q_dedup_keep_latest,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "ngram_jaccard": q_ngram_jaccard,
@@ -1161,6 +1192,37 @@ def oracle_sql() -> dict[str, str]:
             "SELECT d.doc_id, g.dup_count FROM documents d "
             "JOIN g ON d.doc_id = g.doc_id"
         ),
+        "line_dedup": f"""
+          WITH src AS (
+            SELECT doc_id,
+                   '{_LD_COOKIE}' || chr(10) || text || chr(10) ||
+                   (CASE WHEN doc_id % 3 = 0 THEN '{_LD_NEWS}'
+                         ELSE 'ref code ' || doc_id END) AS mt
+            FROM documents),
+          ls AS (SELECT doc_id, string_split(mt, chr(10)) AS arr FROM src),
+          lines0 AS (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(arr) + 1),
+                          i -> {{'pos': i, 'ln': arr[i]}})) AS u
+            FROM ls),
+          lines AS (
+            SELECT doc_id, u.pos AS pos, u.ln AS ln, trim(u.ln) AS nrm
+            FROM lines0),
+          banned AS (
+            SELECT nrm FROM lines WHERE length(nrm) >= 10
+            GROUP BY nrm HAVING count(DISTINCT doc_id) >= 2),
+          flagged AS (
+            SELECT l.doc_id, l.pos, l.ln, b.nrm IS NOT NULL AS is_banned
+            FROM lines l LEFT JOIN banned b USING (nrm))
+          SELECT doc_id,
+                 coalesce(string_agg(ln, chr(10) ORDER BY pos)
+                          FILTER (WHERE NOT is_banned), '') AS text,
+                 CAST(count(*) FILTER (WHERE NOT is_banned) AS BIGINT)
+                   AS n_lines_kept,
+                 CAST(count(*) FILTER (WHERE is_banned) AS BIGINT)
+                   AS n_lines_dropped
+          FROM flagged GROUP BY doc_id
+        """,
         "dedup_keep_latest": (
             "SELECT user_id, event_id, event_type FROM ("
             "  SELECT user_id, event_id, event_type, "

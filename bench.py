@@ -38,7 +38,7 @@ CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".cache")
 # headline operator queries from the driver contract (timed individually)
 BENCH_QUERIES = [
     "flagship_extract", "pdf_extract", "profile_extract", "extract_metrics",
-    "dedup_exact",
+    "dedup_exact", "line_dedup",
     "dedup_keep_latest", "minhash_lsh_pairs", "ngram_jaccard",
     "lsh_jaccard", "dedup_clusters", "simhash_near_dup", "embed_near_dup",
     "embed_near_dup_lsh", "cosine_topk", "ann_topk", "ann_topk_ivf",

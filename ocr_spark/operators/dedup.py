@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 from ocr_spark.functions.text import word_shingles
 
 __all__ = [
-    "exact_dedup", "minhash_signature", "lsh_candidate_pairs",
+    "exact_dedup", "line_dedup", "minhash_signature", "lsh_candidate_pairs",
     "lsh_bucket_overflow", "lsh_jaccard_pairs", "ngram_jaccard_pairs",
     "simhash",
     "simhash_near_dup_pairs", "simhash_bucket_overflow",
@@ -58,6 +58,64 @@ def exact_dedup(df: DataFrame, text_col: str = "text",
     if keys_only:
         return winners
     return df.join(winners, on=key_col, how="inner")
+
+
+def line_dedup(df: DataFrame, key_col: str = "doc_id",
+               text_col: str = "text", min_dup_docs: int = 2,
+               min_line_chars: int = 10,
+               broadcast_banned: bool = True) -> DataFrame:
+    """Line-level dedup (CCNet / RefinedWeb style): drop every line
+    whose trimmed form appears in >= ``min_dup_docs`` DISTINCT
+    documents — the standard pass that strips cookie banners, nav
+    text, and share buttons that survive block-level extraction.
+    Lines shorter than ``min_line_chars`` after trimming are never
+    banned (short strings collide by chance, not by boilerplate).
+
+    Returns one row per input document (docs whose every line is
+    banned come back with text '' — a document is filtered by a later
+    quality pass, never silently lost):
+    ``(key, text, n_lines_kept, n_lines_dropped)``, line order
+    preserved.
+
+    Scale shape: the only full-width shuffle is the final groupBy(key)
+    reassembly of KEPT line text; frequency counting shuffles just the
+    skinny (trimmed-line, key) projection, and the banned-line table —
+    boilerplate by definition, orders of magnitude smaller than the
+    corpus — is broadcast into the probe join (set
+    ``broadcast_banned=False`` to let the planner shuffle-join if a
+    pathological corpus makes it large)."""
+    lines = df.select(
+        F.col(key_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "ln"),
+    ).withColumn("nrm", F.trim(F.col("ln")))
+    banned = (
+        lines.filter(F.length("nrm") >= min_line_chars)
+        .groupBy("nrm")
+        .agg(F.countDistinct(key_col).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_dup_docs)
+        .select("nrm", F.lit(True).alias("_banned"))
+    )
+    if broadcast_banned:
+        banned = F.broadcast(banned)
+    flagged = lines.join(banned, on="nrm", how="left")
+    keep = F.col("_banned").isNull()
+    kept_struct = F.when(keep, F.struct(F.col("pos"), F.col("ln")))
+    return (
+        flagged.groupBy(key_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    # collect_list skips the NULLs the when() leaves for
+                    # banned lines; array_sort restores document order
+                    F.array_sort(F.collect_list(kept_struct)),
+                    lambda s: s["ln"],
+                ),
+                "\n",
+            ).alias("text"),
+            F.sum(F.when(keep, 1).otherwise(0)).alias("n_lines_kept"),
+            F.sum(F.when(keep, 0).otherwise(1)).alias("n_lines_dropped"),
+        )
+    )
 
 
 def minhash_signature(col: str | Column, n_hashes: int = 16,

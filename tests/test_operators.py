@@ -416,3 +416,29 @@ def test_ann_ivf_pair_stage_is_arrow_gemm(spark):
         .queryExecution().executedPlan().toString()
     assert "FlatMapCoGroupsInPandas" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_line_dedup(spark):
+    """CCNet-style line dedup: lines in >=2 distinct docs drop (even
+    with differing surrounding whitespace), short lines never drop,
+    order is preserved, and an all-banned doc survives as ''."""
+    from ocr_spark.operators.dedup import line_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "SHARED BOILERPLATE LINE HERE\nunique body one two three\nshort"),
+            (2, "  SHARED BOILERPLATE LINE HERE\nanother unique body line\nshort"),
+            (3, "totally unique document text"),
+            (4, "SHARED BOILERPLATE LINE HERE"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in
+           line_dedup(docs, min_dup_docs=2, min_line_chars=10).collect()}
+    assert len(out) == 4                       # no doc silently lost
+    assert out[1].text == "unique body one two three\nshort"
+    # 'short' is in 2 docs but under min_line_chars -> kept
+    assert out[2].text == "another unique body line\nshort"
+    assert out[3].text == "totally unique document text"
+    assert out[4].text == "" and out[4].n_lines_dropped == 1
+    assert out[1].n_lines_kept == 2 and out[1].n_lines_dropped == 1
