@@ -543,6 +543,17 @@ def q_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_budget_mix(docs, MIX_BUDGETS, n_buckets=64)
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing: global token offsets in deterministic
+    hash order (two-pass distributed prefix sum, single implicit
+    stratum) and the seq_len=2048 training-sequence range each document
+    occupies."""
+    from ocr_spark.operators.corpus import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents")
+    return pack_sequences(docs, seq_len=2048, n_buckets=64)
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (GPT-3-style n-gram overlap): the
     'benchmark' is a deterministic derived eval set — the first 60
@@ -785,6 +796,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": q_token_count,
         "stratified_sample": q_stratified_sample,
         "token_budget_mix": q_token_budget_mix,
+        "pack_sequences": q_pack_sequences,
         "decontaminate": q_decontaminate,
         "media_decode": q_media_decode,
         "frame_sample": q_frame_sample,
@@ -1522,6 +1534,31 @@ def oracle_sql() -> dict[str, str]:
           )
           SELECT doc_id, source, n_tokens, cum_tokens FROM run
           WHERE cum_tokens <= CASE source {_mix_budget_cases()} ELSE 0 END
+        """,
+        # sequence packing: the single-window cumsum here equals the
+        # engine's two-pass prefix sum because bucket order (h % 64)
+        # leads the ORDER BY; empty docs pack to nothing on both sides
+        "pack_sequences": f"""
+          WITH t AS (
+            SELECT doc_id,
+              CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+                   ELSE len({toks}) END AS BIGINT) AS n_tokens,
+              ('0x' || substr(md5('|' || doc_id::VARCHAR), 1, 15))::BIGINT AS h
+            FROM documents
+          ), run AS (
+            SELECT doc_id, n_tokens,
+              CAST(sum(n_tokens) OVER (ORDER BY h % 64, h, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum
+            FROM t WHERE n_tokens > 0
+          )
+          SELECT doc_id, n_tokens,
+            cum - n_tokens AS start_off,
+            CAST((cum - n_tokens) // 2048 AS BIGINT) AS seq_first,
+            CAST((cum - 1) // 2048 AS BIGINT) AS seq_last,
+            CAST((cum - 1) // 2048 - (cum - n_tokens) // 2048 + 1
+                 AS BIGINT) AS n_seqs
+          FROM run
         """,
         "decontaminate": f"""
           WITH bt AS (

@@ -44,7 +44,7 @@ BENCH_QUERIES = [
     "embed_near_dup_lsh", "cosine_topk", "ann_topk", "ann_topk_ivf",
     "text_stats", "repetition_stats", "quality_filter", "pii_scrub",
     "lang_id", "lang_id_cjk", "fingerprint", "token_count",
-    "stratified_sample", "token_budget_mix", "decontaminate",
+    "stratified_sample", "token_budget_mix", "pack_sequences", "decontaminate",
     "media_decode", "frame_sample",
     "pricing_summary", "top_customers", "regional_revenue", "json_extract",
     "running_window", "sessionize",

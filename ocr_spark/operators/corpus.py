@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 from ocr_spark.functions.text import token_count, word_shingles
 
 __all__ = ["stratified_sample", "token_budget_mix", "sample_thresholds",
-           "contamination_pairs"]
+           "contamination_pairs", "pack_sequences"]
 
 # 60-bit hash space: 15 md5 hex chars, inside int64 on every engine
 HASH_SPACE = 1 << 60
@@ -135,6 +135,74 @@ def token_budget_mix(df: DataFrame, budgets: dict[str, int],
         )
         .filter(F.col("cum_tokens") <= budget)
         .select(key_col, strata_col, "n_tokens", "cum_tokens")
+    )
+
+
+def pack_sequences(df: DataFrame, seq_len: int, key_col: str = "doc_id",
+                   text_col: str = "text", n_buckets: int = 64,
+                   salt: str = "") -> DataFrame:
+    """Sequence packing (GPT-style concat-and-cut): conceptually
+    concatenate every document's tokens in deterministic hash order and
+    cut the stream into fixed ``seq_len`` training sequences; report,
+    per document, its global token offset and the half-open range of
+    sequence ids it lands in::
+
+        (key, n_tokens, start_off, seq_first, seq_last, n_seqs)
+
+    where ``start_off = <tokens before this doc>``, ``seq_first =
+    start_off div seq_len``, ``seq_last = (start_off + n_tokens - 1)
+    div seq_len``.  A downstream writer groups by sequence id to emit
+    the packed batches; this operator is the placement plan, which is
+    the distributed-systems half of the problem.  Empty documents pack
+    to nothing and are dropped.
+
+    The global running offset is the same two-pass distributed prefix
+    sum as ``token_budget_mix`` but with a single implicit stratum:
+    per-bucket partial sums (``n_buckets`` rows — the offset window
+    over them is single-partition but trivially small), broadcast the
+    per-bucket starting offsets back, cumsum within buckets.  Global
+    order is (bucket, h, key), a pure function of the key — the packing
+    is identical across runs, retries, partitionings, and cluster
+    sizes, which is what makes a training run reproducible."""
+    h = _md5_60(key_col, salt)
+    base = (
+        df.select(
+            F.col(key_col),
+            token_count(text_col).cast("long").alias("n_tokens"),
+        )
+        .withColumn("h", h)
+        .withColumn("bucket", F.pmod(F.col("h"), F.lit(n_buckets)))
+        .filter(F.col("n_tokens") > 0)
+    )
+    partials = base.groupBy("bucket").agg(
+        F.sum("n_tokens").alias("bucket_tokens")
+    )
+    w_off = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = partials.select(
+        "bucket",
+        F.coalesce(F.sum("bucket_tokens").over(w_off), F.lit(0)).alias("offset"),
+    )
+    w_run = (
+        Window.partitionBy("bucket")
+        .orderBy("h", key_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = F.col("offset") + F.sum("n_tokens").over(w_run)
+    return (
+        base.join(F.broadcast(offsets), "bucket")
+        .withColumn("start_off", (cum - F.col("n_tokens")).cast("long"))
+        .withColumn("seq_first", F.expr(f"start_off div {int(seq_len)}"))
+        .withColumn(
+            "seq_last",
+            F.expr(f"(start_off + n_tokens - 1) div {int(seq_len)}"),
+        )
+        .withColumn(
+            "n_seqs", (F.col("seq_last") - F.col("seq_first") + 1).cast("long")
+        )
+        .select(key_col, "n_tokens", "start_off", "seq_first", "seq_last",
+                "n_seqs")
     )
 
 

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from ocr_spark.operators.corpus import (
     HASH_SPACE,
     contamination_pairs,
+    pack_sequences,
     sample_thresholds,
     stratified_sample,
     token_budget_mix,
@@ -140,3 +141,51 @@ def test_contamination_pairs_threshold_and_broadcast(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "BatchEvalPython" not in plan
+
+
+def _pack_reference(n, seq_len, n_buckets):
+    """Single-stream python reference: order by (h % B, h, key), global
+    cumsum, cut at seq_len boundaries."""
+    ids = sorted(range(n), key=lambda i: (_h60(i) % n_buckets, _h60(i), i))
+    out, run = {}, 0
+    for i in ids:
+        nt = i % 7 + 1
+        start, run = run, run + nt
+        out[i] = (nt, start, start // seq_len, (run - 1) // seq_len)
+    return out
+
+
+def test_pack_sequences_matches_reference(spark):
+    df = _docs(spark, n=150)
+    for b in (1, 8, 64):
+        want = _pack_reference(150, 16, b)
+        got = {
+            r["doc_id"]: (r["n_tokens"], r["start_off"],
+                          r["seq_first"], r["seq_last"])
+            for r in pack_sequences(df, 16, n_buckets=b).collect()
+        }
+        assert got == want, f"n_buckets={b}"
+
+
+def test_pack_sequences_contiguous_and_drops_empty(spark):
+    rows = [(0, "s0", ""), (1, "s0", "a b c"), (2, "s0", "   "),
+            (3, "s0", "x " * 40), (4, "s0", "y z")]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = pack_sequences(df, 8, n_buckets=4).collect()
+    # empty / whitespace-only docs pack to nothing
+    assert {r["doc_id"] for r in out} == {1, 3, 4}
+    # offsets tile the token stream: start at 0, no gaps, no overlap
+    ivs = sorted((r["start_off"], r["start_off"] + r["n_tokens"]) for r in out)
+    assert ivs[0][0] == 0
+    for (_, end), (nxt, _) in zip(ivs, ivs[1:]):
+        assert end == nxt
+    # a 40-token doc spans >= 5 seq_len=8 sequences; n_seqs consistent
+    r3 = next(r for r in out if r["doc_id"] == 3)
+    assert r3["n_seqs"] == r3["seq_last"] - r3["seq_first"] + 1
+    assert r3["n_seqs"] >= 5
+    # partition-invariant placement
+    re_out = {
+        (r["doc_id"], r["start_off"])
+        for r in pack_sequences(df.repartition(7), 8, n_buckets=4).collect()
+    }
+    assert re_out == {(r["doc_id"], r["start_off"]) for r in out}
