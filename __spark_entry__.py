@@ -1100,22 +1100,23 @@ def _pii_scrub_sql() -> str:
     """DuckDB twin of q_pii_scrub: identical injection CASE, identical
     pattern text (PII_PATTERNS is written in the Java/RE2-common regex
     subset precisely so both engines run the same strings), identical
-    redaction order."""
+    redaction order — and, like the engine, each kind is COUNTED on the
+    text after the previous kinds were redacted, so counts equal actual
+    replacements (no cross-kind double counting)."""
     from ocr_spark.functions.scrub import PII_PATTERNS
 
     cases = " ".join(
         f"WHEN {k} THEN text || '{s}'" for k, s in PII_SAMPLES.items())
-    counts = ", ".join(
-        f"len(regexp_extract_all(text, '{pat}')) AS n_{name}"
-        for name, pat, _ in PII_PATTERNS)
+    counts = []
     scrub = "text"
-    for _, pat, repl in PII_PATTERNS:
+    for name, pat, repl in PII_PATTERNS:
+        counts.append(f"len(regexp_extract_all({scrub}, '{pat}')) AS n_{name}")
         scrub = f"regexp_replace({scrub}, '{pat}', '{repl}', 'g')"
     return f"""
       WITH aug AS (
         SELECT doc_id, CASE doc_id % 4 {cases} ELSE text END AS text
         FROM documents)
-      SELECT doc_id, {counts}, {scrub} AS scrubbed FROM aug
+      SELECT doc_id, {', '.join(counts)}, {scrub} AS scrubbed FROM aug
     """
 
 

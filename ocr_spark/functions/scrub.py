@@ -36,7 +36,10 @@ PII_PATTERNS: list[tuple[str, str, str]] = [
 
 
 def count_pii(col: str | Column) -> dict[str, Column]:
-    """Per-kind match counts on the RAW text (before any redaction)."""
+    """Per-kind match counts on the RAW text (before any redaction).
+    Counts may overlap across kinds (a digit run inside an email local
+    part counts as a phone too); ``with_pii_scrub`` counts sequentially
+    instead, so its counts equal what each pass actually replaced."""
     c = F.col(col) if isinstance(col, str) else col
     return {
         name: F.size(F.regexp_extract_all(c, F.lit(pat), 0))
@@ -46,12 +49,15 @@ def count_pii(col: str | Column) -> dict[str, Column]:
 
 def with_pii_scrub(df: DataFrame, text_col: str = "text",
                    out_col: str = "scrubbed") -> DataFrame:
-    """Adds ``n_<kind>`` count columns (computed on the raw text) and
-    ``out_col`` with all patterns redacted in the documented order."""
-    counts = count_pii(text_col)
-    scrubbed = F.col(text_col)
-    for _, pat, repl in PII_PATTERNS:
-        scrubbed = F.regexp_replace(scrubbed, pat, repl)
-    for name, expr in counts.items():
-        df = df.withColumn(f"n_{name}", expr)
-    return df.withColumn(out_col, scrubbed)
+    """Adds ``n_<kind>`` count columns and ``out_col`` with all patterns
+    redacted in the documented order.  Each kind's count is computed on
+    the text AFTER the previous kinds were redacted — n_<kind> is
+    exactly the number of replacements that kind's pass made (a phone
+    digit run inside an email local part is never double-counted)."""
+    cur = F.col(text_col)
+    for name, pat, repl in PII_PATTERNS:
+        df = df.withColumn(
+            f"n_{name}", F.size(F.regexp_extract_all(cur, F.lit(pat), 0))
+        )
+        cur = F.regexp_replace(cur, pat, repl)
+    return df.withColumn(out_col, cur)

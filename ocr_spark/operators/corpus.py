@@ -44,11 +44,22 @@ HASH_SPACE = 1 << 60
 def _md5_60(col, salt: str):
     """Uniform 60-bit integer hash of (salt | key) — deterministic and
     identically computable in DuckDB as
-    ('0x' || substr(md5(salt || '|' || key), 1, 15))::BIGINT."""
-    return F.expr(
-        f"cast(conv(substring(md5(concat('{salt}', '|', "
-        f"cast({col} as string))), 1, 15), 16, 10) as bigint)"
-    )
+    ('0x' || substr(md5(salt || '|' || key), 1, 15))::BIGINT.
+
+    Built with the Column API (not an F.expr f-string) so a salt
+    containing a quote, or a column name needing backticks, cannot
+    break or inject into the expression — the salt rides as a bound
+    literal and the column as a resolved reference."""
+    return F.conv(
+        F.substring(
+            F.md5(
+                F.concat(F.lit(salt), F.lit("|"),
+                         F.col(col).cast("string"))
+            ),
+            1, 15,
+        ),
+        16, 10,
+    ).cast("long")
 
 
 def sample_thresholds(fractions: dict[str, float]) -> dict[str, int]:

@@ -598,17 +598,24 @@ def near_dup_clusters(df: DataFrame, key_col: str = "doc_id",
     connected components → ``(key, cluster_id, cluster_size)`` for
     EVERY input document (singletons get their own id, size 1).
     Downstream dedup keeps ``key == cluster_id`` rows; ``cluster_size``
-    feeds the run report (how much of the corpus was duplicate)."""
-    from pyspark.sql import Window
+    feeds the run report (how much of the corpus was duplicate).
 
+    ``cluster_size`` is a groupBy count joined back, NOT a window over
+    cluster_id: a pathological mega-cluster (exactly the boilerplate
+    case this module warns about) would funnel all its rows through ONE
+    window task, while the groupBy's map-side partial aggregation
+    absorbs the hot key before the shuffle and the join redistributes
+    only (cluster_id, count) rows."""
     pairs = lsh_candidate_pairs(df, key_col, text_col, n_hashes, bands,
                                 shingle_k, max_bucket_size=max_bucket_size)
     cc = connected_components(pairs, "id_a", "id_b",
                               nodes=df.select(key_col), key_col=key_col,
                               max_iterations=max_iterations)
-    w = Window.partitionBy("cluster_id")
-    return cc.select(
-        key_col, "cluster_id", F.count(F.lit(1)).over(w).alias("cluster_size")
+    sizes = cc.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return cc.join(sizes, "cluster_id").select(
+        key_col, "cluster_id", "cluster_size"
     )
 
 

@@ -94,7 +94,8 @@ def windowed_lineage(extracted: DataFrame, window: str = "1 hour",
 
 def sessionize_stream(events: DataFrame, gap_s: int = 1800,
                       user_col: str = "user_id",
-                      ts_col: str = "ts") -> DataFrame:
+                      ts_col: str = "ts",
+                      idle_timeout_s: int | None = None) -> DataFrame:
     """Custom stateful streaming operator: gap-based sessionization via
     ``applyInPandasWithState`` — the arbitrary-state surface the built-in
     windowed aggregations can't express (per-key session state carried
@@ -105,10 +106,21 @@ def sessionize_stream(events: DataFrame, gap_s: int = 1800,
     event-time order; a gap > ``gap_s`` closes the current session.
     Closed sessions are EMITTED (append mode); the trailing open session
     per user stays in state and is emitted only once a later event
-    closes it.  On an unbounded production stream an idle-user flush
-    would add a processing-time timeout; bounded runs (availableNow)
-    deliberately leave final open sessions in state so emitted rows are
-    exactly the deterministically-closed ones.
+    closes it — or, with ``idle_timeout_s`` set, once the user has been
+    idle in PROCESSING time for that long (the production flush for an
+    unbounded stream: an abandoned user's last session must not sit in
+    state forever).  Bounded runs (availableNow) keep the default
+    ``idle_timeout_s=None`` so emitted rows are exactly the
+    deterministically-closed ones.
+
+    Lateness contract: events are sorted within a micro-batch, but an
+    event arriving in a LATER batch with t <= the stored last_ts (cross-
+    batch late data) must never move the open session backwards — it
+    extends counts, clamps ``start`` down / ``last`` up (min/max), and a
+    gap is only opened by an event beyond last_ts + gap.  Events later
+    than a session already EMITTED in a prior batch cannot be stitched
+    into it (state was replaced); that is the same horizon any
+    watermark-based operator has.
 
     State per user: (session_start, last_ts, n_events) — O(1) bytes per
     key regardless of history length, the property that lets this run
@@ -127,6 +139,21 @@ def sessionize_stream(events: DataFrame, gap_s: int = 1800,
     def fn(key, pdfs, state):
         import pandas as pd
 
+        def frame(rows):
+            return pd.DataFrame(
+                rows, columns=["user_id", "session_start", "session_end",
+                               "n_events"],
+            ).astype({"user_id": "int64", "session_start": "int64",
+                      "session_end": "int64", "n_events": "int64"})
+
+        # processing-time timeout fired: flush the open session, drop
+        # state (pdfs is empty by contract on a timed-out key)
+        if idle_timeout_s is not None and state.hasTimedOut:
+            start, last, n = state.get
+            state.remove()
+            yield frame([(key[0], start, last, n)])
+            return
+
         ts = []
         for pdf in pdfs:
             ts.extend(int(t) for t in pdf["ts_s"] if t is not None)
@@ -143,14 +170,13 @@ def sessionize_stream(events: DataFrame, gap_s: int = 1800,
                 out.append((key[0], start, last, n))
                 start, last, n = t, t, 1
             else:
-                last, n = t, n + 1
+                # cross-batch late event: extend, never move backwards
+                start, last, n = min(start, t), max(last, t), n + 1
         if start is not None:
             state.update((start, last, n))
-        yield pd.DataFrame(
-            out, columns=["user_id", "session_start", "session_end",
-                          "n_events"],
-        ).astype({"user_id": "int64", "session_start": "int64",
-                  "session_end": "int64", "n_events": "int64"})
+            if idle_timeout_s is not None:
+                state.setTimeoutDuration(idle_timeout_s * 1000)
+        yield frame(out)
 
     return ev.groupBy("user_id").applyInPandasWithState(
         fn,
@@ -158,7 +184,9 @@ def sessionize_stream(events: DataFrame, gap_s: int = 1800,
                           "session_end long, n_events long"),
         stateStructType="session_start long, last_ts long, n_events long",
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(GroupStateTimeout.ProcessingTimeTimeout
+                     if idle_timeout_s is not None
+                     else GroupStateTimeout.NoTimeout),
     )
 
 
@@ -177,9 +205,15 @@ def dedup_stream(pages: DataFrame, keys: list[str] | None = None,
     event time, bounding state to the late-data horizon — duplicates
     farther apart than the horizon are by definition the batch job's
     responsibility (keep-latest over the full table), not the stream's.
-    """
+
+    The default digest falls back to the url for NULL html:
+    dropDuplicatesWithinWatermark treats NULL as an equal key, so a
+    bare md5(html) would collapse every html-less page into one
+    retained row."""
     if keys is None:
-        pages = pages.withColumn("digest", F.md5(F.col("html")))
+        pages = pages.withColumn(
+            "digest", F.coalesce(F.md5(F.col("html")), F.col("url"))
+        )
         keys = ["digest"]
     return pages.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
 

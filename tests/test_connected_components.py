@@ -98,3 +98,20 @@ def test_near_dup_clusters_end_to_end(spark):
     assert got[3] == (1, 4)
     assert got[4] == (1, 4)
     assert got[9] == (9, 1)
+
+
+def test_near_dup_clusters_one_giant_cluster(spark):
+    """The mega-cluster hazard case: every doc identical, so the whole
+    corpus is ONE component and cluster_id is the hot key.  cluster_size
+    must come back right (n) via the groupBy+join form — the window-
+    over-cluster_id form this replaced funneled all n rows through one
+    window task."""
+    base = "identical boilerplate page text repeated across every doc in the corpus"
+    n = 80
+    df = spark.createDataFrame([(i, base) for i in range(n)],
+                               "doc_id long, text string")
+    out = near_dup_clusters(df, "doc_id", "text", n_hashes=16, bands=8,
+                            shingle_k=3)
+    rows = out.collect()
+    assert len(rows) == n
+    assert all(r["cluster_id"] == 0 and r["cluster_size"] == n for r in rows)

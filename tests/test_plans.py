@@ -138,6 +138,18 @@ def test_dedup_queries_avoid_cartesian(spark):
         assert "BroadcastNestedLoopJoin" not in plan, name
 
 
+def test_near_dup_clusters_has_no_hot_key_window(spark):
+    """cluster_size must be a groupBy count + join (map-side partial
+    agg absorbs a mega-cluster's hot key), never a Window partitioned
+    by cluster_id (which funnels the whole cluster through one task)."""
+    from ocr_spark.operators.dedup import near_dup_clusters
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(50)
+    df = near_dup_clusters(docs, "doc_id", "text", n_hashes=16, bands=8)
+    plan = plan_of(df)
+    assert "Window" not in plan, plan
+
+
 def test_token_budget_mix_broadcasts_offsets_no_python(spark):
     """The two-pass prefix sum: per-bucket offsets come back via a
     broadcast join (the offsets frame is strata x n_buckets rows), the

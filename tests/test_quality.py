@@ -104,6 +104,22 @@ def test_pii_scrub_order_protects_emails_and_ips(spark):
     assert "<PHONE>" not in r.scrubbed
 
 
+def test_pii_counts_are_sequential_not_raw(spark):
+    """Each kind is counted AFTER the previous kinds were redacted, so
+    a phone-looking digit run inside an email local part is counted
+    once (as the email it is), never double-counted as a phone."""
+    from ocr_spark.functions.scrub import count_pii, with_pii_scrub
+
+    df = spark.createDataFrame([("reach a+14155550123@x.com today",)],
+                               "text string")
+    r = with_pii_scrub(df).first()
+    assert (r.n_email, r.n_ip, r.n_phone) == (1, 0, 0)
+    assert r.scrubbed == "reach <EMAIL> today"
+    # the raw-text counter (documented overlap) still sees both
+    raw = df.select(*[c.alias(k) for k, c in count_pii("text").items()]).first()
+    assert (raw.email, raw.phone) == (1, 1)
+
+
 def test_quality_filter_splits_documents_table(spark):
     """On the sf0.001 documents table the filter must be non-trivial:
     both classes present (a filter that keeps or drops everything

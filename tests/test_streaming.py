@@ -187,3 +187,96 @@ def test_stateful_sessionize_stitches_across_microbatches(spark, tmp_path):
     }
     # two micro-batches actually ran (the boundary was real)
     assert len(q.recentProgress) >= 2
+
+
+def test_sessionize_late_event_never_moves_session_backwards(spark, tmp_path):
+    """Lateness contract: an event arriving in a LATER micro-batch with
+    t below the stored last_ts (even below session_start) must extend
+    the open session (start=min, last=max), never rewind it — the
+    round-3 ADVICE hazard was last=t unconditionally, which could emit
+    session_end < session_start."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = tmp_path / "late_src"
+    src.mkdir()
+
+    def write(name, rows, mtime):
+        tbl = pa.table({
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows],
+                           pa.timestamp("us", tz="UTC")),
+        })
+        p = str(src / name)
+        pq.write_table(tbl, p)
+        os.utime(p, (mtime, mtime))
+
+    base = 1_700_000_000 * 1_000_000
+    s = lambda sec: base + sec * 1_000_000
+    # batch 1 opens (100..200); batch 2 delivers a LATE event at 50,
+    # then 5000 closes the session
+    write("f1.parquet", [(1, s(100)), (1, s(200))], 1_700_000_000)
+    write("f2.parquet", [(1, s(50)), (1, s(5000))], 1_700_001_000)
+
+    ev = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        sessionize_stream(ev, gap_s=1800)
+        .writeStream.format("memory").queryName("sess_late")
+        .option("checkpointLocation", str(tmp_path / "ckpt_late"))
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.sql("SELECT * FROM sess_late").collect()
+    }
+    t0 = 1_700_000_000
+    assert got == {(1, t0 + 50, t0 + 200, 3)}
+    for _, a, b, _n in got:
+        assert a <= b  # the invariant the guard protects
+
+
+def test_sessionize_idle_timeout_flushes_open_session(spark, tmp_path):
+    """Production flush: with idle_timeout_s set, an open session whose
+    user goes idle in processing time is emitted and its state dropped
+    (ProcessingTimeTimeout path).  Uses a real processing-time trigger;
+    FlatMapGroupsWithStateExec keeps scheduling batches while timeouts
+    are pending, so the flush arrives without new data."""
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = tmp_path / "to_src"
+    src.mkdir()
+    base = 1_700_000_000 * 1_000_000
+    tbl = pa.table({
+        "user_id": pa.array([7, 7], pa.int64()),
+        "ts": pa.array([base, base + 60_000_000], pa.timestamp("us", tz="UTC")),
+    })
+    pq.write_table(tbl, str(src / "f1.parquet"))
+
+    ev = spark.readStream.schema("user_id long, ts timestamp").parquet(str(src))
+    q = (
+        sessionize_stream(ev, gap_s=1800, idle_timeout_s=2)
+        .writeStream.format("memory").queryName("sess_to")
+        .option("checkpointLocation", str(tmp_path / "ckpt_to"))
+        .outputMode("append").trigger(processingTime="1 second").start()
+    )
+    try:
+        deadline = time.time() + 120
+        rows = []
+        while time.time() < deadline:
+            rows = spark.sql("SELECT * FROM sess_to").collect()
+            if rows:
+                break
+            time.sleep(1)
+    finally:
+        q.stop()
+    t0 = 1_700_000_000
+    assert {(r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+            for r in rows} == {(7, t0, t0 + 60, 2)}
