@@ -234,11 +234,18 @@ def _docs_with_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded MinHash-LSH candidates in the md5_affine production mode:
+    ONE md5-derived 60-bit base hash per shingle + 16 literal affine
+    transforms mod 2^31-1 (vs 16 md5 digests per shingle in the legacy
+    'md5' mode — the #1 round-3 bench cost).  Still fully value-oracled:
+    DuckDB re-derives the identical integer signatures from the same
+    coefficient literals."""
     from ocr_spark.operators.dedup import lsh_candidate_pairs
 
     docs = _docs_with_near_dups(spark, sf_dir)
     return lsh_candidate_pairs(docs, "doc_id", "text",
-                               n_hashes=16, bands=8, shingle_k=3)
+                               n_hashes=16, bands=8, shingle_k=3,
+                               hash_mode="md5_affine")
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -262,7 +269,8 @@ def q_lsh_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs_with_near_dups(spark, sf_dir)
     return lsh_jaccard_pairs(docs, "doc_id", "text", n_hashes=16, bands=8,
-                             shingle_k=3, threshold=0.5)
+                             shingle_k=3, threshold=0.5,
+                             hash_mode="md5_affine")
 
 
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -277,7 +285,8 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs_with_near_dups(spark, sf_dir)
     return near_dup_clusters(docs, "doc_id", "text",
-                             n_hashes=16, bands=8, shingle_k=3)
+                             n_hashes=16, bands=8, shingle_k=3,
+                             hash_mode="md5_affine")
 
 
 def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -298,6 +307,14 @@ def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   max_bucket_size=500, hash_mode="md5_64")
 
 
+# shared with the oracles below: thresholds chosen so the certified
+# pair population is non-trivial at the driver scale (round-3 VERDICT:
+# at 0.5 both queries returned 1 row, so the hash gate compared almost
+# nothing; 0.4/0.3 certify ~59 and ~135 pairs at sf0.01)
+EMBED_BRUTE_THRESHOLD = 0.4
+EMBED_LSH_THRESHOLD = 0.3
+
+
 def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine near-dup pairs (blocked-GEMM brute force; one side
     broadcast like a broadcast join).  The LSH-bucketed scale variant
@@ -305,7 +322,7 @@ def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ocr_spark.operators.similarity import cosine_pairs_bruteforce
 
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    return cosine_pairs_bruteforce(emb, threshold=0.5)
+    return cosine_pairs_bruteforce(emb, threshold=EMBED_BRUTE_THRESHOLD)
 
 
 # --------------------------------------------------------------------------
@@ -321,7 +338,8 @@ def q_embed_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ocr_spark.operators.similarity import cosine_near_dup_pairs
 
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    return cosine_near_dup_pairs(emb, dim=64, threshold=0.5, n_planes=4)
+    return cosine_near_dup_pairs(emb, dim=64, threshold=EMBED_LSH_THRESHOLD,
+                                 n_planes=4)
 
 
 def q_span_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -875,7 +893,7 @@ def _embed_near_dup_lsh_sql() -> str:
       SELECT l.vec_id AS id_a, r.vec_id AS id_b,
              round({cos}, 6) AS cos_sim
       FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
-      WHERE round({cos}, 6) >= 0.5
+      WHERE round({cos}, 6) >= {EMBED_LSH_THRESHOLD}
     """
 
 
@@ -1155,6 +1173,31 @@ def oracle_sql() -> dict[str, str]:
           WHERE instr(ltrim(substring(text, instr(text, ' ') + 1, 10000000)), ' ') > 0
         )
     """
+
+    # affine MinHash twin (hash_mode='md5_affine'): ONE 60-bit md5 base
+    # hash per shingle, then the SAME integer coefficient literals the
+    # engine folds with — signatures match bit-for-bit, 16x less md5
+    # on both sides than the legacy per-index-digest family
+    from ocr_spark.operators.dedup import MINHASH_P, minhash_affine_coeffs
+
+    aff_els = ", ".join(
+        f"list_min(list_transform(bl, b -> ({a} * b + {c}) % {MINHASH_P}))"
+        for a, c in minhash_affine_coeffs(16))
+
+    def aff_banded(src_cte: str) -> str:
+        return f"""
+        , bas AS (
+          SELECT doc_id,
+            list_transform(shl,
+              s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % {MINHASH_P}) AS bl
+          {src_cte}
+        ), sigs AS (SELECT doc_id, [{aff_els}] AS sig FROM bas
+        ), banded AS (
+          SELECT doc_id, b.band,
+            array_to_string(list_transform(sig[b.band * 2 + 1 : b.band * 2 + 2],
+                            x -> x::VARCHAR), '|') AS band_sig
+          FROM sigs, (SELECT unnest(range(0, 8)) AS band) b
+        )"""
     return {
         "flagship_extract": (
             "SELECT doc_id, text FROM documents ORDER BY doc_id"
@@ -1249,17 +1292,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh_pairs": near_dup_union + f"""
         , tok AS (SELECT doc_id, text, {toks} AS toksl FROM base)
         , sh AS (SELECT doc_id, {shingles_col} AS shl FROM tok)
-        , sigs AS (
-          SELECT doc_id,
-            list_transform(range(0, 16),
-              i -> list_min(list_transform(shl,
-                     s -> md5(i::VARCHAR || '|' || s)))) AS sig
-          FROM sh WHERE len(shl) > 0
-        ), banded AS (
-          SELECT doc_id, b.band,
-            array_to_string(sig[b.band * 2 + 1 : b.band * 2 + 2], '') AS band_sig
-          FROM sigs, (SELECT unnest(range(0, 8)) AS band) b
-        )
+        {aff_banded('FROM sh WHERE len(shl) > 0')}
         SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
         FROM banded l JOIN banded r
           ON l.band = r.band AND l.band_sig = r.band_sig
@@ -1269,17 +1302,7 @@ def oracle_sql() -> dict[str, str]:
         , tok AS (SELECT doc_id, text, {toks} AS toksl FROM base)
         , sh AS (SELECT doc_id, {shingles_col} AS shl FROM tok)
         , sh2 AS (SELECT doc_id, shl FROM sh WHERE len(shl) > 0)
-        , sigs AS (
-          SELECT doc_id,
-            list_transform(range(0, 16),
-              i -> list_min(list_transform(shl,
-                     s -> md5(i::VARCHAR || '|' || s)))) AS sig
-          FROM sh2
-        ), banded AS (
-          SELECT doc_id, b.band,
-            array_to_string(sig[b.band * 2 + 1 : b.band * 2 + 2], '') AS band_sig
-          FROM sigs, (SELECT unnest(range(0, 8)) AS band) b
-        ), cand AS (
+        {aff_banded('FROM sh2')}, cand AS (
           SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
           FROM banded l JOIN banded r
             ON l.band = r.band AND l.band_sig = r.band_sig
@@ -1304,17 +1327,7 @@ def oracle_sql() -> dict[str, str]:
         ) + f"""
         , tok AS (SELECT doc_id, text, {toks} AS toksl FROM base)
         , sh AS (SELECT doc_id, {shingles_col} AS shl FROM tok)
-        , sigs AS (
-          SELECT doc_id,
-            list_transform(range(0, 16),
-              i -> list_min(list_transform(shl,
-                     s -> md5(i::VARCHAR || '|' || s)))) AS sig
-          FROM sh WHERE len(shl) > 0
-        ), banded AS (
-          SELECT doc_id, b.band,
-            array_to_string(sig[b.band * 2 + 1 : b.band * 2 + 2], '') AS band_sig
-          FROM sigs, (SELECT unnest(range(0, 8)) AS band) b
-        ), cand AS (
+        {aff_banded('FROM sh WHERE len(shl) > 0')}, cand AS (
           SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
           FROM banded l JOIN banded r
             ON l.band = r.band AND l.band_sig = r.band_sig
@@ -1397,7 +1410,7 @@ def oracle_sql() -> dict[str, str]:
         "embed_near_dup_lsh": _embed_near_dup_lsh_sql(),
         "ann_topk": _ann_topk_sql(),
         "ann_topk_ivf": _ann_topk_ivf_sql(),
-        "embed_near_dup": """
+        "embed_near_dup": f"""
           SELECT l.vec_id AS id_a, r.vec_id AS id_b,
                  round(list_dot_product(l.embedding::DOUBLE[], r.embedding::DOUBLE[])
                    / (sqrt(list_dot_product(l.embedding::DOUBLE[], l.embedding::DOUBLE[]))
@@ -1407,7 +1420,7 @@ def oracle_sql() -> dict[str, str]:
           WHERE round(list_dot_product(l.embedding::DOUBLE[], r.embedding::DOUBLE[])
                    / (sqrt(list_dot_product(l.embedding::DOUBLE[], l.embedding::DOUBLE[]))
                     * sqrt(list_dot_product(r.embedding::DOUBLE[], r.embedding::DOUBLE[]))), 4)
-                >= 0.5
+                >= {EMBED_BRUTE_THRESHOLD}
         """,
         "cosine_topk": """
           WITH scored AS (

@@ -41,12 +41,13 @@ BENCH_QUERIES = [
     "dedup_exact", "line_dedup",
     "dedup_keep_latest", "minhash_lsh_pairs", "ngram_jaccard",
     "lsh_jaccard", "dedup_clusters", "simhash_near_dup", "embed_near_dup",
-    "embed_near_dup_lsh", "cosine_topk", "ann_topk", "ann_topk_ivf",
+    "embed_near_dup_lsh", "span_qa", "cosine_topk", "ann_topk", "ann_topk_ivf",
     "text_stats", "repetition_stats", "quality_filter", "pii_scrub",
     "lang_id", "lang_id_cjk", "fingerprint", "token_count",
     "stratified_sample", "token_budget_mix", "pack_sequences", "decontaminate",
     "media_decode", "frame_sample",
-    "pricing_summary", "top_customers", "regional_revenue", "json_extract",
+    "pricing_summary", "top_customers", "regional_revenue",
+    "customers_no_orders", "setop_except", "json_extract",
     "running_window", "sessionize",
 ]
 
@@ -120,7 +121,7 @@ def main() -> None:
     # Readings > ~1 mean walls here are co-tenant-inflated, not engine
     # regressions.
     host = cpu_delta(cpu_start, read_cpu())
-    print(json.dumps({
+    line = json.dumps({
         "metric": "bench_total",
         "value": total,
         "unit": "sec",
@@ -135,7 +136,20 @@ def main() -> None:
         "extract_bytes_in": stats["bytes_in"],
         "host_cpu": host,
         "steal_cores": host["steal_cores"],
-    }))
+    })
+    # the JSON result must survive a wrapper that merges stdout+stderr
+    # into one pty (round-3 driver recorded "parsed: null" from an
+    # interleaved tail): persist it to a file first, stop the JVM so no
+    # late executor log can interleave, drain both streams, then emit
+    # the line with a clean leading newline as the very last write.
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_LATEST.json"), "w") as f:
+        f.write(line + "\n")
+    spark.stop()
+    sys.stderr.flush()
+    sys.stdout.flush()
+    sys.stdout.write("\n" + line + "\n")
+    sys.stdout.flush()
 
 
 if __name__ == "__main__":

@@ -16,9 +16,13 @@ Five families, each with a scale story:
 * **embedding cosine** — see operators/similarity.py (shared kernels).
 
 All pure DataFrame ops (xxhash64 / md5 / array lambdas) — no Python in
-any hot path.  MinHash uses md5-string minima so the DuckDB oracle can
-reproduce signatures bit-for-bit; SimHash uses xxhash64 (JVM-native,
-fastest) and is verified by property tests instead.
+any hot path.  MinHash and SimHash each carry a hash_mode duality: an
+md5-derived integer family the DuckDB oracle reproduces bit-for-bit
+(``md5_affine`` / ``md5_64`` — the driver-oracled modes) and a
+JVM-native xxhash64 family for pure production, property-tested for
+recall parity against the oracled mode.  MinHash additionally keeps
+the legacy per-index md5-string family (``md5``) — measured 2x slower
+than md5_affine at sf0.1 (8.0s vs 4.0s; xxhash64 3.5s).
 """
 
 from __future__ import annotations
@@ -29,12 +33,32 @@ from pyspark.sql import functions as F
 from ocr_spark.functions.text import word_shingles
 
 __all__ = [
-    "exact_dedup", "line_dedup", "minhash_signature", "lsh_candidate_pairs",
+    "exact_dedup", "line_dedup", "minhash_signature",
+    "minhash_affine_coeffs", "lsh_candidate_pairs",
     "lsh_bucket_overflow", "lsh_jaccard_pairs", "ngram_jaccard_pairs",
     "simhash",
     "simhash_near_dup_pairs", "simhash_bucket_overflow",
     "connected_components", "near_dup_clusters",
 ]
+
+# Mersenne prime 2^31-1: the affine minhash family works mod P, so
+# a*b stays < 2^62 — inside int64 on every engine (Spark AND the
+# DuckDB oracle), no overflow promotion anywhere.
+MINHASH_P = (1 << 31) - 1
+
+
+def minhash_affine_coeffs(n_hashes: int, seed: int = 11) -> list[tuple[int, int]]:
+    """Deterministic (a_i, c_i) pairs for the affine minhash family
+    h_i(b) = (a_i*b + c_i) mod P over the base shingle hash b — the
+    classic one-strong-hash + pairwise-independent-transforms MinHash
+    construction (Broder; Carter-Wegman universal hashing).  Plain
+    integer literals, so any SQL oracle re-derives identical
+    signatures by interpolating them."""
+    import random
+
+    rng = random.Random(seed)
+    return [(rng.randrange(1, MINHASH_P), rng.randrange(0, MINHASH_P))
+            for _ in range(n_hashes)]
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text",
@@ -119,58 +143,112 @@ def line_dedup(df: DataFrame, key_col: str = "doc_id",
 
 
 def minhash_signature(col: str | Column, n_hashes: int = 16,
-                      shingle_k: int = 3) -> Column:
-    """MinHash signature as array<string>: element i is
-    min over shingles of md5(i || '|' || shingle).
+                      shingle_k: int = 3,
+                      hash_mode: str = "md5") -> Column:
+    """MinHash signature; empty docs get an empty signature.
 
-    String-min over md5 hex digests is a valid uniform min-hash family
-    and — unlike xxhash64 — is reproducible in DuckDB for the
-    correctness oracle.  Empty docs get an empty signature.
+    ``hash_mode`` picks the hash family (same duality as ``simhash``):
+
+    * ``'md5'`` — legacy array<string>: element i is min over shingles
+      of md5(i || '|' || shingle).  Valid uniform family, fully DuckDB-
+      reproducible — but costs n_hashes md5 digests PER SHINGLE, the #1
+      bench cost of round 3 (15.4s median on minhash_lsh_pairs).
+    * ``'md5_affine'`` — array<bigint>: ONE md5-derived 60-bit base
+      hash per shingle (the ``simhash md5_64`` construction), then
+      element i = min over shingles of (a_i*b + c_i) mod P with the
+      literal coefficients of :func:`minhash_affine_coeffs` — the
+      classic one-strong-hash universal-hashing MinHash.  16x less
+      hashing, still exactly re-derivable by a SQL oracle (the driver
+      default).
+    * ``'xxhash64'`` — array<bigint>: base hash is JVM-native
+      xxhash64, same affine transforms.  The pure-production mode
+      (fastest); not SQL-reproducible, so it is property-tested for
+      candidate-recall parity against md5_affine instead.
 
     Shape: ONE aggregate pass over the shingle array, folding an
-    elementwise ``least`` across each shingle's n_hashes digests.  The
+    elementwise ``least`` across each shingle's n_hashes values.  The
     naive ``transform(sequence(0,n), i -> array_min(transform(sh, ...)))``
     form re-evaluates the whole shingle expression (and its
     tokenization) once per hash index — quadratic re-compute that
-    measured 200+ seconds at 10k docs vs seconds for this form."""
+    measured 200+ seconds at 10k docs vs seconds for this form.  For
+    the affine modes the base hash is materialized into an array
+    BEFORE the fold, so it too is computed once per shingle, not once
+    per (shingle, hash index) — that hoist is the entire speedup."""
     sh = word_shingles(col, shingle_k)
-    # 'z' > any md5 hex char, so 'zz' is +infinity for the string-min fold
-    init = F.array_repeat(F.lit("zz"), n_hashes)
-    idx = F.sequence(F.lit(0), F.lit(n_hashes - 1))
-    folded = F.aggregate(
-        sh,
-        init,
-        lambda acc, s: F.zip_with(
-            acc,
-            F.transform(
-                idx,
-                lambda i: F.md5(F.encode(F.concat_ws("|", i.cast("string"), s),
-                                         "utf-8")),
+    if hash_mode == "md5":
+        # 'z' > any md5 hex char, so 'zz' is +infinity for the string-min fold
+        init = F.array_repeat(F.lit("zz"), n_hashes)
+        idx = F.sequence(F.lit(0), F.lit(n_hashes - 1))
+        folded = F.aggregate(
+            sh,
+            init,
+            lambda acc, s: F.zip_with(
+                acc,
+                F.transform(
+                    idx,
+                    lambda i: F.md5(
+                        F.encode(F.concat_ws("|", i.cast("string"), s),
+                                 "utf-8")
+                    ),
+                ),
+                lambda a, b: F.least(a, b),
             ),
-            lambda a, b: F.least(a, b),
+        )
+        return F.when(F.size(sh) > 0, folded).otherwise(
+            F.array().cast("array<string>")
+        )
+    if hash_mode == "md5_affine":
+        def base_fn(s):
+            return F.conv(
+                F.substring(F.md5(F.encode(s, "utf-8")), 1, 15), 16, 10
+            ).cast("long")
+    elif hash_mode == "xxhash64":
+        base_fn = F.xxhash64
+    else:
+        raise ValueError(f"unknown hash_mode: {hash_mode!r}")
+    coeffs = minhash_affine_coeffs(n_hashes)
+    p = F.lit(MINHASH_P)
+    bases = F.transform(sh, lambda s: F.pmod(base_fn(s), p))
+    init = F.array_repeat(p.cast("long"), n_hashes)  # values < P, so P = +inf
+    folded = F.aggregate(
+        bases,
+        init,
+        lambda acc, b: F.zip_with(
+            acc,
+            F.array(*[(F.lit(a) * b + F.lit(c)) % p for a, c in coeffs]),
+            lambda x, y: F.least(x, y),
         ),
     )
     return F.when(F.size(sh) > 0, folded).otherwise(
-        F.array().cast("array<string>")
+        F.array().cast("array<bigint>")
     )
 
 
 def _minhash_buckets(df: DataFrame, key_col: str, text_col: str,
-                     n_hashes: int, bands: int, shingle_k: int) -> DataFrame:
-    """(band, band_sig) -> sorted id array, for buckets with >1 member."""
+                     n_hashes: int, bands: int, shingle_k: int,
+                     hash_mode: str = "md5") -> DataFrame:
+    """(band, band_sig) -> sorted id array, for buckets with >1 member.
+
+    band_sig join key: md5 mode concatenates the hex digests bare (the
+    legacy oracle contract); the integer modes join with '|' so
+    [12, 3] and [1, 23] cannot collide as "123"."""
     rows_per = n_hashes // bands
-    sig = minhash_signature(text_col, n_hashes, shingle_k)
+    sig = minhash_signature(text_col, n_hashes, shingle_k, hash_mode)
     with_sig = df.select(F.col(key_col), sig.alias("sig")).filter(F.size("sig") > 0)
+
+    def band_sig(b):
+        sl = F.slice(F.col("sig"), b * rows_per + 1, rows_per)
+        if hash_mode == "md5":
+            return F.array_join(sl, "")
+        return F.array_join(F.transform(sl, lambda x: x.cast("string")), "|")
+
     banded = with_sig.select(
         key_col,
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
                 lambda b: F.struct(
-                    b.alias("band"),
-                    F.array_join(
-                        F.slice(F.col("sig"), b * rows_per + 1, rows_per), ""
-                    ).alias("band_sig"),
+                    b.alias("band"), band_sig(b).alias("band_sig")
                 ),
             )
         ).alias("bs"),
@@ -185,7 +263,8 @@ def _minhash_buckets(df: DataFrame, key_col: str, text_col: str,
 def lsh_candidate_pairs(df: DataFrame, key_col: str = "doc_id",
                         text_col: str = "text", n_hashes: int = 16,
                         bands: int = 4, shingle_k: int = 3,
-                        max_bucket_size: int | None = None) -> DataFrame:
+                        max_bucket_size: int | None = None,
+                        hash_mode: str = "md5") -> DataFrame:
     """Banded LSH: split the signature into ``bands`` bands of
     ``n_hashes/bands`` rows; docs sharing any full band signature are
     candidates.  Implemented as explode + equi-join on (band, band_sig):
@@ -204,7 +283,8 @@ def lsh_candidate_pairs(df: DataFrame, key_col: str = "doc_id",
     # the signatures twice (no CSE across join branches) and costs three
     # extra exchanges; pair count is identical.  Cost is quadratic only
     # within a (band, band_sig) bucket, which is the LSH design point.
-    buckets = _minhash_buckets(df, key_col, text_col, n_hashes, bands, shingle_k)
+    buckets = _minhash_buckets(df, key_col, text_col, n_hashes, bands,
+                               shingle_k, hash_mode)
     if max_bucket_size is not None:
         buckets = buckets.filter(F.size("ids") <= max_bucket_size)
     pairs = buckets.select(
@@ -227,12 +307,14 @@ def lsh_candidate_pairs(df: DataFrame, key_col: str = "doc_id",
 def lsh_bucket_overflow(df: DataFrame, key_col: str = "doc_id",
                         text_col: str = "text", n_hashes: int = 16,
                         bands: int = 4, shingle_k: int = 3,
-                        max_bucket_size: int = 1000) -> DataFrame:
+                        max_bucket_size: int = 1000,
+                        hash_mode: str = "md5") -> DataFrame:
     """Buckets dropped by ``lsh_candidate_pairs(max_bucket_size=...)``:
     (band, band_sig, n_ids).  The no-silent-truncation companion —
     aggregate it for run reports, or feed its members to exact dedup."""
     return (
-        _minhash_buckets(df, key_col, text_col, n_hashes, bands, shingle_k)
+        _minhash_buckets(df, key_col, text_col, n_hashes, bands, shingle_k,
+                         hash_mode)
         .filter(F.size("ids") > max_bucket_size)
         .select("band", "band_sig", F.size("ids").alias("n_ids"))
     )
@@ -304,7 +386,8 @@ def lsh_jaccard_pairs(df: DataFrame, key_col: str = "doc_id",
                       text_col: str = "text", n_hashes: int = 16,
                       bands: int = 4, shingle_k: int = 3,
                       threshold: float = 0.5,
-                      max_bucket_size: int | None = None) -> DataFrame:
+                      max_bucket_size: int | None = None,
+                      hash_mode: str = "md5") -> DataFrame:
     """The production near-dup composition: MinHash-LSH candidate
     generation + exact n-gram-Jaccard verification restricted to the
     candidates.  This is the scale-correct form of
@@ -316,7 +399,8 @@ def lsh_jaccard_pairs(df: DataFrame, key_col: str = "doc_id",
     sets (two skinny equi-joins keyed by id; no shingle explosion at
     all).  Returns (id_a, id_b, jaccard >= threshold)."""
     cands = lsh_candidate_pairs(df, key_col, text_col, n_hashes, bands,
-                                shingle_k, max_bucket_size=max_bucket_size)
+                                shingle_k, max_bucket_size=max_bucket_size,
+                                hash_mode=hash_mode)
     sh = (
         df.select(F.col(key_col), word_shingles(text_col, shingle_k).alias("sh"))
         .filter(F.size("sh") > 0)
@@ -593,7 +677,8 @@ def near_dup_clusters(df: DataFrame, key_col: str = "doc_id",
                       text_col: str = "text", n_hashes: int = 16,
                       bands: int = 4, shingle_k: int = 3,
                       max_bucket_size: int | None = None,
-                      max_iterations: int = 25) -> DataFrame:
+                      max_iterations: int = 25,
+                      hash_mode: str = "md5") -> DataFrame:
     """End-to-end near-dup clustering: MinHash-LSH candidate pairs →
     connected components → ``(key, cluster_id, cluster_size)`` for
     EVERY input document (singletons get their own id, size 1).
@@ -607,7 +692,8 @@ def near_dup_clusters(df: DataFrame, key_col: str = "doc_id",
     absorbs the hot key before the shuffle and the join redistributes
     only (cluster_id, count) rows."""
     pairs = lsh_candidate_pairs(df, key_col, text_col, n_hashes, bands,
-                                shingle_k, max_bucket_size=max_bucket_size)
+                                shingle_k, max_bucket_size=max_bucket_size,
+                                hash_mode=hash_mode)
     cc = connected_components(pairs, "id_a", "id_b",
                               nodes=df.select(key_col), key_col=key_col,
                               max_iterations=max_iterations)

@@ -39,6 +39,41 @@ def test_minhash_lsh_finds_near_dups(docs):
     assert (1, 4) not in pairs and (1, 5) not in pairs
 
 
+def test_minhash_hash_modes_recall_parity(spark):
+    """The three MinHash hash families (md5 legacy, md5_affine driver
+    default, xxhash64 production) are different uniform families, so
+    borderline collisions differ — but every family must recall the
+    planted near-dup pairs (doc, doc+1000) whose Jaccard is ~0.9, and
+    none may invent cross-content pairs.  This is the property gate
+    that lets the non-SQL-reproducible xxhash64 mode ship without a
+    DuckDB oracle."""
+    import random
+
+    from ocr_spark.operators.dedup import lsh_candidate_pairs
+
+    rng = random.Random(3)
+    words = [f"w{i}" for i in range(300)]
+    rows = []
+    for i in range(40):
+        toks = [words[rng.randrange(300)] for _ in range(30)]
+        rows.append((i, " ".join(toks)))
+        near = list(toks)
+        near[rng.randrange(30)] = "CHANGED"
+        rows.append((i + 1000, " ".join(near)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    truth = {(i, i + 1000) for i in range(40)}
+    recalls = {}
+    for mode in ("md5", "md5_affine", "xxhash64"):
+        pairs = {(r.id_a, r.id_b) for r in lsh_candidate_pairs(
+            df, n_hashes=16, bands=8, shingle_k=3, hash_mode=mode).collect()}
+        recalls[mode] = len(pairs & truth) / len(truth)
+        # random 30-token docs over 300 words share almost no shingles:
+        # any non-planted candidate is a real LSH collision, allow few
+        assert len(pairs - truth) <= 2, (mode, pairs - truth)
+    assert all(r >= 0.9 for r in recalls.values()), recalls
+    assert max(recalls.values()) - min(recalls.values()) <= 0.1, recalls
+
+
 def test_ngram_jaccard_values(docs):
     from ocr_spark.operators.dedup import ngram_jaccard_pairs
 
