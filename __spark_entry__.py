@@ -377,14 +377,20 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed approximate top-k (scale path).  Oracled via the
-    literal-hyperplane bucket assignment; ranks (not raw cosines) are
-    the compared output, with a deterministic tie-break."""
+    """LSH-bucketed approximate top-k (scale path) WITH multi-probe:
+    each query probes its exact bucket plus the 1-bit-flip neighbor of
+    its smallest-|margin| hyperplane (Lv et al. VLDB'07) — the recall
+    knob a production ANN run always turns on.  Fully oracled: bucket
+    assignment AND the probe set derive from the literal rational
+    hyperplanes (margins ranked at round-6, ties by plane index), so
+    DuckDB reproduces both; ranks (not raw cosines) are the compared
+    output, with a deterministic tie-break."""
     from ocr_spark.operators.similarity import ann_topk_lsh
 
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8)
-    return ann_topk_lsh(queries, emb, dim=64, k=5, n_planes=6).select(
+    return ann_topk_lsh(queries, emb, dim=64, k=5, n_planes=6,
+                        multi_probe=1).select(
         "query_id", "neighbor_id", "rank"
     )
 
@@ -897,21 +903,49 @@ def _embed_near_dup_lsh_sql() -> str:
     """
 
 
+def _lsh_margins_sql(n_planes: int, dim: int = 64) -> str:
+    """DuckDB list literal of the query's per-plane margins — the same
+    rational hyperplane literals (and order) as _lsh_bucket_sql."""
+    from ocr_spark.operators.similarity import _hyperplanes
+
+    els = []
+    for plane in _hyperplanes(dim, n_planes, seed=42):
+        arr = "[" + ", ".join(repr(x) for x in plane) + "]"
+        els.append(f"list_dot_product(emb, {arr})")
+    return "[" + ", ".join(els) + "]"
+
+
 def _ann_topk_sql() -> str:
+    """DuckDB twin of q_ann_topk at multi_probe=1: the probe set is the
+    exact bucket plus the 1-bit flip of the smallest-|margin| plane
+    (margins ranked at round-6, ties by plane index — the engine ranks
+    the identical rational values).  A corpus vector lives in exactly
+    one bucket, so the two probed buckets cannot yield duplicate
+    (query, neighbor) rows — no dedup step needed on either side."""
     cos = (
         "list_dot_product(q.emb, c.emb) / "
         "(sqrt(list_dot_product(q.emb, q.emb)) * "
         "sqrt(list_dot_product(c.emb, c.emb)))"
     )
+    n_planes = 6
     return f"""
       WITH b AS (
         SELECT vec_id, embedding::DOUBLE[] AS emb,
-               {_lsh_bucket_sql(n_planes=6)} AS bucket
+               {_lsh_bucket_sql(n_planes=n_planes)} AS bucket
         FROM embeddings),
+      qm AS (
+        SELECT vec_id, emb, bucket,
+               list_sort(list_transform(range(0, {n_planes}),
+                 i -> {{'a': round(abs(({_lsh_margins_sql(n_planes)})[i+1]), 6),
+                        'i': i}}))[1].i AS flip
+        FROM b WHERE vec_id < 8),
+      probes AS (
+        SELECT vec_id, emb,
+               unnest([bucket, xor(bucket, 1 << flip)]) AS bucket
+        FROM qm),
       scored AS (
         SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {cos} AS cos_sim
-        FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id != c.vec_id
-        WHERE q.vec_id < 8),
+        FROM probes q JOIN b c ON q.bucket = c.bucket AND q.vec_id != c.vec_id),
       ranked AS (
         SELECT query_id, neighbor_id,
                row_number() OVER (PARTITION BY query_id

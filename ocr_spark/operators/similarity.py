@@ -250,13 +250,19 @@ def lsh_probe_buckets(df: DataFrame, dim: int, n_planes: int = 8,
         lambda acc, v: acc + v,
     ).cast("int")
     # planes ranked by |margin| ascending (ties by plane index: struct
-    # sort is lexicographic), first multi_probe get flipped
+    # sort is lexicographic), first multi_probe get flipped.  The
+    # ranking key is round(|margin|, 6): the raw float fold could sort
+    # two planes differently from a SQL oracle's list_dot_product in
+    # the last ulp — at 6 decimals both engines rank identical
+    # rational values, which is what makes this path driver-oracled.
     flip_idx = F.transform(
         F.slice(
             F.array_sort(
                 F.zip_with(
                     margins, idx,
-                    lambda m, i: F.struct(F.abs(m).alias("a"), i.alias("i")),
+                    lambda m, i: F.struct(
+                        F.round(F.abs(m), 6).alias("a"), i.alias("i")
+                    ),
                 )
             ),
             1, multi_probe,
