@@ -578,6 +578,18 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(docs, seq_len=2048, n_buckets=64)
 
 
+def q_packed_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized GPT-style packed sequences (the writer half of
+    pack_sequences): actual seq_len=512 token streams with documents
+    split across sequence boundaries, one row per training sequence.
+    Oracled: DuckDB re-derives each sequence's exact text from the
+    same prefix-sum placement and slice arithmetic."""
+    from ocr_spark.operators.corpus import packed_sequences
+
+    docs = _t(spark, sf_dir, "documents")
+    return packed_sequences(docs, seq_len=512, n_buckets=64)
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (GPT-3-style n-gram overlap): the
     'benchmark' is a deterministic derived eval set — the first 60
@@ -821,6 +833,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "token_budget_mix": q_token_budget_mix,
         "pack_sequences": q_pack_sequences,
+        "packed_batches": q_packed_batches,
         "decontaminate": q_decontaminate,
         "media_decode": q_media_decode,
         "frame_sample": q_frame_sample,
@@ -1607,6 +1620,39 @@ def oracle_sql() -> dict[str, str]:
             CAST((cum - 1) // 2048 - (cum - n_tokens) // 2048 + 1
                  AS BIGINT) AS n_seqs
           FROM run
+        """,
+        # packed_batches: same prefix-sum CTE as pack_sequences, then
+        # each doc explodes into its covered sequences and each
+        # sequence reassembles its token slices in start_off order —
+        # the oracle re-derives every sequence's exact text
+        "packed_batches": f"""
+          WITH t AS (
+            SELECT doc_id,
+              CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+                   ELSE {toks} END AS toksl,
+              ('0x' || substr(md5('|' || doc_id::VARCHAR), 1, 15))::BIGINT AS h
+            FROM documents
+          ), run AS (
+            SELECT doc_id, toksl, CAST(len(toksl) AS BIGINT) AS n_tokens,
+              CAST(sum(len(toksl)) OVER (ORDER BY h % 64, h, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum
+            FROM t WHERE len(toksl) > 0
+          ), seg AS (
+            SELECT u.seq_id AS seq_id, cum - n_tokens AS start_off,
+              greatest(0, u.seq_id * 512 - (cum - n_tokens)) AS lo,
+              least(n_tokens, (u.seq_id + 1) * 512 - (cum - n_tokens)) AS hi,
+              toksl
+            FROM run,
+              unnest(range((cum - n_tokens) // 512, (cum - 1) // 512 + 1))
+              AS u(seq_id)
+          )
+          SELECT seq_id, CAST(count(*) AS BIGINT) AS n_docs,
+            CAST(sum(hi - lo) AS BIGINT) AS n_tokens,
+            (sum(hi - lo) = 512) AS full,
+            string_agg(array_to_string(toksl[lo+1 : hi], ' '),
+                       ' ' ORDER BY start_off) AS text
+          FROM seg GROUP BY seq_id
         """,
         "decontaminate": f"""
           WITH bt AS (

@@ -44,7 +44,8 @@ BENCH_QUERIES = [
     "embed_near_dup_lsh", "span_qa", "cosine_topk", "ann_topk", "ann_topk_ivf",
     "text_stats", "repetition_stats", "quality_filter", "pii_scrub",
     "lang_id", "lang_id_cjk", "fingerprint", "token_count",
-    "stratified_sample", "token_budget_mix", "pack_sequences", "decontaminate",
+    "stratified_sample", "token_budget_mix", "pack_sequences",
+    "packed_batches", "decontaminate",
     "media_decode", "frame_sample",
     "pricing_summary", "top_customers", "regional_revenue",
     "customers_no_orders", "setop_except", "json_extract",

@@ -32,10 +32,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ocr_spark.functions.text import token_count, word_shingles
+from ocr_spark.functions.text import token_count, tokens, word_shingles
 
 __all__ = ["stratified_sample", "token_budget_mix", "sample_thresholds",
-           "contamination_pairs", "pack_sequences"]
+           "contamination_pairs", "pack_sequences", "packed_sequences"]
 
 # 60-bit hash space: 15 md5 hex chars, inside int64 on every engine
 HASH_SPACE = 1 << 60
@@ -214,6 +214,74 @@ def pack_sequences(df: DataFrame, seq_len: int, key_col: str = "doc_id",
         )
         .select(key_col, "n_tokens", "start_off", "seq_first", "seq_last",
                 "n_seqs")
+    )
+
+
+def packed_sequences(df: DataFrame, seq_len: int, key_col: str = "doc_id",
+                     text_col: str = "text", n_buckets: int = 64,
+                     salt: str = "") -> DataFrame:
+    """The writer half of :func:`pack_sequences`: materialize the
+    actual fixed-length training sequences the placement plan
+    describes.  Documents are split across sequence boundaries exactly
+    as GPT-style concat-and-cut demands; the output is one row per
+    training sequence::
+
+        (seq_id, n_docs, n_tokens, full, text)
+
+    where ``text`` is the sequence's tokens joined by single spaces,
+    ``n_docs`` counts the documents contributing at least one token,
+    and ``full`` marks complete ``seq_len`` sequences (the trailing
+    partial sequence is emitted with full=false — dropping it is the
+    caller's one-line policy decision, not silent truncation here).
+
+    Scale shape: the placement plan stays the skinny two-pass prefix
+    sum of ``pack_sequences``; token payload crosses the network
+    exactly twice — the key-join that attaches each doc's token array
+    to its plan row, and the groupBy(seq_id) that assembles segments.
+    Each (doc, covered-sequence) pair becomes ONE segment row, so the
+    explode is bounded by total_tokens/seq_len + n_docs, and every
+    reduce group is ~seq_len tokens regardless of document sizes —
+    a 10M-token document never lands in one task's memory; its
+    segments spread over 10M/seq_len groups."""
+    plan = pack_sequences(df, seq_len, key_col, text_col, n_buckets, salt)
+    toks = df.select(F.col(key_col), tokens(text_col).alias("toks"))
+    L = int(seq_len)
+    seg = (
+        plan.join(toks, key_col)
+        .withColumn("seq_id", F.explode(F.sequence("seq_first", "seq_last")))
+        .select(
+            "seq_id",
+            F.col("start_off"),
+            F.greatest(F.lit(0), F.col("seq_id") * L - F.col("start_off"))
+            .alias("lo"),
+            F.least(F.col("n_tokens"),
+                    (F.col("seq_id") + 1) * L - F.col("start_off"))
+            .alias("hi"),
+            "toks",
+        )
+        .withColumn(
+            "seg", F.slice("toks", F.col("lo") + 1, F.col("hi") - F.col("lo"))
+        )
+    )
+    return (
+        seg.groupBy("seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("hi") - F.col("lo")).alias("n_tokens"),
+            F.array_join(
+                F.flatten(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("start_off", "seg"))
+                        ),
+                        lambda s: s["seg"],
+                    )
+                ),
+                " ",
+            ).alias("text"),
+        )
+        .withColumn("full", F.col("n_tokens") == L)
+        .select("seq_id", "n_docs", "n_tokens", "full", "text")
     )
 
 

@@ -189,3 +189,42 @@ def test_pack_sequences_contiguous_and_drops_empty(spark):
         for r in pack_sequences(df.repartition(7), 8, n_buckets=4).collect()
     }
     assert re_out == {(r["doc_id"], r["start_off"]) for r in out}
+
+
+def test_packed_sequences_materialize_concat_and_cut(spark):
+    """The writer must reproduce the naive 'concatenate all tokens in
+    hash order, cut every seq_len' reference exactly — including docs
+    split across sequence boundaries — and mark only the trailing
+    partial sequence full=false."""
+    from ocr_spark.operators.corpus import packed_sequences
+
+    rows = [(i, "src", " ".join(f"d{i}t{j}" for j in range(i % 9 + 1)))
+            for i in range(60)] + [(60, "src", ""), (61, "src", "   ")]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    L = 7
+    # reference: global hash order (bucket, h, key), then concat + cut
+    order = sorted((r[0] for r in rows if r[2].strip()),
+                   key=lambda i: (_h60(i) % 16, _h60(i), i))
+    stream, owners = [], []
+    for i in order:
+        toks = rows[i][2].split()
+        stream.extend(toks)
+        owners.extend([i] * len(toks))
+    want = {}
+    for s in range(0, len(stream), L):
+        chunk, own = stream[s:s + L], owners[s:s + L]
+        want[s // L] = (len(set(own)), len(chunk), len(chunk) == L,
+                        " ".join(chunk))
+    got = {
+        r["seq_id"]: (r["n_docs"], r["n_tokens"], r["full"], r["text"])
+        for r in packed_sequences(df, L, n_buckets=16).collect()
+    }
+    assert got == want
+    # boundary splits actually happened (a doc in >1 sequence)
+    assert any(n_docs > 1 for n_docs, _, _, _ in got.values())
+    # partition-invariant materialization
+    re_got = {
+        r["seq_id"]: r["text"]
+        for r in packed_sequences(df.repartition(7), L, n_buckets=16).collect()
+    }
+    assert re_got == {k: v[3] for k, v in got.items()}
