@@ -644,6 +644,46 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL pixel decode, codec-free: each doc becomes a spec-conformant
+    PNG (zlib IDAT, CRC chunks, per-doc filter type 0-4) whose pixel
+    values are the closed-form ramp (base + 3i + c) % 256; the stdlib
+    decoder (multimodal.decode_png_pixels) walks chunks, inflates,
+    unfilters, and emits per-channel means.  The oracle recomputes the
+    means arithmetically — so the decode path (including unfiltering,
+    which varies per doc but must never change the pixels) is fully
+    value-gated.  Closes the reference's image modality
+    (/root/reference/services/file_processor.py:49-62) with a real
+    decoder instead of a header stub."""
+    from ocr_spark.operators.multimodal import decode_media, decode_png_pixels
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def build(batches):
+        import pandas as pd
+
+        from ocr_spark.data.synth import build_png
+
+        for pdf in batches:
+            payloads = [
+                build_png(8 + int(d) % 16, 4 + int(d) % 9,
+                          base=int(d) % 256, filter_type=int(d) % 5)
+                for d in pdf["doc_id"]
+            ]
+            yield pd.DataFrame({"media_id": pdf["doc_id"].astype(str),
+                                "payload": payloads})
+
+    media = docs.mapInPandas(build, schema="media_id string, payload binary")
+    out = decode_media(media, decode_fn=decode_png_pixels)
+    return out.select(
+        "media_id", "kind", "width", "height",
+        F.col("feature")[0].alias("mean_r"),
+        F.col("feature")[1].alias("mean_g"),
+        F.col("feature")[2].alias("mean_b"),
+        "status",
+    )
+
+
 def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling plumbing: one row per sampled frame index over a
     binary media column.  The fake decode kernel is sha256-derived, so
@@ -836,6 +876,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "packed_batches": q_packed_batches,
         "decontaminate": q_decontaminate,
         "media_decode": q_media_decode,
+        "png_decode": q_png_decode,
         "frame_sample": q_frame_sample,
         "pricing_summary": q_pricing_summary,
         "top_customers": q_top_customers,
@@ -1547,6 +1588,27 @@ def oracle_sql() -> dict[str, str]:
                  substr(sha256(text || ':' || f.idx), 1, 16) AS frame_digest,
                  'ok' AS status
           FROM m, unnest(range(0, nf, 5)) AS f(idx)
+        """,
+        # png_decode: per-channel means of the (base + 3i + c) % 256
+        # pixel ramp, recomputed arithmetically — integer channel sums
+        # divided by pixel count give the identical IEEE double on both
+        # engines, no rounding step needed
+        "png_decode": """
+          WITH d AS (
+            SELECT CAST(doc_id AS VARCHAR) AS media_id,
+                   8 + doc_id % 16 AS w, 4 + doc_id % 9 AS h,
+                   doc_id % 256 AS b
+            FROM documents)
+          SELECT media_id, 'image' AS kind,
+            CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+            list_sum(list_transform(range(0, w*h), i -> (b + 3*i) % 256))
+              / (w*h) AS mean_r,
+            list_sum(list_transform(range(0, w*h), i -> (b + 3*i + 1) % 256))
+              / (w*h) AS mean_g,
+            list_sum(list_transform(range(0, w*h), i -> (b + 3*i + 2) % 256))
+              / (w*h) AS mean_b,
+            'ok' AS status
+          FROM d
         """,
         "media_decode": (
             "SELECT CAST(doc_id AS VARCHAR) AS media_id, 'image' AS kind, "

@@ -46,7 +46,7 @@ BENCH_QUERIES = [
     "lang_id", "lang_id_cjk", "fingerprint", "token_count",
     "stratified_sample", "token_budget_mix", "pack_sequences",
     "packed_batches", "decontaminate",
-    "media_decode", "frame_sample",
+    "media_decode", "png_decode", "frame_sample",
     "pricing_summary", "top_customers", "regional_revenue",
     "customers_no_orders", "setop_except", "json_extract",
     "running_window", "sessionize",

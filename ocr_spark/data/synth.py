@@ -21,7 +21,7 @@ import datetime as dt
 import random
 
 __all__ = ["gen_pages", "write_pages_parquet", "write_pages_parquet_parallel",
-           "build_pdf", "build_pdf_from_streams", "GENRES"]
+           "build_pdf", "build_pdf_from_streams", "build_png", "GENRES"]
 
 _WORDS = (
     "the quick brown fox jumps over lazy dog data spark engine extract "
@@ -243,6 +243,62 @@ def build_pdf_from_streams(streams: list[bytes], compress: bool = False) -> byte
         f"startxref\n{xref_off}\n%%EOF\n"
     ).encode()
     return bytes(out)
+
+
+def build_png(width: int, height: int, base: int = 0,
+              color_type: int = 2, filter_type: int = 0,
+              pixel_fn=None) -> bytes:
+    """A REAL (spec-conformant, zlib-inflatable, CRC-correct) PNG whose
+    pixels are a deterministic closed-form function of (base, index):
+    channel value at pixel i, channel c = (base + channels*i + c) % 256
+    — so an oracle can recompute per-channel means arithmetically
+    without decoding anything.  ``filter_type`` pre-filters every
+    scanline with the given PNG filter (0..4) so decoders must actually
+    unfilter; ``pixel_fn(i, c) -> int`` overrides the default ramp."""
+    import struct
+    import zlib
+
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
+    px = pixel_fn or (lambda i, c: (base + channels * i + c) % 256)
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data)))
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    stride = width * channels
+    raw = bytearray()
+    prev = bytearray(stride)
+    for y in range(height):
+        row = bytearray(
+            px(y * width + x, c) for x in range(width) for c in range(channels)
+        )
+        enc = bytearray(row)
+        if filter_type == 1:
+            for i in range(stride - 1, channels - 1, -1):
+                enc[i] = (row[i] - row[i - channels]) & 0xFF
+        elif filter_type == 2:
+            for i in range(stride):
+                enc[i] = (row[i] - prev[i]) & 0xFF
+        elif filter_type == 3:
+            for i in range(stride):
+                left = row[i - channels] if i >= channels else 0
+                enc[i] = (row[i] - ((left + prev[i]) >> 1)) & 0xFF
+        elif filter_type == 4:
+            for i in range(stride):
+                a = row[i - channels] if i >= channels else 0
+                b = prev[i]
+                c0 = prev[i - channels] if i >= channels else 0
+                p = a + b - c0
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c0)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c0)
+                enc[i] = (row[i] - pr) & 0xFF
+        raw += bytes([filter_type]) + enc
+        prev = row
+    return (b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b""))
 
 
 def _empty_pdf() -> bytes:

@@ -381,6 +381,78 @@ def _ivf_cents():
     return ivf_centroids(dim=16, n_centroids=8, seed=7)
 
 
+def test_png_decode_all_filters_and_color_types():
+    """The stdlib PNG decoder must invert every encoder filter type
+    (None/Sub/Up/Average/Paeth) for every supported color type and
+    recover the exact closed-form pixel ramp — filter choice must
+    never change the decoded means."""
+    from ocr_spark.data.synth import build_png
+    from ocr_spark.operators.multimodal import decode_png_pixels
+
+    for color, ch in ((0, 1), (2, 3), (4, 2), (6, 4)):
+        for f in range(5):
+            d = decode_png_pixels(
+                build_png(13, 7, base=5, color_type=color, filter_type=f))
+            n = 13 * 7
+            want = [sum((5 + ch * i + c) % 256 for i in range(n)) / n
+                    for c in range(ch)]
+            assert (d["width"], d["height"]) == (13, 7)
+            assert d["feature"] == want, (color, f)
+
+
+def test_png_decode_multi_idat_and_rejections():
+    import struct
+    import zlib
+
+    import pytest as _pytest
+
+    from ocr_spark.data.synth import build_png
+    from ocr_spark.operators.multimodal import decode_png_pixels
+
+    png = build_png(9, 9, base=1, filter_type=4)
+
+    def chunk(ct, data):
+        return (struct.pack(">I", len(data)) + ct + data
+                + struct.pack(">I", zlib.crc32(ct + data)))
+
+    # split the IDAT stream across two chunks: decoders must concatenate
+    out, pos = png[:8], 8
+    while pos + 8 <= len(png):
+        ln = struct.unpack(">I", png[pos:pos + 4])[0]
+        ct, data = png[pos + 4:pos + 8], png[pos + 8:pos + 8 + ln]
+        if ct == b"IDAT":
+            mid = len(data) // 2
+            out += chunk(b"IDAT", data[:mid]) + chunk(b"IDAT", data[mid:])
+        else:
+            out += chunk(ct, data)
+        pos += 12 + ln
+    assert decode_png_pixels(out) == decode_png_pixels(png)
+    # explicit rejections (error ROWS via decode_media, never wrong pixels)
+    bad_depth = bytearray(build_png(4, 4))
+    bad_depth[24] = 16
+    with _pytest.raises(ValueError, match="unsupported"):
+        decode_png_pixels(bytes(bad_depth))
+    with _pytest.raises(ValueError, match="signature"):
+        decode_png_pixels(b"GIF89a whatever")
+
+
+def test_png_decode_media_error_rows(spark):
+    """decode_media with the real PNG decoder turns undecodable
+    payloads into processing_error rows, not exceptions."""
+    from ocr_spark.data.synth import build_png
+    from ocr_spark.operators.multimodal import decode_media, decode_png_pixels
+
+    rows = [("a", build_png(6, 4, base=9)), ("b", b"not a png at all")]
+    df = spark.createDataFrame(rows, "media_id string, payload binary")
+    got = {r.media_id: r for r in
+           decode_media(df, decode_fn=decode_png_pixels).collect()}
+    assert got["a"].status == "ok" and got["a"].width == 6
+    n = 6 * 4
+    assert got["a"].feature[0] == sum((9 + 3 * i) % 256 for i in range(n)) / n
+    assert got["b"].status == "processing_error"
+    assert "ValueError" in got["b"].error_msg
+
+
 def test_ivf_assign_expression_equals_gemm(vectors):
     """The JVM-expression assignment (oracle path) and the Arrow GEMM
     assignment (production path for large quantizers) must agree on
