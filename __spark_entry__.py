@@ -609,6 +609,121 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# the composed end-to-end curation pipeline
+# --------------------------------------------------------------------------
+
+# article wrap WITHOUT the single-block <p>: the curation corpus carries
+# three article paragraphs (cookie banner / body / tail), so extraction,
+# quality filtering, line dedup, clustering, decontamination, mixing and
+# packing all see multi-line documents end to end
+_CURATE_PRE = _WRAP_PREFIX[: -len("<p>")]
+_CURATE_POST = _WRAP_SUFFIX[len("</p>"):]
+
+
+def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole training-data pipeline as ONE plan — the composition
+    round 3 never produced (every stage was individually green, but
+    column contracts and accidental re-shuffles hide in the seams):
+
+      extract (3-paragraph boilerplate pages over docs + near-dup
+      mutants) → quality filter keep → CCNet line dedup → MinHash-LSH
+      near-dup clusters, keep doc_id == cluster_id → n-gram
+      decontamination anti-join → token-budget mix → sequence packing.
+
+    The reference analogue is its single linear pipeline
+    (/root/reference/app.py:115-132).  Oracled end-to-end: the DuckDB
+    twin chains the per-stage oracles as CTEs (extraction is the
+    closed-form cookie/body/tail reconstruction — the body paragraph
+    rides iff non-blank, the probe-verified extractor rule).
+
+    Scale notes: the curated corpus is localCheckpoint'd once after
+    line dedup — it feeds three consumers (cluster pairs, node list,
+    downstream corpus) and a real run would persist it to storage at
+    exactly that point; the decontamination bench side is broadcast;
+    mix + pack stay two-pass prefix sums."""
+    from ocr_spark.functions.quality import with_quality_filter
+    from ocr_spark.functions.text import tokens
+    from ocr_spark.operators.corpus import (contamination_pairs,
+                                            pack_sequences,
+                                            token_budget_mix)
+    from ocr_spark.operators.dedup import line_dedup, near_dup_clusters
+    from ocr_spark.operators.extract import extract_pages
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    mutated = docs.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        "source",
+        F.ltrim(
+            F.substring(
+                F.col("text"), F.instr(F.col("text"), " ") + 1, 10_000_000
+            )
+        ).alias("text"),
+    ).filter(F.instr(F.col("text"), " ") > 0)
+    base = docs.unionByName(mutated).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    tail = F.when(F.col("doc_id") % 3 == 0, F.lit(_LD_NEWS)).otherwise(
+        F.concat(F.lit("ref code "), F.col("doc_id"))
+    )
+    pages = base.select(
+        "doc_id", "source",
+        F.encode(
+            F.concat(
+                F.lit(_CURATE_PRE + "<p>" + _LD_COOKIE + "</p><p>"),
+                F.col("text"),
+                F.lit("</p><p>"), tail, F.lit("</p>" + _CURATE_POST),
+            ),
+            "utf-8",
+        ).alias("html"),
+    )
+    ext = extract_pages(pages, payload_col="html",
+                        passthrough=("doc_id", "source"),
+                        with_spans=False).select("doc_id", "source", "text")
+    qual = (
+        with_quality_filter(ext)
+        .filter(F.col("keep") == 1)
+        .select("doc_id", "source", "text")
+    )
+    ld = line_dedup(qual, "doc_id", "text", min_dup_docs=2, min_line_chars=10)
+    corpus = (
+        ld.select("doc_id", "text")
+        .join(qual.select("doc_id", "source"), "doc_id")
+        .localCheckpoint()
+    )
+    clusters = near_dup_clusters(corpus, "doc_id", "text", n_hashes=16,
+                                 bands=8, shingle_k=3,
+                                 hash_mode="md5_affine")
+    # kept and clean each feed two consumers (contam probe + anti-join;
+    # mix + pack).  Without a materialization barrier Spark re-expands
+    # the whole upstream subtree per consumer — measured 212 Exchange
+    # nodes in the composed plan vs 22 with the checkpoints (the plan
+    # test pins the bound).  A production run persists the curated
+    # corpus to storage at these exact points.
+    kept = corpus.join(
+        clusters.filter(F.col("doc_id") == F.col("cluster_id"))
+        .select("doc_id"),
+        "doc_id",
+    ).localCheckpoint()
+    bench = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 23 == 5).select(
+        (F.col("doc_id") + 5000000).alias("bench_id"),
+        F.array_join(F.slice(tokens("text"), 1, 60), " ").alias("text"),
+    )
+    contam = (
+        contamination_pairs(kept, bench, ngram_k=5, min_shared=3)
+        .select("doc_id").distinct()
+    )
+    clean = kept.join(contam, "doc_id", "left_anti").localCheckpoint()
+    mix = token_budget_mix(clean, MIX_BUDGETS, n_buckets=64)
+    packed = pack_sequences(
+        clean.join(mix.select("doc_id"), "doc_id"), seq_len=2048, n_buckets=64
+    )
+    return packed.join(mix.select("doc_id", "source"), "doc_id").select(
+        "doc_id", "source", "n_tokens", "start_off", "seq_first", "seq_last",
+        "n_seqs",
+    )
+
+
+# --------------------------------------------------------------------------
 # multimodal plumbing (opaque binary + typed metadata; decode stubbed —
 # deterministic fake kernel, real codec pluggable via decode_fn)
 # --------------------------------------------------------------------------
@@ -875,6 +990,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "packed_batches": q_packed_batches,
         "decontaminate": q_decontaminate,
+        "curate_corpus": q_curate_corpus,
         "media_decode": q_media_decode,
         "png_decode": q_png_decode,
         "frame_sample": q_frame_sample,
@@ -1223,6 +1339,177 @@ def _pii_scrub_sql() -> str:
         SELECT doc_id, CASE doc_id % 4 {cases} ELSE text END AS text
         FROM documents)
       SELECT doc_id, {', '.join(counts)}, {scrub} AS scrubbed FROM aug
+    """
+
+
+def _curate_corpus_sql() -> str:
+    """DuckDB twin of q_curate_corpus: every stage's existing oracle
+    chained as CTEs over the same derived corpus.  Extraction is the
+    probe-verified closed form (cookie paragraph always kept, body
+    paragraph iff non-blank, tail paragraph always); quality thresholds
+    import from QUALITY_THRESHOLDS; clustering is the recursive-CTE
+    transitive closure over the SAME affine-MinHash candidate edges;
+    decontamination / mix / pack reuse their fragment forms."""
+    from ocr_spark.functions.quality import QUALITY_THRESHOLDS as q
+    from ocr_spark.operators.dedup import MINHASH_P, minhash_affine_coeffs
+
+    f = _repetition_frags()
+    toks = f["toks"]
+    compact = "regexp_replace(text, '\\s', '', 'g')"
+    avg_len = (f"CASE WHEN len({toks}) > 0 THEN "
+               f"round(length({compact}) / len({toks}), 4) ELSE 0.0 END")
+    na_ratio = (f"CASE WHEN length({compact}) > 0 THEN "
+                f"round(length(regexp_replace({compact}, '[A-Za-z0-9]', '', 'g'))"
+                f" / length({compact}), 4) ELSE 0.0 END")
+    shingles_col = (
+        "list_distinct(CASE WHEN len(toksl) >= 3 THEN "
+        "list_transform(range(1, len(toksl) - 1), "
+        "i -> toksl[i] || ' ' || toksl[i+1] || ' ' || toksl[i+2]) "
+        "WHEN len(trim(text)) > 0 THEN [array_to_string(toksl, ' ')] "
+        "ELSE [] END)"
+    )
+    aff_els = ", ".join(
+        f"list_min(list_transform(bl, b -> ({a} * b + {c}) % {MINHASH_P}))"
+        for a, c in minhash_affine_coeffs(16))
+    return f"""
+      WITH RECURSIVE base AS (
+        SELECT doc_id, source, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id, source,
+               ltrim(substring(text, instr(text, ' ') + 1, 10000000)) AS text
+        FROM documents
+        WHERE instr(ltrim(substring(text, instr(text, ' ') + 1, 10000000)), ' ') > 0
+      ), ext AS (
+        SELECT doc_id, source,
+          '{_LD_COOKIE}' ||
+          CASE WHEN len(trim(text)) > 0 THEN chr(10) || text ELSE '' END ||
+          chr(10) ||
+          (CASE WHEN doc_id % 3 = 0 THEN '{_LD_NEWS}'
+                ELSE 'ref code ' || doc_id END) AS text
+        FROM base
+      ), qs AS (
+        SELECT doc_id, source, text, {f['grams']} AS g FROM ext
+      ), qstats AS (
+        SELECT doc_id, source, text,
+          CASE WHEN len(trim(text)) = 0 THEN 0 ELSE len({toks}) END AS n_tokens,
+          {avg_len} AS avg_token_len,
+          {na_ratio} AS non_alnum_ratio,
+          {f['dup_tok']} AS dup_token_ratio,
+          {f['top_bigram']} AS top_bigram_ratio,
+          {f['dup_line']} AS dup_line_ratio
+        FROM qs
+      ), qual AS (
+        SELECT doc_id, source, text FROM qstats
+        WHERE n_tokens >= {q['min_tokens']} AND n_tokens <= {q['max_tokens']}
+          AND avg_token_len >= {q['min_avg_token_len']}
+          AND avg_token_len <= {q['max_avg_token_len']}
+          AND non_alnum_ratio <= {q['max_non_alnum_ratio']}
+          AND dup_token_ratio <= {q['max_dup_token_ratio']}
+          AND top_bigram_ratio <= {q['max_top_bigram_ratio']}
+          AND dup_line_ratio <= {q['max_dup_line_ratio']}
+      ), ls AS (
+        SELECT doc_id, string_split(text, chr(10)) AS arr FROM qual
+      ), lines0 AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(arr) + 1),
+                      i -> {{'pos': i, 'ln': arr[i]}})) AS u
+        FROM ls
+      ), lines AS (
+        SELECT doc_id, u.pos AS pos, u.ln AS ln, trim(u.ln) AS nrm FROM lines0
+      ), banned AS (
+        SELECT nrm FROM lines WHERE length(nrm) >= 10
+        GROUP BY nrm HAVING count(DISTINCT doc_id) >= 2
+      ), flagged AS (
+        SELECT l.doc_id, l.pos, l.ln, b.nrm IS NOT NULL AS is_banned
+        FROM lines l LEFT JOIN banned b USING (nrm)
+      ), ld AS (
+        SELECT doc_id,
+               coalesce(string_agg(ln, chr(10) ORDER BY pos)
+                        FILTER (WHERE NOT is_banned), '') AS text
+        FROM flagged GROUP BY doc_id
+      ), corpus AS (
+        SELECT ld.doc_id, q2.source, ld.text
+        FROM ld JOIN qual q2 USING (doc_id)
+      ), ctok AS (
+        SELECT doc_id, text, {toks} AS toksl FROM corpus
+      ), csh AS (
+        SELECT doc_id, {shingles_col} AS shl FROM ctok
+      ), bas AS (
+        SELECT doc_id,
+          list_transform(shl,
+            s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % {MINHASH_P}) AS bl
+        FROM csh WHERE len(shl) > 0
+      ), sigs AS (SELECT doc_id, [{aff_els}] AS sig FROM bas
+      ), banded AS (
+        SELECT doc_id, b.band,
+          array_to_string(list_transform(sig[b.band * 2 + 1 : b.band * 2 + 2],
+                          x -> x::VARCHAR), '|') AS band_sig
+        FROM sigs, (SELECT unnest(range(0, 8)) AS band) b
+      ), cand AS (
+        SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+        FROM banded l JOIN banded r
+          ON l.band = r.band AND l.band_sig = r.band_sig
+         AND l.doc_id < r.doc_id
+      ), edges AS (
+        SELECT id_a AS s, id_b AS d FROM cand
+        UNION
+        SELECT id_b AS s, id_a AS d FROM cand
+      ), reach(node, x) AS (
+        SELECT s, s FROM edges
+        UNION
+        SELECT reach.node, e.d FROM reach JOIN edges e ON reach.x = e.s
+      ), labels AS (
+        SELECT node, min(x) AS cluster_id FROM reach GROUP BY node
+      ), kept AS (
+        SELECT c.doc_id, c.source, c.text
+        FROM corpus c LEFT JOIN labels l ON c.doc_id = l.node
+        WHERE coalesce(l.cluster_id, c.doc_id) = c.doc_id
+      ), bt AS (
+        SELECT doc_id + 5000000 AS bench_id,
+          array_to_string(({toks})[1:60], ' ') AS text
+        FROM documents WHERE doc_id % 23 = 5
+      ), btok AS (SELECT bench_id, text, {toks} AS toksl FROM bt
+      ), bg AS (
+        SELECT bench_id, unnest({_shingles_sql_k(5)}) AS gram FROM btok
+      ), ktok AS (SELECT doc_id, text, {toks} AS toksl FROM kept
+      ), kg AS (
+        SELECT doc_id, unnest({_shingles_sql_k(5)}) AS gram FROM ktok
+      ), contam AS (
+        SELECT doc_id FROM kg JOIN bg USING (gram)
+        GROUP BY doc_id, bench_id HAVING count(*) >= 3
+      ), clean AS (
+        SELECT * FROM kept
+        WHERE doc_id NOT IN (SELECT doc_id FROM contam)
+      ), tb AS (
+        SELECT doc_id, source,
+          CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+               ELSE len({toks}) END AS BIGINT) AS n_tokens,
+          ('0x' || substr(md5('|' || doc_id::VARCHAR), 1, 15))::BIGINT AS h
+        FROM clean WHERE source IN ({_mix_budget_sources()})
+      ), mixrun AS (
+        SELECT doc_id, source, n_tokens, h,
+          CAST(sum(n_tokens) OVER (PARTITION BY source
+               ORDER BY h % 64, h, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum_tokens
+        FROM tb
+      ), mix AS (
+        SELECT doc_id, source, n_tokens, h FROM mixrun
+        WHERE cum_tokens <= CASE source {_mix_budget_cases()} ELSE 0 END
+      ), prun AS (
+        SELECT doc_id, source, n_tokens,
+          CAST(sum(n_tokens) OVER (ORDER BY h % 64, h, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum
+        FROM mix WHERE n_tokens > 0
+      )
+      SELECT doc_id, source, n_tokens,
+        cum - n_tokens AS start_off,
+        CAST((cum - n_tokens) // 2048 AS BIGINT) AS seq_first,
+        CAST((cum - 1) // 2048 AS BIGINT) AS seq_last,
+        CAST((cum - 1) // 2048 - (cum - n_tokens) // 2048 + 1
+             AS BIGINT) AS n_seqs
+      FROM prun
     """
 
 
@@ -1661,6 +1948,7 @@ def oracle_sql() -> dict[str, str]:
         # sequence packing: the single-window cumsum here equals the
         # engine's two-pass prefix sum because bucket order (h % 64)
         # leads the ORDER BY; empty docs pack to nothing on both sides
+        "curate_corpus": _curate_corpus_sql(),
         "pack_sequences": f"""
           WITH t AS (
             SELECT doc_id,

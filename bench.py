@@ -45,7 +45,7 @@ BENCH_QUERIES = [
     "text_stats", "repetition_stats", "quality_filter", "pii_scrub",
     "lang_id", "lang_id_cjk", "fingerprint", "token_count",
     "stratified_sample", "token_budget_mix", "pack_sequences",
-    "packed_batches", "decontaminate",
+    "packed_batches", "decontaminate", "curate_corpus",
     "media_decode", "png_decode", "frame_sample",
     "pricing_summary", "top_customers", "regional_revenue",
     "customers_no_orders", "setop_except", "json_extract",

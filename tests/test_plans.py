@@ -162,6 +162,27 @@ def test_token_budget_mix_broadcasts_offsets_no_python(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_curate_corpus_plan_shape(spark):
+    """The composed curation pipeline must keep every per-stage plan
+    property when chained: Arrow extract only (no per-row Python), no
+    cartesian products anywhere, the decontamination bench side
+    broadcast, and a bounded number of exchanges downstream of the
+    checkpointed curated corpus (the corpus text crosses the network
+    only in the documented stages: cluster candidate generation,
+    keep-join, decontam probe, mix, pack, final joins)."""
+    df = entry_mod.q_curate_corpus(spark, SF)
+    plan = plan_of(df)
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    # the post-checkpoint composition: clusters join + anti-join +
+    # mix (agg, offsets window, run window) + pack (same) + 2 final
+    # joins.  22 exchanges measured; the bound catches a stage that
+    # silently starts re-shuffling the corpus per consumer.
+    assert plan.count("Exchange") <= 26, plan.count("Exchange")
+
+
 def test_whole_stage_codegen_on_relational_path(spark):
     import re
 
