@@ -608,6 +608,120 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_pairs(docs, bench, ngram_k=5, min_shared=3)
 
 
+def q_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Common-Crawl-native ingest path end-to-end: documents are
+    packed into spec-shaped WARC files (32 files; even file ids as
+    per-record-gzip-member .warc.gz, the CC convention; odd ids plain),
+    the WARC source splits records back out in an Arrow kernel, and the
+    extraction engine recovers the document text byte-identically.
+    One task per WARC file — the real crawl-scale parallel unit.
+    Oracled closed-form: url/ts are deterministic functions of doc_id
+    and extraction is the flagship identity."""
+    from ocr_spark.operators.extract import extract_pages
+    from ocr_spark.sources.warc import warc_pages_from_binary
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    pages = docs.select(
+        "doc_id",
+        (F.col("doc_id") % 32).alias("file_id"),
+        F.concat(F.lit("https://synth.test/doc/"), F.col("doc_id"))
+        .alias("url"),
+        F.concat(
+            F.lit("2024-06-01T10:"),
+            F.lpad((F.col("doc_id") % 60).cast("string"), 2, "0"),
+            F.lit(":00Z"),
+        ).alias("ts"),
+        F.encode(
+            F.concat(F.lit(_WRAP_PREFIX), F.col("text"), F.lit(_WRAP_SUFFIX)),
+            "utf-8",
+        ).alias("html"),
+    )
+
+    def pack(key, pdf):
+        import pandas as pd
+
+        from ocr_spark.sources.warc import build_warc
+
+        pdf = pdf.sort_values("doc_id")
+        data = build_warc(
+            list(zip(pdf["url"], pdf["ts"], (bytes(h) for h in pdf["html"]))),
+            gzip_members=(int(key[0]) % 2 == 0),
+        )
+        return pd.DataFrame({"path": [f"file{int(key[0]):02d}.warc"],
+                             "content": [data]})
+
+    files = pages.groupBy("file_id").applyInPandas(
+        pack, schema="path string, content binary")
+    parsed = warc_pages_from_binary(files).filter(F.col("status") == "ok")
+    out = extract_pages(parsed, payload_col="html",
+                        passthrough=("url", "warc_ts"), with_spans=False)
+    return out.select(
+        F.regexp_extract("url", r"/doc/(\d+)$", 1).cast("long").alias("doc_id"),
+        "url", "warc_ts", "text",
+    )
+
+
+# --------------------------------------------------------------------------
+# web url operators
+# --------------------------------------------------------------------------
+
+def _synth_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic url corpus over documents: six spelling families
+    exercising every normalization rule (scheme/host case, default
+    ports, fragments, tracking params, param order, trailing slash,
+    deep subdomains, scheme-less, co.uk-style suffixes).  The DuckDB
+    oracles rebuild the identical CASE."""
+    docs = _t(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 6
+    h = (F.col("doc_id") % 50).cast("string")
+    d = F.col("doc_id").cast("string")
+    url = (
+        F.when(m == 0, F.concat(F.lit("HTTP://WWW.Example"), h,
+                                F.lit(".COM:80/a/b/?utm_source=feed&z=1&a=2#sec")))
+        .when(m == 1, F.concat(F.lit("https://news.site"), h,
+                               F.lit(".co.uk:443/story/"), d, F.lit("/")))
+        .when(m == 2, F.concat(F.lit("http://host"), h,
+                               F.lit(".org/path?fbclid=abc"), d))
+        .when(m == 3, F.concat(F.lit("https://blog.host"), h,
+                               F.lit(".net/x?b=2&a=1&ref=tw")))
+        .when(m == 4, F.concat(F.lit("host"), h, F.lit(".com/plain")))
+        .otherwise(F.concat(F.lit("https://a.b.c.example"), h,
+                            F.lit(".com/?utm_medium=em#")))
+    )
+    return docs.select("doc_id", url.alias("url"),
+                       F.length("text").alias("score"))
+
+
+def q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Url canonicalization + host/registered-domain extraction — the
+    pass every crawl pipeline runs before url-keyed dedup.  Pure
+    per-row JVM expressions; fully value-oracled."""
+    from ocr_spark.operators.web import (registered_domain, url_host,
+                                         url_normalize)
+
+    urls = _synth_urls(spark, sf_dir)
+    return urls.select(
+        "doc_id",
+        url_normalize("url").alias("url_norm"),
+        url_host("url").alias("host"),
+        registered_domain("url").alias("domain"),
+    )
+
+
+def q_domain_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain volume cap (keep best k=3 by score): the two-phase
+    salted top-k whose phase-2 window input is bounded at
+    k * n_salts rows per domain — the hot spam domain never funnels
+    its raw volume through one task.  Oracle: the naive single-window
+    form (identical output by the superset property)."""
+    from ocr_spark.operators.web import domain_topk
+
+    urls = _synth_urls(spark, sf_dir)
+    return domain_topk(urls, k=3, score_col="score").select(
+        "doc_id", "domain", "score"
+    )
+
+
 # --------------------------------------------------------------------------
 # the composed end-to-end curation pipeline
 # --------------------------------------------------------------------------
@@ -991,6 +1105,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "packed_batches": q_packed_batches,
         "decontaminate": q_decontaminate,
         "curate_corpus": q_curate_corpus,
+        "warc_extract": q_warc_extract,
+        "url_normalize": q_url_normalize,
+        "domain_topk": q_domain_topk,
         "media_decode": q_media_decode,
         "png_decode": q_png_decode,
         "frame_sample": q_frame_sample,
@@ -1339,6 +1456,123 @@ def _pii_scrub_sql() -> str:
         SELECT doc_id, CASE doc_id % 4 {cases} ELSE text END AS text
         FROM documents)
       SELECT doc_id, {', '.join(counts)}, {scrub} AS scrubbed FROM aug
+    """
+
+
+def _url_sql_frags() -> dict[str, str]:
+    """Shared DuckDB fragments for the url-operator oracles: the same
+    synthetic url CASE as _synth_urls and step-for-step twins of
+    web.url_normalize / url_host / registered_domain."""
+    from ocr_spark.operators.web import _SECOND_LEVEL, TRACKING_PARAMS
+
+    url_case = """
+      CASE doc_id % 6
+        WHEN 0 THEN 'HTTP://WWW.Example' || (doc_id % 50)::VARCHAR
+                 || '.COM:80/a/b/?utm_source=feed&z=1&a=2#sec'
+        WHEN 1 THEN 'https://news.site' || (doc_id % 50)::VARCHAR
+                 || '.co.uk:443/story/' || doc_id::VARCHAR || '/'
+        WHEN 2 THEN 'http://host' || (doc_id % 50)::VARCHAR
+                 || '.org/path?fbclid=abc' || doc_id::VARCHAR
+        WHEN 3 THEN 'https://blog.host' || (doc_id % 50)::VARCHAR
+                 || '.net/x?b=2&a=1&ref=tw'
+        WHEN 4 THEN 'host' || (doc_id % 50)::VARCHAR || '.com/plain'
+        ELSE 'https://a.b.c.example' || (doc_id % 50)::VARCHAR
+                 || '.com/?utm_medium=em#'
+      END
+    """
+    tracking = ", ".join(f"'{p}'" for p in TRACKING_PARAMS)
+    second = ", ".join(f"'{s}'" for s in _SECOND_LEVEL)
+    host = ("lower(regexp_extract(regexp_replace(regexp_replace(url, "
+            "'^[A-Za-z][A-Za-z0-9+.-]*://', ''), '^[^/@?#]*@', ''), "
+            "'^([^/:?#]*)', 1))")
+    domain = f"""
+      CASE WHEN len(string_split({host}, '.')) <= 1 THEN {host}
+           WHEN len(string_split({host}, '.')) >= 3
+                AND string_split({host}, '.')[-2] IN ({second})
+           THEN string_split({host}, '.')[-3] || '.' ||
+                string_split({host}, '.')[-2] || '.' ||
+                string_split({host}, '.')[-1]
+           ELSE string_split({host}, '.')[-2] || '.' ||
+                string_split({host}, '.')[-1]
+      END
+    """
+    norm = f"""
+      WITH nf AS (
+        SELECT doc_id, score, url,
+               regexp_extract(url, '^([^#]*)', 1) AS no_frag
+        FROM u),
+      sp AS (
+        SELECT doc_id, score, url,
+          lower(regexp_extract(no_frag, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+            AS scheme,
+          regexp_replace(no_frag, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS aft
+        FROM nf),
+      au AS (
+        SELECT doc_id, score, url, scheme,
+          lower(regexp_extract(aft, '^([^/?]*)', 1)) AS auth0,
+          substring(aft, length(regexp_extract(aft, '^([^/?]*)', 1)) + 1)
+            AS rest
+        FROM sp),
+      parts AS (
+        SELECT doc_id, score, url, scheme,
+          CASE WHEN scheme = 'http' AND auth0 LIKE '%:80'
+                 THEN regexp_replace(auth0, ':80$', '')
+               WHEN scheme = 'https' AND auth0 LIKE '%:443'
+                 THEN regexp_replace(auth0, ':443$', '')
+               ELSE auth0 END AS auth,
+          regexp_extract(rest, '^([^?]*)', 1) AS path0,
+          CASE WHEN instr(rest, '?') > 0
+               THEN substring(rest, instr(rest, '?') + 1) ELSE '' END AS q
+        FROM au),
+      np AS (
+        SELECT doc_id, score, url, scheme, auth,
+          CASE WHEN length(path0) > 1 AND path0 LIKE '%/'
+               THEN regexp_replace(path0, '/$', '') ELSE path0 END AS path,
+          array_to_string(list_sort(list_filter(string_split(q, '&'),
+            p -> len(p) > 0
+              AND NOT starts_with(split_part(p, '=', 1), 'utm_')
+              AND split_part(p, '=', 1) NOT IN ({tracking}))), '&') AS sq
+        FROM parts)
+      SELECT doc_id, score, url,
+        (CASE WHEN scheme != '' THEN scheme || '://' || auth ELSE auth END)
+        || path
+        || (CASE WHEN length(sq) > 0 THEN '?' || sq ELSE '' END) AS url_norm
+      FROM np
+    """
+    return {"url_case": url_case, "host": host, "domain": domain,
+            "norm": norm}
+
+
+def _url_normalize_sql() -> str:
+    f = _url_sql_frags()
+    # the norm fragment carries url through, so host/domain (which
+    # reference the raw url) evaluate over n directly — no re-join
+    return f"""
+      WITH u AS (
+        SELECT doc_id, length(text) AS score, {f['url_case']} AS url
+        FROM documents),
+      n AS ({f['norm']})
+      SELECT doc_id, url_norm, {f['host']} AS host, {f['domain']} AS domain
+      FROM n
+    """
+
+
+def _domain_topk_sql() -> str:
+    """The naive single-window form — identical output to the engine's
+    two-phase salted top-k by the superset property."""
+    f = _url_sql_frags()
+    return f"""
+      WITH u AS (
+        SELECT doc_id, CAST(length(text) AS INT) AS score,
+               {f['url_case']} AS url
+        FROM documents),
+      h AS (SELECT doc_id, score, url, {f['domain']} AS domain FROM u),
+      r AS (
+        SELECT doc_id, domain, score,
+               row_number() OVER (PARTITION BY domain
+                 ORDER BY score DESC, url ASC) AS rn
+        FROM h)
+      SELECT doc_id, domain, score FROM r WHERE rn <= 3
     """
 
 
@@ -1949,6 +2183,13 @@ def oracle_sql() -> dict[str, str]:
         # engine's two-pass prefix sum because bucket order (h % 64)
         # leads the ORDER BY; empty docs pack to nothing on both sides
         "curate_corpus": _curate_corpus_sql(),
+        "warc_extract": (
+            "SELECT doc_id, 'https://synth.test/doc/' || doc_id::VARCHAR AS url, "
+            "'2024-06-01T10:' || lpad((doc_id % 60)::VARCHAR, 2, '0') || ':00Z' "
+            "AS warc_ts, text FROM documents"
+        ),
+        "url_normalize": _url_normalize_sql(),
+        "domain_topk": _domain_topk_sql(),
         "pack_sequences": f"""
           WITH t AS (
             SELECT doc_id,

@@ -1,0 +1,169 @@
+"""Web-corpus URL operators: normalization, host/domain extraction,
+and per-domain document caps.
+
+Every large crawl pipeline runs these before (and after) dedup:
+
+* **url_normalize** — canonicalize urls so trivially-distinct spellings
+  of the same resource collapse BEFORE content dedup ever runs:
+  lowercase scheme/host, strip default ports, drop fragments, drop
+  tracking query parameters (utm_*, fbclid, gclid, ...), sort the
+  surviving query parameters, trim trailing slashes on non-root paths.
+  Pure per-row JVM expressions (regexp/split/filter/array_sort) — zero
+  shuffle, zero Python, linear scan at any corpus size.
+
+* **host / registered domain** — `parse_url`-free extraction with the
+  same regex family on both engines.  Registered domain here is the
+  last two host labels (last three when the 2nd-level label is a known
+  public-suffix second level like co/com/ac/gov/net/org/edu — the
+  closed subset that covers the common ccTLD patterns; a full Public
+  Suffix List lookup is a broadcast-join against the PSL table and
+  slots in behind the same column contract).
+
+* **domain_topk** — keep at most k documents per registered domain,
+  best-first by a caller-supplied score (the standard anti-SEO-farm /
+  anti-boilerplate volume cap, e.g. RefinedWeb's per-domain limits).
+  THE scale hazard here is the hot domain: one spam host can carry
+  10^8 pages, and a naive ``row_number() OVER (PARTITION BY domain)``
+  funnels them through ONE window task.  This implementation is the
+  classic two-phase top-k:
+
+    1. salt each row into ``n_salts`` subgroups per domain; rank
+       inside (domain, salt) — parallelism ``n_salts`` per domain —
+       and keep only k rows per subgroup;
+    2. rank the survivors (<= k * n_salts rows per domain, bounded
+       and tiny) inside domain and keep k.
+
+  Phase-2's window IS partitioned by domain, but its input is capped
+  by construction, so the hot key holds <= k * n_salts skinny rows —
+  never the domain's raw volume.  Results are identical to the naive
+  single-window form because per-subgroup top-k is a superset of the
+  global top-k members (any global top-k row is top-k within its
+  subgroup too).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["TRACKING_PARAMS", "url_normalize", "url_host",
+           "registered_domain", "domain_topk"]
+
+# the closed, documented drop-set; extend per deployment.  Matched on
+# the parameter NAME (the part left of '='), utm_ by prefix.
+TRACKING_PARAMS = ("fbclid", "gclid", "msclkid", "mc_eid", "igshid",
+                   "ref", "ref_src", "spm")
+
+# second-level labels that act as public-suffix extensions (closed
+# common subset: example.co.uk -> example.co.uk, not co.uk)
+_SECOND_LEVEL = ("co", "com", "ac", "gov", "net", "org", "edu")
+
+
+def url_host(col: str | Column) -> Column:
+    """Lowercased host (no scheme, no credentials, no port, no path)."""
+    c = F.col(col) if isinstance(col, str) else col
+    no_scheme = F.regexp_replace(c, r"^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    no_cred = F.regexp_replace(no_scheme, r"^[^/@?#]*@", "")
+    host = F.regexp_extract(no_cred, r"^([^/:?#]*)", 1)
+    return F.lower(host)
+
+
+def registered_domain(col: str | Column) -> Column:
+    """Registered (pay-level) domain from a url: last 2 host labels,
+    or last 3 when the middle one is a common public-suffix second
+    level (co/com/ac/gov/net/org/edu) — so a.b.example.com ->
+    example.com and news.bbc.co.uk -> bbc.co.uk."""
+    host = url_host(col)
+    parts = F.split(host, r"\.")
+    n = F.size(parts)
+    second = F.element_at(parts, -2)
+    take3 = (n >= 3) & second.isin(*_SECOND_LEVEL)
+    last2 = F.concat_ws(".", F.element_at(parts, -2), F.element_at(parts, -1))
+    last3 = F.concat_ws(".", F.element_at(parts, -3), F.element_at(parts, -2),
+                        F.element_at(parts, -1))
+    return F.when(n <= 1, host).when(take3, last3).otherwise(last2)
+
+
+def url_normalize(col: str | Column) -> Column:
+    """Canonical url form; the steps and their order are the contract:
+
+    1. lowercase the scheme and host (path/query stay case-sensitive);
+    2. strip ``#fragment``;
+    3. strip default ports ``:80`` (http) / ``:443`` (https);
+    4. drop tracking query parameters: any name starting ``utm_`` plus
+       the literal TRACKING_PARAMS set;
+    5. sort surviving query parameters byte-wise (param order is not
+       semantic for the overwhelming majority of endpoints — and a
+       canonical order is what makes url dedup an equality test);
+    6. drop the trailing ``/`` of non-root paths and a trailing ``?``.
+
+    All built-in string/array expressions — per-row, no shuffle."""
+    c = F.col(col) if isinstance(col, str) else col
+    no_frag = F.regexp_extract(c, r"^([^#]*)", 1)
+    scheme = F.lower(F.regexp_extract(no_frag, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    after_scheme = F.regexp_replace(no_frag, r"^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    authority = F.regexp_extract(after_scheme, r"^([^/?]*)", 1)
+    rest = F.substring(after_scheme, F.length(authority) + 1, 1 << 30)
+    authority = F.lower(authority)
+    authority = F.when(
+        (scheme == "http") & authority.endswith(":80"),
+        F.regexp_replace(authority, r":80$", ""),
+    ).when(
+        (scheme == "https") & authority.endswith(":443"),
+        F.regexp_replace(authority, r":443$", ""),
+    ).otherwise(authority)
+    path = F.regexp_extract(rest, r"^([^?]*)", 1)
+    query = F.when(
+        F.instr(rest, "?") > 0,
+        F.substring(rest, F.instr(rest, "?") + 1, 1 << 30),
+    ).otherwise(F.lit(""))
+    # param filter + sort
+    params = F.filter(
+        F.split(query, "&"),
+        lambda p: (F.length(p) > 0)
+        & ~F.regexp_extract(p, r"^([^=]*)", 1).startswith("utm_")
+        & ~F.regexp_extract(p, r"^([^=]*)", 1).isin(*TRACKING_PARAMS),
+    )
+    sorted_q = F.array_join(F.array_sort(params), "&")
+    path = F.when(
+        (F.length(path) > 1) & path.endswith("/"),
+        F.regexp_replace(path, r"/$", ""),
+    ).otherwise(path)
+    base = F.when(scheme != "", F.concat(scheme, F.lit("://"), authority)) \
+        .otherwise(authority)
+    return F.concat(
+        base, path,
+        F.when(F.length(sorted_q) > 0, F.concat(F.lit("?"), sorted_q))
+        .otherwise(F.lit("")),
+    )
+
+
+def domain_topk(df: DataFrame, k: int, score_col: str,
+                url_col: str = "url", key_col: str | None = None,
+                n_salts: int = 16) -> DataFrame:
+    """Keep the best ``k`` rows per registered domain (score desc, then
+    url asc for a deterministic total order).  Two-phase top-k — see
+    module docstring for why the naive single window melts on a hot
+    spam domain.  Adds a ``domain`` column; otherwise returns the input
+    columns unchanged."""
+    tie = key_col or url_col
+    with_dom = df.withColumn("domain", registered_domain(url_col))
+    salted = with_dom.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col(tie)), F.lit(n_salts))
+    )
+    w1 = Window.partitionBy("domain", "_salt").orderBy(
+        F.col(score_col).desc(), F.col(tie).asc()
+    )
+    survivors = (
+        salted.withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= k)
+        .drop("_r1")
+    )
+    w2 = Window.partitionBy("domain").orderBy(
+        F.col(score_col).desc(), F.col(tie).asc()
+    )
+    return (
+        survivors.withColumn("_r2", F.row_number().over(w2))
+        .filter(F.col("_r2") <= k)
+        .drop("_r2", "_salt")
+    )
