@@ -494,20 +494,25 @@ CJK_SENTS = {
     "ar": "هذه جملة اختبار لاستخراج النص العربي",
     "ru": "это тестовое предложение для извлечения русского текста",
     "hi": "यह हिंदी पाठ निकालने के लिए एक परीक्षण वाक्य है",
+    # shared-script sub-classification: ukrainian ї, urdu ے, persian پ
+    "uk": "це тестове речення для перевірки вилучення українського тексту",
+    "fa": "این جمله برای آزمایش پردازش متن فارسی است",
+    "ur": "یہ اردو متن نکالنے کے لیے ایک آزمائشی جملہ ہے",
 }
 
 
 def q_lang_id_cjk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Script-based language-ID + script-aware token counting:
     ko/zh/ja by CJK script char counts (no-whitespace scripts),
-    ar/ru/hi by Arabic/Cyrillic/Devanagari counts (whitespace scripts
-    the latin marker heuristic can never see), latin fallback to the
-    marker argmax; tokens = whitespace tokens of the non-CJK portion +
-    one per CJK char."""
+    ar/fa/ur/ru/uk/hi by Arabic/Cyrillic/Devanagari counts with
+    orthography-letter sub-classification inside the shared scripts
+    (ukrainian і/ї/є/ґ, urdu ٹ/ڈ/ڑ/ں/ے, persian پ/چ/ژ/گ), latin
+    fallback to the marker argmax; tokens = whitespace tokens of the
+    non-CJK portion + one per CJK char."""
     from ocr_spark.functions.text import token_count_cjk, with_lang_id
 
     docs = _t(spark, sf_dir, "documents")
-    m = F.col("doc_id") % 8
+    m = F.col("doc_id") % 11
     text = (
         F.when(m == 0, F.lit(CJK_SENTS["ko"]))
         .when(m == 1, F.lit(CJK_SENTS["zh"]))
@@ -515,6 +520,9 @@ def q_lang_id_cjk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(m == 3, F.lit(CJK_SENTS["ar"]))
         .when(m == 4, F.lit(CJK_SENTS["ru"]))
         .when(m == 5, F.lit(CJK_SENTS["hi"]))
+        .when(m == 6, F.lit(CJK_SENTS["uk"]))
+        .when(m == 7, F.lit(CJK_SENTS["fa"]))
+        .when(m == 8, F.lit(CJK_SENTS["ur"]))
         .otherwise(F.col("text"))
     )
     aug = docs.select("doc_id", text.alias("text"))
@@ -1288,9 +1296,10 @@ def _lang_id_cjk_sql() -> str:
     engine so both sides share one closed range table."""
     from ocr_spark.functions.text import (ARABIC_RANGES, CJK_ALL_RANGES,
                                           CJK_MIN_CHARS, CYRILLIC_RANGES,
-                                          DEVANAGARI_RANGES, HAN_RANGES,
-                                          HANGUL_RANGES, KANA_RANGES,
-                                          LANG_MARKERS)
+                                          DEVANAGARI_RANGES, FA_ONLY_CHARS,
+                                          HAN_RANGES, HANGUL_RANGES,
+                                          KANA_RANGES, LANG_MARKERS,
+                                          UK_ONLY_CHARS, UR_ONLY_CHARS)
 
     def cnt(ranges: str) -> str:
         return (f"length(text) - length(regexp_replace(text, "
@@ -1306,13 +1315,16 @@ def _lang_id_cjk_sql() -> str:
     return f"""
       WITH aug AS (
         SELECT doc_id,
-          CASE doc_id % 8
+          CASE doc_id % 11
             WHEN 0 THEN '{CJK_SENTS['ko']}'
             WHEN 1 THEN '{CJK_SENTS['zh']}'
             WHEN 2 THEN '{CJK_SENTS['ja']}'
             WHEN 3 THEN '{CJK_SENTS['ar']}'
             WHEN 4 THEN '{CJK_SENTS['ru']}'
             WHEN 5 THEN '{CJK_SENTS['hi']}'
+            WHEN 6 THEN '{CJK_SENTS['uk']}'
+            WHEN 7 THEN '{CJK_SENTS['fa']}'
+            WHEN 8 THEN '{CJK_SENTS['ur']}'
             ELSE text END AS text
         FROM documents),
       sc AS (
@@ -1324,14 +1336,20 @@ def _lang_id_cjk_sql() -> str:
           {cnt(CYRILLIC_RANGES)} AS n_cyr,
           {cnt(DEVANAGARI_RANGES)} AS n_deva,
           {cnt(CJK_ALL_RANGES)} AS n_cjk,
+          {cnt(UK_ONLY_CHARS)} AS n_uk,
+          {cnt(UR_ONLY_CHARS)} AS n_ur,
+          {cnt(FA_ONLY_CHARS)} AS n_fa,
           {marker_counts}
         FROM aug)
       SELECT doc_id,
         CASE WHEN n_kana >= {CJK_MIN_CHARS} THEN 'ja'
              WHEN n_hangul >= {CJK_MIN_CHARS} THEN 'ko'
              WHEN n_han >= {CJK_MIN_CHARS} THEN 'zh'
-             WHEN n_arab >= {CJK_MIN_CHARS} THEN 'ar'
-             WHEN n_cyr >= {CJK_MIN_CHARS} THEN 'ru'
+             WHEN n_arab >= {CJK_MIN_CHARS} THEN
+               (CASE WHEN n_ur > 0 THEN 'ur'
+                     WHEN n_fa > 0 THEN 'fa' ELSE 'ar' END)
+             WHEN n_cyr >= {CJK_MIN_CHARS} THEN
+               (CASE WHEN n_uk > 0 THEN 'uk' ELSE 'ru' END)
              WHEN n_deva >= {CJK_MIN_CHARS} THEN 'hi'
              WHEN c_en > 0 AND c_en >= c_es AND c_en >= c_de AND c_en >= c_fr THEN 'en'
              WHEN c_es > 0 AND c_es > c_en AND c_es >= c_de AND c_es >= c_fr THEN 'es'

@@ -19,6 +19,7 @@ __all__ = [
     "with_text_stats", "with_lang_id", "fingerprint", "LANG_MARKERS",
     "HAN_RANGES", "HANGUL_RANGES", "KANA_RANGES",
     "ARABIC_RANGES", "CYRILLIC_RANGES", "DEVANAGARI_RANGES",
+    "UK_ONLY_CHARS", "UR_ONLY_CHARS", "FA_ONLY_CHARS",
 ]
 
 # Unicode script ranges for the script-detection paths (closed,
@@ -31,13 +32,22 @@ KANA_RANGES = "぀-ゟ゠-ヿ"       # hiragana + katakana
 CJK_ALL_RANGES = HAN_RANGES + HANGUL_RANGES + KANA_RANGES
 # whitespace-separated scripts that the latin marker heuristic can
 # never see (marker lists are latin words): detected by script too.
-# Script -> most-spoken language of the script; a production system
-# would sub-classify (ru/uk/bg..., hi/mr/ne...) with per-language
-# markers in these scripts — the mapping here is the documented
-# heuristic, not a claim of full coverage.
 ARABIC_RANGES = "؀-ۿݐ-ݿ"        # Arabic + supplement
 CYRILLIC_RANGES = "Ѐ-ӿ"          # Cyrillic
 DEVANAGARI_RANGES = "ऀ-ॿ"        # Devanagari
+
+# Sub-classification WITHIN shared scripts by orthography-specific
+# letters (closed, documented sets; all inside the ranges above):
+# - Ukrainian uses і/ї/є/ґ, which Russian orthography lacks;
+# - Urdu adds retroflex ٹ/ڈ/ڑ, noon-ghunna ں and barree-ye ے that
+#   Persian and Arabic lack;
+# - Persian (and Urdu) add پ/چ/ژ/گ over Arabic — so Urdu is checked
+#   FIRST (its letters are unique), then Persian, then Arabic.
+# Devanagari stays hi (hi/mr/ne share the letter inventory almost
+# exactly; separating them needs marker words, documented limit).
+UK_ONLY_CHARS = "іїєґІЇЄҐ"
+UR_ONLY_CHARS = "ٹڈڑںے"
+FA_ONLY_CHARS = "پچژگ"
 
 
 def script_char_count(col: str | Column, ranges: str) -> Column:
@@ -192,12 +202,25 @@ def with_lang_id(df: DataFrame, text_col: str = "text",
     arab = script_char_count(text_col, ARABIC_RANGES)
     cyr = script_char_count(text_col, CYRILLIC_RANGES)
     deva = script_char_count(text_col, DEVANAGARI_RANGES)
+    # sub-classification within shared scripts (see the char-set
+    # constants): Urdu letters are unique -> checked before Persian;
+    # one specific letter is decisive (these are orthographic, not
+    # statistical, discriminators)
+    uk = script_char_count(text_col, UK_ONLY_CHARS)
+    ur = script_char_count(text_col, UR_ONLY_CHARS)
+    fa = script_char_count(text_col, FA_ONLY_CHARS)
+    arabic_lang = (
+        F.when(ur > 0, F.lit("ur"))
+        .when(fa > 0, F.lit("fa"))
+        .otherwise(F.lit("ar"))
+    )
+    cyr_lang = F.when(uk > 0, F.lit("uk")).otherwise(F.lit("ru"))
     expr = (
         F.when(kana >= CJK_MIN_CHARS, F.lit("ja"))
         .when(hangul >= CJK_MIN_CHARS, F.lit("ko"))
         .when(han >= CJK_MIN_CHARS, F.lit("zh"))
-        .when(arab >= CJK_MIN_CHARS, F.lit("ar"))
-        .when(cyr >= CJK_MIN_CHARS, F.lit("ru"))
+        .when(arab >= CJK_MIN_CHARS, arabic_lang)
+        .when(cyr >= CJK_MIN_CHARS, cyr_lang)
         .when(deva >= CJK_MIN_CHARS, F.lit("hi"))
         .otherwise(expr)
     )

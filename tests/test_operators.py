@@ -318,6 +318,24 @@ def test_lang_id_cjk_scripts(spark):
                    6: "ar", 7: "ru", 8: "hi"}
 
 
+def test_lang_id_shared_script_subclassification(spark):
+    """Within-script discrimination by orthography-specific letters:
+    uk (і/ї/є/ґ) vs ru inside Cyrillic; ur (ٹ/ڈ/ڑ/ں/ے, checked first)
+    vs fa (پ/چ/ژ/گ) vs ar inside Arabic script.  Plain ru/ar texts
+    (no discriminator letters) must keep their labels."""
+    from ocr_spark.functions.text import with_lang_id
+
+    df = spark.createDataFrame(
+        [(1, "це тестове речення українською мовою із ї"),   # uk
+         (2, "это предложение на русском языке"),            # ru (no uk chars)
+         (3, "این جمله برای آزمایش پردازش متن فارسی است"),   # fa (پ)
+         (4, "یہ اردو متن نکالنے کے لیے ایک جملہ ہے"),       # ur (ے)
+         (5, "هذه جملة اختبار باللغة العربية")],              # ar (neither)
+        "doc_id long, text string")
+    got = {r.doc_id: r.lang_pred for r in with_lang_id(df).collect()}
+    assert got == {1: "uk", 2: "ru", 3: "fa", 4: "ur", 5: "ar"}
+
+
 def test_token_count_cjk(spark):
     from ocr_spark.functions.text import token_count, token_count_cjk
 
