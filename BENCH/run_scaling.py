@@ -107,13 +107,14 @@ def run_once(corpus: str, cores: int, tag: str,
 
 
 def wait_quiet(gate_cores: float, max_wait_s: int,
-               window_s: float = 20.0) -> None:
+               window_s: float = 20.0, membw_gate: float = 0.0) -> None:
     """Poll hypervisor steal in ``window_s`` windows; return once a
-    window reads below ``gate_cores`` or ``max_wait_s`` elapses (then
-    launch anyway — the post-run gate still applies).  Launching into a
+    window reads below ``gate_cores`` AND the memory-bandwidth canary
+    reads above ``membw_gate`` (or ``max_wait_s`` elapses — then launch
+    anyway; the post-run gate still applies).  Launching into a
     known-busy burst wastes a full run; the neighbor's bursts run
     minutes, its quiet stretches longer."""
-    from hostmeter import read_cpu, steal_cores
+    from hostmeter import membw_mbps, read_cpu, steal_cores
 
     if max_wait_s <= 0:
         return
@@ -122,11 +123,13 @@ def wait_quiet(gate_cores: float, max_wait_s: int,
         before = read_cpu()
         time.sleep(window_s)
         sc = steal_cores(before, read_cpu())
-        if sc <= gate_cores:
+        bw = membw_mbps() if membw_gate > 0 else float("inf")
+        if sc <= gate_cores and bw >= membw_gate:
             return
         waited = time.time() - t0
-        print(f"    wait_quiet: steal={sc:.2f} cores > gate "
-              f"{gate_cores:.2f} ({waited:.0f}s waited)", flush=True)
+        print(f"    wait_quiet: steal={sc:.2f} cores (gate "
+              f"{gate_cores:.2f}), membw={bw:.0f} MB/s (gate "
+              f"{membw_gate:.0f}) ({waited:.0f}s waited)", flush=True)
         if waited >= max_wait_s:
             print("    wait_quiet: timeout, launching anyway", flush=True)
             return
@@ -151,6 +154,14 @@ def main() -> None:
                          "(steal ticks accrue only on runnable vCPUs, so "
                          "a flat core gate hits local[4] 4x harder than "
                          "local[16]; the fraction gate is symmetric)")
+    ap.add_argument("--membw-gate", type=float, default=5500.0,
+                    help="min MB/s the single-thread memcpy canary must "
+                         "read BEFORE and AFTER a run for it to count; "
+                         "co-tenant memory-bandwidth pressure slows runs "
+                         "30-40%% at near-zero steal (round-3 finding: "
+                         "healthy reads 6900-8200 on this box, "
+                         "contaminated windows read 2100-4400), so steal "
+                         "alone under-gates.  0 disables")
     ap.add_argument("--max-retries", type=int, default=2)
     ap.add_argument("--wait-quiet-s", type=int, default=900,
                     help="before each attempt, poll hypervisor steal in "
@@ -174,24 +185,37 @@ def main() -> None:
             gate = (args.steal_gate if args.steal_gate is not None
                     else args.steal_frac_gate * cores)
             attempts: list[dict] = []
+
+            def _dirty(a: dict) -> bool:
+                h = a["host_cpu"]
+                return (h["steal_cores"] > gate
+                        or (args.membw_gate > 0
+                            and min(h["membw_before"],
+                                    h["membw_after"]) < args.membw_gate))
+
             for attempt in range(args.max_retries + 1):
-                wait_quiet(gate, args.wait_quiet_s)
+                wait_quiet(gate, args.wait_quiet_s,
+                           membw_gate=args.membw_gate)
                 r = run_once(corpus, cores, f"c{cores}r{i}a{attempt}",
                              args.out_root, args.scratch)
                 attempts.append(r)
-                sc = r["host_cpu"]["steal_cores"]
-                if sc <= gate:
+                if not _dirty(r):
                     break
-                print(f"    steal_cores={sc:.2f} > gate "
-                      f"{gate:.2f} -> rerun", flush=True)
+                h = r["host_cpu"]
+                print(f"    dirty window: steal={h['steal_cores']:.2f} "
+                      f"(gate {gate:.2f}), membw="
+                      f"{min(h['membw_before'], h['membw_after']):.0f} "
+                      f"(gate {args.membw_gate:.0f}) -> rerun", flush=True)
             # count the least-contaminated attempt for this run slot —
-            # min steal, then min wall (steal/membw contention only ever
-            # SLOWS a run, so at equal steal the faster attempt is the
-            # closer-to-truth one).  Earlier code counted whatever
-            # attempt came last, letting a dirty final retry poison the
-            # median while its cleaner predecessors were discarded.
+            # gate-clean first, then min steal, then min wall (steal /
+            # membw contention only ever SLOWS a run, so at equal
+            # cleanliness the faster attempt is the closer-to-truth
+            # one).  Earlier code counted whatever attempt came last,
+            # letting a dirty final retry poison the median while its
+            # cleaner predecessors were discarded.
             best = min(attempts,
-                       key=lambda a: (a["host_cpu"]["steal_cores"],
+                       key=lambda a: (_dirty(a),
+                                      a["host_cpu"]["steal_cores"],
                                       a["wall_s"]))
             for a in attempts:
                 a["counted"] = a is best
