@@ -120,8 +120,12 @@ def q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                          for i in range(0, len(toks), 8)]
                 blocks = ([lines[i:i + 4] for i in range(0, len(lines), 4)]
                           or [[]])
+                # operators='mixed' cycles Td/TD/Tm/T*/TJ per line — all
+                # five text-positioning styles pass the same closed-form
+                # oracle (geometry is canonical since the TD relative-
+                # move fix in data/synth.py).
                 payloads.append(build_pdf(
-                    blocks, operators="Td",
+                    blocks, operators="mixed",
                     n_pages=2 if doc_id % 5 == 0 else 1,
                     compress=doc_id % 2 == 1,
                 ))
@@ -132,6 +136,97 @@ def q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = extract_pages(pdfs, payload_col="payload",
                         passthrough=("doc_id",), with_spans=False)
     return out.select("doc_id", "text", "status", "n_blocks").orderBy("doc_id")
+
+
+def q_pdf_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-column PDF reading-order reconstruction through the driver
+    oracle: each document's tokens (capped to 12 chars, the shared
+    TWOCOL_TOKEN_CAP) are laid out as a one-page two-column PDF — a
+    full-width title band over a left column (first ceil(n/2) tokens,
+    one per line) and a right column (the rest) sharing baselines; docs
+    with <4 tokens are single-column (the x-cut needs >=2 lines per
+    side); odd doc_ids FlateDecode-compressed.  The XY-cut segmenter
+    (ocr_spark.extractor.core._xy_cut, Nagy & Seth 1984) must read
+    title, whole left column, whole right column — a y-sorted reader
+    would interleave the columns line-by-line, which the closed-form
+    oracle rejects.  Reference capability: layout analysis the service
+    delegates to its OCR model (reference services/gemini_service.py:
+    61-146, services/file_processor.py:77)."""
+    from ocr_spark.operators.extract import extract_pages
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def build(batches):
+        import pandas as pd
+
+        from ocr_spark.data.synth import TWOCOL_TOKEN_CAP, build_pdf_two_column
+
+        for pdf in batches:
+            payloads = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                toks = [t[:TWOCOL_TOKEN_CAP] for t in (text or "").split()]
+                if len(toks) >= 4:
+                    half = (len(toks) + 1) // 2
+                    lefts, rights = toks[:half], toks[half:]
+                else:
+                    lefts, rights = toks, []
+                payloads.append(build_pdf_two_column(
+                    f"DOC {doc_id} TITLE", lefts, rights,
+                    compress=doc_id % 2 == 1,
+                ))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "payload": payloads})
+
+    pdfs = docs.mapInPandas(build, schema="doc_id long, payload binary")
+    out = extract_pages(pdfs, payload_col="payload",
+                        passthrough=("doc_id",), with_spans=False)
+    return out.select("doc_id", "text", "status", "n_blocks").orderBy("doc_id")
+
+
+def q_html_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured head/landmark field extraction (title, meta
+    description, canonical link, og:title, first h1) — the html
+    analogue of the reference's fixed-field projection
+    (services/business_license_processor.py:233-239).  Each document
+    becomes a page whose head fields are deterministic functions of its
+    tokens (html-escaped on build, entity-unescaped by the parser — the
+    round trip is part of what's tested; og:title only on even ids so
+    the NULL path is exercised); the oracle reconstructs every field
+    closed-form."""
+    from ocr_spark.operators.extract import extract_meta_pages
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def build(batches):
+        import html as _html
+
+        import pandas as pd
+
+        for pdf in batches:
+            htmls = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                toks = (text or "").split()
+                t2 = " ".join(toks[:2])
+                d8 = " ".join(toks[:8])
+                og = (f'<meta property="og:title" content='
+                      f'"OG {_html.escape(toks[0], quote=True)}">'
+                      if doc_id % 2 == 0 and toks else "")
+                htmls.append((
+                    f"<html><head><title>Doc {doc_id} | "
+                    f"{_html.escape(t2)}</title>"
+                    f'<meta name="description" content='
+                    f'"{_html.escape(d8, quote=True)}">'
+                    f'<link rel="canonical" href='
+                    f'"https://canon.example.com/d/{doc_id}">'
+                    f"{og}</head><body><h1>H1 {_html.escape(t2)}</h1>"
+                    f"<p>{_html.escape(text or '')}</p></body></html>"
+                ).encode("utf-8"))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "html": htmls})
+
+    pages = docs.mapInPandas(build, schema="doc_id long, html binary")
+    out = extract_meta_pages(pages, payload_col="html",
+                             passthrough=("doc_id",))
+    return out.orderBy("doc_id")
 
 
 def q_extract_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -448,6 +543,25 @@ def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained unigram LM quality score (the CCNet perplexity
+    signal with the KenLM 5-gram replaced by the SQL-oracle-able
+    unigram proxy): ONE explode->count shuffle trains the model, the
+    vocab broadcasts back over the tokens, per-doc mean ln p and
+    perplexity come from a second skinny aggregate
+    (functions/quality.py:unigram_logprob).  Scores rounded at 1e-6
+    (cross-partition summation order differs in the last ulps)."""
+    from ocr_spark.functions.quality import unigram_logprob
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = unigram_logprob(docs)
+    return out.select(
+        "doc_id", "n_tokens",
+        F.round("avg_logprob", 6).alias("avg_lp"),
+        F.round("ppl", 6).alias("ppl"),
+    ).orderBy("doc_id")
+
+
 # Deterministic PII injection for the scrub query: the synthetic corpus
 # carries no PII, so doc_id % 4 appends a known email / IPv4 / phone
 # (same augmentation pattern as lang_id_cjk; the DuckDB oracle applies
@@ -728,6 +842,94 @@ def q_domain_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return domain_topk(urls, k=3, score_col="score").select(
         "doc_id", "domain", "score"
     )
+
+
+def q_outlinks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-graph construction: each document becomes an html page
+    (deterministic anchors derived from its tokens: up to 5 absolute
+    links host-keyed by position, one relative link, one query link
+    carrying a tracking param, plus fragment-only / javascript /
+    duplicate anchors that must be dropped), parsed by the real
+    stdlib-HTMLParser link extractor, resolved with urljoin, and
+    canonicalized with url_normalize.  The oracle reconstructs the
+    expected edge set closed-form from the same tokens.  Scale shape:
+    one Arrow kernel pass, html never shuffles, output is the skinny
+    edge list (operators/web.py:outlinks)."""
+    from ocr_spark.operators.web import outlinks
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def build(batches):
+        import re as _re
+
+        import pandas as pd
+
+        for pdf in batches:
+            urls, htmls = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                sans = [_re.sub(r"[^A-Za-z0-9]", "", t)
+                        for t in (text or "").split()[:5]]
+                parts = [f"<html><head><title>d{doc_id}</title></head>"
+                         "<body><p>body text here</p>"]
+                for j, s in enumerate(sans):
+                    parts.append(
+                        f'<a href="https://w{j}.example.org/t/{s}">t</a>')
+                parts.append('<a href="/rel/0">r</a>')
+                parts.append('<a href="?q=2&amp;utm_source=x">q</a>')
+                parts.append('<a href="#top">s</a>')
+                parts.append('<a href="javascript:void(0)">s</a>')
+                if sans:
+                    parts.append(
+                        f'<a href="https://w0.example.org/t/{sans[0]}">d</a>')
+                parts.append("</body></html>")
+                urls.append(f"https://src{doc_id}.example.com/dir/page.html")
+                htmls.append("".join(parts).encode("utf-8"))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "url": urls,
+                                "html": htmls})
+
+    pages = docs.mapInPandas(build,
+                             schema="doc_id long, url string, html binary")
+    edges = outlinks(pages, html_col="html", url_col="url",
+                     passthrough=("doc_id",))
+    return edges.select("doc_id", "dst").orderBy("doc_id", "dst")
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration PageRank (3 rounds, d=0.85, the un-normalized
+    Page et al. 1999 form) over a deterministic irregular graph: every
+    doc links to (id² + 1) mod M (a non-bijective quadratic map —
+    in-degrees vary, some ids get no in-links), and docs with id % 3
+    != 0 also link to (id*13 + 5) mod M (out-degrees vary 1 vs 2);
+    M = max id + 1, self-loops dropped, targets derived by equi-join
+    against the id set (never assuming contiguity).  The oracle unrolls
+    the three iterations as chained SQL aggregates.  Ranks are compared
+    at round(.,9): on this graph out-degrees are 1 or 2 and d=0.85 has
+    2 decimals, so after 3 iterations every rank is an EXACT 9-decimal
+    number — rounding to 9 snaps both engines onto that grid (double
+    noise ~1e-12 << the 5e-10 half-step), whereas rounding at 6 lands
+    on .5 ties where Spark (HALF_UP) and DuckDB disagree.  Iterative-Spark discipline mirrors the connected-components
+    clusterer: per-round localCheckpoint, skinny rank table, no windows
+    (operators/web.py:pagerank)."""
+    from ocr_spark.operators.web import pagerank
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    m = docs.agg((F.max("doc_id") + F.lit(1)).alias("m"))
+    cand = docs.crossJoin(F.broadcast(m)).select(
+        "doc_id",
+        ((F.col("doc_id") * F.col("doc_id") + 1) % F.col("m")).alias("k1"),
+        ((F.col("doc_id") * 13 + 5) % F.col("m")).alias("k2"),
+    )
+    dsts = docs.select(F.col("doc_id").alias("dst"))
+    e1 = (cand.join(dsts, cand.k1 == dsts.dst)
+          .select(F.col("doc_id").alias("src"), "dst"))
+    e2 = (cand.filter(F.col("doc_id") % 3 != 0)
+          .join(dsts, cand.k2 == dsts.dst)
+          .select(F.col("doc_id").alias("src"), "dst"))
+    edges = e1.union(e2).filter(F.col("src") != F.col("dst"))
+    ranks = pagerank(edges, n_iter=3, damping=0.85)
+    return (ranks.select(F.col("node").alias("doc_id"),
+                         F.round("rank", 9).alias("pr"))
+            .orderBy("doc_id"))
 
 
 # --------------------------------------------------------------------------
@@ -1083,6 +1285,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_extract": q_flagship_extract,
         "pdf_extract": q_pdf_extract,
+        "pdf_layout": q_pdf_layout,
+        "html_meta": q_html_meta,
         "profile_extract": q_profile_extract,
         "extract_metrics": q_extract_metrics,
         "dedup_exact": q_dedup_exact,
@@ -1102,6 +1306,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "repetition_stats": q_repetition_stats,
         "quality_filter": q_quality_filter,
+        "lm_score": q_lm_score,
         "pii_scrub": q_pii_scrub,
         "lang_id": q_lang_id,
         "lang_id_cjk": q_lang_id_cjk,
@@ -1116,6 +1321,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_extract": q_warc_extract,
         "url_normalize": q_url_normalize,
         "domain_topk": q_domain_topk,
+        "outlinks": q_outlinks,
+        "pagerank": q_pagerank,
         "media_decode": q_media_decode,
         "png_decode": q_png_decode,
         "frame_sample": q_frame_sample,
@@ -1852,6 +2059,52 @@ def oracle_sql() -> dict[str, str]:
                  ELSE CAST(ceil(len(ls) / 4.0) AS INT) END AS n_blocks
           FROM ln ORDER BY doc_id
         """,
+        "pdf_layout": f"""
+          WITH tok AS (
+            SELECT doc_id,
+              CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+                   ELSE list_transform({toks}, t -> substr(t, 1, 12)) END AS tl
+            FROM documents),
+          parts AS (
+            SELECT doc_id,
+              CASE WHEN len(tl) >= 4
+                   THEN tl[1 : CAST(ceil(len(tl) / 2.0) AS INT)]
+                   ELSE tl END AS lefts,
+              CASE WHEN len(tl) >= 4
+                   THEN tl[CAST(ceil(len(tl) / 2.0) AS INT) + 1 : len(tl)]
+                   ELSE CAST([] AS VARCHAR[]) END AS rights
+            FROM tok)
+          SELECT doc_id,
+            'DOC ' || CAST(doc_id AS VARCHAR) || ' TITLE'
+              || CASE WHEN len(lefts) > 0
+                      THEN chr(10) || array_to_string(lefts, chr(10))
+                      ELSE '' END
+              || CASE WHEN len(rights) > 0
+                      THEN chr(10) || array_to_string(rights, chr(10))
+                      ELSE '' END AS text,
+            'ok' AS status,
+            CAST(1 + (CASE WHEN len(lefts) > 0 THEN 1 ELSE 0 END)
+                   + (CASE WHEN len(rights) > 0 THEN 1 ELSE 0 END)
+                 AS INT) AS n_blocks
+          FROM parts ORDER BY doc_id
+        """,
+        "html_meta": f"""
+          WITH tok AS (
+            SELECT doc_id,
+              CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+                   ELSE {toks} END AS tl
+            FROM documents)
+          SELECT doc_id,
+            trim('Doc ' || CAST(doc_id AS VARCHAR) || ' | '
+                 || array_to_string(tl[1:2], ' ')) AS title,
+            array_to_string(tl[1:8], ' ') AS description,
+            'https://canon.example.com/d/' || CAST(doc_id AS VARCHAR)
+              AS canonical,
+            CASE WHEN doc_id % 2 = 0 AND len(tl) > 0
+                 THEN 'OG ' || tl[1] ELSE NULL END AS og_title,
+            trim('H1 ' || array_to_string(tl[1:2], ' ')) AS h1
+          FROM tok ORDER BY doc_id
+        """,
         "profile_extract": f"""
           SELECT doc_id, lang,
             CASE WHEN len({toks}) >
@@ -2100,6 +2353,30 @@ def oracle_sql() -> dict[str, str]:
         """,
         "repetition_stats": _repetition_stats_sql(),
         "quality_filter": _quality_filter_sql(),
+        "lm_score": f"""
+          WITH tok AS (
+            SELECT doc_id,
+              CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+                   ELSE {toks} END AS tl
+            FROM documents),
+          ex AS (SELECT doc_id, unnest(tl) AS tok FROM tok),
+          vocab AS (SELECT tok, count(*) AS c FROM ex GROUP BY tok),
+          tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_total,
+                         count(*) AS v_size FROM vocab),
+          sc AS (
+            SELECT e.doc_id,
+              ln((v.c + 1) / CAST((SELECT n_total FROM tot)
+                                  + (SELECT v_size FROM tot) AS DOUBLE)) AS lp
+            FROM ex e JOIN vocab v USING (tok)),
+          per AS (SELECT doc_id, avg(lp) AS a, count(*) AS n
+                  FROM sc GROUP BY doc_id)
+          SELECT t.doc_id,
+            CAST(coalesce(p.n, 0) AS BIGINT) AS n_tokens,
+            round(p.a, 6) AS avg_lp,
+            round(exp(-p.a), 6) AS ppl
+          FROM tok t LEFT JOIN per p USING (doc_id)
+          ORDER BY t.doc_id
+        """,
         "pii_scrub": _pii_scrub_sql(),
         "lang_id": f"""
           WITH c AS (
@@ -2208,6 +2485,76 @@ def oracle_sql() -> dict[str, str]:
         ),
         "url_normalize": _url_normalize_sql(),
         "domain_topk": _domain_topk_sql(),
+        "outlinks": f"""
+          WITH tok AS (
+            SELECT doc_id,
+              CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+                   ELSE {toks} END AS tl
+            FROM documents),
+          sans AS (
+            SELECT doc_id,
+              list_transform(tl[1:5],
+                t -> regexp_replace(t, '[^A-Za-z0-9]', '', 'g')) AS ss
+            FROM tok),
+          tok_links AS (
+            SELECT doc_id,
+              unnest(list_transform(range(1, len(ss) + 1),
+                i -> 'https://w' || CAST(i - 1 AS VARCHAR) || '.example.org/t'
+                     || CASE WHEN ss[i] = '' THEN ''
+                             ELSE '/' || ss[i] END)) AS dst
+            FROM sans),
+          fixed AS (
+            SELECT doc_id, unnest([
+              'https://src' || CAST(doc_id AS VARCHAR)
+                || '.example.com/rel/0',
+              'https://src' || CAST(doc_id AS VARCHAR)
+                || '.example.com/dir/page.html?q=2'
+            ]) AS dst FROM tok)
+          SELECT DISTINCT doc_id, dst FROM (
+            SELECT doc_id, dst FROM tok_links
+            UNION ALL SELECT doc_id, dst FROM fixed)
+          ORDER BY doc_id, dst
+        """,
+        "pagerank": """
+          WITH mm AS (SELECT max(doc_id) + 1 AS m FROM documents),
+          cand AS (
+            SELECT doc_id,
+              (doc_id * doc_id + 1) % (SELECT m FROM mm) AS k1,
+              (doc_id * 13 + 5) % (SELECT m FROM mm) AS k2
+            FROM documents),
+          e AS (
+            SELECT DISTINCT src, dst FROM (
+              SELECT c.doc_id AS src, d.doc_id AS dst
+              FROM cand c JOIN documents d ON d.doc_id = c.k1
+              UNION ALL
+              SELECT c.doc_id AS src, d.doc_id AS dst
+              FROM cand c JOIN documents d ON d.doc_id = c.k2
+              WHERE c.doc_id % 3 <> 0
+            ) WHERE src <> dst),
+          nodes AS (SELECT DISTINCT node FROM (
+            SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e)),
+          deg AS (SELECT src, count(*) AS dg FROM e GROUP BY src),
+          r0 AS (SELECT node, 1.0 AS r FROM nodes),
+          r1 AS (SELECT n.node, 0.15 + 0.85 * coalesce(s.x, 0) AS r
+                 FROM nodes n LEFT JOIN (
+                   SELECT e.dst AS node, sum(r0.r / deg.dg) AS x
+                   FROM e JOIN r0 ON r0.node = e.src
+                        JOIN deg ON deg.src = e.src
+                   GROUP BY e.dst) s ON s.node = n.node),
+          r2 AS (SELECT n.node, 0.15 + 0.85 * coalesce(s.x, 0) AS r
+                 FROM nodes n LEFT JOIN (
+                   SELECT e.dst AS node, sum(r1.r / deg.dg) AS x
+                   FROM e JOIN r1 ON r1.node = e.src
+                        JOIN deg ON deg.src = e.src
+                   GROUP BY e.dst) s ON s.node = n.node),
+          r3 AS (SELECT n.node, 0.15 + 0.85 * coalesce(s.x, 0) AS r
+                 FROM nodes n LEFT JOIN (
+                   SELECT e.dst AS node, sum(r2.r / deg.dg) AS x
+                   FROM e JOIN r2 ON r2.node = e.src
+                        JOIN deg ON deg.src = e.src
+                   GROUP BY e.dst) s ON s.node = n.node)
+          SELECT node AS doc_id, round(r, 9) AS pr FROM r3 ORDER BY doc_id
+        """,
         "pack_sequences": f"""
           WITH t AS (
             SELECT doc_id,

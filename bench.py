@@ -37,16 +37,17 @@ CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".cache")
 
 # headline operator queries from the driver contract (timed individually)
 BENCH_QUERIES = [
-    "flagship_extract", "pdf_extract", "profile_extract", "extract_metrics",
+    "flagship_extract", "pdf_extract", "pdf_layout", "html_meta",
+    "profile_extract", "extract_metrics",
     "dedup_exact", "line_dedup",
     "dedup_keep_latest", "minhash_lsh_pairs", "ngram_jaccard",
     "lsh_jaccard", "dedup_clusters", "simhash_near_dup", "embed_near_dup",
     "embed_near_dup_lsh", "span_qa", "cosine_topk", "ann_topk", "ann_topk_ivf",
     "text_stats", "repetition_stats", "quality_filter", "pii_scrub",
     "lang_id", "lang_id_cjk", "fingerprint", "token_count",
-    "stratified_sample", "token_budget_mix", "pack_sequences",
+    "lm_score", "stratified_sample", "token_budget_mix", "pack_sequences",
     "packed_batches", "decontaminate", "curate_corpus",
-    "warc_extract", "url_normalize", "domain_topk",
+    "warc_extract", "url_normalize", "domain_topk", "outlinks", "pagerank",
     "media_decode", "png_decode", "frame_sample",
     "pricing_summary", "top_customers", "regional_revenue",
     "customers_no_orders", "setop_except", "json_extract",

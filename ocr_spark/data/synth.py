@@ -21,7 +21,8 @@ import datetime as dt
 import random
 
 __all__ = ["gen_pages", "write_pages_parquet", "write_pages_parquet_parallel",
-           "build_pdf", "build_pdf_from_streams", "build_png", "GENRES"]
+           "build_pdf", "build_pdf_from_streams", "build_pdf_two_column",
+           "build_png", "GENRES"]
 
 _WORDS = (
     "the quick brown fox jumps over lazy dog data spark engine extract "
@@ -168,6 +169,13 @@ def build_pdf(blocks: list[list[str]], operators: str = "mixed",
                     parts.append(f"1 0 0 1 72 {y} Tm")
                     parts.append(f"({esc(line)}) Tj")
                 elif style == "TD":
+                    if first:
+                        # TD is relative to the current line start; reset
+                        # it so the block-first move is effectively
+                        # absolute (without this, later blocks inherited
+                        # the previous trailing Tm and landed at bogus
+                        # x=144 / y>1000 coordinates).
+                        parts.append("1 0 0 1 0 0 Tm")
                     parts.append(f"72 {y} TD" if first else f"0 -16 TD")
                     parts.append(f"({esc(line)}) Tj")
                     parts.append(f"1 0 0 1 0 0 Tm")  # reset for next abs move
@@ -193,6 +201,46 @@ def build_pdf(blocks: list[list[str]], operators: str = "mixed",
         blks = blocks if p == 0 else [[f"page {p} footer line"]]
         streams.append(page_stream(blks, p))
     return build_pdf_from_streams(streams, compress=compress)
+
+
+# layout constants shared by build_pdf_two_column, its unit tests, and
+# the pdf_layout driver oracle: left column at x=72 with tokens capped
+# to 12 chars (nominal width 6pt/char -> right edge <= 144), right
+# column at x=340 -> a >=196pt gutter the XY-cut must find; title at
+# y=760 vs body top y=700 -> a 60pt band gap > 3x the 16pt leading.
+TWOCOL_TOKEN_CAP = 12
+TWOCOL_LEFT_X = 72
+TWOCOL_RIGHT_X = 340
+TWOCOL_TITLE_Y = 760
+TWOCOL_BODY_Y = 700
+TWOCOL_LEADING = 16
+
+
+def build_pdf_two_column(title: str, left_lines: list[str],
+                         right_lines: list[str],
+                         compress: bool = False) -> bytes:
+    """Build a one-page two-column PDF (full-width title band above a
+    two-column body) for exercising XY-cut reading-order reconstruction
+    (`ocr_spark.extractor.core._xy_cut`).  Correct extraction reads
+    title, then the whole left column, then the whole right column;
+    a y-sorted (non-segmenting) reader would interleave the columns
+    line-by-line because both columns share baselines."""
+
+    def esc(s: str) -> str:
+        return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+
+    parts = ["BT", "/F1 12 Tf", f"{TWOCOL_LEADING} TL",
+             f"1 0 0 1 {TWOCOL_LEFT_X} {TWOCOL_TITLE_Y} Tm",
+             f"({esc(title)}) Tj"]
+    for x, lines in ((TWOCOL_LEFT_X, left_lines),
+                     (TWOCOL_RIGHT_X, right_lines)):
+        for i, line in enumerate(lines):
+            parts.append(
+                f"1 0 0 1 {x} {TWOCOL_BODY_Y - TWOCOL_LEADING * i} Tm")
+            parts.append(f"({esc(line[:TWOCOL_TOKEN_CAP])}) Tj")
+    parts.append("ET")
+    return build_pdf_from_streams(["\n".join(parts).encode("latin-1")],
+                                  compress=compress)
 
 
 def build_pdf_from_streams(streams: list[bytes], compress: bool = False) -> bytes:

@@ -24,6 +24,7 @@ public algorithm) plus a restricted-subset PDF text parser.
 
 from __future__ import annotations
 
+import bisect
 import re
 import unicodedata
 import zlib
@@ -36,6 +37,8 @@ __all__ = [
     "sniff_charset",
     "decode_html",
     "extract_html",
+    "extract_links",
+    "extract_meta",
     "extract_pdf",
     "extract_bytes",
     "parse_image_header",
@@ -744,6 +747,155 @@ def _char_spans_to_bytes(decoded, codec, spans):
 
 
 # --------------------------------------------------------------------------
+# Outlink extraction (web-graph construction)
+# --------------------------------------------------------------------------
+# The reference has no link stage (it processes single uploaded files,
+# services/file_processor.py); a Common-Crawl-scale corpus needs the
+# page -> outlinks map for graph dedup priors, spam scoring, and
+# PageRank-family quality signals.  Same parser stack as extract_html
+# (stdlib HTMLParser over decode_html), resolution via stdlib urljoin.
+
+_SKIP_SCHEMES = ("javascript:", "mailto:", "tel:", "data:", "about:")
+
+
+class _LinkParser(HTMLParser):
+    """Collect <a href> values in document order; honor <base href>."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.hrefs: list[str] = []
+        self.base: str | None = None
+
+    def handle_starttag(self, tag, attrs):
+        if tag == "a":
+            for k, v in attrs:
+                if k == "href" and v:
+                    self.hrefs.append(v)
+                    break
+        elif tag == "base" and self.base is None:
+            for k, v in attrs:
+                if k == "href" and v:
+                    self.base = v
+                    break
+
+
+def extract_links(payload: bytes, base_url: str) -> list[str]:
+    """HTML bytes -> absolute outlink urls, document order, deduped
+    (first occurrence wins).  Relative hrefs resolve against <base href>
+    if present, else ``base_url``.  Fragment-only links and
+    non-navigational schemes (javascript/mailto/tel/data/about) are
+    dropped; fragments are stripped from kept links.  Returns [] for
+    undecodable or unparsable payloads (errors are rows upstream)."""
+    from urllib.parse import urljoin
+
+    try:
+        decoded, _codec = decode_html(payload)
+        p = _LinkParser()
+        p.feed(decoded)
+        base = urljoin(base_url, p.base) if p.base else base_url
+        out: list[str] = []
+        seen: set[str] = set()
+        for href in p.hrefs:
+            h = href.strip()
+            if not h or h.startswith("#"):
+                continue
+            if h.lower().startswith(_SKIP_SCHEMES):
+                continue
+            absu = urljoin(base, h).split("#", 1)[0]
+            if not absu or absu in seen:
+                continue
+            seen.add(absu)
+            out.append(absu)
+        return out
+    except Exception:
+        return []
+
+
+# --------------------------------------------------------------------------
+# Page-metadata extraction (structured head/landmark fields)
+# --------------------------------------------------------------------------
+# The reference's whole purpose is document -> structured fields
+# (services/business_license_processor.py:233-239 projects a fixed
+# field schema; services/response_parser.py pulls typed values).  For
+# html pages the equivalent head/landmark fields are extractable
+# deterministically without a model: title, meta description, canonical
+# link, og:title, and the first h1.
+
+
+class _MetaParser(HTMLParser):
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.title: list[str] = []
+        self.h1: list[str] = []
+        self.description: str | None = None
+        self.canonical: str | None = None
+        self.og_title: str | None = None
+        self._in: str | None = None
+        self._done_h1 = False
+
+    def handle_starttag(self, tag, attrs):
+        if tag == "title":
+            self._in = "title"
+        elif tag == "h1" and not self._done_h1:
+            self._in = "h1"
+        elif tag == "meta":
+            d = dict(attrs)
+            name = (d.get("name") or "").lower()
+            prop = (d.get("property") or "").lower()
+            content = d.get("content")
+            if name == "description" and self.description is None:
+                self.description = content
+            elif prop == "og:title" and self.og_title is None:
+                self.og_title = content
+        elif tag == "link":
+            d = dict(attrs)
+            if ((d.get("rel") or "").lower() == "canonical"
+                    and self.canonical is None):
+                self.canonical = d.get("href")
+
+    def handle_endtag(self, tag):
+        if tag == "title" and self._in == "title":
+            self._in = None
+        elif tag == "h1" and self._in == "h1":
+            self._in = None
+            self._done_h1 = True
+
+    def handle_data(self, data):
+        if self._in == "title":
+            self.title.append(data)
+        elif self._in == "h1":
+            self.h1.append(data)
+
+
+def extract_meta(payload: bytes) -> dict:
+    """HTML bytes -> structured head/landmark fields: ``title``, first
+    ``meta[name=description]`` content, first ``link[rel=canonical]``
+    href, first ``meta[property=og:title]`` content, first ``h1`` text.
+    Text fields are whitespace-collapsed; absent fields are None.
+    Undecodable payloads return all-None (errors are rows upstream)."""
+    none = {"title": None, "description": None, "canonical": None,
+            "og_title": None, "h1": None}
+    try:
+        decoded, _codec = decode_html(payload)
+        p = _MetaParser()
+        p.feed(decoded)
+        out = dict(none)
+        if p.title:
+            out["title"] = _collapse("".join(p.title))
+        if p.h1:
+            out["h1"] = _collapse("".join(p.h1))
+        if p.description is not None:
+            out["description"] = _collapse(p.description)
+        if p.og_title is not None:
+            out["og_title"] = _collapse(p.og_title)
+        if p.canonical is not None:
+            out["canonical"] = p.canonical.strip()
+        return out
+    except Exception:
+        return dict(none)
+
+
+# --------------------------------------------------------------------------
 # PDF restricted-subset parser (replaces O5's fitz page-0 rasterize)
 # --------------------------------------------------------------------------
 
@@ -908,6 +1060,75 @@ def _pdf_parse_content(stream: bytes, base_off: int) -> tuple[list[_PdfRun], flo
     return runs, leading
 
 
+# Page segmentation: recursive XY-cut (Nagy & Seth 1984; the standard
+# document-layout-analysis decomposition).  The reference rasterizes
+# pages and lets the OCR model handle layout (services/file_processor.py:77,
+# services/gemini_service.py); this engine reconstructs reading order
+# geometrically: alternately split the run set at horizontal whitespace
+# bands (y-gaps) and vertical gutters (x-gaps), and emit leaves
+# top-to-bottom / left-to-right.  A two-column page therefore reads
+# column-by-column instead of interleaving lines across the gutter.
+#
+# Thresholds are conservative so single-column documents are unaffected:
+# a y-cut needs a gap > 3x the line leading (block splits inside a leaf
+# happen at 1.8x, so every y-cut boundary is already a block boundary —
+# cut or no cut, the emitted text is identical for one-column pages),
+# and an x-cut needs a gutter >= _PDF_GUTTER_MIN points that NO run
+# crosses (run width estimated from the parser's nominal 6pt advance).
+_PDF_GUTTER_MIN = 24.0
+
+
+def _xy_cut(runs: list[_PdfRun], lead_est: float,
+            depth: int = 0) -> list[list[_PdfRun]]:
+    """Partition positioned runs into reading-order leaves (XY-cut)."""
+    if depth >= 6 or len(runs) <= 1:
+        return [runs]
+    # -- y-cut: split at whitespace bands between baselines ------------
+    ys = sorted({round(r.y, 3) for r in runs}, reverse=True)
+    y_gap_min = max(3.0 * lead_est, 1e-6)
+    thresholds = [
+        (ys[i] + ys[i + 1]) / 2.0
+        for i in range(len(ys) - 1)
+        if ys[i] - ys[i + 1] > y_gap_min
+    ]
+    if thresholds:
+        # thresholds descend with ys; group index = #thresholds above r.y,
+        # found by bisect so a many-band page stays O(runs log cuts).
+        asc = thresholds[::-1]
+        groups: list[list[_PdfRun]] = [[] for _ in range(len(thresholds) + 1)]
+        for r in runs:
+            groups[len(asc) - bisect.bisect_right(asc, r.y)].append(r)
+        out: list[list[_PdfRun]] = []
+        for g in groups:
+            if g:
+                out.extend(_xy_cut(g, lead_est, depth + 1))
+        return out
+    # -- x-cut: split at gutters no run crosses ------------------------
+    ivs = sorted((r.x, r.x + 6.0 * len(r.text)) for r in runs)
+    merged: list[list[float]] = []
+    for a, b in ivs:
+        if merged and a - merged[-1][1] < _PDF_GUTTER_MIN:
+            merged[-1][1] = max(merged[-1][1], b)
+        else:
+            merged.append([a, b])
+    if len(merged) > 1:
+        bounds = [m[0] - 1e-6 for m in merged[1:]]  # ascending
+        groups = [[] for _ in range(len(merged))]
+        for r in runs:
+            groups[bisect.bisect_right(bounds, r.x)].append(r)
+        # a column is a stack of lines: every side of the cut must carry
+        # >=2 distinct baselines, else the gap is intra-line positioning
+        # (a right-aligned tail, a table cell) and x-order on the shared
+        # baseline is the correct reading order.
+        if all(len({round(r.y, 3) for r in g}) >= 2 for g in groups if g):
+            out = []
+            for g in groups:
+                if g:
+                    out.extend(_xy_cut(g, lead_est, depth + 1))
+            return out
+    return [runs]
+
+
 _PDF_FILTER_RE = re.compile(rb"/Filter\s*(?:\[\s*)?/(\w+)")
 _PDF_STREAM_KW_RE = re.compile(rb"stream\r?\n")
 # direct /Length only; an indirect '/Length 5 0 R' falls back to the
@@ -1001,6 +1222,12 @@ def extract_pdf(payload: bytes, all_pages: bool = False) -> dict:
     ``all_pages=True`` extends to the whole document.  A PDF with zero
     pages is a processing_error row, mirroring the reference's 400 on
     ``doc.page_count == 0`` (services/file_processor.py:70-74).
+
+    Reading order is reconstructed by recursive XY-cut page
+    segmentation (:func:`_xy_cut`): multi-column pages emit each column
+    in full, left-to-right, instead of interleaving lines across the
+    gutter — the layout-analysis step the reference delegates to its
+    OCR model (services/gemini_service.py:61-146).
     """
     try:
         pages = _pdf_pages(payload)
@@ -1019,38 +1246,45 @@ def extract_pdf(payload: bytes, all_pages: bool = False) -> dict:
             if not runs:
                 continue
             page_span_start = len(spans)
-            # lines: group by y (descending = top-to-bottom), then x.
-            lines: dict[float, list[_PdfRun]] = {}
-            for r in runs:
-                lines.setdefault(round(r.y, 3), []).append(r)
-            ordered_ys = sorted(lines.keys(), reverse=True)
-            # blocks: consecutive lines split where the y-gap exceeds
-            # 1.8x the line leading (TL if declared, else smallest gap).
-            gaps = [ordered_ys[i] - ordered_ys[i + 1]
-                    for i in range(len(ordered_ys) - 1)]
+            # line leading estimated once per page (TL if declared, else
+            # the smallest baseline gap) so every XY-cut leaf uses the
+            # same block threshold the whole page would have.
+            page_ys = sorted({round(r.y, 3) for r in runs}, reverse=True)
+            gaps = [page_ys[i] - page_ys[i + 1]
+                    for i in range(len(page_ys) - 1)]
             lead_est = leading if leading > 0 else (min(gaps) if gaps else 14.0)
             block_gap = max(lead_est * 1.8, 1e-6)
-            cur_lines: list[str] = []
-            cur_start = cur_end = -1
-            prev_y = None
-            for yv in ordered_ys:
-                rs = sorted(lines[yv], key=lambda r: (r.x, r.start))
-                line_text = _collapse(" ".join(r.text for r in rs))
-                s0 = min(r.start for r in rs)
-                e0 = max(r.end for r in rs)
-                if prev_y is not None and (prev_y - yv) > block_gap and cur_lines:
+            # reading order: XY-cut leaves (top-to-bottom, left-to-right),
+            # then within each leaf group runs into lines by baseline y
+            # (descending) and split blocks where the y-gap exceeds
+            # 1.8x the leading.
+            for leaf in _xy_cut(runs, lead_est):
+                lines: dict[float, list[_PdfRun]] = {}
+                for r in leaf:
+                    lines.setdefault(round(r.y, 3), []).append(r)
+                ordered_ys = sorted(lines.keys(), reverse=True)
+                cur_lines: list[str] = []
+                cur_start = cur_end = -1
+                prev_y = None
+                for yv in ordered_ys:
+                    rs = sorted(lines[yv], key=lambda r: (r.x, r.start))
+                    line_text = _collapse(" ".join(r.text for r in rs))
+                    s0 = min(r.start for r in rs)
+                    e0 = max(r.end for r in rs)
+                    if (prev_y is not None and (prev_y - yv) > block_gap
+                            and cur_lines):
+                        block_texts.append("\n".join(cur_lines))
+                        spans.append((cur_start, cur_end, "pdfblock"))
+                        cur_lines, cur_start = [], -1
+                    if line_text:
+                        cur_lines.append(line_text)
+                        if cur_start < 0:
+                            cur_start = s0
+                        cur_end = e0
+                    prev_y = yv
+                if cur_lines:
                     block_texts.append("\n".join(cur_lines))
                     spans.append((cur_start, cur_end, "pdfblock"))
-                    cur_lines, cur_start = [], -1
-                if line_text:
-                    cur_lines.append(line_text)
-                    if cur_start < 0:
-                        cur_start = s0
-                    cur_end = e0
-                prev_y = yv
-            if cur_lines:
-                block_texts.append("\n".join(cur_lines))
-                spans.append((cur_start, cur_end, "pdfblock"))
             if not exact_spans:
                 # Flate page: run offsets index the decompressed stream,
                 # not the payload.  Substitute the compressed stream's

@@ -35,7 +35,7 @@ from ocr_spark.functions.text import tokens, with_text_stats
 
 __all__ = [
     "word_bigrams_all", "max_sorted_run", "with_repetition_stats",
-    "with_quality_filter", "QUALITY_THRESHOLDS",
+    "with_quality_filter", "QUALITY_THRESHOLDS", "unigram_logprob",
 ]
 
 # Rule thresholds for the composite filter.  Closed, documented set —
@@ -166,4 +166,59 @@ def with_quality_filter(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
     return out.withColumn("drop_reason", reason).withColumn(
         "keep", (F.col("drop_reason") == "ok").cast("int")
+    )
+
+
+def unigram_logprob(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id",
+                    broadcast_vocab: bool = True) -> DataFrame:
+    """Corpus-trained unigram LM score per document — the perplexity
+    quality signal of CCNet (Wenzek et al. 2020), with the KenLM 5-gram
+    replaced by the unigram proxy whose training aggregate and scoring
+    are exactly expressible as relational ops (and therefore
+    SQL-oracle-able).  Documents scoring far from the corpus mean are
+    the gibberish / boilerplate / wrong-language outliers.
+
+    Model: add-1-smoothed unigram over the corpus's own token counts,
+    ``p(tok) = (c_tok + 1) / (N + V)``; per-doc score is the mean token
+    ``ln p`` and ``ppl = exp(-mean)``.  Token-less documents keep a
+    NULL score (no evidence, not "perfect").
+
+    Scale shape: ONE explode->hash-aggregate shuffle to train (the hot
+    token — "the" — is absorbed by map-side partial aggregation); the
+    scoring join broadcasts the vocab back over the exploded tokens, so
+    the corpus-sized side never shuffles.  ``broadcast_vocab=False``
+    falls back to a shuffle join for vocabularies past executor memory
+    (then the hot token is a join-skew point — salt or AQE skew-join
+    applies).  Per-doc reduction is a second skinny hash aggregate
+    keyed by ``id_col``.
+    """
+    toks = df.select(id_col, F.explode(tokens(text_col)).alias("tok"))
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    totals = vocab.agg(F.sum("c").alias("n_total"),
+                       F.count("*").alias("v_size"))
+    if broadcast_vocab:
+        vocab = F.broadcast(vocab)
+    scored = (
+        toks.join(vocab, "tok")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            id_col,
+            F.log((F.col("c") + 1).cast("double")
+                  / (F.col("n_total") + F.col("v_size"))).alias("lp"),
+        )
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.avg("lp").alias("avg_logprob"),
+        F.count("*").alias("n_tokens"),
+    )
+    return (
+        df.select(id_col).distinct()
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_tokens"), F.lit(0)).alias("n_tokens"),
+            F.col("avg_logprob"),
+            F.exp(-F.col("avg_logprob")).alias("ppl"),
+        )
     )

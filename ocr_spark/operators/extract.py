@@ -24,7 +24,8 @@ from pyspark.sql import types as T
 
 from ocr_spark.extractor.core import extract_bytes
 
-__all__ = ["extract_pages", "EXTRACT_RESULT_FIELDS", "SPAN_TYPE"]
+__all__ = ["extract_pages", "extract_meta_pages",
+           "EXTRACT_RESULT_FIELDS", "META_RESULT_FIELDS", "SPAN_TYPE"]
 
 SPAN_TYPE = T.ArrayType(
     T.StructType(
@@ -185,6 +186,57 @@ def extract_pages(
             ):
                 arrays.append(pa.array(vals, typ))
                 names.append(nm)
+            yield pa.RecordBatch.from_arrays(arrays, names)
+
+    return df.select(*cols).mapInArrow(kernel, schema=out_schema)
+
+
+META_RESULT_FIELDS = [
+    T.StructField("title", T.StringType(), True),
+    T.StructField("description", T.StringType(), True),
+    T.StructField("canonical", T.StringType(), True),
+    T.StructField("og_title", T.StringType(), True),
+    T.StructField("h1", T.StringType(), True),
+]
+
+
+def extract_meta_pages(
+    df: DataFrame,
+    payload_col: str = "html",
+    passthrough: tuple[str, ...] = ("url",),
+) -> DataFrame:
+    """Structured head/landmark fields per page (title, meta
+    description, canonical link, og:title, first h1) — the html
+    analogue of the reference's document->fixed-field-schema projection
+    (services/business_license_processor.py:233-239), extracted
+    deterministically by ``extractor.core.extract_meta``.
+
+    Same shape discipline as :func:`extract_pages`: one Arrow-batched
+    kernel pass (``mapInArrow``, no per-row Python dispatch), the
+    binary payload never shuffles, passthrough columns are forwarded
+    zero-copy, output is the skinny field projection."""
+    from ocr_spark.extractor.core import extract_meta
+
+    cols = list(passthrough) + [payload_col]
+    out_schema = T.StructType(
+        [df.schema[c] for c in passthrough] + META_RESULT_FIELDS
+    )
+
+    def kernel(batches):
+        import pyarrow as pa  # executor-side import
+
+        for batch in batches:
+            payloads = batch.column(len(cols) - 1).to_pylist()
+            fields = {f.name: [] for f in META_RESULT_FIELDS}
+            for payload in payloads:
+                m = extract_meta(payload if payload is not None else b"")
+                for k, v in fields.items():
+                    v.append(m[k])
+            arrays = [batch.column(i) for i in range(len(passthrough))]
+            names = list(passthrough)
+            for f in META_RESULT_FIELDS:
+                arrays.append(pa.array(fields[f.name], pa.string()))
+                names.append(f.name)
             yield pa.RecordBatch.from_arrays(arrays, names)
 
     return df.select(*cols).mapInArrow(kernel, schema=out_schema)

@@ -45,9 +45,10 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 __all__ = ["TRACKING_PARAMS", "url_normalize", "url_host",
-           "registered_domain", "domain_topk"]
+           "registered_domain", "domain_topk", "outlinks", "pagerank"]
 
 # the closed, documented drop-set; extend per deployment.  Matched on
 # the parameter NAME (the part left of '='), utm_ by prefix.
@@ -167,3 +168,107 @@ def domain_topk(df: DataFrame, k: int, score_col: str,
         .filter(F.col("_r2") <= k)
         .drop("_r2", "_salt")
     )
+
+
+def outlinks(df: DataFrame, html_col: str = "html", url_col: str = "url",
+             passthrough: tuple[str, ...] = (),
+             normalize: bool = True) -> DataFrame:
+    """Page -> outlink edges: parse ``<a href>`` from the html column
+    (same stdlib parser stack as extraction, honoring ``<base href>``
+    and charset sniffing — ``extractor.core.extract_links``), resolve
+    relative hrefs against the page url, drop non-navigational schemes
+    and fragments, and explode to one ``(src, dst)`` row per distinct
+    link.  ``normalize=True`` additionally canonicalizes ``dst`` with
+    :func:`url_normalize` and re-distincts (two spellings of one
+    resource collapse to one edge).
+
+    Scale shape: one Arrow-batched kernel pass over the pages (the html
+    column never shuffles), output is the skinny edge list — the web
+    graph's standard construction.  The reference has no link stage (it
+    processes single uploaded files, services/file_processor.py); this
+    is the corpus-level capability a crawl pipeline needs for PageRank /
+    spam-prior signals."""
+    from ocr_spark.extractor.core import extract_links
+
+    cols = [url_col, html_col, *passthrough]
+    out_schema = T.StructType(
+        [df.schema[url_col]]
+        + [df.schema[c] for c in passthrough]
+        + [T.StructField("dst", T.StringType())]
+    )
+
+    def kernel(batches):
+        import pyarrow as pa  # executor-side import
+
+        for batch in batches:
+            urls = batch.column(0).to_pylist()
+            htmls = batch.column(1).to_pylist()
+            idx, dsts = [], []
+            for i, (u, h) in enumerate(zip(urls, htmls)):
+                if h is None or u is None:
+                    continue
+                for link in extract_links(h, u):
+                    idx.append(i)
+                    dsts.append(link)
+            take = pa.array(idx, pa.int64())
+            arrays = [batch.column(0).take(take)]
+            names = [url_col]
+            for j, c in enumerate(passthrough):
+                arrays.append(batch.column(2 + j).take(take))
+                names.append(c)
+            arrays.append(pa.array(dsts, pa.string()))
+            names.append("dst")
+            yield pa.RecordBatch.from_arrays(arrays, names)
+
+    edges = df.select(*cols).mapInArrow(kernel, schema=out_schema)
+    if normalize:
+        edges = edges.withColumn("dst", url_normalize("dst")).distinct()
+    return edges
+
+
+def pagerank(edges: DataFrame, n_iter: int = 3, damping: float = 0.85,
+             src: str = "src", dst: str = "dst") -> DataFrame:
+    """Fixed-iteration PageRank over an edge list -> ``(node, rank)``.
+
+    Convention: the original un-normalized form (Page et al. 1999),
+    ``rank = (1-d) + d * sum(rank_in / out_degree)`` from an all-ones
+    start; dangling nodes contribute nothing (their mass is not
+    redistributed) — the variant whose fixed-iteration unrolling is
+    exactly expressible as chained SQL aggregates, so the driver oracle
+    can recompute it.  Ranks are raw doubles; callers hash-comparing
+    results should round (summation order across partitions differs in
+    the last ulps).
+
+    Scale shape per iteration: one equi-join of the skinny rank table to
+    the edge list (shuffle keyed by node id), one hash aggregate on
+    ``dst``, one left join back to the node set — no windows, no
+    collects.  ``localCheckpoint`` after each round truncates lineage,
+    the same iterative-Spark discipline as the connected-components
+    clustering (operators/dedup.py); skew at a mega-in-degree node is
+    absorbed by partial (map-side) aggregation of the contribution sum."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")) \
+        .distinct()
+    nodes = (e.select(F.col("src").alias("node"))
+             .union(e.select(F.col("dst").alias("node")))
+             .distinct().localCheckpoint())
+    deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    ranks = nodes.select("node", F.lit(1.0).alias("rank"))
+    for _ in range(n_iter):
+        contrib = (
+            e.join(ranks.withColumnRenamed("node", "src"), "src")
+            .join(deg, "src")
+            .select(F.col("dst").alias("node"),
+                    (F.col("rank") / F.col("deg")).alias("c"))
+        )
+        sums = contrib.groupBy("node").agg(F.sum("c").alias("s"))
+        ranks = (
+            nodes.join(sums, "node", "left")
+            .select(
+                "node",
+                (F.lit(1.0 - damping)
+                 + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))
+                 ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks

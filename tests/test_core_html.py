@@ -304,3 +304,37 @@ def test_link_dense_block_dropped_even_in_article():
             b"</article></body></html>")
     out = ex(html)
     assert "all of this text is a link" not in out["text"]
+
+
+# -- structured head/landmark metadata (extract_meta) -------------------------
+
+def test_extract_meta_fields_and_unescaping():
+    from ocr_spark.extractor.core import extract_meta
+
+    html = (b"<html><head>"
+            b"<title>  My   Page &amp; Stuff </title>"
+            b'<meta name="Description" content="A &lt;fine&gt; page">'
+            b'<meta property="og:title" content="OG title">'
+            b'<link rel="Canonical" href=" https://c.example.com/x ">'
+            b'<meta name="description" content="second ignored">'
+            b"</head><body><h1>First <b>Heading</b></h1>"
+            b"<h1>second ignored</h1></body></html>")
+    m = extract_meta(html)
+    assert m == {
+        "title": "My Page & Stuff",          # collapsed + entity-unescaped
+        "description": "A <fine> page",       # first wins, unescaped
+        "canonical": "https://c.example.com/x",
+        "og_title": "OG title",
+        "h1": "First Heading",                # inline children included
+    }
+
+
+def test_extract_meta_absent_and_broken():
+    from ocr_spark.extractor.core import extract_meta
+
+    assert all(v is None for v in
+               extract_meta(b"<html><body><p>x</p></body></html>").values())
+    assert all(v is None for v in extract_meta(b"").values())
+    # unclosed / truncated head must not raise
+    out = extract_meta(b"<html><head><title>partial")
+    assert out["title"] in (None, "partial")

@@ -230,3 +230,31 @@ def test_probe_skew_totals_size_the_exchange(spark, pages_parquet):
     big = JobConfig(exchange_partition_bytes=1 << 10)  # 1KB target
     n = max(par, -(-est_bytes // big.exchange_partition_bytes))
     assert n > par  # bytes rule takes over when data outgrows cores
+
+
+def test_outlinks_arrow_kernel_no_row_python(spark):
+    plan = plan_of(entry_mod.q_outlinks(spark, SF))
+    assert "MapInArrow" in plan or "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pagerank_no_window_no_cartesian(spark):
+    """Iterative rank: equi-joins + hash aggregates only — no window
+    over a hot node, no cartesian, no per-row Python; checkpointing
+    keeps the final plan a scan of the truncated lineage."""
+    df = entry_mod.q_pagerank(spark, SF)
+    plan = plan_of(df)
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_lm_score_broadcasts_vocab(spark):
+    """The corpus-sized exploded-token side must NOT shuffle for the
+    scoring join: vocab broadcasts back over it."""
+    df = entry_mod.q_lm_score(spark, SF)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan

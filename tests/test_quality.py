@@ -129,3 +129,33 @@ def test_quality_filter_splits_documents_table(spark):
         with_quality_filter(docs).groupBy("keep").count().collect()
     )
     assert set(counts) == {0, 1}
+
+
+def test_unigram_logprob_hand_computed(spark):
+    """4-doc corpus small enough to hand-check: p(tok) = (c+1)/(N+V)."""
+    import math
+
+    from ocr_spark.functions.quality import unigram_logprob
+
+    docs = [(1, "a a b"), (2, "a c"), (3, ""), (4, "b")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in unigram_logprob(df).collect()}
+    # counts: a=3, b=2, c=1; N=6, V=3 -> denom 9
+    p = {"a": 4 / 9, "b": 3 / 9, "c": 2 / 9}
+    exp1 = (2 * math.log(p["a"]) + math.log(p["b"])) / 3
+    exp2 = (math.log(p["a"]) + math.log(p["c"])) / 2
+    exp4 = math.log(p["b"])
+    assert got[1]["n_tokens"] == 3
+    assert abs(got[1]["avg_logprob"] - exp1) < 1e-12
+    assert abs(got[2]["avg_logprob"] - exp2) < 1e-12
+    assert abs(got[4]["avg_logprob"] - exp4) < 1e-12
+    assert abs(got[1]["ppl"] - math.exp(-exp1)) < 1e-9
+    # empty doc: no evidence -> NULL score, zero tokens, still a row
+    assert got[3]["n_tokens"] == 0
+    assert got[3]["avg_logprob"] is None and got[3]["ppl"] is None
+    # broadcast and shuffle-join paths agree
+    got2 = {r["doc_id"]: r for r in
+            unigram_logprob(df, broadcast_vocab=False).collect()}
+    for k in got:
+        a, b = got[k]["avg_logprob"], got2[k]["avg_logprob"]
+        assert (a is None and b is None) or abs(a - b) < 1e-12

@@ -102,3 +102,112 @@ def test_domain_topk_matches_naive_on_skewed_domains(spark):
     assert per_dom["farm.com"] == 3
     assert per_dom["bbc.co.uk"] == 3
     assert all(v <= 3 for v in per_dom.values())
+
+
+# -- web graph: outlinks + pagerank ------------------------------------------
+
+def test_outlinks_parse_resolve_normalize(spark):
+    from ocr_spark.operators.web import outlinks
+
+    html = (b'<html><head><base href="https://base.ex.com/sub/"></head><body>'
+            b'<a href="https://Abs.Ex.org:443/P?utm_source=x&amp;b=2&amp;a=1#f">a</a>'
+            b'<a href="rel/p.html">r</a>'
+            b'<a href="/rooted/">q</a>'
+            b'<a href="#top">s</a>'
+            b'<a href="javascript:void(0)">s</a>'
+            b'<a href="mailto:x@y.z">s</a>'
+            b'<a href="https://Abs.Ex.org:443/P?utm_source=x&amp;b=2&amp;a=1#g">dup</a>'
+            b'</body></html>')
+    df = spark.createDataFrame(
+        [("https://page.ex.com/dir/index.html", html, 7)],
+        "url string, html binary, doc_id long")
+    got = sorted(r["dst"] for r in
+                 outlinks(df, passthrough=("doc_id",)).collect())
+    assert got == [
+        "https://abs.ex.org/P?a=1&b=2",      # port+tracking+frag+sort
+        "https://base.ex.com/rooted",         # <base> + trailing slash
+        "https://base.ex.com/sub/rel/p.html",  # <base>-relative
+    ]
+
+
+def test_outlinks_no_base_uses_page_url(spark):
+    from ocr_spark.operators.web import outlinks
+
+    df = spark.createDataFrame(
+        [("https://p.ex.com/a/b.html",
+          b'<html><body><a href="x.html">x</a></body></html>')],
+        "url string, html binary")
+    rows = outlinks(df).collect()
+    assert [(r["url"], r["dst"]) for r in rows] == [
+        ("https://p.ex.com/a/b.html", "https://p.ex.com/a/x.html")]
+
+
+def test_outlinks_null_and_broken_rows(spark):
+    from ocr_spark.operators.web import outlinks
+
+    df = spark.createDataFrame(
+        [("https://a.com/", None),
+         (None, b"<a href='https://x.com/'>x</a>"),
+         ("https://b.com/", b"\xff\xfenot html at all"),
+         ("https://c.com/", b"<html><body><a href='ok.html'>k</a>")],
+        "url string, html binary")
+    rows = outlinks(df).collect()
+    assert [(r["url"], r["dst"]) for r in rows] == [
+        ("https://c.com/", "https://c.com/ok.html")]
+
+
+def _pagerank_reference(edges, n_iter=3, d=0.85):
+    nodes = sorted({u for e in edges for u in e})
+    out_deg = {}
+    for s, _ in edges:
+        out_deg[s] = out_deg.get(s, 0) + 1
+    rank = {n: 1.0 for n in nodes}
+    for _ in range(n_iter):
+        sums = {n: 0.0 for n in nodes}
+        for s, t in edges:
+            sums[t] += rank[s] / out_deg[s]
+        rank = {n: (1 - d) + d * sums[n] for n in nodes}
+    return rank
+
+
+def test_pagerank_matches_reference_loop(spark):
+    from ocr_spark.operators.web import pagerank
+
+    # irregular digraph: hub, cycle, sources, a dangling sink (6),
+    # and a duplicate edge the operator must collapse
+    edges = [(1, 2), (1, 3), (2, 3), (3, 1), (4, 3), (5, 3), (1, 2), (2, 6)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["rank"] for r in pagerank(df, n_iter=3).collect()}
+    ref = _pagerank_reference(sorted(set(edges)))
+    assert set(got) == set(ref)
+    for n in ref:
+        assert abs(got[n] - ref[n]) < 1e-9, (n, got[n], ref[n])
+    # nodes nothing links to sit at (1-d); the sink's mass is not
+    # redistributed (documented un-normalized convention)
+    assert abs(got[4] - 0.15) < 1e-12
+    assert abs(got[5] - 0.15) < 1e-12
+
+
+def test_outlinks_to_pagerank_composition(spark):
+    """End-to-end web-graph build: pages -> outlinks -> host graph ->
+    pagerank runs in one plan and the heaviest-linked host wins."""
+    from ocr_spark.operators.web import outlinks, pagerank, url_host
+
+    pages = []
+    for i in range(6):
+        links = b'<a href="https://hub.ex.com/">h</a>' + \
+            (f'<a href="https://spoke{i}.ex.com/">s</a>'.encode())
+        pages.append((f"https://spoke{i}.ex.com/index.html",
+                      b"<html><body>" + links + b"</body></html>"))
+    df = spark.createDataFrame(pages, "url string, html binary")
+    edges = (outlinks(df)
+             .select(url_host("url").alias("src"), url_host("dst").alias("dst"))
+             .filter(F.col("src") != F.col("dst")).distinct())
+    ranks = pagerank(edges, n_iter=3)
+    rows = {r["node"]: r["rank"] for r in ranks.collect()}
+    # hub: 0.15 + 0.85 * 6 * r_spoke; spokes settle at 0.15 (no in-links)
+    assert max(rows, key=rows.get) == "hub.ex.com"
+    assert abs(rows["hub.ex.com"] - (0.15 + 0.85 * 6 * 0.15)) < 1e-9
+    for n, r in rows.items():
+        if n != "hub.ex.com":
+            assert abs(r - 0.15) < 1e-12
