@@ -161,7 +161,9 @@ def main() -> None:
                          "30-40%% at near-zero steal (round-3 finding: "
                          "healthy reads 6900-8200 on this box, "
                          "contaminated windows read 2100-4400), so steal "
-                         "alone under-gates.  0 disables")
+                         "alone under-gates.  Applied to the BEFORE "
+                         "sample only (the after-sample anti-correlates "
+                         "with contamination, see _dirty).  0 disables")
     ap.add_argument("--max-retries", type=int, default=2)
     ap.add_argument("--wait-quiet-s", type=int, default=900,
                     help="before each attempt, poll hypervisor steal in "
@@ -187,11 +189,15 @@ def main() -> None:
             attempts: list[dict] = []
 
             def _dirty(a: dict) -> bool:
+                # gate on the BEFORE canary only: the after-sample
+                # anti-correlates with contamination (the fastest runs'
+                # own output writeback is still draining when it reads
+                # — r4d discarded two of the round's three fastest runs
+                # on it).  membw_after stays recorded as a diagnostic.
                 h = a["host_cpu"]
                 return (h["steal_cores"] > gate
                         or (args.membw_gate > 0
-                            and min(h["membw_before"],
-                                    h["membw_after"]) < args.membw_gate))
+                            and h["membw_before"] < args.membw_gate))
 
             for attempt in range(args.max_retries + 1):
                 wait_quiet(gate, args.wait_quiet_s,

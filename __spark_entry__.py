@@ -844,6 +844,50 @@ def q_domain_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 9309 robots.txt crawl-permission filtering: five path
+    families per host (public / private / private-ok / tmp / root),
+    robots served only by even-indexed hosts (odd hosts exercise the
+    missing-robots -> allow path), rules with allow-overrides-disallow
+    longest-match precedence plus a decoy agent group that must NOT
+    apply.  Engine: full REP parser-matcher (wildcards + $ anchors,
+    unit-tested) behind a broadcast host join and an Arrow kernel
+    (operators/web.py:robots_filter); the driver rules are pure
+    prefixes so the oracle is a closed-form CASE on the path family."""
+    from ocr_spark.operators.web import robots_filter
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    h = (F.col("doc_id") % 20).cast("string")
+    d = F.col("doc_id").cast("string")
+    m = F.col("doc_id") % 5
+    path = (
+        F.when(m == 0, F.concat(F.lit("/public/"), d))
+        .when(m == 1, F.concat(F.lit("/private/"), d))
+        .when(m == 2, F.concat(F.lit("/private/ok/"), d))
+        .when(m == 3, F.concat(F.lit("/tmp/"), d))
+        .otherwise(F.lit("/"))
+    )
+    pages = docs.select(
+        "doc_id",
+        F.concat(F.lit("https://site"), h, F.lit(".example.com"), path)
+        .alias("url"),
+    )
+    robots_txt = ("User-agent: evilbot\nDisallow: /\n\n"
+                  "User-agent: *\nDisallow: /private/\n"
+                  "Allow: /private/ok/\nDisallow: /tmp/\n")
+    robots = (
+        spark.range(0, 20).select(F.col("id").alias("hid"))
+        .filter(F.col("hid") % 2 == 0)
+        .select(
+            F.concat(F.lit("site"), F.col("hid").cast("string"),
+                     F.lit(".example.com")).alias("host"),
+            F.lit(robots_txt).alias("robots_txt"),
+        )
+    )
+    out = robots_filter(pages, robots)
+    return out.select("doc_id", "url", "allowed").orderBy("doc_id")
+
+
 def q_outlinks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Web-graph construction: each document becomes an html page
     (deterministic anchors derived from its tokens: up to 5 absolute
@@ -1321,6 +1365,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_extract": q_warc_extract,
         "url_normalize": q_url_normalize,
         "domain_topk": q_domain_topk,
+        "robots_filter": q_robots_filter,
         "outlinks": q_outlinks,
         "pagerank": q_pagerank,
         "media_decode": q_media_decode,
@@ -2485,6 +2530,20 @@ def oracle_sql() -> dict[str, str]:
         ),
         "url_normalize": _url_normalize_sql(),
         "domain_topk": _domain_topk_sql(),
+        "robots_filter": """
+          SELECT doc_id,
+            'https://site' || CAST(doc_id % 20 AS VARCHAR) || '.example.com'
+              || CASE doc_id % 5
+                   WHEN 0 THEN '/public/' || CAST(doc_id AS VARCHAR)
+                   WHEN 1 THEN '/private/' || CAST(doc_id AS VARCHAR)
+                   WHEN 2 THEN '/private/ok/' || CAST(doc_id AS VARCHAR)
+                   WHEN 3 THEN '/tmp/' || CAST(doc_id AS VARCHAR)
+                   ELSE '/' END AS url,
+            CAST(CASE WHEN (doc_id % 20) % 2 = 1 THEN 1
+                      WHEN doc_id % 5 IN (1, 3) THEN 0
+                      ELSE 1 END AS INT) AS allowed
+          FROM documents ORDER BY doc_id
+        """,
         "outlinks": f"""
           WITH tok AS (
             SELECT doc_id,

@@ -48,7 +48,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 __all__ = ["TRACKING_PARAMS", "url_normalize", "url_host",
-           "registered_domain", "domain_topk", "outlinks", "pagerank"]
+           "registered_domain", "domain_topk", "outlinks", "pagerank",
+           "parse_robots", "robots_allowed", "robots_filter"]
 
 # the closed, documented drop-set; extend per deployment.  Matched on
 # the parameter NAME (the part left of '='), utm_ by prefix.
@@ -272,3 +273,133 @@ def pagerank(edges: DataFrame, n_iter: int = 3, damping: float = 0.85,
             .localCheckpoint()
         )
     return ranks
+
+
+# -- robots.txt (RFC 9309 Robots Exclusion Protocol) -------------------------
+
+def parse_robots(txt: str, agent: str = "*") -> list[tuple[str, bool]]:
+    """Parse robots.txt into ``[(pattern, allow)]`` rules for ``agent``.
+
+    RFC 9309 semantics, restricted to the parts crawl pipelines
+    actually key on: user-agent groups (consecutive ``User-agent``
+    lines share the following rule block; groups for the same agent
+    merge), ``Allow``/``Disallow`` with ``*`` wildcards and the ``$``
+    end anchor; empty-valued rules are no-ops per the spec; unknown
+    directives (Crawl-delay, Sitemap, ...) are ignored.  Agent matching
+    is the case-insensitive product-token match, falling back to the
+    ``*`` group; no group -> no rules -> everything allowed."""
+    groups: dict[str, list[tuple[str, bool]]] = {}
+    current_agents: list[str] = []
+    in_rules = False
+    for raw in (txt or "").splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, _, val = line.partition(":")
+        key = key.strip().lower()
+        val = val.strip()
+        if key == "user-agent":
+            if in_rules:          # a new group header starts
+                current_agents = []
+                in_rules = False
+            current_agents.append(val.lower())
+        elif key in ("allow", "disallow"):
+            in_rules = True
+            if not val:           # empty value = no restriction (spec)
+                continue
+            for a in current_agents:
+                groups.setdefault(a, []).append((val, key == "allow"))
+    return groups.get(agent.lower(), groups.get("*", []))
+
+
+def _robots_rule_matches(pattern: str, path: str) -> bool:
+    """``*`` wildcards anywhere, ``$`` anchors the end; patterns match
+    from the start of the path (RFC 9309 §2.2.2/2.2.3)."""
+    end_anchor = pattern.endswith("$")
+    core = pattern[:-1] if end_anchor else pattern
+    parts = core.split("*")
+    if not path.startswith(parts[0]):
+        return False
+    pos = len(parts[0])
+    for part in parts[1:]:
+        if part == "":
+            continue              # consecutive '*' collapse
+        idx = path.find(part, pos)
+        if idx < 0:
+            return False
+        pos = idx + len(part)
+    if end_anchor:
+        return pos == len(path) or core.endswith("*")
+    return True
+
+
+def robots_allowed(rules: list[tuple[str, bool]], path: str) -> bool:
+    """Longest-match verdict over parsed rules: the most specific
+    (longest) matching pattern decides; an allow/disallow tie at equal
+    length resolves to allow; no matching rule allows (RFC 9309
+    §2.2.2)."""
+    best_len, best_allow = -1, True
+    for pattern, allow in rules:
+        if _robots_rule_matches(pattern, path):
+            ln = len(pattern)
+            if ln > best_len or (ln == best_len and allow):
+                best_len, best_allow = ln, allow
+    return best_allow
+
+
+def robots_filter(pages: DataFrame, robots: DataFrame,
+                  url_col: str = "url", host_col: str = "host",
+                  txt_col: str = "robots_txt",
+                  agent: str = "*") -> DataFrame:
+    """Annotate pages with the RFC 9309 crawl-permission verdict of
+    their host's robots.txt: output = input columns + ``allowed``
+    (int 0/1; hosts absent from ``robots`` allow everything).
+
+    Scale shape: the robots table is one small row per host —
+    broadcast-joined to the pages (the page side never shuffles) —
+    and the verdict is an Arrow-batched kernel that parses each
+    distinct robots.txt once per batch (memoized; batches arrive
+    host-clustered after the broadcast join's scan order, so the parse
+    cost is ~once per host).  The path matched is path+query, per the
+    spec."""
+    from urllib.parse import urlsplit
+
+    with_host = pages.withColumn("_rf_host", url_host(url_col))
+    rob = robots.select(F.col(host_col).alias("_rf_host"),
+                        F.col(txt_col).alias("_rf_txt"))
+    joined = with_host.join(F.broadcast(rob), "_rf_host", "left")
+    in_cols = [c for c in joined.columns if c not in ("_rf_host", "_rf_txt")]
+    sel = joined.select(*in_cols, "_rf_txt")
+    out_schema = T.StructType(
+        [sel.schema[c] for c in in_cols]
+        + [T.StructField("allowed", T.IntegerType(), True)]
+    )
+    url_idx = in_cols.index(url_col)
+
+    def kernel(batches):
+        import pyarrow as pa  # executor-side import
+
+        cache: dict[str, list] = {}
+        for batch in batches:
+            urls = batch.column(url_idx).to_pylist()
+            txts = batch.column(batch.num_columns - 1).to_pylist()
+            allowed = []
+            for u, t in zip(urls, txts):
+                if t is None or u is None:
+                    allowed.append(1)
+                    continue
+                rules = cache.get(t)
+                if rules is None:
+                    rules = cache[t] = parse_robots(t, agent)
+                # scheme-less urls (host0.com/plain) still split: add //
+                target = u if "://" in u else "//" + u
+                sp = urlsplit(target)
+                path = sp.path or "/"
+                if sp.query:
+                    path += "?" + sp.query
+                allowed.append(int(robots_allowed(rules, path)))
+            arrays = [batch.column(i) for i in range(len(in_cols))]
+            arrays.append(pa.array(allowed, pa.int32()))
+            yield pa.RecordBatch.from_arrays(arrays, in_cols + ["allowed"])
+
+    return sel.mapInArrow(kernel, schema=out_schema)

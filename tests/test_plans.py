@@ -258,3 +258,12 @@ def test_lm_score_broadcasts_vocab(spark):
     assert "BroadcastHashJoin" in plan
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_robots_filter_broadcasts_rules(spark):
+    """The robots table broadcasts to the pages side (pages never
+    shuffle for the permission join); verdict is an Arrow kernel."""
+    plan = plan_of(entry_mod.q_robots_filter(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "MapInArrow" in plan
+    assert "BatchEvalPython" not in plan

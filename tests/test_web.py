@@ -211,3 +211,67 @@ def test_outlinks_to_pagerank_composition(spark):
     for n, r in rows.items():
         if n != "hub.ex.com":
             assert abs(r - 0.15) < 1e-12
+
+
+# -- robots.txt (RFC 9309) ----------------------------------------------------
+
+def test_parse_robots_groups_and_semantics():
+    from ocr_spark.operators.web import parse_robots, robots_allowed
+
+    txt = ("# crawler policy\n"
+           "User-agent: googlebot\nDisallow: /nogoogle/\n\n"
+           "User-agent: *\nDisallow: /private/\nAllow: /private/ok/\n"
+           "Disallow: /tmp/\nDisallow:\nCrawl-delay: 10\n\n"
+           "User-agent: evilbot\nDisallow: /\n")
+    star = parse_robots(txt)
+    assert star == [("/private/", False), ("/private/ok/", True),
+                    ("/tmp/", False)]      # empty Disallow = no-op
+    assert robots_allowed(star, "/public/x")
+    assert not robots_allowed(star, "/private/x")
+    assert robots_allowed(star, "/private/ok/x")   # longest match wins
+    # named group replaces *, case-insensitive
+    goog = parse_robots(txt, "GoogleBot")
+    assert not robots_allowed(goog, "/nogoogle/a")
+    assert robots_allowed(goog, "/private/x")
+    assert not robots_allowed(parse_robots(txt, "evilbot"), "/anything")
+    # multi-agent group header; absent agent with no * group -> allow all
+    txt2 = "User-agent: a\nUser-agent: b\nDisallow: /x/"
+    assert not robots_allowed(parse_robots(txt2, "b"), "/x/1")
+    assert robots_allowed(parse_robots(txt2, "c"), "/x/1")
+
+
+def test_robots_wildcards_and_anchors():
+    from ocr_spark.operators.web import _robots_rule_matches as m
+    from ocr_spark.operators.web import robots_allowed
+
+    assert m("/*.pdf$", "/docs/file.pdf")
+    assert not m("/*.pdf$", "/docs/file.pdfx")
+    assert m("/a*b", "/aXXb") and not m("/a*b", "/aXX")
+    assert m("/a*$", "/abc")
+    assert m("/a$", "/a") and not m("/a$", "/ab")
+    assert m("*private*", "/x/private/y")
+    assert m("/a**b", "/a-b")                      # consecutive * collapse
+    # allow/disallow tie at equal specificity -> allow (RFC 9309)
+    assert robots_allowed([("/p/", False), ("/p/", True)], "/p/x")
+
+
+def test_robots_filter_operator(spark):
+    from ocr_spark.operators.web import robots_filter
+
+    pages = spark.createDataFrame(
+        [(1, "https://a.ex.com/private/1"),
+         (2, "https://a.ex.com/private/ok/2"),
+         (3, "https://a.ex.com/pub?fetch=1"),
+         (4, "https://norobots.ex.com/private/4"),   # host absent -> allow
+         (5, "https://a.ex.com/q.pdf"),
+         (6, "https://a.ex.com/")],
+        "doc_id long, url string")
+    robots = spark.createDataFrame(
+        [("a.ex.com",
+          "User-agent: *\nDisallow: /private/\nAllow: /private/ok/\n"
+          "Disallow: /*.pdf$\nDisallow: /pub?fetch*")],
+        "host string, robots_txt string")
+    got = {r["doc_id"]: r["allowed"]
+           for r in robots_filter(pages, robots).collect()}
+    # query string participates in matching; wildcard + anchor rules work
+    assert got == {1: 0, 2: 1, 3: 0, 4: 1, 5: 0, 6: 1}
