@@ -889,21 +889,24 @@ def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_outlinks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Web-graph construction: each document becomes an html page
-    (deterministic anchors derived from its tokens: up to 5 absolute
-    links host-keyed by position, one relative link, one query link
-    carrying a tracking param, plus fragment-only / javascript /
-    duplicate anchors that must be dropped), parsed by the real
+    """Web-graph construction with anchor text: each document becomes
+    an html page (deterministic anchors derived from its tokens: up to
+    5 absolute links host-keyed by position whose anchor text is the
+    raw token, one relative link, one query link carrying a tracking
+    param, plus fragment-only / javascript / duplicate anchors that
+    must be dropped — the duplicate carries a decoy anchor text that
+    must NOT displace the first anchor's), parsed by the real
     stdlib-HTMLParser link extractor, resolved with urljoin, and
     canonicalized with url_normalize.  The oracle reconstructs the
-    expected edge set closed-form from the same tokens.  Scale shape:
-    one Arrow kernel pass, html never shuffles, output is the skinny
-    edge list (operators/web.py:outlinks)."""
+    expected (edge, anchor) set closed-form from the same tokens.
+    Scale shape: one Arrow kernel pass, html never shuffles, output is
+    the skinny edge list (operators/web.py:outlinks)."""
     from ocr_spark.operators.web import outlinks
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
 
     def build(batches):
+        import html as _html
         import re as _re
 
         import pandas as pd
@@ -911,20 +914,22 @@ def q_outlinks(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             urls, htmls = [], []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                sans = [_re.sub(r"[^A-Za-z0-9]", "", t)
-                        for t in (text or "").split()[:5]]
+                toks = (text or "").split()[:5]
+                sans = [_re.sub(r"[^A-Za-z0-9]", "", t) for t in toks]
                 parts = [f"<html><head><title>d{doc_id}</title></head>"
                          "<body><p>body text here</p>"]
-                for j, s in enumerate(sans):
+                for j, (t, s) in enumerate(zip(toks, sans)):
                     parts.append(
-                        f'<a href="https://w{j}.example.org/t/{s}">t</a>')
+                        f'<a href="https://w{j}.example.org/t/{s}">'
+                        f"{_html.escape(t)}</a>")
                 parts.append('<a href="/rel/0">r</a>')
                 parts.append('<a href="?q=2&amp;utm_source=x">q</a>')
                 parts.append('<a href="#top">s</a>')
                 parts.append('<a href="javascript:void(0)">s</a>')
                 if sans:
                     parts.append(
-                        f'<a href="https://w0.example.org/t/{sans[0]}">d</a>')
+                        f'<a href="https://w0.example.org/t/{sans[0]}">'
+                        "decoy dup</a>")
                 parts.append("</body></html>")
                 urls.append(f"https://src{doc_id}.example.com/dir/page.html")
                 htmls.append("".join(parts).encode("utf-8"))
@@ -934,8 +939,9 @@ def q_outlinks(spark: SparkSession, sf_dir: str) -> DataFrame:
     pages = docs.mapInPandas(build,
                              schema="doc_id long, url string, html binary")
     edges = outlinks(pages, html_col="html", url_col="url",
-                     passthrough=("doc_id",))
-    return edges.select("doc_id", "dst").orderBy("doc_id", "dst")
+                     passthrough=("doc_id",), with_anchor_text=True)
+    return (edges.select("doc_id", "dst", "anchor")
+            .orderBy("doc_id", "dst"))
 
 
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2551,27 +2557,32 @@ def oracle_sql() -> dict[str, str]:
                    ELSE {toks} END AS tl
             FROM documents),
           sans AS (
-            SELECT doc_id,
+            SELECT doc_id, tl[1:5] AS t5,
               list_transform(tl[1:5],
                 t -> regexp_replace(t, '[^A-Za-z0-9]', '', 'g')) AS ss
             FROM tok),
           tok_links AS (
-            SELECT doc_id,
-              unnest(list_transform(range(1, len(ss) + 1),
-                i -> 'https://w' || CAST(i - 1 AS VARCHAR) || '.example.org/t'
-                     || CASE WHEN ss[i] = '' THEN ''
-                             ELSE '/' || ss[i] END)) AS dst
-            FROM sans),
+            SELECT doc_id, u['dst'] AS dst, u['anchor'] AS anchor FROM (
+              SELECT doc_id,
+                unnest(list_transform(range(1, len(ss) + 1),
+                  i -> {{'dst': 'https://w' || CAST(i - 1 AS VARCHAR)
+                               || '.example.org/t'
+                               || CASE WHEN ss[i] = '' THEN ''
+                                       ELSE '/' || ss[i] END,
+                        'anchor': t5[i]}})) AS u
+              FROM sans)),
           fixed AS (
-            SELECT doc_id, unnest([
-              'https://src' || CAST(doc_id AS VARCHAR)
-                || '.example.com/rel/0',
-              'https://src' || CAST(doc_id AS VARCHAR)
-                || '.example.com/dir/page.html?q=2'
-            ]) AS dst FROM tok)
-          SELECT DISTINCT doc_id, dst FROM (
-            SELECT doc_id, dst FROM tok_links
-            UNION ALL SELECT doc_id, dst FROM fixed)
+            SELECT doc_id, u['dst'] AS dst, u['anchor'] AS anchor FROM (
+              SELECT doc_id, unnest([
+                {{'dst': 'https://src' || CAST(doc_id AS VARCHAR)
+                        || '.example.com/rel/0', 'anchor': 'r'}},
+                {{'dst': 'https://src' || CAST(doc_id AS VARCHAR)
+                        || '.example.com/dir/page.html?q=2',
+                  'anchor': 'q'}}
+              ]) AS u FROM tok))
+          SELECT DISTINCT doc_id, dst, anchor FROM (
+            SELECT doc_id, dst, anchor FROM tok_links
+            UNION ALL SELECT doc_id, dst, anchor FROM fixed)
           ORDER BY doc_id, dst
         """,
         "pagerank": """

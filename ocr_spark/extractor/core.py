@@ -38,6 +38,7 @@ __all__ = [
     "decode_html",
     "extract_html",
     "extract_links",
+    "extract_links_texts",
     "extract_meta",
     "extract_pdf",
     "extract_bytes",
@@ -759,24 +760,37 @@ _SKIP_SCHEMES = ("javascript:", "mailto:", "tel:", "data:", "about:")
 
 
 class _LinkParser(HTMLParser):
-    """Collect <a href> values in document order; honor <base href>."""
+    """Collect <a href> values (with their anchor text) in document
+    order; honor <base href>.  Anchor text is the flattened text
+    content up to the matching </a> (the <a> element does not nest)."""
 
     def __init__(self) -> None:
         super().__init__(convert_charrefs=True)
-        self.hrefs: list[str] = []
+        self.hrefs: list[tuple[str, list[str]]] = []  # (href, text parts)
         self.base: str | None = None
+        self._in_a = False
 
     def handle_starttag(self, tag, attrs):
         if tag == "a":
+            self._in_a = False
             for k, v in attrs:
                 if k == "href" and v:
-                    self.hrefs.append(v)
+                    self.hrefs.append((v, []))
+                    self._in_a = True
                     break
         elif tag == "base" and self.base is None:
             for k, v in attrs:
                 if k == "href" and v:
                     self.base = v
                     break
+
+    def handle_endtag(self, tag):
+        if tag == "a":
+            self._in_a = False
+
+    def handle_data(self, data):
+        if self._in_a and self.hrefs:
+            self.hrefs[-1][1].append(data)
 
 
 def extract_links(payload: bytes, base_url: str) -> list[str]:
@@ -786,6 +800,16 @@ def extract_links(payload: bytes, base_url: str) -> list[str]:
     non-navigational schemes (javascript/mailto/tel/data/about) are
     dropped; fragments are stripped from kept links.  Returns [] for
     undecodable or unparsable payloads (errors are rows upstream)."""
+    return [u for u, _t in extract_links_texts(payload, base_url)]
+
+
+def extract_links_texts(payload: bytes,
+                        base_url: str) -> list[tuple[str, str]]:
+    """Like :func:`extract_links` but each link carries its anchor text
+    (flattened element text, whitespace-collapsed; the FIRST anchor's
+    text wins for duplicate targets) — the web-scale anchor-text corpus
+    shape (anchor text is a standard relevance/label signal for the
+    linked page)."""
     from urllib.parse import urljoin
 
     try:
@@ -793,9 +817,9 @@ def extract_links(payload: bytes, base_url: str) -> list[str]:
         p = _LinkParser()
         p.feed(decoded)
         base = urljoin(base_url, p.base) if p.base else base_url
-        out: list[str] = []
+        out: list[tuple[str, str]] = []
         seen: set[str] = set()
-        for href in p.hrefs:
+        for href, text_parts in p.hrefs:
             h = href.strip()
             if not h or h.startswith("#"):
                 continue
@@ -805,7 +829,7 @@ def extract_links(payload: bytes, base_url: str) -> list[str]:
             if not absu or absu in seen:
                 continue
             seen.add(absu)
-            out.append(absu)
+            out.append((absu, _collapse("".join(text_parts))))
         return out
     except Exception:
         return []

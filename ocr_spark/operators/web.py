@@ -173,7 +173,8 @@ def domain_topk(df: DataFrame, k: int, score_col: str,
 
 def outlinks(df: DataFrame, html_col: str = "html", url_col: str = "url",
              passthrough: tuple[str, ...] = (),
-             normalize: bool = True) -> DataFrame:
+             normalize: bool = True,
+             with_anchor_text: bool = False) -> DataFrame:
     """Page -> outlink edges: parse ``<a href>`` from the html column
     (same stdlib parser stack as extraction, honoring ``<base href>``
     and charset sniffing — ``extractor.core.extract_links``), resolve
@@ -183,19 +184,27 @@ def outlinks(df: DataFrame, html_col: str = "html", url_col: str = "url",
     :func:`url_normalize` and re-distincts (two spellings of one
     resource collapse to one edge).
 
+    ``with_anchor_text=True`` adds the flattened anchor text per link
+    (first anchor wins for duplicate targets inside a page) — the
+    anchor-text corpus shape (anchor text is the classic external
+    relevance/label signal for the linked page).
+
     Scale shape: one Arrow-batched kernel pass over the pages (the html
     column never shuffles), output is the skinny edge list — the web
     graph's standard construction.  The reference has no link stage (it
     processes single uploaded files, services/file_processor.py); this
     is the corpus-level capability a crawl pipeline needs for PageRank /
     spam-prior signals."""
-    from ocr_spark.extractor.core import extract_links
+    from ocr_spark.extractor.core import extract_links_texts
 
     cols = [url_col, html_col, *passthrough]
+    extra = ([T.StructField("dst", T.StringType())]
+             + ([T.StructField("anchor", T.StringType())]
+                if with_anchor_text else []))
     out_schema = T.StructType(
         [df.schema[url_col]]
         + [df.schema[c] for c in passthrough]
-        + [T.StructField("dst", T.StringType())]
+        + extra
     )
 
     def kernel(batches):
@@ -204,13 +213,14 @@ def outlinks(df: DataFrame, html_col: str = "html", url_col: str = "url",
         for batch in batches:
             urls = batch.column(0).to_pylist()
             htmls = batch.column(1).to_pylist()
-            idx, dsts = [], []
+            idx, dsts, anchors = [], [], []
             for i, (u, h) in enumerate(zip(urls, htmls)):
                 if h is None or u is None:
                     continue
-                for link in extract_links(h, u):
+                for link, text in extract_links_texts(h, u):
                     idx.append(i)
                     dsts.append(link)
+                    anchors.append(text)
             take = pa.array(idx, pa.int64())
             arrays = [batch.column(0).take(take)]
             names = [url_col]
@@ -219,11 +229,23 @@ def outlinks(df: DataFrame, html_col: str = "html", url_col: str = "url",
                 names.append(c)
             arrays.append(pa.array(dsts, pa.string()))
             names.append("dst")
+            if with_anchor_text:
+                arrays.append(pa.array(anchors, pa.string()))
+                names.append("anchor")
             yield pa.RecordBatch.from_arrays(arrays, names)
 
     edges = df.select(*cols).mapInArrow(kernel, schema=out_schema)
     if normalize:
-        edges = edges.withColumn("dst", url_normalize("dst")).distinct()
+        edges = edges.withColumn("dst", url_normalize("dst"))
+        if with_anchor_text:
+            # two raw spellings can canonicalize to one dst with
+            # different anchors: keep the lexicographically-smallest
+            # anchor (deterministic, oracle-able)
+            others = [c for c in edges.columns if c != "anchor"]
+            edges = edges.groupBy(*others).agg(
+                F.min("anchor").alias("anchor"))
+        else:
+            edges = edges.distinct()
     return edges
 
 

@@ -275,3 +275,20 @@ def test_robots_filter_operator(spark):
            for r in robots_filter(pages, robots).collect()}
     # query string participates in matching; wildcard + anchor rules work
     assert got == {1: 0, 2: 1, 3: 0, 4: 1, 5: 0, 6: 1}
+
+
+def test_outlinks_anchor_text(spark):
+    from ocr_spark.operators.web import outlinks
+
+    html = (b'<html><body>'
+            b'<a href="https://t.ex.com/a">Read <b>more</b> here</a>'
+            b'<a href="https://t.ex.com/a">decoy dup</a>'
+            b'<a href="https://t.ex.com/b"></a>'
+            b'</body></html>')
+    df = spark.createDataFrame([("https://p.ex.com/", html)],
+                               "url string, html binary")
+    got = {r["dst"]: r["anchor"]
+           for r in outlinks(df, with_anchor_text=True).collect()}
+    # first anchor's text wins; inline children flattened; empty -> ""
+    assert got == {"https://t.ex.com/a": "Read more here",
+                   "https://t.ex.com/b": ""}
