@@ -982,6 +982,71 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
+def q_graph_prior(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-graph quality prior, composed end-to-end from the new web
+    operators: pages (each document hosted on site{id%20}, carrying
+    real ``<a>`` links to host (hid²+1) mod 20 — a non-bijective
+    quadratic map, so host in-degrees vary — plus host (13·hid+5) mod
+    20 when hid % 3 != 0, so out-degrees vary 1 vs 2)
+    -> outlinks (real HTML parse) -> host-level edge list -> 3-round
+    PageRank -> joined back to every document as its host's prior, with
+    a keep flag at prior >= 1.0 (hosts more-linked than the un-linked
+    baseline).  This is the crawl-pipeline pattern of host-authority
+    priors feeding curation (PageRank as a crawl/quality prior, Page et
+    al. 1999 §1.3; modern crawls use the same shape for scheduling).
+
+    The host graph has out-degree <= 2 by construction (links depend
+    only on the host index), so ranks sit on the exact 9-decimal grid
+    (same argument as q_pagerank) and the oracle unrolls the iterations
+    over the 20-node host graph in SQL.  Scale shape: the host graph is
+    tiny regardless of corpus size (one node per host), the prior join
+    back to documents is a broadcast."""
+    from ocr_spark.operators.web import outlinks, pagerank, url_host
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def build(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            urls, htmls = [], []
+            for doc_id in pdf["doc_id"]:
+                hid = doc_id % 20
+                h1 = (hid * hid + 1) % 20
+                a2 = (f'<a href="https://site{(hid * 13 + 5) % 20}'
+                      '.example.com/">n2</a>' if hid % 3 != 0 else "")
+                urls.append(
+                    f"https://site{hid}.example.com/d/{doc_id}")
+                htmls.append((
+                    "<html><body><p>doc body</p>"
+                    f'<a href="https://site{h1}.example.com/">n1</a>'
+                    f"{a2}</body></html>"
+                ).encode("utf-8"))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "url": urls,
+                                "html": htmls})
+
+    pages = docs.mapInPandas(build,
+                             schema="doc_id long, url string, html binary")
+    edges = outlinks(pages, html_col="html", url_col="url",
+                     passthrough=("doc_id",))
+    hostg = (edges.select(url_host("url").alias("src"),
+                          url_host("dst").alias("dst"))
+             .filter(F.col("src") != F.col("dst")).distinct())
+    pr = pagerank(hostg, n_iter=3, damping=0.85)
+    with_host = pages.select(
+        "doc_id", url_host("url").alias("host"))
+    # keep is derived from the grid-ROUNDED prior: the 9-decimal grid
+    # values are identical across engines, the raw doubles may straddle
+    # the 1.0 threshold by an ulp in either direction
+    out = (with_host.join(F.broadcast(pr),
+                          with_host.host == pr.node, "left")
+           .withColumn("prior", F.round("rank", 9))
+           .select("doc_id", "host", "prior",
+                   (F.coalesce(F.col("prior"), F.lit(0.0)) >= 1.0)
+                   .cast("int").alias("keep")))
+    return out.orderBy("doc_id")
+
+
 # --------------------------------------------------------------------------
 # the composed end-to-end curation pipeline
 # --------------------------------------------------------------------------
@@ -1374,6 +1439,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_filter": q_robots_filter,
         "outlinks": q_outlinks,
         "pagerank": q_pagerank,
+        "graph_prior": q_graph_prior,
         "media_decode": q_media_decode,
         "png_decode": q_png_decode,
         "frame_sample": q_frame_sample,
@@ -2584,6 +2650,46 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, dst, anchor FROM tok_links
             UNION ALL SELECT doc_id, dst, anchor FROM fixed)
           ORDER BY doc_id, dst
+        """,
+        "graph_prior": """
+          WITH hosts AS (SELECT DISTINCT doc_id % 20 AS hid FROM documents),
+          e AS (
+            SELECT DISTINCT src, dst FROM (
+              SELECT hid AS src, (hid * hid + 1) % 20 AS dst FROM hosts
+              UNION ALL
+              SELECT hid AS src, (hid * 13 + 5) % 20 AS dst FROM hosts
+              WHERE hid % 3 <> 0
+            ) WHERE src <> dst),
+          nodes AS (SELECT DISTINCT node FROM (
+            SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e)),
+          deg AS (SELECT src, count(*) AS dg FROM e GROUP BY src),
+          r0 AS (SELECT node, 1.0 AS r FROM nodes),
+          r1 AS (SELECT n.node, 0.15 + 0.85 * coalesce(s.x, 0) AS r
+                 FROM nodes n LEFT JOIN (
+                   SELECT e.dst AS node, sum(r0.r / deg.dg) AS x
+                   FROM e JOIN r0 ON r0.node = e.src
+                        JOIN deg ON deg.src = e.src
+                   GROUP BY e.dst) s ON s.node = n.node),
+          r2 AS (SELECT n.node, 0.15 + 0.85 * coalesce(s.x, 0) AS r
+                 FROM nodes n LEFT JOIN (
+                   SELECT e.dst AS node, sum(r1.r / deg.dg) AS x
+                   FROM e JOIN r1 ON r1.node = e.src
+                        JOIN deg ON deg.src = e.src
+                   GROUP BY e.dst) s ON s.node = n.node),
+          r3 AS (SELECT n.node, 0.15 + 0.85 * coalesce(s.x, 0) AS r
+                 FROM nodes n LEFT JOIN (
+                   SELECT e.dst AS node, sum(r2.r / deg.dg) AS x
+                   FROM e JOIN r2 ON r2.node = e.src
+                        JOIN deg ON deg.src = e.src
+                   GROUP BY e.dst) s ON s.node = n.node)
+          SELECT d.doc_id,
+            'site' || CAST(d.doc_id % 20 AS VARCHAR) || '.example.com'
+              AS host,
+            round(r3.r, 9) AS prior,
+            CAST(CASE WHEN coalesce(round(r3.r, 9), 0) >= 1.0
+                 THEN 1 ELSE 0 END AS INT) AS keep
+          FROM documents d LEFT JOIN r3 ON r3.node = d.doc_id % 20
+          ORDER BY d.doc_id
         """,
         "pagerank": """
           WITH mm AS (SELECT max(doc_id) + 1 AS m FROM documents),

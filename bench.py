@@ -48,7 +48,7 @@ BENCH_QUERIES = [
     "lm_score", "stratified_sample", "token_budget_mix", "pack_sequences",
     "packed_batches", "decontaminate", "curate_corpus",
     "warc_extract", "url_normalize", "domain_topk", "robots_filter",
-    "outlinks", "pagerank",
+    "outlinks", "pagerank", "graph_prior",
     "media_decode", "png_decode", "frame_sample",
     "pricing_summary", "top_customers", "regional_revenue",
     "customers_no_orders", "setop_except", "json_extract",
