@@ -28,7 +28,8 @@ BENCH_DIR = os.path.dirname(os.path.abspath(__file__))
 DEFAULT_SERIES = ["scaling_2_8_r4a.json", "scaling_2_8_r4b.json",
                   "scaling_2_8_r4c.json", "scaling_2_8_r4d.json",
                   "scaling_2_8_r4e.json", "scaling_2_8_r4f.json",
-                  "scaling_2_8_r4g.json", "scaling_2_8_r4h.json"]
+                  "scaling_2_8_r4g.json", "scaling_2_8_r4h.json",
+                  "scaling_2_8_r4i.json"]
 SYS_FACTOR = 1.5
 
 
