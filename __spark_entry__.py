@@ -292,6 +292,39 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                       min_dup_docs=2, min_line_chars=10)
 
 
+# shared literals between q_substr_dedup and its oracle: a license
+# disclaimer every 5th doc carries and a promo phrase every 7th doc
+# carries (both longer than k tokens, so the whole passage is covered
+# by duplicated k-gram windows), on top of the corpus's ORGANIC
+# duplicated 5-grams (31-word vocabulary — ~70 sf0.01 docs collide)
+_SD_DISC = ("all rights reserved unauthorized reproduction of this "
+            "material is strictly prohibited")
+_SD_PROMO = "click here to subscribe and save twenty percent today"
+
+
+def q_substr_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document dedup (ExactSubstr, Lee et al. 2022): drop every
+    token covered by a 5-gram occurring >= 2 times corpus-wide — the
+    pass that strips the injected license/promo passages AND organic
+    body collisions that document- and line-level dedup both miss.
+    Runs the production gram_key='xxhash64' path: final text is
+    hash-free, so the oracle certifies it without an md5 mode."""
+    from ocr_spark.operators.dedup import drop_duplicated_spans
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 5 == 0,
+                   F.lit(" " + _SD_DISC)).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 7 == 0,
+                   F.lit(" " + _SD_PROMO)).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return drop_duplicated_spans(docs, "doc_id", "text",
+                                 k=5, min_count=2)
+
+
 def q_dedup_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window keep-latest per user over events (the per-url dedup
     pattern of the pages pipeline, on the driver tables)."""
@@ -1406,6 +1439,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_metrics": q_extract_metrics,
         "dedup_exact": q_dedup_exact,
         "line_dedup": q_line_dedup,
+        "substr_dedup": q_substr_dedup,
         "dedup_keep_latest": q_dedup_keep_latest,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "ngram_jaccard": q_ngram_jaccard,
@@ -2275,6 +2309,50 @@ def oracle_sql() -> dict[str, str]:
                  CAST(count(*) FILTER (WHERE is_banned) AS BIGINT)
                    AS n_lines_dropped
           FROM flagged GROUP BY doc_id
+        """,
+        "substr_dedup": f"""
+          WITH src AS (
+            SELECT doc_id,
+                   text ||
+                   (CASE WHEN doc_id % 5 = 0
+                         THEN ' {_SD_DISC}' ELSE '' END) ||
+                   (CASE WHEN doc_id % 7 = 0
+                         THEN ' {_SD_PROMO}' ELSE '' END) AS mt
+            FROM documents),
+          toks AS (
+            SELECT doc_id, string_split_regex(trim(mt), '\\s+') AS a
+            FROM src),
+          g0 AS (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(a) - 3),
+                          i -> {{'i': i,
+                                 'g': array_to_string(a[i:i+4], ' ')}}))
+                     AS u
+            FROM toks),
+          grams AS (SELECT doc_id, u.i AS i, u.g AS g FROM g0),
+          dup AS (SELECT g FROM grams GROUP BY g HAVING count(*) >= 2),
+          cov0 AS (SELECT doc_id, unnest(range(i, i + 5)) AS j
+                   FROM grams JOIN dup USING (g)),
+          cov AS (SELECT DISTINCT doc_id, j FROM cov0),
+          tr0 AS (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(a) + 1),
+                          j -> {{'j': j, 'tok': a[j]}})) AS u
+            FROM toks),
+          tokrows AS (SELECT doc_id, u.j AS j, u.tok AS tok FROM tr0),
+          kept AS (
+            SELECT t.doc_id, t.j, t.tok
+            FROM tokrows t LEFT JOIN cov c
+              ON t.doc_id = c.doc_id AND t.j = c.j
+            WHERE c.doc_id IS NULL),
+          re AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY j) AS text,
+                        count(*) AS n FROM kept GROUP BY doc_id)
+          SELECT toks.doc_id,
+                 coalesce(re.text, '') AS text,
+                 CAST(coalesce(re.n, 0) AS BIGINT) AS n_tokens_kept,
+                 CAST(len(toks.a) - coalesce(re.n, 0) AS BIGINT)
+                   AS n_tokens_dropped
+          FROM toks LEFT JOIN re USING (doc_id)
         """,
         "dedup_keep_latest": (
             "SELECT user_id, event_id, event_type FROM ("

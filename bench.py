@@ -39,7 +39,7 @@ CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".cache")
 BENCH_QUERIES = [
     "flagship_extract", "pdf_extract", "pdf_layout", "html_meta",
     "profile_extract", "extract_metrics",
-    "dedup_exact", "line_dedup",
+    "dedup_exact", "line_dedup", "substr_dedup",
     "dedup_keep_latest", "minhash_lsh_pairs", "ngram_jaccard",
     "lsh_jaccard", "dedup_clusters", "simhash_near_dup", "embed_near_dup",
     "embed_near_dup_lsh", "span_qa", "cosine_topk", "ann_topk", "ann_topk_ivf",

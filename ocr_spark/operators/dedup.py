@@ -1,8 +1,11 @@
 """Deduplication operators for web-scale training-data pipelines.
 
-Five families, each with a scale story:
+Six families, each with a scale story:
 
 * **exact**      — md5(text) hash-groupBy; one shuffle of (digest, id).
+* **substring (ExactSubstr)** — duplicated token-k-gram span removal
+  (Lee et al. 2022, arXiv:2107.06499 §4.1): grams shuffle as a skinny
+  (hash, id, pos) projection, covered positions fold back per doc.
 * **MinHash+LSH** — shingle -> minhash signature -> banded bucket-join;
   candidate pairs come from an equi-join on (band, signature), never a
   cross join, so cost is bounded by bucket collision counts.
@@ -33,7 +36,8 @@ from pyspark.sql import functions as F
 from ocr_spark.functions.text import word_shingles
 
 __all__ = [
-    "exact_dedup", "line_dedup", "minhash_signature",
+    "exact_dedup", "line_dedup", "drop_duplicated_spans",
+    "minhash_signature",
     "minhash_affine_coeffs", "lsh_candidate_pairs",
     "lsh_bucket_overflow", "lsh_jaccard_pairs", "ngram_jaccard_pairs",
     "simhash",
@@ -138,6 +142,104 @@ def line_dedup(df: DataFrame, key_col: str = "doc_id",
             ).alias("text"),
             F.sum(F.when(keep, 1).otherwise(0)).alias("n_lines_kept"),
             F.sum(F.when(keep, 0).otherwise(1)).alias("n_lines_dropped"),
+        )
+    )
+
+
+def drop_duplicated_spans(df: DataFrame, key_col: str = "doc_id",
+                          text_col: str = "text", k: int = 8,
+                          min_count: int = 2,
+                          gram_key: str = "xxhash64",
+                          broadcast_dups: bool = False) -> DataFrame:
+    """Sub-document dedup (ExactSubstr style, Lee et al. 2022,
+    arXiv:2107.06499 §4.1): remove every token that is covered by a
+    whitespace-token k-gram occurring >= ``min_count`` times in the
+    WHOLE corpus (all occurrences count, including repeats inside one
+    document — the paper's semantics).  This is the pass that strips
+    templated passages, license boilerplate, and quoted chain text
+    that document- and line-level dedup both miss.
+
+    The paper builds a corpus-wide suffix array, which does not
+    distribute; the standard scalable form is positional k-gram cover:
+    a token survives iff no duplicated k-gram window covers it.
+    Granularity is tokens (k consecutive), not arbitrary byte spans —
+    duplicated runs >= k tokens are removed in full, runs < k tokens
+    are kept (conservative direction; documented, not silent).
+
+    Returns one row per input document, token order preserved:
+    ``(key, text, n_tokens_kept, n_tokens_dropped)``.  Documents whose
+    every token is covered come back with text ``''`` (filtered by a
+    later quality pass, never silently lost — same contract as
+    line_dedup).
+
+    Scale shape: the full text column is NEVER exploded or shuffled —
+    grams travel as the skinny ``(gram_key, key, start_pos)``
+    projection (~16 bytes/row under the default ``gram_key='xxhash64'``
+    instead of a k-token string; collision odds 2^-64 per gram pair,
+    ``'raw'`` mode keeps exact strings for tests/oracles), the
+    frequency count is a map-side-combinable groupBy on that key, the
+    duplicated-gram set probes back via equi-join (AQE skew-join
+    handles hot grams; ``broadcast_dups=True`` for corpora where the
+    dup set is provably small — unlike line_dedup's banned set it is
+    NOT small in general, so the default is the shuffle join), and
+    covered positions fold to one int array per doc before the single
+    full-width left join back onto the untouched (key, tokens) row.
+    """
+    if gram_key not in ("xxhash64", "raw"):
+        raise ValueError(f"unknown gram_key {gram_key!r}")
+    toks = df.select(
+        F.col(key_col),
+        # NULL text behaves as empty (split of NULL would make size()
+        # -1 and sequence(1, -1) DESCEND) — one token '' that can
+        # never form a k-gram for k >= 2, comes back as text ''
+        F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))),
+                r"\s+").alias("_t"),
+    )
+    n = F.size("_t")
+    # sequence(1, x) is DESCENDING for x < 1 — guard short docs to an
+    # empty start list (explode then emits zero gram rows for them)
+    starts = F.when(n >= k, F.sequence(F.lit(1), n - k + 1)) \
+        .otherwise(F.array().cast("array<int>"))
+    gram_str = F.concat_ws(
+        " ", F.transform(F.sequence(F.col("_i"), F.col("_i") + (k - 1)),
+                         lambda j: F.element_at("_t", j)))
+    grams = (
+        toks.select(F.col(key_col), F.col("_t"), F.explode(starts).alias("_i"))
+        .select(
+            F.col(key_col), F.col("_i"),
+            (F.xxhash64(gram_str) if gram_key == "xxhash64"
+             else gram_str).alias("_gk"),
+        )
+    )
+    dups = (
+        grams.groupBy("_gk").count()
+        .filter(F.col("count") >= min_count)
+        .select("_gk")
+    )
+    if broadcast_dups:
+        dups = F.broadcast(dups)
+    covered = (
+        grams.join(dups, "_gk")
+        .select(F.col(key_col),
+                F.explode(F.sequence(F.col("_i"),
+                                     F.col("_i") + (k - 1))).alias("_j"))
+        .groupBy(key_col)
+        .agg(F.collect_set("_j").alias("_cov"))
+    )
+    cov = F.coalesce(F.col("_cov"), F.array().cast("array<int>"))
+    # array_except keeps first-arg order and hashes the second arg —
+    # O(n_tokens + n_covered) per doc, not a nested scan
+    kept_pos = F.array_except(F.sequence(F.lit(1), F.size("_t")), cov)
+    return (
+        toks.join(covered, key_col, "left")
+        .select(
+            F.col(key_col),
+            F.array_join(
+                F.transform(kept_pos, lambda j: F.element_at("_t", j)),
+                " ").alias("text"),
+            F.size(kept_pos).cast("long").alias("n_tokens_kept"),
+            (F.size("_t") - F.size(kept_pos)).cast("long")
+            .alias("n_tokens_dropped"),
         )
     )
 

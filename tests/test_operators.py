@@ -543,6 +543,73 @@ def test_ann_ivf_pair_stage_is_arrow_gemm(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_substr_dedup_shared_and_within_doc_spans(spark):
+    """ExactSubstr semantics: tokens covered by a corpus-duplicated
+    k-gram drop (across docs AND within one doc), unique context
+    survives, sub-k shared runs are kept (the documented conservative
+    direction), short/empty docs pass through."""
+    from ocr_spark.operators.dedup import drop_duplicated_spans
+
+    docs = spark.createDataFrame(
+        [
+            (1, "intro alpha beta gamma delta epsilon fin one"),
+            (2, "other alpha beta gamma delta epsilon end two"),
+            (3, "x y z x y z x y z"),       # within-doc repeats
+            (4, "alpha beta unique words here"),  # shares only a 2-gram
+            (5, "tiny"),
+            (6, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in
+           drop_duplicated_spans(docs, k=3, min_count=2).collect()}
+    assert len(out) == 6                        # no doc silently lost
+    assert out[1].text == "intro fin one"
+    assert out[2].text == "other end two"
+    assert out[1].n_tokens_dropped == 5         # the shared 5-token run
+    assert out[3].text == "" and out[3].n_tokens_kept == 0
+    # 'alpha beta' is shared but shorter than k -> kept in doc 4
+    assert out[4].text == "alpha beta unique words here"
+    assert out[5].text == "tiny" and out[5].n_tokens_dropped == 0
+    assert out[6].text == ""
+
+
+def test_substr_dedup_overlap_counts_positions_once(spark):
+    """Overlapping duplicated windows union their covered positions —
+    dropped-token counts never double-count a position."""
+    from ocr_spark.operators.dedup import drop_duplicated_spans
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e unique1"), (2, "a b c d e unique2")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in
+           drop_duplicated_spans(docs, k=3, min_count=2).collect()}
+    # three overlapping dup 3-grams (abc, bcd, cde) cover 5 positions
+    assert out[1].n_tokens_dropped == 5 and out[1].text == "unique1"
+
+
+def test_substr_dedup_gram_key_modes_agree(spark):
+    """Production xxhash64 gram keys and raw-string keys produce
+    byte-identical output (collision-free at test scale)."""
+    from ocr_spark.operators.dedup import drop_duplicated_spans
+
+    docs = spark.createDataFrame(
+        [(i, f"shared run of five tokens plus unique tail {i}")
+         for i in range(12)],
+        "doc_id long, text string",
+    )
+    a = sorted(map(tuple, drop_duplicated_spans(
+        docs, k=5, min_count=2, gram_key="xxhash64").collect()))
+    b = sorted(map(tuple, drop_duplicated_spans(
+        docs, k=5, min_count=2, gram_key="raw").collect()))
+    c = sorted(map(tuple, drop_duplicated_spans(
+        docs, k=5, min_count=2, broadcast_dups=True).collect()))
+    assert a == b == c
+    # the 8-token shared prefix drops; only the distinct tail survives
+    assert all(r[2] == 1 for r in a)
+
+
 def test_line_dedup(spark):
     """CCNet-style line dedup: lines in >=2 distinct docs drop (even
     with differing surrounding whitespace), short lines never drop,

@@ -250,6 +250,19 @@ def test_pagerank_no_window_no_cartesian(spark):
     assert "BatchEvalPython" not in plan
 
 
+def test_substr_dedup_all_jvm_no_cartesian(spark):
+    """ExactSubstr span removal: skinny gram projection + equi-joins +
+    hash aggregates only — no per-row Python, no cartesian, no window;
+    the default dup-set probe is a shuffle join (the dup set is not
+    small in general), so SortMergeJoin/ShuffledHashJoin is acceptable
+    where line_dedup demands a broadcast."""
+    plan = plan_of(entry_mod.q_substr_dedup(spark, SF))
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan      # pure JVM expressions
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+
+
 def test_lm_score_broadcasts_vocab(spark):
     """The corpus-sized exploded-token side must NOT shuffle for the
     scoring join: vocab broadcasts back over it."""
