@@ -1271,6 +1271,47 @@ def q_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio sample decode, codec-free: each doc becomes a
+    RIFF-conformant 16-bit PCM WAV whose samples are the closed-form
+    sawtooth ((base + step*i) % 4096) - 2048; the stdlib decoder
+    (multimodal.decode_wav_samples) walks chunks, validates fmt, and
+    emits exact integer-accumulator mean/RMS/peak.  Every 17th doc's
+    data chunk is truncated by one byte -> a processing_error ROW
+    whose message the oracle re-derives.  Closes the audio modality
+    the way png_decode closes images."""
+    from ocr_spark.operators.multimodal import (decode_media,
+                                                decode_wav_samples)
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def build(batches):
+        import pandas as pd
+
+        from ocr_spark.data.synth import build_wav
+
+        for pdf in batches:
+            payloads = [
+                build_wav(800 + int(d) % 64 * 16,
+                          rate=8000 if int(d) % 2 == 0 else 16000,
+                          base=int(d) % 4096, step=7 + int(d) % 5,
+                          truncate=1 if int(d) % 17 == 0 else 0)
+                for d in pdf["doc_id"]
+            ]
+            yield pd.DataFrame({"media_id": pdf["doc_id"].astype(str),
+                                "payload": payloads})
+
+    media = docs.mapInPandas(build, schema="media_id string, payload binary")
+    out = decode_media(media, decode_fn=decode_wav_samples)
+    return out.select(
+        "media_id", "kind", "duration_ms", "n_frames",
+        F.col("feature")[0].alias("mean_amp"),
+        F.col("feature")[1].alias("rms"),
+        F.col("feature")[2].alias("peak"),
+        "status", "error_msg",
+    )
+
+
 def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling plumbing: one row per sampled frame index over a
     binary media column.  The fake decode kernel is sha256-derived, so
@@ -1476,6 +1517,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_prior": q_graph_prior,
         "media_decode": q_media_decode,
         "png_decode": q_png_decode,
+        "audio_decode": q_audio_decode,
         "frame_sample": q_frame_sample,
         "pricing_summary": q_pricing_summary,
         "top_customers": q_top_customers,
@@ -2620,6 +2662,45 @@ def oracle_sql() -> dict[str, str]:
               / (w*h) AS mean_b,
             'ok' AS status
           FROM d
+        """,
+        # audio_decode: the decoder's integer accumulators are exact, so
+        # the oracle regenerates the sawtooth samples and re-aggregates;
+        # mean is one IEEE division, rms one IEEE sqrt — bit-identical
+        "audio_decode": """
+          WITH params AS (
+            SELECT doc_id,
+                   800 + (doc_id % 64) * 16 AS n,
+                   CASE WHEN doc_id % 2 = 0 THEN 8000 ELSE 16000 END AS rate,
+                   doc_id % 4096 AS base,
+                   7 + (doc_id % 5) AS step,
+                   (doc_id % 17 = 0) AS corrupt
+            FROM documents),
+          s0 AS (
+            SELECT doc_id,
+                   unnest(list_transform(range(0, n),
+                          i -> ((base + step * i) % 4096) - 2048)) AS s
+            FROM params WHERE NOT corrupt),
+          ag AS (
+            SELECT doc_id,
+                   CAST(sum(s) AS DOUBLE) / count(*) AS mean_amp,
+                   sqrt(CAST(sum(s * s) AS DOUBLE) / count(*)) AS rms,
+                   CAST(max(abs(s)) AS DOUBLE) AS peak
+            FROM s0 GROUP BY doc_id)
+          SELECT CAST(p.doc_id AS VARCHAR) AS media_id,
+                 CASE WHEN corrupt THEN NULL ELSE 'audio' END AS kind,
+                 CASE WHEN corrupt THEN NULL
+                      ELSE CAST(n * 1000 // rate AS BIGINT)
+                 END AS duration_ms,
+                 CASE WHEN corrupt THEN NULL ELSE CAST(n AS INT)
+                 END AS n_frames,
+                 ag.mean_amp, ag.rms, ag.peak,
+                 CASE WHEN corrupt THEN 'processing_error'
+                      ELSE 'ok' END AS status,
+                 CASE WHEN corrupt
+                      THEN 'ValueError: data chunk truncated: want '
+                           || (2 * n) || ' bytes, got ' || (2 * n - 1)
+                      ELSE NULL END AS error_msg
+          FROM params p LEFT JOIN ag USING (doc_id)
         """,
         "media_decode": (
             "SELECT CAST(doc_id AS VARCHAR) AS media_id, 'image' AS kind, "

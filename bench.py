@@ -49,7 +49,7 @@ BENCH_QUERIES = [
     "packed_batches", "decontaminate", "curate_corpus",
     "warc_extract", "url_normalize", "domain_topk", "robots_filter",
     "outlinks", "pagerank", "graph_prior",
-    "media_decode", "png_decode", "frame_sample",
+    "media_decode", "png_decode", "audio_decode", "frame_sample",
     "pricing_summary", "top_customers", "regional_revenue",
     "customers_no_orders", "setop_except", "json_extract",
     "running_window", "sessionize",

@@ -349,6 +349,33 @@ def build_png(width: int, height: int, base: int = 0,
             + chunk(b"IEND", b""))
 
 
+def build_wav(n_samples: int, rate: int = 8000, base: int = 0,
+              step: int = 7, channels: int = 1,
+              truncate: int = 0) -> bytes:
+    """A REAL (RIFF-conformant) PCM WAV whose 16-bit samples are the
+    deterministic sawtooth ``((base + step*i) % 4096) - 2048`` for
+    per-channel frame i (duplicated across channels) — so an oracle
+    can recompute mean / RMS / peak arithmetically without decoding.
+    ``truncate`` drops that many trailing bytes from the data chunk
+    while keeping the declared chunk size, producing the exact
+    'data chunk truncated' error the decoder must emit as a row."""
+    import struct
+
+    frames = bytearray()
+    for i in range(n_samples):
+        s = ((base + step * i) % 4096) - 2048
+        frames += struct.pack("<h", s) * channels
+    data = bytes(frames)
+    fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * 2 * channels,
+                      2 * channels, 16)
+    declared = len(data)
+    body = (b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", declared)
+            + (data[:-truncate] if truncate else data))
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 def _empty_pdf() -> bytes:
     return (
         b"%PDF-1.4\n1 0 obj\n<< /Type /Pages /Kids [] /Count 0 >>\nendobj\n"

@@ -6,10 +6,13 @@ plus typed metadata, processed in Arrow batches via ``mapInPandas``.
 What is REAL without any codec: magic-byte validity classification and
 header-derived dimensions for PNG/JPEG/GIF/TIFF (O4 semantics — the
 reference PIL-opens bytes only to verify integrity,
-services/file_processor.py:49-62).  That is the default path.
+services/file_processor.py:49-62); full PNG pixel decode
+(``decode_png_pixels``: inflate + unfilter, stdlib zlib); full
+RIFF/WAV PCM sample decode (``decode_wav_samples``).  Header
+classification is the default path.
 
 What is stubbed (no Pillow/ffmpeg in this container — SURVEY.md §7.0):
-*pixel/sample decode*.  Non-image payloads therefore yield
+*compressed codecs* (JPEG pixels, MP3/AAC, video).  Such payloads yield
 ``processing_error`` rows unless ``fake=True`` (deterministic fake
 seeded from the payload digest, for plumbing tests) or a real
 ``decode_fn`` (payload: bytes -> dict) is supplied — the Spark plan is
@@ -28,7 +31,7 @@ from pyspark.sql import types as T
 from ocr_spark.extractor.core import parse_image_header
 
 __all__ = ["MEDIA_SCHEMA", "decode_media", "decode_png_pixels",
-           "sample_frames"]
+           "decode_wav_samples", "sample_frames"]
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -138,6 +141,66 @@ def decode_png_pixels(payload: bytes) -> dict:
         "height": int(h),
         "n_frames": 1,
         "feature": [s / n_px for s in sums],
+    }
+
+
+def decode_wav_samples(payload: bytes) -> dict:
+    """REAL sample decode for RIFF/WAV PCM, pure stdlib + numpy — no
+    codec: chunk walk (word-aligned per the RIFF spec, tolerant of
+    extra chunks in any order), fmt validation (16-bit integer PCM
+    only — anything else raises and decode_media turns it into a
+    processing_error ROW), little-endian int16 sample parse, then
+    exact integer-accumulator features: ``feature = [mean, rms, peak]``
+    over all interleaved samples.  mean is an exact rational
+    (int sum / count) and rms one IEEE sqrt away from one, so a SQL
+    oracle recomputes them bit-identically.
+
+    Closes the audio modality the same way decode_png_pixels closes
+    images: the decode step is real, only the model-based featurizer
+    a production pipeline would bolt on stays pluggable."""
+    import sys
+
+    import numpy as np
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" \
+            or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE signature")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        (clen,) = struct.unpack("<I", payload[pos + 4:pos + 8])
+        body = payload[pos + 8:pos + 8 + clen]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            if len(body) < clen:
+                raise ValueError(
+                    f"data chunk truncated: want {clen} bytes, "
+                    f"got {len(body)}")
+            data = body
+        pos += 8 + clen + (clen & 1)    # chunks are word-aligned
+    if fmt is None or len(fmt) < 16:
+        raise ValueError("missing fmt chunk")
+    audio_fmt, n_ch, rate, _brate, _align, bits = struct.unpack(
+        "<HHIIHH", fmt[:16])
+    if audio_fmt != 1 or bits != 16 or n_ch == 0 or rate == 0:
+        raise ValueError(
+            f"unsupported WAV: fmt={audio_fmt} bits={bits} "
+            f"channels={n_ch} (16-bit integer PCM only)")
+    if data is None or len(data) < 2:
+        raise ValueError("missing data chunk")
+    s = np.frombuffer(data[:len(data) - (len(data) % 2)], dtype="<i2")
+    if sys.byteorder == "big":          # pragma: no cover
+        s = s.byteswap()
+    s = s.astype(np.int64)              # exact integer accumulators:
+    n = int(s.size)                     # |s|<=2^15, s^2*n < 2^63 for
+    mean = int(s.sum()) / n             # any data chunk under 8 EiB
+    rms = float(np.sqrt(int((s * s).sum()) / n))
+    return {
+        "kind": "audio",
+        "duration_ms": (n // n_ch) * 1000 // rate,
+        "n_frames": n // n_ch,
+        "feature": [mean, rms, float(int(np.abs(s).max()))],
     }
 
 

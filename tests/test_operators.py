@@ -399,6 +399,63 @@ def _ivf_cents():
     return ivf_centroids(dim=16, n_centroids=8, seed=7)
 
 
+def test_wav_decode_recovers_closed_form_features():
+    """The stdlib WAV decoder must parse a spec-conformant RIFF PCM
+    file and reproduce the exact integer-accumulator mean/RMS/peak of
+    the closed-form sawtooth, for mono AND stereo, at any rate."""
+    import math
+
+    from ocr_spark.data.synth import build_wav
+    from ocr_spark.operators.multimodal import decode_wav_samples
+
+    for channels in (1, 2):
+        for rate in (8000, 44100):
+            n = 1234
+            d = decode_wav_samples(
+                build_wav(n, rate=rate, base=37, step=11,
+                          channels=channels))
+            s = [((37 + 11 * i) % 4096) - 2048 for i in range(n)]
+            assert d["kind"] == "audio"
+            assert d["n_frames"] == n
+            assert d["duration_ms"] == n * 1000 // rate
+            mean, rms, peak = d["feature"]
+            assert mean == sum(s) / n          # channel-duplicated:
+            assert rms == math.sqrt(           # same per-sample stats
+                sum(x * x for x in s) / n)
+            assert peak == max(abs(x) for x in s)
+
+
+def test_wav_decode_rejections_are_deterministic():
+    """Truncated data chunks, non-PCM fmt, and junk bytes raise the
+    exact messages the oracle re-derives; extra chunks and odd-length
+    (word-padded) chunks before data are walked over correctly."""
+    import struct
+
+    import pytest as _pytest
+
+    from ocr_spark.data.synth import build_wav
+    from ocr_spark.operators.multimodal import decode_wav_samples
+
+    wav = build_wav(100, base=3, step=5)
+    with _pytest.raises(ValueError, match="want 200 bytes, got 199"):
+        decode_wav_samples(build_wav(100, truncate=1))
+    with _pytest.raises(ValueError, match="RIFF/WAVE signature"):
+        decode_wav_samples(b"OggS" + wav[4:])
+    # inject a LIST chunk with an odd body length between WAVE and fmt:
+    # the walker must apply RIFF word alignment to find fmt/data
+    extra = b"LIST" + struct.pack("<I", 3) + b"abc" + b"\x00"
+    padded = wav[:12] + extra + wav[12:]
+    d = decode_wav_samples(
+        padded[:4] + struct.pack("<I", len(padded) - 8) + padded[8:])
+    assert d["n_frames"] == 100
+    # 8-bit / float fmt -> unsupported, as an exact message
+    bad = bytearray(build_wav(10))
+    fmt_off = bad.find(b"fmt ") + 8
+    struct.pack_into("<H", bad, fmt_off, 3)     # IEEE-float fmt tag
+    with _pytest.raises(ValueError, match="16-bit integer PCM only"):
+        decode_wav_samples(bytes(bad))
+
+
 def test_png_decode_all_filters_and_color_types():
     """The stdlib PNG decoder must invert every encoder filter type
     (None/Sub/Up/Average/Paeth) for every supported color type and
