@@ -622,6 +622,44 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# shared literals between q_mojibake_fix and its oracle: the space-
+# joined mojibake sample (every repairable sequence once) and its
+# repaired form — both derived from the SAME MOJIBAKE_PAIRS table the
+# engine's replace chain applies
+def _mojibake_literals() -> tuple[str, str]:
+    from ocr_spark.functions.text import MOJIBAKE_PAIRS
+
+    return (" ".join(m for m, _ in MOJIBAKE_PAIRS),
+            " ".join(f for _, f in MOJIBAKE_PAIRS))
+
+
+_MJ_BROKEN, _MJ_FIXED = _mojibake_literals()
+
+
+def q_mojibake_fix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding repair (the ftfy/CCNet normalization stage): every 3rd
+    doc gets the full UTF-8-misread-as-cp1252 sample appended; the
+    fixed replace chain must repair exactly those, leave clean ASCII
+    bodies untouched, and stay idempotent on already-repaired text.
+    The broken/fixed literals and the chain order are imported from
+    MOJIBAKE_PAIRS by engine AND oracle — no drift possible."""
+    from ocr_spark.functions.text import fix_mojibake
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 3 == 0,
+                   F.lit(" " + _MJ_BROKEN)).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    fixed = fix_mojibake("text")
+    return docs.select(
+        "doc_id", fixed.alias("text"),
+        (fixed != F.col("text")).alias("changed"),
+    )
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ocr_spark.functions.text import with_lang_id
 
@@ -709,6 +747,24 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return stratified_sample(docs, MIX_FRACTIONS).select(
         "doc_id", "source", "lang"
+    )
+
+
+# epoch weights for q_epoch_mix: whole + fractional epochs, an
+# exactly-1.0 stratum, and a sub-1.0 downsampling stratum; thresholds
+# derive once in Python (epoch_weights) for both engines
+EPOCH_WEIGHTS = {"src0": 2.5, "src1": 1.25, "src2": 1.0, "src5": 0.5}
+
+
+def q_epoch_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fractional epoch upsampling of the corpus mix: src0 x2.5,
+    src1 x1.25, src2 x1.0, src5 x0.5 — every copy tagged with its
+    epoch index, selection a pure hash function."""
+    from ocr_spark.operators.corpus import epoch_mix
+
+    docs = _t(spark, sf_dir, "documents")
+    return epoch_mix(docs, EPOCH_WEIGHTS).select(
+        "doc_id", "source", "epoch"
     )
 
 
@@ -1498,11 +1554,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_filter": q_quality_filter,
         "lm_score": q_lm_score,
         "pii_scrub": q_pii_scrub,
+        "mojibake_fix": q_mojibake_fix,
         "lang_id": q_lang_id,
         "lang_id_cjk": q_lang_id_cjk,
         "fingerprint": q_fingerprint,
         "token_count": q_token_count,
         "stratified_sample": q_stratified_sample,
+        "epoch_mix": q_epoch_mix,
         "token_budget_mix": q_token_budget_mix,
         "pack_sequences": q_pack_sequences,
         "packed_batches": q_packed_batches,
@@ -1556,6 +1614,15 @@ def _mix_threshold_cases() -> str:
 
 def _mix_budget_sources() -> str:
     return ", ".join(f"'{s}'" for s in sorted(MIX_BUDGETS))
+
+
+def _epoch_cases() -> tuple[str, str]:
+    from ocr_spark.operators.corpus import epoch_weights
+
+    spec = sorted(epoch_weights(EPOCH_WEIGHTS).items())
+    base = " ".join(f"WHEN '{s}' THEN {b}" for s, (b, _) in spec)
+    thr = " ".join(f"WHEN '{s}' THEN {t}" for s, (_, t) in spec)
+    return base, thr
 
 
 def _mix_budget_cases() -> str:
@@ -1851,6 +1918,17 @@ def _quality_filter_sql() -> str:
              drop_reason
       FROM r
     """
+
+
+def _mojibake_chain_sql(expr: str) -> str:
+    """The oracle's repair: the SAME ordered replace chain the engine
+    applies, generated from the same MOJIBAKE_PAIRS table (no pattern
+    contains a quote, so plain literal interpolation is safe)."""
+    from ocr_spark.functions.text import MOJIBAKE_PAIRS
+
+    for m, f in MOJIBAKE_PAIRS:
+        expr = f"replace({expr}, '{m}', '{f}')"
+    return expr
 
 
 def _pii_scrub_sql() -> str:
@@ -2615,6 +2693,16 @@ def oracle_sql() -> dict[str, str]:
           ORDER BY t.doc_id
         """,
         "pii_scrub": _pii_scrub_sql(),
+        "mojibake_fix": f"""
+          WITH src AS (
+            SELECT doc_id,
+                   text || (CASE WHEN doc_id % 3 = 0
+                                 THEN ' {_MJ_BROKEN}' ELSE '' END) AS mt
+            FROM documents)
+          SELECT doc_id, {_mojibake_chain_sql('mt')} AS text,
+                 {_mojibake_chain_sql('mt')} <> mt AS changed
+          FROM src
+        """,
         "lang_id": f"""
           WITH c AS (
             SELECT doc_id,
@@ -2730,6 +2818,19 @@ def oracle_sql() -> dict[str, str]:
           SELECT doc_id, source, lang FROM documents
           WHERE ('0x' || substr(md5('|' || doc_id::VARCHAR), 1, 15))::BIGINT
             < CASE source {_mix_threshold_cases()} ELSE 0 END
+        """,
+        "epoch_mix": f"""
+          WITH src AS (
+            SELECT doc_id, source,
+              CASE source {_epoch_cases()[0]} ELSE 0 END
+              + CASE WHEN ('0x' || substr(md5('|' || doc_id::VARCHAR),
+                                          1, 15))::BIGINT
+                          < CASE source {_epoch_cases()[1]} ELSE 0 END
+                     THEN 1 ELSE 0 END AS n
+            FROM documents)
+          SELECT doc_id, source,
+                 CAST(unnest(range(1, n + 1)) AS INT) AS epoch
+          FROM src WHERE n > 0
         """,
         "token_budget_mix": f"""
           WITH tb AS (

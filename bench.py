@@ -44,8 +44,10 @@ BENCH_QUERIES = [
     "lsh_jaccard", "dedup_clusters", "simhash_near_dup", "embed_near_dup",
     "embed_near_dup_lsh", "span_qa", "cosine_topk", "ann_topk", "ann_topk_ivf",
     "text_stats", "repetition_stats", "quality_filter", "pii_scrub",
+    "mojibake_fix",
     "lang_id", "lang_id_cjk", "fingerprint", "token_count",
-    "lm_score", "stratified_sample", "token_budget_mix", "pack_sequences",
+    "lm_score", "stratified_sample", "epoch_mix", "token_budget_mix",
+    "pack_sequences",
     "packed_batches", "decontaminate", "curate_corpus",
     "warc_extract", "url_normalize", "domain_topk", "robots_filter",
     "outlinks", "pagerank", "graph_prior",

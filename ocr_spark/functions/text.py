@@ -16,7 +16,8 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "tokens", "token_count", "token_count_cjk", "word_shingles",
-    "with_text_stats", "with_lang_id", "fingerprint", "LANG_MARKERS",
+    "with_text_stats", "with_lang_id", "fingerprint", "fix_mojibake",
+    "MOJIBAKE_PAIRS", "LANG_MARKERS",
     "HAN_RANGES", "HANGUL_RANGES", "KANA_RANGES",
     "ARABIC_RANGES", "CYRILLIC_RANGES", "DEVANAGARI_RANGES",
     "UK_ONLY_CHARS", "UR_ONLY_CHARS", "FA_ONLY_CHARS",
@@ -235,3 +236,41 @@ def fingerprint(col: str | Column, k: int = 3, bottom: int = 4) -> Column:
     sh = word_shingles(col, k)
     digests = F.array_sort(F.transform(sh, lambda s: F.md5(F.encode(s, "utf-8"))))
     return F.array_join(F.slice(digests, 1, bottom), "")
+
+
+# Characters whose UTF-8 byte sequences, misread as Windows-1252 (the
+# classic double-encoding path: a UTF-8 page served or re-saved as
+# cp1252 — what ftfy calls mojibake), decode to a WELL-DEFINED
+# character sequence.  Bytes 0x81/0x8D/0x8F/0x90/0x9D are undefined in
+# cp1252, so sequences containing them (e.g. the right double quote
+# U+201D -> E2 80 9D) cannot round-trip and are deliberately absent:
+# repairing those requires guessing, which a deterministic pass whose
+# oracle must reproduce it bit-for-bit must not do.
+_MOJIBAKE_CHARS = "’‘“–—…‚„‹›«»éèêëàáâäçíîïñóôöúûüÿ°™€£¡¿"
+
+
+def _build_mojibake_pairs() -> list[tuple[str, str]]:
+    pairs = [(c.encode("utf-8").decode("cp1252"), c)
+             for c in _MOJIBAKE_CHARS]
+    # longest patterns first (3-byte punctuation like 'â€™' before the
+    # 2-byte accents), ties by target codepoint: a stable order both
+    # engines apply identically
+    pairs.sort(key=lambda p: (-len(p[0]), p[1]))
+    return pairs
+
+
+MOJIBAKE_PAIRS = _build_mojibake_pairs()
+
+
+def fix_mojibake(col: str | Column) -> Column:
+    """Repair UTF-8-misread-as-cp1252 mojibake with a fixed, ordered
+    chain of literal replacements (MOJIBAKE_PAIRS) — one pass, no
+    regex, no Python: 38 chained ``replace`` expressions that stay
+    inside whole-stage codegen.  A SQL oracle reproduces the repair
+    exactly by applying the same chain in the same order.  Repaired
+    targets contain none of the pattern-leading bytes (Ã/Â/â), so the
+    chain cannot cascade on its own output."""
+    c = F.col(col) if isinstance(col, str) else col
+    for moji, fixed in MOJIBAKE_PAIRS:
+        c = F.replace(c, F.lit(moji), F.lit(fixed))
+    return c

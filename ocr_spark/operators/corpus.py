@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 from ocr_spark.functions.text import token_count, tokens, word_shingles
 
 __all__ = ["stratified_sample", "token_budget_mix", "sample_thresholds",
+           "epoch_mix", "epoch_weights",
            "contamination_pairs", "pack_sequences", "packed_sequences"]
 
 # 60-bit hash space: 15 md5 hex chars, inside int64 on every engine
@@ -86,6 +87,50 @@ def stratified_sample(df: DataFrame, fractions: dict[str, float],
     for s, t in sorted(thresholds.items()):
         thr = F.when(F.col(strata_col) == s, F.lit(t)).otherwise(thr)
     return df.filter(h < thr)
+
+
+def epoch_weights(weights: dict[str, float]) -> dict[str, tuple[int, int]]:
+    """weight -> (whole epochs, fractional-epoch hash threshold),
+    computed ONCE in Python so engine and SQL oracle compare against
+    bit-identical integer literals."""
+    return {s: (int(w), int((w - int(w)) * HASH_SPACE))
+            for s, w in weights.items()}
+
+
+def epoch_mix(df: DataFrame, weights: dict[str, float],
+              strata_col: str = "source", key_col: str = "doc_id",
+              salt: str = "") -> DataFrame:
+    """Deterministic fractional upsampling for training mixes: stratum
+    s with weight w emits every doc floor(w) times, plus one extra
+    copy for the hash fraction frac(w) of its docs — so 2.5 epochs of
+    wiki means every wiki doc twice and a deterministic half of them a
+    third time (the standard epoch-weighting move when high-quality
+    sources are smaller than their target share).  Strata absent from
+    ``weights`` are dropped.  Output = input rows replicated with a
+    1-based ``epoch`` copy index.
+
+    Scale story: zero shuffle — a per-row explode of a bounded
+    sequence; which docs get the fractional copy is a pure function of
+    (key, salt), so retries and repartitionings reproduce the exact
+    mix, and downstream shuffles see copies hash-scattered rather than
+    a replicated hot partition."""
+    spec = epoch_weights(weights)
+    h = _md5_60(key_col, salt)
+    base = F.lit(0)
+    thr = F.lit(0)
+    for s, (b, t) in sorted(spec.items()):
+        cond = F.col(strata_col) == s
+        base = F.when(cond, F.lit(b)).otherwise(base)
+        thr = F.when(cond, F.lit(t)).otherwise(thr)
+    n = base + F.when(h < thr, F.lit(1)).otherwise(F.lit(0))
+    return (
+        df.withColumn("_n_copies", n)
+        # filter BEFORE sequence(): sequence(1, 0) would descend
+        .filter(F.col("_n_copies") > 0)
+        .withColumn("epoch",
+                    F.explode(F.sequence(F.lit(1), F.col("_n_copies"))))
+        .drop("_n_copies")
+    )
 
 
 def token_budget_mix(df: DataFrame, budgets: dict[str, int],

@@ -228,3 +228,34 @@ def test_packed_sequences_materialize_concat_and_cut(spark):
         for r in packed_sequences(df.repartition(7), L, n_buckets=16).collect()
     }
     assert re_got == {k: v[3] for k, v in got.items()}
+
+
+def test_epoch_mix_fractional_upsampling(spark):
+    """floor(w) copies for every doc, one extra for a deterministic
+    hash fraction, absent strata dropped, epoch indices 1..n, and the
+    exact copy set invariant under repartitioning."""
+    from ocr_spark.operators.corpus import epoch_mix
+
+    rows = [(i, ["a", "b", "c", "z"][i % 4]) for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    w = {"a": 2.5, "b": 1.0, "c": 0.4}
+    out = epoch_mix(df, w).collect()
+    by_key = {}
+    for r in out:
+        by_key.setdefault((r.doc_id, r.source), []).append(r.epoch)
+    assert all(s != "z" for _, s in by_key)          # whitelist
+    for (k, s), epochs in by_key.items():
+        lo = int(w[s])
+        assert sorted(epochs) == list(range(1, len(epochs) + 1))
+        assert lo <= len(epochs) <= lo + 1
+    # fractional strata actually split both ways
+    a_counts = {len(v) for (k, s), v in by_key.items() if s == "a"}
+    c_counts = {len(v) for (k, s), v in by_key.items() if s == "c"}
+    assert a_counts == {2, 3} and c_counts <= {0, 1} and 1 in c_counts
+    # every b doc exactly once; c docs with 0 copies are absent rows
+    assert all(len(v) == 1 for (k, s), v in by_key.items() if s == "b")
+    assert len([1 for (k, s) in by_key if s == "b"]) == 100
+    # determinism across partitionings
+    re_out = sorted((r.doc_id, r.source, r.epoch)
+                    for r in epoch_mix(df.repartition(13), w).collect())
+    assert re_out == sorted((r.doc_id, r.source, r.epoch) for r in out)

@@ -691,3 +691,24 @@ def test_line_dedup(spark):
     assert out[3].text == "totally unique document text"
     assert out[4].text == "" and out[4].n_lines_dropped == 1
     assert out[1].n_lines_kept == 2 and out[1].n_lines_dropped == 1
+
+
+def test_fix_mojibake_repairs_and_is_idempotent(spark):
+    """The cp1252 repair chain fixes every repairable sequence, leaves
+    ASCII and already-clean unicode alone, is idempotent, and does NOT
+    touch sequences containing cp1252-undefined bytes (U+009D: the
+    right-double-quote mojibake that cannot round-trip)."""
+    from ocr_spark.functions.text import MOJIBAKE_PAIRS, fix_mojibake
+
+    broken = " ".join(m for m, _ in MOJIBAKE_PAIRS)
+    fixed = " ".join(f for _, f in MOJIBAKE_PAIRS)
+    unrepairable = "aâ€b"   # â € U+009D
+    rows = [(1, broken), (2, fixed), (3, "plain ascii text"),
+            (4, unrepairable)]
+    df = spark.createDataFrame(rows, "i int, text string")
+    got = {r.i: r.t for r in
+           df.select("i", fix_mojibake("text").alias("t")).collect()}
+    assert got[1] == fixed
+    assert got[2] == fixed          # idempotent
+    assert got[3] == "plain ascii text"
+    assert got[4] == unrepairable
