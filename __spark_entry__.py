@@ -768,6 +768,83 @@ def q_epoch_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# DSIR target domain for q_dsir_select: two sources stand in for the
+# "looks like Wikipedia/books" side of Xie et al. 2023; the raw side is
+# the whole corpus.  Shared by query and oracle.
+DSIR_TARGET_SOURCES = ("src0", "src1")
+
+
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (hashed unigram features, 256 buckets,
+    add-1 smoothing) of every document against the src0/src1 target
+    domain, with the threshold keep flag derived from the GRID-ROUNDED
+    weight so both engines decide from identical values
+    (operators/corpus.py:dsir_weights).  One n_buckets-row training
+    aggregate + broadcast score join — the corpus never shuffles
+    full-width."""
+    from ocr_spark.operators.corpus import dsir_weights
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text",
+        F.col("source").isin(*DSIR_TARGET_SOURCES).alias("is_target"),
+    )
+    out = dsir_weights(docs, "is_target", n_buckets=256)
+    lw = F.round(F.col("log_weight"), 6)
+    return out.select(
+        "doc_id", "n_tokens", lw.alias("log_w"),
+        (lw > 0).cast("int").alias("keep"),
+    )
+
+
+SPLIT_SHARES = {"train": 0.9, "val": 0.05, "test": 0.05}
+
+
+def q_data_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment: disjoint + exhaustive
+    hash cut points, stable when the corpus grows (a doc's split
+    depends only on its own key — no leakage across snapshot growth).
+    Pure per-row expression, zero shuffle."""
+    from ocr_spark.operators.corpus import data_split
+
+    docs = _t(spark, sf_dir, "documents")
+    return data_split(docs, SPLIT_SHARES).select(
+        "doc_id", "source", "split"
+    )
+
+
+# shared literal for q_bloom_dedup: the boilerplate line every page
+# carries (long enough to never collide with organic text)
+_BLOOM_BP = "accept all cookies to continue reading this site"
+
+
+def q_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental snapshot dedup via a Bloom bitmap (Dolma's
+    paragraph-dedup design): even docs form the PRIOR snapshot whose
+    trimmed lines build an 8192-bit / k=3 bitmap; odd docs are the NEW
+    snapshot and drop every line the bitmap marks seen.  The shared
+    boilerplate line vanishes from every new doc; organic and per-doc
+    lines survive except deterministic false positives, which the
+    DuckDB oracle reproduces bit-for-bit (same md5 bit positions, same
+    32-bit-word bit_or fold).  Scale shape: the bitmap build is ONE
+    skinny m/32-group aggregate, probes are k broadcast joins, and only
+    kept text crosses the final reassembly exchange
+    (operators/dedup.py:bloom_line_dedup)."""
+    from ocr_spark.operators.dedup import bloom_line_dedup
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.col("text"),
+            F.lit(_BLOOM_BP),
+            F.concat(F.lit("page footer ref "), F.col("doc_id")),
+        ).alias("text"),
+    )
+    prior = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    return bloom_line_dedup(new, prior)
+
+
 def q_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fill each source stratum up to a token budget in deterministic
     hash order via the two-pass distributed prefix sum (never a whole
@@ -1561,6 +1638,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": q_token_count,
         "stratified_sample": q_stratified_sample,
         "epoch_mix": q_epoch_mix,
+        "dsir_select": q_dsir_select,
+        "data_split": q_data_split,
+        "bloom_dedup": q_bloom_dedup,
         "token_budget_mix": q_token_budget_mix,
         "pack_sequences": q_pack_sequences,
         "packed_batches": q_packed_batches,
@@ -1917,6 +1997,120 @@ def _quality_filter_sql() -> str:
              CASE WHEN drop_reason = 'ok' THEN 1 ELSE 0 END AS keep,
              drop_reason
       FROM r
+    """
+
+
+def _dsir_sql() -> str:
+    """DuckDB twin of q_dsir_select: same tokenizer, same 60-bit md5
+    bucket hash, same add-1 log-ratio arithmetic, keep decided from the
+    identically-rounded weight."""
+    toks = "string_split_regex(trim(text), '\\s+')"
+    srcs = ", ".join(f"'{s}'" for s in DSIR_TARGET_SOURCES)
+    return f"""
+      WITH tok AS (
+        SELECT doc_id,
+               CASE WHEN source IN ({srcs}) THEN 1 ELSE 0 END AS t,
+               CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+                    ELSE {toks} END AS tl
+        FROM documents),
+      ex AS (SELECT doc_id, t, unnest(tl) AS tok FROM tok),
+      bk AS (
+        SELECT doc_id, t,
+               ('0x' || substr(md5('dsir|' || tok), 1, 15))::BIGINT % 256 AS b
+        FROM ex),
+      bc AS (SELECT b, count(*) AS c_raw, sum(t) AS c_tgt FROM bk GROUP BY b),
+      tot AS (SELECT CAST(sum(c_raw) AS BIGINT) AS n_raw,
+                     CAST(sum(c_tgt) AS BIGINT) AS n_tgt FROM bc),
+      lr AS (
+        SELECT b,
+               ln((c_tgt + 1) / CAST((SELECT n_tgt FROM tot) + 256 AS DOUBLE))
+             - ln((c_raw + 1) / CAST((SELECT n_raw FROM tot) + 256 AS DOUBLE))
+               AS lrv
+        FROM bc),
+      sc AS (
+        SELECT bk.doc_id, sum(lr.lrv) AS lw, count(*) AS n_tok
+        FROM bk JOIN lr USING (b) GROUP BY bk.doc_id)
+      SELECT d.doc_id,
+             CAST(coalesce(sc.n_tok, 0) AS BIGINT) AS n_tokens,
+             round(sc.lw, 6) AS log_w,
+             CAST(round(sc.lw, 6) > 0 AS INT) AS keep
+      FROM (SELECT DISTINCT doc_id FROM documents) d
+      LEFT JOIN sc ON d.doc_id = sc.doc_id
+    """
+
+
+def _data_split_sql() -> str:
+    from ocr_spark.operators.corpus import split_thresholds
+
+    cuts = split_thresholds(SPLIT_SHARES)
+    h = "('0x' || substr(md5('split|' || doc_id::VARCHAR), 1, 15))::BIGINT"
+    case = " ".join(f"WHEN {h} < {ub} THEN '{name}'"
+                    for name, ub in cuts[:-1])
+    return f"""
+      SELECT doc_id, source,
+             CASE {case} ELSE '{cuts[-1][0]}' END AS split
+      FROM documents
+    """
+
+
+def _bloom_dedup_sql() -> str:
+    """DuckDB twin of q_bloom_dedup: rebuilds the 8192-bit bitmap with
+    the same three salted md5 positions and the same 32-bit-word bit_or
+    fold, so even Bloom false positives match bit-for-bit."""
+    m = 1 << 13
+
+    def pos(i: int) -> str:
+        return (f"('0x' || substr(md5('bloom{i}|' || nrm), 1, 15))::BIGINT"
+                f" % {m}")
+
+    inserts = "\n          UNION ALL\n          ".join(
+        f"SELECT {pos(i)} AS pos FROM lines WHERE doc_id % 2 = 0"
+        for i in range(3))
+    probes = ",\n               ".join(f"{pos(i)} AS p{i}" for i in range(3))
+    hit = "\n           AND ".join(
+        f"coalesce((w{i}.bits & (1::BIGINT << CAST(pr.p{i} % 32 AS INT)))"
+        f" <> 0, FALSE)" for i in range(3))
+    joins = "\n        ".join(
+        f"LEFT JOIN words w{i} ON w{i}.word = pr.p{i} // 32"
+        for i in range(3))
+    return f"""
+      WITH aug AS (
+        SELECT doc_id,
+               text || chr(10) || '{_BLOOM_BP}' || chr(10) ||
+               'page footer ref ' || doc_id AS mt
+        FROM documents),
+      ls AS (SELECT doc_id, string_split(mt, chr(10)) AS arr FROM aug),
+      lines0 AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(arr) + 1),
+                      i -> {{'pos': i, 'ln': arr[i]}})) AS u
+        FROM ls),
+      lines AS (
+        SELECT doc_id, u.pos AS pos, u.ln AS ln, trim(u.ln) AS nrm
+        FROM lines0),
+      ppos AS (
+          {inserts}),
+      words AS (
+        SELECT pos // 32 AS word,
+               bit_or(1::BIGINT << CAST(pos % 32 AS INT)) AS bits
+        FROM ppos GROUP BY 1),
+      probe AS (
+        SELECT doc_id, pos, ln,
+               {probes}
+        FROM lines WHERE doc_id % 2 = 1),
+      flg AS (
+        SELECT pr.doc_id, pr.pos, pr.ln,
+               {hit} AS hit
+        FROM probe pr
+        {joins})
+      SELECT doc_id,
+             coalesce(string_agg(ln, chr(10) ORDER BY pos)
+                      FILTER (WHERE NOT hit), '') AS text,
+             CAST(count(*) FILTER (WHERE NOT hit) AS BIGINT)
+               AS n_lines_kept,
+             CAST(count(*) FILTER (WHERE hit) AS BIGINT)
+               AS n_lines_dropped
+      FROM flg GROUP BY doc_id
     """
 
 
@@ -2832,6 +3026,9 @@ def oracle_sql() -> dict[str, str]:
                  CAST(unnest(range(1, n + 1)) AS INT) AS epoch
           FROM src WHERE n > 0
         """,
+        "dsir_select": _dsir_sql(),
+        "data_split": _data_split_sql(),
+        "bloom_dedup": _bloom_dedup_sql(),
         "token_budget_mix": f"""
           WITH tb AS (
             SELECT doc_id, source,

@@ -35,7 +35,8 @@ from pyspark.sql import functions as F
 from ocr_spark.functions.text import token_count, tokens, word_shingles
 
 __all__ = ["stratified_sample", "token_budget_mix", "sample_thresholds",
-           "epoch_mix", "epoch_weights",
+           "epoch_mix", "epoch_weights", "dsir_weights",
+           "data_split", "split_thresholds",
            "contamination_pairs", "pack_sequences", "packed_sequences"]
 
 # 60-bit hash space: 15 md5 hex chars, inside int64 on every engine
@@ -131,6 +132,101 @@ def epoch_mix(df: DataFrame, weights: dict[str, float],
                     F.explode(F.sequence(F.lit(1), F.col("_n_copies"))))
         .drop("_n_copies")
     )
+
+
+def dsir_weights(df: DataFrame, target_col: str,
+                 text_col: str = "text", id_col: str = "doc_id",
+                 n_buckets: int = 256, salt: str = "dsir",
+                 broadcast_buckets: bool = True) -> DataFrame:
+    """DSIR hashed-n-gram importance weights (Xie et al., NeurIPS 2023:
+    *Data Selection for Language Models via Importance Resampling*):
+    score every raw document by how target-like its token distribution
+    is, ``log w(x) = sum over tokens of ln p_target(bucket(tok)) -
+    ln p_raw(bucket(tok))``, with tokens hashed into ``n_buckets``
+    feature buckets and both bucket distributions add-1 smoothed.
+    ``target_col`` is an int/bool column marking the in-domain subset
+    (the Wikipedia/books side of the original paper); the raw
+    distribution is the whole input.  High ``log_weight`` = looks like
+    the target; selection downstream is a threshold or a top-k.
+
+    Scale shape — identical to ``functions.quality.unigram_logprob``:
+    ONE explode->hash-aggregate shuffle trains both distributions at
+    once (the aggregate is keyed by bucket, so its output is exactly
+    ``n_buckets`` rows no matter the corpus size, and the hot bucket is
+    absorbed map-side); the log-ratio table broadcasts back over the
+    exploded tokens; the per-doc reduction is a second skinny aggregate
+    keyed by ``id_col``.  The bucket hash is the 60-bit md5 integer
+    both engines compute bit-identically, so a SQL oracle re-derives
+    every weight closed-form.  Token-less docs keep NULL ``log_weight``
+    (no evidence)."""
+    ex = df.select(
+        id_col,
+        F.col(target_col).cast("long").alias("_tgt"),
+        F.explode(tokens(text_col)).alias("tok"),
+    ).withColumn("b", _md5_60("tok", salt) % n_buckets).drop("tok")
+    counts = ex.groupBy("b").agg(
+        F.count("*").alias("c_raw"), F.sum("_tgt").alias("c_tgt")
+    )
+    totals = counts.agg(F.sum("c_raw").alias("n_raw"),
+                        F.sum("c_tgt").alias("n_tgt"))
+    lr = counts.crossJoin(F.broadcast(totals)).select(
+        "b",
+        (
+            F.log((F.col("c_tgt") + 1).cast("double")
+                  / (F.col("n_tgt") + n_buckets))
+            - F.log((F.col("c_raw") + 1).cast("double")
+                    / (F.col("n_raw") + n_buckets))
+        ).alias("_lr"),
+    )
+    if broadcast_buckets:
+        lr = F.broadcast(lr)
+    per_doc = ex.join(lr, "b").groupBy(id_col).agg(
+        F.sum("_lr").alias("log_weight"),
+        F.count("*").alias("n_tokens"),
+    )
+    return (
+        df.select(id_col).distinct()
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_tokens"), F.lit(0)).alias("n_tokens"),
+            F.col("log_weight"),
+        )
+    )
+
+
+# canonical 3-way split shares: a pure function of the key hash so the
+# assignment is stable across runs, engines, and re-partitionings
+def split_thresholds(shares: dict[str, float]) -> list[tuple[str, int]]:
+    """Ordered (name, upper-bound) cut points over the 60-bit hash
+    space: cumulative shares, computed once in Python so engine and
+    oracle compare bit-identical integer literals.  Shares must sum to
+    <= 1.0; any remainder falls into the LAST split (so 1.0-summing
+    specs are exhaustive by construction)."""
+    cuts, acc = [], 0.0
+    items = list(shares.items())
+    for name, frac in items[:-1]:
+        acc += frac
+        cuts.append((name, int(acc * HASH_SPACE)))
+    cuts.append((items[-1][0], HASH_SPACE))
+    return cuts
+
+
+def data_split(df: DataFrame, shares: dict[str, float],
+               key_col: str = "doc_id", salt: str = "split") -> DataFrame:
+    """Deterministic train/val/test assignment: ``split`` column from
+    the key's 60-bit hash against cumulative cut points — disjoint and
+    exhaustive by construction, reproducible under retries and
+    repartitionings, and leakage-safe (a document can never migrate
+    between splits when the corpus grows, because its assignment
+    depends only on its own key).  Zero shuffle: a per-row expression
+    that pushes down around everything."""
+    cuts = split_thresholds(shares)
+    h = _md5_60(key_col, salt)
+    expr = F.lit(cuts[-1][0])
+    for name, ub in reversed(cuts[:-1]):
+        expr = F.when(h < ub, F.lit(name)).otherwise(expr)
+    return df.withColumn("split", expr)
 
 
 def token_budget_mix(df: DataFrame, budgets: dict[str, int],

@@ -43,6 +43,7 @@ __all__ = [
     "simhash",
     "simhash_near_dup_pairs", "simhash_bucket_overflow",
     "connected_components", "near_dup_clusters",
+    "bloom_build", "bloom_member", "bloom_line_dedup",
 ]
 
 # Mersenne prime 2^31-1: the affine minhash family works mod P, so
@@ -817,4 +818,133 @@ def simhash_bucket_overflow(df: DataFrame, key_col: str = "doc_id",
         _simhash_buckets(df, key_col, text_col, max_hamming, hash_mode)
         .filter(F.size("ms") > max_bucket_size)
         .select("chunk_idx", "chunk", F.size("ms").alias("n_ids"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter incremental dedup (the Dolma paragraph-dedup design:
+# Soldaini et al. 2024 use a Bloom filter so the "seen" set for a
+# multi-snapshot crawl fits in bounded memory instead of a
+# corpus-sized hash table).  Build folds an m-bit bitmap with a
+# two-level OR aggregate; membership is k broadcast-join bit probes.
+# False-positive rate ~ (1 - e^(-k*n/m))^k, deterministic given the
+# hash family -- so a SQL oracle reproduces every FP bit-for-bit, and a
+# dropped-by-FP line is a *documented* approximation, never silent
+# drift between engines.
+# ---------------------------------------------------------------------------
+
+def _bloom_positions(col: str, m_bits: int, k: int, salt: str) -> list:
+    """k independent bit positions for ``col``'s value: the shared
+    60-bit md5 integer hash under k distinct salts, mod m_bits."""
+    from ocr_spark.operators.corpus import _md5_60
+
+    return [(_md5_60(col, f"{salt}{i}") % m_bits) for i in range(k)]
+
+
+def bloom_build(df: DataFrame, col: str, m_bits: int = 1 << 13,
+                k: int = 3, salt: str = "bloom") -> DataFrame:
+    """Fold ``df[col]``'s values into an m-bit Bloom bitmap, returned
+    as a tiny ``(word, bits)`` DataFrame of 32-bit words (<= m_bits/32
+    rows -- 32-bit words because a 1<<63 mask overflows signed ranges
+    on some engines).  ONE skinny shuffle: the explode emits k
+    (position) ints per value, map-side partial bit_or absorbs
+    repeats, and the reduce side sees at most m_bits/32 groups no
+    matter the corpus size.  At 100 TB the bitmap is still a few MB --
+    collect-free here, broadcast by the probe side."""
+    pos = df.select(
+        F.explode(F.array(*_bloom_positions(col, m_bits, k, salt)))
+        .alias("pos")
+    )
+    return (
+        pos.select(
+            F.shiftright(F.col("pos"), 5).alias("word"),
+            F.expr("shiftleft(1L, cast(pos % 32 as int))").alias("mask"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+
+
+def bloom_member(df: DataFrame, col: str, bloom: DataFrame,
+                 m_bits: int = 1 << 13, k: int = 3, salt: str = "bloom",
+                 member_col: str = "bloom_hit") -> DataFrame:
+    """Append boolean ``member_col``: True iff all k probe bits are set
+    in ``bloom`` (possible false positives at the documented rate,
+    never false negatives).  The bitmap is broadcast (m_bits/32 skinny
+    rows); each probe is a broadcast equi-join on the word index, so
+    the corpus side never shuffles."""
+    out = df
+    cond = F.lit(True)
+    probes = _bloom_positions(col, m_bits, k, salt)
+    for i, pos in enumerate(probes):
+        out = out.withColumn(f"_bpos{i}", pos)
+        side = F.broadcast(bloom.select(
+            F.col("word").alias(f"_bw{i}"), F.col("bits").alias(f"_bb{i}")
+        ))
+        out = out.join(
+            side, F.shiftright(F.col(f"_bpos{i}"), 5) == F.col(f"_bw{i}"),
+            "left",
+        )
+        hit = F.coalesce(
+            F.expr(f"(_bb{i} & shiftleft(1L, cast(_bpos{i} % 32 as int)))"
+                   " != 0"),
+            F.lit(False),
+        )
+        cond = cond & hit
+    drop = [f"_bpos{i}" for i in range(k)] + \
+           [f"_bw{i}" for i in range(k)] + [f"_bb{i}" for i in range(k)]
+    return out.withColumn(member_col, cond).drop(*drop)
+
+
+def bloom_line_dedup(df: DataFrame, prior: DataFrame,
+                     key_col: str = "doc_id", text_col: str = "text",
+                     m_bits: int = 1 << 13, k: int = 3,
+                     salt: str = "bloom") -> DataFrame:
+    """Incremental line-level dedup of a NEW snapshot against a PRIOR
+    corpus (Dolma's paragraph Bloom dedup, line == newline-delimited
+    block): build the Bloom bitmap over ``prior``'s trimmed lines, drop
+    every ``df`` line whose trimmed form probes as seen, reassemble.
+    Returns one row per input doc: ``(key, text, n_lines_kept,
+    n_lines_dropped)``, line order preserved; docs whose every line is
+    seen come back with text '' (filtered by a later quality pass,
+    never silently lost -- same contract as ``line_dedup``).
+
+    Why Bloom instead of the exact anti-join ``line_dedup`` uses: the
+    prior side of a multi-snapshot crawl is ALL PREVIOUS SNAPSHOTS --
+    an exact distinct-line table outgrows executor memory and forces a
+    corpus x corpus shuffle join every increment, while the bitmap
+    stays m_bits/8 bytes forever and broadcasts.  The price, a
+    deterministic FP rate, is the standard trade (Dolma ships 1e-4).
+
+    Scale shape: ONE skinny shuffle builds the bitmap; the new
+    snapshot's lines take k broadcast probes (no shuffle); the only
+    full-width exchange is the final groupBy(key) reassembly of KEPT
+    text -- identical to ``line_dedup``'s."""
+    bloom = bloom_build(
+        prior.select(F.trim(F.col(text_col)).alias("_t"))
+        .select(F.explode(F.split("_t", "\n")).alias("ln"))
+        .select(F.trim("ln").alias("nrm")),
+        "nrm", m_bits, k, salt,
+    )
+    lines = df.select(
+        F.col(key_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "ln"),
+    ).withColumn("nrm", F.trim(F.col("ln")))
+    flagged = bloom_member(lines, "nrm", bloom, m_bits, k, salt)
+    keep = ~F.col("bloom_hit")
+    kept_struct = F.when(keep, F.struct(F.col("pos"), F.col("ln")))
+    return (
+        flagged.groupBy(key_col)
+        .agg(
+            F.sort_array(F.collect_list(kept_struct)).alias("ks"),
+            F.sum(F.when(keep, 1).otherwise(0)).alias("n_lines_kept"),
+            F.sum(F.when(keep, 0).otherwise(1)).alias("n_lines_dropped"),
+        )
+        .select(
+            key_col,
+            F.array_join(
+                F.transform(F.col("ks"), lambda s: s.getField("ln")), "\n"
+            ).alias(text_col),
+            "n_lines_kept", "n_lines_dropped",
+        )
     )

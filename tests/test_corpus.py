@@ -259,3 +259,57 @@ def test_epoch_mix_fractional_upsampling(spark):
     re_out = sorted((r.doc_id, r.source, r.epoch)
                     for r in epoch_mix(df.repartition(13), w).collect())
     assert re_out == sorted((r.doc_id, r.source, r.epoch) for r in out)
+
+
+def test_dsir_weights_scores_target_like_docs_higher(spark):
+    """Docs sharing the target subset's vocabulary must outscore docs
+    made of off-domain tokens; empty docs keep NULL; the weights are
+    invariant under repartitioning."""
+    from ocr_spark.operators.corpus import dsir_weights
+
+    rows = (
+        # target subset: clean encyclopedic tokens
+        [(i, "the quick history of science and art", 1) for i in range(10)]
+        # raw-only docs that look like the target
+        + [(10 + i, "history of art and science", 0) for i in range(5)]
+        # raw-only junk
+        + [(15 + i, "zzz qqq xxx spam spam spam", 0) for i in range(5)]
+        + [(20, "   ", 0)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string, tgt int")
+    out = {r.doc_id: r for r in dsir_weights(df, "tgt").collect()}
+    assert len(out) == 21
+    assert out[20].log_weight is None and out[20].n_tokens == 0
+    target_like = out[12].log_weight
+    junk = out[17].log_weight
+    assert target_like > junk
+    re_out = {r.doc_id: r.log_weight
+              for r in dsir_weights(df.repartition(7), "tgt").collect()}
+    for k, r in out.items():
+        if r.log_weight is None:
+            assert re_out[k] is None
+        else:
+            assert abs(re_out[k] - r.log_weight) < 1e-9
+
+
+def test_data_split_disjoint_exhaustive_stable(spark):
+    from ocr_spark.operators.corpus import data_split
+
+    df = spark.createDataFrame([(i,) for i in range(2000)], "doc_id long")
+    out = {r.doc_id: r.split
+           for r in data_split(df, {"train": 0.8, "val": 0.1,
+                                    "test": 0.1}).collect()}
+    assert len(out) == 2000                      # exhaustive, one split each
+    from collections import Counter
+
+    c = Counter(out.values())
+    assert set(c) == {"train", "val", "test"}
+    assert 0.75 < c["train"] / 2000 < 0.85
+    assert 0.06 < c["val"] / 2000 < 0.14
+    # growth stability: assignments of a subset are unchanged when the
+    # corpus doubles (leakage safety across snapshot growth)
+    half = spark.createDataFrame([(i,) for i in range(1000)], "doc_id long")
+    sub = {r.doc_id: r.split
+           for r in data_split(half, {"train": 0.8, "val": 0.1,
+                                      "test": 0.1}).collect()}
+    assert all(out[k] == v for k, v in sub.items())

@@ -712,3 +712,41 @@ def test_fix_mojibake_repairs_and_is_idempotent(spark):
     assert got[2] == fixed          # idempotent
     assert got[3] == "plain ascii text"
     assert got[4] == unrepairable
+
+
+def test_bloom_member_no_false_negatives(spark):
+    from ocr_spark.operators.dedup import bloom_build, bloom_member
+
+    vals = spark.createDataFrame(
+        [(f"value number {i}",) for i in range(500)], "v string")
+    bloom = bloom_build(vals, "v", m_bits=1 << 13)
+    got = bloom_member(vals, "v", bloom, m_bits=1 << 13).collect()
+    assert all(r.bloom_hit for r in got)         # never a false negative
+
+
+def test_bloom_line_dedup_incremental_snapshot(spark):
+    """Lines present in the prior snapshot are dropped from the new
+    one; fresh lines survive; all-seen docs come back as '' rows; the
+    result is invariant under repartitioning."""
+    from ocr_spark.operators.dedup import bloom_line_dedup
+
+    prior = spark.createDataFrame(
+        [(100, "common cookie banner accept text\nprior unique line alpha")],
+        "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(1, "common cookie banner accept text\nfresh line beta"),
+         (2, "prior unique line alpha"),
+         (3, "entirely new document line gamma\nanother new line delta")],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in bloom_line_dedup(new, prior).collect()}
+    assert out[1].text == "fresh line beta"
+    assert out[1].n_lines_dropped == 1 and out[1].n_lines_kept == 1
+    assert out[2].text == "" and out[2].n_lines_kept == 0
+    assert out[3].text == ("entirely new document line gamma\n"
+                           "another new line delta")
+    assert out[3].n_lines_dropped == 0
+    re_out = {r.doc_id: (r.text, r.n_lines_kept, r.n_lines_dropped)
+              for r in bloom_line_dedup(new.repartition(5),
+                                        prior.repartition(3)).collect()}
+    assert re_out == {k: (v.text, v.n_lines_kept, v.n_lines_dropped)
+                      for k, v in out.items()}
