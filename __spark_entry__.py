@@ -977,7 +977,7 @@ def _synth_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
                             F.lit(".com/?utm_medium=em#")))
     )
     return docs.select("doc_id", url.alias("url"),
-                       F.length("text").alias("score"))
+                       F.length("text").alias("score"), "text")
 
 
 def q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1108,6 +1108,48 @@ def q_outlinks(spark: SparkSession, sf_dir: str) -> DataFrame:
                      passthrough=("doc_id",), with_anchor_text=True)
     return (edges.select("doc_id", "dst", "anchor")
             .orderBy("doc_id", "dst"))
+
+
+def q_anchor_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incoming anchor-text aggregation over the q_outlinks web graph:
+    per link target, in-link count, distinct anchor strings, and the
+    most frequent anchor (ties to the lexicographically last).  Engine
+    side is two hash aggregates with an order-free struct-max — no
+    window over the hot target; the oracle runs the naive
+    window-ranked twin (operators/web.py:anchor_text_agg)."""
+    from ocr_spark.operators.web import anchor_text_agg
+
+    edges = q_outlinks(spark, sf_dir)
+    return anchor_text_agg(edges).orderBy("dst")
+
+
+def q_cdx_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDX capture-index generation (the Common-Crawl/Wayback lookup
+    artifact): normalize the url, derive its SURT key (reversed host
+    labels — a lexicographic sort clusters each domain's captures,
+    which is why CDX shards by SURT range), a 14-digit capture
+    timestamp, the payload digest and byte length.  Pure per-row
+    expressions; the global order here is the driver's comparison sort
+    — a production writer range-partitions by SURT prefix and sorts
+    within shards (operators/web.py:surt_key)."""
+    from ocr_spark.operators.web import surt_key, url_normalize
+
+    pages = _synth_urls(spark, sf_dir)
+    norm = url_normalize("url")
+    ts = F.concat(
+        F.lit("20240615"),
+        F.lpad((F.col("doc_id") % 24).cast("string"), 2, "0"),
+        F.lpad((F.col("doc_id") % 60).cast("string"), 2, "0"),
+        F.lit("00"),
+    )
+    return pages.select(
+        surt_key(norm).alias("surt"),
+        ts.alias("ts"),
+        norm.alias("url_norm"),
+        F.md5(F.encode(F.col("text"), "utf-8")).alias("digest"),
+        F.octet_length("text").alias("length"),
+        "doc_id",
+    ).orderBy("surt", "ts", "doc_id")
 
 
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1651,6 +1693,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_topk": q_domain_topk,
         "robots_filter": q_robots_filter,
         "outlinks": q_outlinks,
+        "anchor_agg": q_anchor_agg,
+        "cdx_index": q_cdx_index,
         "pagerank": q_pagerank,
         "graph_prior": q_graph_prior,
         "media_decode": q_media_decode,
@@ -2437,6 +2481,83 @@ def _curate_corpus_sql() -> str:
     """
 
 
+def _outlinks_edges_sql() -> str:
+    """Closed-form (doc_id, dst, anchor) edge set of the q_outlinks
+    synthetic pages — shared by the outlinks and anchor_agg oracles."""
+    toks = "string_split_regex(trim(text), '\\s+')"
+    return f"""
+          WITH tok AS (
+            SELECT doc_id,
+              CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+                   ELSE {toks} END AS tl
+            FROM documents),
+          sans AS (
+            SELECT doc_id, tl[1:5] AS t5,
+              list_transform(tl[1:5],
+                t -> regexp_replace(t, '[^A-Za-z0-9]', '', 'g')) AS ss
+            FROM tok),
+          tok_links AS (
+            SELECT doc_id, u['dst'] AS dst, u['anchor'] AS anchor FROM (
+              SELECT doc_id,
+                unnest(list_transform(range(1, len(ss) + 1),
+                  i -> {{'dst': 'https://w' || CAST(i - 1 AS VARCHAR)
+                               || '.example.org/t'
+                               || CASE WHEN ss[i] = '' THEN ''
+                                       ELSE '/' || ss[i] END,
+                        'anchor': t5[i]}})) AS u
+              FROM sans)),
+          fixed AS (
+            SELECT doc_id, u['dst'] AS dst, u['anchor'] AS anchor FROM (
+              SELECT doc_id, unnest([
+                {{'dst': 'https://src' || CAST(doc_id AS VARCHAR)
+                        || '.example.com/rel/0', 'anchor': 'r'}},
+                {{'dst': 'https://src' || CAST(doc_id AS VARCHAR)
+                        || '.example.com/dir/page.html?q=2',
+                  'anchor': 'q'}}
+              ]) AS u FROM tok))
+          SELECT DISTINCT doc_id, dst, anchor FROM (
+            SELECT doc_id, dst, anchor FROM tok_links
+            UNION ALL SELECT doc_id, dst, anchor FROM fixed)
+    """
+
+
+def _surt_sql(url_expr: str) -> str:
+    """DuckDB twin of web.surt_key over an already-normalized url
+    expression: reversed host labels (www. dropped, port kept),
+    ')' + path?query ('/' when empty)."""
+    rest = (f"regexp_replace({url_expr}, "
+            "'^[A-Za-z][A-Za-z0-9+.-]*://', '')")
+    hostport = f"regexp_extract({rest}, '^[^/?]*')"
+    return (
+        "array_to_string(list_reverse(string_split("
+        f"regexp_replace(split_part({hostport}, ':', 1), '^www\\.', ''),"
+        " '.')), ',')"
+        f" || regexp_extract({hostport}, ':[0-9]+$')"
+        " || ')' || "
+        f"(CASE WHEN regexp_replace({rest}, '^[^/?]*', '') = '' THEN '/'"
+        f" ELSE regexp_replace({rest}, '^[^/?]*', '') END)"
+    )
+
+
+def _cdx_index_sql() -> str:
+    f = _url_sql_frags()
+    return f"""
+      WITH u AS (
+        SELECT doc_id, length(text) AS score, {f['url_case']} AS url
+        FROM documents),
+      n AS ({f['norm']})
+      SELECT {_surt_sql('n.url_norm')} AS surt,
+             '20240615' || lpad((n.doc_id % 24)::VARCHAR, 2, '0')
+                        || lpad((n.doc_id % 60)::VARCHAR, 2, '0')
+                        || '00' AS ts,
+             n.url_norm AS url_norm,
+             md5(d.text) AS digest,
+             CAST(strlen(d.text) AS INT) AS length,
+             n.doc_id AS doc_id
+      FROM n JOIN documents d ON n.doc_id = d.doc_id
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     stop_list = "['the','a','of','and','to','in','is','it','that','for']"
     markers = {
@@ -3074,40 +3195,27 @@ def oracle_sql() -> dict[str, str]:
           FROM documents ORDER BY doc_id
         """,
         "outlinks": f"""
-          WITH tok AS (
-            SELECT doc_id,
-              CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
-                   ELSE {toks} END AS tl
-            FROM documents),
-          sans AS (
-            SELECT doc_id, tl[1:5] AS t5,
-              list_transform(tl[1:5],
-                t -> regexp_replace(t, '[^A-Za-z0-9]', '', 'g')) AS ss
-            FROM tok),
-          tok_links AS (
-            SELECT doc_id, u['dst'] AS dst, u['anchor'] AS anchor FROM (
-              SELECT doc_id,
-                unnest(list_transform(range(1, len(ss) + 1),
-                  i -> {{'dst': 'https://w' || CAST(i - 1 AS VARCHAR)
-                               || '.example.org/t'
-                               || CASE WHEN ss[i] = '' THEN ''
-                                       ELSE '/' || ss[i] END,
-                        'anchor': t5[i]}})) AS u
-              FROM sans)),
-          fixed AS (
-            SELECT doc_id, u['dst'] AS dst, u['anchor'] AS anchor FROM (
-              SELECT doc_id, unnest([
-                {{'dst': 'https://src' || CAST(doc_id AS VARCHAR)
-                        || '.example.com/rel/0', 'anchor': 'r'}},
-                {{'dst': 'https://src' || CAST(doc_id AS VARCHAR)
-                        || '.example.com/dir/page.html?q=2',
-                  'anchor': 'q'}}
-              ]) AS u FROM tok))
-          SELECT DISTINCT doc_id, dst, anchor FROM (
-            SELECT doc_id, dst, anchor FROM tok_links
-            UNION ALL SELECT doc_id, dst, anchor FROM fixed)
+          SELECT * FROM ({_outlinks_edges_sql()})
           ORDER BY doc_id, dst
         """,
+        "anchor_agg": f"""
+          WITH edges AS ({_outlinks_edges_sql()}),
+          pa AS (SELECT dst, anchor, count(*) AS cnt
+                 FROM edges GROUP BY dst, anchor),
+          rk AS (
+            SELECT dst, anchor, cnt,
+                   row_number() OVER (PARTITION BY dst
+                     ORDER BY cnt DESC, anchor DESC) AS rn,
+                   sum(cnt) OVER (PARTITION BY dst) AS n_in,
+                   count(*) OVER (PARTITION BY dst) AS n_an
+            FROM pa)
+          SELECT dst, CAST(n_in AS BIGINT) AS n_inlinks,
+                 CAST(n_an AS BIGINT) AS n_distinct_anchors,
+                 anchor AS top_anchor, CAST(cnt AS BIGINT)
+                   AS top_anchor_count
+          FROM rk WHERE rn = 1
+        """,
+        "cdx_index": _cdx_index_sql(),
         "graph_prior": """
           WITH hosts AS (SELECT DISTINCT doc_id % 20 AS hid FROM documents),
           e AS (

@@ -51,7 +51,7 @@ BENCH_QUERIES = [
     "pack_sequences",
     "packed_batches", "decontaminate", "curate_corpus",
     "warc_extract", "url_normalize", "domain_topk", "robots_filter",
-    "outlinks", "pagerank", "graph_prior",
+    "outlinks", "anchor_agg", "cdx_index", "pagerank", "graph_prior",
     "media_decode", "png_decode", "audio_decode", "frame_sample",
     "pricing_summary", "top_customers", "regional_revenue",
     "customers_no_orders", "setop_except", "json_extract",

@@ -49,7 +49,8 @@ from pyspark.sql import types as T
 
 __all__ = ["TRACKING_PARAMS", "url_normalize", "url_host",
            "registered_domain", "domain_topk", "outlinks", "pagerank",
-           "parse_robots", "robots_allowed", "robots_filter"]
+           "parse_robots", "robots_allowed", "robots_filter",
+           "surt_key", "anchor_text_agg"]
 
 # the closed, documented drop-set; extend per deployment.  Matched on
 # the parameter NAME (the part left of '='), utm_ by prefix.
@@ -425,3 +426,60 @@ def robots_filter(pages: DataFrame, robots: DataFrame,
             yield pa.RecordBatch.from_arrays(arrays, in_cols + ["allowed"])
 
     return sel.mapInArrow(kernel, schema=out_schema)
+
+
+def surt_key(col: str | Column) -> Column:
+    """SURT (Sort-friendly URI Reordering Transform) key of an
+    ALREADY-NORMALIZED url — the CDX index key convention
+    (``com,example)/path?q=1``): host labels reversed and comma-joined
+    (leading ``www.`` dropped, non-default port kept after the host),
+    then ``)`` and the path+query.  Computed over ``url_normalize``'s
+    output so equal resources share a key; the reversed-host prefix
+    makes a lexicographic sort cluster a domain's pages together —
+    which is exactly why CDX shards by SURT range at crawl scale.
+    Pure per-row JVM expressions, zero shuffle."""
+    u = F.col(col) if isinstance(col, str) else col
+    rest = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    hostport = F.regexp_extract(rest, r"^([^/?]*)", 1)
+    host = F.split_part(hostport, F.lit(":"), F.lit(1))
+    port = F.regexp_extract(hostport, r":[0-9]+$", 0)
+    hn = F.regexp_replace(host, r"^www\.", "")
+    revd = F.array_join(F.reverse(F.split(hn, r"\.")), ",")
+    pathq = F.regexp_replace(rest, r"^[^/?]*", "")
+    pathq = F.when(F.length(pathq) == 0, F.lit("/")).otherwise(pathq)
+    return F.concat(revd, port, F.lit(")"), pathq)
+
+
+def anchor_text_agg(edges: DataFrame, dst_col: str = "dst",
+                    anchor_col: str = "anchor") -> DataFrame:
+    """Incoming-anchor-text aggregation per link target — how web
+    corpora mine page descriptions the page itself doesn't contain
+    (anchor corpora; the classic ranking/labeling signal).  Returns one
+    row per target: ``(dst, n_inlinks, n_distinct_anchors, top_anchor,
+    top_anchor_count)`` where ``top_anchor`` is the most frequent
+    anchor string, ties broken to the lexicographically LAST (a total
+    order both engines share).
+
+    Scale shape: two hash aggregates and nothing else.  The first
+    groups the skinny (dst, anchor) pairs — map-side partial
+    aggregation absorbs the hot target ("click here" pointing at a
+    popular page) before the shuffle; the second reduces per-dst with
+    an order-free struct-max, so there is NO window over the hot key
+    (the naive ``row_number() OVER (PARTITION BY dst)`` twin is what
+    the oracle runs — identical output, single-task hazard avoided)."""
+    per = edges.groupBy(dst_col, anchor_col).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return (
+        per.groupBy(dst_col)
+        .agg(
+            F.sum("cnt").alias("n_inlinks"),
+            F.count(F.lit(1)).alias("n_distinct_anchors"),
+            F.max(F.struct(F.col("cnt"), F.col(anchor_col))).alias("_m"),
+        )
+        .select(
+            dst_col, "n_inlinks", "n_distinct_anchors",
+            F.col(f"_m.{anchor_col}").alias("top_anchor"),
+            F.col("_m.cnt").alias("top_anchor_count"),
+        )
+    )

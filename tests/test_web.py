@@ -292,3 +292,41 @@ def test_outlinks_anchor_text(spark):
     # first anchor's text wins; inline children flattened; empty -> ""
     assert got == {"https://t.ex.com/a": "Read more here",
                    "https://t.ex.com/b": ""}
+
+
+def test_surt_key_forms(spark):
+    from ocr_spark.operators.web import surt_key
+
+    rows = [
+        (1, "https://www.example.com/a/b?q=1"),
+        (2, "https://news.site.co.uk/story/7"),
+        (3, "http://host.org:8080/x"),
+        (4, "example.com"),          # scheme-less, no path
+    ]
+    df = spark.createDataFrame(rows, "i int, u string")
+    got = {r.i: r.s
+           for r in df.select("i", surt_key("u").alias("s")).collect()}
+    assert got[1] == "com,example)/a/b?q=1"
+    assert got[2] == "uk,co,site,news)/story/7"
+    assert got[3] == "org,host:8080)/x"
+    assert got[4] == "com,example)/"
+    # lexicographic sort clusters a domain's pages together
+    assert got[1].split(")")[0] == got[4].split(")")[0]
+
+
+def test_anchor_text_agg(spark):
+    from ocr_spark.operators.web import anchor_text_agg
+
+    edges = spark.createDataFrame(
+        [(1, "t1", "click here"), (2, "t1", "click here"),
+         (3, "t1", "docs"), (4, "t2", "b"), (5, "t2", "a"),
+         (6, "t3", "only")],
+        "doc_id long, dst string, anchor string")
+    got = {r.dst: r for r in anchor_text_agg(edges).collect()}
+    assert got["t1"].n_inlinks == 3
+    assert got["t1"].n_distinct_anchors == 2
+    assert got["t1"].top_anchor == "click here"
+    assert got["t1"].top_anchor_count == 2
+    # tie -> lexicographically last
+    assert got["t2"].top_anchor == "b" and got["t2"].n_inlinks == 2
+    assert got["t3"].top_anchor == "only"
