@@ -595,6 +595,57 @@ def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+# ccnet_buckets: thresholds fit on a deterministic 50% hash sample
+# (CCNet itself fits its LM percentiles on a sample); tertile points
+# p and the sample threshold are shared literals with the oracle
+_CCNET_P = (1 / 3, 2 / 3)
+_CCNET_SAMPLE_THR = 1 << 59          # half of the 60-bit hash space
+
+
+def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's head/middle/tail perplexity bucketing (Wenzek et al.
+    2020): per-language tertile thresholds of the unigram-LM perplexity
+    fit on a deterministic 50% hash sample, every document assigned a
+    bucket by comparing its GRID-ROUNDED ppl against the GRID-ROUNDED
+    thresholds (tertile interpolation lands at thirds of the 1e-6
+    grid, never at a rounding midpoint, so engine and oracle decide
+    from bit-identical doubles).  Scale shape: the ppl scoring is
+    lm_score's (one vocab aggregate + broadcast); thresholds are a
+    per-lang aggregate over the SAMPLE (exact percentile over a
+    hash-bounded subset — the knob that keeps the sort memory bounded
+    at corpus scale) broadcast back over the scored docs.  Token-less
+    docs keep a NULL bucket."""
+    from ocr_spark.functions.quality import unigram_logprob
+    from ocr_spark.operators.corpus import _md5_60
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    sc = unigram_logprob(docs)
+    scored = (
+        docs.select("doc_id", "lang").join(sc, "doc_id")
+        .withColumn("ppl6", F.round("ppl", 6))
+    )
+    sample = scored.filter(
+        (_md5_60("doc_id", "ccnet") < _CCNET_SAMPLE_THR)
+        & F.col("ppl6").isNotNull()
+    )
+    thr = sample.groupBy("lang").agg(
+        F.round(F.percentile("ppl6", F.lit(_CCNET_P[0])), 6).alias("t1"),
+        F.round(F.percentile("ppl6", F.lit(_CCNET_P[1])), 6).alias("t2"),
+    )
+    bucket = (
+        F.when(F.col("ppl6").isNull() | F.col("t1").isNull(),
+               F.lit(None).cast("string"))
+        .when(F.col("ppl6") <= F.col("t1"), F.lit("head"))
+        .when(F.col("ppl6") <= F.col("t2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return (
+        scored.join(F.broadcast(thr), "lang", "left")
+        .select("doc_id", "lang", F.col("ppl6").alias("ppl"),
+                bucket.alias("bucket"))
+    )
+
+
 # Deterministic PII injection for the scrub query: the synthetic corpus
 # carries no PII, so doc_id % 4 appends a known email / IPv4 / phone
 # (same augmentation pattern as lang_id_cjk; the DuckDB oracle applies
@@ -1672,6 +1723,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "quality_filter": q_quality_filter,
         "lm_score": q_lm_score,
+        "ccnet_buckets": q_ccnet_buckets,
         "pii_scrub": q_pii_scrub,
         "mojibake_fix": q_mojibake_fix,
         "lang_id": q_lang_id,
@@ -3006,6 +3058,42 @@ def oracle_sql() -> dict[str, str]:
             round(exp(-p.a), 6) AS ppl
           FROM tok t LEFT JOIN per p USING (doc_id)
           ORDER BY t.doc_id
+        """,
+        "ccnet_buckets": f"""
+          WITH tok AS (
+            SELECT doc_id, lang,
+              CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+                   ELSE {toks} END AS tl
+            FROM documents),
+          ex AS (SELECT doc_id, unnest(tl) AS tok FROM tok),
+          vocab AS (SELECT tok, count(*) AS c FROM ex GROUP BY tok),
+          tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_total,
+                         count(*) AS v_size FROM vocab),
+          sc AS (
+            SELECT e.doc_id,
+              ln((v.c + 1) / CAST((SELECT n_total FROM tot)
+                                  + (SELECT v_size FROM tot) AS DOUBLE)) AS lp
+            FROM ex e JOIN vocab v USING (tok)),
+          per AS (SELECT doc_id, avg(lp) AS a FROM sc GROUP BY doc_id),
+          scored AS (
+            SELECT t.doc_id, t.lang, round(exp(-p.a), 6) AS ppl6
+            FROM tok t LEFT JOIN per p USING (doc_id)),
+          samp AS (
+            SELECT lang, ppl6 FROM scored
+            WHERE ppl6 IS NOT NULL
+              AND ('0x' || substr(md5('ccnet|' || doc_id::VARCHAR), 1, 15))
+                  ::BIGINT < {_CCNET_SAMPLE_THR}),
+          thr AS (
+            SELECT lang,
+                   round(quantile_cont(ppl6, {_CCNET_P[0]!r}), 6) AS t1,
+                   round(quantile_cont(ppl6, {_CCNET_P[1]!r}), 6) AS t2
+            FROM samp GROUP BY lang)
+          SELECT s.doc_id, s.lang, s.ppl6 AS ppl,
+                 CASE WHEN s.ppl6 IS NULL OR t.t1 IS NULL THEN NULL
+                      WHEN s.ppl6 <= t.t1 THEN 'head'
+                      WHEN s.ppl6 <= t.t2 THEN 'middle'
+                      ELSE 'tail' END AS bucket
+          FROM scored s LEFT JOIN thr t USING (lang)
         """,
         "pii_scrub": _pii_scrub_sql(),
         "mojibake_fix": f"""

@@ -159,3 +159,22 @@ def test_unigram_logprob_hand_computed(spark):
     for k in got:
         a, b = got[k]["avg_logprob"], got2[k]["avg_logprob"]
         assert (a is None and b is None) or abs(a - b) < 1e-12
+
+
+def test_ccnet_buckets_tertiles(spark):
+    """Bucket thresholds fit on the hash sample split the scored docs
+    into roughly balanced head/middle/tail per language; token-less
+    docs keep a NULL bucket; assignment is partitioning-invariant."""
+    import __spark_entry__ as entry_mod
+
+    out = entry_mod.q_ccnet_buckets(spark, "/root/testdata/sf0.001").collect()
+    from collections import Counter
+
+    c = Counter(r.bucket for r in out if r.bucket is not None)
+    n = sum(c.values())
+    assert set(c) <= {"head", "middle", "tail"}
+    assert n > 0
+    for b in ("head", "middle", "tail"):
+        assert c[b] / n < 0.6        # no degenerate single-bucket fit
+    assert all((r.ppl is None) == (r.bucket is None) or r.bucket is not None
+               for r in out)
