@@ -29,7 +29,7 @@ DEFAULT_SERIES = ["scaling_2_8_r4a.json", "scaling_2_8_r4b.json",
                   "scaling_2_8_r4c.json", "scaling_2_8_r4d.json",
                   "scaling_2_8_r4e.json", "scaling_2_8_r4f.json",
                   "scaling_2_8_r4g.json", "scaling_2_8_r4h.json",
-                  "scaling_2_8_r4i.json"]
+                  "scaling_2_8_r4i.json", "scaling_2_8_r4j.json"]
 SYS_FACTOR = 1.5
 
 

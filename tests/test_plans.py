@@ -280,3 +280,58 @@ def test_robots_filter_broadcasts_rules(spark):
     assert "BroadcastHashJoin" in plan
     assert "MapInArrow" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_zero_shuffle_row_local_corpus_ops(spark):
+    """epoch_mix / data_split / stratified_sample / mojibake repair are
+    pure per-row plans: no Exchange, no Python."""
+    for q in ("epoch_mix", "data_split", "stratified_sample",
+              "mojibake_fix"):
+        plan = plan_of(entry_mod.queries()[q](spark, SF))
+        assert "Exchange" not in plan, q
+        assert "BatchEvalPython" not in plan, q
+
+
+def test_dsir_broadcasts_bucket_table(spark):
+    """The DSIR log-ratio table (256 rows) broadcasts back over the
+    exploded tokens — the corpus-sized side never shuffle-joins."""
+    plan = plan_of(entry_mod.q_dsir_select(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_bloom_dedup_probes_are_broadcast_joins(spark):
+    """All three Bloom bit probes are broadcast equi-joins on the word
+    index; the snapshot side never shuffles for membership (the only
+    SortMergeJoin-worthy exchange is the final reassembly groupBy)."""
+    plan = plan_of(entry_mod.q_bloom_dedup(spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan and "BatchEvalPython" not in plan
+
+
+def test_anchor_agg_no_window(spark):
+    """Top-anchor selection is an order-free struct-max aggregate —
+    never a row_number window over the hot link target."""
+    plan = plan_of(entry_mod.q_anchor_agg(spark, SF))
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ccnet_buckets_broadcasts_thresholds(spark):
+    """Per-lang tertile thresholds (a handful of rows) broadcast back
+    over the scored corpus."""
+    plan = plan_of(entry_mod.q_ccnet_buckets(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_cdx_index_is_scan_local_until_sort(spark):
+    """CDX key derivation is pure per-row expression work: the only
+    exchange in the plan is the final presentation sort's range
+    partitioning."""
+    plan = plan_of(entry_mod.q_cdx_index(spark, SF))
+    import re
+
+    exchanges = re.findall(r"Exchange \w+", plan)
+    assert all("rangepartitioning" in e.lower() for e in exchanges), exchanges
+    assert "BatchEvalPython" not in plan
