@@ -595,6 +595,18 @@ def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 TF-IDF keywords per document: two skinny aggregates +
+    broadcast idf join + per-doc comparator-sort slice — never a
+    row_number window over the corpus (the oracle runs the naive
+    windowed twin).  Ties broken by term text
+    (functions/text.py:tfidf_topk)."""
+    from ocr_spark.functions.text import tfidf_topk
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return tfidf_topk(docs, k=5).orderBy("doc_id", "rank")
+
+
 # ccnet_buckets: thresholds fit on a deterministic 50% hash sample
 # (CCNet itself fits its LM percentiles on a sample); tertile points
 # p and the sample threshold are shared literals with the oracle
@@ -1723,6 +1735,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "quality_filter": q_quality_filter,
         "lm_score": q_lm_score,
+        "tfidf": q_tfidf,
         "ccnet_buckets": q_ccnet_buckets,
         "pii_scrub": q_pii_scrub,
         "mojibake_fix": q_mojibake_fix,
@@ -3058,6 +3071,32 @@ def oracle_sql() -> dict[str, str]:
             round(exp(-p.a), 6) AS ppl
           FROM tok t LEFT JOIN per p USING (doc_id)
           ORDER BY t.doc_id
+        """,
+        "tfidf": f"""
+          WITH tok AS (
+            SELECT doc_id,
+              CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+                   ELSE {toks} END AS tl
+            FROM documents),
+          ex AS (SELECT doc_id, unnest(tl) AS term FROM tok),
+          tf AS (SELECT doc_id, term, count(*) AS tfc
+                 FROM ex GROUP BY doc_id, term),
+          dfq AS (SELECT term, count(DISTINCT doc_id) AS dft
+                  FROM ex GROUP BY term),
+          nn AS (SELECT count(*) AS n FROM documents),
+          sc AS (
+            SELECT tf.doc_id, tf.term,
+                   tf.tfc * (ln(((SELECT n FROM nn) + 1)
+                                / CAST(dfq.dft + 1 AS DOUBLE)) + 1) AS s
+            FROM tf JOIN dfq USING (term)),
+          rk AS (
+            SELECT doc_id, term, s,
+                   row_number() OVER (PARTITION BY doc_id
+                     ORDER BY s DESC, term ASC) AS rn
+            FROM sc)
+          SELECT doc_id, CAST(rn AS INT) AS rank, term,
+                 round(s, 6) AS tfidf
+          FROM rk WHERE rn <= 5
         """,
         "ccnet_buckets": f"""
           WITH tok AS (

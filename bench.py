@@ -46,7 +46,7 @@ BENCH_QUERIES = [
     "text_stats", "repetition_stats", "quality_filter", "pii_scrub",
     "mojibake_fix",
     "lang_id", "lang_id_cjk", "fingerprint", "token_count",
-    "lm_score", "ccnet_buckets", "stratified_sample", "epoch_mix",
+    "lm_score", "tfidf", "ccnet_buckets", "stratified_sample", "epoch_mix",
     "dsir_select",
     "data_split", "bloom_dedup", "token_budget_mix",
     "pack_sequences",

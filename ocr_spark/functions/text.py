@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "tokens", "token_count", "token_count_cjk", "word_shingles",
     "with_text_stats", "with_lang_id", "fingerprint", "fix_mojibake",
+    "tfidf_topk",
     "MOJIBAKE_PAIRS", "LANG_MARKERS",
     "HAN_RANGES", "HANGUL_RANGES", "KANA_RANGES",
     "ARABIC_RANGES", "CYRILLIC_RANGES", "DEVANAGARI_RANGES",
@@ -274,3 +275,65 @@ def fix_mojibake(col: str | Column) -> Column:
     for moji, fixed in MOJIBAKE_PAIRS:
         c = F.replace(c, F.lit(moji), F.lit(fixed))
     return c
+
+
+def tfidf_topk(df, k: int = 5, text_col: str = "text",
+               id_col: str = "doc_id", broadcast_vocab: bool = True):
+    """Top-k TF-IDF keywords per document — the classic corpus
+    keyword/labeling signal.  ``score = tf * (ln((N+1)/(df+1)) + 1)``
+    (smoothed idf; N counts ALL input docs, token-less included), ties
+    broken by term text so the ranking is a total order both engines
+    share.  Returns ``(id, rank, term, tfidf)`` rows, rank 1..k.
+
+    Scale shape: two skinny hash aggregates — term counts per (doc,
+    term) and document frequency per term (map-side combine absorbs
+    the hot term both times) — then the idf table broadcasts back over
+    the per-doc counts (``broadcast_vocab=False`` falls back to a
+    shuffle join for vocabularies past executor memory).  Top-k is a
+    per-doc groupBy + comparator array_sort + slice: row-local work
+    bounded by the doc's distinct-term count, NEVER a row_number
+    window over the corpus (the naive windowed form is what the SQL
+    oracle runs)."""
+    from pyspark.sql import DataFrame as _DF  # noqa: F401 (signature doc)
+
+    ex = df.select(id_col, F.explode(tokens(text_col)).alias("term"))
+    tf = ex.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dfreq = ex.groupBy("term").agg(
+        F.countDistinct(id_col).alias("df_t")
+    )
+    n_docs = df.select(id_col).agg(F.count("*").alias("n"))
+    if broadcast_vocab:
+        dfreq = F.broadcast(dfreq)
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            id_col, "term",
+            (F.col("tf")
+             * (F.log((F.col("n") + 1).cast("double")
+                      / (F.col("df_t") + 1)) + 1)).alias("s"),
+        )
+    )
+    cmp = lambda l, r: (                                     # noqa: E731
+        F.when(l["s"] > r["s"], F.lit(-1))
+        .when(l["s"] < r["s"], F.lit(1))
+        .when(l["term"] < r["term"], F.lit(-1))
+        .when(l["term"] > r["term"], F.lit(1))
+        .otherwise(F.lit(0))
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.slice(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("s"), F.col("term"))), cmp
+            ),
+            1, k,
+        ).alias("top")
+    )
+    return per_doc.select(
+        id_col, F.posexplode("top").alias("pos", "t")
+    ).select(
+        id_col,
+        (F.col("pos") + 1).alias("rank"),
+        F.col("t.term").alias("term"),
+        F.round(F.col("t.s"), 6).alias("tfidf"),
+    )

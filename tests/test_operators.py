@@ -750,3 +750,32 @@ def test_bloom_line_dedup_incremental_snapshot(spark):
                                         prior.repartition(3)).collect()}
     assert re_out == {k: (v.text, v.n_lines_kept, v.n_lines_dropped)
                       for k, v in out.items()}
+
+
+def test_tfidf_topk_ranks_distinctive_terms(spark):
+    """A term shared by every doc ranks below a doc-unique term with
+    the same tf; rank is dense 1..k; ties break by term text; result
+    is partitioning-invariant."""
+    from ocr_spark.functions.text import tfidf_topk
+
+    rows = [(1, "shared unique1 aaa bbb"),
+            (2, "shared unique2 aaa"),
+            (3, "shared unique3"),
+            (4, "   ")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = [r for r in tfidf_topk(df, k=2).collect()]
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append((r.rank, r.term, r.tfidf))
+    assert 4 not in by_doc                    # token-less doc: no rows
+    # doc1: bbb/unique1 tie on score (both df=1, tf=1) -> term asc
+    assert [t[1] for t in sorted(by_doc[1])] == ["bbb", "unique1"]
+    # doc2: unique (df=1) outranks aaa (df=2); doc3: unique beats shared
+    assert [t[1] for t in sorted(by_doc[2])] == ["unique2", "aaa"]
+    assert [t[1] for t in sorted(by_doc[3])] == ["unique3", "shared"]
+    for d in (1, 2, 3):
+        assert sorted(t[0] for t in by_doc[d]) == [1, 2]
+    re_out = sorted((r.doc_id, r.rank, r.term, r.tfidf)
+                    for r in tfidf_topk(df.repartition(7), k=2).collect())
+    assert re_out == sorted((r.doc_id, r.rank, r.term, r.tfidf)
+                            for r in out)

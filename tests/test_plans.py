@@ -335,3 +335,10 @@ def test_cdx_index_is_scan_local_until_sort(spark):
     exchanges = re.findall(r"Exchange \w+", plan)
     assert all("rangepartitioning" in e.lower() for e in exchanges), exchanges
     assert "BatchEvalPython" not in plan
+
+
+def test_tfidf_no_window_broadcast_idf(spark):
+    plan = plan_of(entry_mod.q_tfidf(spark, SF))
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan
