@@ -794,6 +794,56 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.length("text").alias("n_chars_actual"))
 
 
+# chunking/collocation/BPE parameters shared with the DuckDB oracles
+# (same integer literals on both sides)
+CHUNK_CHARS, CHUNK_CHARS_OVERLAP = 400, 80      # char stride 320
+CHUNK_TOKS, CHUNK_TOKS_OVERLAP = 64, 16         # token stride 48
+COLLOC_K, COLLOC_MIN_COUNT = 50, 5
+BPE_TOPK = 50
+
+
+def q_chunk_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-window RAG chunking with overlap: narrow map only
+    (sequence -> posexplode -> substring), zero shuffle, char offsets
+    carried for provenance (operators/chunk.py)."""
+    from ocr_spark.operators.chunk import chunk_text
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return chunk_text(docs, CHUNK_CHARS, CHUNK_CHARS_OVERLAP).orderBy(
+        "doc_id", "chunk_id")
+
+
+def q_chunk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-window chunking (LLM-context variant): same zero-shuffle
+    shape over the whitespace token array, token-index offsets."""
+    from ocr_spark.operators.chunk import chunk_tokens
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return chunk_tokens(docs, CHUNK_TOKS, CHUNK_TOKS_OVERLAP).orderBy(
+        "doc_id", "chunk_id")
+
+
+def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k PMI collocations: two skinny hash aggregates + broadcast
+    unigram joins + global TakeOrdered — counts shuffle, text never
+    does (functions/colloc.py)."""
+    from ocr_spark.functions.colloc import collocations
+
+    docs = _t(spark, sf_dir, "documents").select("text")
+    return collocations(docs, k=COLLOC_K, min_count=COLLOC_MIN_COUNT)
+
+
+def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge-round-0 statistics: corpus-wide adjacent char-pair
+    counts weighted by word frequency — the (word, freq) aggregate is
+    the only pass over text; pair counting runs on the skinny distinct
+    vocabulary (functions/colloc.py:bpe_pair_counts)."""
+    from ocr_spark.functions.colloc import bpe_pair_counts
+
+    docs = _t(spark, sf_dir, "documents").select("text")
+    return bpe_pair_counts(docs, k=BPE_TOPK)
+
+
 # corpus-assembly mix specs shared by the Spark queries and their
 # DuckDB oracles (thresholds/budgets must be the SAME integer literals
 # on both sides — see ocr_spark.operators.corpus.sample_thresholds)
@@ -1743,6 +1793,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id_cjk": q_lang_id_cjk,
         "fingerprint": q_fingerprint,
         "token_count": q_token_count,
+        "chunk_text": q_chunk_text,
+        "chunk_tokens": q_chunk_tokens,
+        "collocations": q_collocations,
+        "bpe_pairs": q_bpe_pairs,
         "stratified_sample": q_stratified_sample,
         "epoch_mix": q_epoch_mix,
         "dsir_select": q_dsir_select,
@@ -3250,6 +3304,94 @@ def oracle_sql() -> dict[str, str]:
             CASE WHEN len(trim(text)) = 0 THEN 0 ELSE len({toks}) END AS n_tokens,
             length(text) AS n_chars_actual
           FROM documents
+        """,
+        # chunking: the chunk-count closed form (operators/chunk.py)
+        # re-derived arithmetically; unnest(range(0, nc)) multiplies
+        # rows exactly as posexplode(sequence(0, nc-1)) does
+        "chunk_text": f"""
+          WITH c AS (
+            SELECT doc_id, text,
+              CASE WHEN length(text) <= {CHUNK_CHARS} THEN 1
+                   ELSE 1 + CAST(ceil((length(text) - {CHUNK_CHARS})
+                                      / {CHUNK_CHARS - CHUNK_CHARS_OVERLAP}.0)
+                                 AS INT) END AS nc
+            FROM documents),
+          e AS (SELECT doc_id, text, unnest(range(0, nc)) AS i FROM c)
+          SELECT doc_id, CAST(i AS INT) AS chunk_id,
+            CAST(i * {CHUNK_CHARS - CHUNK_CHARS_OVERLAP} AS INT) AS start,
+            CAST(least(i * {CHUNK_CHARS - CHUNK_CHARS_OVERLAP}
+                       + {CHUNK_CHARS}, length(text)) AS INT) AS "end",
+            substr(text,
+                   CAST(i * {CHUNK_CHARS - CHUNK_CHARS_OVERLAP} + 1 AS INT),
+                   {CHUNK_CHARS}) AS chunk
+          FROM e ORDER BY doc_id, chunk_id
+        """,
+        "chunk_tokens": f"""
+          WITH tok AS (
+            SELECT doc_id,
+              CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+                   ELSE {toks} END AS tl
+            FROM documents),
+          c AS (
+            SELECT doc_id, tl,
+              CASE WHEN len(tl) <= {CHUNK_TOKS} THEN 1
+                   ELSE 1 + CAST(ceil((len(tl) - {CHUNK_TOKS})
+                                      / {CHUNK_TOKS - CHUNK_TOKS_OVERLAP}.0)
+                                 AS INT) END AS nc
+            FROM tok),
+          e AS (SELECT doc_id, tl, unnest(range(0, nc)) AS i FROM c)
+          SELECT doc_id, CAST(i AS INT) AS chunk_id,
+            CAST(i * {CHUNK_TOKS - CHUNK_TOKS_OVERLAP} AS INT) AS tok_start,
+            CAST(least(i * {CHUNK_TOKS - CHUNK_TOKS_OVERLAP} + {CHUNK_TOKS},
+                       len(tl)) AS INT) AS tok_end,
+            array_to_string(
+              tl[CAST(i * {CHUNK_TOKS - CHUNK_TOKS_OVERLAP} + 1 AS INT)
+                 : CAST(i * {CHUNK_TOKS - CHUNK_TOKS_OVERLAP}
+                        + {CHUNK_TOKS} AS INT)], ' ') AS chunk
+          FROM e ORDER BY doc_id, chunk_id
+        """,
+        # collocations: identical PMI formula on raw counts; both
+        # engines rank by the ROUNDED pmi then pair text, so the top-k
+        # boundary is decided from bit-identical doubles
+        "collocations": f"""
+          WITH tok AS (
+            SELECT CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+                        ELSE {toks} END AS tl
+            FROM documents),
+          uc AS (SELECT w, count(*) AS c_w
+                 FROM (SELECT unnest(tl) AS w FROM tok) GROUP BY w),
+          pc AS (
+            SELECT p.w1 AS w1, p.w2 AS w2, count(*) AS pair_count
+            FROM (SELECT unnest(list_transform(range(1, len(tl)),
+                    i -> {{'w1': tl[i], 'w2': tl[i + 1]}})) AS p
+                  FROM tok)
+            GROUP BY 1, 2),
+          tot AS (
+            SELECT (SELECT CAST(sum(c_w) AS BIGINT) FROM uc) AS n_tok,
+                   (SELECT CAST(sum(pair_count) AS BIGINT) FROM pc) AS n_pairs)
+          SELECT w1, w2, pair_count,
+            round(ln((pair_count / n_pairs)
+                     / ((x.c_w / n_tok) * (y.c_w / n_tok))), 6) AS pmi
+          FROM pc JOIN uc x ON pc.w1 = x.w JOIN uc y ON pc.w2 = y.w, tot
+          WHERE pair_count >= {COLLOC_MIN_COUNT}
+          ORDER BY pmi DESC, w1, w2 LIMIT {COLLOC_K}
+        """,
+        # BPE round-0 pair statistics: range(1, length(word)) is empty
+        # for 1-char words — the same >= 2 guard the engine applies
+        "bpe_pairs": f"""
+          WITH tok AS (
+            SELECT CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+                        ELSE {toks} END AS tl
+            FROM documents),
+          wf AS (SELECT word, count(*) AS freq
+                 FROM (SELECT unnest(tl) AS word FROM tok) GROUP BY word),
+          e AS (SELECT word, freq, unnest(range(1, length(word))) AS i
+                FROM wf)
+          SELECT substr(word, CAST(i AS INT), 1) AS lhs,
+                 substr(word, CAST(i AS INT) + 1, 1) AS rhs,
+                 CAST(sum(freq) AS BIGINT) AS pair_count
+          FROM e GROUP BY 1, 2
+          ORDER BY pair_count DESC, lhs, rhs LIMIT {BPE_TOPK}
         """,
         # corpus assembly: hash thresholds are the SAME Python-computed
         # integers the engine filters on (sample_thresholds), and the

@@ -46,6 +46,7 @@ BENCH_QUERIES = [
     "text_stats", "repetition_stats", "quality_filter", "pii_scrub",
     "mojibake_fix",
     "lang_id", "lang_id_cjk", "fingerprint", "token_count",
+    "chunk_text", "chunk_tokens", "collocations", "bpe_pairs",
     "lm_score", "tfidf", "ccnet_buckets", "stratified_sample", "epoch_mix",
     "dsir_select",
     "data_split", "bloom_dedup", "token_budget_mix",

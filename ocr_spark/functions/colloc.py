@@ -1,0 +1,233 @@
+"""Corpus statistics for tokenizer training and phrase mining.
+
+Two corpus-scale primitives a training-data pipeline runs after
+cleaning (neither exists in the reference — its corpus is one
+document per request, app.py; these are what the same extraction
+output feeds at 100 TB):
+
+* :func:`collocations` — PMI-ranked adjacent word pairs (phrase
+  mining / vocab curation signal, Church & Hanks 1990).
+* :func:`bpe_pair_counts` / :func:`bpe_train` — the byte-pair-encoding
+  pair-statistics step (Sennrich et al. 2016): BPE training is
+  embarrassingly aggregatable — the ONLY corpus-wide state is the
+  (word, freq) table and the tiny merge list, so each merge round is
+  one skinny hash aggregate + a 1-row argmax, never a corpus pass.
+
+Scale shape (both): explode to skinny (token, …) rows → hash
+aggregate with map-side partial combine (hot tokens — "the" — are
+absorbed map-side), broadcast the small count tables back.  Text
+never shuffles; only counts do.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ocr_spark.functions.text import tokens
+
+__all__ = ["collocations", "bpe_pair_counts", "bpe_train",
+           "bpe_train_local", "apply_merge"]
+
+
+def _bigrams(toks) -> F.Column:
+    """Adjacent (w1, w2) structs of a token array — zip_with of the
+    array against its own 1-shift (equal lengths, no null padding)."""
+    return F.zip_with(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+
+
+def collocations(df: DataFrame, k: int = 20, min_count: int = 5,
+                 text_col: str = "text") -> DataFrame:
+    """Top-k adjacent-pair collocations by pointwise mutual information.
+
+    ``pmi = ln( (c_xy / n_pairs) / ((c_x / n_tok) * (c_y / n_tok)) )``
+    with raw counts (no smoothing — ``min_count`` is the noise gate,
+    the standard Church-Hanks configuration).  Ties break on
+    (w1, w2) text so the ranking is a total order the SQL oracle
+    shares.  Returns ``(w1, w2, pair_count, pmi)``, pmi rounded to 6
+    places for cross-engine float stability.
+
+    Plan: two skinny aggregates (pairs, unigrams) + two broadcast
+    joins of the unigram table + a global TakeOrdered(k) — no full
+    sort, no wide shuffle of anything but counts.
+    """
+    tok = df.select(tokens(text_col).alias("_t"))
+    uni = tok.select(F.explode("_t").alias("w")).groupBy("w").agg(
+        F.count("*").alias("c_w"))
+    pairs = tok.select(F.explode(_bigrams(F.col("_t"))).alias("p")).select(
+        F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+    ).groupBy("w1", "w2").agg(F.count("*").alias("pair_count"))
+    totals = uni.agg(F.sum("c_w").alias("n_tok")).crossJoin(
+        pairs.agg(F.sum("pair_count").alias("n_pairs")))
+    scored = (
+        pairs.where(F.col("pair_count") >= min_count)
+        .join(F.broadcast(uni.withColumnRenamed("w", "w1")
+                          .withColumnRenamed("c_w", "c_x")), "w1")
+        .join(F.broadcast(uni.withColumnRenamed("w", "w2")
+                          .withColumnRenamed("c_w", "c_y")), "w2")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "w1", "w2", "pair_count",
+            F.round(
+                F.log(
+                    (F.col("pair_count") / F.col("n_pairs"))
+                    / ((F.col("c_x") / F.col("n_tok"))
+                       * (F.col("c_y") / F.col("n_tok")))
+                ), 6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("pmi"), "w1", "w2"
+    ).limit(k)
+
+
+def _word_freq(df: DataFrame, text_col: str) -> DataFrame:
+    return (
+        df.select(F.explode(tokens(text_col)).alias("word"))
+        .groupBy("word").agg(F.count("*").alias("freq"))
+    )
+
+
+def bpe_pair_counts(df: DataFrame, k: int = 20,
+                    text_col: str = "text") -> DataFrame:
+    """Corpus-wide adjacent CHARACTER pair counts weighted by word
+    frequency — BPE merge round 0 as a standalone top-k query.
+
+    Pairs are taken inside words only (the whitespace tokenizer is
+    the pre-tokenizer, as in GPT-2-style BPE; no cross-word merges).
+    Returns ``(lhs, rhs, pair_count)``, ordered by count desc then
+    pair text, limited to k (``lhs``/``rhs`` naming keeps the shared
+    oracle SQL clear of the LEFT/RIGHT keywords).  Both sides of a pair come from
+    ``substr(word, i, 1)`` — char (not byte) indexed, identical
+    semantics in DuckDB.
+    """
+    wf = _word_freq(df, text_col)
+    # the >= 2 guard matters: Spark's sequence(1, 0) DESCENDS ([1, 0])
+    # rather than returning empty, so 1-char words would fabricate a
+    # (c, c) self-pair without it
+    pairs = wf.where(F.expr("char_length(word) >= 2")).select(
+        "freq",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, char_length(word) - 1), "
+                "i -> struct(substring(word, i, 1) AS lhs, "
+                "substring(word, i + 1, 1) AS rhs))"
+            )
+        ).alias("p"),
+    )
+    counts = pairs.groupBy(
+        F.col("p.lhs").alias("lhs"), F.col("p.rhs").alias("rhs")
+    ).agg(F.sum("freq").alias("pair_count"))
+    return counts.orderBy(F.desc("pair_count"), "lhs", "rhs").limit(k)
+
+
+def apply_merge(syms_col, left: str, right: str) -> F.Column:
+    """Replace non-overlapping left-to-right (left, right) adjacencies
+    in a symbol array with the merged symbol — a left fold entirely in
+    built-ins (no Python in the executor path).
+
+    The fold is exactly BPE's scan: if the accumulated tail equals
+    ``left`` and the next symbol is ``right``, the tail becomes
+    ``left||right`` (and, being a new element, immediately re-pairs
+    with what FOLLOWS, not what preceded — the non-overlap rule)."""
+    l_lit, r_lit = F.lit(left), F.lit(right)
+    return F.aggregate(
+        syms_col,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == l_lit) & (x == r_lit),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(F.concat(l_lit, r_lit)),
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def bpe_train(df: DataFrame, n_merges: int,
+              text_col: str = "text") -> list[tuple[str, str]]:
+    """Learn ``n_merges`` BPE merges over the corpus.
+
+    Driver state is the merge list only.  Round structure:
+
+    1. (once) aggregate the corpus to the skinny (word, freq) table —
+       the only pass that ever touches the text column;
+    2. per round: explode adjacent symbol pairs weighted by freq,
+       hash-aggregate, take the argmax (count desc, pair text asc for
+       a deterministic tie-break) with a 1-row collect;
+    3. apply the merge to the symbol arrays with :func:`apply_merge`
+       (narrow map, no shuffle) and localCheckpoint every few rounds
+       to truncate the growing lineage — the iterative-Spark
+       discipline used by dedup_clusters (operators/dedup.py).
+
+    Words whose symbol array has shrunk to length 1 can never produce
+    pairs again and are dropped from the working set (monotone
+    shrinkage — the working table only gets smaller).
+    """
+    words = _word_freq(df, text_col).select(
+        "freq",
+        F.expr("filter(split(word, ''), x -> x <> '')").alias("syms"),
+    ).where(F.size("syms") >= 2)
+    words = words.localCheckpoint(eager=True)
+    merges: list[tuple[str, str]] = []
+    for i in range(n_merges):
+        pair_struct = F.zip_with(
+            F.slice("syms", 1, F.greatest(F.size("syms") - 1, F.lit(0))),
+            F.slice("syms", 2, F.greatest(F.size("syms") - 1, F.lit(0))),
+            lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+        )
+        top = (
+            words.select("freq", F.explode(pair_struct).alias("p"))
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("freq").alias("c"))
+            .orderBy(F.desc("c"), "l", "r")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        left, right = top[0]["l"], top[0]["r"]
+        merges.append((left, right))
+        words = words.select(
+            "freq", apply_merge(F.col("syms"), left, right).alias("syms")
+        ).where(F.size("syms") >= 2)
+        if (i + 1) % 4 == 0:
+            words = words.localCheckpoint(eager=True)
+    return merges
+
+
+def bpe_train_local(texts: list[str], n_merges: int) -> list[tuple[str, str]]:
+    """Pure-Python reference implementation (test oracle for
+    :func:`bpe_train` — same pre-tokenizer, same tie-break)."""
+    from collections import Counter
+
+    wf = Counter(w for t in texts for w in t.split())
+    words = {w: list(w) for w in wf if len(w) >= 2}
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        counts: Counter = Counter()
+        for w, syms in words.items():
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] += wf[w]
+        if not counts:
+            break
+        pair = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(pair)
+        for w, syms in list(words.items()):
+            out: list[str] = []
+            for s in syms:
+                if out and out[-1] == pair[0] and s == pair[1]:
+                    out[-1] = pair[0] + pair[1]
+                else:
+                    out.append(s)
+            if len(out) >= 2:
+                words[w] = out
+            else:
+                del words[w]
+    return merges

@@ -1,0 +1,108 @@
+"""Document chunking for retrieval / context-window pipelines.
+
+Splits extracted text into fixed-size windows with overlap — the
+retrieval-augmented-generation preprocessing step that follows
+extraction (the reference emits whole-document text only,
+services/file_processor.py; chunking is the downstream consumer's
+first move at corpus scale).
+
+Both variants are pure built-in column expressions (sequence →
+explode → substring / slice): zero Python in the plan, zero shuffle —
+a narrow map over the extracted table, so chunking 100 TB costs one
+scan and whatever the sink writes.  Offsets are carried so every
+chunk remains provenance-addressable back into the document
+(char offsets for ``chunk_text``, token indices for ``chunk_tokens``).
+
+Chunk-count closed form (shared by the DuckDB oracle): with
+``stride = size - overlap`` and document length ``n``,
+
+    n_chunks = 1                       if n <= size
+               1 + ceil((n - size) / stride)   otherwise
+
+so the final chunk always starts before ``n`` and every char/token
+belongs to at least one chunk.  Empty documents emit exactly one
+empty chunk — the doc keeps a row, which downstream join-backs rely
+on.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ocr_spark.functions.text import tokens
+
+__all__ = ["chunk_text", "chunk_tokens"]
+
+
+def _n_chunks(n_col, size: int, stride: int):
+    return F.when(n_col <= size, F.lit(1)).otherwise(
+        F.lit(1) + F.ceil((n_col - size) / F.lit(float(stride))).cast("int")
+    )
+
+
+def chunk_text(df: DataFrame, size: int, overlap: int = 0,
+               text_col: str = "text", key_col: str = "doc_id") -> DataFrame:
+    """Character-window chunking with overlap.
+
+    Returns ``(key, chunk_id, start, end, chunk)`` where ``start`` is
+    the 0-based char offset of the chunk in the source text and
+    ``end`` is exclusive.  ``chunk_id`` is 0-based and dense per doc.
+    """
+    if not (0 <= overlap < size):
+        raise ValueError(f"need 0 <= overlap < size, got {overlap}/{size}")
+    stride = size - overlap
+    n = F.length(F.col(text_col))
+    out = df.select(
+        key_col,
+        text_col,
+        F.posexplode(
+            F.sequence(F.lit(0), _n_chunks(n, size, stride) - 1)
+        ).alias("chunk_id", "_i"),
+    )
+    start = F.col("_i") * stride
+    end = F.least(start + size, F.length(F.col(text_col)))
+    return out.select(
+        key_col,
+        "chunk_id",
+        start.cast("int").alias("start"),
+        end.cast("int").alias("end"),
+        # substring is 1-based and clamps length at the string end
+        F.expr(
+            f"substring({text_col}, chunk_id * {stride} + 1, {size})"
+        ).alias("chunk"),
+    )
+
+
+def chunk_tokens(df: DataFrame, size: int, overlap: int = 0,
+                 text_col: str = "text", key_col: str = "doc_id") -> DataFrame:
+    """Token-window chunking with overlap (the LLM-context variant).
+
+    Tokenization is :func:`ocr_spark.functions.text.tokens`
+    (whitespace); the chunk text is the window re-joined with single
+    spaces, so offsets are TOKEN indices (``tok_start`` inclusive,
+    ``tok_end`` exclusive), not char offsets into the original text.
+    """
+    if not (0 <= overlap < size):
+        raise ValueError(f"need 0 <= overlap < size, got {overlap}/{size}")
+    stride = size - overlap
+    toks = df.select(key_col, tokens(text_col).alias("_toks"))
+    n = F.size("_toks")
+    out = toks.select(
+        key_col,
+        "_toks",
+        F.posexplode(
+            F.sequence(F.lit(0), _n_chunks(n, size, stride) - 1)
+        ).alias("chunk_id", "_i"),
+    )
+    start = F.col("_i") * stride
+    end = F.least(start + size, F.size("_toks"))
+    return out.select(
+        key_col,
+        "chunk_id",
+        start.cast("int").alias("tok_start"),
+        end.cast("int").alias("tok_end"),
+        F.array_join(
+            F.slice(F.col("_toks"), start + 1, F.lit(size)), " "
+        ).alias("chunk"),
+    )
