@@ -844,6 +844,101 @@ def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_pair_counts(docs, k=BPE_TOPK)
 
 
+def _table_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> pages whose body is a known table layout: one
+    4-column table (header row c0..c3, data cells = the doc's tokens
+    in reading order) plus, for doc_id %% 3 == 0, a second 1-row
+    table — so the oracle reconstructs every cell arithmetically and
+    table_idx/nav-skipping are both exercised."""
+    from ocr_spark.functions.text import tokens
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", tokens("text").alias("tl"))
+    body = F.expr(
+        "array_join(transform("
+        "  CASE WHEN size(tl) = 0 THEN array() "
+        "       ELSE sequence(0, CAST(ceil(size(tl) / 4.0) AS INT) - 1) END,"
+        "  r -> '<tr>' || array_join(transform(slice(tl, r * 4 + 1, 4),"
+        "  t -> '<td>' || t || '</td>'), '') || '</tr>'), '')"
+    )
+    return docs.select(
+        "doc_id",
+        F.encode(
+            F.concat(
+                F.lit('<html><body><nav><a href="/skip">boiler nav</a>'
+                      "</nav><table>"
+                      "<tr><th>c0</th><th>c1</th><th>c2</th><th>c3</th></tr>"),
+                body,
+                F.lit("</table>"),
+                F.when(
+                    F.col("doc_id") % 3 == 0,
+                    F.concat(F.lit("<table><tr><td>k</td><td>"),
+                             F.col("doc_id").cast("string"),
+                             F.lit("</td></tr></table>")),
+                ).otherwise(F.lit("")),
+                F.lit("</body></html>"),
+            ),
+            "utf-8",
+        ).alias("html"),
+    )
+
+
+def q_table_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML table -> one row per cell (operators/structure.py): one
+    Arrow-batched narrow pass over html, skinny cell rows out, nav
+    boilerplate ignored, nested/second tables get their own
+    table_idx."""
+    from ocr_spark.operators.structure import extract_tables
+
+    pages = _table_pages(spark, sf_dir)
+    out = extract_tables(pages, passthrough=("doc_id",))
+    return out.orderBy("doc_id", "table_idx", "row_idx", "col_idx")
+
+
+def _markdown_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> pages exercising the whole markdown feature set
+    (h1, p, nested ul, ol, link, bold/italic/code, blockquote, hr,
+    pre) for docs with >= 8 tokens; a bare <p> page otherwise.  Every
+    fragment derives from the doc's tokens, so the expected markdown
+    is a closed-form string both engines build independently."""
+    from ocr_spark.functions.text import tokens
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", tokens("text").alias("tl"))
+    t = [F.get("tl", i) for i in range(8)]
+    fancy = F.concat(
+        F.lit("<html><head><script>var x=1;</script></head><body><h1>"),
+        F.array_join(F.slice("tl", 1, 3), " "),
+        F.lit("</h1><p>"), F.col("text"), F.lit("</p><ul><li>"),
+        t[0], F.lit("</li><li>"), t[1], F.lit("<ul><li>"), t[2],
+        F.lit('</li></ul></li></ul><ol><li>'), t[3], F.lit("</li><li>"),
+        t[4], F.lit('</li></ol><p><a href="/d/'),
+        F.col("doc_id").cast("string"), F.lit('">'),
+        F.array_join(F.slice("tl", 3, 2), " "),
+        F.lit("</a> and <b>"), t[4], F.lit("</b> or <i>"), t[5],
+        F.lit("</i> plus <code>"), t[6], F.lit("</code></p><blockquote><p>"),
+        t[7], F.lit("</p></blockquote><hr><pre>raw   "), t[0],
+        F.lit("\n  "), t[1], F.lit("</pre></body></html>"),
+    )
+    simple = F.concat(F.lit("<html><body><p>"), F.col("text"),
+                      F.lit("</p></body></html>"))
+    return docs.select(
+        "doc_id",
+        F.encode(F.when(F.size("tl") >= 8, fancy).otherwise(simple),
+                 "utf-8").alias("html"),
+    )
+
+
+def q_html_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML -> Markdown rendering (operators/structure.py): single
+    Arrow-batched narrow pass, deterministic block/inline contract
+    shared with the closed-form oracle."""
+    from ocr_spark.operators.structure import html_markdown
+
+    pages = _markdown_pages(spark, sf_dir)
+    return html_markdown(pages, passthrough=("doc_id",)).orderBy("doc_id")
+
+
 # corpus-assembly mix specs shared by the Spark queries and their
 # DuckDB oracles (thresholds/budgets must be the SAME integer literals
 # on both sides — see ocr_spark.operators.corpus.sample_thresholds)
@@ -1797,6 +1892,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_tokens": q_chunk_tokens,
         "collocations": q_collocations,
         "bpe_pairs": q_bpe_pairs,
+        "table_extract": q_table_extract,
+        "html_markdown": q_html_markdown,
         "stratified_sample": q_stratified_sample,
         "epoch_mix": q_epoch_mix,
         "dsir_select": q_dsir_select,
@@ -3392,6 +3489,71 @@ def oracle_sql() -> dict[str, str]:
                  CAST(sum(freq) AS BIGINT) AS pair_count
           FROM e GROUP BY 1, 2
           ORDER BY pair_count DESC, lhs, rhs LIMIT {BPE_TOPK}
+        """,
+        # table extraction: every cell of the constructed pages
+        # (_table_pages) re-derived arithmetically — header row c0..c3,
+        # data cell (1 + i//4, i%4) = token i, second table iff
+        # doc_id % 3 = 0; the nav link must NOT appear
+        "table_extract": f"""
+          WITH tok AS (
+            SELECT doc_id,
+              CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+                   ELSE {toks} END AS tl
+            FROM documents),
+          hdr AS (
+            SELECT doc_id, CAST(0 AS INT) AS table_idx,
+                   CAST(0 AS INT) AS row_idx, CAST(c AS INT) AS col_idx,
+                   true AS is_header, 'c' || c::VARCHAR AS cell
+            FROM tok, (SELECT unnest(range(0, 4)) AS c)),
+          dat AS (
+            SELECT doc_id, CAST(0 AS INT) AS table_idx,
+                   CAST(1 + i // 4 AS INT) AS row_idx,
+                   CAST(i % 4 AS INT) AS col_idx,
+                   false AS is_header, tl[CAST(i + 1 AS INT)] AS cell
+            FROM (SELECT doc_id, tl, unnest(range(0, len(tl))) AS i
+                  FROM tok)),
+          second AS (
+            SELECT doc_id, CAST(1 AS INT) AS table_idx,
+                   CAST(0 AS INT) AS row_idx, CAST(c AS INT) AS col_idx,
+                   false AS is_header,
+                   CASE WHEN c = 0 THEN 'k' ELSE doc_id::VARCHAR END AS cell
+            FROM tok, (SELECT unnest(range(0, 2)) AS c)
+            WHERE doc_id % 3 = 0)
+          SELECT * FROM hdr
+          UNION ALL SELECT * FROM dat
+          UNION ALL SELECT * FROM second
+          ORDER BY doc_id, table_idx, row_idx, col_idx
+        """,
+        # markdown rendering: the closed-form markdown both engines
+        # build from the doc's tokens (_markdown_pages fancy branch
+        # iff >= 8 tokens; bare paragraph otherwise)
+        "html_markdown": f"""
+          WITH tok AS (
+            SELECT doc_id,
+              trim(regexp_replace(text, '\\s+', ' ', 'g')) AS tc,
+              CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+                   ELSE {toks} END AS tl
+            FROM documents)
+          SELECT doc_id,
+            CASE WHEN len(tl) >= 8 THEN
+              '# ' || array_to_string(tl[1:3], ' ')
+              || chr(10) || chr(10) || tc
+              || chr(10) || chr(10) || '- ' || tl[1]
+              || chr(10) || '- ' || tl[2]
+              || chr(10) || '  - ' || tl[3]
+              || chr(10) || chr(10) || '1. ' || tl[4]
+              || chr(10) || '2. ' || tl[5]
+              || chr(10) || chr(10) || '[' || array_to_string(tl[3:4], ' ')
+              || '](/d/' || doc_id::VARCHAR || ') and **' || tl[5]
+              || '** or *' || tl[6] || '* plus `' || tl[7] || '`'
+              || chr(10) || chr(10) || '> ' || tl[8]
+              || chr(10) || chr(10) || '---'
+              || chr(10) || chr(10) || '```'
+              || chr(10) || 'raw   ' || tl[1]
+              || chr(10) || '  ' || tl[2]
+              || chr(10) || '```'
+            ELSE tc END AS markdown
+          FROM tok ORDER BY doc_id
         """,
         # corpus assembly: hash thresholds are the SAME Python-computed
         # integers the engine filters on (sample_thresholds), and the
