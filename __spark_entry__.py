@@ -939,6 +939,27 @@ def q_html_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     return html_markdown(pages, passthrough=("doc_id",)).orderBy("doc_id")
 
 
+def q_wet_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serialize the extracted corpus to Common-Crawl-style WET
+    conversion records (sources/wet.py): record assembly is pure
+    built-ins (md5 / sha2 / octet_length / concat) — zero Python,
+    zero shuffle.  Url and capture date derive deterministically from
+    doc_id so the oracle rebuilds every record byte-for-byte."""
+    from ocr_spark.sources.wet import wet_export
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("https://corpus.example.com/d/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        F.expr(
+            "date_format(timestamp'2024-01-01 00:00:00' + "
+            "make_interval(0, 0, 0, 0, 0, CAST(doc_id AS INT), 0), "
+            "\"yyyy-MM-dd'T'HH:mm:ss'Z'\")"
+        ).alias("date_iso"),
+        "text",
+    )
+    return wet_export(docs).orderBy("url")
+
+
 # corpus-assembly mix specs shared by the Spark queries and their
 # DuckDB oracles (thresholds/budgets must be the SAME integer literals
 # on both sides — see ocr_spark.operators.corpus.sample_thresholds)
@@ -1894,6 +1915,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_pairs": q_bpe_pairs,
         "table_extract": q_table_extract,
         "html_markdown": q_html_markdown,
+        "wet_export": q_wet_export,
         "stratified_sample": q_stratified_sample,
         "epoch_mix": q_epoch_mix,
         "dsir_select": q_dsir_select,
@@ -3554,6 +3576,32 @@ def oracle_sql() -> dict[str, str]:
               || chr(10) || '```'
             ELSE tc END AS markdown
           FROM tok ORDER BY doc_id
+        """,
+        # WET conversion records rebuilt byte-for-byte: md5 record id,
+        # sha256 block digest, Content-Length in BYTES of the utf-8
+        # text (octet_length(encode(..)) on both engines)
+        "wet_export": """
+          WITH b AS (
+            SELECT
+              'https://corpus.example.com/d/' || doc_id::VARCHAR AS url,
+              strftime(TIMESTAMP '2024-01-01 00:00:00'
+                       + to_minutes(doc_id), '%Y-%m-%dT%H:%M:%SZ') AS d,
+              coalesce(text, '') AS t
+            FROM documents)
+          SELECT url,
+            'WARC/1.0' || chr(13) || chr(10)
+            || 'WARC-Type: conversion' || chr(13) || chr(10)
+            || 'WARC-Target-URI: ' || url || chr(13) || chr(10)
+            || 'WARC-Date: ' || d || chr(13) || chr(10)
+            || 'WARC-Record-ID: <urn:md5:' || md5(url || '|' || d) || '>'
+            || chr(13) || chr(10)
+            || 'WARC-Block-Digest: sha256:' || sha256(t)
+            || chr(13) || chr(10)
+            || 'Content-Type: text/plain' || chr(13) || chr(10)
+            || 'Content-Length: ' || octet_length(encode(t))::VARCHAR
+            || chr(13) || chr(10) || chr(13) || chr(10)
+            || t || chr(13) || chr(10) || chr(13) || chr(10) AS wet
+          FROM b ORDER BY url
         """,
         # corpus assembly: hash thresholds are the SAME Python-computed
         # integers the engine filters on (sample_thresholds), and the

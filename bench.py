@@ -47,7 +47,7 @@ BENCH_QUERIES = [
     "mojibake_fix",
     "lang_id", "lang_id_cjk", "fingerprint", "token_count",
     "chunk_text", "chunk_tokens", "collocations", "bpe_pairs",
-    "table_extract", "html_markdown",
+    "table_extract", "html_markdown", "wet_export",
     "lm_score", "tfidf", "ccnet_buckets", "stratified_sample", "epoch_mix",
     "dsir_select",
     "data_split", "bloom_dedup", "token_budget_mix",

@@ -61,13 +61,16 @@ def _gunzip_members(data: bytes) -> bytes:
     return out.getvalue()
 
 
-def parse_warc_bytes(data: bytes, source_file: str = "") -> list[dict]:
+def parse_warc_bytes(data: bytes, source_file: str = "",
+                     accept: tuple = ("response",)) -> list[dict]:
     """Parse one WARC file's bytes into page dicts (WARC_PAGE_SCHEMA
     fields).  Response records yield the HTTP body as ``html``;
-    non-response records (warcinfo, request, metadata) are skipped;
-    framing errors yield one error row and stop (framing is
-    content-length-driven — after a bad length nothing downstream can
-    be trusted)."""
+    records whose WARC-Type is not in ``accept`` (warcinfo, request,
+    metadata) are skipped; framing errors yield one error row and stop
+    (framing is content-length-driven — after a bad length nothing
+    downstream can be trusted).  ``accept=("conversion",)`` reads WET
+    files: conversion blocks have no HTTP envelope, so the block IS
+    the payload (sources/wet.py)."""
     if data[:2] == b"\x1f\x8b":
         try:
             data = _gunzip_members(data)
@@ -79,9 +82,10 @@ def parse_warc_bytes(data: bytes, source_file: str = "") -> list[dict]:
     pages: list[dict] = []
     pos = 0
     while pos < len(data):
-        # skip inter-record CRLFs
-        while pos < len(data) and data[pos:pos + 2] == b"\r\n":
-            pos += 2
+        # skip inter-record newlines (spec CRLFs, plus tolerate bare
+        # LFs — e.g. the line separator a text sink appends per record)
+        while pos < len(data) and data[pos] in (0x0D, 0x0A):
+            pos += 1
         if pos >= len(data):
             break
         hdr_end = data.find(b"\r\n\r\n", pos)
@@ -108,10 +112,13 @@ def parse_warc_bytes(data: bytes, source_file: str = "") -> list[dict]:
         block = data[hdr_end + 4: hdr_end + 4 + length]
         pos = hdr_end + 4 + length
         rtype = headers.get("warc-type", "")
-        if rtype != "response":
+        if rtype not in accept:
             continue
-        http_end = block.find(b"\r\n\r\n")
-        body = block[http_end + 4:] if http_end >= 0 else block
+        if rtype == "response":
+            http_end = block.find(b"\r\n\r\n")
+            body = block[http_end + 4:] if http_end >= 0 else block
+        else:
+            body = block  # conversion/metadata blocks have no HTTP envelope
         pages.append({
             "url": headers.get("warc-target-uri"),
             "warc_ts": headers.get("warc-date"),
@@ -126,7 +133,8 @@ def parse_warc_bytes(data: bytes, source_file: str = "") -> list[dict]:
 
 def warc_pages_from_binary(files: DataFrame,
                            path_col: str = "path",
-                           content_col: str = "content") -> DataFrame:
+                           content_col: str = "content",
+                           accept: tuple = ("response",)) -> DataFrame:
     """(path, content) rows -> exploded page rows via an Arrow batch
     kernel.  One task per WARC file (the crawl-scale parallel unit)."""
     def kernel(batches):
@@ -135,7 +143,8 @@ def warc_pages_from_binary(files: DataFrame,
         for pdf in batches:
             rows = []
             for path, content in zip(pdf[path_col], pdf[content_col]):
-                rows.extend(parse_warc_bytes(bytes(content), str(path)))
+                rows.extend(parse_warc_bytes(bytes(content), str(path),
+                                             accept=accept))
             yield pd.DataFrame(
                 rows, columns=[f.name for f in WARC_PAGE_SCHEMA.fields]
             )
