@@ -939,6 +939,52 @@ def q_html_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     return html_markdown(pages, passthrough=("doc_id",)).orderBy("doc_id")
 
 
+def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained add-1 bigram LM perplexity per document
+    (functions/quality.py:bigram_logprob): two skinny training
+    aggregates broadcast back over the per-doc pairs — text never
+    shuffles."""
+    from ocr_spark.functions.quality import bigram_logprob
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return bigram_logprob(docs).orderBy("doc_id")
+
+
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per document: pure per-row JVM expressions
+    (regexp_count vowel groups + sentence runs), zero shuffle."""
+    from ocr_spark.functions.quality import readability
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", readability("text").alias("flesch")) \
+        .orderBy("doc_id")
+
+
+def q_unicode_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NFC + control/zero-width strip (operators/normalize.py) over
+    documents deterministically salted with decomposed accents, a BEL
+    control, and a zero-width space — the DuckDB oracle runs its own
+    native nfc_normalize + identical strips (independent second
+    implementation)."""
+    from ocr_spark.operators.normalize import normalize_text
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 4 == 0, F.lit(" cafe\u0301"))
+            .otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 5 == 0, F.lit("\u0007x"))
+            .otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 7 == 0, F.lit("a\u200bb"))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    out = normalize_text(docs, "text")
+    return out.select("doc_id", F.col("text").alias("cleaned")) \
+        .orderBy("doc_id")
+
+
 def q_wet_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Serialize the extracted corpus to Common-Crawl-style WET
     conversion records (sources/wet.py): record assembly is pure
@@ -1916,6 +1962,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_extract": q_table_extract,
         "html_markdown": q_html_markdown,
         "wet_export": q_wet_export,
+        "bigram_lm": q_bigram_lm,
+        "readability": q_readability,
+        "unicode_clean": q_unicode_clean,
         "stratified_sample": q_stratified_sample,
         "epoch_mix": q_epoch_mix,
         "dsir_select": q_dsir_select,
@@ -3602,6 +3651,77 @@ def oracle_sql() -> dict[str, str]:
             || chr(13) || chr(10) || chr(13) || chr(10)
             || t || chr(13) || chr(10) || chr(13) || chr(10) AS wet
           FROM b ORDER BY url
+        """,
+        # bigram LM: identical add-1 conditional and mean-logprob
+        # arithmetic; ppl rounds the exp of the UNrounded mean (same
+        # as the engine and the unigram lm_score convention)
+        "bigram_lm": f"""
+          WITH tok AS (
+            SELECT doc_id,
+              CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+                   ELSE {toks} END AS tl
+            FROM documents),
+          pr AS (
+            SELECT doc_id, p.w1 AS w1, p.w2 AS w2
+            FROM (SELECT doc_id, unnest(list_transform(range(1, len(tl)),
+                    i -> {{'w1': tl[i], 'w2': tl[i + 1]}})) AS p
+                  FROM tok)),
+          bg AS (SELECT w1, w2, count(*) AS c_xy FROM pr GROUP BY 1, 2),
+          uni AS (SELECT w1, count(*) AS c_x
+                  FROM (SELECT unnest(tl) AS w1 FROM tok) GROUP BY w1),
+          vs AS (SELECT count(*) AS v FROM uni),
+          sc AS (
+            SELECT pr.doc_id,
+              ln((b.c_xy + 1)
+                 / CAST(u.c_x + (SELECT v FROM vs) AS DOUBLE)) AS lp
+            FROM pr JOIN bg b USING (w1, w2) JOIN uni u USING (w1)),
+          per AS (SELECT doc_id, avg(lp) AS a, count(*) AS nb
+                  FROM sc GROUP BY doc_id)
+          SELECT t.doc_id,
+            CAST(coalesce(p.nb, 0) AS BIGINT) AS n_bigrams,
+            round(p.a, 6) AS avg_logprob,
+            round(exp(-p.a), 6) AS ppl
+          FROM tok t LEFT JOIN per p USING (doc_id)
+          ORDER BY t.doc_id
+        """,
+        # Flesch reading ease: same operand order so doubles match
+        # bit-for-bit before the shared round(6)
+        "readability": f"""
+          WITH m AS (
+            SELECT doc_id,
+              CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+                   ELSE {toks} END AS tl,
+              greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS ns,
+              len(regexp_extract_all(lower(text), '[aeiouy]+')) AS vg
+            FROM documents)
+          SELECT doc_id,
+            CASE WHEN len(tl) > 0 THEN
+              round(206.835
+                    - 1.015 * (CAST(len(tl) AS DOUBLE) / ns)
+                    - 84.6 * (CAST(vg + len(tl)
+                        - len(list_filter(tl, w ->
+                              regexp_matches(lower(w), '[aeiouy]')))
+                        AS DOUBLE) / len(tl)), 6)
+            END AS flesch
+          FROM m ORDER BY doc_id
+        """,
+        # unicode normalization: DuckDB's NATIVE nfc_normalize + the
+        # same strip regexes — an independent second implementation
+        "unicode_clean": """
+          WITH aug AS (
+            SELECT doc_id, text
+              || CASE WHEN doc_id % 4 = 0
+                      THEN ' cafe' || chr(769) ELSE '' END
+              || CASE WHEN doc_id % 5 = 0
+                      THEN chr(7) || 'x' ELSE '' END
+              || CASE WHEN doc_id % 7 = 0
+                      THEN 'a' || chr(8203) || 'b' ELSE '' END AS t
+            FROM documents)
+          SELECT doc_id,
+            regexp_replace(regexp_replace(nfc_normalize(t),
+              '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', '', 'g'),
+              '[\\x{200b}\\x{200c}\\x{200d}\\x{feff}]', '', 'g') AS cleaned
+          FROM aug ORDER BY doc_id
         """,
         # corpus assembly: hash thresholds are the SAME Python-computed
         # integers the engine filters on (sample_thresholds), and the

@@ -36,6 +36,7 @@ from ocr_spark.functions.text import tokens, with_text_stats
 __all__ = [
     "word_bigrams_all", "max_sorted_run", "with_repetition_stats",
     "with_quality_filter", "QUALITY_THRESHOLDS", "unigram_logprob",
+    "bigram_logprob", "readability",
 ]
 
 # Rule thresholds for the composite filter.  Closed, documented set —
@@ -221,4 +222,84 @@ def unigram_logprob(df: DataFrame, text_col: str = "text",
             F.col("avg_logprob"),
             F.exp(-F.col("avg_logprob")).alias("ppl"),
         )
+    )
+
+
+def bigram_logprob(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id",
+                   broadcast_model: bool = True) -> DataFrame:
+    """Corpus-trained bigram LM score per document — one Markov order
+    above :func:`unigram_logprob`, catching shuffled-word and
+    wrong-collocation gibberish a unigram model scores as fluent.
+
+    Model: add-1-smoothed conditional ``p(w2|w1) = (c(w1,w2) + 1) /
+    (c(w1) + V)`` with V the unigram vocabulary size; per-doc score is
+    the mean ``ln p`` over the doc's adjacent pairs and ``ppl =
+    exp(-mean)``.  Docs with < 2 tokens keep NULL scores (no bigram
+    evidence).
+
+    Scale shape: TWO skinny training aggregates (bigram counts, unigram
+    counts — both absorb hot keys map-side), broadcast back over the
+    per-doc exploded pairs; corpus text shuffles never.
+    ``broadcast_model=False`` falls back to shuffle joins when the
+    bigram table outgrows executor memory (it is the |distinct pairs|
+    table, not the corpus)."""
+    from ocr_spark.functions.colloc import _bigrams
+
+    tl = df.select(id_col, tokens(text_col).alias("_t"))
+    prs = tl.select(id_col, F.explode(_bigrams(F.col("_t"))).alias("p")) \
+        .select(id_col, F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    bg = prs.groupBy("w1", "w2").agg(F.count("*").alias("c_xy"))
+    uni = tl.select(F.explode("_t").alias("w1")).groupBy("w1").agg(
+        F.count("*").alias("c_x"))
+    vsize = uni.agg(F.count("*").alias("v"))
+    if broadcast_model:
+        bg, uni = F.broadcast(bg), F.broadcast(uni)
+    scored = (
+        prs.join(bg, ["w1", "w2"]).join(uni, "w1")
+        .crossJoin(F.broadcast(vsize))
+        .select(
+            id_col,
+            F.log((F.col("c_xy") + 1).cast("double")
+                  / (F.col("c_x") + F.col("v"))).alias("lp"),
+        )
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.avg("lp").alias("avg_logprob"),
+        F.count("*").alias("n_bigrams"),
+    )
+    return (
+        df.select(id_col).distinct()
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),
+            F.round("avg_logprob", 6).alias("avg_logprob"),
+            F.round(F.exp(-F.col("avg_logprob")), 6).alias("ppl"),
+        )
+    )
+
+
+def readability(col: str | Column) -> Column:
+    """Flesch reading-ease score, per row, zero shuffle.
+
+    ``206.835 - 1.015 * (words / sentences) - 84.6 * (syllables /
+    words)`` with the standard cheap heuristics: sentences = runs of
+    ``[.!?]`` (min 1), syllables per word = vowel-group count
+    (``[aeiouy]+`` on the lowercased word) floored at 1.  NULL for
+    token-less text.  Identical arithmetic in the DuckDB oracle."""
+    c = F.col(col) if isinstance(col, str) else col
+    tl = tokens(c)
+    n_words = F.size(tl)
+    n_sent = F.greatest(F.regexp_count(c, F.lit("[.!?]+")), F.lit(1))
+    groups = F.regexp_count(F.lower(c), F.lit("[aeiouy]+"))
+    vowelless = n_words - F.size(
+        F.filter(tl, lambda w: F.lower(w).rlike("[aeiouy]")))
+    n_syll = groups + vowelless
+    return F.when(
+        n_words > 0,
+        F.round(
+            F.lit(206.835)
+            - 1.015 * (n_words.cast("double") / n_sent)
+            - 84.6 * (n_syll.cast("double") / n_words), 6),
     )

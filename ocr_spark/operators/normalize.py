@@ -1,0 +1,74 @@
+"""Unicode text normalization for corpus hygiene.
+
+Web-extracted text mixes NFC and NFD spellings of the same grapheme
+("café" composed vs "cafe" + combining acute), plus stray C0 control
+bytes and zero-width characters — all of which break exact dedup
+(different byte strings, same text) and token statistics.  The
+standard curation move (e.g. the normalizers stage of every tokenizer
+pipeline) is: NFC-normalize, strip control characters, drop
+zero-width code points.
+
+Order matters and is fixed: **NFC first**, then strips — composing
+first means a combining mark adjacent to a base letter is preserved
+as the composed letter rather than orphaned by a strip.
+
+Spark shape: ``unicodedata.normalize`` has no JVM built-in, so this is
+an Arrow-batched ``mapInArrow`` kernel (no per-row Python UDF
+dispatch), zero shuffle.  The DuckDB oracle runs its native
+``nfc_normalize`` + identical regex strips — an independent second
+implementation, which is what makes the driver check meaningful.
+"""
+
+from __future__ import annotations
+
+import re
+import unicodedata
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+__all__ = ["nfc_clean", "normalize_text"]
+
+# C0 controls except \t \n \r, plus DEL; then zero-widths + BOM.
+# Spelled as explicit ranges so the DuckDB oracle regex is identical.
+_CTRL_RE = re.compile("[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]")
+_ZW_RE = re.compile("[\u200b\u200c\u200d\ufeff]")
+
+
+def nfc_clean(s: str) -> str:
+    """NFC -> strip C0 controls (keeping tab/newline/CR) -> strip
+    zero-width chars.  The per-string kernel (also the test oracle)."""
+    s = unicodedata.normalize("NFC", s)
+    s = _CTRL_RE.sub("", s)
+    return _ZW_RE.sub("", s)
+
+
+def normalize_text(df: DataFrame, text_col: str = "text",
+                   out_col: str | None = None) -> DataFrame:
+    """Apply :func:`nfc_clean` to ``text_col`` (all other columns
+    forwarded zero-copy).  ``out_col=None`` replaces in place."""
+    out_col = out_col or text_col
+    names = list(df.columns)
+    ti = names.index(text_col)
+    out_names = names + [out_col] if out_col not in names else names
+    fields = [df.schema[c] for c in names]
+    if out_col not in names:
+        fields.append(T.StructField(out_col, T.StringType(), True))
+    out_schema = T.StructType(fields)
+
+    def kernel(batches):
+        import pyarrow as pa  # executor-side import
+
+        for batch in batches:
+            vals = batch.column(ti).to_pylist()
+            cleaned = pa.array(
+                [None if v is None else nfc_clean(v) for v in vals],
+                pa.string())
+            arrays = [batch.column(j) for j in range(batch.num_columns)]
+            if out_col in names:
+                arrays[names.index(out_col)] = cleaned
+            else:
+                arrays.append(cleaned)
+            yield pa.RecordBatch.from_arrays(arrays, out_names)
+
+    return df.mapInArrow(kernel, schema=out_schema)
