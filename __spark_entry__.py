@@ -939,6 +939,60 @@ def q_html_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     return html_markdown(pages, passthrough=("doc_id",)).orderBy("doc_id")
 
 
+def q_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional inverted index (operators/index.py): posexplode ->
+    one skinny (term, doc) hash aggregate; min_df vocabulary pruning
+    via a broadcast semi-join so the posting shuffle only carries
+    surviving terms."""
+    from ocr_spark.operators.index import inverted_index
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return inverted_index(docs, min_df=2).orderBy("term", "doc_id")
+
+
+def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(lang, source) corpus card (operators/index.py): one
+    aggregate over (group, n_tokens) int rows — doc counts, token
+    totals, exact interpolated median length."""
+    from ocr_spark.operators.index import corpus_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return corpus_stats(docs).orderBy("lang", "source")
+
+
+def q_crawl_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff (operators/snapshot.py): documents vs a
+    deterministically mutated twin (every 13th removed, every
+    remaining 7th changed, every 11th re-added under a new key) —
+    skinny (key, digest) projections into one full-outer join; text
+    never shuffles."""
+    from ocr_spark.operators.snapshot import snapshot_delta
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.lit("u"), F.col("doc_id").cast("string")).alias("url"),
+        F.coalesce("text", F.lit("")).alias("text"),
+    )
+    old = docs.select("url", "text")
+    new_kept = (
+        docs.where(F.col("doc_id") % 13 != 0)
+        .select(
+            "url",
+            F.when(F.col("doc_id") % 7 == 0,
+                   F.concat("text", F.lit(" updated")))
+            .otherwise(F.col("text")).alias("text"),
+        )
+    )
+    added = docs.where(F.col("doc_id") % 11 == 0).select(
+        F.concat(F.lit("u"), (F.col("doc_id") + 1000000).cast("string")
+                 ).alias("url"),
+        F.concat(F.lit("new page "), F.col("doc_id").cast("string")
+                 ).alias("text"),
+    )
+    delta = snapshot_delta(old, new_kept.unionByName(added))
+    return delta.orderBy("key")
+
+
 def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-trained add-1 bigram LM perplexity per document
     (functions/quality.py:bigram_logprob): two skinny training
@@ -1965,6 +2019,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_lm": q_bigram_lm,
         "readability": q_readability,
         "unicode_clean": q_unicode_clean,
+        "postings": q_postings,
+        "corpus_stats": q_corpus_stats,
+        "crawl_delta": q_crawl_delta,
         "stratified_sample": q_stratified_sample,
         "epoch_mix": q_epoch_mix,
         "dsir_select": q_dsir_select,
@@ -3722,6 +3779,62 @@ def oracle_sql() -> dict[str, str]:
               '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', '', 'g'),
               '[\\x{200b}\\x{200c}\\x{200d}\\x{feff}]', '', 'g') AS cleaned
           FROM aug ORDER BY doc_id
+        """,
+        # positional inverted index: ordinality via the struct-
+        # transform idiom; min_df=2 pruning mirrored
+        "postings": f"""
+          WITH tok AS (
+            SELECT doc_id,
+              CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+                   ELSE {toks} END AS tl
+            FROM documents),
+          ex AS (
+            SELECT doc_id, p.pos AS pos, p.term AS term
+            FROM (SELECT doc_id, unnest(list_transform(
+                    range(1, len(tl) + 1),
+                    i -> {{'pos': CAST(i - 1 AS INT), 'term': tl[i]}})) AS p
+                  FROM tok)),
+          keep AS (
+            SELECT term FROM (
+              SELECT term, count(DISTINCT doc_id) AS c FROM ex GROUP BY term)
+            WHERE c >= 2)
+          SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf,
+                 list_sort(list(pos)) AS positions
+          FROM ex WHERE term IN (SELECT term FROM keep)
+          GROUP BY term, doc_id
+          ORDER BY term, doc_id
+        """,
+        # corpus card: quantile_cont == Spark's exact interpolated
+        # percentile; counts cast to the engine's integer widths
+        "corpus_stats": f"""
+          WITH per AS (
+            SELECT lang, source,
+              CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+                        ELSE len({toks}) END AS INT) AS n_toks
+            FROM documents)
+          SELECT lang, source,
+            CAST(count(*) AS BIGINT) AS n_docs,
+            CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+            round(avg(n_toks), 6) AS avg_tokens,
+            quantile_cont(n_toks, 0.5) AS p50_tokens,
+            CAST(min(n_toks) AS INT) AS min_tokens,
+            CAST(max(n_toks) AS INT) AS max_tokens
+          FROM per GROUP BY lang, source
+          ORDER BY lang, source
+        """,
+        # snapshot diff: status re-derived from the mutation rules
+        # (13 wins over 7 because removal drops the key entirely)
+        "crawl_delta": """
+          SELECT 'u' || doc_id::VARCHAR AS key,
+            CASE WHEN doc_id % 13 = 0 THEN 'removed'
+                 WHEN doc_id % 7 = 0 THEN 'changed'
+                 ELSE 'unchanged' END AS status
+          FROM documents
+          UNION ALL
+          SELECT 'u' || (doc_id + 1000000)::VARCHAR AS key,
+                 'added' AS status
+          FROM documents WHERE doc_id % 11 = 0
+          ORDER BY key
         """,
         # corpus assembly: hash thresholds are the SAME Python-computed
         # integers the engine filters on (sample_thresholds), and the

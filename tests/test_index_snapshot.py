@@ -1,0 +1,83 @@
+"""Inverted index / corpus stats (operators/index.py) and snapshot
+diffing (operators/snapshot.py)."""
+
+from pyspark.sql import functions as F
+
+from ocr_spark.operators.index import corpus_stats, inverted_index
+from ocr_spark.operators.snapshot import snapshot_delta
+
+
+class TestInvertedIndex:
+    def test_positions_tf_and_min_df(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a b a"), (2, "a c"), (3, "")], "doc_id long, text string")
+        got = {(r["term"], r["doc_id"]): (r["tf"], r["positions"])
+               for r in inverted_index(df, min_df=2).collect()}
+        # only 'a' appears in >= 2 docs
+        assert set(t for t, _ in got) == {"a"}
+        assert got[("a", 1)] == (2, [0, 2])
+        assert got[("a", 2)] == (1, [0])
+
+    def test_min_df_1_keeps_all_terms(self, spark):
+        df = spark.createDataFrame([(1, "x y")], "doc_id long, text string")
+        assert inverted_index(df, min_df=1).count() == 2
+
+    def test_pruning_join_broadcasts(self, spark):
+        df = spark.createDataFrame([(1, "a b a")] * 3,
+                                   "doc_id long, text string")
+        plan = (inverted_index(df, min_df=2)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "BroadcastHashJoin" in plan
+
+
+class TestCorpusStats:
+    def test_closed_form(self, spark):
+        df = spark.createDataFrame(
+            [("en", "s0", "a b c"), ("en", "s0", "a"),
+             ("ko", "s1", "")],
+            "lang string, source string, text string")
+        got = {(r["lang"], r["source"]): r
+               for r in corpus_stats(df).collect()}
+        en = got[("en", "s0")]
+        assert (en["n_docs"], en["n_tokens"]) == (2, 4)
+        assert en["avg_tokens"] == 2.0
+        assert en["p50_tokens"] == 2.0  # interpolated median of {1, 3}
+        assert (en["min_tokens"], en["max_tokens"]) == (1, 3)
+        assert got[("ko", "s1")]["n_tokens"] == 0
+
+
+class TestSnapshotDelta:
+    def _frames(self, spark):
+        old = spark.createDataFrame(
+            [("u1", "same"), ("u2", "before"), ("u3", "gone"),
+             ("u5", None)],
+            "url string, text string")
+        new = spark.createDataFrame(
+            [("u1", "same"), ("u2", "after"), ("u4", "fresh"),
+             ("u5", None)],
+            "url string, text string")
+        return old, new
+
+    def test_statuses(self, spark):
+        old, new = self._frames(spark)
+        got = {r["key"]: r["status"]
+               for r in snapshot_delta(old, new).collect()}
+        assert got == {"u1": "unchanged", "u2": "changed",
+                       "u3": "removed", "u4": "added",
+                       "u5": "unchanged"}
+
+    def test_null_vs_text_is_changed(self, spark):
+        old = spark.createDataFrame([("u1", None)], "url string, text string")
+        new = spark.createDataFrame([("u1", "now")], "url string, text string")
+        assert snapshot_delta(old, new).collect()[0]["status"] == "changed"
+
+    def test_text_never_in_join_projection(self, spark):
+        old, new = self._frames(spark)
+        plan = (snapshot_delta(old, new)
+                ._jdf.queryExecution().optimizedPlan().toString())
+        # the full-outer join sees only (key, digest): the raw text
+        # column is consumed inside the md5 projections BELOW the
+        # join — the join line itself must not reference it
+        join_lines = [ln for ln in plan.split("\n") if "Join FullOuter" in ln]
+        assert join_lines, plan
+        assert all("text" not in ln for ln in join_lines)
