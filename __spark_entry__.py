@@ -960,6 +960,20 @@ def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_stats(docs).orderBy("lang", "source")
 
 
+BM25_QUERY = ("table", "spark", "data")   # shared literals with the oracle
+
+
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 against a fixed query (operators/index.py):
+    per-term conditional-aggregate tf columns combined in literal
+    term order (float-addition-order deterministic), broadcast corpus
+    stats, global TakeOrdered."""
+    from ocr_spark.operators.index import bm25_topk
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return bm25_topk(docs, BM25_QUERY, k=10)
+
+
 def q_crawl_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot diff (operators/snapshot.py): documents vs a
     deterministically mutated twin (every 13th removed, every
@@ -2022,6 +2036,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "postings": q_postings,
         "corpus_stats": q_corpus_stats,
         "crawl_delta": q_crawl_delta,
+        "bm25": q_bm25,
         "stratified_sample": q_stratified_sample,
         "epoch_mix": q_epoch_mix,
         "dsir_select": q_dsir_select,
@@ -3821,6 +3836,42 @@ def oracle_sql() -> dict[str, str]:
             CAST(max(n_toks) AS INT) AS max_tokens
           FROM per GROUP BY lang, source
           ORDER BY lang, source
+        """,
+        # BM25: same literal-order score expression (term columns
+        # combined left-to-right; see bm25_topk determinism note)
+        "bm25": f"""
+          WITH tok AS (
+            SELECT doc_id,
+              CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+                   ELSE {toks} END AS tl
+            FROM documents),
+          lens AS (SELECT doc_id, len(tl) AS dl FROM tok),
+          ex AS (
+            SELECT doc_id, t AS term
+            FROM (SELECT doc_id, unnest(tl) AS t FROM tok)
+            WHERE t IN ({", ".join(f"'{t}'" for t in BM25_QUERY)})),
+          tfs AS (
+            SELECT doc_id,
+              {", ".join(f"sum(CASE WHEN term = '{t}' THEN 1 ELSE 0 END)"
+                         f" AS tf_{i}" for i, t in enumerate(BM25_QUERY))}
+            FROM ex GROUP BY doc_id),
+          st AS (
+            SELECT (SELECT count(*) FROM lens) AS n_docs,
+                   (SELECT avg(dl) FROM lens) AS avgdl,
+              {", ".join(
+                  f"(SELECT count(DISTINCT CASE WHEN term = '{t}' "
+                  f"THEN doc_id END) FROM ex) AS df_{i}"
+                  for i, t in enumerate(BM25_QUERY))})
+          SELECT l.doc_id,
+            round(0.0
+              {" ".join(
+                  f"+ ln((n_docs - df_{i} + 0.5) / (df_{i} + 0.5) + 1)"
+                  f" * (CAST(tf_{i} AS DOUBLE) * 2.2"
+                  f" / (CAST(tf_{i} AS DOUBLE)"
+                  f" + 1.2 * (0.25 + 0.75 * l.dl / avgdl)))"
+                  for i in range(len(BM25_QUERY)))}, 6) AS score
+          FROM lens l JOIN tfs USING (doc_id), st
+          ORDER BY score DESC, l.doc_id LIMIT 10
         """,
         # snapshot diff: status re-derived from the mutation rules
         # (13 wins over 7 because removal drops the key entirely)

@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 
 from ocr_spark.functions.text import tokens
 
-__all__ = ["inverted_index", "corpus_stats"]
+__all__ = ["inverted_index", "corpus_stats", "bm25_topk"]
 
 
 def inverted_index(df: DataFrame, text_col: str = "text",
@@ -77,4 +77,62 @@ def corpus_stats(df: DataFrame, text_col: str = "text",
             F.min("n_toks").alias("min_tokens"),
             F.max("n_toks").alias("max_tokens"),
         )
+    )
+
+
+def bm25_topk(df: DataFrame, query_terms: tuple[str, ...], k: int = 10,
+              text_col: str = "text", id_col: str = "doc_id",
+              k1: float = 1.2, b: float = 0.75) -> DataFrame:
+    """BM25 ranking of the corpus against a fixed term set — the
+    retrieval baseline a curated corpus should be able to serve
+    (Robertson-Sparck Jones idf: ``ln((N - df + 0.5)/(df + 0.5) + 1)``).
+
+    Determinism note (shared with the SQL oracle): the per-document
+    score sums ONE term at a time in the literal order of
+    ``query_terms`` — conditional-aggregated tf columns combined in a
+    fixed expression — never a groupBy-sum over per-term rows, whose
+    float addition order is partition-dependent.  Rounded to 6 places.
+
+    Scale shape: the token explode filters to the query terms FIRST
+    (pushdown-friendly ``isin``), so the aggregate only ever sees
+    matching tokens; df/N/avgdl are one tiny broadcast row; top-k is a
+    global TakeOrdered, never a full sort.
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    tl = df.select(id_col, tokens(text_col).alias("_t"))
+    lens = tl.select(id_col, F.size("_t").alias("dl"))
+    ex = tl.select(id_col, F.explode("_t").alias("term")).where(
+        F.col("term").isin(*query_terms))
+    tfs = ex.groupBy(id_col).agg(*[
+        F.sum(F.when(F.col("term") == t, 1).otherwise(0)).alias(f"tf_{i}")
+        for i, t in enumerate(query_terms)
+    ])
+    stats = lens.agg(
+        F.count("*").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    ).crossJoin(
+        ex.groupBy().agg(*[
+            F.countDistinct(F.when(F.col("term") == t, F.col(id_col)))
+            .alias(f"df_{i}")
+            for i, t in enumerate(query_terms)
+        ])
+    )
+    scored = (
+        lens.join(tfs, id_col)  # docs with no query term drop out
+        .crossJoin(F.broadcast(stats))
+    )
+    score = F.lit(0.0)
+    for i in range(len(query_terms)):
+        idf = F.log(
+            (F.col("n_docs") - F.col(f"df_{i}") + 0.5)
+            / (F.col(f"df_{i}") + 0.5) + 1)
+        tf = F.col(f"tf_{i}").cast("double")
+        score = score + idf * (
+            tf * (k1 + 1)
+            / (tf + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))))
+    return (
+        scored.select(id_col, F.round(score, 6).alias("score"))
+        .orderBy(F.desc("score"), id_col)
+        .limit(k)
     )

@@ -81,3 +81,35 @@ class TestSnapshotDelta:
         join_lines = [ln for ln in plan.split("\n") if "Join FullOuter" in ln]
         assert join_lines, plan
         assert all("text" not in ln for ln in join_lines)
+
+
+class TestBm25:
+    def test_closed_form_and_ordering(self, spark):
+        import math
+
+        from ocr_spark.operators.index import bm25_topk
+        df = spark.createDataFrame(
+            [(1, "cat cat dog"), (2, "cat"), (3, "bird bird bird")],
+            "doc_id long, text string")
+        rows = bm25_topk(df, ("cat",), k=10).collect()
+        # doc 3 has no query term -> dropped; doc 2 (dl=1, far below
+        # avgdl) outranks doc 1 (tf=2 but dl=3) — BM25's length
+        # normalization working as specified
+        assert [r["doc_id"] for r in rows] == [2, 1]
+        n, df_t, avgdl = 3, 2, 7 / 3
+        idf = math.log((n - df_t + 0.5) / (df_t + 0.5) + 1)
+
+        def s(tf, dl):
+            return round(idf * (tf * 2.2 / (
+                tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 6)
+
+        assert rows[0]["score"] == s(1.0, 1)
+        assert rows[1]["score"] == s(2.0, 3)
+
+    def test_empty_query_rejected(self, spark):
+        import pytest as _pt
+
+        from ocr_spark.operators.index import bm25_topk
+        df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        with _pt.raises(ValueError):
+            bm25_topk(df, ())
