@@ -960,6 +960,28 @@ def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_stats(docs).orderBy("lang", "source")
 
 
+def q_doc_attributes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dolma-style attribute union: every per-document tagging signal
+    (text stats, quality verdict, repetition ratios, readability, PII
+    counts) in ONE narrow plan — the tagging pass a curation run
+    materializes once and filters against many times.  All signals are
+    per-row JVM expressions, so the whole union is zero-shuffle; the
+    oracle joins the per-signal oracles as CTEs (composition is where
+    column-contract drift hides)."""
+    from ocr_spark.functions.quality import readability, with_quality_filter
+    from ocr_spark.functions.scrub import with_pii_scrub
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    out = with_pii_scrub(with_quality_filter(docs))
+    return out.select(
+        "doc_id", "lang", "n_tokens", "avg_token_len", "stopword_ratio",
+        "non_alnum_ratio", "quality_score", "dup_token_ratio",
+        "top_bigram_ratio", "keep", "drop_reason",
+        readability("text").alias("flesch"),
+        "n_email", "n_ip", "n_phone",
+    ).orderBy("doc_id")
+
+
 BM25_QUERY = ("table", "spark", "data")   # shared literals with the oracle
 
 
@@ -2037,6 +2059,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_stats": q_corpus_stats,
         "crawl_delta": q_crawl_delta,
         "bm25": q_bm25,
+        "doc_attributes": q_doc_attributes,
         "stratified_sample": q_stratified_sample,
         "epoch_mix": q_epoch_mix,
         "dsir_select": q_dsir_select,
@@ -2528,6 +2551,19 @@ def _mojibake_chain_sql(expr: str) -> str:
     return expr
 
 
+def _pii_counts_raw_sql() -> str:
+    """Sequential PII counts over RAW document text (no injection
+    CASE) — the doc_attributes tagging twin of _pii_scrub_sql."""
+    from ocr_spark.functions.scrub import PII_PATTERNS
+
+    counts = []
+    scrub = "text"
+    for name, pat, repl in PII_PATTERNS:
+        counts.append(f"len(regexp_extract_all({scrub}, '{pat}')) AS n_{name}")
+        scrub = f"regexp_replace({scrub}, '{pat}', '{repl}', 'g')"
+    return f"SELECT doc_id, {', '.join(counts)} FROM documents"
+
+
 def _pii_scrub_sql() -> str:
     """DuckDB twin of q_pii_scrub: identical injection CASE, identical
     pattern text (PII_PATTERNS is written in the Java/RE2-common regex
@@ -2977,7 +3013,7 @@ def oracle_sql() -> dict[str, str]:
                             x -> x::VARCHAR), '|') AS band_sig
           FROM sigs, (SELECT unnest(range(0, 8)) AS band) b
         )"""
-    return {
+    d = {
         "flagship_extract": (
             "SELECT doc_id, text FROM documents ORDER BY doc_id"
         ),
@@ -4202,3 +4238,26 @@ def oracle_sql() -> dict[str, str]:
           FROM g GROUP BY user_id
         """,
     }
+    # composed oracle: the Dolma-style attribute union joins the
+    # per-signal oracles (each already a full SELECT over documents)
+    # as CTE blocks on doc_id, plus raw-text PII counts (the pii_scrub
+    # entry counts over AUGMENTED text; attributes tag the corpus
+    # as-is)
+    d["doc_attributes"] = f"""
+      WITH ts AS ({d['text_stats']}),
+      qf AS ({d['quality_filter']}),
+      rd AS ({d['readability']}),
+      pii AS ({_pii_counts_raw_sql()})
+      SELECT ts.doc_id, dd.lang,
+        ts.n_tokens, ts.avg_token_len, ts.stopword_ratio,
+        ts.non_alnum_ratio, ts.quality_score,
+        qf.dup_token_ratio, qf.top_bigram_ratio, qf.keep, qf.drop_reason,
+        rd.flesch, pii.n_email, pii.n_ip, pii.n_phone
+      FROM ts
+      JOIN qf ON ts.doc_id = qf.doc_id
+      JOIN rd ON ts.doc_id = rd.doc_id
+      JOIN pii ON ts.doc_id = pii.doc_id
+      JOIN documents dd ON ts.doc_id = dd.doc_id
+      ORDER BY ts.doc_id
+    """
+    return d
