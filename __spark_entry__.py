@@ -960,6 +960,38 @@ def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_stats(docs).orderBy("lang", "source")
 
 
+def q_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence segmentation (functions/text.py:sentences): zero-
+    shuffle regex segmentation + posexplode, over documents salted
+    with a multi-sentence tail on even ids so boundaries are actually
+    exercised."""
+    from ocr_spark.functions.text import sentences
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            "text",
+            F.when(F.col("doc_id") % 2 == 0, F.lit(". End note! Done?"))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return docs.select(
+        "doc_id",
+        F.posexplode(sentences("text")).alias("sent_idx", "sentence"),
+    ).orderBy("doc_id", "sent_idx")
+
+
+def q_domain_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-registered-domain keep-rate profile (operators/web.py:
+    domain_quality): zero-shuffle per-page verdicts into one skinny
+    (domain, keep, n_tokens) aggregate — the corpus-derived
+    C4-blocklist signal."""
+    from ocr_spark.operators.web import domain_quality
+
+    urls = _synth_urls(spark, sf_dir)
+    return domain_quality(urls).orderBy("domain")
+
+
 def q_doc_attributes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dolma-style attribute union: every per-document tagging signal
     (text stats, quality verdict, repetition ratios, readability, PII
@@ -2060,6 +2092,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_delta": q_crawl_delta,
         "bm25": q_bm25,
         "doc_attributes": q_doc_attributes,
+        "sentences": q_sentences,
+        "domain_quality": q_domain_quality,
         "stratified_sample": q_stratified_sample,
         "epoch_mix": q_epoch_mix,
         "dsir_select": q_dsir_select,
@@ -4259,5 +4293,41 @@ def oracle_sql() -> dict[str, str]:
       JOIN pii ON ts.doc_id = pii.doc_id
       JOIN documents dd ON ts.doc_id = dd.doc_id
       ORDER BY ts.doc_id
+    """
+    # sentence segmentation: same lookbehind-free regex, explode via
+    # the ordinality struct-transform idiom
+    d["sentences"] = """
+      WITH aug AS (
+        SELECT doc_id,
+          text || CASE WHEN doc_id % 2 = 0
+                       THEN '. End note! Done?' ELSE '' END AS t
+        FROM documents),
+      sl AS (
+        SELECT doc_id,
+          list_filter(list_transform(
+            regexp_extract_all(t, '[^.!?]+[.!?]*'), s -> trim(s)),
+            s -> len(s) > 0) AS ss
+        FROM aug),
+      e AS (
+        SELECT doc_id, unnest(list_transform(range(1, len(ss) + 1),
+          i -> {'idx': CAST(i - 1 AS INT), 's': ss[i]})) AS p
+        FROM sl)
+      SELECT doc_id, p.idx AS sent_idx, p.s AS sentence
+      FROM e ORDER BY doc_id, sent_idx
+    """
+    # per-domain keep-rate: quality oracle joined to the url-case
+    # domain derivation
+    uf = _url_sql_frags()
+    d["domain_quality"] = f"""
+      WITH u AS (
+        SELECT doc_id, {uf['url_case']} AS url FROM documents),
+      h AS (SELECT doc_id, {uf['domain']} AS domain FROM u),
+      qf AS ({d['quality_filter']})
+      SELECT h.domain,
+        CAST(count(*) AS BIGINT) AS n_pages,
+        round(avg(qf.keep), 6) AS keep_rate,
+        round(avg(qf.n_tokens), 6) AS avg_tokens
+      FROM h JOIN qf USING (doc_id)
+      GROUP BY h.domain ORDER BY h.domain
     """
     return d

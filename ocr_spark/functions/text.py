@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "tokens", "token_count", "token_count_cjk", "word_shingles",
+    "sentences",
     "with_text_stats", "with_lang_id", "fingerprint", "fix_mojibake",
     "tfidf_topk",
     "MOJIBAKE_PAIRS", "LANG_MARKERS",
@@ -336,4 +337,19 @@ def tfidf_topk(df, k: int = 5, text_col: str = "text",
         (F.col("pos") + 1).alias("rank"),
         F.col("t.term").alias("term"),
         F.round(F.col("t.s"), 6).alias("tfidf"),
+    )
+
+
+def sentences(col: str | Column) -> Column:
+    """Sentence segmentation as an array column: maximal runs of
+    non-terminator chars plus their trailing ``[.!?]`` run, trimmed,
+    empties dropped.  Lookbehind-free pattern (``[^.!?]+[.!?]*``) so
+    the DuckDB/RE2 oracle runs the identical regex.  Zero shuffle —
+    segmentation is the narrow preprocessing step sentence-level
+    dedup/chunking pipelines start from."""
+    c = F.col(col) if isinstance(col, str) else col
+    segs = F.regexp_extract_all(c, F.lit(r"[^.!?]+[.!?]*"), 0)
+    return F.filter(
+        F.transform(segs, lambda s: F.trim(s)),
+        lambda s: F.length(s) > 0,
     )

@@ -50,7 +50,7 @@ from pyspark.sql import types as T
 __all__ = ["TRACKING_PARAMS", "url_normalize", "url_host",
            "registered_domain", "domain_topk", "outlinks", "pagerank",
            "parse_robots", "robots_allowed", "robots_filter",
-           "surt_key", "anchor_text_agg"]
+           "surt_key", "anchor_text_agg", "domain_quality"]
 
 # the closed, documented drop-set; extend per deployment.  Matched on
 # the parameter NAME (the part left of '='), utm_ by prefix.
@@ -482,4 +482,32 @@ def anchor_text_agg(edges: DataFrame, dst_col: str = "dst",
             F.col(f"_m.{anchor_col}").alias("top_anchor"),
             F.col("_m.cnt").alias("top_anchor_count"),
         )
+    )
+
+
+def domain_quality(pages: DataFrame, url_col: str = "url",
+                   text_col: str = "text") -> DataFrame:
+    """Per-registered-domain quality profile: page count, quality-
+    filter keep rate, mean token count — the host-reputation signal
+    curation pipelines threshold on (a domain whose pages mostly fail
+    the quality filter is boilerplate/spam and gets dropped wholesale,
+    the C4-blocklist move computed from the corpus itself instead of a
+    hand list).
+
+    Scale shape: the per-page quality verdict is zero-shuffle row
+    expressions (functions/quality.py); the only exchange is the final
+    skinny (domain, keep, n_tokens) aggregate with map-side combine —
+    hot domains are absorbed before the shuffle."""
+    from ocr_spark.functions.quality import with_quality_filter
+
+    q = with_quality_filter(
+        pages.select(url_col, text_col), text_col)
+    d = q.select(
+        registered_domain(url_col).alias("domain"),
+        "keep", "n_tokens",
+    )
+    return d.groupBy("domain").agg(
+        F.count("*").alias("n_pages"),
+        F.round(F.avg("keep"), 6).alias("keep_rate"),
+        F.round(F.avg("n_tokens"), 6).alias("avg_tokens"),
     )

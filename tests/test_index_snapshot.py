@@ -113,3 +113,37 @@ class TestBm25:
         df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
         with _pt.raises(ValueError):
             bm25_topk(df, ())
+
+
+class TestSentencesAndDomainQuality:
+    def test_sentences_segmentation(self, spark):
+        from ocr_spark.functions.text import sentences
+        df = spark.createDataFrame(
+            [(1, "One two. Three! Four? "), (2, ""), (3, "no punct")],
+            "doc_id long, text string")
+        got = {r["doc_id"]: r["ss"]
+               for r in df.select("doc_id",
+                                  sentences("text").alias("ss")).collect()}
+        assert got[1] == ["One two.", "Three!", "Four?"]
+        assert got[2] == []
+        assert got[3] == ["no punct"]
+
+    def test_leading_terminator_dropped(self, spark):
+        from ocr_spark.functions.text import sentences
+        df = spark.createDataFrame([(1, ". End note! Done?")],
+                                   "doc_id long, text string")
+        assert df.select(sentences("text").alias("ss")).collect()[0][
+            "ss"] == ["End note!", "Done?"]
+
+    def test_domain_quality_closed_form(self, spark):
+        from ocr_spark.operators.web import domain_quality
+        long_ok = " ".join(f"word{i}" for i in range(30))
+        df = spark.createDataFrame(
+            [("https://a.example.com/1", long_ok),
+             ("https://b.example.com/2", "too short"),
+             ("https://sub.example.org/", long_ok)],
+            "url string, text string")
+        got = {r["domain"]: (r["n_pages"], r["keep_rate"])
+               for r in domain_quality(df).collect()}
+        assert got["example.com"] == (2, 0.5)
+        assert got["example.org"] == (1, 1.0)
