@@ -1061,6 +1061,42 @@ def q_crawl_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return delta.orderBy("key")
 
 
+def q_wat_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WAT metadata records (sources/wet.py:wat_export): same WARC
+    framing as WET, JSON envelope built with explicit concat + the
+    documented escape pass (titles on doc_id %% 5 == 0 carry a quote
+    AND a backslash so the escape path crosses the oracle, not just
+    pytest).  Zero Python, zero shuffle."""
+    from ocr_spark.sources.wet import wat_export
+
+    docs = _t(spark, sf_dir, "documents")
+    from ocr_spark.functions.text import tokens
+
+    d = F.col("doc_id").cast("string")
+    base_title = F.array_join(F.slice(tokens("text"), 1, 3), " ")
+    pages = docs.select(
+        F.concat(F.lit("https://corpus.example.com/d/"), d).alias("url"),
+        F.expr(
+            "date_format(timestamp'2024-01-01 00:00:00' + "
+            "make_interval(0, 0, 0, 0, 0, CAST(doc_id AS INT), 0), "
+            "\"yyyy-MM-dd'T'HH:mm:ss'Z'\")"
+        ).alias("date_iso"),
+        F.concat(
+            base_title,
+            F.when(F.col("doc_id") % 5 == 0,
+                   F.lit(' say "q" \\ end')).otherwise(F.lit("")),
+        ).alias("title"),
+        F.when(F.col("doc_id") % 3 == 0, F.array().cast("array<string>"))
+        .when(F.col("doc_id") % 3 == 1, F.array(
+            F.concat(F.lit("https://out.example.com/a/"), d)))
+        .otherwise(F.array(
+            F.concat(F.lit("https://out.example.com/a/"), d),
+            F.concat(F.lit("https://out.example.com/b/"), d)))
+        .alias("outlinks"),
+    )
+    return wat_export(pages).orderBy("url")
+
+
 def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-trained add-1 bigram LM perplexity per document
     (functions/quality.py:bigram_logprob): two skinny training
@@ -2094,6 +2130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_attributes": q_doc_attributes,
         "sentences": q_sentences,
         "domain_quality": q_domain_quality,
+        "wat_export": q_wat_export,
         "stratified_sample": q_stratified_sample,
         "epoch_mix": q_epoch_mix,
         "dsir_select": q_dsir_select,
@@ -2583,6 +2620,62 @@ def _mojibake_chain_sql(expr: str) -> str:
     for m, f in MOJIBAKE_PAIRS:
         expr = f"replace({expr}, '{m}', '{f}')"
     return expr
+
+
+def _wat_export_sql() -> str:
+    """DuckDB twin of q_wat_export: identical JSON-escape pass (RE2
+    replacement spelling: 2-backslash pattern -> 4-backslash
+    replacement doubles a backslash; backslash-backslash-quote emits
+    a backslash before a quote), identical envelope concat, identical
+    WARC framing.  Built with chr() constants so no quoting layer can
+    corrupt the backslash counts."""
+    bs, q, crlf = chr(92), chr(34), "chr(13) || chr(10)"
+
+    def js(x: str) -> str:
+        return (f"('{q}' || regexp_replace(regexp_replace({x}, "
+                f"'{bs}{bs}', '{bs}{bs}{bs}{bs}', 'g'), "
+                f"'{q}', '{bs}{bs}{q}', 'g') || '{q}')")
+
+    toks = "string_split_regex(trim(text), '\\s+')"
+    return f"""
+      WITH b AS (
+        SELECT
+          'https://corpus.example.com/d/' || doc_id::VARCHAR AS url,
+          strftime(TIMESTAMP '2024-01-01 00:00:00'
+                   + to_minutes(doc_id), '%Y-%m-%dT%H:%M:%SZ') AS d,
+          array_to_string((CASE WHEN len(trim(text)) = 0
+              THEN CAST([] AS VARCHAR[]) ELSE {toks} END)[1:3], ' ')
+            || CASE WHEN doc_id % 5 = 0
+                    THEN ' say "q" {bs} end' ELSE '' END AS title,
+          CASE WHEN doc_id % 3 = 0 THEN CAST([] AS VARCHAR[])
+               WHEN doc_id % 3 = 1 THEN
+                 ['https://out.example.com/a/' || doc_id::VARCHAR]
+               ELSE ['https://out.example.com/a/' || doc_id::VARCHAR,
+                     'https://out.example.com/b/' || doc_id::VARCHAR]
+          END AS ol
+        FROM documents),
+      p AS (
+        SELECT url, d,
+          '{{"url":' || {js('url')}
+          || ',"date":' || {js('d')}
+          || ',"title":' || {js('title')}
+          || ',"n_outlinks":' || len(ol)::VARCHAR
+          || ',"outlinks":[' || coalesce(array_to_string(
+               list_transform(ol, x -> {js('x')}), ','), '') || ']}}' AS pl
+        FROM b)
+      SELECT url,
+        'WARC/1.0' || {crlf}
+        || 'WARC-Type: metadata' || {crlf}
+        || 'WARC-Target-URI: ' || url || {crlf}
+        || 'WARC-Date: ' || d || {crlf}
+        || 'WARC-Record-ID: <urn:md5:' || md5(url || '|' || d) || '>'
+        || {crlf}
+        || 'WARC-Block-Digest: sha256:' || sha256(pl) || {crlf}
+        || 'Content-Type: application/json' || {crlf}
+        || 'Content-Length: ' || octet_length(encode(pl))::VARCHAR
+        || {crlf} || {crlf} || pl || {crlf} || {crlf} AS wat
+      FROM p ORDER BY url
+    """
 
 
 def _pii_counts_raw_sql() -> str:
@@ -4317,6 +4410,7 @@ def oracle_sql() -> dict[str, str]:
     """
     # per-domain keep-rate: quality oracle joined to the url-case
     # domain derivation
+    d["wat_export"] = _wat_export_sql()
     uf = _url_sql_frags()
     d["domain_quality"] = f"""
       WITH u AS (

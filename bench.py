@@ -47,7 +47,7 @@ BENCH_QUERIES = [
     "mojibake_fix",
     "lang_id", "lang_id_cjk", "fingerprint", "token_count",
     "chunk_text", "chunk_tokens", "collocations", "bpe_pairs",
-    "table_extract", "html_markdown", "wet_export",
+    "table_extract", "html_markdown", "wet_export", "wat_export",
     "bigram_lm", "readability", "unicode_clean",
     "postings", "corpus_stats", "crawl_delta", "bm25", "doc_attributes",
     "sentences", "domain_quality",

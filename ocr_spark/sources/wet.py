@@ -40,27 +40,85 @@ from pyspark.sql import functions as F
 
 from ocr_spark.sources.warc import warc_pages_from_binary
 
-__all__ = ["wet_record", "wet_export", "write_wet", "read_wet"]
+__all__ = ["wet_record", "wet_export", "write_wet", "read_wet",
+           "json_string", "wat_record", "wat_export"]
 
 _CRLF = "\r\n"
 
 
-def wet_record(url: Column, date_iso: Column, text: Column) -> Column:
-    """One serialized WET conversion record (string column, built-ins
-    only).  ``date_iso`` must already be the second-precision ISO-8601
-    Z string (the caller formats; WARC-Date is verbatim)."""
+def _record(rtype: str, ctype: str, url: Column, date_iso: Column,
+            block: Column) -> Column:
+    """Shared WARC record framing (string column, built-ins only).
+    ``date_iso`` must already be the second-precision ISO-8601 Z
+    string (the caller formats; WARC-Date is verbatim)."""
     return F.concat(
-        F.lit("WARC/1.0" + _CRLF + "WARC-Type: conversion" + _CRLF
+        F.lit("WARC/1.0" + _CRLF + f"WARC-Type: {rtype}" + _CRLF
               + "WARC-Target-URI: "), url,
         F.lit(_CRLF + "WARC-Date: "), date_iso,
         F.lit(_CRLF + "WARC-Record-ID: <urn:md5:"),
         F.md5(F.encode(F.concat(url, F.lit("|"), date_iso), "utf-8")),
         F.lit(">" + _CRLF + "WARC-Block-Digest: sha256:"),
-        F.sha2(F.encode(text, "utf-8"), 256),
-        F.lit(_CRLF + "Content-Type: text/plain" + _CRLF
+        F.sha2(F.encode(block, "utf-8"), 256),
+        F.lit(_CRLF + f"Content-Type: {ctype}" + _CRLF
               + "Content-Length: "),
-        F.octet_length(F.encode(text, "utf-8")).cast("string"),
-        F.lit(_CRLF + _CRLF), text, F.lit(_CRLF + _CRLF),
+        F.octet_length(F.encode(block, "utf-8")).cast("string"),
+        F.lit(_CRLF + _CRLF), block, F.lit(_CRLF + _CRLF),
+    )
+
+
+def wet_record(url: Column, date_iso: Column, text: Column) -> Column:
+    """One serialized WET conversion record."""
+    return _record("conversion", "text/plain", url, date_iso, text)
+
+
+def json_string(col: Column) -> Column:
+    """Minimal JSON string serialization (escape backslash then quote,
+    wrap in quotes) — explicit concat, NOT to_json, so the DuckDB
+    oracle builds the byte-identical payload (engine JSON writers
+    disagree on spacing/ordering).  Control characters inside values
+    are out of contract (extracted text is cleaned upstream)."""
+    esc = F.regexp_replace(
+        F.regexp_replace(col, F.lit("\\\\"), F.lit("\\\\\\\\")),
+        F.lit("\""), F.lit("\\\\\""))
+    return F.concat(F.lit('"'), esc, F.lit('"'))
+
+
+def wat_record(url: Column, date_iso: Column, title: Column,
+               outlinks: Column) -> Column:
+    """One serialized WAT metadata record: same WARC framing, block is
+    the (simplified, documented) JSON envelope
+
+        {"url":..., "date":..., "title":..., "n_outlinks":N,
+         "outlinks":[...]}
+
+    — the per-page metadata sidecar Common Crawl ships alongside WET.
+    ``outlinks`` is an array<string> column."""
+    payload = F.concat(
+        F.lit('{"url":'), json_string(url),
+        F.lit(',"date":'), json_string(date_iso),
+        F.lit(',"title":'), json_string(title),
+        F.lit(',"n_outlinks":'), F.size(outlinks).cast("string"),
+        F.lit(',"outlinks":['),
+        F.array_join(F.transform(outlinks, json_string), ","),
+        F.lit("]}"),
+    )
+    return _record("metadata", "application/json", url, date_iso, payload)
+
+
+def wat_export(df: DataFrame, url_col: str = "url",
+               date_col: str = "date_iso", title_col: str = "title",
+               outlinks_col: str = "outlinks") -> DataFrame:
+    """Pages (with pre-extracted title/outlinks — operators/web.py
+    outlinks + extractor extract_meta produce them) -> ``(url, wat)``
+    serialized metadata records; narrow map, no shuffle."""
+    return df.select(
+        F.col(url_col).alias("url"),
+        wat_record(
+            F.col(url_col), F.col(date_col),
+            F.coalesce(F.col(title_col), F.lit("")),
+            F.coalesce(F.col(outlinks_col),
+                       F.array().cast("array<string>")),
+        ).alias("wat"),
     )
 
 

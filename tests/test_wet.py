@@ -84,3 +84,36 @@ class TestRoundtrip:
         (d / "x.warc.wet").write_bytes(build_warc(
             [("https://r.example.com/", "2024-01-01T00:00:00Z", b"<p>x</p>")]))
         assert read_wet(spark, str(d)).count() == 0
+
+
+class TestWat:
+    def test_payload_is_valid_json_with_escapes(self, spark):
+        import json as _json
+
+        from ocr_spark.sources.wet import wat_export
+        df = spark.createDataFrame(
+            [("https://x.com/1", "2024-01-01T00:00:00Z",
+              'He said "hi" \\ bye', ["https://a.com", "https://b.com"]),
+             ("https://x.com/2", "2024-01-01T00:01:00Z", None, None)],
+            "url string, date_iso string, title string, "
+            "outlinks array<string>")
+        got = {r["url"]: r["wat"] for r in wat_export(df).collect()}
+        for url, rec in got.items():
+            payload = rec.split("\r\n\r\n")[1]
+            obj = _json.loads(payload)   # must round-trip as real JSON
+            assert obj["url"] == url
+            assert obj["n_outlinks"] == len(obj["outlinks"])
+        assert _json.loads(got["https://x.com/1"].split("\r\n\r\n")[1])[
+            "title"] == 'He said "hi" \\ bye'
+        assert "Content-Type: application/json" in got["https://x.com/1"]
+
+    def test_content_length_matches_payload_bytes(self, spark):
+        from ocr_spark.sources.wet import wat_export
+        df = spark.createDataFrame(
+            [("https://x.com/1", "2024-01-01T00:00:00Z", "한글", ["u"])],
+            "url string, date_iso string, title string, "
+            "outlinks array<string>")
+        rec = wat_export(df).collect()[0]["wat"]
+        head, payload = rec.split("\r\n\r\n")[:2]
+        declared = int(head.split("Content-Length: ")[1].split("\r\n")[0])
+        assert declared == len(payload.encode("utf-8"))
