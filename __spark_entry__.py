@@ -1061,6 +1061,84 @@ def q_crawl_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return delta.orderBy("key")
 
 
+def q_incremental_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental crawl composition: snapshot_delta classifies the
+    new crawl against the old, and ONLY added/changed pages cross the
+    extraction stage (the crawl-cadence cost model — unchanged pages
+    never pay boilerplate parsing).  Uses the same mutation rules as
+    crawl_delta; extraction runs the real Arrow kernel over wrapped
+    pages, so the oracle is the flagship byte-identity invariant over
+    the delta subset."""
+    from ocr_spark.operators.extract import extract_pages
+    from ocr_spark.operators.snapshot import snapshot_delta
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.lit("u"), F.col("doc_id").cast("string")).alias("url"),
+        F.coalesce("text", F.lit("")).alias("text"),
+    )
+    old = docs.select("url", "text")
+    new_kept = (
+        docs.where(F.col("doc_id") % 13 != 0)
+        .select(
+            "url",
+            F.when(F.col("doc_id") % 7 == 0,
+                   F.concat("text", F.lit(" updated")))
+            .otherwise(F.col("text")).alias("text"),
+        )
+    )
+    added = docs.where(F.col("doc_id") % 11 == 0).select(
+        F.concat(F.lit("u"), (F.col("doc_id") + 1000000).cast("string")
+                 ).alias("url"),
+        F.concat(F.lit("new page "), F.col("doc_id").cast("string")
+                 ).alias("text"),
+    )
+    new = new_kept.unionByName(added)
+    delta = snapshot_delta(old, new)
+    todo = (
+        delta.where(F.col("status").isin("added", "changed"))
+        .join(new.withColumnRenamed("url", "key"), "key")
+    )
+    # the extraction kernel emits its own status field (error
+    # taxonomy); the delta classification rides as change_status
+    pages = todo.select(
+        "key", F.col("status").alias("change_status"),
+        F.encode(
+            F.concat(F.lit(_WRAP_PREFIX), F.col("text"),
+                     F.lit(_WRAP_SUFFIX)), "utf-8").alias("html"),
+    )
+    out = extract_pages(pages, payload_col="html",
+                        passthrough=("key", "change_status"),
+                        with_spans=False)
+    return out.select(
+        "key", F.col("change_status").alias("status"), "text"
+    ).orderBy("key")
+
+
+def q_sitemap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap <loc> extraction (operators/web.py:sitemap_urls) over
+    per-doc constructed sitemap XML (three urls, one entity-escaped,
+    one with padding whitespace, one empty entry that must drop)."""
+    from ocr_spark.operators.web import sitemap_urls
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id").cast("string")
+    xml = F.concat(
+        F.lit('<?xml version="1.0"?><urlset><url><loc>'
+              "https://s.example.com/p/"), d,
+        F.lit("</loc></url><url><loc> https://s.example.com/q?a=1"
+              "&amp;b=2 </loc></url><url><loc></loc></url>"
+              "<url><loc>https://s.example.com/r/"), d,
+        F.lit("/x</loc></url></urlset>"),
+    )
+    maps = docs.select(
+        F.concat(F.lit("https://s.example.com/sitemap-"), d,
+                 F.lit(".xml")).alias("sitemap_url"),
+        xml.alias("xml"),
+    )
+    return sitemap_urls(maps).orderBy("sitemap_url", "seq")
+
+
 def q_wat_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WAT metadata records (sources/wet.py:wat_export): same WARC
     framing as WET, JSON envelope built with explicit concat + the
@@ -2131,6 +2209,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sentences": q_sentences,
         "domain_quality": q_domain_quality,
         "wat_export": q_wat_export,
+        "sitemap": q_sitemap,
+        "incremental_extract": q_incremental_extract,
         "stratified_sample": q_stratified_sample,
         "epoch_mix": q_epoch_mix,
         "dsir_select": q_dsir_select,
@@ -4411,6 +4491,49 @@ def oracle_sql() -> dict[str, str]:
     # per-domain keep-rate: quality oracle joined to the url-case
     # domain derivation
     d["wat_export"] = _wat_export_sql()
+    # sitemap <loc> extraction: same regex group + trim + entity
+    # decode + empty drop, ordinality via the struct-transform idiom
+    # incremental extraction: the delta rules re-derived + the
+    # flagship extraction identity (wrapped page -> body text) over
+    # exactly the added/changed subset
+    d["incremental_extract"] = """
+      WITH delta AS (
+        SELECT 'u' || doc_id::VARCHAR AS key, 'changed' AS status,
+               coalesce(text, '') || ' updated' AS text
+        FROM documents WHERE doc_id % 7 = 0 AND doc_id % 13 != 0
+        UNION ALL
+        SELECT 'u' || (doc_id + 1000000)::VARCHAR AS key,
+               'added' AS status,
+               'new page ' || doc_id::VARCHAR AS text
+        FROM documents WHERE doc_id % 11 = 0)
+      SELECT key, status, text FROM delta ORDER BY key
+    """
+    d["sitemap"] = """
+      WITH m AS (
+        SELECT
+          'https://s.example.com/sitemap-' || doc_id::VARCHAR || '.xml'
+            AS sitemap_url,
+          '<?xml version="1.0"?><urlset><url><loc>https://s.example.com/p/'
+          || doc_id::VARCHAR
+          || '</loc></url><url><loc> https://s.example.com/q?a=1&amp;b=2 '
+          || '</loc></url><url><loc></loc></url><url><loc>'
+          || 'https://s.example.com/r/' || doc_id::VARCHAR
+          || '/x</loc></url></urlset>' AS xml
+        FROM documents),
+      l AS (
+        SELECT sitemap_url,
+          list_filter(list_transform(
+            regexp_extract_all(xml, '<loc>([^<]*)</loc>', 1),
+            s -> replace(trim(s), '&amp;', '&')),
+            s -> len(s) > 0) AS us
+        FROM m),
+      e AS (
+        SELECT sitemap_url, unnest(list_transform(range(1, len(us) + 1),
+          i -> {'i': CAST(i - 1 AS INT), 'u': us[i]})) AS p
+        FROM l)
+      SELECT sitemap_url, p.i AS seq, p.u AS url
+      FROM e ORDER BY sitemap_url, seq
+    """
     uf = _url_sql_frags()
     d["domain_quality"] = f"""
       WITH u AS (

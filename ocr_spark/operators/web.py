@@ -50,7 +50,7 @@ from pyspark.sql import types as T
 __all__ = ["TRACKING_PARAMS", "url_normalize", "url_host",
            "registered_domain", "domain_topk", "outlinks", "pagerank",
            "parse_robots", "robots_allowed", "robots_filter",
-           "surt_key", "anchor_text_agg", "domain_quality"]
+           "surt_key", "anchor_text_agg", "domain_quality", "sitemap_urls"]
 
 # the closed, documented drop-set; extend per deployment.  Matched on
 # the parameter NAME (the part left of '='), utm_ by prefix.
@@ -511,3 +511,32 @@ def domain_quality(pages: DataFrame, url_col: str = "url",
         F.round(F.avg("keep"), 6).alias("keep_rate"),
         F.round(F.avg("n_tokens"), 6).alias("avg_tokens"),
     )
+
+
+def sitemap_urls(df: DataFrame, xml_col: str = "xml",
+                 source_col: str = "sitemap_url",
+                 normalize: bool = False) -> DataFrame:
+    """Sitemap XML -> one row per ``<loc>`` entry (sitemaps.org
+    protocol; the crawl-frontier seeding companion to the robots
+    filter).  Pure built-ins: regexp group extraction + posexplode —
+    no XML parser needed for the flat loc-list shape, and the RE2-safe
+    pattern runs identically in the SQL oracle.  Entity-encoded
+    ampersands (the protocol requires escaping) are decoded.
+
+    Returns ``(sitemap_url, seq, url)``; ``normalize=True`` also
+    canonicalizes with :func:`url_normalize`."""
+    locs = F.regexp_extract_all(
+        F.col(xml_col), F.lit("<loc>([^<]*)</loc>"), 1)
+    out = df.select(
+        F.col(source_col).alias("sitemap_url"),
+        F.posexplode(
+            F.filter(
+                F.transform(locs, lambda s: F.replace(
+                    F.trim(s), F.lit("&amp;"), F.lit("&"))),
+                lambda s: F.length(s) > 0,
+            )
+        ).alias("seq", "url"),
+    )
+    if normalize:
+        out = out.withColumn("url", url_normalize("url"))
+    return out

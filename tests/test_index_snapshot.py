@@ -147,3 +147,23 @@ class TestSentencesAndDomainQuality:
                for r in domain_quality(df).collect()}
         assert got["example.com"] == (2, 0.5)
         assert got["example.org"] == (1, 1.0)
+
+
+class TestSitemap:
+    def test_loc_extraction_entities_whitespace_empty(self, spark):
+        from ocr_spark.operators.web import sitemap_urls
+        df = spark.createDataFrame(
+            [("https://h/s.xml",
+              "<urlset><url><loc>https://h/a</loc></url>"
+              "<url><loc> https://h/b?x=1&amp;y=2 </loc></url>"
+              "<url><loc></loc></url></urlset>")],
+            "sitemap_url string, xml string")
+        rows = [tuple(r) for r in sitemap_urls(df).orderBy("seq").collect()]
+        assert rows == [("https://h/s.xml", 0, "https://h/a"),
+                        ("https://h/s.xml", 1, "https://h/b?x=1&y=2")]
+
+    def test_no_locs_no_rows(self, spark):
+        from ocr_spark.operators.web import sitemap_urls
+        df = spark.createDataFrame([("s", "<urlset></urlset>")],
+                                   "sitemap_url string, xml string")
+        assert sitemap_urls(df).count() == 0
