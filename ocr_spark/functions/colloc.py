@@ -41,7 +41,8 @@ def _bigrams(toks) -> F.Column:
 
 
 def collocations(df: DataFrame, k: int = 20, min_count: int = 5,
-                 text_col: str = "text") -> DataFrame:
+                 text_col: str = "text",
+                 materialize: bool = True) -> DataFrame:
     """Top-k adjacent-pair collocations by pointwise mutual information.
 
     ``pmi = ln( (c_xy / n_pairs) / ((c_x / n_tok) * (c_y / n_tok)) )``
@@ -54,6 +55,14 @@ def collocations(df: DataFrame, k: int = 20, min_count: int = 5,
     Plan: two skinny aggregates (pairs, unigrams) + two broadcast
     joins of the unigram table + a global TakeOrdered(k) — no full
     sort, no wide shuffle of anything but counts.
+
+    ``materialize=True`` localCheckpoints the two aggregated tables:
+    the unigram table feeds THREE consumers (both joins + the token
+    total) and the pair table two, and Spark does not reuse the
+    exchange across those branches — unmaterialized, the corpus would
+    be re-scanned and re-aggregated five times (measured: 5 FileScans
+    in the physical plan).  The checkpointed tables are the SMALL
+    aggregated sides (|vocab|, |distinct pairs|), never the corpus.
     """
     tok = df.select(tokens(text_col).alias("_t"))
     uni = tok.select(F.explode("_t").alias("w")).groupBy("w").agg(
@@ -61,6 +70,9 @@ def collocations(df: DataFrame, k: int = 20, min_count: int = 5,
     pairs = tok.select(F.explode(_bigrams(F.col("_t"))).alias("p")).select(
         F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
     ).groupBy("w1", "w2").agg(F.count("*").alias("pair_count"))
+    if materialize:
+        uni = uni.localCheckpoint(eager=True)
+        pairs = pairs.localCheckpoint(eager=True)
     totals = uni.agg(F.sum("c_w").alias("n_tok")).crossJoin(
         pairs.agg(F.sum("pair_count").alias("n_pairs")))
     scored = (

@@ -252,6 +252,11 @@ def bigram_logprob(df: DataFrame, text_col: str = "text",
     bg = prs.groupBy("w1", "w2").agg(F.count("*").alias("c_xy"))
     uni = tl.select(F.explode("_t").alias("w1")).groupBy("w1").agg(
         F.count("*").alias("c_x"))
+    # the unigram table feeds two consumers (scoring join + V) and
+    # Spark does not reuse the exchange across branches — materialize
+    # the SMALL aggregated table once rather than re-scanning the
+    # corpus per consumer (same rationale as collocations)
+    uni = uni.localCheckpoint(eager=True)
     vsize = uni.agg(F.count("*").alias("v"))
     if broadcast_model:
         bg, uni = F.broadcast(bg), F.broadcast(uni)
