@@ -1061,6 +1061,37 @@ def q_crawl_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return delta.orderBy("key")
 
 
+def q_canonical_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-link collapse (operators/web.py): pages built with a
+    real <link rel=canonical> (groups of 4 share one target; every
+    4th page omits it and groups under itself, exercising the NULL
+    path) run through the REAL meta-extraction kernel, then one
+    skinny grouped aggregate."""
+    from ocr_spark.operators.extract import extract_meta_pages
+    from ocr_spark.operators.web import canonical_collapse
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = F.col("doc_id").cast("string")
+    g = (F.col("doc_id") - (F.col("doc_id") % 4)).cast("string")
+    pages = docs.select(
+        F.concat(F.lit("https://c.example.com/p/"), d).alias("url"),
+        F.encode(
+            F.concat(
+                F.lit("<html><head><title>t</title>"),
+                F.when(
+                    F.col("doc_id") % 4 != 3,
+                    F.concat(F.lit('<link rel="canonical" '
+                                   'href="https://c.example.com/g/'),
+                             g, F.lit('">')),
+                ).otherwise(F.lit("")),
+                F.lit("</head><body><p>"), F.col("text"),
+                F.lit("</p></body></html>"),
+            ), "utf-8").alias("html"),
+    )
+    meta = extract_meta_pages(pages, passthrough=("url",))
+    return canonical_collapse(meta).orderBy("canonical_url")
+
+
 def q_incremental_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental crawl composition: snapshot_delta classifies the
     new crawl against the old, and ONLY added/changed pages cross the
@@ -2211,6 +2242,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wat_export": q_wat_export,
         "sitemap": q_sitemap,
         "incremental_extract": q_incremental_extract,
+        "canonical_collapse": q_canonical_collapse,
         "stratified_sample": q_stratified_sample,
         "epoch_mix": q_epoch_mix,
         "dsir_select": q_dsir_select,
@@ -4493,6 +4525,22 @@ def oracle_sql() -> dict[str, str]:
     d["wat_export"] = _wat_export_sql()
     # sitemap <loc> extraction: same regex group + trim + entity
     # decode + empty drop, ordinality via the struct-transform idiom
+    # canonical collapse: group rules re-derived (normalization is
+    # the identity on these already-canonical spellings; the engine
+    # still runs url_normalize on the key)
+    d["canonical_collapse"] = """
+      WITH pages AS (
+        SELECT doc_id,
+          'https://c.example.com/p/' || doc_id::VARCHAR AS url,
+          CASE WHEN doc_id % 4 != 3 THEN
+            'https://c.example.com/g/' || (doc_id - doc_id % 4)::VARCHAR
+          END AS canonical
+        FROM documents)
+      SELECT coalesce(canonical, url) AS canonical_url,
+        CAST(count(*) AS BIGINT) AS n_pages,
+        min(url) AS representative
+      FROM pages GROUP BY 1 ORDER BY canonical_url
+    """
     # incremental extraction: the delta rules re-derived + the
     # flagship extraction identity (wrapped page -> body text) over
     # exactly the added/changed subset

@@ -50,7 +50,7 @@ BENCH_QUERIES = [
     "table_extract", "html_markdown", "wet_export", "wat_export",
     "bigram_lm", "readability", "unicode_clean",
     "postings", "corpus_stats", "crawl_delta", "bm25", "doc_attributes",
-    "sentences", "domain_quality", "sitemap", "incremental_extract",
+    "sentences", "domain_quality", "sitemap", "incremental_extract", "canonical_collapse",
     "lm_score", "tfidf", "ccnet_buckets", "stratified_sample", "epoch_mix",
     "dsir_select",
     "data_split", "bloom_dedup", "token_budget_mix",

@@ -50,7 +50,7 @@ from pyspark.sql import types as T
 __all__ = ["TRACKING_PARAMS", "url_normalize", "url_host",
            "registered_domain", "domain_topk", "outlinks", "pagerank",
            "parse_robots", "robots_allowed", "robots_filter",
-           "surt_key", "anchor_text_agg", "domain_quality", "sitemap_urls"]
+           "surt_key", "anchor_text_agg", "domain_quality", "sitemap_urls", "canonical_collapse"]
 
 # the closed, documented drop-set; extend per deployment.  Matched on
 # the parameter NAME (the part left of '='), utm_ by prefix.
@@ -540,3 +540,33 @@ def sitemap_urls(df: DataFrame, xml_col: str = "xml",
     if normalize:
         out = out.withColumn("url", url_normalize("url"))
     return out
+
+
+def canonical_collapse(df: DataFrame, url_col: str = "url",
+                       canonical_col: str = "canonical",
+                       normalize: bool = True) -> DataFrame:
+    """Collapse capture urls by their declared ``<link rel=canonical>``
+    target — the content-level url grouping a crawl runs BEFORE exact
+    dedup (mirror/AMP/tracking spellings of one resource all declare
+    the same canonical, so collapsing here removes duplicates that no
+    url-string normalization can see).  Pages without a canonical
+    group under themselves.
+
+    Returns ``(canonical_url, n_pages, representative)`` with the
+    lexicographically-smallest member url as the deterministic
+    representative.  ``normalize=True`` canonicalizes the group key
+    with :func:`url_normalize` first (two spellings of the canonical
+    itself must not split a group).
+
+    Scale shape: one skinny (group_key, url) aggregate with map-side
+    combine; the html/meta extraction that produced ``canonical_col``
+    already ran in its own narrow pass."""
+    key = F.coalesce(F.col(canonical_col), F.col(url_col))
+    if normalize:
+        key = url_normalize(key)
+    return (
+        df.select(key.alias("canonical_url"), F.col(url_col).alias("_u"))
+        .groupBy("canonical_url")
+        .agg(F.count("*").alias("n_pages"),
+             F.min("_u").alias("representative"))
+    )

@@ -167,3 +167,27 @@ class TestSitemap:
         df = spark.createDataFrame([("s", "<urlset></urlset>")],
                                    "sitemap_url string, xml string")
         assert sitemap_urls(df).count() == 0
+
+
+class TestCanonicalCollapse:
+    def test_grouping_null_and_normalization(self, spark):
+        from ocr_spark.operators.web import canonical_collapse
+        df = spark.createDataFrame(
+            [("https://m.ex.com/amp/1", "https://ex.com/article"),
+             ("https://ex.com/article?utm_source=x", "https://ex.com/article"),
+             # canonical spelled differently -> same group after normalize
+             ("https://ex.com/mirror", "HTTPS://EX.COM:443/article"),
+             ("https://solo.ex.com/p", None)],
+            "url string, canonical string")
+        got = {r["canonical_url"]: (r["n_pages"], r["representative"])
+               for r in canonical_collapse(df).collect()}
+        assert got["https://ex.com/article"] == (
+            3, "https://ex.com/article?utm_source=x")
+        assert got["https://solo.ex.com/p"] == (1, "https://solo.ex.com/p")
+
+    def test_no_normalize_keeps_spellings_apart(self, spark):
+        from ocr_spark.operators.web import canonical_collapse
+        df = spark.createDataFrame(
+            [("u1", "https://ex.com/a"), ("u2", "HTTPS://EX.COM/a")],
+            "url string, canonical string")
+        assert canonical_collapse(df, normalize=False).count() == 2
