@@ -1397,6 +1397,22 @@ def q_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_budget_mix(docs, MIX_BUDGETS, n_buckets=64)
 
 
+LB_BOUNDARIES = (16, 32, 64, 128)   # shared literals with the oracle
+LB_BATCH = 8
+
+
+def q_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed inference batching (operators/corpus.py):
+    deterministic hash-ordered batch fill per padded-length bucket via
+    the two-pass distributed prefix machinery; the oracle runs the
+    naive single-window row_number twin."""
+    from ocr_spark.operators.corpus import length_buckets
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return length_buckets(docs, LB_BOUNDARIES, LB_BATCH,
+                          salt="lb").orderBy("doc_id")
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GPT-style sequence packing: global token offsets in deterministic
     hash order (two-pass distributed prefix sum, single implicit
@@ -2248,6 +2264,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_select": q_dsir_select,
         "data_split": q_data_split,
         "bloom_dedup": q_bloom_dedup,
+        "length_buckets": q_length_buckets,
         "token_budget_mix": q_token_budget_mix,
         "pack_sequences": q_pack_sequences,
         "packed_batches": q_packed_batches,
@@ -4525,6 +4542,34 @@ def oracle_sql() -> dict[str, str]:
     d["wat_export"] = _wat_export_sql()
     # sitemap <loc> extraction: same regex group + trim + entity
     # decode + empty drop, ordinality via the struct-transform idiom
+    # length-bucketed batching: naive single-window twin; hash-bucket
+    # order (h % 64) leads the ORDER BY, same equality argument as
+    # token_budget_mix
+    d["length_buckets"] = f"""
+      WITH tok AS (
+        SELECT doc_id,
+          CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+                    ELSE len({toks}) END AS BIGINT) AS n_tokens
+        FROM documents),
+      b AS (
+        SELECT doc_id, n_tokens,
+          CAST(CASE WHEN n_tokens <= 16 THEN 16
+                    WHEN n_tokens <= 32 THEN 32
+                    WHEN n_tokens <= 64 THEN 64
+                    ELSE 128 END AS BIGINT) AS bucket_len,
+          ('0x' || substr(md5('lb|' || doc_id::VARCHAR), 1, 15))::BIGINT
+            AS h
+        FROM tok),
+      r AS (
+        SELECT *, row_number() OVER (PARTITION BY bucket_len
+                    ORDER BY h % 64, h, doc_id) - 1 AS idx
+        FROM b)
+      SELECT doc_id, n_tokens, bucket_len,
+        CAST(idx // 8 AS BIGINT) AS batch_idx,
+        CAST(idx % 8 AS INT) AS pos_in_batch,
+        greatest(bucket_len - n_tokens, 0) AS pad_tokens
+      FROM r ORDER BY doc_id
+    """
     # canonical collapse: group rules re-derived (normalization is
     # the identity on these already-canonical spellings; the engine
     # still runs url_normalize on the key)

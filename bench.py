@@ -53,7 +53,7 @@ BENCH_QUERIES = [
     "sentences", "domain_quality", "sitemap", "incremental_extract", "canonical_collapse",
     "lm_score", "tfidf", "ccnet_buckets", "stratified_sample", "epoch_mix",
     "dsir_select",
-    "data_split", "bloom_dedup", "token_budget_mix",
+    "data_split", "bloom_dedup", "token_budget_mix", "length_buckets",
     "pack_sequences",
     "packed_batches", "decontaminate", "curate_corpus",
     "warc_extract", "url_normalize", "domain_topk", "robots_filter",

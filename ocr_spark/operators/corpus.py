@@ -37,7 +37,8 @@ from ocr_spark.functions.text import token_count, tokens, word_shingles
 __all__ = ["stratified_sample", "token_budget_mix", "sample_thresholds",
            "epoch_mix", "epoch_weights", "dsir_weights",
            "data_split", "split_thresholds",
-           "contamination_pairs", "pack_sequences", "packed_sequences"]
+           "contamination_pairs", "pack_sequences", "packed_sequences",
+           "length_buckets"]
 
 # 60-bit hash space: 15 md5 hex chars, inside int64 on every engine
 HASH_SPACE = 1 << 60
@@ -457,4 +458,73 @@ def contamination_pairs(corpus: DataFrame, benchmark: DataFrame,
         .groupBy(corpus_key, bench_key)
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
+    )
+
+
+def length_buckets(df: DataFrame, boundaries: tuple[int, ...],
+                   batch_size: int, key_col: str = "doc_id",
+                   text_col: str = "text", n_buckets: int = 64,
+                   salt: str = "") -> DataFrame:
+    """Length-bucketed inference batching — the serving-side
+    counterpart of :func:`pack_sequences`: group documents into
+    fixed-size batches of similar token length so per-batch padding
+    (batch is padded to its bucket length) is bounded by the bucket
+    granularity instead of the corpus maximum.
+
+    ``boundaries`` (ascending) define the padded lengths: a document
+    lands in the smallest boundary >= its token count; longer
+    documents clamp into the last bucket (they would be truncated to
+    it downstream — ``pad_tokens`` is 0 there, floor-clamped).
+
+    Batch assignment is deterministic: within a bucket, documents
+    order by (60-bit salted hash, key) and fill batches of
+    ``batch_size`` in that order.  Returns ``(key, n_tokens,
+    bucket_len, batch_idx, pos_in_batch, pad_tokens)``.
+
+    Scale shape: same two-pass distributed prefix machinery as
+    token_budget_mix — per-(bucket_len, hash-bucket) COUNT partials,
+    offsets via a window over the tiny partials frame broadcast back,
+    row_number within hash-buckets; the only full-data exchange is
+    ONE hash partition by (bucket_len, hash-bucket), never a whole
+    length-bucket through one window task.  The SQL-oracle twin is
+    the naive single-window row_number, equal because hash-bucket
+    order leads the global order."""
+    if list(boundaries) != sorted(set(boundaries)) or not boundaries:
+        raise ValueError("boundaries must be ascending and non-empty")
+    blen = F.lit(int(boundaries[-1]))
+    for b in sorted(boundaries, reverse=True):
+        blen = F.when(token_count(text_col) <= b, F.lit(int(b))) \
+            .otherwise(blen)
+    base = (
+        df.select(
+            F.col(key_col),
+            token_count(text_col).cast("long").alias("n_tokens"),
+            blen.cast("long").alias("bucket_len"),
+        )
+        .withColumn("h", _md5_60(key_col, salt))
+        .withColumn("hb", F.pmod(F.col("h"), F.lit(n_buckets)))
+    )
+    partials = base.groupBy("bucket_len", "hb").agg(
+        F.count("*").alias("n"))
+    w_off = (
+        Window.partitionBy("bucket_len").orderBy("hb")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = partials.select(
+        "bucket_len", "hb",
+        F.coalesce(F.sum("n").over(w_off), F.lit(0)).alias("offset"),
+    )
+    w_rn = Window.partitionBy("bucket_len", "hb").orderBy("h", key_col)
+    idx = F.col("offset") + F.row_number().over(w_rn) - 1
+    return (
+        base.join(F.broadcast(offsets), ["bucket_len", "hb"])
+        .withColumn("_idx", idx)
+        .select(
+            key_col, "n_tokens", "bucket_len",
+            (F.col("_idx") / batch_size).cast("long").alias("batch_idx"),
+            F.pmod(F.col("_idx"), F.lit(batch_size)).cast("int")
+            .alias("pos_in_batch"),
+            F.greatest(F.col("bucket_len") - F.col("n_tokens"),
+                       F.lit(0)).alias("pad_tokens"),
+        )
     )

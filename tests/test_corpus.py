@@ -313,3 +313,43 @@ def test_data_split_disjoint_exhaustive_stable(spark):
            for r in data_split(half, {"train": 0.8, "val": 0.1,
                                       "test": 0.1}).collect()}
     assert all(out[k] == v for k, v in sub.items())
+
+
+class TestLengthBuckets:
+    def test_bucket_assignment_and_batch_fill(self, spark):
+        from ocr_spark.operators.corpus import length_buckets
+        rows = [(i, " ".join(["w"] * n)) for i, n in
+                enumerate([3, 10, 17, 40, 999])]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r["doc_id"]: r for r in
+               length_buckets(df, (16, 32, 64), batch_size=2).collect()}
+        assert got[0]["bucket_len"] == 16 and got[0]["pad_tokens"] == 13
+        assert got[1]["bucket_len"] == 16
+        assert got[2]["bucket_len"] == 32 and got[2]["pad_tokens"] == 15
+        assert got[3]["bucket_len"] == 64
+        # over the last boundary: clamped, pad floor at 0
+        assert got[4]["bucket_len"] == 64 and got[4]["pad_tokens"] == 0
+        # the two 16-bucket docs fill one batch of 2 deterministically
+        b16 = sorted((got[i]["batch_idx"], got[i]["pos_in_batch"])
+                     for i in (0, 1))
+        assert b16 == [(0, 0), (0, 1)]
+
+    def test_deterministic_across_runs(self, spark):
+        from ocr_spark.operators.corpus import length_buckets
+        df = spark.createDataFrame(
+            [(i, "w " * (i % 50 + 1)) for i in range(200)],
+            "doc_id long, text string")
+        a = sorted(map(tuple, length_buckets(df, (16, 64), 8).collect()))
+        b = sorted(map(tuple, length_buckets(
+            df.repartition(7), (16, 64), 8).collect()))
+        assert a == b
+
+    def test_bad_boundaries_rejected(self, spark):
+        import pytest as _pt
+
+        from ocr_spark.operators.corpus import length_buckets
+        df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        with _pt.raises(ValueError):
+            length_buckets(df, (), 8)
+        with _pt.raises(ValueError):
+            length_buckets(df, (32, 16), 8)
