@@ -426,13 +426,16 @@ def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     property-tested blocked==bruteforce).  Production default stays
     xxhash64 (JVM-native, ~2x faster) — hash_mode only swaps the token
     hash family.  Blocking derived from the threshold (h+1 chunks);
-    bucket cap at the production posture (drops reportable via
-    simhash_bucket_overflow, never silent)."""
+    bucket cap kept reportable (simhash_bucket_overflow, never
+    silent) and sized ABOVE the bench corpus's worst chunk bucket
+    (945 ids at sf0.1) so the value oracle stays exact through
+    sf0.1 — at 500 the cap silently desynced the sf0.1 twin by 213
+    dropped pairs, caught by the sf0.1 parity sweep."""
     from ocr_spark.operators.dedup import simhash_near_dup_pairs
 
     docs = _docs_with_near_dups(spark, sf_dir)
     return simhash_near_dup_pairs(docs, "doc_id", "text", max_hamming=4,
-                                  max_bucket_size=500, hash_mode="md5_64")
+                                  max_bucket_size=2000, hash_mode="md5_64")
 
 
 # shared with the oracles below: thresholds chosen so the certified
@@ -1563,7 +1566,11 @@ def q_domain_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ocr_spark.operators.web import domain_topk
 
     urls = _synth_urls(spark, sf_dir)
-    return domain_topk(urls, k=3, score_col="score").select(
+    # key_col: score ties AND exact url collisions both occur in the
+    # synth families at sf0.1 (family-5 urls depend only on
+    # doc_id % 50), so (score, url) is not a total order — doc_id is
+    return domain_topk(urls, k=3, score_col="score",
+                       key_col="doc_id").select(
         "doc_id", "domain", "score"
     )
 
@@ -2955,7 +2962,7 @@ def _domain_topk_sql() -> str:
       r AS (
         SELECT doc_id, domain, score,
                row_number() OVER (PARTITION BY domain
-                 ORDER BY score DESC, url ASC) AS rn
+                 ORDER BY score DESC, doc_id ASC) AS rn
         FROM h)
       SELECT doc_id, domain, score FROM r WHERE rn <= 3
     """
