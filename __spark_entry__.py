@@ -417,6 +417,26 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                              hash_mode="md5_affine")
 
 
+def q_cluster_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-best-per-cluster: the near-dup clusters of q_dedup_clusters
+    reduced to one representative each — the LONGEST member (ties ->
+    lowest doc_id), the keep-the-fullest-capture policy a production
+    dedup run applies instead of keep-min-id.  Oracled by extending the
+    dedup_clusters recursive-CTE closure with a per-cluster argmax."""
+    from ocr_spark.operators.dedup import (cluster_representatives,
+                                           near_dup_clusters)
+
+    docs = _docs_with_near_dups(spark, sf_dir)
+    clusters = near_dup_clusters(docs, "doc_id", "text",
+                                 n_hashes=16, bands=8, shingle_k=3,
+                                 hash_mode="md5_affine")
+    # cast: DuckDB length() is BIGINT, Spark's is INT — the driver's
+    # schema gate compares dtypes, not just names
+    scores = docs.select("doc_id", F.length("text").cast("long").alias("len"))
+    return cluster_representatives(clusters, scores, key_col="doc_id",
+                                   score_col="len")
+
+
 def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup with the md5-derived 60-bit token hash, fully
     value-oracled: DuckDB re-derives the same simhash from
@@ -540,6 +560,29 @@ def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_topk_ivf(queries, emb, cents, k=5, nprobe=2).select(
         "query_id", "neighbor_id", "rank"
     )
+
+
+# threshold chosen so the certified drop population is non-trivial at
+# both parity scales (14/500 dropped at sf0.01, 235/2000 at sf0.1; 0.5
+# drops zero rows at sf0.01 and the gate would certify nothing)
+SEMDEDUP_THRESHOLD = 0.4
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al., arXiv 2303.09540):
+    IVF-quantizer clusters, then within each cluster drop the
+    epsilon-ball members that a lower-(cent_sim, id) near-identical
+    neighbor dominates.  Fully value-oracled: assignment and cent_sim
+    derive from the rational-literal centroids (same contract as
+    ann_topk_ivf) and the keep rule is a closed-form domination join in
+    DuckDB.  Output is attribute-style (one row per vector with a
+    ``kept`` flag) so the hash gate certifies every decision, not just
+    the survivors."""
+    from ocr_spark.operators.similarity import ivf_centroids, semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = ivf_centroids(dim=64, n_centroids=8, seed=7)
+    return semantic_dedup(emb, cents, threshold=SEMDEDUP_THRESHOLD)
 
 
 # --------------------------------------------------------------------------
@@ -1292,6 +1335,43 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return stratified_sample(docs, MIX_FRACTIONS).select(
         "doc_id", "source", "lang"
+    )
+
+
+WEIGHTED_SAMPLE_K = 100
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Efraimidis-Spirakis weighted sampling without replacement,
+    weight = document length (longer docs proportionally likelier):
+    top-k by ln(u)/w with the uniform u derived from the salted 60-bit
+    md5 hash, so the sampled set is a pure function of the corpus —
+    reproducible across runs/retries/partitionings and re-derivable
+    closed-form by the oracle."""
+    from ocr_spark.operators.corpus import weighted_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return weighted_sample(docs, k=WEIGHTED_SAMPLE_K,
+                           weight_col="n_chars").select(
+        "doc_id", "source", "n_chars", "es_key"
+    )
+
+
+EPOCH_SHUFFLE_SEED = "ep1"
+
+
+def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-epoch global shuffle order: every doc's rank
+    in the permutation sorted by (md5-60(seed|doc_id), doc_id).  The
+    engine computes it with the two-pass prefix sum over top-bit range
+    buckets (never a global single-task window); the oracle is the
+    naive global row_number, equal by construction because the bucket
+    id is a prefix of the sort key."""
+    from ocr_spark.operators.corpus import epoch_shuffle
+
+    docs = _t(spark, sf_dir, "documents")
+    return epoch_shuffle(docs, seed=EPOCH_SHUFFLE_SEED).select(
+        "doc_id", "source", "epoch_pos"
     )
 
 
@@ -2226,6 +2306,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "lsh_jaccard": q_lsh_jaccard,
         "dedup_clusters": q_dedup_clusters,
+        "cluster_best": q_cluster_best,
         "simhash_near_dup": q_simhash_near_dup,
         "embed_near_dup": q_embed_near_dup,
         "embed_near_dup_lsh": q_embed_near_dup_lsh,
@@ -2233,6 +2314,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk,
         "ann_topk": q_ann_topk,
         "ann_topk_ivf": q_ann_topk_ivf,
+        "semantic_dedup": q_semantic_dedup,
         "text_stats": q_text_stats,
         "repetition_stats": q_repetition_stats,
         "quality_filter": q_quality_filter,
@@ -2267,6 +2349,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_extract": q_incremental_extract,
         "canonical_collapse": q_canonical_collapse,
         "stratified_sample": q_stratified_sample,
+        "weighted_sample": q_weighted_sample,
+        "epoch_shuffle": q_epoch_shuffle,
         "epoch_mix": q_epoch_mix,
         "dsir_select": q_dsir_select,
         "data_split": q_data_split,
@@ -2468,6 +2552,49 @@ def _ann_topk_ivf_sql() -> str:
                  ORDER BY round(cos_sim, 6) DESC, neighbor_id ASC) AS rank
         FROM scored)
       SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 5
+    """
+
+
+def _semantic_dedup_sql() -> str:
+    """DuckDB twin of q_semantic_dedup: identical rational centroid
+    literals -> identical assignment (rn=1) and round-6 cent_sim; the
+    keep rule is the same (cent_sim, id)-domination join over same-list
+    round-6-cosine >= threshold pairs."""
+    from ocr_spark.operators.similarity import ivf_centroids
+
+    rows = ", ".join(
+        "(%d, [%s]::DOUBLE[])" % (cid, ", ".join(repr(x) for x in cvec))
+        for cid, cvec in enumerate(ivf_centroids(dim=64, n_centroids=8, seed=7))
+    )
+    cos = (
+        "list_dot_product(a.emb, b.emb) / "
+        "(sqrt(list_dot_product(a.emb, a.emb)) * "
+        "sqrt(list_dot_product(b.emb, b.emb)))"
+    )
+    return f"""
+      WITH c(cid, cvec) AS (VALUES {rows}),
+      e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+      aff AS (
+        SELECT e.vec_id, e.emb, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY round(list_dot_product(e.emb, c.cvec), 6) DESC,
+                          c.cid ASC) AS rn
+        FROM e CROSS JOIN c),
+      assign AS (
+        SELECT a.vec_id, a.emb, a.cid,
+               round(list_dot_product(a.emb, c.cvec)
+                 / sqrt(list_dot_product(a.emb, a.emb)), 6) AS cent_sim
+        FROM aff a JOIN c ON a.cid = c.cid WHERE a.rn = 1),
+      dom AS (
+        SELECT DISTINCT b.vec_id
+        FROM assign a JOIN assign b
+          ON a.cid = b.cid AND a.vec_id != b.vec_id
+        WHERE round({cos}, 6) >= {SEMDEDUP_THRESHOLD}
+          AND (a.cent_sim < b.cent_sim
+               OR (a.cent_sim = b.cent_sim AND a.vec_id < b.vec_id)))
+      SELECT s.vec_id, CAST(s.cid AS INTEGER) AS ivf_list, s.cent_sim,
+             (d.vec_id IS NULL) AS kept
+      FROM assign s LEFT JOIN dom d ON s.vec_id = d.vec_id
     """
 
 
@@ -3518,6 +3645,42 @@ def oracle_sql() -> dict[str, str]:
                count(*) OVER (PARTITION BY cluster_id) AS cluster_size
         FROM assign
         """,
+        # keep-best representative: same closure, argmax(len, -id) per
+        # cluster
+        "cluster_best": near_dup_union.replace(
+            "WITH base AS", "WITH RECURSIVE base AS", 1
+        ) + f"""
+        , tok AS (SELECT doc_id, text, {toks} AS toksl FROM base)
+        , sh AS (SELECT doc_id, {shingles_col} AS shl FROM tok)
+        {aff_banded('FROM sh WHERE len(shl) > 0')}, cand AS (
+          SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+          FROM banded l JOIN banded r
+            ON l.band = r.band AND l.band_sig = r.band_sig
+           AND l.doc_id < r.doc_id
+        ), edges AS (
+          SELECT id_a AS s, id_b AS d FROM cand
+          UNION
+          SELECT id_b AS s, id_a AS d FROM cand
+        ), reach(node, x) AS (
+          SELECT s, s FROM edges
+          UNION
+          SELECT reach.node, e.d FROM reach JOIN edges e ON reach.x = e.s
+        ), labels AS (
+          SELECT node, min(x) AS cluster_id FROM reach GROUP BY node
+        ), assign AS (
+          SELECT b.doc_id, coalesce(l.cluster_id, b.doc_id) AS cluster_id,
+                 length(b.text) AS len
+          FROM base b LEFT JOIN labels l ON b.doc_id = l.node
+        ), ranked AS (
+          SELECT cluster_id, doc_id, len,
+                 row_number() OVER (PARTITION BY cluster_id
+                   ORDER BY len DESC, doc_id ASC) AS rn,
+                 count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+          FROM assign)
+        SELECT cluster_id, doc_id AS rep_doc_id, len AS rep_len,
+               cluster_size
+        FROM ranked WHERE rn = 1
+        """,
         "ngram_jaccard": near_dup_union + f"""
         , tok AS (SELECT doc_id, text, {toks} AS toksl FROM base)
         , sh AS (
@@ -3578,6 +3741,7 @@ def oracle_sql() -> dict[str, str]:
         "embed_near_dup_lsh": _embed_near_dup_lsh_sql(),
         "ann_topk": _ann_topk_sql(),
         "ann_topk_ivf": _ann_topk_ivf_sql(),
+        "semantic_dedup": _semantic_dedup_sql(),
         "embed_near_dup": f"""
           SELECT l.vec_id AS id_a, r.vec_id AS id_b,
                  round(list_dot_product(l.embedding::DOUBLE[], r.embedding::DOUBLE[])
@@ -4195,6 +4359,25 @@ def oracle_sql() -> dict[str, str]:
           SELECT doc_id, source, lang FROM documents
           WHERE ('0x' || substr(md5('|' || doc_id::VARCHAR), 1, 15))::BIGINT
             < CASE source {_mix_threshold_cases()} ELSE 0 END
+        """,
+        # A-ES: ORDER BY the full-precision key (both engines), round
+        # only the emitted column; u = (h+1)/2^60 in (0,1]
+        "weighted_sample": f"""
+          WITH keyed AS (
+            SELECT doc_id, source, n_chars,
+              ln((('0x' || substr(md5('|' || doc_id::VARCHAR), 1, 15))::BIGINT
+                  + 1.0) / {float(1 << 60)!r}) / n_chars AS es
+            FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0)
+          SELECT doc_id, source, n_chars, round(es, 9) AS es_key
+          FROM keyed ORDER BY es DESC, doc_id ASC LIMIT {WEIGHTED_SAMPLE_K}
+        """,
+        "epoch_shuffle": f"""
+          SELECT doc_id, source,
+                 row_number() OVER (ORDER BY
+                   ('0x' || substr(md5('{EPOCH_SHUFFLE_SEED}|'
+                      || doc_id::VARCHAR), 1, 15))::BIGINT, doc_id) - 1
+                   AS epoch_pos
+          FROM documents
         """,
         "epoch_mix": f"""
           WITH src AS (

@@ -43,6 +43,7 @@ BENCH_QUERIES = [
     "dedup_keep_latest", "minhash_lsh_pairs", "ngram_jaccard",
     "lsh_jaccard", "dedup_clusters", "simhash_near_dup", "embed_near_dup",
     "embed_near_dup_lsh", "span_qa", "cosine_topk", "ann_topk", "ann_topk_ivf",
+    "semantic_dedup",
     "text_stats", "repetition_stats", "quality_filter", "pii_scrub",
     "mojibake_fix",
     "lang_id", "lang_id_cjk", "fingerprint", "token_count",
@@ -52,7 +53,7 @@ BENCH_QUERIES = [
     "postings", "corpus_stats", "crawl_delta", "bm25", "doc_attributes",
     "sentences", "domain_quality", "sitemap", "incremental_extract", "canonical_collapse",
     "lm_score", "tfidf", "ccnet_buckets", "stratified_sample", "epoch_mix",
-    "dsir_select",
+    "dsir_select", "cluster_best", "weighted_sample", "epoch_shuffle",
     "data_split", "bloom_dedup", "token_budget_mix", "length_buckets",
     "pack_sequences",
     "packed_batches", "decontaminate", "curate_corpus",

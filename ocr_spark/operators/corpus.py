@@ -38,7 +38,7 @@ __all__ = ["stratified_sample", "token_budget_mix", "sample_thresholds",
            "epoch_mix", "epoch_weights", "dsir_weights",
            "data_split", "split_thresholds",
            "contamination_pairs", "pack_sequences", "packed_sequences",
-           "length_buckets"]
+           "length_buckets", "weighted_sample", "epoch_shuffle"]
 
 # 60-bit hash space: 15 md5 hex chars, inside int64 on every engine
 HASH_SPACE = 1 << 60
@@ -527,4 +527,79 @@ def length_buckets(df: DataFrame, boundaries: tuple[int, ...],
             F.greatest(F.col("bucket_len") - F.col("n_tokens"),
                        F.lit(0)).alias("pad_tokens"),
         )
+    )
+
+
+def weighted_sample(df: DataFrame, k: int, weight_col: str,
+                    key_col: str = "doc_id", salt: str = "") -> DataFrame:
+    """Weighted sampling without replacement, Efraimidis-Spirakis A-ES
+    (IPL 2006): each row draws u in (0,1] and gets key ln(u)/w; the k
+    rows with the LARGEST keys are a weighted sample without
+    replacement (equivalent to the paper's top-k by u^(1/w) — ln is
+    monotone, and the log form keeps the key numerically meaningful
+    for large weights where u^(1/w) collapses onto 1.0).
+
+    The uniform draw is NOT an RNG: u = (hash60(key)+1) / 2^60, the
+    same salted-md5 construction as :func:`stratified_sample`, so the
+    selected set is a pure function of (keys, weights, salt) —
+    identical across runs, retries, partitionings, and engines (the
+    DuckDB oracle re-derives it closed-form).
+
+    Rows with weight <= 0 or NULL are excluded (the A-ES key is
+    undefined there); callers wanting them must pre-clamp.
+
+    Scale shape: narrow per-row expressions then a global top-k, which
+    Spark executes as TakeOrderedAndProject — per-partition heap of k
+    rows, one driver-side merge of (n_partitions x k) skinny rows;
+    the corpus itself is never sorted and never shuffled."""
+    u = ((_md5_60(key_col, salt).cast("double") + F.lit(1.0))
+         / F.lit(float(HASH_SPACE)))
+    es = F.log(u) / F.col(weight_col).cast("double")
+    return (
+        df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .withColumn("es_key", F.round(es, 9))
+        .orderBy(es.desc(), F.col(key_col).asc())
+        .limit(k)
+    )
+
+
+def epoch_shuffle(df: DataFrame, seed: str, key_col: str = "doc_id",
+                  n_buckets: int = 256) -> DataFrame:
+    """Deterministic global shuffle order for one training epoch:
+    every row gets ``epoch_pos`` — its rank in the permutation induced
+    by sorting on (hash60(seed|key), key).  Changing ``seed`` yields a
+    fresh, reproducible permutation per epoch; a retry or a different
+    partitioning yields the identical one (df.orderBy(rand()) does
+    neither).
+
+    Scale shape: the naive form (row_number over a global ORDER BY) is
+    one task; this is the same two-pass distributed prefix sum as
+    token_budget_mix/length_buckets, with one twist — the hash-bucket
+    is the TOP bits of the sort key (a range partition), not a modulo,
+    so (bucket, hash, key) order IS (hash, key) order and per-bucket
+    ranks + broadcast bucket offsets compose to the exact global rank.
+    md5 output is uniform, so top-bit buckets are as balanced as
+    modulo buckets.  Parallelism is ``n_buckets`` regardless of corpus
+    size; the offsets frame is ``n_buckets`` rows."""
+    if n_buckets & (n_buckets - 1) or n_buckets <= 0:
+        raise ValueError("n_buckets must be a power of two")
+    shift = 60 - (n_buckets.bit_length() - 1)
+    base = (
+        df.withColumn("_h", _md5_60(key_col, seed))
+        .withColumn("_hb", F.shiftright(F.col("_h"), shift))
+    )
+    partials = base.groupBy("_hb").agg(F.count("*").alias("n"))
+    w_off = (
+        Window.orderBy("_hb")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = partials.select(
+        "_hb", F.coalesce(F.sum("n").over(w_off), F.lit(0)).alias("_off"))
+    w_rn = Window.partitionBy("_hb").orderBy("_h", key_col)
+    return (
+        base.join(F.broadcast(offsets), "_hb")
+        .withColumn(
+            "epoch_pos",
+            (F.col("_off") + F.row_number().over(w_rn) - 1).cast("long"))
+        .drop("_h", "_hb", "_off")
     )

@@ -42,7 +42,7 @@ __all__ = [
     "lsh_bucket_overflow", "lsh_jaccard_pairs", "ngram_jaccard_pairs",
     "simhash",
     "simhash_near_dup_pairs", "simhash_bucket_overflow",
-    "connected_components", "near_dup_clusters",
+    "connected_components", "near_dup_clusters", "cluster_representatives",
     "bloom_build", "bloom_member", "bloom_line_dedup",
 ]
 
@@ -947,4 +947,41 @@ def bloom_line_dedup(df: DataFrame, prior: DataFrame,
             ).alias(text_col),
             "n_lines_kept", "n_lines_dropped",
         )
+    )
+
+
+def cluster_representatives(clusters: DataFrame, scores: DataFrame,
+                            key_col: str = "doc_id",
+                            score_col: str = "score") -> DataFrame:
+    """Keep-BEST-per-cluster selection: given ``near_dup_clusters``
+    output and a per-document score, pick each cluster's highest-score
+    member (ties -> lowest key).  The ``key == cluster_id`` rule keeps
+    an *arbitrary* member (the min-id one); production dedup runs
+    usually keep the best version of a near-dup group instead — e.g.
+    the longest capture, the highest quality_filter score, or the
+    highest graph_prior rank (RefinedWeb/FineWeb keep-one policies).
+
+    Returns ``(cluster_id, rep_<key>, rep_<score>, cluster_size)``.
+
+    Scale shape: one skinny equi-join keyed by ``key_col`` to attach
+    scores, then ONE groupBy(cluster_id) whose map-side partial
+    aggregation absorbs the mega-cluster hot key (the same reasoning
+    that moved cluster_size off a window); the argmax rides a single
+    struct max — (score, -key) so the key tie-break stays a max —
+    never a per-cluster sort or window."""
+    j = clusters.join(scores.select(key_col, score_col), key_col)
+    best = j.groupBy("cluster_id").agg(
+        F.max(
+            F.struct(
+                F.col(score_col).alias("_s"),
+                (-F.col(key_col)).alias("_nk"),
+            )
+        ).alias("_b"),
+        F.count(F.lit(1)).alias("cluster_size"),
+    )
+    return best.select(
+        "cluster_id",
+        (-F.col("_b._nk")).alias(f"rep_{key_col}"),
+        F.col("_b._s").alias(f"rep_{score_col}"),
+        "cluster_size",
     )

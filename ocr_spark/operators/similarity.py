@@ -33,7 +33,7 @@ __all__ = [
     "lsh_bucket_assign", "lsh_probe_buckets", "ann_topk_lsh",
     "cosine_near_dup_pairs",
     "ivf_centroids", "kmeans_refine", "ivf_assign", "ivf_assign_gemm",
-    "ivf_probe_lists", "ann_topk_ivf",
+    "ivf_probe_lists", "ann_topk_ivf", "semantic_dedup",
 ]
 
 
@@ -601,3 +601,90 @@ def ann_topk_ivf(queries: DataFrame, corpus: DataFrame,
         )
     )
     return _rank_topk(scored, k)
+
+
+def semantic_dedup(df: DataFrame, centroids: list[list[float]],
+                   threshold: float = 0.95,
+                   id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al., arXiv
+    2303.09540): cluster the corpus embeddings with a k-means-style
+    coarse quantizer, then within each cluster drop every member of an
+    epsilon-ball of near-identical embeddings except one.
+
+    Two deviations from the paper, both chosen so the decision is a
+    deterministic, SQL-re-derivable pure function of the inputs:
+
+    * Assignment reuses the IVF coarse quantizer (``ivf_assign`` over
+      rational-literal ``ivf_centroids``/``kmeans_refine`` output)
+      rather than an in-plan k-means — at 100 TB the quantizer is
+      trained once on a bounded sample and the full corpus gets a
+      single narrow assignment pass, which is exactly the IVF layout
+      already in this module.
+    * The paper keeps the ball member with the LOWEST cosine to the
+      cluster centroid; with pairwise candidates the equivalent total
+      order is *domination*: drop x iff some same-cluster y with
+      round6-cos(x, y) >= threshold has (cent_sim[y], id[y]) <
+      (cent_sim[x], id[x]) lexicographically.  On a clique (the
+      epsilon-ball case the paper considers) this keeps exactly the
+      lowest-centroid-similarity member, and it is well-defined and
+      reproducible on non-clique candidate graphs too.
+
+    Returns one row per input vector: (id, ivf_list, cent_sim, kept)
+    — an attribute-style output (Dolma-style) so downstream consumers
+    can filter ``kept`` or audit the drop decisions.
+
+    Scale shape: ONE shuffle of the skinny (id, vec, list) projection
+    (groupBy list id), then each inverted list scores itself with a
+    row-blocked numpy self-GEMM — O(|list|^2) compute bounded by the
+    quantizer granularity (n_centroids ~ sqrt(n) keeps lists
+    executor-sized), never per-pair interpreted expressions, never a
+    cross-list candidate.  The centroid matrix is a broadcast literal.
+    """
+    import numpy as np
+
+    assigned = ivf_assign(df, centroids, vec_col=vec_col).select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec"),
+        "ivf_list",
+    )
+    b_c = df.sparkSession.sparkContext.broadcast(
+        np.array(centroids, np.float64))
+
+    def kernel(key, pdf):
+        import numpy as _np
+        import pandas as pd
+
+        ids = pdf["_id"].to_numpy(_np.int64)
+        n = len(ids)
+        mat = _np.stack([_np.asarray(v, _np.float64) for v in pdf["_vec"]])
+        nrm = _np.linalg.norm(mat, axis=1)
+        nrm[nrm == 0.0] = _np.nan  # zero vectors: NaN sims, never dup
+        cvec = b_c.value[int(key[0])]
+        cent = _round_half_away(mat @ cvec / nrm, 6)
+        dominated = _np.zeros(n, bool)
+        block = 2048
+        for s in range(0, n, block):
+            e = min(s + block, n)
+            sims = _round_half_away(
+                (mat[s:e] @ mat.T) / _np.outer(nrm[s:e], nrm), 6)
+            hit = sims >= threshold  # NaN compares False
+            dom = hit & (
+                (cent[s:e, None] < cent[None, :])
+                | ((cent[s:e, None] == cent[None, :])
+                   & (ids[s:e, None] < ids[None, :]))
+            )
+            dominated |= dom.any(axis=0)
+        return pd.DataFrame({
+            "vec_id": ids,
+            "ivf_list": _np.full(n, int(key[0]), _np.int32),
+            "cent_sim": cent,
+            "kept": ~dominated,
+        })
+
+    return (
+        assigned.groupBy("ivf_list")
+        .applyInPandas(
+            kernel,
+            schema="vec_id long, ivf_list int, cent_sim double, kept boolean",
+        )
+    )

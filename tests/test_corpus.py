@@ -353,3 +353,62 @@ class TestLengthBuckets:
             length_buckets(df, (), 8)
         with _pt.raises(ValueError):
             length_buckets(df, (32, 16), 8)
+
+
+def test_weighted_sample_matches_reference_and_is_partition_invariant(spark):
+    """A-ES selection must equal the pure-Python reference (top-k by
+    ln(u)/w desc) and be identical under any repartitioning."""
+    import math
+
+    from ocr_spark.operators.corpus import weighted_sample
+
+    rows = [(i, (i % 13) + 1) for i in range(80)] + [(900, 0), (901, None)]
+    df = spark.createDataFrame(rows, "doc_id long, w int")
+
+    def key(i, w):
+        u = (_h60(i) + 1) / HASH_SPACE
+        return math.log(u) / w
+
+    ref = sorted(((i, w) for i, w in rows if w),
+                 key=lambda t: (-key(*t), t[0]))[:10]
+    got = [(r.doc_id, r.w) for r in
+           weighted_sample(df, k=10, weight_col="w").collect()]
+    assert got == ref                         # zero/NULL weights excluded
+    re_got = [(r.doc_id, r.w) for r in
+              weighted_sample(df.repartition(7), k=10,
+                              weight_col="w").collect()]
+    assert re_got == ref
+
+
+def test_weighted_sample_weight_monotonicity(spark):
+    """Two rows with the same hash draw: the heavier one has the
+    larger key, so at k=1 the heavier must win.  Same draw is forced
+    by sampling the same key twice under different weight columns."""
+    from ocr_spark.operators.corpus import weighted_sample
+
+    df = spark.createDataFrame(
+        [(1, 5, 50)], "doc_id long, w_small int, w_big int")
+    small = weighted_sample(df, k=1, weight_col="w_small").collect()[0]
+    big = weighted_sample(df, k=1, weight_col="w_big").collect()[0]
+    assert big.es_key > small.es_key          # ln(u)<0 shrinks toward 0
+
+
+def test_epoch_shuffle_is_exact_permutation_and_seed_sensitive(spark):
+    from ocr_spark.operators.corpus import epoch_shuffle
+
+    df = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(300)], "doc_id long, text string")
+    out = {r.doc_id: r.epoch_pos
+           for r in epoch_shuffle(df, seed="a").collect()}
+    assert sorted(out.values()) == list(range(300))    # a real permutation
+    # matches the naive global order on (hash, key)
+    ref = {i: rank for rank, i in enumerate(
+        sorted(range(300), key=lambda i: (_h60(i, "a"), i)))}
+    assert out == ref
+    # partition-invariant; a different seed is a different permutation
+    out2 = {r.doc_id: r.epoch_pos
+            for r in epoch_shuffle(df.repartition(11), seed="a").collect()}
+    assert out2 == out
+    outb = {r.doc_id: r.epoch_pos
+            for r in epoch_shuffle(df, seed="b").collect()}
+    assert sorted(outb.values()) == list(range(300)) and outb != out

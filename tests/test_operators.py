@@ -779,3 +779,75 @@ def test_tfidf_topk_ranks_distinctive_terms(spark):
                     for r in tfidf_topk(df.repartition(7), k=2).collect())
     assert re_out == sorted((r.doc_id, r.rank, r.term, r.tfidf)
                             for r in out)
+
+
+# --------------------------------------------------------------------------
+# semantic dedup (SemDeDup)
+# --------------------------------------------------------------------------
+
+def test_semantic_dedup_drops_one_of_each_near_copy_pair(vectors):
+    """Each perturbed copy (i, 100+i) is an epsilon-ball of size 2 in
+    some cluster: exactly one member survives, and it is the one with
+    the LOWER centroid similarity (the paper's keep rule)."""
+    from ocr_spark.operators.similarity import semantic_dedup
+
+    out = {r.vec_id: r for r in
+           semantic_dedup(vectors, _ivf_cents(), threshold=0.98).collect()}
+    assert len(out) == 45                      # one row per input vector
+    dropped = {v for v, r in out.items() if not r.kept}
+    assert dropped and all(
+        (i in dropped) != (100 + i in dropped) for i in range(5))
+    for i in range(5):
+        loser = i if i in dropped else 100 + i
+        winner = 100 + i if i in dropped else i
+        assert out[loser].ivf_list == out[winner].ivf_list
+        assert (out[winner].cent_sim, winner) < (out[loser].cent_sim, loser)
+
+
+def test_semantic_dedup_identical_clique_keeps_min_id(spark):
+    """An exact-duplicate clique has tied cent_sims: the id tie-break
+    must keep exactly the lowest id, independent of partitioning."""
+    from ocr_spark.operators.similarity import semantic_dedup
+
+    v = [1.0, 2.0, -0.5, 0.25] * 4
+    other = [-2.0, 1.0, 0.5, -1.0] * 4
+    df = spark.createDataFrame(
+        [(7, v), (3, v), (11, v), (20, other)],
+        "vec_id long, embedding array<float>",
+    ).repartition(4)
+    out = {r.vec_id: r.kept for r in
+           semantic_dedup(df, _ivf_cents(), threshold=0.99).collect()}
+    assert out == {3: True, 7: False, 11: False, 20: True}
+
+
+def test_semantic_dedup_zero_vector_is_kept(spark):
+    """A zero embedding has no cosine to anything (NaN): it must never
+    match, never be dropped, and never poison its cluster."""
+    from ocr_spark.operators.similarity import semantic_dedup
+
+    v = [0.5, -1.5, 2.0, 1.0] * 4
+    df = spark.createDataFrame(
+        [(1, v), (2, v), (9, [0.0] * 16)],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r.vec_id: r.kept for r in
+           semantic_dedup(df, _ivf_cents(), threshold=0.9).collect()}
+    assert out[9] is True and out[1] is True and out[2] is False
+
+
+def test_cluster_representatives_argmax_and_ties(spark):
+    """Per-cluster keep-best: max score wins, score ties keep the
+    lowest key; singletons are their own representative."""
+    from ocr_spark.operators.dedup import cluster_representatives
+
+    clusters = spark.createDataFrame(
+        [(1, 1, 3), (2, 1, 3), (3, 1, 3),     # cluster 1: scores 5,9,9
+         (4, 4, 1),                           # singleton
+         (7, 7, 2), (8, 7, 2)],               # cluster 7: tie 2,2
+        "doc_id long, cluster_id long, cluster_size long")
+    scores = spark.createDataFrame(
+        [(1, 5), (2, 9), (3, 9), (4, 1), (7, 2), (8, 2)],
+        "doc_id long, score long")
+    out = {r.cluster_id: (r.rep_doc_id, r.rep_score, r.cluster_size)
+           for r in cluster_representatives(clusters, scores).collect()}
+    assert out == {1: (2, 9, 3), 4: (4, 1, 1), 7: (7, 2, 2)}
