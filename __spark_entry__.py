@@ -1655,6 +1655,45 @@ def q_domain_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# whole-domain blocks for url families 0/5 (example3.com) and 1
+# (site7.co.uk), a path-prefix block that HITS family 2 (host9.org
+# /path...) and one that MISSES family 3 (blog.host9.net path is /x,
+# prefix /y) — the negative prefix case the oracle must agree on
+URL_BLOCKLIST = [
+    ("example3.com", None),
+    ("site7.co.uk", None),
+    ("host9.org", "/path"),
+    ("host9.net", "/y"),
+]
+
+
+def q_url_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UT1/RefinedWeb-style URL blocklist filtering: registered-domain
+    blocks plus path-prefix blocks, blocklist pre-aggregated to one
+    broadcast row per domain.  Attribute-style output (every url with
+    its blocked flag) so the oracle certifies both directions."""
+    from ocr_spark.operators.web import url_blocklist_filter
+
+    urls = _synth_urls(spark, sf_dir)
+    bl = spark.createDataFrame(URL_BLOCKLIST,
+                               "domain string, path_prefix string")
+    return url_blocklist_filter(urls, bl).select(
+        "doc_id", "domain", "blocked")
+
+
+def q_crawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Politeness-constrained fetch scheduling: at most per_round=2
+    urls per host per round, host-local rank by (salted hash, doc_id)
+    computed with the two-pass prefix sum over top-bit buckets (the
+    hot host never rides one window task).  Oracle: the naive per-host
+    row_number, equal because the bucket id is a sort-key prefix."""
+    from ocr_spark.operators.web import crawl_schedule
+
+    urls = _synth_urls(spark, sf_dir)
+    return crawl_schedule(urls, per_round=2).select(
+        "doc_id", "host", "fetch_round", "fetch_slot")
+
+
 def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFC 9309 robots.txt crawl-permission filtering: five path
     families per host (public / private / private-ok / tmp / root),
@@ -2364,6 +2403,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_extract": q_warc_extract,
         "url_normalize": q_url_normalize,
         "domain_topk": q_domain_topk,
+        "url_blocklist": q_url_blocklist,
+        "crawl_schedule": q_crawl_schedule,
         "robots_filter": q_robots_filter,
         "outlinks": q_outlinks,
         "anchor_agg": q_anchor_agg,
@@ -3092,6 +3133,69 @@ def _domain_topk_sql() -> str:
                  ORDER BY score DESC, doc_id ASC) AS rn
         FROM h)
       SELECT doc_id, domain, score FROM r WHERE rn <= 3
+    """
+
+
+def _url_blocklist_sql() -> str:
+    """DuckDB twin of q_url_blocklist: same synthetic urls, same
+    domain fragment, a step-for-step path twin of web.url_path, and
+    the blocklist as a VALUES table probed with a correlated EXISTS
+    (NULL prefix = whole domain, else starts_with on the path)."""
+    f = _url_sql_frags()
+    rows = ", ".join(
+        "(%s, %s)" % (f"'{d}'", "NULL" if p is None else f"'{p}'")
+        for d, p in URL_BLOCKLIST
+    )
+    path = ("""
+      CASE WHEN regexp_extract(regexp_replace(regexp_replace(
+                  regexp_extract(url, '^([^#]*)', 1),
+                  '^[A-Za-z][A-Za-z0-9+.-]*://', ''),
+                '^[^/?#]*', ''), '^([^?]*)', 1) = ''
+           THEN '/'
+           ELSE regexp_extract(regexp_replace(regexp_replace(
+                  regexp_extract(url, '^([^#]*)', 1),
+                  '^[A-Za-z][A-Za-z0-9+.-]*://', ''),
+                '^[^/?#]*', ''), '^([^?]*)', 1)
+      END
+    """)
+    return f"""
+      WITH u AS (
+        SELECT doc_id, length(text) AS score, {f['url_case']} AS url
+        FROM documents),
+      b(bd, bp) AS (VALUES {rows}),
+      h AS (SELECT doc_id, {f['domain']} AS domain, {path} AS path FROM u)
+      SELECT doc_id, domain,
+             EXISTS(SELECT 1 FROM b
+                    WHERE b.bd = h.domain
+                      AND (b.bp IS NULL OR starts_with(h.path, b.bp)))
+               AS blocked
+      FROM h
+    """
+
+
+def _crawl_schedule_sql() -> str:
+    """DuckDB twin of q_crawl_schedule: the naive per-host row_number
+    over (salted hash, doc_id) — identical to the engine's two-pass
+    prefix-sum form because the bucket id is a prefix of the sort
+    key."""
+    f = _url_sql_frags()
+    return f"""
+      WITH u AS (
+        SELECT doc_id, length(text) AS score, {f['url_case']} AS url
+        FROM documents),
+      h AS (
+        SELECT doc_id, {f['host']} AS host,
+               ('0x' || substr(md5('crawl|' || doc_id::VARCHAR),
+                               1, 15))::BIGINT AS hh
+        FROM u),
+      r AS (
+        SELECT doc_id, host,
+               row_number() OVER (PARTITION BY host
+                 ORDER BY hh, doc_id) - 1 AS rk
+        FROM h)
+      SELECT doc_id, host, rk // 2 AS fetch_round,
+             CAST(rk % 2 AS INT) AS fetch_slot
+      FROM r
     """
 
 
@@ -4425,6 +4529,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "url_normalize": _url_normalize_sql(),
         "domain_topk": _domain_topk_sql(),
+        "url_blocklist": _url_blocklist_sql(),
+        "crawl_schedule": _crawl_schedule_sql(),
         "robots_filter": """
           SELECT doc_id,
             'https://site' || CAST(doc_id % 20 AS VARCHAR) || '.example.com'

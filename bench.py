@@ -57,7 +57,8 @@ BENCH_QUERIES = [
     "data_split", "bloom_dedup", "token_budget_mix", "length_buckets",
     "pack_sequences",
     "packed_batches", "decontaminate", "curate_corpus",
-    "warc_extract", "url_normalize", "domain_topk", "robots_filter",
+    "warc_extract", "url_normalize", "domain_topk", "url_blocklist",
+    "crawl_schedule", "robots_filter",
     "outlinks", "anchor_agg", "cdx_index", "pagerank", "graph_prior",
     "media_decode", "png_decode", "audio_decode", "frame_sample",
     "pricing_summary", "top_customers", "regional_revenue",

@@ -50,7 +50,9 @@ from pyspark.sql import types as T
 __all__ = ["TRACKING_PARAMS", "url_normalize", "url_host",
            "registered_domain", "domain_topk", "outlinks", "pagerank",
            "parse_robots", "robots_allowed", "robots_filter",
-           "surt_key", "anchor_text_agg", "domain_quality", "sitemap_urls", "canonical_collapse"]
+           "surt_key", "anchor_text_agg", "domain_quality", "sitemap_urls",
+           "canonical_collapse", "url_path", "url_blocklist_filter",
+           "crawl_schedule"]
 
 # the closed, documented drop-set; extend per deployment.  Matched on
 # the parameter NAME (the part left of '='), utm_ by prefix.
@@ -569,4 +571,120 @@ def canonical_collapse(df: DataFrame, url_col: str = "url",
         .groupBy("canonical_url")
         .agg(F.count("*").alias("n_pages"),
              F.min("_u").alias("representative"))
+    )
+
+
+def url_path(col: str | Column) -> Column:
+    """Path component of a url, ``'/'`` when absent: fragment stripped,
+    scheme + authority stripped (scheme-less urls supported — the
+    authority is the leading token either way), query stripped.
+    Case preserved (paths are case-sensitive, unlike hosts)."""
+    c = F.col(col) if isinstance(col, str) else col
+    no_frag = F.regexp_extract(c, r"^([^#]*)", 1)
+    after_scheme = F.regexp_replace(
+        no_frag, r"^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    rest = F.regexp_replace(after_scheme, r"^[^/?#]*", "")
+    path = F.regexp_extract(rest, r"^([^?]*)", 1)
+    return F.when(path == "", F.lit("/")).otherwise(path)
+
+
+def url_blocklist_filter(df: DataFrame, blocklist: DataFrame,
+                         url_col: str = "url",
+                         domain_col: str = "domain",
+                         prefix_col: str = "path_prefix") -> DataFrame:
+    """UT1/RefinedWeb-style URL blocklist: ``blocklist`` rows are
+    (registered domain, path prefix); a NULL prefix blocks the whole
+    domain, otherwise any url whose path starts with the prefix is
+    blocked.  Domain matching is on the REGISTERED domain (subdomains
+    of a blocked domain are blocked — the standard blocklist
+    semantics; adult/malware lists name pay-level domains).
+
+    Returns the input plus ``(domain, blocked)`` — attribute-style, so
+    callers filter ``~blocked`` or audit the decisions.
+
+    Scale shape: the blocklist is first aggregated to ONE row per
+    domain (whole-domain flag + prefix array) then broadcast — UT1-
+    scale lists are a few million rows / tens of MB, squarely
+    broadcastable — so the corpus side is a narrow per-row pass with a
+    broadcast hash join and never shuffles; multi-entry domains cannot
+    fan out corpus rows because the join side is pre-aggregated to
+    unique keys."""
+    agg = blocklist.groupBy(
+        F.lower(F.col(domain_col)).alias("_bd")
+    ).agg(
+        F.max(F.col(prefix_col).isNull()).alias("_whole"),
+        # collect_list skips NULLs: only real prefixes remain
+        F.collect_list(prefix_col).alias("_prefixes"),
+    )
+    out = (
+        df.withColumn("domain", registered_domain(url_col))
+        .withColumn("_path", url_path(url_col))
+        .join(F.broadcast(agg), F.col("domain") == F.col("_bd"), "left")
+    )
+    blocked = (
+        F.coalesce(F.col("_whole"), F.lit(False))
+        | F.coalesce(
+            F.exists("_prefixes",
+                     lambda p: F.col("_path").startswith(p)),
+            F.lit(False),
+        )
+    )
+    return out.withColumn("blocked", blocked).drop(
+        "_bd", "_whole", "_prefixes", "_path")
+
+
+def crawl_schedule(df: DataFrame, per_round: int,
+                   url_col: str = "url", key_col: str = "doc_id",
+                   salt: str = "crawl", n_buckets: int = 16,
+                   broadcast_offsets: bool = True) -> DataFrame:
+    """Politeness-constrained fetch scheduling: a crawler may fetch at
+    most ``per_round`` urls per host per scheduling round (the
+    classic frontier rule — per-host rate limits dominate crawl
+    makespan, cf. Common Crawl / Heritrix frontier design).  Every url
+    gets ``(fetch_round, fetch_slot)``: its host-local rank — ordered
+    by (salted 60-bit hash, key), a deterministic spread — divided /
+    modulo ``per_round``.
+
+    Scale shape: the naive form is one window over host, which
+    funnels a hot host (the million-page domain every crawl has)
+    through ONE task.  Here the rank is the same two-pass prefix sum
+    as corpus.epoch_shuffle, partitioned by (host, top-bit hash
+    bucket): per-bucket counts -> per-host offsets via a window over
+    the tiny (host, bucket, n) partials frame -> per-bucket
+    row_number + offset.  The bucket id is a PREFIX of the sort key,
+    so per-bucket ranks + offsets compose to the exact host-local
+    rank; hot-host parallelism is ``n_buckets``.  Set
+    ``broadcast_offsets=False`` when hosts number in the hundreds of
+    millions (the offsets frame is n_hosts x n_buckets skinny rows) —
+    the join then co-partitions with the rank exchange instead."""
+    from ocr_spark.operators.corpus import _md5_60
+
+    if n_buckets & (n_buckets - 1) or n_buckets <= 0:
+        raise ValueError("n_buckets must be a power of two")
+    shift = 60 - (n_buckets.bit_length() - 1)
+    base = (
+        df.withColumn("host", url_host(url_col))
+        .withColumn("_h", _md5_60(key_col, salt))
+        .withColumn("_hb", F.shiftright(F.col("_h"), shift))
+    )
+    partials = base.groupBy("host", "_hb").agg(F.count("*").alias("n"))
+    w_off = (
+        Window.partitionBy("host").orderBy("_hb")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = partials.select(
+        "host", "_hb",
+        F.coalesce(F.sum("n").over(w_off), F.lit(0)).alias("_off"))
+    if broadcast_offsets:
+        offsets = F.broadcast(offsets)
+    w_rn = Window.partitionBy("host", "_hb").orderBy("_h", key_col)
+    rank = F.col("_off") + F.row_number().over(w_rn) - 1
+    return (
+        base.join(offsets, ["host", "_hb"])
+        .withColumn("_rank", rank)
+        .withColumn("fetch_round",
+                    (F.col("_rank") / per_round).cast("long"))
+        .withColumn("fetch_slot",
+                    F.pmod(F.col("_rank"), F.lit(per_round)).cast("int"))
+        .drop("_h", "_hb", "_off", "_rank")
     )

@@ -330,3 +330,64 @@ def test_anchor_text_agg(spark):
     # tie -> lexicographically last
     assert got["t2"].top_anchor == "b" and got["t2"].n_inlinks == 2
     assert got["t3"].top_anchor == "only"
+
+
+def test_url_path_extraction(spark):
+    from ocr_spark.operators.web import url_path
+
+    cases = [
+        (1, "https://a.example.com:443/x/y?q=1#frag", "/x/y"),
+        (2, "HTTP://HOST.COM", "/"),
+        (3, "host.com/plain/", "/plain/"),
+        (4, "https://h.io/?a=1", "/"),
+        (5, "h.io?a=1", "/"),
+    ]
+    df = spark.createDataFrame([(i, u) for i, u, _ in cases],
+                               "id long, url string")
+    got = {r.id: r.p
+           for r in df.select("id", url_path("url").alias("p")).collect()}
+    assert got == {i: want for i, _, want in cases}
+
+
+def test_url_blocklist_domain_and_prefix_semantics(spark):
+    from ocr_spark.operators.web import url_blocklist_filter
+
+    pages = spark.createDataFrame(
+        [(1, "https://sub.bad.com/anything"),      # subdomain of blocked
+         (2, "https://good.com/casino/x"),          # prefix hit
+         (3, "https://good.com/news/x"),            # prefix miss
+         (4, "https://Bad.COM/"),                   # case-folded domain
+         (5, "https://other.org/casino/x")],        # unlisted domain
+        "doc_id long, url string")
+    bl = spark.createDataFrame(
+        [("bad.com", None), ("good.com", "/casino"), ("good.com", "/shop")],
+        "domain string, path_prefix string")
+    out = {r.doc_id: r.blocked
+           for r in url_blocklist_filter(pages, bl).collect()}
+    assert out == {1: True, 2: True, 3: False, 4: True, 5: False}
+    # multi-entry domains must not fan out rows
+    assert url_blocklist_filter(pages, bl).count() == 5
+
+
+def test_crawl_schedule_politeness_invariants(spark):
+    """Per host: slots within a round never exceed per_round, ranks
+    are the exact host-local permutation, and the schedule is
+    invariant to partitioning."""
+    from ocr_spark.operators.web import crawl_schedule
+
+    rows = [(i, f"https://h{i % 3}.com/p{i}") for i in range(90)]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    out = crawl_schedule(df, per_round=4).collect()
+    by_host = {}
+    for r in out:
+        by_host.setdefault(r.host, []).append(r)
+    for host, rs in by_host.items():
+        ranks = sorted(r.fetch_round * 4 + r.fetch_slot for r in rs)
+        assert ranks == list(range(len(rs)))     # exact 0..n-1 per host
+        from collections import Counter
+        per = Counter(r.fetch_round for r in rs)
+        assert max(per.values()) <= 4
+    re_out = {(r.doc_id, r.fetch_round, r.fetch_slot)
+              for r in crawl_schedule(df.repartition(13),
+                                      per_round=4).collect()}
+    assert re_out == {(r.doc_id, r.fetch_round, r.fetch_slot) for r in out}
