@@ -585,6 +585,22 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup(emb, cents, threshold=SEMDEDUP_THRESHOLD)
 
 
+def q_capture_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 validity intervals over the events capture stream (entity =
+    user_id, capture order = ts with event_id tie-break): version,
+    valid_from, valid_to (NULL = current), is_current.  One window
+    keyed by the entity — per-key cardinality is the revisit rate,
+    never the corpus."""
+    from ocr_spark.operators.snapshot import capture_history
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    return capture_history(ev, key_col="user_id", ts_col="ts",
+                           tie_col="event_id").select(
+        "event_id", "user_id", "version", "valid_from", "valid_to",
+        "is_current",
+    )
+
+
 # --------------------------------------------------------------------------
 # text analysis
 # --------------------------------------------------------------------------
@@ -2379,6 +2395,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "postings": q_postings,
         "corpus_stats": q_corpus_stats,
         "crawl_delta": q_crawl_delta,
+        "capture_history": q_capture_history,
         "bm25": q_bm25,
         "doc_attributes": q_doc_attributes,
         "sentences": q_sentences,
@@ -4453,6 +4470,15 @@ def oracle_sql() -> dict[str, str]:
                  'added' AS status
           FROM documents WHERE doc_id % 11 = 0
           ORDER BY key
+        """,
+        "capture_history": """
+          SELECT event_id, user_id,
+                 CAST(row_number() OVER w AS INT) AS version,
+                 ts AS valid_from,
+                 lead(ts) OVER w AS valid_to,
+                 lead(ts) OVER w IS NULL AS is_current
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         """,
         # corpus assembly: hash thresholds are the SAME Python-computed
         # integers the engine filters on (sample_thresholds), and the

@@ -18,10 +18,10 @@ sources/catalog.py).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["snapshot_delta"]
+__all__ = ["snapshot_delta", "capture_history"]
 
 
 def snapshot_delta(old: DataFrame, new: DataFrame, key_col: str = "url",
@@ -50,4 +50,36 @@ def snapshot_delta(old: DataFrame, new: DataFrame, key_col: str = "url",
         .when(F.col("d_old") == F.col("d_new"), F.lit("unchanged"))
         .otherwise(F.lit("changed"))
         .alias("status"),
+    )
+
+
+def capture_history(df: DataFrame, key_col: str = "url",
+                    ts_col: str = "ts",
+                    tie_col: str | None = None) -> DataFrame:
+    """SCD2-style validity intervals over a capture stream: per entity,
+    each capture gets ``(version, valid_from, valid_to, is_current)``
+    where ``valid_to`` is the next capture's timestamp (NULL = still
+    current).  This is the slowly-changing-dimension form a crawl
+    warehouse keeps so point-in-time queries ("what did this url say
+    on date D") are a BETWEEN predicate instead of a groupBy-max scan;
+    keep-latest dedup is the degenerate ``is_current`` slice.
+
+    ``tie_col`` breaks equal-timestamp captures deterministically
+    (pass the capture id; without it equal-ts ordering is
+    engine-dependent).
+
+    Scale shape: ONE window partitioned by the entity key.  Unlike
+    corpus-wide ranks (cf. web.crawl_schedule), per-key cardinality
+    here is bounded by the revisit rate — dozens of captures per url,
+    never a corpus-sized partition — so the per-key window IS the
+    right tool; the exchange is one hash partition by key."""
+    order = [F.col(ts_col).asc()]
+    if tie_col is not None:
+        order.append(F.col(tie_col).asc())
+    w = Window.partitionBy(key_col).orderBy(*order)
+    return (
+        df.withColumn("version", F.row_number().over(w))
+        .withColumn("valid_from", F.col(ts_col))
+        .withColumn("valid_to", F.lead(ts_col).over(w))
+        .withColumn("is_current", F.col("valid_to").isNull())
     )

@@ -191,3 +191,31 @@ class TestCanonicalCollapse:
             [("u1", "https://ex.com/a"), ("u2", "HTTPS://EX.COM/a")],
             "url string, canonical string")
         assert canonical_collapse(df, normalize=False).count() == 2
+
+
+def test_capture_history_scd2_intervals(spark):
+    """Versions are 1..n per key in ts order, intervals chain
+    (valid_to == next valid_from), exactly one current row per key,
+    tie_col breaks equal timestamps deterministically."""
+    from datetime import datetime
+
+    from ocr_spark.operators.snapshot import capture_history
+
+    t = lambda s: datetime(2024, 1, s)
+    df = spark.createDataFrame(
+        [(1, "u", t(1)), (2, "u", t(5)), (3, "u", t(3)),
+         (4, "v", t(2)), (6, "w", t(4)), (5, "w", t(4))],  # w: equal ts
+        "cap_id long, url string, ts timestamp")
+    rows = capture_history(df, key_col="url", ts_col="ts",
+                           tie_col="cap_id").collect()
+    by_key = {}
+    for r in rows:
+        by_key.setdefault(r.url, []).append(r)
+    for key, rs in by_key.items():
+        rs.sort(key=lambda r: r.version)
+        assert [r.version for r in rs] == list(range(1, len(rs) + 1))
+        for a, b in zip(rs, rs[1:]):
+            assert a.valid_to == b.valid_from
+        assert [r.is_current for r in rs] == [False] * (len(rs) - 1) + [True]
+    w = by_key["w"]
+    assert (w[0].cap_id, w[1].cap_id) == (5, 6)   # tie broken by cap_id
