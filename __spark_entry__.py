@@ -585,6 +585,48 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup(emb, cents, threshold=SEMDEDUP_THRESHOLD)
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: every click event gains the latest
+    preceding view (same user, view.ts <= click.ts) — the align-events-
+    with-current-state join.  Engine: union-tag + one exchange by key +
+    last(ignorenulls) carry (never an inequality join).  Oracle:
+    DuckDB's native ASOF LEFT JOIN."""
+    from ocr_spark.operators.temporal import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id", "value")
+    return asof_join(clicks, views, key_col="user_id", ts_col="ts",
+                     tie_col="event_id").select(
+        "event_id", "user_id", "r_event_id", "r_value")
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (containment) join: sampled click values joined into
+    [value, value+1) intervals around sampled error values — the
+    value-tier / ip-range lookup shape.  Engine: fixed-width binning +
+    equi-join on the bin (a pair meets only in the point's single bin,
+    no dedup); the oracle is the plain inequality join."""
+    from ocr_spark.operators.temporal import range_join
+
+    ev = _t(spark, sf_dir, "events")
+    points = ev.filter(
+        (F.col("event_type") == "click") & (F.col("event_id") % 3 == 0)
+    ).select(F.col("event_id").alias("p_id"), F.col("value").alias("v"))
+    intervals = ev.filter(
+        (F.col("event_type") == "error") & (F.col("event_id") % 5 == 0)
+    ).select(
+        F.col("event_id").alias("i_id"),
+        F.col("value").alias("lo"),
+        (F.col("value") + 1.0).alias("hi"),
+    )
+    return range_join(points, intervals, point_col="v", lo_col="lo",
+                      hi_col="hi", bin_width=8.0).select(
+        "p_id", "i_id", "v", "lo")
+
+
 def q_capture_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD2 validity intervals over the events capture stream (entity =
     user_id, capture order = ts with event_id tie-break): version,
@@ -2396,6 +2438,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_stats": q_corpus_stats,
         "crawl_delta": q_crawl_delta,
         "capture_history": q_capture_history,
+        "asof_join": q_asof_join,
+        "range_join": q_range_join,
         "bm25": q_bm25,
         "doc_attributes": q_doc_attributes,
         "sentences": q_sentences,
@@ -4479,6 +4523,25 @@ def oracle_sql() -> dict[str, str]:
                  lead(ts) OVER w IS NULL AS is_current
           FROM events
           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+        "asof_join": """
+          WITH l AS (SELECT event_id, user_id, ts FROM events
+                     WHERE event_type = 'click'),
+               r AS (SELECT user_id, ts, event_id, value FROM events
+                     WHERE event_type = 'view')
+          SELECT l.event_id, l.user_id,
+                 r.event_id AS r_event_id, r.value AS r_value
+          FROM l ASOF LEFT JOIN r
+            ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        "range_join": """
+          WITH p AS (SELECT event_id AS p_id, value AS v FROM events
+                     WHERE event_type = 'click' AND event_id % 3 = 0),
+               i AS (SELECT event_id AS i_id, value AS lo,
+                            value + 1.0 AS hi FROM events
+                     WHERE event_type = 'error' AND event_id % 5 = 0)
+          SELECT p_id, i_id, v, lo
+          FROM p JOIN i ON i.lo <= p.v AND p.v < i.hi
         """,
         # corpus assembly: hash thresholds are the SAME Python-computed
         # integers the engine filters on (sample_thresholds), and the

@@ -50,8 +50,8 @@ BENCH_QUERIES = [
     "chunk_text", "chunk_tokens", "collocations", "bpe_pairs",
     "table_extract", "html_markdown", "wet_export", "wat_export",
     "bigram_lm", "readability", "unicode_clean",
-    "postings", "corpus_stats", "crawl_delta", "capture_history", "bm25",
-    "doc_attributes",
+    "postings", "corpus_stats", "crawl_delta", "capture_history",
+    "asof_join", "range_join", "bm25", "doc_attributes",
     "sentences", "domain_quality", "sitemap", "incremental_extract", "canonical_collapse",
     "lm_score", "tfidf", "ccnet_buckets", "stratified_sample", "epoch_mix",
     "dsir_select", "cluster_best", "weighted_sample", "epoch_shuffle",

@@ -342,3 +342,98 @@ def test_tfidf_no_window_broadcast_idf(spark):
     assert "Window" not in plan
     assert "BroadcastHashJoin" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_weighted_sample_is_take_ordered_no_shuffle(spark):
+    """A-ES top-k must run as TakeOrderedAndProject (per-partition
+    heaps + driver merge) — a global Sort exchange of the corpus would
+    be the 100-TB failure mode."""
+    df = entry_mod.queries()["weighted_sample"](spark, SF)
+    plan = plan_of(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
+
+
+def test_epoch_shuffle_no_global_window_offsets_broadcast(spark):
+    """The permutation rank must come from the two-pass prefix sum:
+    per-bucket windows (partitioned, parallel) + a broadcast offsets
+    join — never a single-partition global window, whose signature is
+    an Exchange SinglePartition feeding the Window."""
+    df = entry_mod.queries()["epoch_shuffle"](spark, SF)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan
+    win = plan.split("Window")[0]   # text above the big-data Window node
+    assert "Exchange SinglePartition" not in win, plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_crawl_schedule_rank_window_is_bucketed(spark):
+    """The big-data window must be partitioned by (host, bucket) — the
+    hot host's rank runs n_buckets-wide — and the offsets frame joins
+    back broadcast."""
+    df = entry_mod.queries()["crawl_schedule"](spark, SF)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan
+    assert "windowspecdefinition(host" in plan and "_hb" in plan, plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_url_blocklist_broadcast_no_fanout_no_python(spark):
+    """Blocklist probe = one broadcast hash join against the
+    per-domain-aggregated list; no shuffle of the corpus, no Python."""
+    df = entry_mod.queries()["url_blocklist"](spark, SF)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_semantic_dedup_single_list_shuffle_arrow_kernel(spark):
+    """Candidates never leave their inverted list: ONE hash exchange on
+    ivf_list feeding an Arrow applyInPandas kernel — no pair join, no
+    cartesian, no per-row Python."""
+    df = entry_mod.queries()["semantic_dedup"](spark, SF)
+    plan = plan_of(df)
+    assert "FlatMapGroupsInPandas" in plan or "FlatMapGroupsInArrow" in plan
+    assert plan.count("Exchange hashpartitioning(ivf_list") == 1, plan
+    assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_cluster_best_argmax_is_aggregate_not_window(spark):
+    """Representative selection must be the struct-argmax groupBy
+    (map-side partials absorb the mega-cluster), never a window over
+    cluster_id."""
+    from ocr_spark.operators.dedup import cluster_representatives
+
+    clusters = spark.createDataFrame(
+        [(1, 1, 2), (2, 1, 2)],
+        "doc_id long, cluster_id long, cluster_size long")
+    scores = spark.createDataFrame([(1, 3), (2, 5)],
+                                   "doc_id long, score long")
+    plan = plan_of(cluster_representatives(clusters, scores))
+    assert "Window" not in plan, plan
+
+
+def test_asof_join_is_union_carry_not_inequality_join(spark):
+    """The as-of must run as ONE window pass after a key exchange —
+    never BroadcastNestedLoopJoin/CartesianProduct (the inequality-join
+    blowup) and never per-row Python."""
+    df = entry_mod.queries()["asof_join"](spark, SF)
+    plan = plan_of(df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_range_join_is_binned_equi_join(spark):
+    """Containment must execute as a hash equi-join on the bin id —
+    the nested-loop inequality join is the 100-TB failure mode."""
+    df = entry_mod.queries()["range_join"](spark, SF)
+    plan = plan_of(df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan
+    assert ("BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+            or "ShuffledHashJoin" in plan)
+    assert "_bin" in plan
