@@ -562,6 +562,19 @@ def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encoding (Jegou et al. 2011 / FAISS IVF-PQ
+    layout): every 64-dim embedding compressed to 8 centroid ids (one
+    per 8-dim subspace, nearest by round-6 squared L2, ties -> lowest
+    id) — the 32x storage compression a 100-TB embedding column needs.
+    Fully value-oracled from the rational-literal codebooks."""
+    from ocr_spark.operators.similarity import pq_codebooks, pq_encode
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    books = pq_codebooks(dim=64, m=8, k=8, seed=13)
+    return pq_encode(emb, books)
+
+
 # threshold chosen so the certified drop population is non-trivial at
 # both parity scales (14/500 dropped at sf0.01, 235/2000 at sf0.1; 0.5
 # drops zero rows at sf0.01 and the gate would certify nothing)
@@ -2412,6 +2425,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "ann_topk_ivf": q_ann_topk_ivf,
         "semantic_dedup": q_semantic_dedup,
+        "pq_encode": q_pq_encode,
         "text_stats": q_text_stats,
         "repetition_stats": q_repetition_stats,
         "quality_filter": q_quality_filter,
@@ -2697,6 +2711,42 @@ def _semantic_dedup_sql() -> str:
       SELECT s.vec_id, CAST(s.cid AS INTEGER) AS ivf_list, s.cent_sim,
              (d.vec_id IS NULL) AS kept
       FROM assign s LEFT JOIN dom d ON s.vec_id = d.vec_id
+    """
+
+
+def _pq_encode_sql() -> str:
+    """DuckDB twin of q_pq_encode: the identical rational codebook
+    literals as a (subspace, centroid, vector) VALUES table, squared-L2
+    by an in-order list_sum fold (same accumulation order as the
+    engine's aggregate at round-6), argmin via row_number, codes
+    pivoted back to one column per subspace."""
+    from ocr_spark.operators.similarity import pq_codebooks
+
+    books = pq_codebooks(dim=64, m=8, k=8, seed=13)
+    sub = 64 // len(books)
+    rows = ", ".join(
+        "(%d, %d, [%s]::DOUBLE[])"
+        % (j, cid, ", ".join(repr(x) for x in cvec))
+        for j, book in enumerate(books)
+        for cid, cvec in enumerate(book)
+    )
+    dist = (f"list_sum(list_transform(range(1, {sub + 1}), i -> "
+            f"(e.emb[c.j * {sub} + i] - c.cvec[i]) "
+            f"* (e.emb[c.j * {sub} + i] - c.cvec[i])))")
+    pivots = ", ".join(
+        f"CAST(max(CASE WHEN j = {j} THEN cid END) AS INT) AS code_{j}"
+        for j in range(len(books))
+    )
+    return f"""
+      WITH cb(j, cid, cvec) AS (VALUES {rows}),
+      e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+      scored AS (
+        SELECT e.vec_id, c.j, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id, c.j
+                 ORDER BY round({dist}, 6) ASC, c.cid ASC) AS rn
+        FROM e CROSS JOIN cb c)
+      SELECT vec_id, {pivots}
+      FROM scored WHERE rn = 1 GROUP BY vec_id
     """
 
 
@@ -3907,6 +3957,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk": _ann_topk_sql(),
         "ann_topk_ivf": _ann_topk_ivf_sql(),
         "semantic_dedup": _semantic_dedup_sql(),
+        "pq_encode": _pq_encode_sql(),
         "embed_near_dup": f"""
           SELECT l.vec_id AS id_a, r.vec_id AS id_b,
                  round(list_dot_product(l.embedding::DOUBLE[], r.embedding::DOUBLE[])

@@ -43,7 +43,7 @@ BENCH_QUERIES = [
     "dedup_keep_latest", "minhash_lsh_pairs", "ngram_jaccard",
     "lsh_jaccard", "dedup_clusters", "simhash_near_dup", "embed_near_dup",
     "embed_near_dup_lsh", "span_qa", "cosine_topk", "ann_topk", "ann_topk_ivf",
-    "semantic_dedup",
+    "semantic_dedup", "pq_encode",
     "text_stats", "repetition_stats", "quality_filter", "pii_scrub",
     "mojibake_fix",
     "lang_id", "lang_id_cjk", "fingerprint", "token_count",

@@ -34,6 +34,7 @@ __all__ = [
     "cosine_near_dup_pairs",
     "ivf_centroids", "kmeans_refine", "ivf_assign", "ivf_assign_gemm",
     "ivf_probe_lists", "ann_topk_ivf", "semantic_dedup",
+    "pq_codebooks", "pq_encode",
 ]
 
 
@@ -688,3 +689,83 @@ def semantic_dedup(df: DataFrame, centroids: list[list[float]],
             schema="vec_id long, ivf_list int, cent_sim double, kept boolean",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Product quantization (PQ) — vector compression for embedding storage
+# --------------------------------------------------------------------------
+# At 100 TB an embedding column dominates storage: 64 float32 dims =
+# 256 bytes/vector.  PQ (Jegou et al., TPAMI 2011 — the FAISS IVF-PQ
+# layout) splits each vector into m subvectors and stores only the id
+# of the nearest codebook centroid per subvector: m bytes/vector at
+# k<=256 — a 32x compression here — while asymmetric-distance search
+# stays possible against the codes.  Same determinism contract as the
+# IVF quantizer: codebooks are seed-derived 3-decimal rational
+# literals, so a SQL engine re-derives every code bit-for-bit.
+
+
+def pq_codebooks(dim: int, m: int = 8, k: int = 8,
+                 seed: int = 13) -> list[list[list[float]]]:
+    """m codebooks of k centroids over dim/m-dim subvectors, rounded to
+    3-decimal rational literals (training them with kmeans_refine per
+    subspace keeps the same output contract)."""
+    import numpy as np
+
+    if dim % m:
+        raise ValueError("dim must divide evenly into m subvectors")
+    rng = np.random.RandomState(seed)
+    sub = dim // m
+    return [
+        [[round(float(x), 3) for x in row]
+         for row in rng.standard_normal((k, sub))]
+        for _ in range(m)
+    ]
+
+
+def _sq_dist(a: Column, b: Column) -> Column:
+    """Sequential left-to-right sum of squared differences — the same
+    accumulation order as a scalar loop, matching the oracle's
+    list_sum(list_transform(...)) fold at round-6."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x.cast("double") - y)
+                   * (x.cast("double") - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def pq_encode(df: DataFrame, codebooks: list[list[list[float]]],
+              id_col: str = "vec_id",
+              vec_col: str = "embedding") -> DataFrame:
+    """PQ-encode every vector: for each subvector j, the id of the
+    codebook-j centroid with the smallest round-6 squared L2 distance
+    (ties -> lowest centroid id).  Emits one ``code_j`` int column per
+    subspace — the m-byte compressed representation.
+
+    Scale shape: a narrow per-row JVM pass (m x k interpreted distance
+    folds per row), zero shuffle; for production-sized codebooks
+    (k=256) the same Arrow-GEMM swap as ivf_assign_gemm applies.  The
+    codes column family then feeds asymmetric-distance search or plain
+    storage."""
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    cols = [F.col(id_col)]
+    for j, book in enumerate(codebooks):
+        piece = F.slice(F.col(vec_col), j * sub + 1, sub)
+        scored = F.array(*[
+            F.struct(
+                F.round(
+                    _sq_dist(piece,
+                             F.array(*[F.lit(float(x)) for x in cvec])),
+                    6,
+                ).alias("d"),
+                F.lit(cid).alias("cid"),
+            )
+            for cid, cvec in enumerate(book)
+        ])
+        cols.append(
+            F.element_at(
+                F.transform(F.array_sort(scored), lambda s: s["cid"]), 1
+            ).alias(f"code_{j}")
+        )
+    return df.select(*cols)

@@ -851,3 +851,30 @@ def test_cluster_representatives_argmax_and_ties(spark):
     out = {r.cluster_id: (r.rep_doc_id, r.rep_score, r.cluster_size)
            for r in cluster_representatives(clusters, scores).collect()}
     assert out == {1: (2, 9, 3), 4: (4, 1, 1), 7: (7, 2, 2)}
+
+
+def test_pq_encode_matches_numpy_reference(vectors):
+    """Codes must equal the brute-force numpy argmin per subspace
+    (round-6 squared L2, ties lowest id) and compress near-copies to
+    the same codes."""
+    import numpy as np
+
+    from ocr_spark.operators.similarity import (_round_half_away,
+                                                pq_codebooks, pq_encode)
+
+    books = pq_codebooks(dim=16, m=4, k=8, seed=13)
+    out = {r.vec_id: tuple(r[f"code_{j}"] for j in range(4))
+           for r in pq_encode(vectors, books).collect()}
+    rows = {r.vec_id: np.asarray(r.embedding, np.float64)
+            for r in vectors.collect()}
+    for vid, v in rows.items():
+        want = []
+        for j, book in enumerate(books):
+            piece = v[j * 4:(j + 1) * 4]
+            d = _round_half_away(
+                ((np.array(book) - piece) ** 2).sum(axis=1), 6)
+            want.append(int(np.argmin(d)))   # first min = lowest cid
+        assert out[vid] == tuple(want), vid
+    # near-copies (100+i is i + 1% noise) should mostly share codes
+    same = sum(out[i] == out[100 + i] for i in range(5))
+    assert same >= 3
