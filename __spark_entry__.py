@@ -2392,6 +2392,157 @@ def q_events_sessionless_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# corpus accounting sketches, site-level boilerplate, relational breadth
+# --------------------------------------------------------------------------
+
+# content blocklist: synthetic tokens (salted into the corpus below) so
+# the filter exercises real word-boundary matching without shipping a
+# real offensive-word list in the repo
+BANNED_WORDS = ["zzzspam", "zzzscam", "zzzcasino"]
+
+
+def q_hll_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-text cardinality per source (m=64
+    registers, md5-derived 60-bit hash, exact-integer harmonic sum —
+    functions/sketch.py) next to the exact COUNT(DISTINCT) so the
+    oracle certifies both the sketch arithmetic and its error.  At
+    100 TB the sketch's exchange is O(sources * 64) skinny rows; the
+    exact column is the small-scale audit only."""
+    from ocr_spark.functions.sketch import hll_cardinality
+
+    docs = _t(spark, sf_dir, "documents")
+    est = hll_cardinality(docs, "text", ["source"])
+    exact = docs.groupBy("source").agg(
+        F.countDistinct("text").alias("n_exact"))
+    return (est.join(exact, "source")
+            .select("source", "hll_estimate", "n_exact")
+            .orderBy("source"))
+
+
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (p50/p90/p99) of document length
+    per lang — Spark's `percentile` vs DuckDB's quantile_cont, the
+    same published linear-interpolation definition computed by two
+    engines.  Length-distribution percentiles drive chunk sizing and
+    outlier thresholds in every curation pipeline."""
+    docs = _t(spark, sf_dir, "documents")
+    return (docs.groupBy("lang").agg(
+                F.count("*").alias("n_docs"),
+                F.round(F.percentile("n_chars", F.lit(0.5)), 6)
+                .alias("p50"),
+                F.round(F.percentile("n_chars", F.lit(0.9)), 6)
+                .alias("p90"),
+                F.round(F.percentile("n_chars", F.lit(0.99)), 6)
+                .alias("p99"))
+            .orderBy("lang"))
+
+
+def q_rollup_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-level aggregation with ROLLUP(lang, source): per-cell,
+    per-lang, and grand-total document counts and char sums in ONE
+    pass (grouping-sets breadth the contract did not cover yet).
+    gid = grouping_id disambiguates aggregation level from data
+    nulls.  One shuffle total — partial aggregation collapses each
+    level map-side."""
+    docs = _t(spark, sf_dir, "documents")
+    return (docs.rollup("lang", "source").agg(
+                F.grouping_id().alias("gid"),
+                F.count("*").alias("n_docs"),
+                F.sum("n_chars").alias("sum_chars"))
+            .orderBy("gid",
+                     F.col("lang").asc_nulls_first(),
+                     F.col("source").asc_nulls_first()))
+
+
+def q_word_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-level blocklist filter (the UT1-style complement of
+    url_blocklist): word-boundary regex counts per banned token over
+    deterministically salted docs (doc_id%7 / %11 / %13 inject hits,
+    including a double hit), keep = zero hits.  Per-row JVM regexes,
+    zero shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    salted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 7 == 0,
+                   F.lit(" zzzspam offer inside")).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 11 == 0,
+                   F.lit(" ZZZcasino ZZZCASINO jackpot"))
+            .otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 13 == 0,
+                   F.lit(" contact zzzscam dot example"))
+            .otherwise(F.lit("")),
+        ).alias("t"))
+    low = F.lower(F.col("t"))
+    hit_cols = [
+        F.regexp_count(low, F.lit(rf"\b{w}\b")).cast("long").alias(f"n_{w}")
+        for w in BANNED_WORDS
+    ]
+    out = salted.select("doc_id", *hit_cols)
+    total = sum(F.col(f"n_{w}") for w in BANNED_WORDS)
+    return (out.withColumn("n_banned", total.cast("long"))
+               .withColumn("keep", F.col("n_banned") == 0)
+               .orderBy("doc_id"))
+
+
+def q_template_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-site template-line removal (the site-scoped CCNet pass,
+    operators/template.py): every doc of a source is wrapped with that
+    source's nav/footer lines, which exceed the 50% document-frequency
+    threshold inside the group and are stripped; body lines survive
+    unless the corpus genuinely repeats them across >=50% of the
+    source's docs (the oracle recomputes the same rule).  The template
+    table is broadcast; text crosses the network once."""
+    from ocr_spark.operators.template import strip_templates
+
+    docs = _t(spark, sf_dir, "documents")
+    wrapped = docs.select(
+        "doc_id", "source",
+        F.concat(F.lit("NAV "), F.col("source"),
+                 F.lit(" | home | about | contact"), F.lit("\n"),
+                 F.col("text"), F.lit("\n"),
+                 F.lit("Copyright "), F.col("source"),
+                 F.lit(" all rights reserved")).alias("text"))
+    return (strip_templates(wrapped, key_col="doc_id", text_col="text",
+                            group_col="source", min_df_frac=0.5,
+                            min_group_docs=3)
+            .orderBy("doc_id"))
+
+
+def q_para_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document paragraph dedup (print/mobile concat, pagination
+    overlap): doc_id%3 docs get their whole text duplicated as a
+    second paragraph, doc_id%4 get a trim-variant duplicate (trailing
+    spaces) proving the trim-keyed first-occurrence fold.  Pure JVM
+    higher-order functions, zero shuffle."""
+    from ocr_spark.operators.template import dedup_paragraphs
+
+    docs = _t(spark, sf_dir, "documents")
+    salted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 3 == 0,
+                   F.concat(F.lit("\n\n"), F.col("text")))
+            .otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 4 == 0,
+                   F.concat(F.lit("\n\n"), F.col("text"), F.lit("  ")))
+            .otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 5 == 0,
+                   F.lit("\n\nSee also: related articles."))
+            .otherwise(F.lit("")),
+        ).alias("t"))
+    cols = dedup_paragraphs("t")
+    return (salted.select(
+                "doc_id",
+                cols["n_paras_in"].alias("n_paras_in"),
+                cols["n_paras_out"].alias("n_paras_out"),
+                F.md5(cols["text_dedup"]).alias("dedup_digest"))
+            .orderBy("doc_id"))
+
+
+# --------------------------------------------------------------------------
 # driver surface
 # --------------------------------------------------------------------------
 
@@ -2498,6 +2649,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_extract": q_json_extract,
         "running_window": q_events_sessionless_window,
         "sessionize": q_sessionize,
+        "hll_count": q_hll_count,
+        "percentiles": q_percentiles,
+        "rollup_metrics": q_rollup_metrics,
+        "word_blocklist": q_word_blocklist,
+        "template_strip": q_template_strip,
+        "para_dedup": q_para_dedup,
     }
 
 
@@ -4928,6 +5085,172 @@ def oracle_sql() -> dict[str, str]:
                  CAST(sum(n_events) AS BIGINT) AS n_events,
                  CAST(max(n_events) AS BIGINT) AS max_session_events
           FROM g GROUP BY user_id
+        """,
+        # HyperLogLog re-derived from the published algorithm: same
+        # md5-60 hash, m=64, bin-length rank, exact-integer harmonic
+        # sum (2^(55-rho) in int64) so no float-summation-order drift
+        "hll_count": """
+          WITH h AS (
+            SELECT source,
+                   ('0x' || substr(md5(text), 1, 15))::BIGINT AS h
+            FROM documents),
+          b AS (
+            SELECT source, h >> 54 AS bucket,
+                   55 - length(regexp_replace(
+                         bin(h & ((1::BIGINT << 54) - 1)),
+                         '^0+', '')) AS rho
+            FROM h),
+          regs AS (SELECT source, bucket, max(rho) AS r
+                   FROM b GROUP BY 1, 2),
+          fold AS (
+            SELECT source, count(*) AS nb,
+                   sum((1::BIGINT) << (55 - r)) AS s_scaled
+            FROM regs GROUP BY 1),
+          est AS (
+            SELECT source, nb,
+                   0.709e0 * 64.0e0 * 64.0e0 * 36028797018963968.0e0
+                     / CAST(s_scaled + (64 - nb) * (1::BIGINT << 55)
+                            AS DOUBLE) AS raw
+            FROM fold)
+          SELECT e.source,
+                 round(CASE WHEN raw <= 160.0e0 AND (64 - nb) > 0
+                            THEN 64.0e0 * ln(64.0e0
+                                   / CAST(64 - nb AS DOUBLE))
+                            ELSE raw END, 4) AS hll_estimate,
+                 x.n_exact
+          FROM est e JOIN (
+            SELECT source, CAST(count(DISTINCT text) AS BIGINT) AS n_exact
+            FROM documents GROUP BY 1) x USING (source)
+          ORDER BY source
+        """,
+        # same published linear-interpolation percentile definition
+        "percentiles": """
+          SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                 round(quantile_cont(n_chars, 0.5), 6) AS p50,
+                 round(quantile_cont(n_chars, 0.9), 6) AS p90,
+                 round(quantile_cont(n_chars, 0.99), 6) AS p99
+          FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "rollup_metrics": """
+          SELECT lang, source,
+                 CAST(GROUPING(lang, source) AS BIGINT) AS gid,
+                 CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(n_chars) AS BIGINT) AS sum_chars
+          FROM documents
+          GROUP BY ROLLUP(lang, source)
+          ORDER BY gid, lang NULLS FIRST, source NULLS FIRST
+        """,
+        "word_blocklist": """
+          WITH s AS (
+            SELECT doc_id, lower(text
+              || CASE WHEN doc_id % 7 = 0
+                      THEN ' zzzspam offer inside' ELSE '' END
+              || CASE WHEN doc_id % 11 = 0
+                      THEN ' ZZZcasino ZZZCASINO jackpot' ELSE '' END
+              || CASE WHEN doc_id % 13 = 0
+                      THEN ' contact zzzscam dot example' ELSE '' END)
+              AS t
+            FROM documents),
+          c AS (
+            SELECT doc_id,
+              CAST(len(regexp_extract_all(t, '\\bzzzspam\\b'))
+                   AS BIGINT) AS n_zzzspam,
+              CAST(len(regexp_extract_all(t, '\\bzzzscam\\b'))
+                   AS BIGINT) AS n_zzzscam,
+              CAST(len(regexp_extract_all(t, '\\bzzzcasino\\b'))
+                   AS BIGINT) AS n_zzzcasino
+            FROM s)
+          SELECT doc_id, n_zzzspam, n_zzzscam, n_zzzcasino,
+                 n_zzzspam + n_zzzscam + n_zzzcasino AS n_banned,
+                 (n_zzzspam + n_zzzscam + n_zzzcasino) = 0 AS keep
+          FROM c ORDER BY doc_id
+        """,
+        # per-site template lines: >=50% document frequency inside the
+        # source group (groups of >=3 docs), blank lines never counted
+        "template_strip": """
+          WITH aug AS (
+            SELECT doc_id, source,
+                   'NAV ' || source || ' | home | about | contact'
+                   || chr(10) || text || chr(10) ||
+                   'Copyright ' || source || ' all rights reserved' AS t
+            FROM documents),
+          ls AS (SELECT doc_id, source,
+                        string_split(t, chr(10)) AS arr FROM aug),
+          lines0 AS (
+            SELECT doc_id, source,
+                   unnest(list_transform(range(1, len(arr) + 1),
+                          i -> {'pos': i, 'ln': arr[i]})) AS u
+            FROM ls),
+          lines AS (
+            SELECT doc_id, source, u.pos AS pos, u.ln AS ln,
+                   trim(u.ln) AS lkey
+            FROM lines0),
+          gs AS (SELECT source, count(DISTINCT doc_id) AS n_docs
+                 FROM aug GROUP BY 1),
+          tpl AS (
+            SELECT source, lkey
+            FROM lines JOIN gs USING (source)
+            WHERE lkey <> '' AND n_docs >= 3
+            GROUP BY source, lkey, n_docs
+            HAVING count(DISTINCT doc_id) >= n_docs * 0.5),
+          kept AS (
+            SELECT l.doc_id, l.pos, l.ln
+            FROM lines l LEFT JOIN tpl t
+              ON l.source = t.source AND l.lkey = t.lkey
+            WHERE t.lkey IS NULL),
+          re AS (
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines_kept,
+                   string_agg(ln, chr(10) ORDER BY pos) AS text_clean
+            FROM kept GROUP BY doc_id)
+          SELECT a.doc_id, a.source,
+                 CAST(len(string_split(a.t, chr(10))) AS BIGINT)
+                   AS n_lines_in,
+                 CAST(coalesce(re.n_lines_kept, 0) AS BIGINT)
+                   AS n_lines_kept,
+                 coalesce(re.text_clean, '') AS text_clean
+          FROM aug a LEFT JOIN re USING (doc_id)
+          ORDER BY doc_id
+        """,
+        # trim-keyed first-occurrence paragraph dedup, original order
+        "para_dedup": """
+          WITH s AS (
+            SELECT doc_id, text
+              || CASE WHEN doc_id % 3 = 0
+                      THEN chr(10) || chr(10) || text ELSE '' END
+              || CASE WHEN doc_id % 4 = 0
+                      THEN chr(10) || chr(10) || text || '  '
+                      ELSE '' END
+              || CASE WHEN doc_id % 5 = 0
+                      THEN chr(10) || chr(10)
+                           || 'See also: related articles.'
+                      ELSE '' END AS t
+            FROM documents),
+          ps AS (SELECT doc_id,
+                        string_split(t, chr(10) || chr(10)) AS arr
+                 FROM s),
+          p0 AS (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(arr) + 1),
+                          i -> {'pos': i, 'p': arr[i]})) AS u
+            FROM ps),
+          p AS (SELECT doc_id, u.pos AS pos, u.p AS p,
+                       trim(u.p) AS k FROM p0),
+          firsts AS (SELECT doc_id, k, min(pos) AS fpos
+                     FROM p GROUP BY 1, 2),
+          kept AS (
+            SELECT p.doc_id, p.pos, p.p
+            FROM p JOIN firsts f
+              ON p.doc_id = f.doc_id AND p.k = f.k AND p.pos = f.fpos),
+          agg AS (
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_paras_out,
+                   md5(string_agg(p, chr(10) || chr(10) ORDER BY pos))
+                     AS dedup_digest
+            FROM kept GROUP BY doc_id)
+          SELECT s.doc_id,
+                 CAST(len(string_split(s.t, chr(10) || chr(10)))
+                      AS BIGINT) AS n_paras_in,
+                 agg.n_paras_out, agg.dedup_digest
+          FROM s JOIN agg USING (doc_id) ORDER BY doc_id
         """,
     }
     # composed oracle: the Dolma-style attribute union joins the

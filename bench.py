@@ -65,6 +65,8 @@ BENCH_QUERIES = [
     "pricing_summary", "top_customers", "regional_revenue",
     "customers_no_orders", "setop_except", "json_extract",
     "running_window", "sessionize",
+    "hll_count", "percentiles", "rollup_metrics", "word_blocklist",
+    "template_strip", "para_dedup",
 ]
 
 

@@ -437,3 +437,28 @@ def test_range_join_is_binned_equi_join(spark):
     assert ("BroadcastHashJoin" in plan or "SortMergeJoin" in plan
             or "ShuffledHashJoin" in plan)
     assert "_bin" in plan
+
+
+def test_new_batch_queries_plan_hygiene(spark):
+    """Round-4 batch-6 queries: no per-row Python, no cartesian blowup
+    anywhere (hll_count / percentiles / rollup_metrics /
+    word_blocklist / template_strip / para_dedup)."""
+    for q in ("hll_count", "percentiles", "rollup_metrics",
+              "word_blocklist", "template_strip", "para_dedup"):
+        plan = plan_of(entry_mod.queries()[q](spark, SF))
+        assert "BatchEvalPython" not in plan, q
+        assert "CartesianProduct" not in plan, q
+        assert "BroadcastNestedLoopJoin" not in plan, q
+
+
+def test_hll_exchange_is_register_sized(spark):
+    """The HLL sketch's value: partial aggregation collapses each map
+    partition to <= groups*64 register rows before any exchange — the
+    plan must show a partial_max on (group, bucket) under the
+    exchange, and the fold itself must never move text."""
+    from ocr_spark.functions.sketch import hll_cardinality
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = plan_of(hll_cardinality(docs, "text", ["source"]))
+    assert "partial_max" in plan or "partial_" in plan, plan
+    assert "BatchEvalPython" not in plan
