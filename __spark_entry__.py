@@ -2542,6 +2542,116 @@ def q_para_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
+def q_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch (functions/sketch.py): build the 4x1024 count
+    table over the whitespace token stream, then point-query it for
+    the exact top-15 tokens (count desc, token asc tie-break) and emit
+    estimate next to truth — the oracle rebuilds the identical sketch
+    and certifies the one-sided error (cms_est >= n_exact always).
+    The sketch exchange is <= 4096 rows regardless of corpus size."""
+    from ocr_spark.functions.sketch import cms_estimate, cms_sketch
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = (docs.select(F.explode(
+                F.split(F.trim(F.col("text")), r"\s+")).alias("tok"))
+            .where(F.col("tok") != ""))
+    exact = toks.groupBy("tok").agg(F.count("*").alias("n_exact"))
+    probe = exact.orderBy(F.desc("n_exact"), F.asc("tok")).limit(15)
+    est = cms_estimate(probe.select("tok"), cms_sketch(toks))
+    return (probe.join(est, "tok")
+            .select(F.col("tok").alias("token"), "n_exact", "cms_est")
+            .orderBy(F.desc("n_exact"), F.asc("token")))
+
+
+def q_charset_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Charset sniffing over six deterministic byte families: UTF-8
+    BOM, meta iso-8859-1 + a high byte, UTF-16LE BOM over a decoy
+    meta (BOM must win), clean multibyte UTF-8, BOM-less invalid
+    UTF-8 (latin-1 fallback), and a cased EUC-KR meta alias
+    (ks_c_5601-1987 -> cp949).  Engine: the real byte-ladder
+    (operators/extract.py:sniff_charsets -> extractor.core) in one
+    Arrow kernel; the oracle is the closed-form construction rule.
+    head8 of the decoded text certifies the decode itself."""
+    from ocr_spark.operators.extract import sniff_charsets
+
+    docs = _t(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 6
+    u8 = lambda c: F.encode(c, "UTF-8")  # noqa: E731
+    payload = (
+        F.when(m == 0, F.concat(F.unhex(F.lit("EFBBBF")),
+                                u8(F.col("text"))))
+        .when(m == 1, F.concat(
+            u8(F.lit('<html><head><meta charset="ISO-8859-1">'
+                     "</head><body>x")),
+            F.unhex(F.lit("E9")), u8(F.lit("y</body></html>"))))
+        .when(m == 2, F.concat(
+            F.unhex(F.lit("FFFE")),
+            F.encode(F.lit('<meta charset="iso-8859-1"> decoy body'),
+                     "UTF-16LE")))
+        .when(m == 3, F.concat(u8(F.col("text")), u8(F.lit(" caf")),
+                               F.unhex(F.lit("C3A9"))))
+        .when(m == 4, F.concat(u8(F.lit("plain ascii with stray ")),
+                               F.unhex(F.lit("E9")), u8(F.lit(" tail"))))
+        .otherwise(u8(F.concat(
+            F.lit("<html><META Charset=ks_c_5601-1987><body>"),
+            F.col("text"))))
+    )
+    pages = docs.select("doc_id", payload.alias("html"))
+    out = sniff_charsets(pages, payload_col="html",
+                         passthrough=("doc_id",))
+    return out.select(
+        "doc_id", "codec",
+        F.substring("text", 1, 8).alias("head8")).orderBy("doc_id")
+
+
+def q_domain_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-guarded train/val/test split: the split is keyed on the
+    REGISTERED DOMAIN's salted hash (80/10/10), never the document —
+    near-duplicates and templated pages within a site land in the
+    same split, so held-out eval can't be contaminated by same-site
+    twins.  Pure deterministic filter (no df.sample), reproducible
+    across retries and repartitionings; zero shuffle beyond the
+    presentation sort."""
+    from ocr_spark.operators.corpus import _md5_60
+    from ocr_spark.operators.web import registered_domain
+
+    urls = _synth_urls(spark, sf_dir)
+    with_dom = urls.select(
+        "doc_id", registered_domain("url").alias("domain"))
+    bucket = _md5_60("domain", "domsplit") % 100
+    return (with_dom
+            .withColumn("split",
+                        F.when(bucket < 80, F.lit("train"))
+                        .when(bucket < 90, F.lit("val"))
+                        .otherwise(F.lit("test")))
+            .orderBy("doc_id"))
+
+
+def q_revisit_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recrawl scheduling from snapshot change history
+    (operators/snapshot.py:revisit_schedule): 4 synthetic snapshots
+    per url whose content version flips every (1 + doc_id%4)
+    snapshots; consecutive-digest comparison estimates the change
+    rate and sets the next revisit interval (static pages back off to
+    the 30-day horizon).  One uniform key exchange; digests only."""
+    from ocr_spark.operators.snapshot import revisit_schedule
+
+    docs = _t(spark, sf_dir, "documents")
+    snaps = docs.select(
+        F.concat(F.lit("u"), F.col("doc_id").cast("string")).alias("url"),
+        F.col("doc_id"),
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("snap_k"),
+    ).select(
+        "url", "snap_k",
+        F.md5(F.concat(
+            F.col("doc_id").cast("string"), F.lit(":"),
+            F.floor(F.col("snap_k")
+                    / (F.lit(1) + F.col("doc_id") % 4)).cast("string")
+        )).alias("digest"),
+    )
+    return revisit_schedule(snaps).orderBy("url")
+
+
 # --------------------------------------------------------------------------
 # driver surface
 # --------------------------------------------------------------------------
@@ -2655,6 +2765,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "word_blocklist": q_word_blocklist,
         "template_strip": q_template_strip,
         "para_dedup": q_para_dedup,
+        "cms_topk": q_cms_topk,
+        "charset_detect": q_charset_detect,
+        "domain_split": q_domain_split,
+        "revisit_policy": q_revisit_policy,
     }
 
 
@@ -5251,6 +5365,105 @@ def oracle_sql() -> dict[str, str]:
                       AS BIGINT) AS n_paras_in,
                  agg.n_paras_out, agg.dedup_digest
           FROM s JOIN agg USING (doc_id) ORDER BY doc_id
+        """,
+        # Count-Min rebuilt from the same md5 row-hashes; certifies
+        # the one-sided error (cms_est >= n_exact by construction)
+        "cms_topk": """
+          WITH tk AS (
+            SELECT unnest(string_split_regex(trim(text), '\\s+')) AS tok
+            FROM documents),
+          t AS (SELECT tok FROM tk WHERE tok <> ''),
+          ex AS (SELECT tok, CAST(count(*) AS BIGINT) AS n_exact
+                 FROM t GROUP BY tok),
+          probe AS (SELECT tok, n_exact FROM ex
+                    ORDER BY n_exact DESC, tok LIMIT 15),
+          js AS (SELECT CAST(r.range AS INT) AS j FROM range(4) r),
+          hashed AS (
+            SELECT js.j,
+                   (('0x' || substr(md5(CAST(js.j AS VARCHAR) || '|'
+                                        || t.tok), 1, 15))::BIGINT)
+                     % 1024 AS bucket
+            FROM t, js),
+          sk AS (SELECT j, bucket, CAST(count(*) AS BIGINT) AS cnt
+                 FROM hashed GROUP BY 1, 2),
+          pq AS (
+            SELECT p.tok, js.j,
+                   (('0x' || substr(md5(CAST(js.j AS VARCHAR) || '|'
+                                        || p.tok), 1, 15))::BIGINT)
+                     % 1024 AS bucket
+            FROM probe p, js),
+          pe AS (SELECT pq.tok, min(sk.cnt) AS cms_est
+                 FROM pq JOIN sk USING (j, bucket) GROUP BY pq.tok)
+          SELECT p.tok AS token, p.n_exact, pe.cms_est
+          FROM probe p JOIN pe ON pe.tok = p.tok
+          ORDER BY p.n_exact DESC, token
+        """,
+        # closed-form construction rule; head8 certifies the decode
+        # (utf-8-sig strips the BOM, utf-16-le keeps U+FEFF, latin-1
+        # maps 0xE9 -> chr(233))
+        "charset_detect": """
+          SELECT doc_id,
+            CASE doc_id % 6
+              WHEN 0 THEN 'utf-8-sig' WHEN 1 THEN 'latin-1'
+              WHEN 2 THEN 'utf-16-le' WHEN 3 THEN 'utf-8'
+              WHEN 4 THEN 'latin-1' ELSE 'cp949' END AS codec,
+            CASE doc_id % 6
+              WHEN 0 THEN substr(text, 1, 8)
+              WHEN 1 THEN '<html><h'
+              WHEN 2 THEN chr(65279) || '<meta c'
+              WHEN 3 THEN substr(text || ' caf' || chr(233), 1, 8)
+              WHEN 4 THEN 'plain as'
+              ELSE '<html><M' END AS head8
+          FROM documents ORDER BY doc_id
+        """,
+        "domain_split": f"""
+          WITH u AS (
+            SELECT doc_id, {_url_sql_frags()['url_case']} AS url
+            FROM documents),
+          h AS (SELECT doc_id, {_url_sql_frags()['domain']} AS domain
+                FROM u),
+          b AS (
+            SELECT doc_id, domain,
+                   (('0x' || substr(md5('domsplit|' || domain),
+                                    1, 15))::BIGINT) % 100 AS bk
+            FROM h)
+          SELECT doc_id, domain,
+                 CASE WHEN bk < 80 THEN 'train'
+                      WHEN bk < 90 THEN 'val'
+                      ELSE 'test' END AS split
+          FROM b ORDER BY doc_id
+        """,
+        "revisit_policy": """
+          WITH s AS (
+            SELECT 'u' || CAST(doc_id AS VARCHAR) AS url,
+                   k.range AS snap_k,
+                   md5(CAST(doc_id AS VARCHAR) || ':' ||
+                       CAST((k.range // (1 + doc_id % 4)) AS VARCHAR))
+                     AS digest
+            FROM documents, range(4) k),
+          ch AS (
+            SELECT url, snap_k,
+              CASE WHEN lag(digest) OVER w IS NOT NULL
+                        AND digest <> lag(digest) OVER w
+                   THEN 1 ELSE 0 END AS changed,
+              CASE WHEN lag(digest) OVER w IS NOT NULL
+                   THEN 1 ELSE 0 END AS has_prev
+            FROM s WINDOW w AS (PARTITION BY url ORDER BY snap_k)),
+          pk AS (SELECT url, CAST(count(*) AS BIGINT) AS n_snaps,
+                        CAST(sum(changed) AS BIGINT) AS n_changes,
+                        CAST(sum(has_prev) AS BIGINT) AS n_intervals
+                 FROM ch GROUP BY url)
+          SELECT url, n_snaps, n_changes,
+                 round(CASE WHEN n_intervals > 0
+                            THEN CAST(n_changes AS DOUBLE)
+                                 / CAST(n_intervals AS DOUBLE)
+                            ELSE 0.0e0 END, 6) AS change_rate,
+                 CASE WHEN n_changes > 0
+                      THEN greatest(1, CAST(floor(
+                             CAST(n_intervals AS DOUBLE)
+                             / CAST(n_changes AS DOUBLE)) AS BIGINT))
+                      ELSE 30 END AS revisit_days
+          FROM pk ORDER BY url
         """,
     }
     # composed oracle: the Dolma-style attribute union joins the

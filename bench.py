@@ -67,6 +67,7 @@ BENCH_QUERIES = [
     "running_window", "sessionize",
     "hll_count", "percentiles", "rollup_metrics", "word_blocklist",
     "template_strip", "para_dedup",
+    "cms_topk", "charset_detect", "domain_split", "revisit_policy",
 ]
 
 

@@ -42,7 +42,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["HLL_M", "hll_register", "hll_cardinality"]
+__all__ = ["HLL_M", "hll_register", "hll_cardinality",
+           "CMS_D", "CMS_W", "cms_bucket", "cms_sketch", "cms_estimate"]
 
 HLL_M = 64          # registers; 6 index bits
 _IDX_BITS = 6
@@ -103,3 +104,63 @@ def hll_cardinality(df: DataFrame, value_col: str,
                  m * F.log(m / v_empty)).otherwise(raw)
     return folded.select(*group_cols,
                          F.round(est, 4).alias("hll_estimate"))
+
+
+# --------------------------------------------------------------------------
+# Count-Min sketch (Cormode & Muthukrishnan 2005): point-queryable
+# frequency estimates with one-sided error (never undercounts).
+# Same cross-engine determinism contract as the HLL above: the d row
+# hashes are md5-derived with the row index as salt, so DuckDB can
+# rebuild the identical sketch.  At 100 TB the sketch table is d*w
+# rows TOTAL (map-side partial counts collapse each partition before
+# the exchange) — frequency estimation without ever shuffling the
+# token stream into a full groupBy.
+# --------------------------------------------------------------------------
+
+CMS_D, CMS_W = 4, 1024     # depth (rows) x width (buckets per row)
+
+
+def cms_bucket(col: str | Column, j: int, w: int = CMS_W) -> Column:
+    """Row-j bucket of a token: md5-60('j|token') % w — identically
+    ('0x' || substr(md5(j || '|' || tok), 1, 15))::BIGINT % w in
+    DuckDB."""
+    c = F.col(col) if isinstance(col, str) else col
+    h = F.conv(F.substring(
+        F.md5(F.concat(F.lit(f"{j}|"), c.cast("string"))), 1, 15),
+        16, 10).cast("long")
+    return h % w
+
+
+def cms_sketch(tokens: DataFrame, token_col: str = "tok",
+               d: int = CMS_D, w: int = CMS_W) -> DataFrame:
+    """Build the d x w count table from a token stream.  Each token
+    contributes one increment per row; the groupBy partial-aggregates
+    map-side so the exchange carries <= d*w rows per partition."""
+    rows = F.explode(F.array(*[
+        F.struct(F.lit(j).alias("j"),
+                 cms_bucket(token_col, j, w).alias("bucket"))
+        for j in range(d)
+    ])).alias("r")
+    return (tokens.select(rows)
+            .select("r.j", "r.bucket")
+            .groupBy("j", "bucket")
+            .agg(F.count("*").alias("cnt")))
+
+
+def cms_estimate(probe: DataFrame, sketch: DataFrame,
+                 token_col: str = "tok", d: int = CMS_D,
+                 w: int = CMS_W) -> DataFrame:
+    """Point-query the sketch for each probe token: estimate =
+    min over rows j of sketch[j][h_j(token)].  The sketch (d*w rows)
+    broadcasts; the probe side never shuffles."""
+    probed = probe.select(
+        token_col,
+        F.explode(F.array(*[
+            F.struct(F.lit(j).alias("j"),
+                     cms_bucket(token_col, j, w).alias("bucket"))
+            for j in range(d)
+        ])).alias("r"),
+    ).select(token_col, "r.j", "r.bucket")
+    return (probed.join(F.broadcast(sketch), ["j", "bucket"])
+            .groupBy(token_col)
+            .agg(F.min("cnt").alias("cms_est")))

@@ -240,3 +240,50 @@ def extract_meta_pages(
             yield pa.RecordBatch.from_arrays(arrays, names)
 
     return df.select(*cols).mapInArrow(kernel, schema=out_schema)
+
+
+def sniff_charsets(
+    df: DataFrame,
+    payload_col: str = "html",
+    passthrough: tuple[str, ...] = ("url",),
+) -> DataFrame:
+    """Charset detection + decode per page: the deterministic
+    BOM > <meta charset> > strict-utf-8-probe > latin-1 ladder of
+    ``extractor.core.sniff_charset`` (SURVEY.md §7.3.2), exposed as a
+    standalone operator so ingest pipelines can label/partition a
+    crawl by encoding before the full extraction pass.
+
+    Mirrors the reference's mime/encoding dispatch ahead of its
+    extractor (services/file_processor.py:30-47).  One ``mapInArrow``
+    kernel pass (no per-row Python dispatch); emits the detected
+    ``codec`` plus the decoded ``text`` (replacement-char policy, never
+    fails) so downstream ops are bytes-free."""
+    from ocr_spark.extractor.core import decode_html
+
+    cols = list(passthrough) + [payload_col]
+    out_fields = [T.StructField("codec", T.StringType()),
+                  T.StructField("text", T.StringType())]
+    out_schema = T.StructType(
+        [df.schema[c] for c in passthrough] + out_fields
+    )
+
+    def kernel(batches):
+        import pyarrow as pa  # executor-side import
+
+        for batch in batches:
+            payloads = batch.column(len(cols) - 1).to_pylist()
+            codecs, texts = [], []
+            for payload in payloads:
+                text, codec = decode_html(payload if payload is not None
+                                          else b"")
+                codecs.append(codec)
+                texts.append(text)
+            arrays = [batch.column(i) for i in range(len(passthrough))]
+            names = list(passthrough)
+            arrays.append(pa.array(codecs, pa.string()))
+            names.append("codec")
+            arrays.append(pa.array(texts, pa.string()))
+            names.append("text")
+            yield pa.RecordBatch.from_arrays(arrays, names)
+
+    return df.select(*cols).mapInArrow(kernel, schema=out_schema)

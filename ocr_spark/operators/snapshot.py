@@ -83,3 +83,52 @@ def capture_history(df: DataFrame, key_col: str = "url",
         .withColumn("valid_to", F.lead(ts_col).over(w))
         .withColumn("is_current", F.col("valid_to").isNull())
     )
+
+
+def revisit_schedule(snaps: DataFrame, key_col: str = "url",
+                     order_col: str = "snap_k",
+                     digest_col: str = "digest",
+                     horizon_days: int = 30) -> DataFrame:
+    """Change-rate-driven recrawl scheduling (Cho & Garcia-Molina,
+    "Estimating Frequency of Change"): per key, compare consecutive
+    snapshot digests, estimate the change rate as
+    n_changes / n_intervals, and derive the next revisit interval —
+    frequently-changing pages are recrawled proportionally sooner,
+    static pages back off to ``horizon_days``.
+
+    Input: one row per (key, snapshot) with a content digest.
+    Output: key, n_snaps, n_changes, change_rate (round 6),
+    revisit_days.
+
+    Scale shape: ONE exchange on the key (uniform — keys are urls),
+    then a partition-local lag + aggregate.  The digest column is the
+    only payload; text never enters."""
+    w = Window.partitionBy(key_col).orderBy(order_col)
+    flagged = snaps.select(
+        key_col, order_col, digest_col,
+        (F.lag(digest_col).over(w).isNotNull()
+         & (F.col(digest_col) != F.lag(digest_col).over(w)))
+        .cast("int").alias("changed"),
+        F.lag(digest_col).over(w).isNotNull().cast("int")
+        .alias("has_prev"),
+    )
+    per_key = flagged.groupBy(key_col).agg(
+        F.count("*").alias("n_snaps"),
+        F.sum("changed").alias("n_changes"),
+        F.sum("has_prev").alias("n_intervals"),
+    )
+    rate = F.when(F.col("n_intervals") > 0,
+                  F.col("n_changes").cast("double")
+                  / F.col("n_intervals").cast("double")).otherwise(F.lit(0.0))
+    revisit = F.when(
+        F.col("n_changes") > 0,
+        F.greatest(F.lit(1), F.floor(
+            F.col("n_intervals").cast("double")
+            / F.col("n_changes").cast("double")).cast("long")),
+    ).otherwise(F.lit(horizon_days).cast("long"))
+    return per_key.select(
+        key_col, "n_snaps",
+        F.col("n_changes").cast("long").alias("n_changes"),
+        F.round(rate, 6).alias("change_rate"),
+        revisit.alias("revisit_days"),
+    )

@@ -462,3 +462,18 @@ def test_hll_exchange_is_register_sized(spark):
     plan = plan_of(hll_cardinality(docs, "text", ["source"]))
     assert "partial_max" in plan or "partial_" in plan, plan
     assert "BatchEvalPython" not in plan
+
+
+def test_batch7_queries_plan_hygiene(spark):
+    """cms_topk / charset_detect / domain_split / revisit_policy: no
+    per-row Python (charset runs as an Arrow kernel), no cartesian
+    blowup; the CMS probe join broadcasts the 4x1024 sketch."""
+    for q in ("cms_topk", "charset_detect", "domain_split",
+              "revisit_policy"):
+        plan = plan_of(entry_mod.queries()[q](spark, SF))
+        assert "BatchEvalPython" not in plan, q
+        assert "CartesianProduct" not in plan, q
+    plan = plan_of(entry_mod.queries()["cms_topk"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    plan = plan_of(entry_mod.queries()["charset_detect"](spark, SF))
+    assert "MapInArrow" in plan

@@ -123,3 +123,78 @@ def test_strip_templates_plan_broadcasts_template_table(spark):
     # no shuffled join of the full-width line table
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+# ------------------------------------------------------------- CMS
+
+def _py_cms(tokens, probes, d=4, w=1024):
+    counts = {}
+    for t in tokens:
+        for j in range(d):
+            b = int(hashlib.md5(f"{j}|{t}".encode()).hexdigest()[:15],
+                    16) % w
+            counts[(j, b)] = counts.get((j, b), 0) + 1
+    out = {}
+    for p in probes:
+        out[p] = min(
+            counts.get((j, int(hashlib.md5(f"{j}|{p}".encode())
+                               .hexdigest()[:15], 16) % w), 0)
+            for j in range(4))
+    return out
+
+
+def test_cms_matches_python_and_never_undercounts(spark):
+    from ocr_spark.functions.sketch import cms_estimate, cms_sketch
+
+    toks = [f"w{i % 23}" for i in range(300)] + ["hot"] * 40
+    df = spark.createDataFrame([(t,) for t in toks], "tok string")
+    sketch = cms_sketch(df)
+    probes = ["hot", "w0", "w22"]
+    pdf = spark.createDataFrame([(p,) for p in probes], "tok string")
+    got = {r.tok: r.cms_est for r in cms_estimate(pdf, sketch).collect()}
+    ref = _py_cms(toks, probes)
+    assert got == ref
+    from collections import Counter
+
+    exact = Counter(toks)
+    for p in probes:
+        assert got[p] >= exact[p]  # one-sided error
+
+
+# ------------------------------------------------------- revisit
+
+def test_revisit_schedule_hand_computed(spark):
+    from ocr_spark.operators.snapshot import revisit_schedule
+
+    rows = [
+        # url 'a': changes every snapshot (3 changes / 3 intervals)
+        ("a", 0, "d0"), ("a", 1, "d1"), ("a", 2, "d2"), ("a", 3, "d3"),
+        # url 'b': never changes
+        ("b", 0, "x"), ("b", 1, "x"), ("b", 2, "x"), ("b", 3, "x"),
+        # url 'c': one change in 3 intervals
+        ("c", 0, "p"), ("c", 1, "p"), ("c", 2, "q"), ("c", 3, "q"),
+    ]
+    df = spark.createDataFrame(rows, "url string, snap_k int, digest string")
+    got = {r.url: r for r in revisit_schedule(df).collect()}
+    assert got["a"].n_changes == 3 and got["a"].revisit_days == 1
+    assert got["b"].n_changes == 0 and got["b"].revisit_days == 30
+    assert got["c"].n_changes == 1 and got["c"].revisit_days == 3
+    assert got["c"].change_rate == pytest.approx(0.333333)
+
+
+# ------------------------------------------------------- charset
+
+@pytest.mark.parametrize("payload,codec", [
+    (b"\xef\xbb\xbfhello", "utf-8-sig"),
+    (b"\xff\xfe" + "<p>x</p>".encode("utf-16-le"), "utf-16-le"),
+    (b'<meta charset="ISO-8859-1">\xe9', "latin-1"),
+    (b"plain utf8 caf\xc3\xa9", "utf-8"),
+    (b"broken \xe9 latin", "latin-1"),
+    (b"<META Charset=ks_c_5601-1987>", "cp949"),
+    # BOM beats a conflicting meta
+    (b"\xef\xbb\xbf<meta charset=latin-1>", "utf-8-sig"),
+])
+def test_sniff_charset_ladder(payload, codec):
+    from ocr_spark.extractor.core import sniff_charset
+
+    assert sniff_charset(payload) == codec
