@@ -2652,6 +2652,86 @@ def q_revisit_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return revisit_schedule(snaps).orderBy("url")
 
 
+def q_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-classifier inference (functions/model.py): feature-hashed
+    token buckets dotted with a deterministic weight vector, sigmoid
+    squash — the fastText/CCNet model-filter shape with the training
+    swapped for literals the oracle can re-derive.  Exact-integer
+    accumulation (order-free), per-row JVM HOFs, zero shuffle."""
+    from ocr_spark.functions.model import linear_text_score
+
+    docs = _t(spark, sf_dir, "documents")
+    cols = linear_text_score("text")
+    return docs.select(
+        "doc_id", cols["n_toks"].alias("n_toks"),
+        cols["dot_int"].alias("dot_int"), cols["score"].alias("score"),
+        cols["keep"].alias("keep")).orderBy("doc_id")
+
+
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency fit over the corpus vocabulary: OLS slope /
+    intercept of ln(freq) on ln(rank) for the top-1000 tokens
+    (count desc, token asc tie-break — a total order, so the cut is
+    deterministic).  The frequency groupBy is the only corpus-sized
+    exchange; ranking happens on the 1000-row result (driver-trivial
+    at any corpus size).  regr_slope/regr_intercept share the same
+    published OLS definition in both engines."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = (docs.select(F.explode(
+                F.split(F.trim(F.col("text")), r"\s+")).alias("tok"))
+            .where(F.col("tok") != ""))
+    freq = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    top = freq.orderBy(F.desc("cnt"), F.asc("tok")).limit(1000)
+    ranked = top.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.orderBy(F.desc("cnt"), F.asc("tok"))))
+    return ranked.agg(
+        F.count("*").alias("n_top"),
+        F.round(F.regr_slope(F.log("cnt"), F.log("rank")), 4)
+        .alias("slope"),
+        F.round(F.regr_intercept(F.log("cnt"), F.log("rank")), 4)
+        .alias("intercept"))
+
+
+def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary coverage: per-document out-of-vocabulary
+    rate against the corpus top-256 tokens (the fixed-vocab proxy).
+    The vocab is broadcast (256 rows); the corpus token stream joins
+    it map-side — the only corpus exchange is the frequency groupBy
+    that builds the vocab.  Empty docs come back with rate 0."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = (docs.select(
+                "doc_id",
+                F.explode(F.split(F.trim(F.col("text")), r"\s+"))
+                .alias("tok"))
+            .where(F.col("tok") != ""))
+    vocab = (toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+             .orderBy(F.desc("cnt"), F.asc("tok")).limit(256)
+             .select("tok", F.lit(1).alias("in_vocab")))
+    per_doc = (toks.join(F.broadcast(vocab), "tok", "left")
+               .groupBy("doc_id")
+               .agg(F.count("*").alias("n_toks"),
+                    F.sum(F.when(F.col("in_vocab").isNull(), 1)
+                          .otherwise(0)).alias("n_oov")))
+    base = docs.select("doc_id")
+    return (base.join(per_doc, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce("n_toks", F.lit(0)).cast("long")
+                .alias("n_toks"),
+                F.coalesce("n_oov", F.lit(0)).cast("long")
+                .alias("n_oov"),
+                F.round(F.when(F.coalesce("n_toks", F.lit(0)) > 0,
+                               F.coalesce("n_oov", F.lit(0))
+                               .cast("double")
+                               / F.col("n_toks").cast("double"))
+                        .otherwise(F.lit(0.0)), 6).alias("oov_rate"))
+            .orderBy("doc_id"))
+
+
 # --------------------------------------------------------------------------
 # driver surface
 # --------------------------------------------------------------------------
@@ -2769,6 +2849,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "charset_detect": q_charset_detect,
         "domain_split": q_domain_split,
         "revisit_policy": q_revisit_policy,
+        "model_score": q_model_score,
+        "zipf_fit": q_zipf_fit,
+        "oov_rate": q_oov_rate,
     }
 
 
@@ -5464,6 +5547,81 @@ def oracle_sql() -> dict[str, str]:
                              / CAST(n_changes AS DOUBLE)) AS BIGINT))
                       ELSE 30 END AS revisit_days
           FROM pk ORDER BY url
+        """,
+        # linear model inference re-derived: same feature-hash buckets,
+        # same integer weight table, exact-integer dot product
+        "model_score": """
+          WITH tk AS (
+            SELECT doc_id,
+                   unnest(string_split_regex(trim(text), '\\s+')) AS tok
+            FROM documents),
+          t AS (SELECT doc_id, tok FROM tk WHERE tok <> ''),
+          wt AS (
+            SELECT doc_id,
+                   ((('0x' || substr(md5('w|' || CAST(
+                       (('0x' || substr(md5('b|' || tok), 1, 15))::BIGINT
+                        % 64) AS VARCHAR)), 1, 15))::BIGINT % 2001)
+                    - 1000) AS wi
+            FROM t),
+          per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+                         CAST(sum(wi) AS BIGINT) AS s
+                  FROM wt GROUP BY doc_id),
+          lg AS (
+            SELECT d.doc_id,
+                   CAST(coalesce(p.n_toks, 0) AS BIGINT) AS n_toks,
+                   CAST(coalesce(p.s, 0) AS BIGINT) AS dot_int,
+                   CASE WHEN coalesce(p.n_toks, 0) > 0
+                        THEN CAST(p.s AS DOUBLE)
+                             / (1000.0e0 * CAST(p.n_toks AS DOUBLE))
+                        ELSE 0.0e0 END AS l
+            FROM documents d LEFT JOIN per p USING (doc_id))
+          SELECT doc_id, n_toks, dot_int,
+                 round(1.0e0 / (1.0e0 + exp(-l)), 6) AS score,
+                 (1.0e0 / (1.0e0 + exp(-l))) >= 0.5e0 AS keep
+          FROM lg ORDER BY doc_id
+        """,
+        "zipf_fit": """
+          WITH tk AS (
+            SELECT unnest(string_split_regex(trim(text), '\\s+')) AS tok
+            FROM documents),
+          t AS (SELECT tok FROM tk WHERE tok <> ''),
+          f AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+                FROM t GROUP BY tok),
+          top AS (SELECT tok, cnt FROM f ORDER BY cnt DESC, tok
+                  LIMIT 1000),
+          r AS (SELECT cnt,
+                       row_number() OVER (ORDER BY cnt DESC, tok)
+                         AS rank
+                FROM top)
+          SELECT CAST(count(*) AS BIGINT) AS n_top,
+                 round(regr_slope(ln(cnt), ln(rank)), 4) AS slope,
+                 round(regr_intercept(ln(cnt), ln(rank)), 4)
+                   AS intercept
+          FROM r
+        """,
+        "oov_rate": """
+          WITH tk AS (
+            SELECT doc_id,
+                   unnest(string_split_regex(trim(text), '\\s+')) AS tok
+            FROM documents),
+          t AS (SELECT doc_id, tok FROM tk WHERE tok <> ''),
+          f AS (SELECT tok, count(*) AS cnt FROM t GROUP BY tok),
+          v AS (SELECT tok FROM f ORDER BY cnt DESC, tok LIMIT 256),
+          per AS (
+            SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+                   CAST(count(*) FILTER (WHERE v.tok IS NULL)
+                        AS BIGINT) AS n_oov
+            FROM t LEFT JOIN v ON t.tok = v.tok
+            GROUP BY t.doc_id)
+          SELECT d.doc_id,
+                 CAST(coalesce(p.n_toks, 0) AS BIGINT) AS n_toks,
+                 CAST(coalesce(p.n_oov, 0) AS BIGINT) AS n_oov,
+                 round(CASE WHEN coalesce(p.n_toks, 0) > 0
+                            THEN CAST(p.n_oov AS DOUBLE)
+                                 / CAST(p.n_toks AS DOUBLE)
+                            ELSE 0.0e0 END, 6) AS oov_rate
+          FROM documents d LEFT JOIN per p USING (doc_id)
+          ORDER BY doc_id
         """,
     }
     # composed oracle: the Dolma-style attribute union joins the

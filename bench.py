@@ -68,6 +68,7 @@ BENCH_QUERIES = [
     "hll_count", "percentiles", "rollup_metrics", "word_blocklist",
     "template_strip", "para_dedup",
     "cms_topk", "charset_detect", "domain_split", "revisit_policy",
+    "model_score", "zipf_fit", "oov_rate",
 ]
 
 

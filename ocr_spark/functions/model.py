@@ -1,0 +1,86 @@
+"""Linear text-classifier inference at corpus scale (the fastText /
+CCNet model-filter shape).
+
+Production curation pipelines filter with *trained* linear models
+(CCNet's fastText LM filter, quality classifiers in GPT-3/LLaMA data
+work): hash tokens into feature buckets, dot with a weight vector,
+squash.  Training happens offline; what the 100-TB engine must do is
+the *inference* — per document, zero shuffle, no Python.
+
+This module implements exactly that shape with a deterministic
+placeholder weight vector so the driver's DuckDB oracle can re-derive
+scores bit-for-bit (a real model would broadcast its weights the same
+way; only the literals change):
+
+- feature hashing (Weinberger et al. 2009): bucket(token) =
+  md5-60('b|' || token) % n_buckets;
+- weights: w_int(bucket) = md5-60('w|' || bucket) % 2001 - 1000,
+  i.e. integers in [-1000, 1000] standing in for trained weights
+  scaled by 1000;
+- the per-document accumulation is an EXACT INTEGER sum (order-free —
+  the same cross-engine-determinism discipline as functions/sketch.py),
+  divided once: logit = sum / (1000 * n_tokens);
+- score = sigmoid(logit), round 6.
+
+Everything is JVM higher-order functions over the token array —
+per-row, no shuffle, no UDF.
+
+Reference parity: the reference scores each document with a remote
+model call (services/gemini_service.py); this is the batch-engine
+version where the model is local arithmetic over broadcast weights.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from ocr_spark.functions.text import tokens
+
+__all__ = ["N_FEATURES", "linear_text_score"]
+
+N_FEATURES = 64
+
+
+def _md5_mod(prefix: str, c: Column, mod: int) -> Column:
+    """md5-60(prefix || value) % mod — DuckDB twin:
+    ('0x' || substr(md5(prefix || v), 1, 15))::BIGINT % mod."""
+    return (
+        F.conv(F.substring(F.md5(F.concat(F.lit(prefix), c)), 1, 15),
+               16, 10).cast("long") % mod
+    )
+
+
+def linear_text_score(col: str | Column,
+                      n_buckets: int = N_FEATURES) -> dict[str, Column]:
+    """Per-row linear-model score of a text column.
+
+    Returns {n_toks, logit, score, keep}: logit is the hashed-feature
+    dot product (empty docs get logit 0 -> score 0.5), keep is the
+    score >= 0.5 filter verdict.  Zero shuffle; exact-integer fold.
+    """
+    toks = tokens(col)
+
+    def w_int(t: Column) -> Column:
+        bucket = _md5_mod("b|", t, n_buckets)
+        return _md5_mod("w|", bucket.cast("string"), 2001) - F.lit(1000)
+
+    s = F.aggregate(toks, F.lit(0).cast("long"),
+                    lambda acc, t: acc + w_int(t))
+    n = F.size(toks).cast("long")
+    logit = F.when(n > 0, s.cast("double")
+                   / (F.lit(1000.0) * n.cast("double"))) \
+        .otherwise(F.lit(0.0))
+    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-logit))
+    # dot_int is the EXACT integer dot product (the oracle-comparable
+    # form); a rounded logit is deliberately not exposed — s/(1000n)
+    # terminates at a '...5' decimal whenever n is a power of two, and
+    # round-6 of that boundary is engine-dependent (Spark HALF_UP on
+    # the shortest repr vs scaled-multiply rounding).
+    return {
+        "n_toks": n,
+        "dot_int": s,
+        "logit": logit,
+        "score": F.round(score, 6),
+        "keep": score >= F.lit(0.5),
+    }

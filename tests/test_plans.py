@@ -477,3 +477,14 @@ def test_batch7_queries_plan_hygiene(spark):
     assert "BroadcastHashJoin" in plan
     plan = plan_of(entry_mod.queries()["charset_detect"](spark, SF))
     assert "MapInArrow" in plan
+
+
+def test_batch8_queries_plan_hygiene(spark):
+    """model_score / zipf_fit / oov_rate: no per-row Python, no
+    cartesian; the oov vocab join broadcasts (256 rows)."""
+    for q in ("model_score", "zipf_fit", "oov_rate"):
+        plan = plan_of(entry_mod.queries()[q](spark, SF))
+        assert "BatchEvalPython" not in plan, q
+        assert "CartesianProduct" not in plan, q
+    plan = plan_of(entry_mod.queries()["oov_rate"](spark, SF))
+    assert "BroadcastHashJoin" in plan

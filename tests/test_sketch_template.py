@@ -198,3 +198,49 @@ def test_sniff_charset_ladder(payload, codec):
     from ocr_spark.extractor.core import sniff_charset
 
     assert sniff_charset(payload) == codec
+
+
+# --------------------------------------------------- linear model
+
+def _py_model_score(text):
+    import math as _m
+
+    toks = text.split()
+    if not toks:
+        return 0, 0, 0.5
+    s = 0
+    for t in toks:
+        b = int(hashlib.md5(f"b|{t}".encode()).hexdigest()[:15], 16) % 64
+        s += int(hashlib.md5(f"w|{b}".encode()).hexdigest()[:15],
+                 16) % 2001 - 1000
+    logit = s / (1000.0 * len(toks))
+    return len(toks), s, round(1 / (1 + _m.exp(-logit)), 6)
+
+
+@pytest.mark.parametrize("text", [
+    "the quick brown fox jumps over the lazy dog",
+    "single",
+    "",
+    "repeated repeated repeated repeated",
+])
+def test_linear_text_score_matches_python(spark, text):
+    from ocr_spark.functions.model import linear_text_score
+
+    df = spark.createDataFrame([(text,)], "t string")
+    cols = linear_text_score("t")
+    r = df.select(cols["n_toks"].alias("n"), cols["dot_int"].alias("d"),
+                  cols["score"].alias("s"), cols["keep"].alias("k")).first()
+    n, dot, score = _py_model_score(text)
+    assert (r.n, r.d, r.s) == (n, dot, score)
+    assert r.k == (score >= 0.5)
+
+
+def test_linear_text_score_zero_shuffle_plan(spark):
+    from ocr_spark.functions.model import linear_text_score
+
+    df = spark.createDataFrame([("a b c",)], "t string")
+    cols = linear_text_score("t")
+    plan = df.select(cols["score"])._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
