@@ -2732,6 +2732,106 @@ def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
+def q_http_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTTP response-header triage (operators/web.py:
+    parse_http_headers): five header families (200+charset, 301
+    redirect, 404 with cased params, 200 pdf, 503 with no
+    content-type) parsed into typed fields with NULL-absent semantics
+    — the WAT/CDX projection every fetch pipeline runs before body
+    work.  Per-row JVM regexes, zero shuffle."""
+    from ocr_spark.operators.web import parse_http_headers
+
+    docs = _t(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 5
+    d = F.col("doc_id").cast("string")
+    crlf = "\r\n"
+    hdr = (
+        F.when(m == 0, F.concat(
+            F.lit("HTTP/1.1 200 OK" + crlf + "Server: x" + crlf
+                  + "Content-Type: text/HTML; charset=UTF-8" + crlf
+                  + "Content-Length: "),
+            F.col("n_chars").cast("string"), F.lit(crlf + crlf)))
+        .when(m == 1, F.concat(
+            F.lit("HTTP/1.1 301 Moved Permanently" + crlf
+                  + "Location: https://example.com/"), d,
+            F.lit(crlf + "Content-Type: text/html" + crlf + crlf)))
+        .when(m == 2, F.lit(
+            "HTTP/1.1 404 Not Found" + crlf
+            + "Content-Type: Text/Html; Charset=ISO-8859-1"
+            + crlf + crlf))
+        .when(m == 3, F.concat(
+            F.lit("HTTP/1.1 200 OK" + crlf
+                  + "Content-Type: application/pdf" + crlf
+                  + "Content-Length: "),
+            (F.col("doc_id") * 7).cast("string"), F.lit(crlf + crlf)))
+        .otherwise(F.lit(
+            "HTTP/1.1 503 Service Unavailable" + crlf
+            + "Retry-After: 60" + crlf + crlf))
+    )
+    cols = parse_http_headers(hdr)
+    return docs.select(
+        "doc_id", cols["status"].alias("status"),
+        cols["content_type"].alias("content_type"),
+        cols["charset"].alias("charset"),
+        cols["content_length"].alias("content_length"),
+        cols["is_redirect"].alias("is_redirect")).orderBy("doc_id")
+
+
+def q_robots_sitemaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap discovery from robots.txt (operators/web.py:
+    robots_sitemaps): the Sitemap directive is global per RFC 9309
+    §2.3, so this is a stateless case-insensitive line regex over 20
+    synthetic hosts — h%3==0 hosts have none (drop out), h%3==1 one,
+    h%3==2 two mixed-case lines behind a decoy agent group."""
+    from ocr_spark.operators.web import robots_sitemaps
+
+    docs = _t(spark, sf_dir, "documents")
+    hosts = docs.select(
+        (F.col("doc_id") % 20).alias("h")).distinct()
+    hs = F.col("h").cast("string")
+    txt = (
+        F.when(F.col("h") % 3 == 0,
+               F.lit("User-agent: *\nDisallow: /tmp/"))
+        .when(F.col("h") % 3 == 1, F.concat(
+            F.lit("User-agent: *\nDisallow: /x\nSitemap: https://site"),
+            hs, F.lit(".example.com/sitemap.xml")))
+        .otherwise(F.concat(
+            F.lit("sitemap: https://site"), hs,
+            F.lit(".example.com/s1.xml\nUser-agent: bot\n"
+                  "Disallow: /\nSITEMAP: https://site"), hs,
+            F.lit(".example.com/s2.xml")))
+    )
+    pages = hosts.select(
+        F.concat(F.lit("site"), hs, F.lit(".example.com")).alias("host"),
+        txt.alias("robots_txt"))
+    return (robots_sitemaps(pages)
+            .orderBy("host", "sitemap_url"))
+
+
+def q_orders_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decorrelated scalar-subquery shape: orders priced >20% above
+    their customer's average.  The engine runs the decorrelated form
+    (one groupBy + equi-join — what Catalyst produces for the
+    correlated SQL); the oracle runs the same predicate from an
+    independent aggregate CTE.  Money is compared in EXACT integer
+    cents (cents * n * 10 > sum_cents * 12) so the cross-engine
+    float-average knife edge never decides a row."""
+    o = _t(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderkey", "o_custkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long")
+        .alias("price_cents"))
+    aggs = base.groupBy("o_custkey").agg(
+        F.count("*").alias("n_cust_orders"),
+        F.sum("price_cents").alias("cust_sum_cents"))
+    return (base.join(aggs, "o_custkey")
+            .where(F.col("price_cents") * F.col("n_cust_orders") * 10
+                   > F.col("cust_sum_cents") * 12)
+            .select("o_orderkey", "o_custkey", "price_cents",
+                    "n_cust_orders", "cust_sum_cents")
+            .orderBy("o_orderkey"))
+
+
 # --------------------------------------------------------------------------
 # driver surface
 # --------------------------------------------------------------------------
@@ -2852,6 +2952,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "model_score": q_model_score,
         "zipf_fit": q_zipf_fit,
         "oov_rate": q_oov_rate,
+        "http_headers": q_http_headers,
+        "robots_sitemaps": q_robots_sitemaps,
+        "orders_above_avg": q_orders_above_avg,
     }
 
 
@@ -5622,6 +5725,107 @@ def oracle_sql() -> dict[str, str]:
                             ELSE 0.0e0 END, 6) AS oov_rate
           FROM documents d LEFT JOIN per p USING (doc_id)
           ORDER BY doc_id
+        """,
+        # identical (?im) RE2/Java regexes over the same header blocks;
+        # absent headers -> NULL via nullif on the empty-string miss
+        "http_headers": """
+          WITH h AS (
+            SELECT doc_id,
+              CASE doc_id % 5
+                WHEN 0 THEN 'HTTP/1.1 200 OK' || chr(13)||chr(10)
+                  || 'Server: x' || chr(13)||chr(10)
+                  || 'Content-Type: text/HTML; charset=UTF-8'
+                  || chr(13)||chr(10)
+                  || 'Content-Length: ' || CAST(n_chars AS VARCHAR)
+                  || chr(13)||chr(10) || chr(13)||chr(10)
+                WHEN 1 THEN 'HTTP/1.1 301 Moved Permanently'
+                  || chr(13)||chr(10)
+                  || 'Location: https://example.com/'
+                  || CAST(doc_id AS VARCHAR) || chr(13)||chr(10)
+                  || 'Content-Type: text/html'
+                  || chr(13)||chr(10) || chr(13)||chr(10)
+                WHEN 2 THEN 'HTTP/1.1 404 Not Found' || chr(13)||chr(10)
+                  || 'Content-Type: Text/Html; Charset=ISO-8859-1'
+                  || chr(13)||chr(10) || chr(13)||chr(10)
+                WHEN 3 THEN 'HTTP/1.1 200 OK' || chr(13)||chr(10)
+                  || 'Content-Type: application/pdf' || chr(13)||chr(10)
+                  || 'Content-Length: '
+                  || CAST(doc_id * 7 AS VARCHAR)
+                  || chr(13)||chr(10) || chr(13)||chr(10)
+                ELSE 'HTTP/1.1 503 Service Unavailable'
+                  || chr(13)||chr(10) || 'Retry-After: 60'
+                  || chr(13)||chr(10) || chr(13)||chr(10)
+              END AS hdr
+            FROM documents),
+          p AS (
+            SELECT doc_id,
+              CAST(regexp_extract(hdr, 'HTTP/\\d\\.\\d (\\d{3})', 1)
+                   AS INT) AS status,
+              regexp_extract(hdr,
+                '(?im)^Content-Type:\\s*([^' || chr(13) || chr(10)
+                || ']+)', 1) AS ct_raw
+            FROM h)
+          SELECT doc_id, status,
+            CASE WHEN ct_raw = '' THEN NULL
+                 ELSE lower(trim(regexp_extract(ct_raw, '^([^;]+)', 1)))
+            END AS content_type,
+            CASE WHEN regexp_extract(ct_raw,
+                   '(?i)charset=([A-Za-z0-9_\\-]+)', 1) = '' THEN NULL
+                 ELSE lower(regexp_extract(ct_raw,
+                   '(?i)charset=([A-Za-z0-9_\\-]+)', 1))
+            END AS charset,
+            CAST(nullif(regexp_extract(h.hdr,
+                 '(?im)^Content-Length:\\s*(\\d+)', 1), '')
+                 AS BIGINT) AS content_length,
+            status IN (301, 302, 307, 308) AS is_redirect
+          FROM p JOIN h USING (doc_id)
+          ORDER BY doc_id
+        """,
+        "robots_sitemaps": """
+          WITH hosts AS (SELECT DISTINCT doc_id % 20 AS h
+                         FROM documents),
+          t AS (
+            SELECT 'site' || CAST(h AS VARCHAR) || '.example.com'
+                     AS host,
+                   CASE h % 3
+                     WHEN 0 THEN 'User-agent: *' || chr(10)
+                       || 'Disallow: /tmp/'
+                     WHEN 1 THEN 'User-agent: *' || chr(10)
+                       || 'Disallow: /x' || chr(10)
+                       || 'Sitemap: https://site' || CAST(h AS VARCHAR)
+                       || '.example.com/sitemap.xml'
+                     ELSE 'sitemap: https://site' || CAST(h AS VARCHAR)
+                       || '.example.com/s1.xml' || chr(10)
+                       || 'User-agent: bot' || chr(10) || 'Disallow: /'
+                       || chr(10)
+                       || 'SITEMAP: https://site' || CAST(h AS VARCHAR)
+                       || '.example.com/s2.xml'
+                   END AS robots_txt
+            FROM hosts)
+          SELECT host, unnest(regexp_extract_all(robots_txt,
+                   '(?im)^sitemap:\\s*(\\S+)', 1)) AS sitemap_url
+          FROM t
+          ORDER BY host, sitemap_url
+        """,
+        # the CORRELATED scalar-subquery semantics, decorrelated by the
+        # engine; exact integer-cents predicate on both sides
+        "orders_above_avg": """
+          WITH b AS (
+            SELECT o_orderkey, o_custkey,
+                   CAST(round(o_totalprice * 100, 0) AS BIGINT)
+                     AS price_cents
+            FROM orders),
+          ag AS (SELECT o_custkey,
+                        CAST(count(*) AS BIGINT) AS n_cust_orders,
+                        CAST(sum(price_cents) AS BIGINT)
+                          AS cust_sum_cents
+                 FROM b GROUP BY 1)
+          SELECT b.o_orderkey, b.o_custkey, b.price_cents,
+                 ag.n_cust_orders, ag.cust_sum_cents
+          FROM b JOIN ag USING (o_custkey)
+          WHERE b.price_cents * ag.n_cust_orders * 10
+                > ag.cust_sum_cents * 12
+          ORDER BY b.o_orderkey
         """,
     }
     # composed oracle: the Dolma-style attribute union joins the

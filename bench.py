@@ -69,6 +69,7 @@ BENCH_QUERIES = [
     "template_strip", "para_dedup",
     "cms_topk", "charset_detect", "domain_split", "revisit_policy",
     "model_score", "zipf_fit", "oov_rate",
+    "http_headers", "robots_sitemaps", "orders_above_avg",
 ]
 
 

@@ -688,3 +688,52 @@ def crawl_schedule(df: DataFrame, per_round: int,
                     F.pmod(F.col("_rank"), F.lit(per_round)).cast("int"))
         .drop("_h", "_hb", "_off", "_rank")
     )
+
+
+def parse_http_headers(col: str | Column) -> dict[str, Column]:
+    """Parse a raw HTTP response-header block (the WARC response
+    record prefix) into typed fields — status, media type, charset
+    parameter, content length, redirect flag.  WAT/CDX builders and
+    fetch-pipeline triage run exactly this projection before any body
+    work.  Pure JVM regexes ((?im) inline flags are RE2-compatible so
+    the DuckDB oracle runs the identical patterns); zero shuffle.
+
+    Returns {status, content_type, charset, content_length,
+    is_redirect}; absent headers come back NULL (empty-string regex
+    miss cast to a numeric is NULL on both engines — spelled with
+    nullif in the oracle)."""
+    c = F.col(col) if isinstance(col, str) else col
+    status = F.regexp_extract(c, r"^HTTP/\d\.\d (\d{3})", 1).cast("int")
+    ct_raw = F.regexp_extract(c, r"(?im)^Content-Type:\s*([^\r\n]+)", 1)
+    content_type = F.when(
+        ct_raw == "", F.lit(None).cast("string")
+    ).otherwise(F.lower(F.trim(F.regexp_extract(ct_raw, r"^([^;]+)", 1))))
+    charset = F.when(
+        F.regexp_extract(ct_raw, r"(?i)charset=([A-Za-z0-9_\-]+)", 1) == "",
+        F.lit(None).cast("string"),
+    ).otherwise(F.lower(
+        F.regexp_extract(ct_raw, r"(?i)charset=([A-Za-z0-9_\-]+)", 1)))
+    content_length = F.nullif(
+        F.regexp_extract(c, r"(?im)^Content-Length:\s*(\d+)", 1),
+        F.lit("")).cast("long")
+    return {
+        "status": status,
+        "content_type": content_type,
+        "charset": charset,
+        "content_length": content_length,
+        "is_redirect": status.isin(301, 302, 307, 308),
+    }
+
+
+def robots_sitemaps(df: DataFrame, robots_col: str = "robots_txt",
+                    host_col: str = "host") -> DataFrame:
+    """Sitemap discovery from robots.txt: per RFC 9309 §2.3 the
+    ``Sitemap:`` directive is GLOBAL (not scoped to a user-agent
+    group), so extraction is a stateless case-insensitive line regex —
+    no stateful group parse needed (unlike allow/disallow, which
+    operators/web.py:robots_filter handles with the full parser).
+    One row per (host, sitemap_url); hosts with no directive drop out.
+    Per-row regex + explode — zero shuffle."""
+    c = F.col(robots_col)
+    urls = F.regexp_extract_all(c, F.lit(r"(?im)^sitemap:\s*(\S+)"), 1)
+    return (df.select(host_col, F.explode(urls).alias("sitemap_url")))

@@ -488,3 +488,14 @@ def test_batch8_queries_plan_hygiene(spark):
         assert "CartesianProduct" not in plan, q
     plan = plan_of(entry_mod.queries()["oov_rate"](spark, SF))
     assert "BroadcastHashJoin" in plan
+
+
+def test_batch9_queries_plan_hygiene(spark):
+    """http_headers / robots_sitemaps / orders_above_avg: no per-row
+    Python, no cartesian; the scalar-subquery decorrelation runs as a
+    hash/sort-merge equi-join, never a nested loop."""
+    for q in ("http_headers", "robots_sitemaps", "orders_above_avg"):
+        plan = plan_of(entry_mod.queries()[q](spark, SF))
+        assert "BatchEvalPython" not in plan, q
+        assert "CartesianProduct" not in plan, q
+        assert "BroadcastNestedLoopJoin" not in plan, q

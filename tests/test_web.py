@@ -391,3 +391,45 @@ def test_crawl_schedule_politeness_invariants(spark):
               for r in crawl_schedule(df.repartition(13),
                                       per_round=4).collect()}
     assert re_out == {(r.doc_id, r.fetch_round, r.fetch_slot) for r in out}
+
+
+def test_parse_http_headers_fields(spark):
+    from ocr_spark.operators.web import parse_http_headers
+    from pyspark.sql import functions as F
+
+    rows = [
+        ("HTTP/1.1 200 OK\r\nContent-Type: text/HTML; charset=UTF-8\r\n"
+         "Content-Length: 123\r\n\r\n",),
+        ("HTTP/1.1 301 Moved Permanently\r\nLocation: /x\r\n\r\n",),
+        ("HTTP/1.1 503 Service Unavailable\r\n\r\n",),
+    ]
+    df = spark.createDataFrame(rows, "hdr string")
+    cols = parse_http_headers("hdr")
+    got = df.select(
+        cols["status"].alias("st"), cols["content_type"].alias("ct"),
+        cols["charset"].alias("cs"),
+        cols["content_length"].alias("cl"),
+        cols["is_redirect"].alias("rd")).collect()
+    assert (got[0].st, got[0].ct, got[0].cs, got[0].cl, got[0].rd) == \
+        (200, "text/html", "utf-8", 123, False)
+    assert (got[1].st, got[1].ct, got[1].cs, got[1].cl, got[1].rd) == \
+        (301, None, None, None, True)
+    assert (got[2].st, got[2].ct, got[2].cl) == (503, None, None)
+
+
+def test_robots_sitemaps_global_scope(spark):
+    """Sitemap lines are extracted regardless of agent-group position,
+    mixed case, and one-per-line; hosts without any drop out."""
+    from ocr_spark.operators.web import robots_sitemaps
+
+    rows = [
+        ("a.com", "User-agent: bot\nDisallow: /\n"
+                  "SiteMap: https://a.com/s1.xml\n"
+                  "sitemap: https://a.com/s2.xml"),
+        ("b.com", "User-agent: *\nDisallow: /tmp/"),
+    ]
+    df = spark.createDataFrame(rows, "host string, robots_txt string")
+    got = sorted((r.host, r.sitemap_url)
+                 for r in robots_sitemaps(df).collect())
+    assert got == [("a.com", "https://a.com/s1.xml"),
+                   ("a.com", "https://a.com/s2.xml")]
