@@ -389,6 +389,21 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                                shingle_k=3, threshold=0.5, max_df=100)
 
 
+def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric n-gram CONTAINMENT join — the quotation/subset
+    detector Jaccard misses: a short doc fully embedded in a long one
+    has tiny Jaccard (union dominated by the long doc) but containment
+    ≈ 1.0 short→long.  Same exploded-equi-join shape and max_df
+    hot-shingle guard as ngram_jaccard; emits both directions per
+    unordered pair, kept when either exceeds the threshold
+    (operators/dedup.py:ngram_containment_pairs)."""
+    from ocr_spark.operators.dedup import ngram_containment_pairs
+
+    docs = _docs_with_near_dups(spark, sf_dir)
+    return ngram_containment_pairs(docs, "doc_id", "text",
+                                   shingle_k=3, threshold=0.6, max_df=100)
+
+
 def q_lsh_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The production dedup composition: LSH candidates -> exact
     n-gram-Jaccard verification on candidates only (never the full
@@ -415,6 +430,25 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_dup_clusters(docs, "doc_id", "text",
                              n_hashes=16, bands=8, shingle_k=3,
                              hash_mode="md5_affine")
+
+
+def q_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split: hash the near-dup CLUSTER
+    label, not the document id, so a document and its 95%-identical
+    twin can never straddle splits (the contamination mode per-doc
+    hash splits silently reintroduce).  Composition: near_dup_clusters
+    (LSH candidates -> large-star/small-star CC) -> cluster_split —
+    one per-row expression on top of the clusterer's output, zero
+    extra shuffle (operators/corpus.py:cluster_split)."""
+    from ocr_spark.operators.corpus import cluster_split
+    from ocr_spark.operators.dedup import near_dup_clusters
+
+    docs = _docs_with_near_dups(spark, sf_dir)
+    clusters = near_dup_clusters(docs, "doc_id", "text",
+                                 n_hashes=16, bands=8, shingle_k=3,
+                                 hash_mode="md5_affine")
+    return cluster_split(clusters, SPLIT_SHARES, "cluster_id",
+                         salt="clsplit")
 
 
 def q_cluster_best(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1065,6 +1099,23 @@ def q_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     return inverted_index(docs, min_df=2).orderBy("term", "doc_id")
+
+
+def q_posting_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-term d-gap compression stats for a delta+varint postings
+    layout (operators/index.py:posting_deltas).  The engine runs the
+    two-phase DOC-RANGE-SHARDED form (adjacency within a shard via a
+    bounded window, cross-shard boundary gaps from per-shard summary
+    rows) so the hottest stopword term never funnels through one task;
+    the oracle runs the naive single lag() window — the results are
+    provably identical, and that equality IS the test.  shard_bits=6
+    (64-id shards) so even sf0.01's 500 ids span 8 shards and the
+    boundary-gap path is genuinely exercised."""
+    from ocr_spark.operators.index import posting_deltas
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return posting_deltas(docs, min_df=2, shard_bits=6) \
+        .orderBy("term")
 
 
 def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1943,6 +1994,34 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (ranks.select(F.col("node").alias("doc_id"),
                          F.round("rank", 9).alias("pr"))
             .orderBy("doc_id"))
+
+
+def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities (operators/web.py:hits) over the SAME
+    deterministic quadratic-map graph as q_pagerank (links to
+    (id²+1) mod M, plus (13·id+5) mod M when id%3 != 0, self-loops
+    dropped).  Two UN-normalized power iterations from an all-ones hub
+    vector, so every score is an exact INTEGER (alternating-path
+    count) and the oracle can unroll the same rounds as chained SQL
+    aggregates with zero float hazard — the same exactness discipline
+    as the integer PageRank-free sketches."""
+    from ocr_spark.operators.web import hits
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    m = docs.agg((F.max("doc_id") + F.lit(1)).alias("m"))
+    cand = docs.crossJoin(F.broadcast(m)).select(
+        "doc_id",
+        ((F.col("doc_id") * F.col("doc_id") + 1) % F.col("m")).alias("k1"),
+        ((F.col("doc_id") * 13 + 5) % F.col("m")).alias("k2"),
+    )
+    dsts = docs.select(F.col("doc_id").alias("dst"))
+    e1 = (cand.join(dsts, cand.k1 == dsts.dst)
+          .select(F.col("doc_id").alias("src"), "dst"))
+    e2 = (cand.filter(F.col("doc_id") % 3 != 0)
+          .join(dsts, cand.k2 == dsts.dst)
+          .select(F.col("doc_id").alias("src"), "dst"))
+    edges = e1.union(e2).filter(F.col("src") != F.col("dst"))
+    return hits(edges, n_iter=2).orderBy("node")
 
 
 def q_graph_prior(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2855,8 +2934,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_latest": q_dedup_keep_latest,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "ngram_jaccard": q_ngram_jaccard,
+        "containment": q_containment,
         "lsh_jaccard": q_lsh_jaccard,
         "dedup_clusters": q_dedup_clusters,
+        "cluster_split": q_cluster_split,
         "cluster_best": q_cluster_best,
         "simhash_near_dup": q_simhash_near_dup,
         "embed_near_dup": q_embed_near_dup,
@@ -2890,6 +2971,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "readability": q_readability,
         "unicode_clean": q_unicode_clean,
         "postings": q_postings,
+        "posting_deltas": q_posting_deltas,
         "corpus_stats": q_corpus_stats,
         "crawl_delta": q_crawl_delta,
         "capture_history": q_capture_history,
@@ -2926,6 +3008,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_agg": q_anchor_agg,
         "cdx_index": q_cdx_index,
         "pagerank": q_pagerank,
+        "hits": q_hits,
         "graph_prior": q_graph_prior,
         "media_decode": q_media_decode,
         "png_decode": q_png_decode,
@@ -3420,6 +3503,27 @@ def _data_split_sql() -> str:
              CASE {case} ELSE '{cuts[-1][0]}' END AS split
       FROM documents
     """
+
+
+def _varint_sql(x: str) -> str:
+    """DuckDB twin of operators.index._varint_bytes: the same chained
+    integer-range CASE (1 byte per 7 payload bits) — bit-exact in both
+    engines, no float log2 boundary hazard."""
+    whens = " ".join(f"WHEN {x} < {1 << (7 * i)} THEN {i}"
+                     for i in range(1, 8))
+    return f"(CASE {whens} ELSE 8 END)"
+
+
+def _cluster_split_case(hash_sql: str) -> str:
+    """The cluster_split CASE over a SQL hash expression — cut points
+    from the SAME split_thresholds() integer literals the engine
+    compares against (float->int happens once, in Python)."""
+    from ocr_spark.operators.corpus import split_thresholds
+
+    cuts = split_thresholds(SPLIT_SHARES)
+    whens = " ".join(f"WHEN {hash_sql} < {ub} THEN '{name}'"
+                     for name, ub in cuts[:-1])
+    return f"CASE {whens} ELSE '{cuts[-1][0]}' END"
 
 
 def _bloom_dedup_sql() -> str:
@@ -4317,6 +4421,40 @@ def oracle_sql() -> dict[str, str]:
                count(*) OVER (PARTITION BY cluster_id) AS cluster_size
         FROM assign
         """,
+        # leakage-safe split: the SAME transitive closure, then the
+        # split CASE hashes the CLUSTER id (salt 'clsplit') so every
+        # member of a near-dup cluster inherits one split
+        "cluster_split": near_dup_union.replace(
+            "WITH base AS", "WITH RECURSIVE base AS", 1
+        ) + f"""
+        , tok AS (SELECT doc_id, text, {toks} AS toksl FROM base)
+        , sh AS (SELECT doc_id, {shingles_col} AS shl FROM tok)
+        {aff_banded('FROM sh WHERE len(shl) > 0')}, cand AS (
+          SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+          FROM banded l JOIN banded r
+            ON l.band = r.band AND l.band_sig = r.band_sig
+           AND l.doc_id < r.doc_id
+        ), edges AS (
+          SELECT id_a AS s, id_b AS d FROM cand
+          UNION
+          SELECT id_b AS s, id_a AS d FROM cand
+        ), reach(node, x) AS (
+          SELECT s, s FROM edges
+          UNION
+          SELECT reach.node, e.d FROM reach JOIN edges e ON reach.x = e.s
+        ), labels AS (
+          SELECT node, min(x) AS cluster_id FROM reach GROUP BY node
+        ), assign AS (
+          SELECT b.doc_id, coalesce(l.cluster_id, b.doc_id) AS cluster_id
+          FROM base b LEFT JOIN labels l ON b.doc_id = l.node
+        )
+        SELECT doc_id, cluster_id,
+               count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+               {_cluster_split_case(
+                   "('0x' || substr(md5('clsplit|' || cluster_id::VARCHAR),"
+                   " 1, 15))::BIGINT")} AS split
+        FROM assign
+        """,
         # keep-best representative: same closure, argmax(len, -id) per
         # cluster
         "cluster_best": near_dup_union.replace(
@@ -4380,6 +4518,38 @@ def oracle_sql() -> dict[str, str]:
         JOIN sizes sa ON sa.doc_id = id_a
         JOIN sizes sb ON sb.doc_id = id_b
         WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+        """,
+        # asymmetric containment twin: same capped intersection join,
+        # numerator over FULL set sizes per side, kept when either
+        # rounded direction clears 0.6 (the engine filters on the
+        # rounded columns, so the oracle does too)
+        "containment": near_dup_union + f"""
+        , tok AS (SELECT doc_id, text, {toks} AS toksl FROM base)
+        , sh AS (
+          SELECT doc_id, {shingles_col} AS shl FROM tok
+        ), sh2 AS (SELECT doc_id, shl FROM sh WHERE len(shl) > 0),
+        sizes AS (SELECT doc_id, len(shl) AS n_sh FROM sh2),
+        exploded AS (SELECT doc_id, unnest(shl) AS shingle FROM sh2),
+        capped AS (
+          SELECT doc_id, shingle FROM exploded
+          WHERE shingle NOT IN (
+            SELECT shingle FROM exploded
+            GROUP BY shingle HAVING count(*) > 100)
+        ),
+        inter AS (
+          SELECT l.doc_id AS id_a, r.doc_id AS id_b, count(*) AS n_inter
+          FROM capped l JOIN capped r
+            ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT id_a, id_b,
+               round(n_inter / sa.n_sh, 6) AS contain_a,
+               round(n_inter / sb.n_sh, 6) AS contain_b
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE greatest(round(n_inter / sa.n_sh, 6),
+                       round(n_inter / sb.n_sh, 6)) >= 0.6
         """,
         # simhash oracle: same 60-bit md5-derived token hash, simhash
         # reassembled bit-by-bit, pairs brute-forced (the oracle checks
@@ -4955,6 +5125,38 @@ def oracle_sql() -> dict[str, str]:
           GROUP BY term, doc_id
           ORDER BY term, doc_id
         """,
+        # d-gap stats: the oracle runs the NAIVE single lag() window
+        # the engine's doc-range-sharded two-phase form provably
+        # equals — the equality is the test
+        "posting_deltas": f"""
+          WITH tok AS (
+            SELECT doc_id,
+              CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+                   ELSE {toks} END AS tl
+            FROM documents),
+          ex AS (
+            SELECT DISTINCT doc_id AS doc, term
+            FROM (SELECT doc_id, unnest(tl) AS term FROM tok)),
+          keep AS (
+            SELECT term FROM ex GROUP BY term HAVING count(*) >= 2),
+          p AS (SELECT term, doc FROM ex
+                WHERE term IN (SELECT term FROM keep)),
+          g AS (
+            SELECT term, doc,
+              doc - lag(doc) OVER (PARTITION BY term ORDER BY doc) AS gap
+            FROM p)
+          SELECT term,
+            CAST(count(*) AS BIGINT) AS df_t,
+            CAST(min(doc) AS BIGINT) AS first_doc,
+            CAST(min(gap) AS BIGINT) AS min_gap,
+            CAST(max(gap) AS BIGINT) AS max_gap,
+            CAST(sum(gap) AS BIGINT) AS gap_sum,
+            CAST({_varint_sql('min(doc)')}
+                 + sum(CASE WHEN gap IS NULL THEN 0
+                       ELSE {_varint_sql('gap')} END) AS BIGINT)
+              AS varint_bytes
+          FROM g GROUP BY term ORDER BY term
+        """,
         # corpus card: quantile_cont == Spark's exact interpolated
         # percentile; counts cast to the engine's integer widths
         "corpus_stats": f"""
@@ -5243,6 +5445,50 @@ def oracle_sql() -> dict[str, str]:
                         JOIN deg ON deg.src = e.src
                    GROUP BY e.dst) s ON s.node = n.node)
           SELECT node AS doc_id, round(r, 9) AS pr FROM r3 ORDER BY doc_id
+        """,
+        # HITS: same quadratic-map graph; 2 un-normalized iterations
+        # unrolled — every score is an exact integer path count
+        "hits": """
+          WITH mm AS (SELECT max(doc_id) + 1 AS m FROM documents),
+          cand AS (
+            SELECT doc_id,
+              (doc_id * doc_id + 1) % (SELECT m FROM mm) AS k1,
+              (doc_id * 13 + 5) % (SELECT m FROM mm) AS k2
+            FROM documents),
+          e AS (
+            SELECT DISTINCT src, dst FROM (
+              SELECT c.doc_id AS src, d.doc_id AS dst
+              FROM cand c JOIN documents d ON d.doc_id = c.k1
+              UNION ALL
+              SELECT c.doc_id AS src, d.doc_id AS dst
+              FROM cand c JOIN documents d ON d.doc_id = c.k2
+              WHERE c.doc_id % 3 <> 0
+            ) WHERE src <> dst),
+          nodes AS (SELECT DISTINCT node FROM (
+            SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e)),
+          a1 AS (SELECT n.node, CAST(coalesce(s.x, 0) AS BIGINT) AS auth
+                 FROM nodes n LEFT JOIN (
+                   SELECT dst AS node, count(*) AS x FROM e GROUP BY dst
+                 ) s ON s.node = n.node),
+          h1 AS (SELECT n.node, CAST(coalesce(s.x, 0) AS BIGINT) AS hub
+                 FROM nodes n LEFT JOIN (
+                   SELECT e.src AS node, sum(a1.auth) AS x
+                   FROM e JOIN a1 ON a1.node = e.dst GROUP BY e.src
+                 ) s ON s.node = n.node),
+          a2 AS (SELECT n.node, CAST(coalesce(s.x, 0) AS BIGINT) AS auth
+                 FROM nodes n LEFT JOIN (
+                   SELECT e.dst AS node, sum(h1.hub) AS x
+                   FROM e JOIN h1 ON h1.node = e.src GROUP BY e.dst
+                 ) s ON s.node = n.node),
+          h2 AS (SELECT n.node, CAST(coalesce(s.x, 0) AS BIGINT) AS hub
+                 FROM nodes n LEFT JOIN (
+                   SELECT e.src AS node, sum(a2.auth) AS x
+                   FROM e JOIN a2 ON a2.node = e.dst GROUP BY e.src
+                 ) s ON s.node = n.node)
+          SELECT n.node, h2.hub, a2.auth
+          FROM nodes n JOIN h2 ON h2.node = n.node
+                       JOIN a2 ON a2.node = n.node
+          ORDER BY n.node
         """,
         "pack_sequences": f"""
           WITH t AS (

@@ -40,8 +40,9 @@ BENCH_QUERIES = [
     "flagship_extract", "pdf_extract", "pdf_layout", "html_meta",
     "profile_extract", "extract_metrics",
     "dedup_exact", "line_dedup", "substr_dedup",
-    "dedup_keep_latest", "minhash_lsh_pairs", "ngram_jaccard",
-    "lsh_jaccard", "dedup_clusters", "simhash_near_dup", "embed_near_dup",
+    "dedup_keep_latest", "minhash_lsh_pairs", "ngram_jaccard", "containment",
+    "lsh_jaccard", "dedup_clusters", "cluster_split",
+    "simhash_near_dup", "embed_near_dup",
     "embed_near_dup_lsh", "span_qa", "cosine_topk", "ann_topk", "ann_topk_ivf",
     "semantic_dedup", "pq_encode",
     "text_stats", "repetition_stats", "quality_filter", "pii_scrub",
@@ -50,7 +51,8 @@ BENCH_QUERIES = [
     "chunk_text", "chunk_tokens", "collocations", "bpe_pairs",
     "table_extract", "html_markdown", "wet_export", "wat_export",
     "bigram_lm", "readability", "unicode_clean",
-    "postings", "corpus_stats", "crawl_delta", "capture_history",
+    "postings", "posting_deltas", "corpus_stats", "crawl_delta",
+    "capture_history",
     "asof_join", "range_join", "bm25", "doc_attributes",
     "sentences", "domain_quality", "sitemap", "incremental_extract", "canonical_collapse",
     "lm_score", "tfidf", "ccnet_buckets", "stratified_sample", "epoch_mix",
@@ -60,7 +62,7 @@ BENCH_QUERIES = [
     "packed_batches", "decontaminate", "curate_corpus",
     "warc_extract", "url_normalize", "domain_topk", "url_blocklist",
     "crawl_schedule", "robots_filter",
-    "outlinks", "anchor_agg", "cdx_index", "pagerank", "graph_prior",
+    "outlinks", "anchor_agg", "cdx_index", "pagerank", "hits", "graph_prior",
     "media_decode", "png_decode", "audio_decode", "frame_sample",
     "pricing_summary", "top_customers", "regional_revenue",
     "customers_no_orders", "setop_except", "json_extract",

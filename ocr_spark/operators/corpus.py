@@ -36,7 +36,7 @@ from ocr_spark.functions.text import token_count, tokens, word_shingles
 
 __all__ = ["stratified_sample", "token_budget_mix", "sample_thresholds",
            "epoch_mix", "epoch_weights", "dsir_weights",
-           "data_split", "split_thresholds",
+           "data_split", "split_thresholds", "cluster_split",
            "contamination_pairs", "pack_sequences", "packed_sequences",
            "length_buckets", "weighted_sample", "epoch_shuffle"]
 
@@ -228,6 +228,33 @@ def data_split(df: DataFrame, shares: dict[str, float],
     for name, ub in reversed(cuts[:-1]):
         expr = F.when(h < ub, F.lit(name)).otherwise(expr)
     return df.withColumn("split", expr)
+
+
+def cluster_split(clusters: DataFrame, shares: dict[str, float],
+                  cluster_col: str = "cluster_id",
+                  salt: str = "split") -> DataFrame:
+    """Leakage-SAFE train/val/test assignment: split by the near-dup
+    CLUSTER id, not the document id, so two near-duplicate documents
+    can never land in different splits.
+
+    Per-document hash splits (:func:`data_split`) leak under
+    near-duplication: a val document whose 95%-identical twin sits in
+    train inflates every eval number — the contamination failure mode
+    decontamination pipelines exist to prevent, reintroduced by the
+    split itself.  The fix is one line once clustering exists: hash
+    the CLUSTER label (``near_dup_clusters``'s min-id representative),
+    and every member inherits the same split.
+
+    Zero additional shuffle: a per-row expression over the clusterer's
+    output.  Deterministic in (cluster_id, salt) — reproducible under
+    retries, repartitionings, and corpus growth (a cluster's split
+    never migrates; new members join their cluster's side)."""
+    cuts = split_thresholds(shares)
+    h = _md5_60(cluster_col, salt)
+    expr = F.lit(cuts[-1][0])
+    for name, ub in reversed(cuts[:-1]):
+        expr = F.when(h < ub, F.lit(name)).otherwise(expr)
+    return clusters.withColumn("split", expr)
 
 
 def token_budget_mix(df: DataFrame, budgets: dict[str, int],

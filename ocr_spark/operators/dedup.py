@@ -40,6 +40,7 @@ __all__ = [
     "minhash_signature",
     "minhash_affine_coeffs", "lsh_candidate_pairs",
     "lsh_bucket_overflow", "lsh_jaccard_pairs", "ngram_jaccard_pairs",
+    "ngram_containment_pairs",
     "simhash",
     "simhash_near_dup_pairs", "simhash_bucket_overflow",
     "connected_components", "near_dup_clusters", "cluster_representatives",
@@ -482,6 +483,69 @@ def ngram_jaccard_pairs(df: DataFrame, key_col: str = "doc_id",
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
+    )
+
+
+def ngram_containment_pairs(df: DataFrame, key_col: str = "doc_id",
+                            text_col: str = "text", shingle_k: int = 3,
+                            threshold: float = 0.5,
+                            max_df: int | None = None) -> DataFrame:
+    """ASYMMETRIC n-gram containment join: ``C(A→B) = |A ∩ B| / |A|``.
+
+    Jaccard misses the quotation/subset case this exists for: a short
+    document fully embedded in a long one (a quoted article inside an
+    aggregator page, a licence block inside every README) has tiny
+    Jaccard (the union is dominated by the long doc) but containment
+    ≈ 1.0 in the short→long direction.  Containment-based dedup is how
+    RefinedWeb/Dolma-style pipelines catch wholesale quotation that
+    MinHash-Jaccard thresholds pass.
+
+    Returns one row per unordered pair (id_a < id_b) with BOTH
+    directions — ``contain_a`` (share of A's shingles found in B) and
+    ``contain_b`` — kept when max(contain_a, contain_b) >= threshold,
+    i.e. when either doc is mostly contained in the other.
+
+    Scale shape: identical to :func:`ngram_jaccard_pairs` — one
+    exploded shingle equi-join (never a cross join), intersection
+    counts by hash aggregate, set sizes joined back as skinny (id, n)
+    tables.  The same ``max_df`` hot-shingle guard applies (excluded
+    shingles undercount |A ∩ B|, so recall biases down, never up);
+    denominators keep the FULL set sizes.  At production scale run it
+    on LSH candidates, not standalone, exactly like the Jaccard twin."""
+    sh = (
+        df.select(F.col(key_col), word_shingles(text_col, shingle_k).alias("sh"))
+        .filter(F.size("sh") > 0)
+    )
+    sizes = sh.select(key_col, F.size("sh").alias("n_sh"))
+    exploded = sh.select(key_col, F.explode("sh").alias("shingle"))
+    if max_df is not None:
+        hot = (
+            exploded.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_df)
+            .select("shingle")
+        )
+        exploded = exploded.join(F.broadcast(hot), "shingle", "left_anti")
+    inter = (
+        exploded.alias("l")
+        .join(
+            exploded.alias("r"),
+            (F.col("l.shingle") == F.col("r.shingle"))
+            & (F.col(f"l.{key_col}") < F.col(f"r.{key_col}")),
+        )
+        .groupBy(
+            F.col(f"l.{key_col}").alias("id_a"),
+            F.col(f"r.{key_col}").alias("id_b"),
+        )
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.withColumnsRenamed({key_col: "id_a", "n_sh": "n_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({key_col: "id_b", "n_sh": "n_b"}), "id_b")
+        .withColumn("contain_a", F.round(F.col("n_inter") / F.col("n_a"), 6))
+        .withColumn("contain_b", F.round(F.col("n_inter") / F.col("n_b"), 6))
+        .filter(F.greatest("contain_a", "contain_b") >= threshold)
+        .select("id_a", "id_b", "contain_a", "contain_b")
     )
 
 

@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 
 from ocr_spark.functions.text import tokens
 
-__all__ = ["inverted_index", "corpus_stats", "bm25_topk"]
+__all__ = ["inverted_index", "corpus_stats", "bm25_topk", "posting_deltas"]
 
 
 def inverted_index(df: DataFrame, text_col: str = "text",
@@ -135,4 +135,105 @@ def bm25_topk(df: DataFrame, query_terms: tuple[str, ...], k: int = 10,
         scored.select(id_col, F.round(score, 6).alias("score"))
         .orderBy(F.desc("score"), id_col)
         .limit(k)
+    )
+
+
+def _varint_bytes(c):
+    """LEB128/varint byte count of a non-negative BIGINT column, as
+    chained range CASEs (1 byte per 7 payload bits).  Deliberately NOT
+    ``floor(log2(g)/7)+1``: float log2 at exact power-of-two
+    boundaries is an engine-dependent rounding hazard, integer
+    comparisons are bit-exact in both Spark and DuckDB."""
+    return (
+        F.when(c < (1 << 7), 1)
+        .when(c < (1 << 14), 2)
+        .when(c < (1 << 21), 3)
+        .when(c < (1 << 28), 4)
+        .when(c < (1 << 35), 5)
+        .when(c < (1 << 42), 6)
+        .when(c < (1 << 49), 7)
+        .otherwise(8)
+        .cast("long")
+    )
+
+
+def posting_deltas(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id", min_df: int = 2,
+                   shard_bits: int = 10) -> DataFrame:
+    """Per-term posting-list delta-compression statistics: the numbers
+    an index builder needs to size a Lucene/PISA-style delta+varint
+    postings layout — gap distribution and encoded byte cost per term.
+
+    For each term with document frequency >= ``min_df``: postings are
+    the SORTED distinct doc ids; the stored form is ``first_doc``
+    followed by the ``df_t - 1`` consecutive gaps.  Emits ``df_t``,
+    ``first_doc``, ``min_gap`` / ``max_gap`` / ``gap_sum``, and
+    ``varint_bytes`` — varint(first_doc) + Σ varint(gap), the classic
+    d-gap encoding cost (Witten/Moffat/Bell, Managing Gigabytes ch.3).
+    Every output is an exact INTEGER (gap_sum, not avg_gap: a float
+    mean hits engine-dependent round-half ties — the model_score
+    lesson — while Σgap = last_doc - first_doc crosses engines
+    bit-exactly and the caller divides).
+
+    THE scale hazard is the stopword term: df_t can equal the corpus
+    size, and a naive window ``lag() OVER (PARTITION BY term ORDER BY
+    doc_id)`` funnels the hottest term through ONE task (the same trap
+    as domain_topk's hot domain).  This implementation is two-phase
+    doc-range sharding, the same move Lucene's block postings make:
+
+    1. shard postings by doc-id range (``doc_id >> shard_bits``);
+       adjacency WITHIN a shard via a window over (term, shard) —
+       bounded by 2^shard_bits rows regardless of df_t;
+    2. cross-shard boundary gaps from the per-shard summary rows
+       (term, shard, first_doc, last_doc) — a window over term ordered
+       by shard, but its input is <= df_t / 2^shard_bits skinny rows.
+
+    Results are IDENTICAL to the naive single-window form (every gap
+    is either intra-shard or a boundary gap, counted exactly once), so
+    the driver oracle runs the naive lag() in DuckDB while Spark runs
+    the sharded plan — the equality is the test."""
+    from pyspark.sql import Window
+
+    from ocr_spark.functions.text import tokens
+
+    p = (df.select(F.col(id_col).alias("doc"),
+                   F.explode(tokens(text_col)).alias("term"))
+         .distinct())
+    if min_df > 1:
+        keep = (p.groupBy("term").agg(F.count("*").alias("df_t"))
+                .where(F.col("df_t") >= min_df).select("term"))
+        p = p.join(F.broadcast(keep), "term", "left_semi")
+    p = p.withColumn("shard", F.shiftright(F.col("doc"), shard_bits))
+
+    in_shard = Window.partitionBy("term", "shard").orderBy("doc")
+    local = p.withColumn("prev", F.lag("doc").over(in_shard))
+    local_gaps = (local.where(F.col("prev").isNotNull())
+                  .select("term", (F.col("doc") - F.col("prev")).alias("gap")))
+
+    summary = p.groupBy("term", "shard").agg(
+        F.min("doc").alias("first_doc"), F.max("doc").alias("last_doc"))
+    across = Window.partitionBy("term").orderBy("shard")
+    boundary = summary.withColumn(
+        "prev_last", F.lag("last_doc").over(across))
+    boundary_gaps = (boundary.where(F.col("prev_last").isNotNull())
+                     .select("term", (F.col("first_doc")
+                                      - F.col("prev_last")).alias("gap")))
+
+    firsts = summary.groupBy("term").agg(F.min("first_doc").alias("first_doc"))
+    gaps = local_gaps.unionByName(boundary_gaps)
+    gap_stats = gaps.groupBy("term").agg(
+        F.min("gap").alias("min_gap"),
+        F.max("gap").alias("max_gap"),
+        F.sum("gap").alias("gap_sum"),
+        F.sum(_varint_bytes(F.col("gap"))).alias("gap_bytes"),
+    )
+    counts = p.groupBy("term").agg(F.count("*").alias("df_t"))
+    return (
+        counts.join(firsts, "term").join(gap_stats, "term", "left")
+        .select(
+            "term", "df_t", "first_doc",
+            "min_gap", "max_gap", "gap_sum",
+            (_varint_bytes(F.col("first_doc"))
+             + F.coalesce(F.col("gap_bytes"), F.lit(0))).alias("varint_bytes"),
+        )
     )

@@ -48,7 +48,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 __all__ = ["TRACKING_PARAMS", "url_normalize", "url_host",
-           "registered_domain", "domain_topk", "outlinks", "pagerank",
+           "registered_domain", "domain_topk", "outlinks", "pagerank", "hits",
            "parse_robots", "robots_allowed", "robots_filter",
            "surt_key", "anchor_text_agg", "domain_quality", "sitemap_urls",
            "canonical_collapse", "url_path", "url_blocklist_filter",
@@ -298,6 +298,67 @@ def pagerank(edges: DataFrame, n_iter: int = 3, damping: float = 0.85,
             .localCheckpoint()
         )
     return ranks
+
+
+def hits(edges: DataFrame, n_iter: int = 2,
+         src: str = "src", dst: str = "dst") -> DataFrame:
+    """Fixed-iteration HITS (Kleinberg, JACM 1999) over an edge list ->
+    ``(node, hub, auth)``.
+
+    Convention: the UN-normalized power iteration from an all-ones hub
+    start — ``auth_k(v) = Σ_{(u,v)∈E} hub_{k-1}(u)``, ``hub_k(u) =
+    Σ_{(u,v)∈E} auth_k(v)``.  Without the usual L2 normalization the
+    scores after k rounds are exact INTEGERS: auth_k(v) counts the
+    alternating forward/backward paths of length 2k-1 ending at v, and
+    hub_k(u) the length-2k paths starting at u.  Integers cross engines
+    bit-exactly, so the driver oracle can unroll the same iterations as
+    chained SQL aggregates with zero float-rounding hazard — the same
+    exactness discipline as the HLL/CMS sketches.  (Normalizing is a
+    presentation step: divide by max or L2 downstream if ranks are
+    published; the ORDER is identical.)
+
+    Scale shape per half-iteration: one equi-join of the skinny score
+    table to the edge list + one hash aggregate — shuffles keyed by
+    node id, hot in-degree nodes absorbed by map-side partial sums, no
+    windows, no collects.  ``localCheckpoint`` per round truncates the
+    lineage exactly like :func:`pagerank` and the connected-components
+    clusterer.  Score magnitude grows ~(max degree)^2 per round — at
+    web scale keep ``n_iter`` small (2-3) or renormalize between
+    rounds; BIGINT overflow is the caller's contract to watch."""
+    if n_iter < 1:
+        raise ValueError("hits needs n_iter >= 1")
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")) \
+        .distinct()
+    nodes = (e.select(F.col("src").alias("node"))
+             .union(e.select(F.col("dst").alias("node")))
+             .distinct().localCheckpoint())
+    hub = nodes.select("node", F.lit(1).cast("long").alias("hub"))
+    auth = None
+    for _ in range(n_iter):
+        a_sums = (
+            e.join(hub.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("hub").alias("s"))
+        )
+        auth = (
+            nodes.join(a_sums, "node", "left")
+            .select("node",
+                    F.coalesce(F.col("s"), F.lit(0)).cast("long").alias("auth"))
+            .localCheckpoint()
+        )
+        h_sums = (
+            e.join(auth.withColumnRenamed("node", "dst"), "dst")
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("auth").alias("s"))
+        )
+        hub = (
+            nodes.join(h_sums, "node", "left")
+            .select("node",
+                    F.coalesce(F.col("s"), F.lit(0)).cast("long").alias("hub"))
+            .localCheckpoint()
+        )
+    return nodes.join(hub, "node").join(auth, "node") \
+        .select("node", "hub", "auth")
 
 
 # -- robots.txt (RFC 9309 Robots Exclusion Protocol) -------------------------

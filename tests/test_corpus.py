@@ -412,3 +412,27 @@ def test_epoch_shuffle_is_exact_permutation_and_seed_sensitive(spark):
     outb = {r.doc_id: r.epoch_pos
             for r in epoch_shuffle(df, seed="b").collect()}
     assert sorted(outb.values()) == list(range(300)) and outb != out
+
+
+def test_cluster_split_members_never_straddle(spark):
+    """Leakage safety: every member of a near-dup cluster inherits ONE
+    split (per-doc hashing can straddle — the failure mode this
+    operator removes); assignment is deterministic and stable under
+    corpus growth (a surviving cluster's split never migrates)."""
+    from ocr_spark.operators.corpus import cluster_split
+
+    rows = [(i, i % 7, (200 + 6) // 7) for i in range(200)]
+    df = spark.createDataFrame(rows,
+                               "doc_id long, cluster_id long, cluster_size long")
+    shares = {"train": 0.6, "val": 0.2, "test": 0.2}
+    out = cluster_split(df, shares, "cluster_id", salt="t")
+    per = (out.groupBy("cluster_id")
+           .agg(F.countDistinct("split").alias("k")).collect())
+    assert all(r.k == 1 for r in per)
+    # stability under growth: drop half the docs, survivors keep splits
+    full = {r.doc_id: r.split for r in out.collect()}
+    half = cluster_split(df.filter(F.col("doc_id") % 2 == 0), shares,
+                         "cluster_id", salt="t")
+    assert all(full[r.doc_id] == r.split for r in half.collect())
+    # with 7 clusters and 3 shares, at least 2 splits actually occur
+    assert len(set(full.values())) >= 2

@@ -219,3 +219,57 @@ def test_capture_history_scd2_intervals(spark):
         assert [r.is_current for r in rs] == [False] * (len(rs) - 1) + [True]
     w = by_key["w"]
     assert (w[0].cap_id, w[1].cap_id) == (5, 6)   # tie broken by cap_id
+
+
+class TestPostingDeltas:
+    def test_sharded_equals_naive_with_boundary_gaps(self, spark):
+        """Doc ids chosen so shard_bits=2 (4-id shards) produces BOTH
+        intra-shard gaps and cross-shard boundary gaps; the closed-form
+        expectations are the naive lag()-window numbers — equality
+        proves the boundary accounting counts every gap exactly once."""
+        from ocr_spark.operators.index import posting_deltas
+
+        ids = [0, 1, 3, 4, 8, 130, 16600]
+        rows = [(i, f"shared only{i}") for i in ids]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = posting_deltas(df, min_df=2, shard_bits=2).collect()
+        assert [r.term for r in out] == ["shared"]  # only{i} pruned (df=1)
+        r = out[0]
+        assert (r.df_t, r.first_doc) == (7, 0)
+        # gaps: 1,2,1,4,122,16470 -> min 1, max 16470, sum = 16600 - 0
+        assert (r.min_gap, r.max_gap, r.gap_sum) == (1, 16470, 16600)
+        # varint: first(0)=1B; gaps 1,2,1,4,122 -> 1B each; 16470 -> 3B
+        assert r.varint_bytes == 1 + 5 * 1 + 3
+
+    def test_shard_width_invariance(self, spark):
+        """The same corpus through one-giant-shard (pure window path)
+        and tiny-shard (boundary-dominated path) plans yields identical
+        rows — the sharding is a physical choice, not a semantic one."""
+        from ocr_spark.operators.index import posting_deltas
+
+        rows = [(i * 3 + (i % 2), "tok alpha" if i % 2 else "tok beta")
+                for i in range(40)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+
+        def rows_of(sb):
+            return sorted(
+                tuple(r) for r in
+                posting_deltas(df, min_df=2, shard_bits=sb).collect())
+
+        assert rows_of(30) == rows_of(1)
+
+    def test_varint_boundaries_exact(self, spark):
+        """Gaps at the 7-bit varint boundaries: 127 -> 1 byte,
+        128 -> 2; 16383 -> 2, 16384 -> 3 (integer CASE, no float log)."""
+        from ocr_spark.operators.index import posting_deltas
+
+        # one term per boundary pair: docs at (0, gap)
+        rows = []
+        for t, gap in [("a", 127), ("b", 128), ("c", 16383), ("d", 16384)]:
+            rows += [(0, t), (gap, t)]
+        df = (spark.createDataFrame(rows, "doc_id long, text string")
+              .groupBy("doc_id")
+              .agg(F.concat_ws(" ", F.collect_list("text")).alias("text")))
+        got = {r.term: r.varint_bytes
+               for r in posting_deltas(df, min_df=2, shard_bits=3).collect()}
+        assert got == {"a": 1 + 1, "b": 1 + 2, "c": 1 + 2, "d": 1 + 3}

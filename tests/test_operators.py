@@ -878,3 +878,38 @@ def test_pq_encode_matches_numpy_reference(vectors):
     # near-copies (100+i is i + 1% noise) should mostly share codes
     same = sum(out[i] == out[100 + i] for i in range(5))
     assert same >= 3
+
+
+def test_ngram_containment_catches_subset_jaccard_misses(spark):
+    """A short doc fully embedded in a long one: Jaccard is small (the
+    union is dominated by the long doc) but containment short->long is
+    exactly 1.0 — the quotation case the asymmetric join exists for."""
+    from ocr_spark.operators.dedup import (ngram_containment_pairs,
+                                           ngram_jaccard_pairs)
+
+    short = "alpha beta gamma delta epsilon"
+    long = short + (" zeta eta theta iota kappa lamda mu nu xi omicron"
+                    " pi rho sigma tau upsilon phi chi psi omega extra")
+    df = spark.createDataFrame([(1, long), (2, short)],
+                               "doc_id long, text string")
+    assert ngram_jaccard_pairs(df, threshold=0.5).count() == 0
+    out = {(r.id_a, r.id_b): (r.contain_a, r.contain_b)
+           for r in ngram_containment_pairs(df, threshold=0.6).collect()}
+    assert (1, 2) in out
+    ca, cb = out[(1, 2)]
+    assert cb == 1.0            # all of the short doc's shingles in long
+    assert ca < 0.6             # the long doc is NOT contained in short
+
+
+def test_ngram_containment_hot_shingle_guard_keeps_denominators(spark):
+    """max_df drops hot shingles from the INTERSECTION only; set-size
+    denominators stay full, so containment under the guard biases down
+    (recall direction documented), never up."""
+    from ocr_spark.operators.dedup import ngram_containment_pairs
+
+    rows = [(i, f"common phrase here unique{i} tail{i} end{i}")
+            for i in range(1, 6)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # every pair related only through the one hot shingle (df=5)
+    assert ngram_containment_pairs(df, threshold=0.1).count() == 10
+    assert ngram_containment_pairs(df, threshold=0.1, max_df=4).count() == 0

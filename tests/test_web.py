@@ -433,3 +433,35 @@ def test_robots_sitemaps_global_scope(spark):
                  for r in robots_sitemaps(df).collect())
     assert got == [("a.com", "https://a.com/s1.xml"),
                    ("a.com", "https://a.com/s2.xml")]
+
+
+def test_hits_matches_reference_loop(spark):
+    """Un-normalized 2-round HITS equals the hand-rolled power
+    iteration (integer path counts); duplicate edges collapse; a node
+    nothing links to has auth 0, a node linking nowhere has hub 0."""
+    from ocr_spark.operators.web import hits
+
+    edges = [(1, 2), (1, 3), (2, 3), (3, 1), (4, 3), (1, 2)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: (r.hub, r.auth) for r in hits(df, n_iter=2).collect()}
+
+    E = sorted(set(edges))
+    nodes = {u for e in E for u in e}
+    hub = {n: 1 for n in nodes}
+    for _ in range(2):
+        auth = {n: sum(hub[u] for (u, v) in E if v == n) for n in nodes}
+        hub = {n: sum(auth[v] for (u, v) in E if u == n) for n in nodes}
+    assert got == {n: (hub[n], auth[n]) for n in nodes}
+    assert got[4][1] == 0          # no in-links -> zero authority
+    assert all(isinstance(v, int) for pair in got.values() for v in pair)
+
+
+def test_hits_rejects_zero_iterations(spark):
+    from ocr_spark.operators.web import hits
+
+    df = spark.createDataFrame([(1, 2)], "src long, dst long")
+    try:
+        hits(df, n_iter=0)
+        assert False, "expected ValueError"
+    except ValueError:
+        pass
