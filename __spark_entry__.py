@@ -596,6 +596,25 @@ def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ top-k with asymmetric distance (FAISS IVFPQ search): the
+    scoring cogroup receives 8 one-byte PQ codes per corpus vector
+    instead of the raw 64-dim vector (a 32x smaller exchange than
+    ann_topk_ivf), each probing query builds one 8x8 LUT per list and
+    candidates cost 8 table gathers.  Fully value-oracled: both the
+    codes and the per-subspace LUT distances re-derive in DuckDB from
+    the same rational-literal quantizer + codebooks, and adc_dist
+    itself is compared (not just ranks)."""
+    from ocr_spark.operators.similarity import (ann_topk_ivfpq,
+                                                ivf_centroids, pq_codebooks)
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    cents = ivf_centroids(dim=64, n_centroids=8, seed=7)
+    books = pq_codebooks(dim=64, m=8, k=8, seed=13)
+    return ann_topk_ivfpq(queries, emb, cents, books, k=5, nprobe=2)
+
+
 def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization encoding (Jegou et al. 2011 / FAISS IVF-PQ
     layout): every 64-dim embedding compressed to 8 centroid ids (one
@@ -2946,6 +2965,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk,
         "ann_topk": q_ann_topk,
         "ann_topk_ivf": q_ann_topk_ivf,
+        "ann_topk_ivfpq": q_ann_topk_ivfpq,
         "semantic_dedup": q_semantic_dedup,
         "pq_encode": q_pq_encode,
         "text_stats": q_text_stats,
@@ -3287,6 +3307,86 @@ def _pq_encode_sql() -> str:
         FROM e CROSS JOIN cb c)
       SELECT vec_id, {pivots}
       FROM scored WHERE rn = 1 GROUP BY vec_id
+    """
+
+
+def _ann_topk_ivfpq_sql() -> str:
+    """DuckDB twin of q_ann_topk_ivfpq: IVF assignment/probing from the
+    rational centroid literals (as _ann_topk_ivf_sql), PQ codes from
+    the rational codebook literals (as _pq_encode_sql), per-query LUT
+    distances by the same in-order round-6 fold, and the ADC total as
+    an EXPLICIT d0+d1+...+d7 expression (not a SQL aggregate) so the
+    outer addition order matches the engine's sequential j-fold."""
+    from ocr_spark.operators.similarity import ivf_centroids, pq_codebooks
+
+    cents = ", ".join(
+        "(%d, [%s]::DOUBLE[])" % (cid, ", ".join(repr(x) for x in cvec))
+        for cid, cvec in enumerate(ivf_centroids(dim=64, n_centroids=8, seed=7))
+    )
+    books = pq_codebooks(dim=64, m=8, k=8, seed=13)
+    m = len(books)
+    sub = 64 // m
+    cbrows = ", ".join(
+        "(%d, %d, [%s]::DOUBLE[])"
+        % (j, cid, ", ".join(repr(x) for x in cvec))
+        for j, book in enumerate(books)
+        for cid, cvec in enumerate(book)
+    )
+
+    def dist(emb: str) -> str:
+        return (f"list_sum(list_transform(range(1, {sub + 1}), i -> "
+                f"({emb}[b.j * {sub} + i] - b.cbvec[i]) "
+                f"* ({emb}[b.j * {sub} + i] - b.cbvec[i])))")
+
+    wides = ", ".join(
+        f"max(CASE WHEN j = {j} THEN d END) AS d{j}" for j in range(m))
+    adc_sum = " + ".join(f"d{j}" for j in range(m))
+    return f"""
+      WITH c(cid, cvec) AS (VALUES {cents}),
+      cb(j, ccid, cbvec) AS (VALUES {cbrows}),
+      e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+      aff AS (
+        SELECT e.vec_id, e.emb, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY round(list_dot_product(e.emb, c.cvec), 6) DESC,
+                          c.cid ASC) AS rn
+        FROM e CROSS JOIN c),
+      assign AS (SELECT vec_id, cid FROM aff WHERE rn = 1),
+      probes AS (SELECT vec_id, cid FROM aff WHERE rn <= 2 AND vec_id < 8),
+      pqs AS (
+        SELECT e.vec_id, b.j, b.ccid,
+               row_number() OVER (PARTITION BY e.vec_id, b.j
+                 ORDER BY round({dist('e.emb')}, 6) ASC, b.ccid ASC) AS rn
+        FROM e CROSS JOIN cb b),
+      codes AS (SELECT vec_id, j, ccid FROM pqs WHERE rn = 1),
+      lut AS (
+        SELECT q.vec_id AS query_id, b.j, b.ccid,
+               round({dist('q.emb')}, 6) AS d
+        FROM (SELECT * FROM e WHERE vec_id < 8) q CROSS JOIN cb b),
+      cand AS (
+        SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id
+        FROM probes q JOIN assign a
+          ON q.cid = a.cid AND q.vec_id != a.vec_id),
+      dj AS (
+        SELECT cand.query_id, cand.neighbor_id, co.j, l.d
+        FROM cand
+        JOIN codes co ON co.vec_id = cand.neighbor_id
+        JOIN lut l ON l.query_id = cand.query_id
+                  AND l.j = co.j AND l.ccid = co.ccid),
+      wide AS (
+        SELECT query_id, neighbor_id, {wides}
+        FROM dj GROUP BY query_id, neighbor_id),
+      adc AS (
+        SELECT query_id, neighbor_id,
+               round({adc_sum}, 6) AS adc_dist
+        FROM wide),
+      ranked AS (
+        SELECT query_id, neighbor_id, adc_dist,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY adc_dist ASC, neighbor_id ASC) AS rank
+        FROM adc)
+      SELECT query_id, neighbor_id, adc_dist, rank
+      FROM ranked WHERE rank <= 5
     """
 
 
@@ -4583,6 +4683,7 @@ def oracle_sql() -> dict[str, str]:
         "embed_near_dup_lsh": _embed_near_dup_lsh_sql(),
         "ann_topk": _ann_topk_sql(),
         "ann_topk_ivf": _ann_topk_ivf_sql(),
+        "ann_topk_ivfpq": _ann_topk_ivfpq_sql(),
         "semantic_dedup": _semantic_dedup_sql(),
         "pq_encode": _pq_encode_sql(),
         "embed_near_dup": f"""

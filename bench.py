@@ -44,7 +44,7 @@ BENCH_QUERIES = [
     "lsh_jaccard", "dedup_clusters", "cluster_split",
     "simhash_near_dup", "embed_near_dup",
     "embed_near_dup_lsh", "span_qa", "cosine_topk", "ann_topk", "ann_topk_ivf",
-    "semantic_dedup", "pq_encode",
+    "semantic_dedup", "pq_encode", "ann_topk_ivfpq",
     "text_stats", "repetition_stats", "quality_filter", "pii_scrub",
     "mojibake_fix",
     "lang_id", "lang_id_cjk", "fingerprint", "token_count",

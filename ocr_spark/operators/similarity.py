@@ -33,7 +33,7 @@ __all__ = [
     "lsh_bucket_assign", "lsh_probe_buckets", "ann_topk_lsh",
     "cosine_near_dup_pairs",
     "ivf_centroids", "kmeans_refine", "ivf_assign", "ivf_assign_gemm",
-    "ivf_probe_lists", "ann_topk_ivf", "semantic_dedup",
+    "ivf_probe_lists", "ann_topk_ivf", "ann_topk_ivfpq", "semantic_dedup",
     "pq_codebooks", "pq_encode",
 ]
 
@@ -736,7 +736,8 @@ def _sq_dist(a: Column, b: Column) -> Column:
 
 def pq_encode(df: DataFrame, codebooks: list[list[list[float]]],
               id_col: str = "vec_id",
-              vec_col: str = "embedding") -> DataFrame:
+              vec_col: str = "embedding",
+              keep_cols: tuple[str, ...] = ()) -> DataFrame:
     """PQ-encode every vector: for each subvector j, the id of the
     codebook-j centroid with the smallest round-6 squared L2 distance
     (ties -> lowest centroid id).  Emits one ``code_j`` int column per
@@ -749,7 +750,7 @@ def pq_encode(df: DataFrame, codebooks: list[list[list[float]]],
     storage."""
     m = len(codebooks)
     sub = len(codebooks[0][0])
-    cols = [F.col(id_col)]
+    cols = [F.col(id_col)] + [F.col(c) for c in keep_cols]
     for j, book in enumerate(codebooks):
         piece = F.slice(F.col(vec_col), j * sub + 1, sub)
         scored = F.array(*[
@@ -769,3 +770,108 @@ def pq_encode(df: DataFrame, codebooks: list[list[list[float]]],
             ).alias(f"code_{j}")
         )
     return df.select(*cols)
+
+
+def ann_topk_ivfpq(queries: DataFrame, corpus: DataFrame,
+                   centroids: list[list[float]],
+                   codebooks: list[list[list[float]]],
+                   k: int = 5, nprobe: int = 2,
+                   id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """IVF-PQ approximate top-k with asymmetric distance computation
+    (ADC; Jegou et al. TPAMI 2011 — the FAISS IVFPQ search path): the
+    corpus is stored as (ivf_list, m PQ codes) ONLY, and each probing
+    query builds one per-subspace lookup table of squared distances to
+    every codebook centroid, then scores a candidate as the sum of m
+    table gathers — never touching the candidate's raw vector.
+
+    Why this is THE 100-TB shape: ann_topk_ivf still shuffles raw
+    vectors (256 B/vec at 64xfloat32) into the scoring cogroup; here
+    the scoring shuffle carries m=8 one-byte codes per vector — a 32x
+    smaller exchange — and per-candidate work drops from a dim-length
+    dot to m gathers from an m x k LUT that costs O(dim * k) per query
+    ONCE per probed list.  The compressed index is also what 100 TB of
+    embeddings has to store anyway (see pq_encode).
+
+    Determinism contract (what makes it value-oracle-able): every
+    subspace distance is a sequential left-to-right squared-diff fold
+    rounded half-away at 6 (same discipline as pq_encode), and the ADC
+    total is the j-ordered sum of those rounded terms, re-rounded at 6
+    — bit-reproducible against a DuckDB re-derivation from the same
+    rational-literal codebooks.  Ranks tie-break (adc_dist asc,
+    neighbor_id asc).  Accuracy note: ADC distance is an approximation
+    of true L2 by construction (quantization error); the oracle checks
+    the algorithm, recall vs exact search is a pytest property."""
+    import numpy as np
+
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    code_cols = [f"code_{j}" for j in range(m)]
+
+    assigned = ivf_assign(corpus, centroids, vec_col)
+    enc = pq_encode(assigned, codebooks, id_col=id_col, vec_col=vec_col,
+                    keep_cols=("ivf_list",))
+    cb = enc.select(F.col(id_col).alias("neighbor_id"), "ivf_list",
+                    *code_cols)
+    qb = ivf_probe_lists(queries, centroids, nprobe, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"),
+        "ivf_list",
+    )
+
+    spark = corpus.sparkSession
+    b_books = spark.sparkContext.broadcast(
+        [np.array(b, np.float64) for b in codebooks])
+
+    def kernel(cpdf, qpdf):
+        import numpy as _np
+        import pandas as pd
+
+        empty = pd.DataFrame(
+            {"query_id": [], "neighbor_id": [], "adc_dist": []}
+        ).astype({"query_id": "int64", "neighbor_id": "int64",
+                  "adc_dist": "float64"})
+        if not len(cpdf) or not len(qpdf):
+            return empty
+        books = b_books.value
+        nids = cpdf["neighbor_id"].to_numpy(_np.int64)
+        codes = cpdf[code_cols].to_numpy(_np.int64)
+        frames = []
+        for qid, qv in zip(qpdf["query_id"].to_numpy(_np.int64),
+                           qpdf["q_vec"]):
+            q = _np.asarray(qv, _np.float64)
+            acc = _np.zeros(len(nids))
+            for j in range(m):
+                qs = q[j * sub:(j + 1) * sub]
+                # sequential i-fold per centroid: the SAME left-to-right
+                # accumulation as _sq_dist and the oracle's list fold
+                lut_acc = _np.zeros(len(books[j]))
+                for i in range(sub):
+                    d = qs[i] - books[j][:, i]
+                    lut_acc = lut_acc + d * d
+                lut = _round_half_away(lut_acc, 6)
+                acc = acc + lut[codes[:, j]]
+            adc = _round_half_away(acc, 6)
+            keep = nids != qid
+            frames.append(pd.DataFrame({
+                "query_id": _np.full(keep.sum(), qid, _np.int64),
+                "neighbor_id": nids[keep],
+                "adc_dist": adc[keep],
+            }))
+        return pd.concat(frames) if frames else empty
+
+    scored = (
+        cb.groupBy("ivf_list")
+        .cogroup(qb.groupBy("ivf_list"))
+        .applyInPandas(
+            kernel,
+            schema="query_id long, neighbor_id long, adc_dist double",
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adc_dist", "rank")
+    )

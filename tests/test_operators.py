@@ -913,3 +913,83 @@ def test_ngram_containment_hot_shingle_guard_keeps_denominators(spark):
     # every pair related only through the one hot shingle (df=5)
     assert ngram_containment_pairs(df, threshold=0.1).count() == 10
     assert ngram_containment_pairs(df, threshold=0.1, max_df=4).count() == 0
+
+
+def test_ann_topk_ivfpq_matches_numpy_reference(spark):
+    """The distributed IVF-PQ/ADC search equals a straight-line numpy
+    reimplementation of the same algorithm (assignment, codes, LUT,
+    gather-sum, rank) on every (query, rank) — determinism across the
+    cogroup/Arrow boundary, not just plausible neighbors."""
+    import numpy as np
+
+    from ocr_spark.operators.similarity import (_round_half_away,
+                                                ann_topk_ivfpq,
+                                                ivf_centroids, pq_codebooks)
+
+    rng = np.random.RandomState(3)
+    dim, n, m, sub = 16, 60, 4, 4
+    vecs = rng.standard_normal((n, dim))
+    cents = ivf_centroids(dim=dim, n_centroids=4, seed=7)
+    books = pq_codebooks(dim=dim, m=m, k=8, seed=13)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>")
+    got = {(r.query_id, r.rank): (r.neighbor_id, r.adc_dist)
+           for r in ann_topk_ivfpq(df.filter("vec_id < 5"), df,
+                                   cents, books, k=3, nprobe=2).collect()}
+
+    C = np.array(cents)
+    aff = _round_half_away(vecs @ C.T, 6)
+    assign = np.argmax(aff, axis=1)  # first max = lowest cid, as engine
+    order = np.argsort(-aff, axis=1, kind="stable")
+    codes = np.zeros((n, m), int)
+    luts = {}
+    for j, book in enumerate(books):
+        B = np.array(book)
+        d = np.zeros((n, len(B)))
+        for i in range(sub):
+            dd = vecs[:, j * sub + i, None] - B[None, :, i]
+            d = d + dd * dd
+        codes[:, j] = np.argmin(_round_half_away(d, 6), axis=1)
+        luts[j] = _round_half_away(d, 6)
+    exp = {}
+    for q in range(5):
+        probe = set(order[q, :2])
+        cand = [x for x in range(n) if assign[x] in probe and x != q]
+        adc = {x: _round_half_away(
+            sum(luts[j][q, codes[x, j]] for j in range(m)), 6)
+            for x in cand}
+        top = sorted(cand, key=lambda x: (adc[x], x))[:3]
+        for r, x in enumerate(top, 1):
+            exp[(q, r)] = (x, adc[x])
+    assert got == exp
+
+
+def test_ann_topk_ivfpq_recall_on_clustered_data(spark):
+    """On well-separated clusters, PQ quantization error must not
+    destroy retrieval: the ADC top-1 lands in the query's own cluster
+    for >= 90% of queries (the accuracy half of the contract; the
+    oracle checks determinism, this checks usefulness)."""
+    import numpy as np
+
+    from ocr_spark.operators.similarity import (ann_topk_ivfpq,
+                                                ivf_centroids, pq_codebooks)
+
+    rng = np.random.RandomState(11)
+    dim, per = 16, 12
+    centers = rng.standard_normal((4, dim)) * 4.0
+    rows, labels = [], {}
+    for c in range(4):
+        for i in range(per):
+            vid = c * per + i
+            v = centers[c] + rng.standard_normal(dim) * 0.05
+            rows.append((vid, [float(x) for x in v]))
+            labels[vid] = c
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = ivf_centroids(dim=dim, n_centroids=4, seed=7)
+    books = pq_codebooks(dim=dim, m=4, k=8, seed=13)
+    qs = df.filter(F.col("vec_id") % per == 0)
+    top1 = (ann_topk_ivfpq(qs, df, cents, books, k=1, nprobe=4)
+            .filter("rank = 1").collect())
+    hits = sum(labels[r.neighbor_id] == labels[r.query_id] for r in top1)
+    assert hits >= 0.9 * len(top1), (hits, len(top1))

@@ -499,3 +499,23 @@ def test_batch9_queries_plan_hygiene(spark):
         assert "BatchEvalPython" not in plan, q
         assert "CartesianProduct" not in plan, q
         assert "BroadcastNestedLoopJoin" not in plan, q
+
+
+def test_ivfpq_scoring_exchange_carries_codes_not_vectors(spark):
+    """The IVF-PQ claim that matters at 100 TB: the scoring cogroup's
+    CORPUS-side shuffle moves (ivf_list, id, m code ints) — never the
+    raw embedding.  Locate the corpus exchange (the one whose input
+    projects code_* columns) and assert its projection is the skinny
+    code set with no embedding column."""
+    import re
+
+    df = entry_mod.queries()["ann_topk_ivfpq"](spark, SF)
+    plan = plan_of(df)
+    m = re.search(
+        r"Exchange hashpartitioning\(ivf_list[^\n]*\n"
+        r"[^\n]*Project \[([^\]]*code_0[^\]]*)\]",
+        plan)
+    assert m, plan[:2000]
+    proj = m.group(1)
+    assert "code_7" in proj and "neighbor_id" in proj, proj
+    assert "embedding" not in proj and "q_vec" not in proj, proj
