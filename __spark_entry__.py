@@ -229,6 +229,57 @@ def q_html_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("doc_id")
 
 
+def q_jsonld(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema.org JSON-LD entity extraction (the structured-metadata
+    modality next to html_meta's head fields): every document becomes a
+    page with an Article block (headline = first 4 tokens, wordCount =
+    token count), docs with id % 3 == 0 add an @graph block (Person +
+    Organization from the first two tokens), and docs with id % 17 == 0
+    append a malformed block that must come back as a parse_error ROW.
+    The oracle reconstructs every entity closed-form from the tokens
+    (json round-trips the token strings verbatim — the text corpus is
+    markup-free, asserted at build)."""
+    from ocr_spark.operators.extract import extract_jsonld_pages
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def build(batches):
+        import json as _json
+
+        import pandas as pd
+
+        for pdf in batches:
+            htmls = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                toks = (text or "").split()
+                scripts = []
+                if toks:
+                    scripts.append(_json.dumps({
+                        "@context": "https://schema.org",
+                        "@type": "Article",
+                        "headline": " ".join(toks[:4]),
+                        "wordCount": len(toks),
+                    }))
+                    if doc_id % 3 == 0 and len(toks) >= 2:
+                        scripts.append(_json.dumps({"@graph": [
+                            {"@type": "Person", "name": toks[0]},
+                            {"@type": "Organization", "name": toks[1]},
+                        ]}))
+                    if doc_id % 17 == 0:
+                        scripts.append('{"@type": "Broken", ')
+                body = "".join(
+                    f'<script type="application/ld+json">{s}</script>'
+                    for s in scripts)
+                htmls.append((f"<html><head>{body}</head>"
+                              f"<body><p>x</p></body></html>").encode())
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "html": htmls})
+
+    pages = docs.mapInPandas(build, schema="doc_id long, html binary")
+    return extract_jsonld_pages(pages, payload_col="html",
+                                passthrough=("doc_id",)) \
+        .orderBy("doc_id", "script_idx", "entity_idx")
+
+
 def q_extract_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Extraction + per-lang lineage rollup (the groupBy counters of
     SURVEY.md §2.2 'Aggregations')."""
@@ -2945,6 +2996,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_extract": q_pdf_extract,
         "pdf_layout": q_pdf_layout,
         "html_meta": q_html_meta,
+        "jsonld": q_jsonld,
         "profile_extract": q_profile_extract,
         "extract_metrics": q_extract_metrics,
         "dedup_exact": q_dedup_exact,
@@ -4351,6 +4403,39 @@ def oracle_sql() -> dict[str, str]:
                  THEN 'OG ' || tl[1] ELSE NULL END AS og_title,
             trim('H1 ' || array_to_string(tl[1:2], ' ')) AS h1
           FROM tok ORDER BY doc_id
+        """,
+        # JSON-LD: the builder's entities reconstructed closed-form
+        # (json.dumps/loads round-trips the markup-free token strings
+        # verbatim); the malformed block's index depends on whether the
+        # @graph block preceded it
+        "jsonld": f"""
+          WITH tok AS (
+            SELECT doc_id,
+              CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+                   ELSE {toks} END AS tl
+            FROM documents),
+          nz AS (SELECT doc_id, tl FROM tok WHERE len(tl) > 0)
+          SELECT doc_id, CAST(0 AS INT) AS script_idx,
+                 CAST(0 AS INT) AS entity_idx,
+                 'Article' AS etype,
+                 array_to_string(tl[1:4], ' ') AS name,
+                 CAST(len(tl) AS BIGINT) AS word_count, 'ok' AS status
+          FROM nz
+          UNION ALL
+          SELECT doc_id, CAST(1 AS INT), CAST(0 AS INT), 'Person', tl[1],
+                 CAST(NULL AS BIGINT), 'ok'
+          FROM nz WHERE doc_id % 3 = 0 AND len(tl) >= 2
+          UNION ALL
+          SELECT doc_id, CAST(1 AS INT), CAST(1 AS INT), 'Organization',
+                 tl[2], CAST(NULL AS BIGINT), 'ok'
+          FROM nz WHERE doc_id % 3 = 0 AND len(tl) >= 2
+          UNION ALL
+          SELECT doc_id,
+                 CAST(CASE WHEN doc_id % 3 = 0 AND len(tl) >= 2
+                      THEN 2 ELSE 1 END AS INT),
+                 CAST(0 AS INT), CAST(NULL AS VARCHAR),
+                 CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), 'parse_error'
+          FROM nz WHERE doc_id % 17 = 0
         """,
         "profile_extract": f"""
           SELECT doc_id, lang,

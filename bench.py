@@ -37,7 +37,7 @@ CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".cache")
 
 # headline operator queries from the driver contract (timed individually)
 BENCH_QUERIES = [
-    "flagship_extract", "pdf_extract", "pdf_layout", "html_meta",
+    "flagship_extract", "pdf_extract", "pdf_layout", "html_meta", "jsonld",
     "profile_extract", "extract_metrics",
     "dedup_exact", "line_dedup", "substr_dedup",
     "dedup_keep_latest", "minhash_lsh_pairs", "ngram_jaccard", "containment",

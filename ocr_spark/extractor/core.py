@@ -25,6 +25,7 @@ public algorithm) plus a restricted-subset PDF text parser.
 from __future__ import annotations
 
 import bisect
+import json
 import re
 import unicodedata
 import zlib
@@ -917,6 +918,88 @@ def extract_meta(payload: bytes) -> dict:
         return out
     except Exception:
         return dict(none)
+
+
+class _JsonLdParser(HTMLParser):
+    """Collects the raw text of every ``<script
+    type="application/ld+json">`` block, in document order.  Script
+    content is CDATA to HTMLParser (no entity conversion), matching how
+    browsers hand JSON-LD to consumers verbatim."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.blocks: list[str] = []
+        self._buf: list[str] | None = None
+
+    def handle_starttag(self, tag, attrs):
+        if tag == "script":
+            d = dict(attrs)
+            t = (d.get("type") or "").strip().lower()
+            if t == "application/ld+json":
+                self._buf = []
+
+    def handle_endtag(self, tag):
+        if tag == "script" and self._buf is not None:
+            self.blocks.append("".join(self._buf))
+            self._buf = None
+
+    def handle_data(self, data):
+        if self._buf is not None:
+            self._buf.append(data)
+
+
+def extract_jsonld(payload: bytes) -> list[dict]:
+    """HTML bytes -> the page's schema.org JSON-LD entities, one dict
+    per entity: ``script_idx`` (position of the ld+json block in the
+    page), ``entity_idx`` (position within the block: the top-level
+    object is entity 0; a top-level array or an ``@graph`` array yields
+    one entity per element), ``etype`` (``@type``; first element if a
+    list), ``name`` (``name``, falling back to ``headline``),
+    ``word_count`` (``wordCount`` when integral), ``status``.  A block
+    that is not valid JSON emits one ``parse_error`` row (errors are
+    rows, the engine-wide taxonomy); dict-less elements are skipped.
+    Undecodable payloads -> no rows."""
+    try:
+        decoded, _codec = decode_html(payload)
+        p = _JsonLdParser()
+        p.feed(decoded)
+    except Exception:
+        return []
+    out: list[dict] = []
+    for si, raw in enumerate(p.blocks):
+        try:
+            doc = json.loads(raw)
+        except Exception:
+            out.append({"script_idx": si, "entity_idx": 0, "etype": None,
+                        "name": None, "word_count": None,
+                        "status": "parse_error"})
+            continue
+        if isinstance(doc, dict) and isinstance(doc.get("@graph"), list):
+            entities = doc["@graph"]
+        elif isinstance(doc, list):
+            entities = doc
+        else:
+            entities = [doc]
+        ei = 0
+        for e in entities:
+            if not isinstance(e, dict):
+                continue
+            t = e.get("@type")
+            if isinstance(t, list):
+                t = t[0] if t else None
+            name = e.get("name", e.get("headline"))
+            wc = e.get("wordCount")
+            out.append({
+                "script_idx": si,
+                "entity_idx": ei,
+                "etype": str(t) if t is not None else None,
+                "name": str(name) if name is not None else None,
+                "word_count": int(wc)
+                if isinstance(wc, int) and not isinstance(wc, bool) else None,
+                "status": "ok",
+            })
+            ei += 1
+    return out
 
 
 # --------------------------------------------------------------------------

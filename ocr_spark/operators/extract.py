@@ -24,8 +24,9 @@ from pyspark.sql import types as T
 
 from ocr_spark.extractor.core import extract_bytes
 
-__all__ = ["extract_pages", "extract_meta_pages",
-           "EXTRACT_RESULT_FIELDS", "META_RESULT_FIELDS", "SPAN_TYPE"]
+__all__ = ["extract_pages", "extract_meta_pages", "extract_jsonld_pages",
+           "EXTRACT_RESULT_FIELDS", "META_RESULT_FIELDS",
+           "JSONLD_RESULT_FIELDS", "SPAN_TYPE"]
 
 SPAN_TYPE = T.ArrayType(
     T.StructType(
@@ -236,6 +237,65 @@ def extract_meta_pages(
             names = list(passthrough)
             for f in META_RESULT_FIELDS:
                 arrays.append(pa.array(fields[f.name], pa.string()))
+                names.append(f.name)
+            yield pa.RecordBatch.from_arrays(arrays, names)
+
+    return df.select(*cols).mapInArrow(kernel, schema=out_schema)
+
+
+JSONLD_RESULT_FIELDS = [
+    T.StructField("script_idx", T.IntegerType(), True),
+    T.StructField("entity_idx", T.IntegerType(), True),
+    T.StructField("etype", T.StringType(), True),
+    T.StructField("name", T.StringType(), True),
+    T.StructField("word_count", T.LongType(), True),
+    T.StructField("status", T.StringType(), True),
+]
+
+
+def extract_jsonld_pages(
+    df: DataFrame,
+    payload_col: str = "html",
+    passthrough: tuple[str, ...] = ("url",),
+) -> DataFrame:
+    """Schema.org JSON-LD entities per page (``script
+    [type=application/ld+json]`` blocks -> typed entity rows) — the
+    structured-metadata modality next to :func:`extract_meta_pages`'s
+    head fields; extracted by ``extractor.core.extract_jsonld``.
+
+    One-to-many per page (a page yields 0..n entity rows), so the
+    Arrow kernel repeats the passthrough values per emitted row — still
+    one batched pass, no per-row Python dispatch, the binary payload
+    never shuffles, malformed blocks come back as ``parse_error`` ROWS
+    (the engine-wide error taxonomy), never exceptions."""
+    from ocr_spark.extractor.core import extract_jsonld
+
+    cols = list(passthrough) + [payload_col]
+    out_schema = T.StructType(
+        [df.schema[c] for c in passthrough] + JSONLD_RESULT_FIELDS
+    )
+
+    def kernel(batches):
+        import pyarrow as pa  # executor-side import
+
+        for batch in batches:
+            payloads = batch.column(len(cols) - 1).to_pylist()
+            idx: list[int] = []
+            fields = {f.name: [] for f in JSONLD_RESULT_FIELDS}
+            for rowno, payload in enumerate(payloads):
+                for ent in extract_jsonld(
+                        payload if payload is not None else b""):
+                    idx.append(rowno)
+                    for k in fields:
+                        fields[k].append(ent[k])
+            arrays = [batch.column(i).take(pa.array(idx, pa.int64()))
+                      for i in range(len(passthrough))]
+            names = list(passthrough)
+            pa_types = {"script_idx": pa.int32(), "entity_idx": pa.int32(),
+                        "etype": pa.string(), "name": pa.string(),
+                        "word_count": pa.int64(), "status": pa.string()}
+            for f in JSONLD_RESULT_FIELDS:
+                arrays.append(pa.array(fields[f.name], pa_types[f.name]))
                 names.append(f.name)
             yield pa.RecordBatch.from_arrays(arrays, names)
 

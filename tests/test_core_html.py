@@ -338,3 +338,63 @@ def test_extract_meta_absent_and_broken():
     # unclosed / truncated head must not raise
     out = extract_meta(b"<html><head><title>partial")
     assert out["title"] in (None, "partial")
+
+
+class TestJsonLd:
+    def _run(self, html: str):
+        from ocr_spark.extractor.core import extract_jsonld
+
+        return extract_jsonld(html.encode())
+
+    def test_article_and_graph_and_order(self):
+        out = self._run(
+            '<html><head>'
+            '<script type="application/ld+json">'
+            '{"@type": "Article", "headline": "a b", "wordCount": 7}'
+            '</script>'
+            '<script type="application/ld+json">'
+            '{"@graph": [{"@type": "Person", "name": "p"}, 3,'
+            ' {"@type": ["Organization", "Thing"], "name": "o"}]}'
+            '</script></head><body></body></html>')
+        assert out == [
+            {"script_idx": 0, "entity_idx": 0, "etype": "Article",
+             "name": "a b", "word_count": 7, "status": "ok"},
+            # the bare 3 in @graph is skipped WITHOUT consuming an index
+            {"script_idx": 1, "entity_idx": 0, "etype": "Person",
+             "name": "p", "word_count": None, "status": "ok"},
+            # list-valued @type takes the first element
+            {"script_idx": 1, "entity_idx": 1, "etype": "Organization",
+             "name": "o", "word_count": None, "status": "ok"},
+        ]
+
+    def test_top_level_array_and_name_fallback(self):
+        out = self._run(
+            '<script type="application/ld+json">'
+            '[{"@type": "A", "headline": "h"},'
+            ' {"@type": "B", "name": "n", "headline": "ignored"}]'
+            '</script>')
+        assert [(e["entity_idx"], e["name"]) for e in out] == \
+            [(0, "h"), (1, "n")]
+
+    def test_parse_error_is_a_row_and_boolean_wordcount_rejected(self):
+        out = self._run(
+            '<script type="application/ld+json">{broken</script>'
+            '<script type="application/ld+json">'
+            '{"@type": "X", "wordCount": true}</script>')
+        assert out[0]["status"] == "parse_error"
+        assert out[0]["script_idx"] == 0
+        assert out[1] == {"script_idx": 1, "entity_idx": 0, "etype": "X",
+                          "name": None, "word_count": None, "status": "ok"}
+
+    def test_non_ldjson_scripts_ignored(self):
+        out = self._run(
+            '<script>var x = {"@type": "No"};</script>'
+            '<script type="text/javascript">{"@type": "No"}</script>'
+            '<script type=" APPLICATION/LD+JSON ">'
+            '{"@type": "Yes", "name": "y"}</script>')
+        assert [e["etype"] for e in out] == ["Yes"]
+
+    def test_undecodable_payload_no_rows(self):
+        from ocr_spark.extractor.core import extract_jsonld
+
+        assert extract_jsonld(b"\xff\xfe\x00 government") in ([], )
