@@ -2603,6 +2603,49 @@ def q_rollup_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.col("source").asc_nulls_first()))
 
 
+PIVOT_LANGS = ["de", "en", "es", "fr", "zh"]
+
+
+def q_pivot_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational PIVOT: the source x lang token matrix (one row per
+    source, one tok_<lang> column per language) — the corpus-card
+    cross-tab every mix report needs.  The lang values are an EXPLICIT
+    literal list: without it Spark runs a whole extra distinct job just
+    to learn the columns, and the output schema becomes data-dependent
+    — both wrong at 100 TB.  The plan is the canonical two-stage pivot
+    (partial (source, lang) agg -> pivotfirst by source): two
+    exchanges, but both carry at most |sources| x |langs| pre-aggregated
+    rows after map-side partials (plan-asserted).  Empty cells are NULL
+    in both engines."""
+    from ocr_spark.functions.text import token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    wide = (docs.groupBy("source")
+            .pivot("lang", PIVOT_LANGS)
+            .agg(F.sum(token_count("text"))))
+    return wide.select(
+        "source",
+        *[F.col(lang).cast("long").alias(f"tok_{lang}")
+          for lang in PIVOT_LANGS]
+    ).orderBy("source")
+
+
+def q_melt_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT round trip: the q_pivot_tokens matrix melted back to
+    long (source, lang, n_tokens) rows with empty cells dropped — the
+    oracle is the plain GROUP BY aggregate, so the equality proves
+    pivot -> unpivot loses nothing.  unpivot is a zero-shuffle
+    generate/projection on top of the pivoted aggregate."""
+    wide = q_pivot_tokens(spark, sf_dir)
+    return (wide.unpivot(
+                "source",
+                [f"tok_{lang}" for lang in PIVOT_LANGS],
+                "lang", "n_tokens")
+            .filter(F.col("n_tokens").isNotNull())
+            .withColumn("lang", F.substring("lang", 5, 2))
+            .orderBy("source", "lang"))
+
+
 def q_word_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-level blocklist filter (the UT1-style complement of
     url_blocklist): word-boundary regex counts per banned token over
@@ -3097,6 +3140,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_count": q_hll_count,
         "percentiles": q_percentiles,
         "rollup_metrics": q_rollup_metrics,
+        "pivot_tokens": q_pivot_tokens,
+        "melt_tokens": q_melt_tokens,
         "word_blocklist": q_word_blocklist,
         "template_strip": q_template_strip,
         "para_dedup": q_para_dedup,
@@ -5871,6 +5916,27 @@ def oracle_sql() -> dict[str, str]:
           FROM documents
           GROUP BY ROLLUP(lang, source)
           ORDER BY gid, lang NULLS FIRST, source NULLS FIRST
+        """,
+        "pivot_tokens": f"""
+          WITH per AS (
+            SELECT source, lang,
+              CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+                   ELSE len({toks}) END AS BIGINT) AS n
+            FROM documents)
+          SELECT source,
+            {', '.join(
+                f"CAST(sum(CASE WHEN lang = '{lang}' THEN n END) AS BIGINT)"
+                f" AS tok_{lang}" for lang in ['de','en','es','fr','zh'])}
+          FROM per GROUP BY source ORDER BY source
+        """,
+        "melt_tokens": f"""
+          WITH per AS (
+            SELECT source, lang,
+              CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+                   ELSE len({toks}) END AS BIGINT) AS n
+            FROM documents)
+          SELECT source, lang, CAST(sum(n) AS BIGINT) AS n_tokens
+          FROM per GROUP BY source, lang ORDER BY source, lang
         """,
         "word_blocklist": """
           WITH s AS (

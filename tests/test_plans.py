@@ -519,3 +519,18 @@ def test_ivfpq_scoring_exchange_carries_codes_not_vectors(spark):
     proj = m.group(1)
     assert "code_7" in proj and "neighbor_id" in proj, proj
     assert "embedding" not in proj and "q_vec" not in proj, proj
+
+
+def test_pivot_explicit_values_two_skinny_shuffles(spark):
+    """pivot() with the literal lang list avoids the eager
+    distinct-values collect Spark runs when values are omitted; the
+    plan is the canonical two-stage shape — partial (source, lang)
+    aggregate, then pivotfirst by source — so BOTH hash exchanges
+    carry at most |sources| x |langs| pre-aggregated rows, never doc
+    rows.  Partial HashAggregates must sit below each exchange."""
+    df = entry_mod.queries()["pivot_tokens"](spark, SF)
+    plan = plan_of(df)
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert "partial_pivotfirst" in plan, plan
+    assert plan.count("HashAggregate") >= 3, plan
+    assert "BatchEvalPython" not in plan
