@@ -427,6 +427,22 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                                hash_mode="md5_affine")
 
 
+def q_cross_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus near-dup candidates: the mutated twins (the
+    incoming snapshot) LSH-joined against the ORIGINAL documents (the
+    accumulated corpus) — the fuzzy analogue of bloom_dedup's exact
+    incremental membership, and the recurring-crawl composition: new
+    x base only, never a self-join of the base side
+    (operators/dedup.py:lsh_cross_pairs)."""
+    from ocr_spark.operators.dedup import lsh_cross_pairs
+
+    both = _docs_with_near_dups(spark, sf_dir)
+    new = both.filter(F.col("doc_id") >= 1_000_000)
+    base = both.filter(F.col("doc_id") < 1_000_000)
+    return lsh_cross_pairs(new, base, n_hashes=16, bands=8, shingle_k=3,
+                           hash_mode="md5_affine")
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Standalone exact Jaccard join WITH the hot-shingle guard
     (max_df): a shingle shared by more than 100 docs is dropped from
@@ -3047,6 +3063,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substr_dedup": q_substr_dedup,
         "dedup_keep_latest": q_dedup_keep_latest,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "cross_dedup": q_cross_dedup,
         "ngram_jaccard": q_ngram_jaccard,
         "containment": q_containment,
         "lsh_jaccard": q_lsh_jaccard,
@@ -4598,6 +4615,18 @@ def oracle_sql() -> dict[str, str]:
         FROM banded l JOIN banded r
           ON l.band = r.band AND l.band_sig = r.band_sig
          AND l.doc_id < r.doc_id
+        """,
+        # cross-corpus candidates: signatures are a pure function of
+        # text, so banding the union and splitting sides by id range
+        # equals the engine's separate per-side banding
+        "cross_dedup": near_dup_union + f"""
+        , tok AS (SELECT doc_id, text, {toks} AS toksl FROM base)
+        , sh AS (SELECT doc_id, {shingles_col} AS shl FROM tok)
+        {aff_banded('FROM sh WHERE len(shl) > 0')}
+        SELECT DISTINCT l.doc_id AS new_id, r.doc_id AS base_id
+        FROM banded l JOIN banded r
+          ON l.band = r.band AND l.band_sig = r.band_sig
+        WHERE l.doc_id >= 1000000 AND r.doc_id < 1000000
         """,
         "lsh_jaccard": near_dup_union + f"""
         , tok AS (SELECT doc_id, text, {toks} AS toksl FROM base)

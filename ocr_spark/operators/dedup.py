@@ -38,7 +38,7 @@ from ocr_spark.functions.text import word_shingles
 __all__ = [
     "exact_dedup", "line_dedup", "drop_duplicated_spans",
     "minhash_signature",
-    "minhash_affine_coeffs", "lsh_candidate_pairs",
+    "minhash_affine_coeffs", "lsh_candidate_pairs", "lsh_cross_pairs",
     "lsh_bucket_overflow", "lsh_jaccard_pairs", "ngram_jaccard_pairs",
     "ngram_containment_pairs",
     "simhash",
@@ -328,10 +328,10 @@ def minhash_signature(col: str | Column, n_hashes: int = 16,
     )
 
 
-def _minhash_buckets(df: DataFrame, key_col: str, text_col: str,
-                     n_hashes: int, bands: int, shingle_k: int,
-                     hash_mode: str = "md5") -> DataFrame:
-    """(band, band_sig) -> sorted id array, for buckets with >1 member.
+def _banded_rows(df: DataFrame, key_col: str, text_col: str,
+                 n_hashes: int, bands: int, shingle_k: int,
+                 hash_mode: str = "md5") -> DataFrame:
+    """(key, band, band_sig) — one row per document per band.
 
     band_sig join key: md5 mode concatenates the hex digests bare (the
     legacy oracle contract); the integer modes join with '|' so
@@ -346,7 +346,7 @@ def _minhash_buckets(df: DataFrame, key_col: str, text_col: str,
             return F.array_join(sl, "")
         return F.array_join(F.transform(sl, lambda x: x.cast("string")), "|")
 
-    banded = with_sig.select(
+    return with_sig.select(
         key_col,
         F.explode(
             F.transform(
@@ -357,6 +357,14 @@ def _minhash_buckets(df: DataFrame, key_col: str, text_col: str,
             )
         ).alias("bs"),
     ).select(key_col, "bs.band", "bs.band_sig")
+
+
+def _minhash_buckets(df: DataFrame, key_col: str, text_col: str,
+                     n_hashes: int, bands: int, shingle_k: int,
+                     hash_mode: str = "md5") -> DataFrame:
+    """(band, band_sig) -> sorted id array, for buckets with >1 member."""
+    banded = _banded_rows(df, key_col, text_col, n_hashes, bands,
+                          shingle_k, hash_mode)
     return (
         banded.groupBy("band", "band_sig")
         .agg(F.array_sort(F.collect_list(key_col)).alias("ids"))
@@ -421,6 +429,41 @@ def lsh_bucket_overflow(df: DataFrame, key_col: str = "doc_id",
                          hash_mode)
         .filter(F.size("ids") > max_bucket_size)
         .select("band", "band_sig", F.size("ids").alias("n_ids"))
+    )
+
+
+def lsh_cross_pairs(new_df: DataFrame, base_df: DataFrame,
+                    key_col: str = "doc_id", text_col: str = "text",
+                    n_hashes: int = 16, bands: int = 4, shingle_k: int = 3,
+                    hash_mode: str = "md5") -> DataFrame:
+    """CROSS-corpus LSH candidates: (new_id, base_id) pairs where an
+    incoming document shares any MinHash band signature with an
+    EXISTING corpus document — the near-duplicate analogue of
+    ``bloom_membership``'s exact incremental dedup.  This is the
+    recurring-crawl shape: each monthly snapshot is deduped against
+    the accumulated corpus, never against itself here (run
+    ``lsh_candidate_pairs`` within the snapshot separately), so the
+    join is new x base only — no within-side pair expansion, no
+    self-join of the big side.
+
+    Scale shape: both sides reduce to skinny (key, band, band_sig)
+    rows (bands rows per doc); the candidate generator is ONE
+    equi-join on (band, band_sig) with the SMALL side (the snapshot)
+    on the left — at production scale the base side's banded rows are
+    computed once per snapshot cycle and persist as a bucketed table,
+    so each increment pays only the new side's signatures plus the
+    join.  AQE's skew-join splits hot boilerplate signatures; pairs
+    are distinct-ed on skinny ids only."""
+    nb = _banded_rows(new_df, key_col, text_col, n_hashes, bands,
+                      shingle_k, hash_mode) \
+        .withColumnRenamed(key_col, "new_id")
+    bb = _banded_rows(base_df, key_col, text_col, n_hashes, bands,
+                      shingle_k, hash_mode) \
+        .withColumnRenamed(key_col, "base_id")
+    return (
+        nb.join(bb, ["band", "band_sig"])
+        .select("new_id", "base_id")
+        .distinct()
     )
 
 

@@ -993,3 +993,37 @@ def test_ann_topk_ivfpq_recall_on_clustered_data(spark):
             .filter("rank = 1").collect())
     hits = sum(labels[r.neighbor_id] == labels[r.query_id] for r in top1)
     assert hits >= 0.9 * len(top1), (hits, len(top1))
+
+
+def test_lsh_cross_pairs_new_vs_base_only(spark):
+    """Cross-corpus candidates pair the snapshot against the base and
+    nothing else: planted twins are found, within-side near-dups are
+    NOT emitted (that's lsh_candidate_pairs' job), and a snapshot doc
+    with no base twin yields nothing."""
+    import random
+
+    from ocr_spark.operators.dedup import lsh_cross_pairs
+
+    rng = random.Random(5)
+    words = [f"w{i}" for i in range(300)]
+    base_rows, new_rows = [], []
+    for i in range(30):
+        toks = [rng.choice(words) for _ in range(30)]
+        base_rows.append((i, " ".join(toks)))
+        if i < 20:                      # 20 near-dup twins in the snapshot
+            near = list(toks)
+            near[7] = "CHANGED"
+            new_rows.append((1000 + i, " ".join(near)))
+    # two within-snapshot near-dups that must NOT pair with each other
+    toks = [rng.choice(words) for _ in range(30)]
+    new_rows.append((2001, " ".join(toks)))
+    new_rows.append((2002, " ".join(toks[:-1] + ["X"])))
+    base = spark.createDataFrame(base_rows, "doc_id long, text string")
+    new = spark.createDataFrame(new_rows, "doc_id long, text string")
+    pairs = {(r.new_id, r.base_id) for r in lsh_cross_pairs(
+        new, base, n_hashes=16, bands=8, shingle_k=3,
+        hash_mode="md5_affine").collect()}
+    truth = {(1000 + i, i) for i in range(20)}
+    assert len(pairs & truth) >= 18          # >= 90% recall on twins
+    assert all(n >= 1000 and b < 1000 for n, b in pairs)
+    assert (2001, 2002) not in pairs and (2002, 2001) not in pairs
