@@ -128,6 +128,37 @@ class Catalog:
     def table(self, name: str) -> Table:
         return Table(self.spark, os.path.join(self.root, name), name)
 
+    # -- bucketed tables ------------------------------------------------
+    def save_bucketed(self, df: DataFrame, name: str, key: str,
+                      n_buckets: int, sort: bool = True) -> None:
+        """Write ``df`` as a BUCKETED (and by default bucket-sorted)
+        external parquet table: files are laid out so every row with
+        the same ``key`` hash lands in the same bucket file on both
+        writes — which lets Spark join or aggregate two tables bucketed
+        the same way with ZERO exchanges (the scan itself satisfies the
+        hash-clustering requirement; plan-asserted in test_plans).
+
+        At 100 TB this is the difference between re-shuffling the full
+        corpus on every join against a side table and never shuffling
+        it at all: bucket once at write time, every downstream
+        key-join/key-agg is co-located.  Bucket metadata lives in the
+        session catalog here (the sandbox has no metastore/Iceberg
+        jars); on a real deployment the same call becomes a bucketed /
+        ``write.distributed-by`` Iceberg table and survives sessions —
+        the swap point documented in the module header."""
+        w = (df.write.format("parquet").mode("overwrite")
+             .option("path", os.path.join(self.root, name))
+             .bucketBy(n_buckets, key))
+        if sort:
+            w = w.sortBy(key)
+        w.saveAsTable(name)
+
+    def read_bucketed(self, name: str) -> DataFrame:
+        """Read a bucketed table THROUGH the catalog (``spark.table``):
+        a plain ``read.parquet`` of the same path would lose the bucket
+        spec and re-introduce the exchange."""
+        return self.spark.table(name)
+
     # -- checkpoint manifest ------------------------------------------------
     def manifest(self) -> Table:
         return self.table("manifest")

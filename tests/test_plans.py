@@ -534,3 +534,42 @@ def test_pivot_explicit_values_two_skinny_shuffles(spark):
     assert "partial_pivotfirst" in plan, plan
     assert plan.count("HashAggregate") >= 3, plan
     assert "BatchEvalPython" not in plan
+
+
+def test_bucketed_tables_join_and_agg_without_exchange(spark, tmp_path):
+    """The bucketing payoff, plan-asserted: two tables written
+    bucketed by the same key and bucket count sort-merge-join with
+    ZERO Exchange nodes (the bucketed scan satisfies the clustering
+    requirement), and a groupBy on the bucket key aggregates
+    exchange-free too.  Reading the same files WITHOUT the catalog's
+    bucket spec brings the shuffles back — the control that proves the
+    layout (not the data size) is what removed them."""
+    from ocr_spark.sources.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path))
+    docs = spark.range(0, 500).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 7).alias("x"))
+    scores = spark.range(0, 500).select(
+        F.col("id").alias("doc_id"), (F.col("id") * 2).alias("s"))
+    cat.save_bucketed(docs, "bkt_docs", "doc_id", 8)
+    cat.save_bucketed(scores, "bkt_scores", "doc_id", 8)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = cat.read_bucketed("bkt_docs").join(
+            cat.read_bucketed("bkt_scores"), "doc_id")
+        plan = plan_of(j)
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan, plan
+
+        agg = cat.read_bucketed("bkt_docs").groupBy("doc_id").count()
+        assert "Exchange" not in plan_of(agg)
+
+        # control: same files, no bucket spec -> the exchanges return
+        raw = spark.read.parquet(f"{tmp_path}/bkt_docs").join(
+            spark.read.parquet(f"{tmp_path}/bkt_scores"), "doc_id")
+        assert "Exchange hashpartitioning" in plan_of(raw)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS bkt_docs")
+        spark.sql("DROP TABLE IF EXISTS bkt_scores")
