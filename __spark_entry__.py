@@ -443,6 +443,52 @@ def q_cross_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                            hash_mode="md5_affine")
 
 
+def q_snapshot_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The recurring-crawl composition in ONE plan: an incoming
+    snapshot (near-dup twins + token-reversed fresh docs + every-10th
+    verbatim copy) is admitted against the accumulated corpus through
+    three staged gates with a drop-reason precedence — exact digest
+    membership first (one skinny distinct-digest semi-probe), then
+    cross-corpus LSH near-dup (lsh_cross_pairs: one banded equi-join,
+    new x base only), then the composite quality filter (per-row, zero
+    shuffle).  Output is attribute-style: every snapshot doc with
+    (accepted, reason), reason 'ok' for admitted rows.  This is the
+    production loop bloom_dedup/cross_dedup/quality_filter exist FOR;
+    composition is where contract mismatches hide, so it gets its own
+    driver oracle chaining the per-stage oracles as CTEs."""
+    from ocr_spark.functions.quality import with_quality_filter
+    from ocr_spark.functions.text import tokens
+    from ocr_spark.operators.dedup import lsh_cross_pairs
+
+    base = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    twins = _docs_with_near_dups(spark, sf_dir) \
+        .filter(F.col("doc_id") >= 1_000_000)
+    fresh = base.select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        F.array_join(F.reverse(tokens("text")), " ").alias("text"),
+    )
+    verbatim = base.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 3_000_000).alias("doc_id"), "text")
+    new = twins.unionByName(fresh).unionByName(verbatim)
+
+    dig = base.select(F.md5("text").alias("_d")).distinct() \
+        .withColumn("_exact", F.lit(True))
+    flagged = new.join(dig, F.md5(F.col("text")) == F.col("_d"), "left") \
+        .drop("_d")
+    near = (lsh_cross_pairs(new, base, n_hashes=16, bands=8, shingle_k=3,
+                            hash_mode="md5_affine")
+            .select(F.col("new_id").alias("doc_id")).distinct()
+            .withColumn("_near", F.lit(True)))
+    q = with_quality_filter(flagged).join(near, "doc_id", "left")
+    reason = (F.when(F.col("_exact"), F.lit("exact_dup"))
+              .when(F.col("_near"), F.lit("near_dup"))
+              .otherwise(F.col("drop_reason")))
+    return (q.select("doc_id", reason.alias("reason"))
+            .withColumn("accepted", F.col("reason") == "ok")
+            .select("doc_id", "accepted", "reason")
+            .orderBy("doc_id"))
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Standalone exact Jaccard join WITH the hot-shingle guard
     (max_df): a shingle shared by more than 100 docs is dropped from
@@ -3064,6 +3110,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_latest": q_dedup_keep_latest,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "cross_dedup": q_cross_dedup,
+        "snapshot_update": q_snapshot_update,
         "ngram_jaccard": q_ngram_jaccard,
         "containment": q_containment,
         "lsh_jaccard": q_lsh_jaccard,
@@ -3663,6 +3710,104 @@ def _quality_filter_sql() -> str:
              CASE WHEN drop_reason = 'ok' THEN 1 ELSE 0 END AS keep,
              drop_reason
       FROM r
+    """
+
+
+def _snapshot_update_sql() -> str:
+    """DuckDB twin of q_snapshot_update: the snapshot construction
+    (twins / reversed / verbatim), the base digest set, union-banded
+    affine-MinHash cross pairs, and the quality CASE chained as CTEs
+    with the engine's exact_dup > near_dup > quality precedence."""
+    from ocr_spark.functions.quality import QUALITY_THRESHOLDS as q
+    from ocr_spark.operators.dedup import MINHASH_P, minhash_affine_coeffs
+
+    f = _repetition_frags()
+    toks = f["toks"]
+    shingles_col = (
+        "list_distinct(CASE WHEN len(toksl) >= 3 THEN "
+        "list_transform(range(1, len(toksl) - 1), "
+        "i -> toksl[i] || ' ' || toksl[i+1] || ' ' || toksl[i+2]) "
+        "WHEN len(trim(text)) > 0 THEN [array_to_string(toksl, ' ')] "
+        "ELSE [] END)"
+    )
+    aff_els = ", ".join(
+        f"list_min(list_transform(bl, b -> ({a} * b + {c}) % {MINHASH_P}))"
+        for a, c in minhash_affine_coeffs(16))
+    compact = "regexp_replace(text, '\\s', '', 'g')"
+    avg_len = (f"CASE WHEN len({toks}) > 0 THEN "
+               f"round(length({compact}) / len({toks}), 4) ELSE 0.0 END")
+    na_ratio = (f"CASE WHEN length({compact}) > 0 THEN "
+                f"round(length(regexp_replace({compact}, '[A-Za-z0-9]', '', 'g'))"
+                f" / length({compact}), 4) ELSE 0.0 END")
+    return f"""
+      WITH newdocs AS (
+        SELECT doc_id + 1000000 AS doc_id,
+               ltrim(substring(text, instr(text, ' ') + 1, 10000000)) AS text
+        FROM documents
+        WHERE instr(ltrim(substring(text, instr(text, ' ') + 1, 10000000)),
+                    ' ') > 0
+        UNION ALL
+        SELECT doc_id + 2000000,
+               array_to_string(list_reverse(
+                 CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+                      ELSE {toks} END), ' ')
+        FROM documents
+        UNION ALL
+        SELECT doc_id + 3000000, text FROM documents WHERE doc_id % 10 = 0
+      ),
+      dig AS (SELECT DISTINCT md5(text) AS d FROM documents),
+      allb AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL SELECT doc_id, text FROM newdocs),
+      tok AS (SELECT doc_id, text, {toks} AS toksl FROM allb),
+      sh AS (SELECT doc_id, {shingles_col} AS shl FROM tok),
+      bas AS (
+        SELECT doc_id,
+          list_transform(shl,
+            s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % {MINHASH_P}) AS bl
+        FROM sh WHERE len(shl) > 0
+      ), sigs AS (SELECT doc_id, [{aff_els}] AS sig FROM bas
+      ), banded AS (
+        SELECT doc_id, b.band,
+          array_to_string(list_transform(sig[b.band * 2 + 1 : b.band * 2 + 2],
+                          x -> x::VARCHAR), '|') AS band_sig
+        FROM sigs, (SELECT unnest(range(0, 8)) AS band) b
+      ),
+      near AS (
+        SELECT DISTINCT l.doc_id
+        FROM banded l JOIN banded r
+          ON l.band = r.band AND l.band_sig = r.band_sig
+        WHERE l.doc_id >= 1000000 AND r.doc_id < 1000000),
+      t AS (SELECT doc_id, text, {f['grams']} AS g FROM newdocs),
+      s AS (
+        SELECT doc_id, md5(text) AS nd,
+          CASE WHEN len(trim(text)) = 0 THEN 0 ELSE len({toks}) END AS n_tokens,
+          {avg_len} AS avg_token_len,
+          {na_ratio} AS non_alnum_ratio,
+          {f['dup_tok']} AS dup_token_ratio,
+          {f['top_bigram']} AS top_bigram_ratio,
+          {f['dup_line']} AS dup_line_ratio
+        FROM t),
+      r AS (
+        SELECT doc_id,
+          CASE WHEN nd IN (SELECT d FROM dig) THEN 'exact_dup'
+               WHEN doc_id IN (SELECT doc_id FROM near) THEN 'near_dup'
+               WHEN n_tokens < {q['min_tokens']} THEN 'too_short'
+               WHEN n_tokens > {q['max_tokens']} THEN 'too_long'
+               WHEN avg_token_len < {q['min_avg_token_len']}
+                 OR avg_token_len > {q['max_avg_token_len']} THEN 'token_len'
+               WHEN non_alnum_ratio > {q['max_non_alnum_ratio']}
+                 THEN 'symbol_noise'
+               WHEN dup_token_ratio > {q['max_dup_token_ratio']}
+                 THEN 'repetitive_tokens'
+               WHEN top_bigram_ratio > {q['max_top_bigram_ratio']}
+                 THEN 'repetitive_bigrams'
+               WHEN dup_line_ratio > {q['max_dup_line_ratio']}
+                 THEN 'repetitive_lines'
+               ELSE 'ok' END AS reason
+        FROM s)
+      SELECT doc_id, (reason = 'ok') AS accepted, reason
+      FROM r ORDER BY doc_id
     """
 
 
@@ -4628,6 +4773,10 @@ def oracle_sql() -> dict[str, str]:
           ON l.band = r.band AND l.band_sig = r.band_sig
         WHERE l.doc_id >= 1000000 AND r.doc_id < 1000000
         """,
+        # the staged snapshot-admission composition: exact digest ->
+        # LSH near-dup (union-banding == the engine's per-side banding)
+        # -> quality, with the same reason precedence
+        "snapshot_update": _snapshot_update_sql(),
         "lsh_jaccard": near_dup_union + f"""
         , tok AS (SELECT doc_id, text, {toks} AS toksl FROM base)
         , sh AS (SELECT doc_id, {shingles_col} AS shl FROM tok)

@@ -40,7 +40,7 @@ BENCH_QUERIES = [
     "flagship_extract", "pdf_extract", "pdf_layout", "html_meta", "jsonld",
     "profile_extract", "extract_metrics",
     "dedup_exact", "line_dedup", "substr_dedup",
-    "dedup_keep_latest", "minhash_lsh_pairs", "cross_dedup", "ngram_jaccard", "containment",
+    "dedup_keep_latest", "minhash_lsh_pairs", "cross_dedup", "snapshot_update", "ngram_jaccard", "containment",
     "lsh_jaccard", "dedup_clusters", "cluster_split",
     "simhash_near_dup", "embed_near_dup",
     "embed_near_dup_lsh", "span_qa", "cosine_topk", "ann_topk", "ann_topk_ivf",
