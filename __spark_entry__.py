@@ -2372,6 +2372,59 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_exif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real EXIF metadata extraction over synthesized JPEG APP1/TIFF
+    blobs: per doc the builder packs a genuine IFD0 (Orientation,
+    DateTime via data-area offset, GPS sub-IFD pointer on id % 4 == 0)
+    in BOTH byte orders (II on even ids, MM on odd — the endian path
+    is half the parser), truncating every 17th payload so the
+    parse_error taxonomy is driver-visible.  has_gps is the point:
+    embedded coordinates are location PII
+    (operators/multimodal.py:parse_exif)."""
+    import struct as _struct
+
+    from ocr_spark.operators.multimodal import exif_extract
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def build(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            blobs = []
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                e = "<" if did % 2 == 0 else ">"
+                bo = b"II" if did % 2 == 0 else b"MM"
+                gps = did % 4 == 0
+                n = 3 if gps else 2
+                dt = (f"2024:01:{did % 28 + 1:02d} "
+                      f"12:{did % 60:02d}:00").encode() + b"\x00"
+                dt_off = 8 + 2 + n * 12 + 4
+                ents = (_struct.pack(e + "HHI", 0x0112, 3, 1)
+                        + _struct.pack(e + "H", did % 8 + 1) + b"\x00\x00")
+                ents += (_struct.pack(e + "HHI", 0x0132, 2, 20)
+                         + _struct.pack(e + "I", dt_off))
+                if gps:
+                    ents += (_struct.pack(e + "HHI", 0x8825, 4, 1)
+                             + _struct.pack(e + "I", dt_off + 20))
+                tiff = (bo + _struct.pack(e + "HI", 42, 8)
+                        + _struct.pack(e + "H", n) + ents
+                        + _struct.pack(e + "I", 0) + dt)
+                if gps:
+                    tiff += _struct.pack(e + "H", 0) + _struct.pack(e + "I", 0)
+                exif = b"Exif\x00\x00" + tiff
+                jpeg = (b"\xff\xd8\xff\xe1"
+                        + _struct.pack(">H", len(exif) + 2) + exif
+                        + b"\xff\xd9")
+                blobs.append(jpeg[:10] if did % 17 == 0 else jpeg)
+            yield pd.DataFrame({"media_id": pdf["doc_id"].astype(str),
+                                "payload": blobs})
+
+    media = docs.mapInPandas(build, schema="media_id string, payload binary")
+    return exif_extract(media).orderBy(F.col("media_id").cast("long"))
+
+
 def q_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL pixel decode, codec-free: each doc becomes a spec-conformant
     PNG (zlib IDAT, CRC chunks, per-doc filter type 0-4) whose pixel
@@ -3190,6 +3243,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits": q_hits,
         "graph_prior": q_graph_prior,
         "media_decode": q_media_decode,
+        "exif": q_exif,
         "png_decode": q_png_decode,
         "audio_decode": q_audio_decode,
         "frame_sample": q_frame_sample,
@@ -5247,6 +5301,30 @@ def oracle_sql() -> dict[str, str]:
             "CAST(64 + (doc_id * 7) % 512 AS INT) AS height, "
             "1 AS n_frames, 'ok' AS status FROM documents"
         ),
+        # EXIF: every builder field is a closed-form function of doc_id
+        # (the parser's endian/offset work is what the equality tests)
+        "exif": """
+          SELECT CAST(doc_id AS VARCHAR) AS media_id,
+            CASE WHEN doc_id % 17 = 0 THEN NULL
+                 WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END AS byte_order,
+            CASE WHEN doc_id % 17 = 0 THEN NULL
+                 ELSE CAST(doc_id % 8 + 1 AS INT) END AS orientation,
+            CASE WHEN doc_id % 17 = 0 THEN NULL
+                 ELSE '2024:01:'
+                      || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+                      || ' 12:' || lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0')
+                      || ':00' END AS "datetime",
+            CASE WHEN doc_id % 17 = 0 THEN NULL
+                 ELSE doc_id % 4 = 0 END AS has_gps,
+            CASE WHEN doc_id % 17 = 0 THEN NULL
+                 ELSE CAST(CASE WHEN doc_id % 4 = 0 THEN 3 ELSE 2 END AS INT)
+                 END AS n_ifd0_entries,
+            CASE WHEN doc_id % 17 = 0 THEN 'parse_error' ELSE 'ok' END
+              AS status,
+            CASE WHEN doc_id % 17 = 0 THEN 'ValueError: truncated segment'
+                 ELSE NULL END AS error_msg
+          FROM documents
+        """,
         "fingerprint": f"""
           SELECT doc_id,
             array_to_string(

@@ -63,7 +63,7 @@ BENCH_QUERIES = [
     "warc_extract", "url_normalize", "domain_topk", "url_blocklist",
     "crawl_schedule", "robots_filter",
     "outlinks", "anchor_agg", "cdx_index", "pagerank", "hits", "graph_prior",
-    "media_decode", "png_decode", "audio_decode", "frame_sample",
+    "media_decode", "png_decode", "audio_decode", "frame_sample", "exif",
     "pricing_summary", "top_customers", "regional_revenue",
     "customers_no_orders", "setop_except", "json_extract",
     "running_window", "sessionize",

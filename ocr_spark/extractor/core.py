@@ -958,7 +958,13 @@ def extract_jsonld(payload: bytes) -> list[dict]:
     ``word_count`` (``wordCount`` when integral), ``status``.  A block
     that is not valid JSON emits one ``parse_error`` row (errors are
     rows, the engine-wide taxonomy); dict-less elements are skipped.
-    Undecodable payloads -> no rows."""
+    Undecodable payloads -> no rows.
+
+    Reference parity: the reference pulls typed values out of model
+    JSON output via dot-path extraction
+    (/root/reference/utils/response_parser.py:91-117); this is the
+    page-embedded analogue — typed entities out of the document's own
+    schema.org JSON."""
     try:
         decoded, _codec = decode_html(payload)
         p = _JsonLdParser()

@@ -30,8 +30,9 @@ from pyspark.sql import types as T
 
 from ocr_spark.extractor.core import parse_image_header
 
-__all__ = ["MEDIA_SCHEMA", "decode_media", "decode_png_pixels",
-           "decode_wav_samples", "sample_frames"]
+__all__ = ["MEDIA_SCHEMA", "EXIF_SCHEMA", "decode_media",
+           "decode_png_pixels", "decode_wav_samples", "parse_exif",
+           "exif_extract", "sample_frames"]
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -262,6 +263,122 @@ def decode_media(df: DataFrame, payload_col: str = "payload",
             yield pd.DataFrame(rows)
 
     return df.select(id_col, payload_col).mapInPandas(kernel, MEDIA_SCHEMA)
+
+
+EXIF_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("byte_order", T.StringType(), True),   # II | MM
+        T.StructField("orientation", T.IntegerType(), True),
+        T.StructField("datetime", T.StringType(), True),
+        T.StructField("has_gps", T.BooleanType(), True),
+        T.StructField("n_ifd0_entries", T.IntegerType(), True),
+        T.StructField("status", T.StringType(), True),
+        T.StructField("error_msg", T.StringType(), True),
+    ]
+)
+
+_EXIF_TAG_ORIENTATION = 0x0112
+_EXIF_TAG_DATETIME = 0x0132
+_EXIF_TAG_GPS_IFD = 0x8825
+
+
+def parse_exif(payload: bytes) -> dict:
+    """Minimal REAL JPEG APP1/EXIF parser (stdlib struct, no codec):
+    walks the JPEG segment chain to the ``Exif\\x00\\x00`` APP1 block,
+    reads the TIFF header (both II little- and MM big-endian), and
+    scans IFD0 for Orientation (0x0112), DateTime (0x0132, via its
+    data-area offset), and the GPS sub-IFD pointer (0x8825).
+
+    ``has_gps`` is the load-bearing field: embedded GPS coordinates are
+    location PII, and a pipeline publishing crawled images needs the
+    flag the same way pii_scrub needs its phone regexes.  Pixel decode
+    stays out of scope (codec); EXIF is pure header structure, so this
+    path is real end-to-end.  Raises on malformed input — the operator
+    wrapper turns that into a ``parse_error`` ROW.
+
+    Reference parity: the reference validates image uploads and hands
+    the bytes to a model for field extraction
+    (/root/reference/services/file_processor.py:49-62,
+    gemini_service.py:61-146); this is the deterministic header-level
+    slice of that image->typed-fields capability, codec-free."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (no SOI)")
+    pos = 2
+    tiff = None
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(f"bad marker at {pos}")
+        marker = payload[pos + 1]
+        if marker in (0xD9, 0xDA):      # EOI / SOS: no EXIF ahead
+            break
+        seg_len = struct.unpack(">H", payload[pos + 2:pos + 4])[0]
+        if seg_len < 2 or pos + 2 + seg_len > len(payload):
+            raise ValueError("truncated segment")
+        if marker == 0xE1 and payload[pos + 4:pos + 10] == b"Exif\x00\x00":
+            tiff = payload[pos + 10:pos + 2 + seg_len]
+            break
+        pos += 2 + seg_len
+    if tiff is None:
+        raise ValueError("no Exif APP1 segment")
+    bo = tiff[:2]
+    if bo == b"II":
+        e = "<"
+    elif bo == b"MM":
+        e = ">"
+    else:
+        raise ValueError(f"bad TIFF byte order {bo!r}")
+    magic, ifd0_off = struct.unpack(e + "HI", tiff[2:8])
+    if magic != 42:
+        raise ValueError("bad TIFF magic")
+    n = struct.unpack(e + "H", tiff[ifd0_off:ifd0_off + 2])[0]
+    out = {"byte_order": bo.decode(), "orientation": None, "datetime": None,
+           "has_gps": False, "n_ifd0_entries": n}
+    for i in range(n):
+        ent = tiff[ifd0_off + 2 + 12 * i:ifd0_off + 2 + 12 * (i + 1)]
+        if len(ent) < 12:
+            raise ValueError("truncated IFD0 entry")
+        tag, typ, count = struct.unpack(e + "HHI", ent[:8])
+        if tag == _EXIF_TAG_ORIENTATION and typ == 3:       # SHORT
+            out["orientation"] = struct.unpack(e + "H", ent[8:10])[0]
+        elif tag == _EXIF_TAG_DATETIME and typ == 2:        # ASCII
+            if count <= 4:
+                raw = ent[8:8 + count]
+            else:
+                off = struct.unpack(e + "I", ent[8:12])[0]
+                raw = tiff[off:off + count]
+            out["datetime"] = raw.split(b"\x00")[0].decode("ascii")
+        elif tag == _EXIF_TAG_GPS_IFD:
+            out["has_gps"] = True
+    return out
+
+
+def exif_extract(df: DataFrame, payload_col: str = "payload",
+                 id_col: str = "media_id") -> DataFrame:
+    """EXIF metadata rows per image binary — same Arrow-batched shape
+    and error taxonomy as :func:`decode_media` (malformed payloads are
+    ``parse_error`` ROWS, never exceptions; the binary column never
+    shuffles)."""
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                base = {"media_id": str(mid), "byte_order": None,
+                        "orientation": None, "datetime": None,
+                        "has_gps": None, "n_ifd0_entries": None,
+                        "status": "ok", "error_msg": None}
+                try:
+                    base.update(parse_exif(bytes(payload)))
+                except Exception as exc:
+                    base["status"] = "parse_error"
+                    base["error_msg"] = f"{type(exc).__name__}: {exc}"
+                rows.append(base)
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, payload_col).mapInPandas(kernel, EXIF_SCHEMA)
 
 
 def sample_frames(df: DataFrame, every_n: int = 10,

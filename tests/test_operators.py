@@ -1027,3 +1027,58 @@ def test_lsh_cross_pairs_new_vs_base_only(spark):
     assert len(pairs & truth) >= 18          # >= 90% recall on twins
     assert all(n >= 1000 and b < 1000 for n, b in pairs)
     assert (2001, 2002) not in pairs and (2002, 2001) not in pairs
+
+
+def _mk_exif_jpeg(orientation=5, dt="2024:01:02 12:03:00", gps=False,
+                  little=True, extra_seg=True):
+    import struct
+
+    e = "<" if little else ">"
+    bo = b"II" if little else b"MM"
+    n = 3 if gps else 2
+    dtb = dt.encode() + b"\x00"
+    dt_off = 8 + 2 + n * 12 + 4
+    ents = (struct.pack(e + "HHI", 0x0112, 3, 1)
+            + struct.pack(e + "H", orientation) + b"\x00\x00")
+    ents += struct.pack(e + "HHI", 0x0132, 2, 20) + struct.pack(e + "I", dt_off)
+    if gps:
+        ents += (struct.pack(e + "HHI", 0x8825, 4, 1)
+                 + struct.pack(e + "I", dt_off + 20))
+    tiff = (bo + struct.pack(e + "HI", 42, 8) + struct.pack(e + "H", n)
+            + ents + struct.pack(e + "I", 0) + dtb)
+    if gps:
+        tiff += struct.pack(e + "H", 0) + struct.pack(e + "I", 0)
+    exif = b"Exif\x00\x00" + tiff
+    pre = b""
+    if extra_seg:  # a COM segment BEFORE APP1: the walker must skip it
+        pre = b"\xff\xfe" + struct.pack(">H", 5) + b"abc"
+    return (b"\xff\xd8" + pre + b"\xff\xe1"
+            + struct.pack(">H", len(exif) + 2) + exif + b"\xff\xd9")
+
+
+def test_parse_exif_both_endians_and_segment_walk():
+    from ocr_spark.operators.multimodal import parse_exif
+
+    for little in (True, False):
+        out = parse_exif(_mk_exif_jpeg(orientation=6, gps=True,
+                                       little=little))
+        assert out["byte_order"] == ("II" if little else "MM")
+        assert out["orientation"] == 6
+        assert out["datetime"] == "2024:01:02 12:03:00"
+        assert out["has_gps"] is True
+        assert out["n_ifd0_entries"] == 3
+
+
+def test_parse_exif_no_gps_and_errors():
+    import pytest as _pytest
+
+    from ocr_spark.operators.multimodal import parse_exif
+
+    out = parse_exif(_mk_exif_jpeg(gps=False, extra_seg=False))
+    assert out["has_gps"] is False and out["n_ifd0_entries"] == 2
+    with _pytest.raises(ValueError, match="no SOI"):
+        parse_exif(b"PNG...")
+    with _pytest.raises(ValueError, match="truncated segment"):
+        parse_exif(_mk_exif_jpeg(extra_seg=False)[:10])
+    with _pytest.raises(ValueError, match="no Exif APP1"):
+        parse_exif(b"\xff\xd8\xff\xd9")
