@@ -517,6 +517,21 @@ def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    shingle_k=3, threshold=0.6, max_df=100)
 
 
+def q_tfidf_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse TF-IDF cosine near-dup join: the lexical-vector detector
+    between set-semantics Jaccard and model-dependent embedding cosine
+    — rare shared terms dominate, boilerplate contributes ~nothing.
+    max_df=150 drops ultra-common terms from the vectors (numerator
+    AND norms — a true cosine over the restricted vocabulary) and
+    bounds the per-term join fan-out
+    (operators/index.py:tfidf_cosine_pairs)."""
+    from ocr_spark.operators.index import tfidf_cosine_pairs
+
+    docs = _docs_with_near_dups(spark, sf_dir)
+    return tfidf_cosine_pairs(docs, "doc_id", "text",
+                              threshold=0.6, max_df=150)
+
+
 def q_lsh_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The production dedup composition: LSH candidates -> exact
     n-gram-Jaccard verification on candidates only (never the full
@@ -1390,6 +1405,55 @@ def q_canonical_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     meta = extract_meta_pages(pages, passthrough=("url",))
     return canonical_collapse(meta).orderBy("canonical_url")
+
+
+def q_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RSS/Atom feed-entry extraction (the freshness-discovery
+    companion to sitemap parsing): even ids publish RSS 2.0 feeds
+    (3 items: title/link/guid/pubDate), odd ids Atom (2 entries:
+    title/<link href>/id/updated), ids % 13 == 0 publish an empty
+    shell that must yield NO rows.  Every field is a closed-form
+    function of (doc_id, item index) so the oracle regenerates the
+    rows arithmetically (operators/web.py:feed_entries)."""
+    from ocr_spark.operators.web import feed_entries
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def build(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            urls, xmls = [], []
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                urls.append(f"https://feeds.example.com/{did}.xml")
+                if did % 2 == 0:
+                    items = "" if did % 13 == 0 else "".join(
+                        f"<item><title>T{did}-{i}</title>"
+                        f"<link>https://feed.example.com/d/{did}/{i}</link>"
+                        f'<guid isPermaLink="false">g{did}-{i}</guid>'
+                        f"<pubDate>Mon, 01 Jan 2024 00:"
+                        f"{(did + i) % 60:02d}:00 GMT</pubDate></item>"
+                        for i in range(3))
+                    xmls.append('<?xml version="1.0"?><rss version="2.0">'
+                                f"<channel><title>F{did}</title>{items}"
+                                "</channel></rss>")
+                else:
+                    entries = "" if did % 13 == 0 else "".join(
+                        f"<entry><title>T{did}-{i}</title>"
+                        f'<link rel="alternate" '
+                        f'href="https://feed.example.com/d/{did}/{i}"/>'
+                        f"<id>tag:example.com,{did}-{i}</id>"
+                        f"<updated>2024-01-01T00:{(did + i) % 60:02d}:00Z"
+                        f"</updated></entry>"
+                        for i in range(2))
+                    xmls.append('<?xml version="1.0"?>'
+                                '<feed xmlns="http://www.w3.org/2005/Atom">'
+                                f"<title>F{did}</title>{entries}</feed>")
+            yield pd.DataFrame({"feed_url": urls, "xml": xmls})
+
+    feeds = docs.mapInPandas(build, schema="feed_url string, xml string")
+    return feed_entries(feeds).orderBy("feed_url", "kind", "seq")
 
 
 def q_incremental_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3166,6 +3230,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_update": q_snapshot_update,
         "ngram_jaccard": q_ngram_jaccard,
         "containment": q_containment,
+        "tfidf_near_dup": q_tfidf_near_dup,
         "lsh_jaccard": q_lsh_jaccard,
         "dedup_clusters": q_dedup_clusters,
         "cluster_split": q_cluster_split,
@@ -3215,6 +3280,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_quality": q_domain_quality,
         "wat_export": q_wat_export,
         "sitemap": q_sitemap,
+        "feed": q_feed,
         "incremental_extract": q_incremental_extract,
         "canonical_collapse": q_canonical_collapse,
         "stratified_sample": q_stratified_sample,
@@ -4831,6 +4897,37 @@ def oracle_sql() -> dict[str, str]:
         # LSH near-dup (union-banding == the engine's per-side banding)
         # -> quality, with the same reason precedence
         "snapshot_update": _snapshot_update_sql(),
+        # sparse tf-idf cosine: same smoothed idf as the tfidf oracle;
+        # max_df prunes the vocabulary (vectors, not just numerators)
+        "tfidf_near_dup": near_dup_union + f"""
+        , ex AS (
+          SELECT doc_id,
+            unnest(CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+                   ELSE {toks} END) AS term
+          FROM base),
+        tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+               FROM ex GROUP BY doc_id, term),
+        dfq AS (SELECT term, count(DISTINCT doc_id) AS df_t
+                FROM ex GROUP BY term
+                HAVING count(DISTINCT doc_id) <= 150),
+        nn AS (SELECT count(*) AS n FROM base),
+        w AS (SELECT doc_id, tf.term,
+                     tf * (ln((n + 1) / (df_t + 1)) + 1) AS w
+              FROM tf JOIN dfq USING (term) CROSS JOIN nn),
+        norms AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm
+                  FROM w GROUP BY doc_id),
+        dots AS (SELECT l.doc_id AS id_a, r.doc_id AS id_b,
+                        sum(l.w * r.w) AS dot
+                 FROM w l JOIN w r
+                   ON l.term = r.term AND l.doc_id < r.doc_id
+                 GROUP BY 1, 2)
+        SELECT id_a, id_b,
+               round(dot / (na.nrm * nb.nrm), 6) AS cosine
+        FROM dots
+        JOIN norms na ON na.doc_id = id_a
+        JOIN norms nb ON nb.doc_id = id_b
+        WHERE round(dot / (na.nrm * nb.nrm), 6) >= 0.6
+        """,
         "lsh_jaccard": near_dup_union + f"""
         , tok AS (SELECT doc_id, text, {toks} AS toksl FROM base)
         , sh AS (SELECT doc_id, {shingles_col} AS shl FROM tok)
@@ -6714,6 +6811,34 @@ def oracle_sql() -> dict[str, str]:
         FROM l)
       SELECT sitemap_url, p.i AS seq, p.u AS url
       FROM e ORDER BY sitemap_url, seq
+    """
+    # feed entries: every field regenerated arithmetically from
+    # (doc_id, item index); empty shells (id % 13 = 0) emit nothing
+    d["feed"] = """
+      WITH r AS (
+        SELECT doc_id, unnest(range(0, 3)) AS i FROM documents
+        WHERE doc_id % 2 = 0 AND doc_id % 13 <> 0),
+      a AS (
+        SELECT doc_id, unnest(range(0, 2)) AS i FROM documents
+        WHERE doc_id % 2 = 1 AND doc_id % 13 <> 0)
+      SELECT 'https://feeds.example.com/' || doc_id || '.xml' AS feed_url,
+             'rss' AS kind, CAST(i AS INT) AS seq,
+             'T' || doc_id || '-' || i AS title,
+             'https://feed.example.com/d/' || doc_id || '/' || i AS link,
+             'g' || doc_id || '-' || i AS entry_id,
+             'Mon, 01 Jan 2024 00:'
+               || lpad(CAST((doc_id + i) % 60 AS VARCHAR), 2, '0')
+               || ':00 GMT' AS published
+      FROM r
+      UNION ALL
+      SELECT 'https://feeds.example.com/' || doc_id || '.xml',
+             'atom', CAST(i AS INT),
+             'T' || doc_id || '-' || i,
+             'https://feed.example.com/d/' || doc_id || '/' || i,
+             'tag:example.com,' || doc_id || '-' || i,
+             '2024-01-01T00:'
+               || lpad(CAST((doc_id + i) % 60 AS VARCHAR), 2, '0') || ':00Z'
+      FROM a
     """
     uf = _url_sql_frags()
     d["domain_quality"] = f"""

@@ -40,7 +40,7 @@ BENCH_QUERIES = [
     "flagship_extract", "pdf_extract", "pdf_layout", "html_meta", "jsonld",
     "profile_extract", "extract_metrics",
     "dedup_exact", "line_dedup", "substr_dedup",
-    "dedup_keep_latest", "minhash_lsh_pairs", "cross_dedup", "snapshot_update", "ngram_jaccard", "containment",
+    "dedup_keep_latest", "minhash_lsh_pairs", "cross_dedup", "snapshot_update", "ngram_jaccard", "containment", "tfidf_near_dup",
     "lsh_jaccard", "dedup_clusters", "cluster_split",
     "simhash_near_dup", "embed_near_dup",
     "embed_near_dup_lsh", "span_qa", "cosine_topk", "ann_topk", "ann_topk_ivf",
@@ -54,7 +54,7 @@ BENCH_QUERIES = [
     "postings", "posting_deltas", "corpus_stats", "crawl_delta",
     "capture_history",
     "asof_join", "range_join", "bm25", "doc_attributes",
-    "sentences", "domain_quality", "sitemap", "incremental_extract", "canonical_collapse",
+    "sentences", "domain_quality", "sitemap", "feed", "incremental_extract", "canonical_collapse",
     "lm_score", "tfidf", "ccnet_buckets", "stratified_sample", "epoch_mix",
     "dsir_select", "cluster_best", "weighted_sample", "epoch_shuffle",
     "data_split", "bloom_dedup", "token_budget_mix", "length_buckets",

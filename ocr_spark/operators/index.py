@@ -22,7 +22,8 @@ from pyspark.sql import functions as F
 
 from ocr_spark.functions.text import tokens
 
-__all__ = ["inverted_index", "corpus_stats", "bm25_topk", "posting_deltas"]
+__all__ = ["inverted_index", "corpus_stats", "bm25_topk", "posting_deltas",
+           "tfidf_cosine_pairs"]
 
 
 def inverted_index(df: DataFrame, text_col: str = "text",
@@ -236,4 +237,77 @@ def posting_deltas(df: DataFrame, text_col: str = "text",
             (_varint_bytes(F.col("first_doc"))
              + F.coalesce(F.col("gap_bytes"), F.lit(0))).alias("varint_bytes"),
         )
+    )
+
+
+def tfidf_cosine_pairs(df: DataFrame, key_col: str = "doc_id",
+                       text_col: str = "text", threshold: float = 0.5,
+                       max_df: int | None = None,
+                       broadcast_vocab: bool = True) -> DataFrame:
+    """Sparse TF-IDF cosine similarity join — the lexical-vector
+    near-dup detector between n-gram Jaccard (set semantics, no term
+    weighting) and embedding cosine (dense, needs a model): docs are
+    tf·idf vectors over the corpus vocabulary and pairs above the
+    cosine threshold are emitted.  idf = ln((N+1)/(df_t+1)) + 1, the
+    same smoothed form as tfidf_topk, so rare shared terms dominate
+    and boilerplate contributes ~nothing even before the guard.
+
+    ``max_df`` drops ultra-common terms from the VECTORS entirely
+    (numerator and norms together — unlike ngram_jaccard's
+    intersection-only cap, so the score stays a true cosine over the
+    restricted vocabulary; semantics documented, not silent).  That
+    guard is also what bounds the join: per-term pair fan-out is at
+    most max_df² — without it one stopword would join every doc pair.
+
+    Scale shape: two skinny hash aggregates (tf, df) + a broadcast idf
+    join (``broadcast_vocab=False`` for executor-sized vocabularies),
+    norms as a per-doc aggregate joined back skinny, and the pair dot
+    product as ONE exploded term equi-join + hash aggregate — the
+    ngram_jaccard shape with weights.  Cosines round at 1e-6 (cross-
+    partition float summation order differs in the last ulps — the
+    lm_score discipline)."""
+    from pyspark.sql import Window  # noqa: F401  (parity w/ module deps)
+
+    ex = df.select(F.col(key_col), F.explode(tokens(text_col)).alias("term"))
+    tf = ex.groupBy(key_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = ex.groupBy("term").agg(F.countDistinct(key_col).alias("df_t"))
+    if max_df is not None:
+        dfreq = dfreq.filter(F.col("df_t") <= max_df)
+    n_docs = df.select(key_col).agg(F.count(F.lit(1)).alias("n"))
+    if broadcast_vocab:
+        dfreq = F.broadcast(dfreq)
+    w = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            key_col, "term",
+            (F.col("tf")
+             * (F.log((F.col("n") + 1).cast("double")
+                      / (F.col("df_t") + 1)) + 1)).alias("w"),
+        )
+    )
+    norms = w.groupBy(key_col).agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+    dots = (
+        w.alias("l")
+        .join(w.alias("r"),
+              (F.col("l.term") == F.col("r.term"))
+              & (F.col(f"l.{key_col}") < F.col(f"r.{key_col}")))
+        .groupBy(
+            F.col(f"l.{key_col}").alias("id_a"),
+            F.col(f"r.{key_col}").alias("id_b"),
+        )
+        .agg(F.sum(F.col("l.w") * F.col("r.w")).alias("dot"))
+    )
+    return (
+        dots
+        .join(norms.withColumnsRenamed({key_col: "id_a", "nrm": "nrm_a"}),
+              "id_a")
+        .join(norms.withColumnsRenamed({key_col: "id_b", "nrm": "nrm_b"}),
+              "id_b")
+        .withColumn("cosine",
+                    F.round(F.col("dot") / (F.col("nrm_a") * F.col("nrm_b")),
+                            6))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
     )

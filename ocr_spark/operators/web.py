@@ -50,7 +50,7 @@ from pyspark.sql import types as T
 __all__ = ["TRACKING_PARAMS", "url_normalize", "url_host",
            "registered_domain", "domain_topk", "outlinks", "pagerank", "hits",
            "parse_robots", "robots_allowed", "robots_filter",
-           "surt_key", "anchor_text_agg", "domain_quality", "sitemap_urls",
+           "surt_key", "anchor_text_agg", "domain_quality", "sitemap_urls", "feed_entries",
            "canonical_collapse", "url_path", "url_blocklist_filter",
            "crawl_schedule"]
 
@@ -798,3 +798,52 @@ def robots_sitemaps(df: DataFrame, robots_col: str = "robots_txt",
     c = F.col(robots_col)
     urls = F.regexp_extract_all(c, F.lit(r"(?im)^sitemap:\s*(\S+)"), 1)
     return (df.select(host_col, F.explode(urls).alias("sitemap_url")))
+
+
+def feed_entries(df: DataFrame, xml_col: str = "xml",
+                 source_col: str = "feed_url") -> DataFrame:
+    """RSS 2.0 / Atom feed XML -> one row per item/entry — the
+    discovery companion to :func:`sitemap_urls` (feeds are how fresh
+    content announces itself between sitemap rebuilds).
+
+    Same implementation discipline as sitemap_urls: pure JVM regexp
+    group extraction + posexplode — item blocks via a dotall
+    ``<item>…</item>`` / ``<entry>…</entry>`` scan, per-block field
+    extraction (RSS: title/link/guid/pubDate; Atom: title, ``<link
+    href>``, id, updated), RE2-safe patterns that run identically in
+    the SQL oracle, ``&amp;`` decoded, absent fields NULL.  Zero
+    Python, zero shuffle: a per-row generate/projection.
+
+    Returns ``(feed_url, kind, seq, title, link, entry_id,
+    published)`` with ``kind in ('rss', 'atom')``; a payload with no
+    items yields no rows (absence is the signal, as with outlinks)."""
+    def field(block, pat):
+        return F.nullif(
+            F.replace(F.trim(F.regexp_extract(block, pat, 1)),
+                      F.lit("&amp;"), F.lit("&")),
+            F.lit(""))
+
+    def shape(kind, block_pat, link_pat, id_pat, date_pat):
+        blocks = F.regexp_extract_all(F.col(xml_col), F.lit(block_pat), 1)
+        out = df.select(
+            F.col(source_col).alias("feed_url"),
+            F.posexplode(blocks).alias("seq", "_b"),
+        )
+        b = F.col("_b")
+        return out.select(
+            "feed_url", F.lit(kind).alias("kind"), "seq",
+            field(b, r"(?s)<title>([^<]*)</title>").alias("title"),
+            field(b, link_pat).alias("link"),
+            field(b, id_pat).alias("entry_id"),
+            field(b, date_pat).alias("published"),
+        )
+
+    rss = shape("rss", r"(?s)<item>(.*?)</item>",
+                r"(?s)<link>([^<]*)</link>",
+                r"(?s)<guid[^>]*>([^<]*)</guid>",
+                r"(?s)<pubDate>([^<]*)</pubDate>")
+    atom = shape("atom", r"(?s)<entry>(.*?)</entry>",
+                 r'(?s)<link[^>]*href="([^"]*)"',
+                 r"(?s)<id>([^<]*)</id>",
+                 r"(?s)<updated>([^<]*)</updated>")
+    return rss.unionByName(atom)

@@ -273,3 +273,37 @@ class TestPostingDeltas:
         got = {r.term: r.varint_bytes
                for r in posting_deltas(df, min_df=2, shard_bits=3).collect()}
         assert got == {"a": 1 + 1, "b": 1 + 2, "c": 1 + 2, "d": 1 + 3}
+
+
+class TestTfidfCosinePairs:
+    def test_identical_docs_and_idf_weighting(self, spark):
+        """Identical docs score 1.0; sharing a RARE term outranks
+        sharing a common one (the idf point: Jaccard would tie them)."""
+        from ocr_spark.operators.index import tfidf_cosine_pairs
+
+        rows = [
+            (1, "rare alpha beta"),
+            (2, "rare gamma delta"),       # shares ONE rare term (df=2)
+            (3, "comm epsilon zeta"),
+            (4, "comm eta theta"),         # shares ONE common term (df=4)
+            (5, "comm iota kappa"),
+            (6, "comm lamda mu"),
+            (7, "same same text here"),
+            (8, "same same text here"),    # identical to 7
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {(r.id_a, r.id_b): r.cosine for r in
+               tfidf_cosine_pairs(df, threshold=0.0).collect()}
+        assert out[(7, 8)] == 1.0
+        # both pairs share exactly one term; 'rare' (df=2) outweighs
+        # 'comm' (df=4) — the idf point Jaccard cannot express
+        assert out[(1, 2)] > out[(3, 4)]
+
+    def test_max_df_prunes_vocabulary_and_bounds_join(self, spark):
+        from ocr_spark.operators.index import tfidf_cosine_pairs
+
+        rows = [(i, f"stop stop unique{i}") for i in range(1, 7)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        # every pair related only through 'stop' (df=6)
+        assert tfidf_cosine_pairs(df, threshold=0.01).count() == 15
+        assert tfidf_cosine_pairs(df, threshold=0.01, max_df=5).count() == 0

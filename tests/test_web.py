@@ -465,3 +465,36 @@ def test_hits_rejects_zero_iterations(spark):
         assert False, "expected ValueError"
     except ValueError:
         pass
+
+
+def test_feed_entries_rss_atom_and_edge_cases(spark):
+    """RSS item fields, Atom href links, entity decode, absent-field
+    NULLs, and an itemless shell yielding zero rows."""
+    from ocr_spark.operators.web import feed_entries
+
+    rss = ('<rss><channel><title>chan</title>'
+           '<item><title>A &amp; B</title><link>http://x/1</link>'
+           '<guid isPermaLink="true">G1</guid>'
+           '<pubDate>Mon, 01 Jan 2024 00:00:00 GMT</pubDate></item>'
+           '<item><title>no link or guid</title></item>'
+           '</channel></rss>')
+    atom = ('<feed xmlns="http://www.w3.org/2005/Atom"><title>f</title>'
+            '<entry><title>E1</title>'
+            '<link rel="alternate" href="http://y/1"/>'
+            '<id>tag:y,1</id><updated>2024-01-01T00:00:00Z</updated>'
+            '</entry></feed>')
+    empty = '<rss><channel><title>empty</title></channel></rss>'
+    df = spark.createDataFrame(
+        [("u1", rss), ("u2", atom), ("u3", empty)],
+        "feed_url string, xml string")
+    rows = {(r.feed_url, r.kind, r.seq): r
+            for r in feed_entries(df).collect()}
+    assert len(rows) == 3                       # u3 contributes nothing
+    r0 = rows[("u1", "rss", 0)]
+    assert (r0.title, r0.link, r0.entry_id) == ("A & B", "http://x/1", "G1")
+    r1 = rows[("u1", "rss", 1)]
+    assert r1.title == "no link or guid"
+    assert r1.link is None and r1.entry_id is None and r1.published is None
+    a0 = rows[("u2", "atom", 0)]
+    assert (a0.link, a0.entry_id) == ("http://y/1", "tag:y,1")
+    assert a0.published == "2024-01-01T00:00:00Z"
