@@ -443,6 +443,25 @@ def q_cross_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                            hash_mode="md5_affine")
 
 
+def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking over documents PLUS one-token-prefixed
+    copies (ids + 1M): because boundaries are functions of token
+    content, the prefixed copy re-synchronizes after the first
+    boundary and every downstream chunk keeps its digest — the
+    storage-dedup property fixed-size chunking lacks (pytest asserts
+    the shared-digest rate; the oracle re-derives every chunk row)
+    (operators/dedup.py:cdc_chunks)."""
+    from ocr_spark.operators.dedup import cdc_chunks
+
+    base = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    shifted = base.filter(F.length(F.trim("text")) > 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.lit("INSERTED "), F.col("text")).alias("text"),
+    )
+    return cdc_chunks(base.unionByName(shifted), divisor=16) \
+        .orderBy("doc_id", "chunk_idx")
+
+
 def q_snapshot_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The recurring-crawl composition in ONE plan: an incoming
     snapshot (near-dup twins + token-reversed fresh docs + every-10th
@@ -3228,6 +3247,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "cross_dedup": q_cross_dedup,
         "snapshot_update": q_snapshot_update,
+        "cdc_chunks": q_cdc_chunks,
         "ngram_jaccard": q_ngram_jaccard,
         "containment": q_containment,
         "tfidf_near_dup": q_tfidf_near_dup,
@@ -4897,6 +4917,42 @@ def oracle_sql() -> dict[str, str]:
         # LSH near-dup (union-banding == the engine's per-side banding)
         # -> quality, with the same reason precedence
         "snapshot_update": _snapshot_update_sql(),
+        # CDC chunking: boundary = salted md5-60(token) % 16 == 0;
+        # running boundary count = chunk id; digest over the in-order
+        # space-join — every step closed-form in both engines
+        "cdc_chunks": f"""
+          WITH b2 AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 1000000, 'INSERTED ' || text
+            FROM documents WHERE len(trim(text)) > 0),
+          tok AS (
+            SELECT doc_id,
+              CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+                   ELSE {toks} END AS tl
+            FROM b2),
+          ex AS (
+            SELECT doc_id, p.i AS pos, p.t AS t
+            FROM (SELECT doc_id, unnest(list_transform(
+                    range(1, len(tl) + 1),
+                    i -> {{'i': CAST(i - 1 AS INT), 't': tl[i]}})) AS p
+                  FROM tok)),
+          fl AS (
+            SELECT doc_id, pos, t,
+              CASE WHEN ('0x' || substr(md5('cdc|' || t), 1, 15))::BIGINT
+                        % 16 = 0 THEN 1 ELSE 0 END AS b
+            FROM ex),
+          cid AS (
+            SELECT doc_id, pos, t,
+              CAST(sum(b) OVER (PARTITION BY doc_id ORDER BY pos) AS INT)
+                AS chunk_idx
+            FROM fl)
+          SELECT doc_id, chunk_idx,
+                 CAST(count(*) AS BIGINT) AS n_tokens,
+                 md5(string_agg(t, ' ' ORDER BY pos)) AS chunk_digest
+          FROM cid GROUP BY doc_id, chunk_idx
+          ORDER BY doc_id, chunk_idx
+        """,
         # sparse tf-idf cosine: same smoothed idf as the tfidf oracle;
         # max_df prunes the vocabulary (vectors, not just numerators)
         "tfidf_near_dup": near_dup_union + f"""

@@ -39,7 +39,7 @@ CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".cache")
 BENCH_QUERIES = [
     "flagship_extract", "pdf_extract", "pdf_layout", "html_meta", "jsonld",
     "profile_extract", "extract_metrics",
-    "dedup_exact", "line_dedup", "substr_dedup",
+    "dedup_exact", "line_dedup", "substr_dedup", "cdc_chunks",
     "dedup_keep_latest", "minhash_lsh_pairs", "cross_dedup", "snapshot_update", "ngram_jaccard", "containment", "tfidf_near_dup",
     "lsh_jaccard", "dedup_clusters", "cluster_split",
     "simhash_near_dup", "embed_near_dup",

@@ -44,7 +44,7 @@ __all__ = [
     "simhash",
     "simhash_near_dup_pairs", "simhash_bucket_overflow",
     "connected_components", "near_dup_clusters", "cluster_representatives",
-    "bloom_build", "bloom_member", "bloom_line_dedup",
+    "bloom_build", "bloom_member", "bloom_line_dedup", "cdc_chunks",
 ]
 
 # Mersenne prime 2^31-1: the affine minhash family works mod P, so
@@ -1091,4 +1091,72 @@ def cluster_representatives(clusters: DataFrame, scores: DataFrame,
         (-F.col("_b._nk")).alias(f"rep_{key_col}"),
         F.col("_b._s").alias(f"rep_{score_col}"),
         "cluster_size",
+    )
+
+
+def cdc_chunks(df: DataFrame, key_col: str = "doc_id",
+               text_col: str = "text", divisor: int = 16,
+               min_tokens: int = 1) -> DataFrame:
+    """Content-defined chunking (token granularity): a token is a
+    chunk BOUNDARY when its salted 60-bit hash ≡ 0 mod ``divisor`` —
+    so chunk boundaries move WITH the content, not with byte offsets.
+    That is the property fixed-size chunking lacks: insert one token
+    at the front of a document and every fixed-size chunk shifts
+    (nothing dedups), while CDC re-synchronizes at the next boundary
+    and every untouched chunk keeps its digest (storage-dedup /
+    rsync/LBFS lineage, Muthitacharoen et al. SOSP'01 — applied at
+    token granularity so the whole derivation is expressible in both
+    engines).
+
+    Expected chunk length is ``divisor`` tokens.  Emits one row per
+    chunk: ``(key, chunk_idx, n_tokens, chunk_digest)`` — digest-only
+    by design (md5 of the space-joined tokens); the caller joins back
+    for text when needed, so the wide column never rides the chunk
+    rows.  Complements :func:`drop_duplicated_spans`: ExactSubstr
+    removes duplicated k-gram SPANS from the text, CDC identifies
+    shared CONTENT BLOCKS across documents for storage/transfer dedup
+    and incremental re-processing.
+
+    Scale shape: posexplode to (key, pos, token), boundary flag per
+    row, chunk id = running boundary count over a window partitioned
+    by DOCUMENT (bounded by tokens-per-doc — the same per-doc window
+    discipline as line reassembly; never a corpus-wide window), then
+    one (key, chunk_idx) hash aggregate whose collect_list is bounded
+    by the chunk length (~divisor tokens).  Chunk rows are skinny
+    (key, idx, n, digest); the digest uses the SAME in-order
+    space-join both engines compute."""
+    from pyspark.sql import Window
+
+    from ocr_spark.functions.text import tokens
+
+    ex = df.select(
+        F.col(key_col),
+        F.posexplode(tokens(text_col)).alias("pos", "t"),
+    )
+    is_b = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("cdc|"), F.col("t"))),
+                           1, 15), 16, 10).cast("long") % divisor == 0
+    )
+    w = Window.partitionBy(key_col).orderBy("pos") \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    flagged = ex.withColumn(
+        "chunk_idx",
+        F.sum(F.when(is_b, 1).otherwise(0)).over(w).cast("int"),
+    )
+    return (
+        flagged.groupBy(key_col, "chunk_idx")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("pos", "t"))),
+                        lambda s: s["t"],
+                    ),
+                )
+            ).alias("chunk_digest"),
+        )
+        .filter(F.col("n_tokens") >= min_tokens)
     )

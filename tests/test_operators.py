@@ -1082,3 +1082,29 @@ def test_parse_exif_no_gps_and_errors():
         parse_exif(_mk_exif_jpeg(extra_seg=False)[:10])
     with _pytest.raises(ValueError, match="no Exif APP1"):
         parse_exif(b"\xff\xd8\xff\xd9")
+
+
+def test_cdc_chunks_resynchronize_after_insertion(spark):
+    """The CDC property: prepend one token and the chunking
+    re-synchronizes at the next content boundary — most chunk digests
+    survive, whereas fixed-size chunking would shift every one."""
+    import random
+
+    from ocr_spark.operators.dedup import cdc_chunks
+
+    rng = random.Random(9)
+    toks = [f"w{rng.randrange(500)}" for _ in range(400)]
+    orig = " ".join(toks)
+    shifted = "INSERTED " + orig
+    df = spark.createDataFrame([(1, orig), (2, shifted)],
+                               "doc_id long, text string")
+    out = cdc_chunks(df, divisor=16).collect()
+    a = {r.chunk_digest for r in out if r.doc_id == 1}
+    b = {r.chunk_digest for r in out if r.doc_id == 2}
+    assert len(a) > 10                       # ~400/16 chunks
+    # everything after the first boundary re-syncs: >= 80% shared
+    assert len(a & b) / len(a) >= 0.8, (len(a), len(a & b))
+    # determinism + coverage: token counts sum back to the doc lengths
+    n1 = sum(r.n_tokens for r in out if r.doc_id == 1)
+    n2 = sum(r.n_tokens for r in out if r.doc_id == 2)
+    assert (n1, n2) == (400, 401)
