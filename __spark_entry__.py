@@ -2738,6 +2738,38 @@ def q_events_sessionless_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_trailing_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window (the frame kind running_window doesn't
+    cover): per user, events and integer activity in the TRAILING
+    10-minute interval — a time-based frame whose row membership is a
+    set, so equal-timestamp peers are all included regardless of
+    physical order.  Aggregates are integer (count + sum of
+    event_id % 97) by design: a float sum over a set-valued frame
+    would reintroduce the summation-order hazard.  Ordering key is
+    epoch SECONDS derived TZ-FREE from the NTZ timestamp
+    (datediff*86400 + field extraction — TIMESTAMP_NTZ has no long
+    cast, and unix_timestamp() would drag the session timezone into
+    the result); the oracle floors epoch() to the same grid."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    tsl = (
+        F.datediff(F.col("ts").cast("date"),
+                   F.to_date(F.lit("1970-01-01"))).cast("long") * 86400
+        + F.hour("ts") * 3600 + F.minute("ts") * 60 + F.second("ts")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(tsl)
+        .rangeBetween(-600, 0)
+    )
+    return ev.select(
+        "event_id", "user_id",
+        F.count(F.lit(1)).over(w).alias("n_10m"),
+        F.sum(F.col("event_id") % 97).over(w).alias("act_10m"),
+    ).orderBy("event_id")
+
+
 # --------------------------------------------------------------------------
 # corpus accounting sketches, site-level boilerplate, relational breadth
 # --------------------------------------------------------------------------
@@ -3340,6 +3372,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "setop_except": q_setop_except,
         "json_extract": q_json_extract,
         "running_window": q_events_sessionless_window,
+        "trailing_window": q_trailing_window,
         "sessionize": q_sessionize,
         "hll_count": q_hll_count,
         "percentiles": q_percentiles,
@@ -6252,6 +6285,21 @@ def oracle_sql() -> dict[str, str]:
             "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) "
             "AS running_value FROM events"
         ),
+        # RANGE frame over epoch SECONDS (floor matches Spark's
+        # timestamp->long truncation); integer aggregates only
+        "trailing_window": """
+          WITH t AS (
+            SELECT event_id, user_id,
+                   CAST(floor(epoch(ts)) AS BIGINT) AS tsl
+            FROM events)
+          SELECT event_id, user_id,
+            CAST(count(*) OVER w AS BIGINT) AS n_10m,
+            CAST(sum(event_id % 97) OVER w AS BIGINT) AS act_10m
+          FROM t
+          WINDOW w AS (PARTITION BY user_id ORDER BY tsl
+                       RANGE BETWEEN 600 PRECEDING AND CURRENT ROW)
+          ORDER BY event_id
+        """,
         "sessionize": """
           WITH t AS (
             SELECT user_id, event_id, epoch(ts) AS tsl,

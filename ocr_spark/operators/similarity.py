@@ -34,7 +34,7 @@ __all__ = [
     "cosine_near_dup_pairs",
     "ivf_centroids", "kmeans_refine", "ivf_assign", "ivf_assign_gemm",
     "ivf_probe_lists", "ann_topk_ivf", "ann_topk_ivfpq", "semantic_dedup",
-    "pq_codebooks", "pq_encode",
+    "pq_codebooks", "pq_encode", "pq_encode_gemm",
 ]
 
 
@@ -777,7 +777,8 @@ def ann_topk_ivfpq(queries: DataFrame, corpus: DataFrame,
                    codebooks: list[list[list[float]]],
                    k: int = 5, nprobe: int = 2,
                    id_col: str = "vec_id",
-                   vec_col: str = "embedding") -> DataFrame:
+                   vec_col: str = "embedding",
+                   encoder: str = "expr") -> DataFrame:
     """IVF-PQ approximate top-k with asymmetric distance computation
     (ADC; Jegou et al. TPAMI 2011 — the FAISS IVFPQ search path): the
     corpus is stored as (ivf_list, m PQ codes) ONLY, and each probing
@@ -801,7 +802,10 @@ def ann_topk_ivfpq(queries: DataFrame, corpus: DataFrame,
     rational-literal codebooks.  Ranks tie-break (adc_dist asc,
     neighbor_id asc).  Accuracy note: ADC distance is an approximation
     of true L2 by construction (quantization error); the oracle checks
-    the algorithm, recall vs exact search is a pytest property."""
+    the algorithm, recall vs exact search is a pytest property.
+    ``encoder='arrow'`` swaps the corpus encode to the GEMM kernel
+    (:func:`pq_encode_gemm` — bit-identical codes, property-tested; the
+    constant-factor choice for k=256-class codebooks)."""
     import numpy as np
 
     m = len(codebooks)
@@ -809,8 +813,9 @@ def ann_topk_ivfpq(queries: DataFrame, corpus: DataFrame,
     code_cols = [f"code_{j}" for j in range(m)]
 
     assigned = ivf_assign(corpus, centroids, vec_col)
-    enc = pq_encode(assigned, codebooks, id_col=id_col, vec_col=vec_col,
-                    keep_cols=("ivf_list",))
+    encode = pq_encode_gemm if encoder == "arrow" else pq_encode
+    enc = encode(assigned, codebooks, id_col=id_col, vec_col=vec_col,
+                 keep_cols=("ivf_list",))
     cb = enc.select(F.col(id_col).alias("neighbor_id"), "ivf_list",
                     *code_cols)
     qb = ivf_probe_lists(queries, centroids, nprobe, vec_col).select(
@@ -875,3 +880,56 @@ def ann_topk_ivfpq(queries: DataFrame, corpus: DataFrame,
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "adc_dist", "rank")
     )
+
+
+def pq_encode_gemm(df: DataFrame, codebooks: list[list[list[float]]],
+                   id_col: str = "vec_id",
+                   vec_col: str = "embedding",
+                   keep_cols: tuple[str, ...] = ()) -> DataFrame:
+    """Arrow-batched twin of :func:`pq_encode` for production-sized
+    codebooks (k=256, m=16+), where the m x k interpreted distance
+    folds per row dominate (measured: pq_encode at 2.5s / ivfpq at
+    4.4s on the sf0.1 bench is mostly this).  One numpy pass per batch:
+    for each subspace the squared distances accumulate over the
+    sub-dimensions in the SAME left-to-right order as the expression
+    fold (vectorized across rows x centroids per dimension, sequential
+    across dimensions), then round-half-away at 6 and first-argmin —
+    so codes are IDENTICAL to pq_encode's, property-tested."""
+    import numpy as np
+
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    spark = df.sparkSession
+    b_books = spark.sparkContext.broadcast(
+        [np.array(b, np.float64) for b in codebooks])
+    keep = list(keep_cols)
+    keep_fields = ", ".join(
+        f"{c} {df.schema[c].dataType.simpleString()}" for c in keep)
+    schema = (f"{id_col} long"
+              + (f", {keep_fields}" if keep_fields else "")
+              + ", " + ", ".join(f"code_{j} int" for j in range(m)))
+
+    def kernel(batches):
+        import numpy as _np
+        import pandas as pd
+
+        books = b_books.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = _np.stack([_np.asarray(v, _np.float64)
+                           for v in pdf[vec_col]])
+            out = {id_col: pdf[id_col].to_numpy(_np.int64)}
+            for c in keep:
+                out[c] = pdf[c].to_numpy()
+            for j in range(m):
+                cb = books[j]
+                acc = _np.zeros((len(x), len(cb)))
+                for i in range(sub):
+                    d = x[:, j * sub + i, None] - cb[None, :, i]
+                    acc = acc + d * d
+                out[f"code_{j}"] = _np.argmin(
+                    _round_half_away(acc, 6), axis=1).astype(_np.int32)
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, *keep, vec_col).mapInPandas(kernel, schema)

@@ -1108,3 +1108,47 @@ def test_cdc_chunks_resynchronize_after_insertion(spark):
     n1 = sum(r.n_tokens for r in out if r.doc_id == 1)
     n2 = sum(r.n_tokens for r in out if r.doc_id == 2)
     assert (n1, n2) == (400, 401)
+
+
+def test_pq_encode_gemm_matches_expression_form(spark):
+    """The Arrow/GEMM PQ encoder emits bit-identical codes to the
+    expression-fold form (same in-order accumulation, same round-6
+    first-argmin tie-break) — the swap is a constant-factor choice,
+    never a semantic one."""
+    import numpy as np
+
+    from ocr_spark.operators.similarity import (pq_codebooks, pq_encode,
+                                                pq_encode_gemm)
+
+    rng = np.random.RandomState(21)
+    vecs = rng.standard_normal((120, 32))
+    # plant near-tie rows: vectors exactly between two centroids
+    books = pq_codebooks(dim=32, m=4, k=8, seed=13)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(120)],
+        "vec_id long, embedding array<double>")
+    a = sorted(tuple(r) for r in pq_encode(df, books).collect())
+    b = sorted(tuple(r) for r in pq_encode_gemm(df, books).collect())
+    assert a == b
+
+
+def test_ann_topk_ivfpq_arrow_encoder_identical(spark):
+    import numpy as np
+
+    from ocr_spark.operators.similarity import (ann_topk_ivfpq,
+                                                ivf_centroids, pq_codebooks)
+
+    rng = np.random.RandomState(3)
+    vecs = rng.standard_normal((40, 16))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(40)],
+        "vec_id long, embedding array<double>")
+    cents = ivf_centroids(dim=16, n_centroids=4, seed=7)
+    books = pq_codebooks(dim=16, m=4, k=8, seed=13)
+    kw = dict(k=3, nprobe=2)
+    a = sorted(tuple(r) for r in ann_topk_ivfpq(
+        df.filter("vec_id < 4"), df, cents, books, **kw).collect())
+    b = sorted(tuple(r) for r in ann_topk_ivfpq(
+        df.filter("vec_id < 4"), df, cents, books,
+        encoder="arrow", **kw).collect())
+    assert a == b
