@@ -2738,6 +2738,43 @@ def q_events_sessionless_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_crawl_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host Crawl-delay extraction (the de-facto politeness
+    directive RFC 9309 leaves out): 50 synthetic hosts publish robots
+    variants — a * group with an integer delay, an agent-specific
+    group that must WIN over the * group for agent 'mybot', a
+    non-numeric value that must fall back to the default, and no
+    directive at all (operators/web.py:parse_crawl_delay)."""
+    from ocr_spark.operators.web import crawl_delay_hosts
+
+    hids = (_t(spark, sf_dir, "documents")
+            .select((F.col("doc_id") % 50).alias("hid")).distinct())
+
+    def build(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            hosts, txts = [], []
+            for hid in pdf["hid"]:
+                h = int(hid)
+                hosts.append(f"site{h}.example.com")
+                if h % 4 == 0:
+                    txts.append(f"User-agent: *\nCrawl-delay: {h % 7 + 1}\n")
+                elif h % 4 == 1:
+                    txts.append(
+                        "User-agent: mybot\nDisallow: /tmp\n"
+                        "Crawl-delay: 0.5\n\n"
+                        "User-agent: *\nCrawl-delay: 5\n")
+                elif h % 4 == 2:
+                    txts.append("User-agent: *\nCrawl-delay: soon\n")
+                else:
+                    txts.append("User-agent: *\nDisallow: /private\n")
+            yield pd.DataFrame({"host": hosts, "robots_txt": txts})
+
+    robots = hids.mapInPandas(build, "host string, robots_txt string")
+    return crawl_delay_hosts(robots, agent="mybot").orderBy("host")
+
+
 def q_trailing_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RANGE-frame window (the frame kind running_window doesn't
     cover): per user, events and integer activity in the TRAILING
@@ -3353,6 +3390,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_topk": q_domain_topk,
         "url_blocklist": q_url_blocklist,
         "crawl_schedule": q_crawl_schedule,
+        "crawl_delay": q_crawl_delay,
         "robots_filter": q_robots_filter,
         "outlinks": q_outlinks,
         "anchor_agg": q_anchor_agg,
@@ -6285,6 +6323,19 @@ def oracle_sql() -> dict[str, str]:
             "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) "
             "AS running_value FROM events"
         ),
+        # crawl-delay: agent group > * group > default; non-numeric
+        # falls back — all closed-form from hid
+        "crawl_delay": """
+          WITH h AS (SELECT DISTINCT doc_id % 50 AS hid FROM documents)
+          SELECT 'site' || hid || '.example.com' AS host,
+            CASE WHEN hid % 4 = 0 THEN CAST(hid % 7 + 1 AS DOUBLE)
+                 WHEN hid % 4 = 1 THEN 0.5
+                 ELSE 1.0 END AS crawl_delay,
+            CAST(CASE WHEN hid % 4 = 0 THEN floor(60.0 / (hid % 7 + 1))
+                 WHEN hid % 4 = 1 THEN 120
+                 ELSE 60 END AS INT) AS max_per_minute
+          FROM h ORDER BY host
+        """,
         # RANGE frame over epoch SECONDS (floor matches Spark's
         # timestamp->long truncation); integer aggregates only
         "trailing_window": """

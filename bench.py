@@ -61,7 +61,7 @@ BENCH_QUERIES = [
     "pack_sequences",
     "packed_batches", "decontaminate", "curate_corpus",
     "warc_extract", "url_normalize", "domain_topk", "url_blocklist",
-    "crawl_schedule", "robots_filter",
+    "crawl_schedule", "crawl_delay", "robots_filter",
     "outlinks", "anchor_agg", "cdx_index", "pagerank", "hits", "graph_prior",
     "media_decode", "png_decode", "audio_decode", "frame_sample", "exif",
     "pricing_summary", "top_customers", "regional_revenue",

@@ -50,6 +50,7 @@ from pyspark.sql import types as T
 __all__ = ["TRACKING_PARAMS", "url_normalize", "url_host",
            "registered_domain", "domain_topk", "outlinks", "pagerank", "hits",
            "parse_robots", "robots_allowed", "robots_filter",
+           "parse_crawl_delay", "crawl_delay_hosts",
            "surt_key", "anchor_text_agg", "domain_quality", "sitemap_urls", "feed_entries",
            "canonical_collapse", "url_path", "url_blocklist_filter",
            "crawl_schedule"]
@@ -847,3 +848,80 @@ def feed_entries(df: DataFrame, xml_col: str = "xml",
                  r"(?s)<id>([^<]*)</id>",
                  r"(?s)<updated>([^<]*)</updated>")
     return rss.unionByName(atom)
+
+
+def parse_crawl_delay(txt: str, agent: str = "*") -> float | None:
+    """Crawl-delay for ``agent`` from robots.txt (the de-facto
+    directive Bing/Yandex honor; not in RFC 9309, hence parsed
+    SEPARATELY from :func:`parse_robots`'s allow/disallow groups —
+    same group semantics: the agent's own group wins over ``*``,
+    consecutive User-agent lines share a block, first value in the
+    winning group applies).  Non-numeric or negative values are
+    ignored (treated as absent); returns None when no group sets one
+    — the CALLER owns the default, crawl policy is not a parser
+    decision."""
+    groups: dict[str, float] = {}
+    current_agents: list[str] = []
+    in_rules = False
+    for raw in (txt or "").splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, _, val = line.partition(":")
+        key = key.strip().lower()
+        val = val.strip()
+        if key == "user-agent":
+            if in_rules:
+                current_agents = []
+                in_rules = False
+            current_agents.append(val.lower())
+        elif key in ("allow", "disallow", "crawl-delay"):
+            in_rules = True
+            if key == "crawl-delay":
+                try:
+                    delay = float(val)
+                except ValueError:
+                    continue
+                if delay < 0:
+                    continue
+                for a in current_agents:
+                    groups.setdefault(a, delay)
+    agent = agent.lower()
+    if agent in groups:
+        return groups[agent]
+    return groups.get("*")
+
+
+def crawl_delay_hosts(robots: DataFrame, agent: str = "*",
+                      default_delay: float = 1.0,
+                      host_col: str = "host",
+                      txt_col: str = "robots_txt") -> DataFrame:
+    """Per-host crawl-delay table: ``(host, crawl_delay,
+    max_per_minute)`` — the politeness input :func:`crawl_schedule`'s
+    round pacing consumes (fetch wall-clock ≈ fetch_round x delay).
+    Arrow-batched parse of the tiny robots corpus (one row per host —
+    robots.txt is per-authority, so this table is always orders of
+    magnitude smaller than the page corpus and broadcasts into any
+    join that needs it)."""
+    def kernel(batches):
+        import math
+
+        import pandas as pd
+
+        for pdf in batches:
+            delays = []
+            for txt in pdf[txt_col]:
+                d = parse_crawl_delay(txt if txt is not None else "", agent)
+                delays.append(default_delay if d is None else d)
+            yield pd.DataFrame({
+                "host": pdf[host_col],
+                "crawl_delay": delays,
+                "max_per_minute": [
+                    int(math.floor(60.0 / d)) if d > 0 else 60
+                    for d in delays],
+            })
+
+    return robots.select(host_col, txt_col).mapInPandas(
+        kernel,
+        schema="host string, crawl_delay double, max_per_minute int",
+    )

@@ -498,3 +498,21 @@ def test_feed_entries_rss_atom_and_edge_cases(spark):
     a0 = rows[("u2", "atom", 0)]
     assert (a0.link, a0.entry_id) == ("http://y/1", "tag:y,1")
     assert a0.published == "2024-01-01T00:00:00Z"
+
+
+def test_parse_crawl_delay_group_semantics():
+    from ocr_spark.operators.web import parse_crawl_delay
+
+    txt = ("User-agent: mybot\nDisallow: /x\nCrawl-delay: 0.5\n\n"
+           "User-agent: *\nCrawl-delay: 5\n")
+    assert parse_crawl_delay(txt, "MyBot") == 0.5   # own group, case-insens
+    assert parse_crawl_delay(txt, "other") == 5.0   # falls to *
+    assert parse_crawl_delay("User-agent: *\nCrawl-delay: nope\n") is None
+    assert parse_crawl_delay("User-agent: *\nCrawl-delay: -2\n") is None
+    assert parse_crawl_delay("", "x") is None
+    # shared block: consecutive User-agent lines get the same delay
+    txt2 = "User-agent: a\nUser-agent: b\nCrawl-delay: 3\n"
+    assert parse_crawl_delay(txt2, "b") == 3.0
+    # first value in a group wins
+    txt3 = "User-agent: *\nCrawl-delay: 2\nCrawl-delay: 9\n"
+    assert parse_crawl_delay(txt3) == 2.0
