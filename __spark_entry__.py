@@ -1326,6 +1326,18 @@ def q_domain_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return domain_quality(urls).orderBy("domain")
 
 
+def q_url_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mass-produced-page detection: digit runs in url paths collapse
+    to 'N' and the (registered domain, path template) families are
+    counted — /story/N/ style archives flag at min_pages, distinct
+    static paths do not (operators/web.py:url_templates)."""
+    from ocr_spark.operators.web import url_templates
+
+    urls = _synth_urls(spark, sf_dir)
+    return url_templates(urls, min_pages=3) \
+        .orderBy("domain", "path_template")
+
+
 def q_doc_attributes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dolma-style attribute union: every per-document tagging signal
     (text stats, quality verdict, repetition ratios, readability, PII
@@ -3389,6 +3401,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_normalize": q_url_normalize,
         "domain_topk": q_domain_topk,
         "url_blocklist": q_url_blocklist,
+        "url_templates": q_url_templates,
         "crawl_schedule": q_crawl_schedule,
         "crawl_delay": q_crawl_delay,
         "robots_filter": q_robots_filter,
@@ -6996,6 +7009,30 @@ def oracle_sql() -> dict[str, str]:
       FROM a
     """
     uf = _url_sql_frags()
+    # path templates: same path extraction steps as web.url_path, digit
+    # runs collapsed globally
+    d["url_templates"] = f"""
+      WITH u AS (SELECT doc_id, {uf['url_case']} AS url FROM documents),
+      pp AS (
+        SELECT url,
+          regexp_extract(
+            regexp_replace(
+              regexp_replace(regexp_extract(url, '^([^#]*)', 1),
+                             '^[A-Za-z][A-Za-z0-9+.-]*://', ''),
+              '^[^/?#]*', ''),
+            '^([^?]*)', 1) AS path0
+        FROM u),
+      p AS (
+        SELECT {uf['domain']} AS domain,
+          regexp_replace(
+            CASE WHEN path0 = '' THEN '/' ELSE path0 END,
+            '[0-9]+', 'N', 'g') AS path_template
+        FROM pp)
+      SELECT domain, path_template, CAST(count(*) AS BIGINT) AS n_pages,
+             count(*) >= 3 AS mass_produced
+      FROM p GROUP BY domain, path_template
+      ORDER BY domain, path_template
+    """
     d["domain_quality"] = f"""
       WITH u AS (
         SELECT doc_id, {uf['url_case']} AS url FROM documents),

@@ -60,7 +60,7 @@ BENCH_QUERIES = [
     "data_split", "bloom_dedup", "token_budget_mix", "length_buckets",
     "pack_sequences",
     "packed_batches", "decontaminate", "curate_corpus",
-    "warc_extract", "url_normalize", "domain_topk", "url_blocklist",
+    "warc_extract", "url_normalize", "domain_topk", "url_blocklist", "url_templates",
     "crawl_schedule", "crawl_delay", "robots_filter",
     "outlinks", "anchor_agg", "cdx_index", "pagerank", "hits", "graph_prior",
     "media_decode", "png_decode", "audio_decode", "frame_sample", "exif",

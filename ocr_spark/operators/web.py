@@ -52,7 +52,7 @@ __all__ = ["TRACKING_PARAMS", "url_normalize", "url_host",
            "parse_robots", "robots_allowed", "robots_filter",
            "parse_crawl_delay", "crawl_delay_hosts",
            "surt_key", "anchor_text_agg", "domain_quality", "sitemap_urls", "feed_entries",
-           "canonical_collapse", "url_path", "url_blocklist_filter",
+           "canonical_collapse", "url_path", "url_templates", "url_blocklist_filter",
            "crawl_schedule"]
 
 # the closed, documented drop-set; extend per deployment.  Matched on
@@ -924,4 +924,30 @@ def crawl_delay_hosts(robots: DataFrame, agent: str = "*",
     return robots.select(host_col, txt_col).mapInPandas(
         kernel,
         schema="host string, crawl_delay double, max_per_minute int",
+    )
+
+
+def url_templates(df: DataFrame, url_col: str = "url",
+                  min_pages: int = 2) -> DataFrame:
+    """URL path-template mining: collapse every digit run in the path
+    to ``N`` and count pages per (registered domain, template) — the
+    standard detector for mass-produced page families (``/tag/N``,
+    ``/page/N``, ``/story/N/``, calendar archives) that inflate a
+    crawl with near-content-free permutations.  Frontier schedulers
+    down-prioritize flagged templates; curation pipelines cap them the
+    way domain_topk caps domains.
+
+    Returns ``(domain, path_template, n_pages, mass_produced)`` with
+    the flag at ``n_pages >= min_pages``.  One skinny hash aggregate
+    over per-row (domain, template) projections — map-side partials
+    absorb the hot template, no windows, no explode."""
+    return (
+        df.select(
+            registered_domain(url_col).alias("domain"),
+            F.regexp_replace(url_path(url_col), "[0-9]+", "N")
+            .alias("path_template"),
+        )
+        .groupBy("domain", "path_template")
+        .agg(F.count(F.lit(1)).alias("n_pages"))
+        .withColumn("mass_produced", F.col("n_pages") >= min_pages)
     )

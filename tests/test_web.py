@@ -516,3 +516,20 @@ def test_parse_crawl_delay_group_semantics():
     # first value in a group wins
     txt3 = "User-agent: *\nCrawl-delay: 2\nCrawl-delay: 9\n"
     assert parse_crawl_delay(txt3) == 2.0
+
+
+def test_url_templates_flags_mass_produced_families(spark):
+    from ocr_spark.operators.web import url_templates
+
+    rows = ([(f"https://spam.example.com/tag/{i}",) for i in range(50)]
+            + [(f"https://spam.example.com/page/{i}/comments",)
+               for i in range(10)]
+            + [("https://spam.example.com/about",)]
+            + [("https://ok.example.org/article/7",)])
+    df = spark.createDataFrame(rows, "url string")
+    out = {(r.domain, r.path_template): (r.n_pages, r.mass_produced)
+           for r in url_templates(df, min_pages=5).collect()}
+    assert out[("example.com", "/tag/N")] == (50, True)
+    assert out[("example.com", "/page/N/comments")] == (10, True)
+    assert out[("example.com", "/about")] == (1, False)
+    assert out[("example.org", "/article/N")] == (1, False)
