@@ -1407,6 +1407,40 @@ def q_crawl_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return delta.orderBy("key")
 
 
+def q_index_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental index maintenance over the SAME snapshot pair as
+    crawl_delta (every 13th removed, every remaining 7th gets
+    ' updated' appended, every 11th re-added under a new key): the
+    posting add/del ops that migrate the inverted index without
+    touching the ~unchanged majority — text of unchanged docs never
+    explodes (operators/index.py:index_delta)."""
+    from ocr_spark.operators.index import index_delta
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.lit("u"), F.col("doc_id").cast("string")).alias("url"),
+        F.coalesce("text", F.lit("")).alias("text"),
+    )
+    old = docs.select("url", "text")
+    new_kept = (
+        docs.where(F.col("doc_id") % 13 != 0)
+        .select(
+            "url",
+            F.when(F.col("doc_id") % 7 == 0,
+                   F.concat("text", F.lit(" updated")))
+            .otherwise(F.col("text")).alias("text"),
+        )
+    )
+    added = docs.where(F.col("doc_id") % 11 == 0).select(
+        F.concat(F.lit("u"), (F.col("doc_id") + 1000000).cast("string")
+                 ).alias("url"),
+        F.concat(F.lit("new page "), F.col("doc_id").cast("string")
+                 ).alias("text"),
+    )
+    return index_delta(old, new_kept.unionByName(added)) \
+        .orderBy("key", "term", "op")
+
+
 def q_canonical_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical-link collapse (operators/web.py): pages built with a
     real <link rel=canonical> (groups of 4 share one target; every
@@ -3372,6 +3406,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "posting_deltas": q_posting_deltas,
         "corpus_stats": q_corpus_stats,
         "crawl_delta": q_crawl_delta,
+        "index_delta": q_index_delta,
         "capture_history": q_capture_history,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
@@ -5948,6 +5983,41 @@ def oracle_sql() -> dict[str, str]:
                  'added' AS status
           FROM documents WHERE doc_id % 11 = 0
           ORDER BY key
+        """,
+        # index ops via set EXCEPT on (key, term): unchanged docs
+        # cancel exactly, so restricting to the delta (the engine's
+        # performance move) never changes the result
+        "index_delta": f"""
+          WITH oldt AS (
+            SELECT 'u' || doc_id::VARCHAR AS key,
+                   coalesce(text, '') AS text
+            FROM documents),
+          newt AS (
+            SELECT 'u' || doc_id::VARCHAR AS key,
+                   coalesce(text, '')
+                     || CASE WHEN doc_id % 7 = 0 THEN ' updated'
+                        ELSE '' END AS text
+            FROM documents WHERE doc_id % 13 <> 0
+            UNION ALL
+            SELECT 'u' || (doc_id + 1000000)::VARCHAR,
+                   'new page ' || doc_id::VARCHAR
+            FROM documents WHERE doc_id % 11 = 0),
+          ot AS (
+            SELECT DISTINCT key, term FROM (
+              SELECT key, unnest(CASE WHEN len(trim(text)) = 0
+                     THEN CAST([] AS VARCHAR[]) ELSE {toks} END) AS term
+              FROM oldt)),
+          nt AS (
+            SELECT DISTINCT key, term FROM (
+              SELECT key, unnest(CASE WHEN len(trim(text)) = 0
+                     THEN CAST([] AS VARCHAR[]) ELSE {toks} END) AS term
+              FROM newt))
+          SELECT key, term, 'add' AS op
+          FROM (SELECT key, term FROM nt EXCEPT SELECT key, term FROM ot)
+          UNION ALL
+          SELECT key, term, 'del' AS op
+          FROM (SELECT key, term FROM ot EXCEPT SELECT key, term FROM nt)
+          ORDER BY key, term, op
         """,
         "capture_history": """
           SELECT event_id, user_id,

@@ -307,3 +307,30 @@ class TestTfidfCosinePairs:
         # every pair related only through 'stop' (df=6)
         assert tfidf_cosine_pairs(df, threshold=0.01).count() == 15
         assert tfidf_cosine_pairs(df, threshold=0.01, max_df=5).count() == 0
+
+
+class TestIndexDelta:
+    def test_ops_per_status_and_unchanged_short_circuit(self, spark):
+        from ocr_spark.operators.index import index_delta
+
+        old = spark.createDataFrame(
+            [("a", "x y z"),          # unchanged
+             ("b", "p q"),            # changed: q -> r
+             ("c", "gone words")],    # removed
+            "url string, text string")
+        new = spark.createDataFrame(
+            [("a", "x y z"),
+             ("b", "p r"),
+             ("d", "fresh page")],    # added
+            "url string, text string")
+        ops = {(r.key, r.term, r.op) for r in index_delta(old, new).collect()}
+        assert ops == {
+            ("b", "q", "del"), ("b", "r", "add"),
+            ("c", "gone", "del"), ("c", "words", "del"),
+            ("d", "fresh", "add"), ("d", "page", "add"),
+        }
+        # the unchanged doc contributes nothing, and the plan prunes it
+        # BEFORE tokenization (semi-join under the explode)
+        plan = index_delta(old, new)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "LeftSemi" in plan
