@@ -598,6 +598,45 @@ def q_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
                          salt="clsplit")
 
 
+def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The leakage AUDIT that justifies cluster_split: count LSH
+    near-dup pairs whose members landed in DIFFERENT splits under (a)
+    per-document hash splitting and (b) cluster-hashed splitting.
+    Per-doc hashing strands twins across train/val (a positive count —
+    the contamination eval suites suffer from); cluster hashing is
+    leakage-free BY CONSTRUCTION, and its row here must be 0.  One
+    extra skinny join per method on top of the existing candidates +
+    clusters plans."""
+    from ocr_spark.operators.corpus import cluster_split, data_split
+    from ocr_spark.operators.dedup import (lsh_candidate_pairs,
+                                           near_dup_clusters)
+
+    docs = _docs_with_near_dups(spark, sf_dir)
+    pairs = lsh_candidate_pairs(docs, "doc_id", "text",
+                                n_hashes=16, bands=8, shingle_k=3,
+                                hash_mode="md5_affine")
+    naive = data_split(docs, SPLIT_SHARES).select("doc_id", "split")
+    clusters = near_dup_clusters(docs, "doc_id", "text",
+                                 n_hashes=16, bands=8, shingle_k=3,
+                                 hash_mode="md5_affine")
+    safe = cluster_split(clusters, SPLIT_SHARES, "cluster_id",
+                         salt="clsplit").select("doc_id", "split")
+
+    def cross(splits: DataFrame, method: str) -> DataFrame:
+        a = splits.withColumnsRenamed({"doc_id": "id_a", "split": "s_a"})
+        b = splits.withColumnsRenamed({"doc_id": "id_b", "split": "s_b"})
+        return (pairs.join(a, "id_a").join(b, "id_b")
+                .agg(F.lit(method).alias("method"),
+                     F.sum(F.when(F.col("s_a") != F.col("s_b"), 1)
+                           .otherwise(0)).cast("long")
+                     .alias("n_cross_split_pairs"),
+                     F.count(F.lit(1)).cast("long").alias("n_pairs")))
+
+    return (cross(naive, "doc_hash")
+            .unionByName(cross(safe, "cluster_hash"))
+            .orderBy("method"))
+
+
 def q_cluster_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keep-best-per-cluster: the near-dup clusters of q_dedup_clusters
     reduced to one representative each — the LONGEST member (ties ->
@@ -3369,6 +3408,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_jaccard": q_lsh_jaccard,
         "dedup_clusters": q_dedup_clusters,
         "cluster_split": q_cluster_split,
+        "split_leakage": q_split_leakage,
         "cluster_best": q_cluster_best,
         "simhash_near_dup": q_simhash_near_dup,
         "embed_near_dup": q_embed_near_dup,
@@ -5188,6 +5228,59 @@ def oracle_sql() -> dict[str, str]:
                    "('0x' || substr(md5('clsplit|' || cluster_id::VARCHAR),"
                    " 1, 15))::BIGINT")} AS split
         FROM assign
+        """,
+        # the leakage audit: same candidates + closure; per-doc vs
+        # per-cluster split hashes, cross-split pairs counted per method
+        "split_leakage": near_dup_union.replace(
+            "WITH base AS", "WITH RECURSIVE base AS", 1
+        ) + f"""
+        , tok AS (SELECT doc_id, text, {toks} AS toksl FROM base)
+        , sh AS (SELECT doc_id, {shingles_col} AS shl FROM tok)
+        {aff_banded('FROM sh WHERE len(shl) > 0')}, cand AS (
+          SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+          FROM banded l JOIN banded r
+            ON l.band = r.band AND l.band_sig = r.band_sig
+           AND l.doc_id < r.doc_id
+        ), edges AS (
+          SELECT id_a AS s, id_b AS d FROM cand
+          UNION
+          SELECT id_b AS s, id_a AS d FROM cand
+        ), reach(node, x) AS (
+          SELECT s, s FROM edges
+          UNION
+          SELECT reach.node, e.d FROM reach JOIN edges e ON reach.x = e.s
+        ), labels AS (
+          SELECT node, min(x) AS cluster_id FROM reach GROUP BY node
+        ), assign AS (
+          SELECT b.doc_id, coalesce(l.cluster_id, b.doc_id) AS cluster_id
+          FROM base b LEFT JOIN labels l ON b.doc_id = l.node
+        ), naive AS (
+          SELECT doc_id,
+            {_cluster_split_case(
+                "('0x' || substr(md5('split|' || doc_id::VARCHAR),"
+                " 1, 15))::BIGINT")} AS split
+          FROM base
+        ), safe AS (
+          SELECT doc_id,
+            {_cluster_split_case(
+                "('0x' || substr(md5('clsplit|' || cluster_id::VARCHAR),"
+                " 1, 15))::BIGINT")} AS split
+          FROM assign
+        )
+        SELECT 'doc_hash' AS method,
+          CAST(sum(CASE WHEN a.split <> b.split THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_cross_split_pairs,
+          CAST(count(*) AS BIGINT) AS n_pairs
+        FROM cand JOIN naive a ON a.doc_id = id_a
+                  JOIN naive b ON b.doc_id = id_b
+        UNION ALL
+        SELECT 'cluster_hash',
+          CAST(sum(CASE WHEN a.split <> b.split THEN 1 ELSE 0 END)
+               AS BIGINT),
+          CAST(count(*) AS BIGINT)
+        FROM cand JOIN safe a ON a.doc_id = id_a
+                  JOIN safe b ON b.doc_id = id_b
+        ORDER BY method
         """,
         # keep-best representative: same closure, argmax(len, -id) per
         # cluster
