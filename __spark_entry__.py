@@ -2324,6 +2324,35 @@ def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits(edges, n_iter=2).orderBy("node")
 
 
+def q_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over a SPARSE deterministic link graph
+    (only ids with id % 5 < 2 emit their quadratic-map edge, so the
+    graph fragments into many components plus singletons) — the
+    site-cluster / mirror-farm grouping pass, reusing the SAME
+    large-star/small-star iteration the dedup clusterer runs
+    (operators/dedup.py:connected_components); component sizes via
+    groupBy count (never a window over the component id)."""
+    from ocr_spark.operators.dedup import connected_components
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    m = docs.agg((F.max("doc_id") + F.lit(1)).alias("m"))
+    cand = (docs.filter(F.col("doc_id") % 5 < 2)
+            .crossJoin(F.broadcast(m))
+            .select("doc_id",
+                    ((F.col("doc_id") * F.col("doc_id") + 1) % F.col("m"))
+                    .alias("k1")))
+    dsts = docs.select(F.col("doc_id").alias("dst"))
+    edges = (cand.join(dsts, cand.k1 == dsts.dst)
+             .select(F.col("doc_id").alias("id_a"), F.col("dst").alias("id_b"))
+             .filter(F.col("id_a") != F.col("id_b")))
+    cc = connected_components(edges, nodes=docs, key_col="doc_id")
+    sizes = cc.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("component_size"))
+    return (cc.join(sizes, "cluster_id")
+            .select("doc_id", "cluster_id", "component_size")
+            .orderBy("doc_id"))
+
+
 def q_graph_prior(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Web-graph quality prior, composed end-to-end from the new web
     operators: pages (each document hosted on site{id%20}, carrying
@@ -3485,6 +3514,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdx_index": q_cdx_index,
         "pagerank": q_pagerank,
         "hits": q_hits,
+        "graph_components": q_graph_components,
         "graph_prior": q_graph_prior,
         "media_decode": q_media_decode,
         "exif": q_exif,
@@ -6332,6 +6362,41 @@ def oracle_sql() -> dict[str, str]:
                         JOIN deg ON deg.src = e.src
                    GROUP BY e.dst) s ON s.node = n.node)
           SELECT node AS doc_id, round(r, 9) AS pr FROM r3 ORDER BY doc_id
+        """,
+        # components over the sparse quadratic-map subgraph: min
+        # reachable id via recursive closure, singletons label
+        # themselves, sizes by group count
+        "graph_components": """
+          WITH RECURSIVE mm AS (SELECT max(doc_id) + 1 AS m FROM documents),
+          e0 AS (
+            SELECT c.doc_id AS s,
+                   (c.doc_id * c.doc_id + 1) % (SELECT m FROM mm) AS d
+            FROM documents c WHERE c.doc_id % 5 < 2),
+          e1 AS (
+            SELECT e0.s, e0.d FROM e0
+            JOIN documents t ON t.doc_id = e0.d
+            WHERE e0.s <> e0.d),
+          edges AS (
+            SELECT s, d FROM e1
+            UNION
+            SELECT d AS s, s AS d FROM e1),
+          reach(node, x) AS (
+            SELECT s, s FROM edges
+            UNION
+            SELECT reach.node, e.d FROM reach JOIN edges e ON reach.x = e.s
+          ),
+          labels AS (
+            SELECT node, min(x) AS cluster_id FROM reach GROUP BY node),
+          assign AS (
+            SELECT dd.doc_id,
+                   coalesce(l.cluster_id, dd.doc_id) AS cluster_id
+            FROM documents dd LEFT JOIN labels l ON dd.doc_id = l.node),
+          sz AS (
+            SELECT cluster_id, CAST(count(*) AS BIGINT) AS component_size
+            FROM assign GROUP BY cluster_id)
+          SELECT a.doc_id, a.cluster_id, sz.component_size
+          FROM assign a JOIN sz USING (cluster_id)
+          ORDER BY a.doc_id
         """,
         # HITS: same quadratic-map graph; 2 un-normalized iterations
         # unrolled — every score is an exact integer path count
