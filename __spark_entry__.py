@@ -1135,6 +1135,29 @@ def q_lang_id_cjk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_search_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search-key normalization: accented/cased/punctuated titles
+    (six deterministic spelling families prepended to underscore-joined
+    tokens) fold to canonical [a-z0-9 ] keys through the CLOSED
+    translate table — 'Café' and 'cafe' produce one key, so anchor/
+    title dedup and lookup joins work across spellings
+    (functions/text.py:search_key)."""
+    from ocr_spark.functions.text import search_key, tokens
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    variants = F.array(*[F.lit(v) for v in
+                         ["Café ", "À LA ", "SEÑOR ", "naïve ",
+                          "Zürich-", "plain "]])
+    raw = F.concat(
+        F.element_at(variants, (F.col("doc_id") % 6 + 1).cast("int")),
+        F.array_join(F.slice(tokens("text"), 1, 3), "_"),
+    )
+    return docs.select(
+        "doc_id", raw.alias("raw_title"),
+        search_key(raw).alias("key"),
+    ).orderBy("doc_id")
+
+
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ocr_spark.functions.text import fingerprint
 
@@ -3460,6 +3483,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "lang_id_cjk": q_lang_id_cjk,
         "fingerprint": q_fingerprint,
+        "search_keys": q_search_keys,
         "token_count": q_token_count,
         "chunk_text": q_chunk_text,
         "chunk_tokens": q_chunk_tokens,
@@ -4200,6 +4224,32 @@ def _varint_sql(x: str) -> str:
     whens = " ".join(f"WHEN {x} < {1 << (7 * i)} THEN {i}"
                      for i in range(1, 8))
     return f"(CASE {whens} ELSE 8 END)"
+
+
+def _search_keys_sql() -> str:
+    """DuckDB twin of q_search_keys: identical variant literals, the
+    identical fold table imported from the engine (one source of
+    truth), same lower -> translate -> collapse-to-space -> trim."""
+    from ocr_spark.functions.text import _FOLD_DST, _FOLD_SRC
+
+    toks = "string_split_regex(trim(text), '\\s+')"
+    variants = ("['Café ', 'À LA ', 'SEÑOR ', 'naïve ', 'Zürich-', "
+                "'plain ']")
+    return f"""
+      WITH t AS (
+        SELECT doc_id,
+          {variants}[CAST(doc_id % 6 + 1 AS INT)]
+            || array_to_string(
+                 (CASE WHEN len(trim(text)) = 0
+                  THEN CAST([] AS VARCHAR[]) ELSE {toks} END)[1:3], '_')
+            AS raw_title
+        FROM documents)
+      SELECT doc_id, raw_title,
+        trim(regexp_replace(
+          translate(lower(raw_title), '{_FOLD_SRC}', '{_FOLD_DST}'),
+          '[^a-z0-9]+', ' ', 'g')) AS key
+      FROM t ORDER BY doc_id
+    """
 
 
 def _cluster_split_case(hash_sql: str) -> str:
@@ -5696,6 +5746,9 @@ def oracle_sql() -> dict[str, str]:
             "CAST(64 + (doc_id * 7) % 512 AS INT) AS height, "
             "1 AS n_frames, 'ok' AS status FROM documents"
         ),
+        # search keys: the same closed fold table interpolated into
+        # translate(); both engines lower -> translate -> collapse
+        "search_keys": _search_keys_sql(),
         # EXIF: every builder field is a closed-form function of doc_id
         # (the parser's endian/offset work is what the equality tests)
         "exif": """

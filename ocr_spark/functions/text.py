@@ -23,6 +23,7 @@ __all__ = [
     "HAN_RANGES", "HANGUL_RANGES", "KANA_RANGES",
     "ARABIC_RANGES", "CYRILLIC_RANGES", "DEVANAGARI_RANGES",
     "UK_ONLY_CHARS", "UR_ONLY_CHARS", "FA_ONLY_CHARS",
+    "search_key",
 ]
 
 # Unicode script ranges for the script-detection paths (closed,
@@ -353,3 +354,27 @@ def sentences(col: str | Column) -> Column:
         F.transform(segs, lambda s: F.trim(s)),
         lambda s: F.length(s) > 0,
     )
+
+
+# Closed Latin-1/Latin-Extended fold table (lowercase forms; lower()
+# runs first so uppercase accents fold through their lowercase twin).
+# Deliberately NOT unicodedata NFKD: a closed literal table behaves
+# identically on every engine and never shifts with a unicode-data
+# update.
+_FOLD_SRC = "áàâäãåāéèêëēíìîïīóòôöõøōúùûüūçñýÿž"
+_FOLD_DST = "aaaaaaaeeeeeiiiiiooooooouuuuucnyyz"
+
+
+def search_key(col: str | Column) -> Column:
+    """Index/search-key normalization: lowercase, fold common Latin
+    diacritics through the closed ``_FOLD_SRC``/``_FOLD_DST`` translate
+    table, collapse every non-[a-z0-9] run to a single space, trim.
+    'Café au Lait!' and 'cafe au lait' produce the SAME key — the
+    equality that makes title/anchor dedup and lookup joins work
+    across accent/case/punctuation spellings.  Characters outside the
+    fold table (CJK, Cyrillic, ß, ...) collapse to the space class —
+    documented: this is a LATIN search key; other scripts route
+    through their own analyzers.  Pure per-row JVM expressions."""
+    c = F.col(col) if isinstance(col, str) else col
+    folded = F.translate(F.lower(c), _FOLD_SRC, _FOLD_DST)
+    return F.trim(F.regexp_replace(folded, "[^a-z0-9]+", " "))

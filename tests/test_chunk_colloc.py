@@ -137,3 +137,19 @@ class TestPlanShape:
                 ._jdf.queryExecution().executedPlan().toString())
         assert "BroadcastHashJoin" in plan
         assert "CartesianProduct" not in plan
+
+
+def test_search_key_folding_and_collapse(spark):
+    from ocr_spark.functions.text import search_key
+
+    rows = [(1, "Café au Lait!"), (2, "cafe   au,lait"),
+            (3, "ZÜRICH—naïve"), (4, "  señor-123 "), (5, ""),
+            (6, "日本語 only")]
+    df = spark.createDataFrame(rows, "id long, s string")
+    got = {r.id: r.k for r in
+           df.select("id", search_key("s").alias("k")).collect()}
+    assert got[1] == got[2] == "cafe au lait"     # the point: one key
+    assert got[3] == "zurich naive"
+    assert got[4] == "senor 123"
+    assert got[5] == ""
+    assert got[6] == "only"                       # non-Latin collapses
