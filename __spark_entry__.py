@@ -817,6 +817,35 @@ def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 # threshold chosen so the certified drop population is non-trivial at
 # both parity scales (14/500 dropped at sf0.01, 235/2000 at sf0.1; 0.5
 # drops zero rows at sf0.01 and the gate would certify nothing)
+def q_pq_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ quantization-error report: every vector's squared L2
+    distance to its own code reconstruction (Σ_j round6-sqdist of
+    subvector j to its chosen centroid) — the calibration signal that
+    says whether the 32x compression is hurting retrieval before you
+    ship the codes.  Zero shuffle: the per-subspace distances are the
+    SAME expressions pq_encode minimizes, re-emitted for the argmin
+    instead of discarded."""
+    from ocr_spark.operators.similarity import (_sq_dist, pq_codebooks,
+                                                pq_encode)
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    books = pq_codebooks(dim=64, m=8, k=8, seed=13)
+    sub = 64 // len(books)
+    enc = pq_encode(emb, books, keep_cols=("embedding",))
+    err = None
+    for j, book in enumerate(books):
+        piece = F.slice(F.col("embedding"), j * sub + 1, sub)
+        dj = F.lit(None).cast("double")
+        for cid, cvec in enumerate(book):
+            d = F.round(_sq_dist(
+                piece, F.array(*[F.lit(float(x)) for x in cvec])), 6)
+            dj = F.when(F.col(f"code_{j}") == cid, d).otherwise(dj)
+        err = dj if err is None else err + dj
+    return enc.select(
+        "vec_id", F.round(err, 6).alias("sq_err")
+    ).orderBy("vec_id")
+
+
 SEMDEDUP_THRESHOLD = 0.4
 
 
@@ -3472,6 +3501,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_ivfpq": q_ann_topk_ivfpq,
         "semantic_dedup": q_semantic_dedup,
         "pq_encode": q_pq_encode,
+        "pq_error": q_pq_error,
         "text_stats": q_text_stats,
         "repetition_stats": q_repetition_stats,
         "quality_filter": q_quality_filter,
@@ -3901,6 +3931,40 @@ def _ann_topk_ivfpq_sql() -> str:
         FROM adc)
       SELECT query_id, neighbor_id, adc_dist, rank
       FROM ranked WHERE rank <= 5
+    """
+
+
+def _pq_error_sql() -> str:
+    """DuckDB twin of q_pq_error: the chosen code's distance IS the
+    per-subspace round-6 minimum, summed in explicit j order (the same
+    left-to-right addition as the engine's expression chain)."""
+    from ocr_spark.operators.similarity import pq_codebooks
+
+    books = pq_codebooks(dim=64, m=8, k=8, seed=13)
+    m = len(books)
+    sub = 64 // m
+    rows = ", ".join(
+        "(%d, %d, [%s]::DOUBLE[])"
+        % (j, cid, ", ".join(repr(x) for x in cvec))
+        for j, book in enumerate(books)
+        for cid, cvec in enumerate(book)
+    )
+    dist = (f"list_sum(list_transform(range(1, {sub + 1}), i -> "
+            f"(e.emb[c.j * {sub} + i] - c.cvec[i]) "
+            f"* (e.emb[c.j * {sub} + i] - c.cvec[i])))")
+    wides = ", ".join(
+        f"max(CASE WHEN j = {j} THEN dj END) AS d{j}" for j in range(m))
+    total = " + ".join(f"d{j}" for j in range(m))
+    return f"""
+      WITH cb(j, cid, cvec) AS (VALUES {rows}),
+      e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+      d AS (
+        SELECT e.vec_id, c.j, round({dist}, 6) AS dd
+        FROM e CROSS JOIN cb c),
+      mins AS (SELECT vec_id, j, min(dd) AS dj FROM d GROUP BY vec_id, j),
+      wide AS (SELECT vec_id, {wides} FROM mins GROUP BY vec_id)
+      SELECT vec_id, round({total}, 6) AS sq_err
+      FROM wide ORDER BY vec_id
     """
 
 
@@ -5493,6 +5557,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk_ivfpq": _ann_topk_ivfpq_sql(),
         "semantic_dedup": _semantic_dedup_sql(),
         "pq_encode": _pq_encode_sql(),
+        "pq_error": _pq_error_sql(),
         "embed_near_dup": f"""
           SELECT l.vec_id AS id_a, r.vec_id AS id_b,
                  round(list_dot_product(l.embedding::DOUBLE[], r.embedding::DOUBLE[])

@@ -44,7 +44,7 @@ BENCH_QUERIES = [
     "lsh_jaccard", "dedup_clusters", "cluster_split", "split_leakage",
     "simhash_near_dup", "embed_near_dup",
     "embed_near_dup_lsh", "span_qa", "cosine_topk", "ann_topk", "ann_topk_ivf",
-    "semantic_dedup", "pq_encode", "ann_topk_ivfpq",
+    "semantic_dedup", "pq_encode", "pq_error", "ann_topk_ivfpq",
     "text_stats", "repetition_stats", "quality_filter", "pii_scrub",
     "mojibake_fix",
     "lang_id", "lang_id_cjk", "fingerprint", "search_keys", "token_count",
