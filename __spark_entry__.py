@@ -1375,6 +1375,17 @@ def q_posting_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("term")
 
 
+def q_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword-in-context snippets for the term 'spark' (±3 tokens) —
+    the per-hit display surface a BM25 stack pairs with its ranking;
+    zero shuffle, docs without the term emit nothing
+    (operators/index.py:kwic_snippets)."""
+    from ocr_spark.operators.index import kwic_snippets
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return kwic_snippets(docs, "spark", window=3).orderBy("doc_id", "pos")
+
+
 def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-(lang, source) corpus card (operators/index.py): one
     aggregate over (group, n_tokens) int rows — doc counts, token
@@ -3527,6 +3538,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unicode_clean": q_unicode_clean,
         "postings": q_postings,
         "posting_deltas": q_posting_deltas,
+        "snippets": q_snippets,
         "corpus_stats": q_corpus_stats,
         "crawl_delta": q_crawl_delta,
         "index_delta": q_index_delta,
@@ -6124,6 +6136,25 @@ def oracle_sql() -> dict[str, str]:
           FROM ex WHERE term IN (SELECT term FROM keep)
           GROUP BY term, doc_id
           ORDER BY term, doc_id
+        """,
+        # KWIC: positions by filtered index range, bounded inclusive
+        # slice — identical 1-based arithmetic in both engines
+        "snippets": f"""
+          WITH tok AS (
+            SELECT doc_id,
+              CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+                   ELSE {toks} END AS tl
+            FROM documents),
+          pos AS (
+            SELECT doc_id, tl,
+              unnest(list_filter(range(1, len(tl) + 1),
+                     i -> tl[i] = 'spark')) AS p
+            FROM tok)
+          SELECT doc_id, CAST(p - 1 AS INT) AS pos,
+            array_to_string(
+              tl[greatest(p - 3, 1):least(p + 3, len(tl))], ' ')
+              AS snippet
+          FROM pos ORDER BY doc_id, pos
         """,
         # d-gap stats: the oracle runs the NAIVE single lag() window
         # the engine's doc-range-sharded two-phase form provably

@@ -51,7 +51,7 @@ BENCH_QUERIES = [
     "chunk_text", "chunk_tokens", "collocations", "bpe_pairs",
     "table_extract", "html_markdown", "wet_export", "wat_export",
     "bigram_lm", "readability", "unicode_clean",
-    "postings", "posting_deltas", "corpus_stats", "crawl_delta", "index_delta",
+    "postings", "posting_deltas", "snippets", "corpus_stats", "crawl_delta", "index_delta",
     "capture_history",
     "asof_join", "range_join", "bm25", "doc_attributes",
     "sentences", "domain_quality", "sitemap", "feed", "incremental_extract", "canonical_collapse",

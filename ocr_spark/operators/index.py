@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 from ocr_spark.functions.text import tokens
 
 __all__ = ["inverted_index", "corpus_stats", "bm25_topk", "posting_deltas",
-           "tfidf_cosine_pairs", "index_delta"]
+           "tfidf_cosine_pairs", "index_delta", "kwic_snippets"]
 
 
 def inverted_index(df: DataFrame, text_col: str = "text",
@@ -358,5 +358,43 @@ def index_delta(old: DataFrame, new: DataFrame, key_col: str = "url",
             "key", "term",
             F.when(F.col("_o").isNull(), F.lit("add"))
             .otherwise(F.lit("del")).alias("op"),
+        )
+    )
+
+
+def kwic_snippets(df: DataFrame, term: str, window: int = 3,
+                  key_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Keyword-in-context snippets: for every occurrence of ``term``,
+    the ±``window``-token neighborhood — what a retrieval stack shows
+    under each BM25 hit, and what an annotation pipeline extracts as
+    candidate spans around a seed term.
+
+    One row per occurrence: ``(key, pos, snippet)`` with ``pos`` the
+    0-based token index.  Entirely per-row JVM array work (tokenize
+    once, positions via a filtered index sequence, snippet via a
+    bounded slice + join) — zero shuffle, no explode of non-matching
+    docs (docs without the term emit nothing via the posexplode of an
+    empty positions array)."""
+    toks = tokens(text_col)
+    n = F.size(toks)
+    # try_element_at: NULL (never an ANSI index error) on the padded
+    # index the greatest() guard leaves for empty docs; NULL == term
+    # is NULL, which filter() drops — empty docs emit nothing
+    hits = F.filter(
+        F.sequence(F.lit(1), F.greatest(n, F.lit(1))),
+        lambda i: F.try_element_at(toks, i) == term,
+    )
+    start = F.greatest(F.col("_p") - window, F.lit(1))
+    stop = F.least(F.col("_p") + window, F.col("_n"))
+    return (
+        df.select(F.col(key_col), toks.alias("_t"), n.alias("_n"),
+                  F.explode(hits).alias("_p"))
+        .select(
+            key_col,
+            (F.col("_p") - 1).cast("int").alias("pos"),
+            F.array_join(
+                F.slice(F.col("_t"), start, stop - start + 1), " ",
+            ).alias("snippet"),
         )
     )

@@ -334,3 +334,22 @@ class TestIndexDelta:
         plan = index_delta(old, new)._jdf.queryExecution() \
             .executedPlan().toString()
         assert "LeftSemi" in plan
+
+
+class TestKwicSnippets:
+    def test_occurrences_edges_and_absence(self, spark):
+        from ocr_spark.operators.index import kwic_snippets
+
+        df = spark.createDataFrame(
+            [(1, "hit a b c hit d"),      # at position 0 and 4
+             (2, "no match here"),
+             (3, "hit"),                  # single-token doc
+             (4, "")],
+            "doc_id long, text string")
+        rows = {(r.doc_id, r.pos): r.snippet
+                for r in kwic_snippets(df, "hit", window=2).collect()}
+        assert rows == {
+            (1, 0): "hit a b",            # left edge clamps
+            (1, 4): "b c hit d",          # right edge clamps
+            (3, 0): "hit",
+        }
