@@ -1221,6 +1221,33 @@ def q_chunk_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "chunk_id")
 
 
+def q_sections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heading-aware section splitting: every doc becomes a two-heading
+    markdown page ('# T<id>' + first 8 tokens, '## Sec2' + tokens
+    9-16), and every 3rd doc adds PRE-heading intro content that must
+    come back as section 0 with a NULL heading
+    (operators/chunk.py:split_sections)."""
+    from ocr_spark.functions.text import tokens
+    from ocr_spark.operators.chunk import split_sections
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = tokens("text")
+    pre = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(F.lit("intro "),
+                 F.coalesce(F.try_element_at(toks, F.lit(1)), F.lit("")),
+                 F.lit("\n")),
+    ).otherwise(F.lit(""))
+    md = F.concat(
+        pre, F.lit("# T"), F.col("doc_id").cast("string"), F.lit("\n"),
+        F.array_join(F.slice(toks, 1, 8), " "),
+        F.lit("\n## Sec2\n"),
+        F.array_join(F.slice(toks, 9, 8), " "),
+    )
+    pages = docs.select("doc_id", md.alias("text"))
+    return split_sections(pages).orderBy("doc_id", "section_idx")
+
+
 def q_chunk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-window chunking (LLM-context variant): same zero-shuffle
     shape over the whitespace token array, token-index offsets."""
@@ -3528,6 +3555,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": q_token_count,
         "chunk_text": q_chunk_text,
         "chunk_tokens": q_chunk_tokens,
+        "sections": q_sections,
         "collocations": q_collocations,
         "bpe_pairs": q_bpe_pairs,
         "table_extract": q_table_extract,
@@ -5883,6 +5911,31 @@ def oracle_sql() -> dict[str, str]:
                    CAST(i * {CHUNK_CHARS - CHUNK_CHARS_OVERLAP} + 1 AS INT),
                    {CHUNK_CHARS}) AS chunk
           FROM e ORDER BY doc_id, chunk_id
+        """,
+        # sections: the builder's 2 heading sections + the every-3rd
+        # NULL-heading preamble, all closed-form from the token list
+        "sections": f"""
+          WITH tok AS (
+            SELECT doc_id,
+              CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+                   ELSE {toks} END AS tl
+            FROM documents)
+          SELECT doc_id, CAST(0 AS INT) AS section_idx,
+                 CAST(NULL AS VARCHAR) AS heading,
+                 'intro ' || coalesce(tl[1], '') AS body,
+                 CAST(2 AS INT) AS n_tokens
+          FROM tok WHERE doc_id % 3 = 0
+          UNION ALL
+          SELECT doc_id, CAST(1 AS INT), '# T' || doc_id,
+                 array_to_string(tl[1:8], ' '),
+                 CAST(least(len(tl), 8) AS INT)
+          FROM tok
+          UNION ALL
+          SELECT doc_id, CAST(2 AS INT), '## Sec2',
+                 array_to_string(tl[9:16], ' '),
+                 CAST(greatest(least(len(tl), 16) - 8, 0) AS INT)
+          FROM tok
+          ORDER BY doc_id, section_idx
         """,
         "chunk_tokens": f"""
           WITH tok AS (

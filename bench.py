@@ -48,7 +48,7 @@ BENCH_QUERIES = [
     "text_stats", "repetition_stats", "quality_filter", "pii_scrub",
     "mojibake_fix",
     "lang_id", "lang_id_cjk", "fingerprint", "search_keys", "token_count",
-    "chunk_text", "chunk_tokens", "collocations", "bpe_pairs",
+    "chunk_text", "chunk_tokens", "sections", "collocations", "bpe_pairs",
     "table_extract", "html_markdown", "wet_export", "wat_export",
     "bigram_lm", "readability", "unicode_clean",
     "postings", "posting_deltas", "snippets", "corpus_stats", "crawl_delta", "index_delta",

@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 
 from ocr_spark.functions.text import tokens
 
-__all__ = ["chunk_text", "chunk_tokens"]
+__all__ = ["chunk_text", "chunk_tokens", "split_sections"]
 
 
 def _n_chunks(n_col, size: int, stride: int):
@@ -105,4 +105,57 @@ def chunk_tokens(df: DataFrame, size: int, overlap: int = 0,
         F.array_join(
             F.slice(F.col("_toks"), start + 1, F.lit(size)), " "
         ).alias("chunk"),
+    )
+
+
+def split_sections(df: DataFrame, key_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Heading-aware section splitting over markdown-shaped text (the
+    output side of structure.html_to_markdown): a section is a
+    ``#``-``######`` heading line plus everything until the next
+    heading; content BEFORE the first heading becomes section 0 with a
+    NULL heading.  This is the structure-preserving chunker RAG
+    pipelines prefer over fixed windows when the document HAS
+    structure — section boundaries are semantic, not positional.
+
+    Returns ``(key, section_idx, heading, body, n_tokens)``; body
+    preserves line order, blank-only sections keep body ''.
+
+    Scale shape: posexplode lines -> heading flag -> running heading
+    count over a PER-DOCUMENT window (bounded by doc length, same
+    discipline as cdc_chunks) -> one (key, section) hash aggregate
+    with order restored by position sort inside the collected list."""
+    from pyspark.sql import Window
+
+    from ocr_spark.functions.text import token_count
+
+    lines = df.select(
+        F.col(key_col),
+        F.posexplode(F.split(F.coalesce(F.col(text_col), F.lit("")),
+                             "\n")).alias("pos", "ln"),
+    )
+    is_h = F.col("ln").rlike(r"^#{1,6} ")
+    w = Window.partitionBy(key_col).orderBy("pos") \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sec = lines.withColumn(
+        "section_idx",
+        F.sum(F.when(is_h, 1).otherwise(0)).over(w).cast("int"),
+    ).withColumn("_h", is_h)
+    body_struct = F.when(~F.col("_h"), F.struct("pos", "ln"))
+    out = (
+        sec.groupBy(key_col, "section_idx")
+        .agg(
+            F.max(F.when(F.col("_h"), F.col("ln"))).alias("heading"),
+            F.array_join(
+                F.transform(F.array_sort(F.collect_list(body_struct)),
+                            lambda s: s["ln"]),
+                "\n",
+            ).alias("body"),
+        )
+        .withColumn("n_tokens", token_count("body"))
+    )
+    # a document with no pre-heading content emits no empty section 0:
+    # drop sections that have neither a heading nor non-blank body
+    return out.filter(
+        F.col("heading").isNotNull() | (F.length(F.trim("body")) > 0)
     )

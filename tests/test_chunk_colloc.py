@@ -153,3 +153,27 @@ def test_search_key_folding_and_collapse(spark):
     assert got[4] == "senor 123"
     assert got[5] == ""
     assert got[6] == "only"                       # non-Latin collapses
+
+
+def test_split_sections_preamble_order_and_empty_sections(spark):
+    from ocr_spark.operators.chunk import split_sections
+
+    md = ("pre line one\npre two\n"
+          "# Title\nbody a\nbody b\n"
+          "## Sub\n"                       # heading with EMPTY body
+          "### Deep\nlast")
+    df = spark.createDataFrame([(1, md), (2, "no headings at all"),
+                                (3, "")],
+                               "doc_id long, text string")
+    rows = {(r.doc_id, r.section_idx): r for r in
+            split_sections(df).collect()}
+    assert rows[(1, 0)].heading is None
+    assert rows[(1, 0)].body == "pre line one\npre two"
+    assert rows[(1, 1)].heading == "# Title"
+    assert rows[(1, 1)].body == "body a\nbody b"
+    assert rows[(1, 2)].heading == "## Sub"
+    assert rows[(1, 2)].body == ""          # kept: heading present
+    assert rows[(1, 3)].body == "last"
+    assert rows[(2, 0)].heading is None     # headingless doc: one section
+    assert rows[(2, 0)].n_tokens == 4
+    assert (3, 0) not in rows               # empty doc emits nothing
