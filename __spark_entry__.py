@@ -798,7 +798,12 @@ def q_ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 8)
     cents = ivf_centroids(dim=64, n_centroids=8, seed=7)
     books = pq_codebooks(dim=64, m=8, k=8, seed=13)
-    return ann_topk_ivfpq(queries, emb, cents, books, k=5, nprobe=2)
+    # encoder='arrow': the PRODUCTION encode kernel passes through the
+    # correctness gate itself (codes are bit-identical to the
+    # expression fold the oracle re-derives — the round-3 multi-probe
+    # lesson: don't leave the production path pytest-only)
+    return ann_topk_ivfpq(queries, emb, cents, books, k=5, nprobe=2,
+                          encoder="arrow")
 
 
 def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
