@@ -1508,6 +1508,24 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(docs, BM25_QUERY, k=10)
 
 
+def q_search_results(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The retrieval surface composed end-to-end: BM25 top-10 for the
+    fixed query joined with each hit's FIRST 'spark' KWIC snippet
+    (min_by position) — ranking + display in one plan; hits ranking on
+    the other query terms alone carry a NULL snippet (the left-join
+    contract a search API actually has)."""
+    from ocr_spark.operators.index import bm25_topk, kwic_snippets
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    hits = bm25_topk(docs, BM25_QUERY, k=10)
+    first = (kwic_snippets(docs, "spark", window=3)
+             .groupBy("doc_id")
+             .agg(F.min_by("snippet", "pos").alias("snippet")))
+    return (hits.join(first, "doc_id", "left")
+            .select("doc_id", "score", "snippet")
+            .orderBy(F.col("score").desc(), "doc_id"))
+
+
 def q_crawl_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot diff (operators/snapshot.py): documents vs a
     deterministically mutated twin (every 13th removed, every
@@ -3579,6 +3597,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "range_join": q_range_join,
         "bm25": q_bm25,
+        "search_results": q_search_results,
         "doc_attributes": q_doc_attributes,
         "sentences": q_sentences,
         "domain_quality": q_domain_quality,
@@ -6299,6 +6318,58 @@ def oracle_sql() -> dict[str, str]:
                   for i in range(len(BM25_QUERY)))}, 6) AS score
           FROM lens l JOIN tfs USING (doc_id), st
           ORDER BY score DESC, l.doc_id LIMIT 10
+        """,
+        # search composition: the bm25 oracle's ranking left-joined
+        # with the first-'spark'-occurrence snippet
+        "search_results": f"""
+          WITH tok AS (
+            SELECT doc_id,
+              CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+                   ELSE {toks} END AS tl
+            FROM documents),
+          lens AS (SELECT doc_id, len(tl) AS dl FROM tok),
+          ex AS (
+            SELECT doc_id, t AS term
+            FROM (SELECT doc_id, unnest(tl) AS t FROM tok)
+            WHERE t IN ({", ".join(f"'{t}'" for t in BM25_QUERY)})),
+          tfs AS (
+            SELECT doc_id,
+              {", ".join(f"sum(CASE WHEN term = '{t}' THEN 1 ELSE 0 END)"
+                         f" AS tf_{i}" for i, t in enumerate(BM25_QUERY))}
+            FROM ex GROUP BY doc_id),
+          st AS (
+            SELECT (SELECT count(*) FROM lens) AS n_docs,
+                   (SELECT avg(dl) FROM lens) AS avgdl,
+              {", ".join(
+                  f"(SELECT count(DISTINCT CASE WHEN term = '{t}' "
+                  f"THEN doc_id END) FROM ex) AS df_{i}"
+                  for i, t in enumerate(BM25_QUERY))}),
+          ranked AS (
+            SELECT l.doc_id,
+              round(0.0
+                {" ".join(
+                    f"+ ln((n_docs - df_{i} + 0.5) / (df_{i} + 0.5) + 1)"
+                    f" * (CAST(tf_{i} AS DOUBLE) * 2.2"
+                    f" / (CAST(tf_{i} AS DOUBLE)"
+                    f" + 1.2 * (0.25 + 0.75 * l.dl / avgdl)))"
+                    for i in range(len(BM25_QUERY)))}, 6) AS score
+            FROM lens l JOIN tfs USING (doc_id), st
+            ORDER BY score DESC, l.doc_id LIMIT 10),
+          firstpos AS (
+            SELECT doc_id, min(p) AS p FROM (
+              SELECT doc_id,
+                unnest(list_filter(range(1, len(tl) + 1),
+                       i -> tl[i] = 'spark')) AS p
+              FROM tok) GROUP BY doc_id),
+          snip AS (
+            SELECT f.doc_id,
+              array_to_string(
+                t.tl[greatest(f.p - 3, 1):least(f.p + 3, len(t.tl))],
+                ' ') AS snippet
+            FROM firstpos f JOIN tok t USING (doc_id))
+          SELECT r.doc_id, r.score, s.snippet
+          FROM ranked r LEFT JOIN snip s USING (doc_id)
+          ORDER BY r.score DESC, r.doc_id
         """,
         # snapshot diff: status re-derived from the mutation rules
         # (13 wins over 7 because removal drops the key entirely)

@@ -53,7 +53,7 @@ BENCH_QUERIES = [
     "bigram_lm", "readability", "unicode_clean",
     "postings", "posting_deltas", "snippets", "corpus_stats", "crawl_delta", "index_delta",
     "capture_history",
-    "asof_join", "range_join", "bm25", "doc_attributes",
+    "asof_join", "range_join", "bm25", "search_results", "doc_attributes",
     "sentences", "domain_quality", "sitemap", "feed", "incremental_extract", "canonical_collapse",
     "lm_score", "tfidf", "ccnet_buckets", "stratified_sample", "epoch_mix",
     "dsir_select", "cluster_best", "weighted_sample", "epoch_shuffle",
