@@ -2965,6 +2965,24 @@ def q_events_sessionless_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily activity rollup — the date-expression family (to_date /
+    hour field extraction on NTZ timestamps, both timezone-free) the
+    contract lacked: events and distinct users per (day, type) with
+    the first/last active hour.  One hash-agg shuffle."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.to_date("ts").alias("day"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.min(F.hour("ts")).alias("first_hour"),
+            F.max(F.hour("ts")).alias("last_hour"),
+        )
+        .orderBy("day", "event_type")
+    )
+
+
 def q_crawl_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-host Crawl-delay extraction (the de-facto politeness
     directive RFC 9309 leaves out): 50 synthetic hosts publish robots
@@ -3647,6 +3665,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_extract": q_json_extract,
         "running_window": q_events_sessionless_window,
         "trailing_window": q_trailing_window,
+        "daily_events": q_daily_events,
         "sessionize": q_sessionize,
         "hll_count": q_hll_count,
         "percentiles": q_percentiles,
@@ -6854,6 +6873,15 @@ def oracle_sql() -> dict[str, str]:
                  WHEN hid % 4 = 1 THEN 120
                  ELSE 60 END AS INT) AS max_per_minute
           FROM h ORDER BY host
+        """,
+        "daily_events": """
+          SELECT CAST(ts AS DATE) AS day, event_type,
+            CAST(count(*) AS BIGINT) AS n_events,
+            CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+            CAST(min(hour(ts)) AS INT) AS first_hour,
+            CAST(max(hour(ts)) AS INT) AS last_hour
+          FROM events GROUP BY day, event_type
+          ORDER BY day, event_type
         """,
         # RANGE frame over epoch SECONDS (floor matches Spark's
         # timestamp->long truncation); integer aggregates only
