@@ -2965,6 +2965,43 @@ def q_events_sessionless_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-source length-outlier detection (median/MAD, the
+    distribution-free alternative to mean/stddev that one spam blob
+    can't drag): per source, the exact interpolated token-count median,
+    the median absolute deviation, and how many docs sit beyond
+    3 x 1.4826 x MAD (the Gaussian-consistent robust z).  Every 19th
+    doc's length is inflated 20x so the oracle certifies a NON-ZERO
+    outlier population (an all-zero column proves nothing about the
+    threshold).  Two skinny grouped percentile aggregates with
+    broadcast join-backs — the corpus never re-shuffles wide."""
+    from ocr_spark.functions.text import token_count
+
+    per = _t(spark, sf_dir, "documents").select(
+        "source",
+        (token_count("text")
+         * F.when(F.col("doc_id") % 19 == 0, 20).otherwise(1))
+        .cast("long").alias("n"))
+    med = per.groupBy("source").agg(
+        F.expr("percentile(n, 0.5)").alias("med"))
+    j = per.join(F.broadcast(med), "source") \
+        .withColumn("ad", F.abs(F.col("n") - F.col("med")))
+    mad = j.groupBy("source").agg(
+        F.expr("percentile(ad, 0.5)").alias("mad"))
+    out = (
+        j.join(F.broadcast(mad), "source")
+        .groupBy("source")
+        .agg(
+            F.round(F.first("med"), 6).alias("med_tokens"),
+            F.round(F.first("mad"), 6).alias("mad_tokens"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("ad") > 3 * 1.4826 * F.col("mad"), 1)
+                  .otherwise(0)).cast("long").alias("n_outliers"),
+        )
+    )
+    return out.orderBy("source")
+
+
 def q_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily activity rollup — the date-expression family (to_date /
     hour field extraction on NTZ timestamps, both timezone-free) the
@@ -3666,6 +3703,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "running_window": q_events_sessionless_window,
         "trailing_window": q_trailing_window,
         "daily_events": q_daily_events,
+        "length_outliers": q_length_outliers,
         "sessionize": q_sessionize,
         "hll_count": q_hll_count,
         "percentiles": q_percentiles,
@@ -6873,6 +6911,36 @@ def oracle_sql() -> dict[str, str]:
                  WHEN hid % 4 = 1 THEN 120
                  ELSE 60 END AS INT) AS max_per_minute
           FROM h ORDER BY host
+        """,
+        # median/MAD outliers: quantile_cont == Spark's interpolated
+        # percentile (the corpus_stats precedent); the 3*1.4826*mad
+        # threshold is the same double product on both sides
+        "length_outliers": f"""
+          WITH per AS (
+            SELECT source,
+              CAST((CASE WHEN len(trim(text)) = 0 THEN 0
+                    ELSE len({toks}) END)
+                   * (CASE WHEN doc_id % 19 = 0 THEN 20 ELSE 1 END)
+                   AS BIGINT) AS n
+            FROM documents),
+          med AS (
+            SELECT source, quantile_cont(n, 0.5) AS med
+            FROM per GROUP BY source),
+          j AS (
+            SELECT per.source, per.n, med.med,
+                   abs(per.n - med.med) AS ad
+            FROM per JOIN med USING (source)),
+          mad AS (
+            SELECT source, quantile_cont(ad, 0.5) AS mad
+            FROM j GROUP BY source)
+          SELECT j.source,
+            round(any_value(j.med), 6) AS med_tokens,
+            round(any_value(mad.mad), 6) AS mad_tokens,
+            CAST(count(*) AS BIGINT) AS n_docs,
+            CAST(sum(CASE WHEN j.ad > 3 * 1.4826 * mad.mad
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+          FROM j JOIN mad USING (source)
+          GROUP BY j.source ORDER BY j.source
         """,
         "daily_events": """
           SELECT CAST(ts AS DATE) AS day, event_type,

@@ -67,7 +67,7 @@ BENCH_QUERIES = [
     "pricing_summary", "top_customers", "regional_revenue",
     "customers_no_orders", "setop_except", "json_extract",
     "running_window", "trailing_window", "daily_events", "sessionize",
-    "hll_count", "percentiles", "rollup_metrics", "pivot_tokens", "melt_tokens", "word_blocklist",
+    "hll_count", "percentiles", "length_outliers", "rollup_metrics", "pivot_tokens", "melt_tokens", "word_blocklist",
     "template_strip", "para_dedup",
     "cms_topk", "charset_detect", "domain_split", "revisit_policy",
     "model_score", "zipf_fit", "oov_rate",
