@@ -2965,6 +2965,42 @@ def q_events_sessionless_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SOFT404_PATTERNS = [
+    ("not_found", r"(?i)\b(404|page not found|no longer available)\b"),
+    ("denied", r"(?i)\b(access denied|forbidden|login required)\b"),
+]
+
+
+def q_soft404(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft-404 detection: pages that return HTTP 200 but carry an
+    error body are the crawl-cleaning staple status codes can't catch.
+    Every 23rd doc is salted with a not-found banner and every 29th
+    with an access-denied banner (23*29 > id range, so the classes
+    don't overlap and each is separately certified); classification is
+    the ordered SOFT404_PATTERNS word-boundary regexes — the pattern
+    LITERALS are shared with the oracle (the pii_scrub discipline), so
+    drift is impossible.  Per-row JVM regexes, zero shuffle."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    salted = docs.select(
+        "doc_id",
+        F.concat(
+            F.when(F.col("doc_id") % 23 == 0,
+                   F.lit("Error 404 page not found. ")).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 29 == 0,
+                   F.lit("Access denied: login required. "))
+            .otherwise(F.lit("")),
+            F.col("text"),
+        ).alias("t"),
+    )
+    reason = F.lit(None).cast("string")
+    for name, pat in reversed(SOFT404_PATTERNS):
+        reason = F.when(F.col("t").rlike(pat), F.lit(name)).otherwise(reason)
+    return salted.select(
+        "doc_id", reason.alias("reason"),
+        reason.isNotNull().alias("soft404"),
+    ).orderBy("doc_id")
+
+
 def q_length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust per-source length-outlier detection (median/MAD, the
     distribution-free alternative to mean/stddev that one spam blob
@@ -3704,6 +3740,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trailing_window": q_trailing_window,
         "daily_events": q_daily_events,
         "length_outliers": q_length_outliers,
+        "soft404": q_soft404,
         "sessionize": q_sessionize,
         "hll_count": q_hll_count,
         "percentiles": q_percentiles,
@@ -6911,6 +6948,27 @@ def oracle_sql() -> dict[str, str]:
                  WHEN hid % 4 = 1 THEN 120
                  ELSE 60 END AS INT) AS max_per_minute
           FROM h ORDER BY host
+        """,
+        # soft-404: identical pattern literals, identical precedence
+        "soft404": f"""
+          WITH s AS (
+            SELECT doc_id,
+              (CASE WHEN doc_id % 23 = 0
+                    THEN 'Error 404 page not found. ' ELSE '' END)
+              || (CASE WHEN doc_id % 29 = 0
+                       THEN 'Access denied: login required. ' ELSE '' END)
+              || text AS t
+            FROM documents)
+          SELECT doc_id,
+            CASE {' '.join(
+                f"WHEN regexp_matches(t, '{pat}') THEN '{name}'"
+                for name, pat in SOFT404_PATTERNS)}
+                 ELSE NULL END AS reason,
+            CASE {' '.join(
+                f"WHEN regexp_matches(t, '{pat}') THEN TRUE"
+                for name, pat in SOFT404_PATTERNS)}
+                 ELSE FALSE END AS soft404
+          FROM s ORDER BY doc_id
         """,
         # median/MAD outliers: quantile_cont == Spark's interpolated
         # percentile (the corpus_stats precedent); the 3*1.4826*mad
