@@ -2965,6 +2965,81 @@ def q_events_sessionless_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_interval_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-union coverage: each event opens a 300-second activity
+    window; overllapping windows merge into islands and each user's
+    TOTAL covered seconds is the union length — the classic
+    interval-merge that naive sum-of-durations double-counts.  The
+    island construction is the standard running-max sweep (new island
+    iff start > max end seen so far) over a PER-USER window, all
+    integer arithmetic on the tz-free epoch key.  Bounded by events
+    per user; one hash aggregate per level after the sweep."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    tsl = (
+        F.datediff(F.col("ts").cast("date"),
+                   F.to_date(F.lit("1970-01-01"))).cast("long") * 86400
+        + F.hour("ts") * 3600 + F.minute("ts") * 60 + F.second("ts")
+    )
+    t = ev.select("user_id", tsl.alias("s")) \
+        .withColumn("e", F.col("s") + 300)
+    w = Window.partitionBy("user_id").orderBy("s", "e")
+    rm = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    ni = F.when(rm.isNull() | (F.col("s") > rm), 1).otherwise(0)
+    ii = t.withColumn(
+        "island",
+        F.sum(ni).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    isl = ii.groupBy("user_id", "island").agg(
+        F.min("s").alias("a"), F.max("e").alias("b"))
+    return (
+        isl.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_islands"),
+             F.sum(F.col("b") - F.col("a")).alias("covered_s"))
+        .orderBy("user_id")
+    )
+
+
+def q_http_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 1123 HTTP date parsing (Last-Modified / Expires headers —
+    what freshness scheduling keys on): deterministic header strings
+    rebuilt from doc_id parse through to_timestamp with the Java
+    pattern, and staleness is the day difference against a literal
+    reference date.  Every 31st doc carries a malformed header that
+    must come back NULL (try-semantics, never an exception).  Per-row
+    expressions, zero shuffle."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    # weekday names must be CONSISTENT with the date for strict Java
+    # parsing: derive everything from a day offset off a known Monday
+    day = (F.col("doc_id") % 28).cast("int")           # 2024-01-01 = Monday
+    dow = F.element_at(
+        F.array(*[F.lit(d) for d in
+                  ["Mon", "Tue", "Wed", "Thu", "Fri", "Sat", "Sun"]]),
+        (day % 7 + 1).cast("int"))
+    hdr = F.when(
+        F.col("doc_id") % 31 == 0, F.lit("yesterday-ish")
+    ).otherwise(F.concat(
+        dow, F.lit(", "),
+        F.lpad((day + 1).cast("string"), 2, "0"),
+        F.lit(" Jan 2024 "),
+        F.lpad((F.col("doc_id") % 24).cast("string"), 2, "0"),
+        F.lit(":00:00 GMT"),
+    ))
+    # Spark's post-3.0 parser refuses day-of-week TEXT in parse
+    # patterns (EEE is format-only); HTTP parsers ignore the weekday
+    # anyway, so strip it and parse the rest
+    parsed = F.try_to_timestamp(
+        F.regexp_replace(hdr, r"^[A-Za-z]{3}, ", ""),
+        F.lit("dd MMM yyyy HH:mm:ss 'GMT'"))
+    return docs.select(
+        "doc_id", hdr.alias("last_modified"),
+        parsed.alias("parsed_ts"),
+        F.datediff(F.to_date(F.lit("2024-03-01")), F.to_date(parsed))
+        .alias("age_days"),
+    ).orderBy("doc_id")
+
+
 SOFT404_PATTERNS = [
     ("not_found", r"(?i)\b(404|page not found|no longer available)\b"),
     ("denied", r"(?i)\b(access denied|forbidden|login required)\b"),
@@ -3741,6 +3816,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "daily_events": q_daily_events,
         "length_outliers": q_length_outliers,
         "soft404": q_soft404,
+        "http_dates": q_http_dates,
+        "interval_union": q_interval_union,
         "sessionize": q_sessionize,
         "hll_count": q_hll_count,
         "percentiles": q_percentiles,
@@ -6948,6 +7025,62 @@ def oracle_sql() -> dict[str, str]:
                  WHEN hid % 4 = 1 THEN 120
                  ELSE 60 END AS INT) AS max_per_minute
           FROM h ORDER BY host
+        """,
+        # interval union: the same running-max sweep windows; integer
+        # epoch seconds via the tz-free floor(epoch) grid
+        "interval_union": """
+          WITH t AS (
+            SELECT user_id,
+              CAST(floor(epoch(ts)) AS BIGINT) AS s,
+              CAST(floor(epoch(ts)) AS BIGINT) + 300 AS e
+            FROM events),
+          m AS (
+            SELECT user_id, s, e,
+              max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS rm
+            FROM t),
+          i AS (
+            SELECT user_id, s, e,
+              CASE WHEN rm IS NULL OR s > rm THEN 1 ELSE 0 END AS ni
+            FROM m),
+          ii AS (
+            SELECT user_id, s, e,
+              sum(ni) OVER (PARTITION BY user_id ORDER BY s, e
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS island
+            FROM i),
+          isl AS (
+            SELECT user_id, island, min(s) AS a, max(e) AS b
+            FROM ii GROUP BY user_id, island)
+          SELECT user_id, CAST(count(*) AS BIGINT) AS n_islands,
+                 CAST(sum(b - a) AS BIGINT) AS covered_s
+          FROM isl GROUP BY user_id ORDER BY user_id
+        """,
+        # RFC1123 dates: weekday/day derived off the same known-Monday
+        # offset; try_strptime NULLs the malformed rows like
+        # try_to_timestamp
+        "http_dates": """
+          WITH h AS (
+            SELECT doc_id,
+              CASE WHEN doc_id % 31 = 0 THEN 'yesterday-ish'
+                   ELSE ['Mon','Tue','Wed','Thu','Fri','Sat','Sun']
+                          [CAST((doc_id % 28) % 7 + 1 AS INT)]
+                        || ', '
+                        || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+                        || ' Jan 2024 '
+                        || lpad(CAST(doc_id % 24 AS VARCHAR), 2, '0')
+                        || ':00:00 GMT' END AS last_modified
+            FROM documents)
+          SELECT doc_id, last_modified,
+            try_strptime(regexp_replace(last_modified,
+                         '^[A-Za-z]{3}, ', ''),
+                         '%d %b %Y %H:%M:%S GMT') AS parsed_ts,
+            CAST(date '2024-03-01'
+                 - CAST(try_strptime(regexp_replace(last_modified,
+                        '^[A-Za-z]{3}, ', ''),
+                        '%d %b %Y %H:%M:%S GMT') AS DATE)
+                 AS INT) AS age_days
+          FROM h ORDER BY doc_id
         """,
         # soft-404: identical pattern literals, identical precedence
         "soft404": f"""
