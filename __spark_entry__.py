@@ -2965,6 +2965,36 @@ def q_events_sessionless_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-step conversion funnel: per user, the first 'view' and the
+    first 'click' AT OR AFTER it — the ordered-sequence analytics ask
+    a plain type-filtered join gets wrong (clicks BEFORE any view must
+    not count).  Two skinny per-user aggregates + one broadcast-scale
+    join back; integer epoch arithmetic for the lag."""
+    ev = _t(spark, sf_dir, "events")
+    tsl = (
+        F.datediff(F.col("ts").cast("date"),
+                   F.to_date(F.lit("1970-01-01"))).cast("long") * 86400
+        + F.hour("ts") * 3600 + F.minute("ts") * 60 + F.second("ts")
+    )
+    t = ev.select("user_id", "event_type", tsl.alias("tsl"))
+    v = (t.filter(F.col("event_type") == "view")
+         .groupBy("user_id").agg(F.min("tsl").alias("first_view")))
+    c = (t.filter(F.col("event_type") == "click")
+         .join(v, "user_id")
+         .filter(F.col("tsl") >= F.col("first_view"))
+         .groupBy("user_id").agg(F.min("tsl").alias("first_click")))
+    return (
+        v.join(c, "user_id", "left")
+        .select(
+            "user_id", "first_view", "first_click",
+            F.col("first_click").isNotNull().alias("converted"),
+            (F.col("first_click") - F.col("first_view")).alias("lag_s"),
+        )
+        .orderBy("user_id")
+    )
+
+
 def q_interval_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval-union coverage: each event opens a 300-second activity
     window; overllapping windows merge into islands and each user's
@@ -3818,6 +3848,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "soft404": q_soft404,
         "http_dates": q_http_dates,
         "interval_union": q_interval_union,
+        "funnel": q_funnel,
         "sessionize": q_sessionize,
         "hll_count": q_hll_count,
         "percentiles": q_percentiles,
@@ -7025,6 +7056,23 @@ def oracle_sql() -> dict[str, str]:
                  WHEN hid % 4 = 1 THEN 120
                  ELSE 60 END AS INT) AS max_per_minute
           FROM h ORDER BY host
+        """,
+        "funnel": """
+          WITH t AS (
+            SELECT user_id, event_type,
+                   CAST(floor(epoch(ts)) AS BIGINT) AS tsl
+            FROM events),
+          v AS (SELECT user_id, min(tsl) AS first_view FROM t
+                WHERE event_type = 'view' GROUP BY user_id),
+          c AS (SELECT t.user_id, min(t.tsl) AS first_click
+                FROM t JOIN v USING (user_id)
+                WHERE t.event_type = 'click' AND t.tsl >= v.first_view
+                GROUP BY t.user_id)
+          SELECT v.user_id, v.first_view, c.first_click,
+                 c.first_click IS NOT NULL AS converted,
+                 c.first_click - v.first_view AS lag_s
+          FROM v LEFT JOIN c USING (user_id)
+          ORDER BY v.user_id
         """,
         # interval union: the same running-max sweep windows; integer
         # epoch seconds via the tz-free floor(epoch) grid
