@@ -2965,6 +2965,25 @@ def q_events_sessionless_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention cohorts: users grouped by first-seen day, distinct
+    actives per (cohort_day, day_offset) — the matrix behind every
+    retention curve.  Distinct (user, day) first (collapses event
+    volume before any join), cohort via one per-user min, offset by
+    datediff.  Two skinny aggregates + a broadcast-scale join."""
+    ev = _t(spark, sf_dir, "events")
+    ud = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    first = ud.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        ud.join(first, "user_id")
+        .select("user_id", "cohort_day",
+                F.datediff("day", "cohort_day").alias("day_offset"))
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .orderBy("cohort_day", "day_offset")
+    )
+
+
 def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-step conversion funnel: per user, the first 'view' and the
     first 'click' AT OR AFTER it — the ordered-sequence analytics ask
@@ -3849,6 +3868,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "http_dates": q_http_dates,
         "interval_union": q_interval_union,
         "funnel": q_funnel,
+        "retention": q_retention,
         "sessionize": q_sessionize,
         "hll_count": q_hll_count,
         "percentiles": q_percentiles,
@@ -7056,6 +7076,18 @@ def oracle_sql() -> dict[str, str]:
                  WHEN hid % 4 = 1 THEN 120
                  ELSE 60 END AS INT) AS max_per_minute
           FROM h ORDER BY host
+        """,
+        "retention": """
+          WITH ud AS (
+            SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+          f AS (SELECT user_id, min(day) AS cohort_day
+                FROM ud GROUP BY user_id)
+          SELECT f.cohort_day,
+                 CAST(ud.day - f.cohort_day AS INT) AS day_offset,
+                 CAST(count(DISTINCT ud.user_id) AS BIGINT) AS n_users
+          FROM ud JOIN f USING (user_id)
+          GROUP BY f.cohort_day, day_offset
+          ORDER BY f.cohort_day, day_offset
         """,
         "funnel": """
           WITH t AS (

@@ -66,7 +66,7 @@ BENCH_QUERIES = [
     "media_decode", "png_decode", "audio_decode", "frame_sample", "exif",
     "pricing_summary", "top_customers", "regional_revenue",
     "customers_no_orders", "setop_except", "json_extract",
-    "running_window", "trailing_window", "daily_events", "interval_union", "funnel", "sessionize",
+    "running_window", "trailing_window", "daily_events", "interval_union", "funnel", "retention", "sessionize",
     "hll_count", "percentiles", "length_outliers", "rollup_metrics", "pivot_tokens", "melt_tokens", "word_blocklist",
     "template_strip", "para_dedup",
     "cms_topk", "charset_detect", "domain_split", "revisit_policy",
