@@ -766,6 +766,38 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN self-evaluation IN the contract: recall@5 of the multi-probe
+    LSH path against the exact cosine top-5, per query — the accuracy
+    number that was previously only a pytest property now passes
+    through the driver's value gate (round-3 lesson applied to
+    retrieval quality itself).  One skinny join of two id sets.
+
+    Note the MEASUREMENT is what's certified, not a high score: the
+    sf corpora are i.i.d. random embeddings — near-orthogonal vectors
+    are LSH's worst case, and recall at this tiny scale/config is
+    honestly low.  The clustered-data pytest property
+    (test_operators.py) is where the accuracy floor is asserted;
+    production tunes planes/probes per corpus using exactly this
+    report."""
+    exact = q_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    approx = q_ann_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    hit = (exact.join(approx, ["query_id", "neighbor_id"])
+           .groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hit")))
+    base = exact.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_exact"))
+    return (
+        base.join(hit, "query_id", "left")
+        .select(
+            "query_id", "n_exact",
+            F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
+            F.round(F.coalesce("n_hit", F.lit(0)) / F.col("n_exact"), 6)
+            .alias("recall"),
+        )
+        .orderBy("query_id")
+    )
+
+
 def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-Flat approximate top-k (the other standard web-scale ANN
     shape next to LSH): corpus in one inverted list each, queries probe
@@ -3774,6 +3806,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk,
         "ann_topk": q_ann_topk,
         "ann_topk_ivf": q_ann_topk_ivf,
+        "ann_recall": q_ann_recall,
         "ann_topk_ivfpq": q_ann_topk_ivfpq,
         "semantic_dedup": q_semantic_dedup,
         "pq_encode": q_pq_encode,
@@ -7880,6 +7913,22 @@ def oracle_sql() -> dict[str, str]:
              '2024-01-01T00:'
                || lpad(CAST((doc_id + i) % 60 AS VARCHAR), 2, '0') || ':00Z'
       FROM a
+    """
+    # recall@5: both sides' oracles reused verbatim as derived tables
+    d["ann_recall"] = f"""
+      WITH e AS ({d['cosine_topk']}),
+      a AS ({d['ann_topk']}),
+      hit AS (
+        SELECT e.query_id, count(*) AS n_hit
+        FROM e JOIN a USING (query_id, neighbor_id)
+        GROUP BY e.query_id),
+      base AS (SELECT query_id, count(*) AS n_exact FROM e
+               GROUP BY query_id)
+      SELECT b.query_id, CAST(b.n_exact AS BIGINT) AS n_exact,
+             CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+             round(coalesce(h.n_hit, 0) / b.n_exact, 6) AS recall
+      FROM base b LEFT JOIN hit h USING (query_id)
+      ORDER BY b.query_id
     """
     uf = _url_sql_frags()
     # path templates: same path extraction steps as web.url_path, digit
