@@ -43,7 +43,7 @@ BENCH_QUERIES = [
     "dedup_keep_latest", "minhash_lsh_pairs", "cross_dedup", "snapshot_update", "ngram_jaccard", "containment", "tfidf_near_dup",
     "lsh_jaccard", "dedup_clusters", "cluster_split", "split_leakage",
     "simhash_near_dup", "embed_near_dup",
-    "embed_near_dup_lsh", "span_qa", "cosine_topk", "ann_topk", "ann_topk_ivf",
+    "embed_near_dup_lsh", "span_qa", "cosine_topk", "ann_topk", "ann_recall", "ann_topk_ivf",
     "semantic_dedup", "pq_encode", "pq_error", "ann_topk_ivfpq",
     "text_stats", "repetition_stats", "quality_filter", "pii_scrub",
     "mojibake_fix",
