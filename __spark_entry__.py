@@ -1152,6 +1152,29 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_lang_id(docs).select("doc_id", "lang_pred")
 
 
+def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID self-evaluation IN the contract: the confusion
+    matrix of the marker-argmax classifier against the corpus's true
+    lang labels — per (true, predicted) counts plus the per-true-lang
+    hit rate.  Like ann_recall, this certifies the MEASUREMENT through
+    the value gate; the classifier itself is the same expression
+    lang_id ships."""
+    from pyspark.sql import Window
+
+    from ocr_spark.functions.text import with_lang_id
+
+    docs = _t(spark, sf_dir, "documents")
+    pred = with_lang_id(docs).select(
+        F.col("lang").alias("true_lang"), "lang_pred")
+    w = Window.partitionBy("true_lang")
+    return (
+        pred.groupBy("true_lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("hit_rate", F.round(F.col("n") / F.sum("n").over(w), 6))
+        .orderBy("true_lang", "lang_pred")
+    )
+
+
 # Deterministic non-latin sample sentences: the driver tables carry no
 # non-latin text (lang labels over latin words), so the script-ID query
 # derives its input by substituting these per doc_id%8 — identically in
@@ -3820,6 +3843,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "mojibake_fix": q_mojibake_fix,
         "lang_id": q_lang_id,
+        "lang_confusion": q_lang_confusion,
         "lang_id_cjk": q_lang_id_cjk,
         "fingerprint": q_fingerprint,
         "search_keys": q_search_keys,
@@ -7929,6 +7953,19 @@ def oracle_sql() -> dict[str, str]:
              round(coalesce(h.n_hit, 0) / b.n_exact, 6) AS recall
       FROM base b LEFT JOIN hit h USING (query_id)
       ORDER BY b.query_id
+    """
+    # confusion matrix: the lang_id oracle reused verbatim, joined back
+    # to the true labels
+    d["lang_confusion"] = f"""
+      WITH p AS ({d['lang_id']}),
+      j AS (SELECT dd.lang AS true_lang, p.lang_pred
+            FROM documents dd JOIN p USING (doc_id)),
+      g AS (SELECT true_lang, lang_pred, CAST(count(*) AS BIGINT) AS n
+            FROM j GROUP BY true_lang, lang_pred)
+      SELECT true_lang, lang_pred, n,
+             round(n / sum(n) OVER (PARTITION BY true_lang), 6)
+               AS hit_rate
+      FROM g ORDER BY true_lang, lang_pred
     """
     uf = _url_sql_frags()
     # path templates: same path extraction steps as web.url_path, digit

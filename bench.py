@@ -47,7 +47,7 @@ BENCH_QUERIES = [
     "semantic_dedup", "pq_encode", "pq_error", "ann_topk_ivfpq",
     "text_stats", "repetition_stats", "quality_filter", "pii_scrub",
     "mojibake_fix",
-    "lang_id", "lang_id_cjk", "fingerprint", "search_keys", "token_count",
+    "lang_id", "lang_id_cjk", "lang_confusion", "fingerprint", "search_keys", "token_count",
     "chunk_text", "chunk_tokens", "sections", "collocations", "bpe_pairs",
     "table_extract", "html_markdown", "wet_export", "wat_export",
     "bigram_lm", "readability", "unicode_clean",
