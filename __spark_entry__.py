@@ -798,6 +798,29 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@5 of the IVF-Flat path against exact cosine — the
+    ann_recall twin for the second ANN family (nprobe=2 of 8 lists,
+    so the ceiling is what the probed cells contain; production dials
+    nprobe per corpus using exactly this report)."""
+    exact = q_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    approx = q_ann_topk_ivf(spark, sf_dir).select("query_id", "neighbor_id")
+    hit = (exact.join(approx, ["query_id", "neighbor_id"])
+           .groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hit")))
+    base = exact.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_exact"))
+    return (
+        base.join(hit, "query_id", "left")
+        .select(
+            "query_id", "n_exact",
+            F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
+            F.round(F.coalesce("n_hit", F.lit(0)) / F.col("n_exact"), 6)
+            .alias("recall"),
+        )
+        .orderBy("query_id")
+    )
+
+
 def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-Flat approximate top-k (the other standard web-scale ANN
     shape next to LSH): corpus in one inverted list each, queries probe
@@ -3144,6 +3167,43 @@ def q_http_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-level Shannon entropy — the quality signal that catches
+    what token ratios miss: base64/hex blobs (high uniformity) and
+    keyboard-mash/repeated-char filler (low diversity).  Every 13th
+    doc is salted with a 600-char 'z' run (drags H down) so the
+    low-entropy flag is certified on a real population.  The entropy
+    sum is an ORDERED fold over the char-sorted count list (both
+    engines fold left-to-right over identical lists — an unordered
+    SUM over float terms would reintroduce the summation-order
+    hazard), rounded at 6."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    t = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 13 == 0,
+               F.concat(F.lit(" "), F.repeat(F.lit("z"), 600)))
+        .otherwise(F.lit("")),
+    )
+    chars = F.filter(F.split(F.regexp_replace(t, r"\s", ""), ""),
+                     lambda c: F.length(c) > 0)
+    ex = docs.select("doc_id", F.explode(chars).alias("c"))
+    cnt = ex.groupBy("doc_id", "c").agg(F.count(F.lit(1)).alias("k"))
+    per = cnt.groupBy("doc_id").agg(
+        F.array_sort(F.collect_list(F.struct("c", "k"))).alias("arr"),
+        F.sum("k").alias("n"),
+    )
+    h = F.aggregate(
+        "arr", F.lit(0.0),
+        lambda acc, x: acc + (x["k"] / F.col("n"))
+        * F.log2(x["k"] / F.col("n")),
+    )
+    return per.select(
+        "doc_id", F.col("n").alias("n_chars"),
+        F.round(-h, 6).alias("entropy"),
+        (F.round(-h, 6) < 3.0).alias("low_entropy"),
+    ).orderBy("doc_id")
+
+
 SOFT404_PATTERNS = [
     ("not_found", r"(?i)\b(404|page not found|no longer available)\b"),
     ("denied", r"(?i)\b(access denied|forbidden|login required)\b"),
@@ -3830,6 +3890,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "ann_topk_ivf": q_ann_topk_ivf,
         "ann_recall": q_ann_recall,
+        "ivf_recall": q_ivf_recall,
         "ann_topk_ivfpq": q_ann_topk_ivfpq,
         "semantic_dedup": q_semantic_dedup,
         "pq_encode": q_pq_encode,
@@ -3922,6 +3983,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "daily_events": q_daily_events,
         "length_outliers": q_length_outliers,
         "soft404": q_soft404,
+        "entropy": q_entropy,
         "http_dates": q_http_dates,
         "interval_union": q_interval_union,
         "funnel": q_funnel,
@@ -7219,6 +7281,40 @@ def oracle_sql() -> dict[str, str]:
                  AS INT) AS age_days
           FROM h ORDER BY doc_id
         """,
+        # entropy: char counts -> char-sorted list -> ordered
+        # list_reduce fold (same left-to-right additions as the
+        # engine's aggregate)
+        "entropy": """
+          WITH s AS (
+            SELECT doc_id,
+              text || CASE WHEN doc_id % 13 = 0
+                           THEN ' ' || repeat('z', 600) ELSE '' END AS t
+            FROM documents),
+          comp AS (
+            SELECT doc_id, regexp_replace(t, '\\s', '', 'g') AS p FROM s),
+          ch AS (
+            SELECT doc_id,
+              unnest(list_transform(range(1, length(p) + 1),
+                     i -> p[i])) AS c
+            FROM comp WHERE length(p) > 0),
+          cnt AS (SELECT doc_id, c, CAST(count(*) AS BIGINT) AS k
+                  FROM ch GROUP BY doc_id, c),
+          per AS (
+            SELECT doc_id,
+              list_sort(list({'c': c, 'k': k})) AS arr,
+              sum(k) AS n
+            FROM cnt GROUP BY doc_id)
+          SELECT doc_id, CAST(n AS BIGINT) AS n_chars,
+            round(-list_reduce(
+              list_prepend(0.0, list_transform(arr,
+                x -> (x.k / n) * log2(x.k / n))),
+              (a, b) -> a + b), 6) AS entropy,
+            round(-list_reduce(
+              list_prepend(0.0, list_transform(arr,
+                x -> (x.k / n) * log2(x.k / n))),
+              (a, b) -> a + b), 6) < 3.0 AS low_entropy
+          FROM per ORDER BY doc_id
+        """,
         # soft-404: identical pattern literals, identical precedence
         "soft404": f"""
           WITH s AS (
@@ -7939,6 +8035,21 @@ def oracle_sql() -> dict[str, str]:
       FROM a
     """
     # recall@5: both sides' oracles reused verbatim as derived tables
+    d["ivf_recall"] = f"""
+      WITH e AS ({d['cosine_topk']}),
+      a AS ({d['ann_topk_ivf']}),
+      hit AS (
+        SELECT e.query_id, count(*) AS n_hit
+        FROM e JOIN a USING (query_id, neighbor_id)
+        GROUP BY e.query_id),
+      base AS (SELECT query_id, count(*) AS n_exact FROM e
+               GROUP BY query_id)
+      SELECT b.query_id, CAST(b.n_exact AS BIGINT) AS n_exact,
+             CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+             round(coalesce(h.n_hit, 0) / b.n_exact, 6) AS recall
+      FROM base b LEFT JOIN hit h USING (query_id)
+      ORDER BY b.query_id
+    """
     d["ann_recall"] = f"""
       WITH e AS ({d['cosine_topk']}),
       a AS ({d['ann_topk']}),

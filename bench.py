@@ -43,7 +43,7 @@ BENCH_QUERIES = [
     "dedup_keep_latest", "minhash_lsh_pairs", "cross_dedup", "snapshot_update", "ngram_jaccard", "containment", "tfidf_near_dup",
     "lsh_jaccard", "dedup_clusters", "cluster_split", "split_leakage",
     "simhash_near_dup", "embed_near_dup",
-    "embed_near_dup_lsh", "span_qa", "cosine_topk", "ann_topk", "ann_recall", "ann_topk_ivf",
+    "embed_near_dup_lsh", "span_qa", "cosine_topk", "ann_topk", "ann_recall", "ann_topk_ivf", "ivf_recall",
     "semantic_dedup", "pq_encode", "pq_error", "ann_topk_ivfpq",
     "text_stats", "repetition_stats", "quality_filter", "pii_scrub",
     "mojibake_fix",
@@ -55,7 +55,7 @@ BENCH_QUERIES = [
     "capture_history",
     "asof_join", "range_join", "bm25", "search_results", "doc_attributes",
     "sentences", "domain_quality", "sitemap", "feed", "incremental_extract", "canonical_collapse",
-    "lm_score", "tfidf", "ccnet_buckets", "soft404", "stratified_sample", "epoch_mix",
+    "lm_score", "tfidf", "ccnet_buckets", "soft404", "entropy", "stratified_sample", "epoch_mix",
     "dsir_select", "cluster_best", "weighted_sample", "epoch_shuffle",
     "data_split", "bloom_dedup", "token_budget_mix", "length_buckets",
     "pack_sequences",
