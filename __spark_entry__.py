@@ -3857,6 +3857,35 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_flagship_extract(spark, SF0001)
 
 
+def q_redirect_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redirect-chain resolution by pointer doubling
+    (operators/web.py:resolve_redirects).  Every id-group of 10 plants
+    a 3-hop chain p(d)|d%10=1 -> p(d+1) -> p(d+2) -> p(d-1) (terminal,
+    no out-edge) and a 2-cycle p(d)|d%10=4 <-> p(d+1): resolved srcs
+    land on the chain terminal with EXACT hop counts (3/2/1), loop
+    members come back unresolved with NULL final_url/hops.  The engine
+    runs log2(16)=4 pointer-doubling rounds over the skinny (src, ptr,
+    hops) table; the oracle walks the same functional edge list with a
+    hop-capped recursive CTE — resolution = the last reachable node is
+    not itself a redirect source.  Mirrors the reference's notion that
+    a document's identity is its FINAL landing url (its service
+    processes the fetched file, not interior redirect hops)."""
+    from ocr_spark.operators.web import resolve_redirects
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    r = F.col("doc_id") % 10
+    dst_id = (F.when(r.isin(1, 2, 4), F.col("doc_id") + 1)
+              .when(r == 3, F.col("doc_id") - 3)
+              .when(r == 5, F.col("doc_id") - 1))
+    edges = docs.filter(r.isin(1, 2, 3, 4, 5)).select(
+        F.concat(F.lit("https://r.example.com/p"),
+                 F.col("doc_id").cast("string")).alias("src"),
+        F.concat(F.lit("https://r.example.com/p"),
+                 dst_id.cast("string")).alias("dst"),
+    )
+    return resolve_redirects(edges, max_hops=16).orderBy("src")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_extract": q_flagship_extract,
@@ -3964,6 +3993,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_agg": q_anchor_agg,
         "cdx_index": q_cdx_index,
         "pagerank": q_pagerank,
+        "redirect_resolve": q_redirect_resolve,
         "hits": q_hits,
         "graph_components": q_graph_components,
         "graph_prior": q_graph_prior,
@@ -6941,6 +6971,34 @@ def oracle_sql() -> dict[str, str]:
                  THEN 1 ELSE 0 END AS INT) AS keep
           FROM documents d LEFT JOIN r3 ON r3.node = d.doc_id % 20
           ORDER BY d.doc_id
+        """,
+        # hop-capped recursive walk over the SAME functional edge list;
+        # resolved = the walk's last node has no outgoing edge
+        "redirect_resolve": """
+          WITH RECURSIVE e0 AS (
+            SELECT 'https://r.example.com/p' || doc_id AS src,
+                   'https://r.example.com/p' || CASE
+                      WHEN doc_id % 10 IN (1, 2, 4) THEN doc_id + 1
+                      WHEN doc_id % 10 = 3 THEN doc_id - 3
+                      WHEN doc_id % 10 = 5 THEN doc_id - 1 END AS dst
+            FROM documents WHERE doc_id % 10 IN (1, 2, 3, 4, 5)),
+          edges AS (SELECT src, min(dst) AS dst FROM e0 GROUP BY src),
+          walk(src, cur, hops) AS (
+            SELECT src, dst, 1 FROM edges
+            UNION ALL
+            SELECT w.src, g.dst, w.hops + 1
+            FROM walk w JOIN edges g ON g.src = w.cur
+            WHERE w.hops < 16),
+          lastpos AS (SELECT src, arg_max(cur, hops) AS cur,
+                             max(hops) AS hops
+                      FROM walk GROUP BY src)
+          SELECT l.src AS src,
+                 CASE WHEN s.src IS NULL THEN l.cur END AS final_url,
+                 CASE WHEN s.src IS NULL THEN l.hops END AS hops,
+                 s.src IS NULL AS resolved
+          FROM lastpos l
+          LEFT JOIN (SELECT DISTINCT src FROM edges) s ON s.src = l.cur
+          ORDER BY l.src
         """,
         "pagerank": """
           WITH mm AS (SELECT max(doc_id) + 1 AS m FROM documents),

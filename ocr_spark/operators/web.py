@@ -53,7 +53,7 @@ __all__ = ["TRACKING_PARAMS", "url_normalize", "url_host",
            "parse_crawl_delay", "crawl_delay_hosts",
            "surt_key", "anchor_text_agg", "domain_quality", "sitemap_urls", "feed_entries",
            "canonical_collapse", "url_path", "url_templates", "url_blocklist_filter",
-           "crawl_schedule"]
+           "crawl_schedule", "resolve_redirects"]
 
 # the closed, documented drop-set; extend per deployment.  Matched on
 # the parameter NAME (the part left of '='), utm_ by prefix.
@@ -950,4 +950,85 @@ def url_templates(df: DataFrame, url_col: str = "url",
         .groupBy("domain", "path_template")
         .agg(F.count(F.lit(1)).alias("n_pages"))
         .withColumn("mass_produced", F.col("n_pages") >= min_pages)
+    )
+
+
+def resolve_redirects(edges: DataFrame, src: str = "src", dst: str = "dst",
+                      max_hops: int = 16) -> DataFrame:
+    """Resolve redirect CHAINS to their final landing page by pointer
+    jumping (path doubling) -> ``(src, final_url, hops, resolved)``.
+
+    Crawls see single-hop redirects (HTTP 301/302 Location, meta
+    refresh, rel=canonical), but the page a url actually denotes is the
+    END of the chain: A -> B -> C -> D means A's content lives at D.
+    Dedup/canonicalization must collapse A,B,C onto D, and frontier
+    schedulers must not re-fetch interior hops.  ``canonical_collapse``
+    (above) is the single-hop special case; this operator closes the
+    transitive chain.
+
+    Semantics (shared with the SQL oracle):
+
+    * the edge list is made FUNCTIONAL first — ``min(dst)`` per src —
+      so a url with conflicting recorded redirects resolves
+      deterministically;
+    * ``resolved`` is true iff following edges from ``src`` reaches a
+      TERMINAL url (one with no outgoing edge) within ``max_hops``
+      hops; then ``final_url`` is that terminal and ``hops`` the exact
+      chain length;
+    * redirect LOOPS (A -> B -> A) and chains longer than ``max_hops``
+      come back ``resolved = false`` with NULL final_url/hops — the
+      mid-cycle position after 2^r hops is an implementation detail and
+      is deliberately not exposed.
+
+    ``max_hops`` must be a power of two: the loop runs exactly
+    ``log2(max_hops)`` pointer-doubling rounds, after which every
+    pointer has advanced min(2^r, chain length) hops.  Real redirect
+    chains are short (browsers cap around 20), so the default 16 covers
+    them in 4 rounds.
+
+    Scale shape: per-round state is the skinny ``(src, ptr, hops)``
+    projection — three columns regardless of page width; each round is
+    ONE self equi-join on the pointer key plus a ``localCheckpoint`` to
+    truncate lineage (the same iterative discipline as pagerank above
+    and the connected-components clustering, operators/dedup.py).
+    O(log max_hops) rounds total vs O(max_hops) for naive per-hop
+    walking — at web scale the chain table is billions of rows and 4
+    joins beat 16.  The hot key is a mega-target (one landing page that
+    millions of urls redirect to): it appears as the JOIN key on the
+    probe side, which AQE skew-join splits; the terminal-detection join
+    against the distinct src-key set is a semi-join-shaped lookup that
+    broadcasts when the chain table is small."""
+    if max_hops < 2 or (max_hops & (max_hops - 1)) != 0:
+        raise ValueError(f"max_hops must be a power of two >= 2, "
+                         f"got {max_hops}")
+    e = (edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+         .groupBy("src").agg(F.min("dst").alias("ptr")))
+    srcs = e.select("src").localCheckpoint()
+    ptr = e.select("src", "ptr", F.lit(1).alias("hops")).localCheckpoint()
+    rounds = max_hops.bit_length() - 1  # log2 of a power of two
+    for _ in range(rounds):
+        nxt = ptr.select(F.col("src").alias("ptr"),
+                         F.col("ptr").alias("_ptr2"),
+                         F.col("hops").alias("_hops2"))
+        ptr = (
+            ptr.join(nxt, "ptr", "left")
+            .select(
+                "src",
+                F.coalesce("_ptr2", F.col("ptr")).alias("ptr"),
+                (F.col("hops")
+                 + F.coalesce("_hops2", F.lit(0))).alias("hops"),
+            )
+            .localCheckpoint()
+        )
+    is_src = srcs.select(F.col("src").alias("ptr"),
+                         F.lit(True).alias("_is_src"))
+    return (
+        ptr.join(is_src, "ptr", "left")
+        .select(
+            "src",
+            F.when(F.col("_is_src").isNull(), F.col("ptr"))
+            .alias("final_url"),
+            F.when(F.col("_is_src").isNull(), F.col("hops")).alias("hops"),
+            F.col("_is_src").isNull().alias("resolved"),
+        )
     )

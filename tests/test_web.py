@@ -533,3 +533,62 @@ def test_url_templates_flags_mass_produced_families(spark):
     assert out[("example.com", "/page/N/comments")] == (10, True)
     assert out[("example.com", "/about")] == (1, False)
     assert out[("example.org", "/article/N")] == (1, False)
+
+
+def test_resolve_redirects_chain_cycle_and_terminal(spark):
+    from ocr_spark.operators.web import resolve_redirects
+
+    edges = spark.createDataFrame(
+        [
+            # 3-hop chain: a -> b -> c -> d (d terminal)
+            ("a", "b"), ("b", "c"), ("c", "d"),
+            # 2-cycle: x <-> y
+            ("x", "y"), ("y", "x"),
+            # single hop straight to a terminal
+            ("p", "q"),
+        ],
+        ["src", "dst"],
+    )
+    out = {r["src"]: r for r in resolve_redirects(edges).collect()}
+    assert out["a"]["final_url"] == "d" and out["a"]["hops"] == 3
+    assert out["b"]["final_url"] == "d" and out["b"]["hops"] == 2
+    assert out["c"]["final_url"] == "d" and out["c"]["hops"] == 1
+    assert out["p"]["final_url"] == "q" and out["p"]["hops"] == 1
+    for u in ("a", "b", "c", "p"):
+        assert out[u]["resolved"] is True
+    for u in ("x", "y"):
+        assert out[u]["resolved"] is False
+        assert out[u]["final_url"] is None and out[u]["hops"] is None
+
+
+def test_resolve_redirects_hop_cap_and_doubling_reach(spark):
+    from ocr_spark.operators.web import resolve_redirects
+
+    # linear chain n0 -> n1 -> ... -> n20 (length 20)
+    edges = spark.createDataFrame(
+        [(f"n{i}", f"n{i+1}") for i in range(20)], ["src", "dst"])
+    # max_hops=16: n0 needs 20 hops -> unresolved; n4 needs 16 -> resolved
+    out = {r["src"]: r
+           for r in resolve_redirects(edges, max_hops=16).collect()}
+    assert out["n0"]["resolved"] is False and out["n0"]["final_url"] is None
+    assert out["n4"]["resolved"] is True
+    assert out["n4"]["final_url"] == "n20" and out["n4"]["hops"] == 16
+    # max_hops=32 resolves everything
+    out32 = {r["src"]: r
+             for r in resolve_redirects(edges, max_hops=32).collect()}
+    assert out32["n0"]["resolved"] is True
+    assert out32["n0"]["final_url"] == "n20" and out32["n0"]["hops"] == 20
+
+
+def test_resolve_redirects_functional_dedup_and_validation(spark):
+    import pytest as _pytest
+
+    from ocr_spark.operators.web import resolve_redirects
+
+    # conflicting recorded redirects for 'a': min(dst) wins -> 'b'
+    edges = spark.createDataFrame(
+        [("a", "c"), ("a", "b")], ["src", "dst"])
+    out = {r["src"]: r for r in resolve_redirects(edges).collect()}
+    assert out["a"]["final_url"] == "b" and out["a"]["hops"] == 1
+    with _pytest.raises(ValueError):
+        resolve_redirects(edges, max_hops=10)  # not a power of two
