@@ -3857,6 +3857,57 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_flagship_extract(spark, SF0001)
 
 
+def q_microdata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema.org MICRODATA extraction (extractor/core.py:
+    extract_microdata) — the in-markup sibling of q_jsonld's script
+    blocks, covering the second schema.org embedding a crawler meets.
+    Every doc carries a Product item (name = first two tokens, a
+    <meta> sku, an <a href> url — the three spec value sources), docs
+    with id % 3 == 0 nest an Offer (the parent sees the ``#item:1``
+    reference row, the Offer emits its own <meta> price), and docs
+    with id % 17 == 0 plant an itemprop OUTSIDE any itemscope that
+    must come back as an ``orphan_prop`` ROW.  Every value is a
+    closed-form function of (doc_id, tokens), so the oracle
+    reconstructs the full row set arithmetically."""
+    from ocr_spark.operators.extract import extract_microdata_pages
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def build(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            htmls = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                toks = (text or "").split()
+                name = " ".join(toks[:2])
+                parts = [
+                    '<div itemscope itemtype="https://schema.org/Product">',
+                    f'<span itemprop="name">{name}</span>',
+                    f'<meta itemprop="sku" content="sku-{doc_id}">',
+                    f'<a itemprop="url" '
+                    f'href="https://m.example.com/p{doc_id}">x</a>',
+                ]
+                if doc_id % 3 == 0:
+                    parts.append(
+                        '<div itemprop="offers" itemscope '
+                        'itemtype="https://schema.org/Offer">'
+                        f'<meta itemprop="price" '
+                        f'content="{doc_id % 97}.00"></div>')
+                parts.append("</div>")
+                if doc_id % 17 == 0:
+                    parts.append('<span itemprop="stray">s</span>')
+                htmls.append((
+                    "<html><body>" + "".join(parts) + "</body></html>"
+                ).encode())
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "html": htmls})
+
+    pages = docs.mapInPandas(build, schema="doc_id long, html binary")
+    return extract_microdata_pages(pages, payload_col="html",
+                                   passthrough=("doc_id",)) \
+        .orderBy("doc_id", "item_idx", "prop")
+
+
 def q_redirect_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Redirect-chain resolution by pointer doubling
     (operators/web.py:resolve_redirects).  Every id-group of 10 plants
@@ -3994,6 +4045,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdx_index": q_cdx_index,
         "pagerank": q_pagerank,
         "redirect_resolve": q_redirect_resolve,
+        "microdata": q_microdata,
         "hits": q_hits,
         "graph_components": q_graph_components,
         "graph_prior": q_graph_prior,
@@ -6971,6 +7023,32 @@ def oracle_sql() -> dict[str, str]:
                  THEN 1 ELSE 0 END AS INT) AS keep
           FROM documents d LEFT JOIN r3 ON r3.node = d.doc_id % 20
           ORDER BY d.doc_id
+        """,
+        # every microdata row is a closed-form function of
+        # (doc_id, first two tokens); the oracle rebuilds the row set
+        # arithmetically — one UNION ALL branch per planted binding
+        "microdata": f"""
+          WITH t AS (SELECT doc_id, {toks} AS tk FROM documents)
+          SELECT doc_id, 0 AS item_idx,
+                 'https://schema.org/Product' AS item_type,
+                 'name' AS prop,
+                 tk[1] || ' ' || tk[2] AS value, 'ok' AS status FROM t
+          UNION ALL
+          SELECT doc_id, 0, 'https://schema.org/Product', 'sku',
+                 'sku-' || doc_id, 'ok' FROM t
+          UNION ALL
+          SELECT doc_id, 0, 'https://schema.org/Product', 'url',
+                 'https://m.example.com/p' || doc_id, 'ok' FROM t
+          UNION ALL
+          SELECT doc_id, 0, 'https://schema.org/Product', 'offers',
+                 '#item:1', 'ok' FROM t WHERE doc_id % 3 = 0
+          UNION ALL
+          SELECT doc_id, 1, 'https://schema.org/Offer', 'price',
+                 (doc_id % 97) || '.00', 'ok' FROM t WHERE doc_id % 3 = 0
+          UNION ALL
+          SELECT doc_id, NULL, NULL, 'stray', 's', 'orphan_prop'
+          FROM t WHERE doc_id % 17 = 0
+          ORDER BY doc_id, item_idx, prop
         """,
         # hop-capped recursive walk over the SAME functional edge list;
         # resolved = the walk's last node has no outgoing edge

@@ -38,6 +38,7 @@ CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".cache")
 # headline operator queries from the driver contract (timed individually)
 BENCH_QUERIES = [
     "flagship_extract", "pdf_extract", "pdf_layout", "html_meta", "jsonld",
+    "microdata",
     "profile_extract", "extract_metrics",
     "dedup_exact", "line_dedup", "substr_dedup", "cdc_chunks",
     "dedup_keep_latest", "minhash_lsh_pairs", "cross_dedup", "snapshot_update", "ngram_jaccard", "containment", "tfidf_near_dup",

@@ -1008,6 +1008,126 @@ def extract_jsonld(payload: bytes) -> list[dict]:
     return out
 
 
+# Microdata value sources per the WHATWG/schema.org spec: URL-carrying
+# elements contribute an attribute, everything else its text content.
+_MD_VOID_TAGS = frozenset({
+    "meta", "link", "img", "br", "hr", "input", "area", "source",
+    "embed", "base", "col", "wbr", "track", "param",
+})
+_MD_URL_ATTR = {
+    "a": "href", "link": "href", "area": "href",
+    "img": "src", "audio": "src", "video": "src",
+    "embed": "src", "iframe": "src", "source": "src",
+}
+
+
+class _MicrodataParser(HTMLParser):
+    """Schema.org MICRODATA (itemscope/itemtype/itemprop attributes —
+    the in-markup sibling of JSON-LD's script blocks) -> flat property
+    rows.
+
+    Scope tracking: ``itemscope`` opens an item covering the element's
+    subtree; an ``itemprop`` binds to the NEAREST enclosing scope.
+    Value source per spec: ``content`` for <meta>, ``href``/``src`` for
+    url-carrying elements (_MD_URL_ATTR), ``datetime`` for <time>, else
+    the element's whitespace-normalized text content (descendants
+    included, as textContent does).  An element carrying BOTH itemprop
+    and itemscope is a NESTED item: the property row's value is the
+    reference ``#item:<idx>`` and the nested item emits its own rows.
+    A space-separated itemprop emits one row per name.  An itemprop
+    with no enclosing itemscope is an ``orphan_prop`` row (errors are
+    rows, the engine-wide taxonomy)."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.rows: list[dict] = []
+        self.items: list[str | None] = []  # item_idx -> itemtype
+        self._scope: list[tuple[int, int]] = []  # (enter_depth, item_idx)
+        self._caps: list[list] = []  # [close_depth, owner, prop, parts]
+        self._depth = 0
+
+    def _emit(self, owner: int | None, prop: str, value: str) -> None:
+        for name in prop.split():
+            self.rows.append({
+                "item_idx": owner,
+                "item_type": self.items[owner] if owner is not None
+                else None,
+                "prop": name,
+                "value": value,
+                "status": "ok" if owner is not None else "orphan_prop",
+            })
+
+    def handle_starttag(self, tag, attrs):
+        d = dict(attrs)
+        void = tag in _MD_VOID_TAGS
+        prop = d.get("itemprop")
+        owner = self._scope[-1][1] if self._scope else None
+        nested_idx = None
+        if "itemscope" in d:
+            nested_idx = len(self.items)
+            self.items.append(d.get("itemtype"))
+        if prop is not None:
+            if nested_idx is not None:
+                self._emit(owner, prop, f"#item:{nested_idx}")
+            elif tag == "meta":
+                self._emit(owner, prop, d.get("content") or "")
+            elif tag in _MD_URL_ATTR:
+                self._emit(owner, prop, d.get(_MD_URL_ATTR[tag]) or "")
+            elif tag == "time" and d.get("datetime") is not None:
+                self._emit(owner, prop, d["datetime"])
+            elif void:
+                self._emit(owner, prop, "")
+            else:
+                self._caps.append([self._depth, owner, prop, []])
+        if not void:
+            self._depth += 1
+            if nested_idx is not None:
+                self._scope.append((self._depth, nested_idx))
+
+    def handle_endtag(self, tag):
+        if tag in _MD_VOID_TAGS:
+            return
+        if self._depth > 0:
+            self._depth -= 1
+        while self._caps and self._caps[-1][0] >= self._depth:
+            _d, owner, prop, parts = self._caps.pop()
+            self._emit(owner, prop, " ".join("".join(parts).split()))
+        while self._scope and self._scope[-1][0] > self._depth:
+            self._scope.pop()
+
+    def handle_data(self, data):
+        for cap in self._caps:
+            cap[3].append(data)
+
+    def finish(self) -> None:
+        """Flush captures left open by unbalanced markup."""
+        while self._caps:
+            _d, owner, prop, parts = self._caps.pop()
+            self._emit(owner, prop, " ".join("".join(parts).split()))
+
+
+def extract_microdata(payload: bytes) -> list[dict]:
+    """HTML bytes -> schema.org microdata property rows, one dict per
+    (item, prop) binding: ``item_idx`` (document-order index of the
+    owning itemscope), ``item_type`` (its itemtype url), ``prop``,
+    ``value``, ``status`` (``ok`` | ``orphan_prop``).  Nested items
+    appear twice: as a ``#item:<idx>`` reference row on the parent and
+    as their own property rows.  Undecodable payloads -> no rows.
+
+    Reference parity: the same typed-field surface as extract_jsonld
+    (the reference lifts typed fields out of its model's structured
+    output, /root/reference/utils/response_parser.py:91-117); microdata
+    is the second of the two schema.org embeddings a crawler meets."""
+    try:
+        decoded, _codec = decode_html(payload)
+        p = _MicrodataParser()
+        p.feed(decoded)
+        p.finish()
+    except Exception:
+        return []
+    return p.rows
+
+
 # --------------------------------------------------------------------------
 # PDF restricted-subset parser (replaces O5's fitz page-0 rasterize)
 # --------------------------------------------------------------------------

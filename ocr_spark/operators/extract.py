@@ -25,8 +25,9 @@ from pyspark.sql import types as T
 from ocr_spark.extractor.core import extract_bytes
 
 __all__ = ["extract_pages", "extract_meta_pages", "extract_jsonld_pages",
+           "extract_microdata_pages",
            "EXTRACT_RESULT_FIELDS", "META_RESULT_FIELDS",
-           "JSONLD_RESULT_FIELDS", "SPAN_TYPE"]
+           "JSONLD_RESULT_FIELDS", "MICRODATA_RESULT_FIELDS", "SPAN_TYPE"]
 
 SPAN_TYPE = T.ArrayType(
     T.StructType(
@@ -295,6 +296,64 @@ def extract_jsonld_pages(
                         "etype": pa.string(), "name": pa.string(),
                         "word_count": pa.int64(), "status": pa.string()}
             for f in JSONLD_RESULT_FIELDS:
+                arrays.append(pa.array(fields[f.name], pa_types[f.name]))
+                names.append(f.name)
+            yield pa.RecordBatch.from_arrays(arrays, names)
+
+    return df.select(*cols).mapInArrow(kernel, schema=out_schema)
+
+
+MICRODATA_RESULT_FIELDS = [
+    T.StructField("item_idx", T.IntegerType(), True),
+    T.StructField("item_type", T.StringType(), True),
+    T.StructField("prop", T.StringType(), True),
+    T.StructField("value", T.StringType(), True),
+    T.StructField("status", T.StringType(), True),
+]
+
+
+def extract_microdata_pages(
+    df: DataFrame,
+    payload_col: str = "html",
+    passthrough: tuple[str, ...] = ("url",),
+) -> DataFrame:
+    """Schema.org MICRODATA property rows per page (itemscope/itemprop
+    attributes -> ``(item_idx, item_type, prop, value, status)``) —
+    the in-markup sibling of :func:`extract_jsonld_pages`; extracted by
+    ``extractor.core.extract_microdata``.
+
+    Same shape discipline as the jsonld kernel: one-to-many per page
+    with passthrough values repeated per emitted row, ONE Arrow-batched
+    pass (no per-row Python dispatch), the binary payload never
+    shuffles, and orphaned itemprops come back as ``orphan_prop`` ROWS
+    rather than exceptions."""
+    from ocr_spark.extractor.core import extract_microdata
+
+    cols = list(passthrough) + [payload_col]
+    out_schema = T.StructType(
+        [df.schema[c] for c in passthrough] + MICRODATA_RESULT_FIELDS
+    )
+
+    def kernel(batches):
+        import pyarrow as pa  # executor-side import
+
+        for batch in batches:
+            payloads = batch.column(len(cols) - 1).to_pylist()
+            idx: list[int] = []
+            fields = {f.name: [] for f in MICRODATA_RESULT_FIELDS}
+            for rowno, payload in enumerate(payloads):
+                for row in extract_microdata(
+                        payload if payload is not None else b""):
+                    idx.append(rowno)
+                    for k in fields:
+                        fields[k].append(row[k])
+            arrays = [batch.column(i).take(pa.array(idx, pa.int64()))
+                      for i in range(len(passthrough))]
+            names = list(passthrough)
+            pa_types = {"item_idx": pa.int32(), "item_type": pa.string(),
+                        "prop": pa.string(), "value": pa.string(),
+                        "status": pa.string()}
+            for f in MICRODATA_RESULT_FIELDS:
                 arrays.append(pa.array(fields[f.name], pa_types[f.name]))
                 names.append(f.name)
             yield pa.RecordBatch.from_arrays(arrays, names)

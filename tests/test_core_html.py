@@ -398,3 +398,65 @@ class TestJsonLd:
         from ocr_spark.extractor.core import extract_jsonld
 
         assert extract_jsonld(b"\xff\xfe\x00 government") in ([], )
+
+
+# -- microdata ---------------------------------------------------------------
+
+
+def test_microdata_value_sources_and_nesting():
+    from ocr_spark.extractor.core import extract_microdata
+
+    html = (b'<html><body>'
+            b'<div itemscope itemtype="https://schema.org/Product">'
+            b'<span itemprop="name">Acme  <b>Anvil</b></span>'
+            b'<meta itemprop="sku" content="sku-7">'
+            b'<a itemprop="url" href="https://m.ex/p7">x</a>'
+            b'<time itemprop="released" datetime="2026-01-01">Jan 1</time>'
+            b'<div itemprop="offers" itemscope '
+            b'itemtype="https://schema.org/Offer">'
+            b'<meta itemprop="price" content="7.00"></div>'
+            b'</div></body></html>')
+    rows = extract_microdata(html)
+    by_prop = {(r["item_idx"], r["prop"]): r for r in rows}
+    # text content is whitespace-normalized and includes descendants
+    assert by_prop[(0, "name")]["value"] == "Acme Anvil"
+    assert by_prop[(0, "sku")]["value"] == "sku-7"
+    assert by_prop[(0, "url")]["value"] == "https://m.ex/p7"
+    assert by_prop[(0, "released")]["value"] == "2026-01-01"
+    # nested item: reference row on the parent + own rows
+    assert by_prop[(0, "offers")]["value"] == "#item:1"
+    assert by_prop[(1, "price")]["value"] == "7.00"
+    assert by_prop[(1, "price")]["item_type"] == "https://schema.org/Offer"
+    assert all(r["status"] == "ok" for r in rows)
+
+
+def test_microdata_orphan_multiname_and_robustness():
+    from ocr_spark.extractor.core import extract_microdata
+
+    # orphan itemprop (no enclosing itemscope) -> error ROW
+    rows = extract_microdata(b'<p itemprop="stray">s</p>')
+    assert rows == [{"item_idx": None, "item_type": None, "prop": "stray",
+                     "value": "s", "status": "orphan_prop"}]
+    # space-separated itemprop emits one row per name
+    rows = extract_microdata(
+        b'<div itemscope itemtype="T"><b itemprop="a b">v</b></div>')
+    assert [(r["prop"], r["value"]) for r in rows] == [("a", "v"), ("b", "v")]
+    # unbalanced markup: the open capture still flushes
+    rows = extract_microdata(
+        b'<div itemscope itemtype="T"><span itemprop="n">tail')
+    assert rows == [{"item_idx": 0, "item_type": "T", "prop": "n",
+                     "value": "tail", "status": "ok"}]
+    # pages without microdata (and empty payloads) -> no rows
+    assert extract_microdata(b"<html><p>plain</p></html>") == []
+    assert extract_microdata(b"") == []
+
+
+def test_microdata_scope_ends_with_element():
+    from ocr_spark.extractor.core import extract_microdata
+
+    # a prop AFTER the itemscope div closes is an orphan, not item 0's
+    html = (b'<div itemscope itemtype="T"><i itemprop="a">1</i></div>'
+            b'<i itemprop="late">2</i>')
+    rows = extract_microdata(html)
+    assert [(r["item_idx"], r["prop"], r["status"]) for r in rows] == [
+        (0, "a", "ok"), (None, "late", "orphan_prop")]
