@@ -2132,6 +2132,19 @@ def q_packed_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packed_sequences(docs, seq_len=512, n_buckets=64)
 
 
+def q_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset-style output shard planning
+    (operators/corpus.py:shard_plan): every document assigned whole to
+    a 16 KiB-budget output shard via the two-pass byte prefix sum in
+    deterministic hash order.  The oracle recomputes the same running
+    byte offsets with a naive single window over the identical
+    (h % 64, h, key) order."""
+    from ocr_spark.operators.corpus import shard_plan
+
+    docs = _t(spark, sf_dir, "documents")
+    return shard_plan(docs, shard_bytes=16384, n_buckets=64)
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (GPT-3-style n-gram overlap): the
     'benchmark' is a deterministic derived eval set — the first 60
@@ -4030,6 +4043,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget_mix": q_token_budget_mix,
         "pack_sequences": q_pack_sequences,
         "packed_batches": q_packed_batches,
+        "shard_plan": q_shard_plan,
         "decontaminate": q_decontaminate,
         "curate_corpus": q_curate_corpus,
         "warc_extract": q_warc_extract,
@@ -7196,6 +7210,26 @@ def oracle_sql() -> dict[str, str]:
           FROM nodes n JOIN h2 ON h2.node = n.node
                        JOIN a2 ON a2.node = n.node
           ORDER BY n.node
+        """,
+        # same prefix-sum order as pack_sequences, but over BYTES with
+        # no document splitting: shard = start_off div budget
+        "shard_plan": """
+          WITH t AS (
+            SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
+              ('0x' || substr(md5('|' || doc_id::VARCHAR), 1, 15))::BIGINT AS h
+            FROM documents
+          ), run AS (
+            SELECT doc_id, n_bytes,
+              CAST(sum(n_bytes) OVER (ORDER BY h % 64, h, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum
+            FROM t
+          )
+          SELECT doc_id, n_bytes,
+            cum - n_bytes AS start_off,
+            CAST((cum - n_bytes) // 16384 AS BIGINT) AS shard_id,
+            CAST((cum - n_bytes) % 16384 AS BIGINT) AS shard_off
+          FROM run
         """,
         "pack_sequences": f"""
           WITH t AS (

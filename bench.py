@@ -59,7 +59,7 @@ BENCH_QUERIES = [
     "lm_score", "tfidf", "ccnet_buckets", "soft404", "entropy", "stratified_sample", "epoch_mix",
     "dsir_select", "cluster_best", "weighted_sample", "epoch_shuffle",
     "data_split", "bloom_dedup", "token_budget_mix", "length_buckets",
-    "pack_sequences",
+    "pack_sequences", "shard_plan",
     "packed_batches", "decontaminate", "curate_corpus",
     "warc_extract", "url_normalize", "domain_topk", "url_blocklist", "url_templates",
     "crawl_schedule", "crawl_delay", "robots_filter",

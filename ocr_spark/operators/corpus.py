@@ -38,7 +38,8 @@ __all__ = ["stratified_sample", "token_budget_mix", "sample_thresholds",
            "epoch_mix", "epoch_weights", "dsir_weights",
            "data_split", "split_thresholds", "cluster_split",
            "contamination_pairs", "pack_sequences", "packed_sequences",
-           "length_buckets", "weighted_sample", "epoch_shuffle"]
+           "length_buckets", "weighted_sample", "epoch_shuffle",
+           "shard_plan"]
 
 # 60-bit hash space: 15 md5 hex chars, inside int64 on every engine
 HASH_SPACE = 1 << 60
@@ -629,4 +630,73 @@ def epoch_shuffle(df: DataFrame, seed: str, key_col: str = "doc_id",
             "epoch_pos",
             (F.col("_off") + F.row_number().over(w_rn) - 1).cast("long"))
         .drop("_h", "_hb", "_off")
+    )
+
+
+def shard_plan(df: DataFrame, shard_bytes: int, key_col: str = "doc_id",
+               text_col: str = "text", n_buckets: int = 64,
+               salt: str = "") -> DataFrame:
+    """WebDataset-style output shard planning: assign every document to
+    a fixed-capacity output shard (the ~N-MB tar/parquet files a
+    training loader streams) WITHOUT splitting documents, in
+    deterministic hash order.  Returns, per document::
+
+        (key, n_bytes, start_off, shard_id, shard_off)
+
+    where ``start_off`` is the total bytes of documents before this one
+    in the global order, ``shard_id = start_off div shard_bytes`` and
+    ``shard_off = start_off mod shard_bytes``.  A document whose bytes
+    straddle a budget boundary stays whole in the shard its FIRST byte
+    lands in, so a shard can overrun its budget by at most one
+    document — the standard no-split relaxation of first-fit that keeps
+    the assignment a pure prefix-sum (greedy first-fit with reset-at-
+    boundary is inherently sequential; this form is embarrassingly
+    parallel and equals it whenever documents are small relative to the
+    budget).
+
+    Same two-pass distributed prefix sum as ``pack_sequences`` (which
+    cuts a TOKEN stream at fixed length, splitting documents — this is
+    its no-split BYTE-stream sibling): per-bucket partials, offsets via
+    a window over the tiny partials frame, broadcast back, cumsum
+    within buckets.  Global order is (bucket, h, key), a pure function
+    of the key: the shard layout is identical across runs, retries,
+    partitionings, and cluster sizes.  ONE full-data exchange (the
+    bucket hash partition); no task ever sees more than its bucket."""
+    h = _md5_60(key_col, salt)
+    base = (
+        df.select(
+            F.col(key_col),
+            F.octet_length(text_col).cast("long").alias("n_bytes"),
+        )
+        .withColumn("h", h)
+        .withColumn("bucket", F.pmod(F.col("h"), F.lit(n_buckets)))
+    )
+    partials = base.groupBy("bucket").agg(
+        F.sum("n_bytes").alias("bucket_bytes")
+    )
+    w_off = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = partials.select(
+        "bucket",
+        F.coalesce(F.sum("bucket_bytes").over(w_off), F.lit(0))
+        .alias("offset"),
+    )
+    w_run = (
+        Window.partitionBy("bucket")
+        .orderBy("h", key_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = F.col("offset") + F.sum("n_bytes").over(w_run)
+    sb = int(shard_bytes)
+    if sb <= 0:
+        raise ValueError(f"shard_bytes must be positive, got {shard_bytes}")
+    return (
+        base.join(F.broadcast(offsets), "bucket")
+        .withColumn("start_off", (cum - F.col("n_bytes")).cast("long"))
+        .withColumn("shard_id", F.expr(f"start_off div {sb}"))
+        .withColumn(
+            "shard_off",
+            (F.col("start_off") - F.col("shard_id") * sb).cast("long"))
+        .select(key_col, "n_bytes", "start_off", "shard_id", "shard_off")
     )

@@ -436,3 +436,61 @@ def test_cluster_split_members_never_straddle(spark):
     assert all(full[r.doc_id] == r.split for r in half.collect())
     # with 7 clusters and 3 shares, at least 2 splits actually occur
     assert len(set(full.values())) >= 2
+
+
+def test_shard_plan_invariants_and_naive_parity(spark):
+    from ocr_spark.operators.corpus import shard_plan
+
+    rows = [(i, "x" * (17 * (i % 13) + 1)) for i in range(200)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    budget = 400
+    plan = shard_plan(df, shard_bytes=budget, n_buckets=8).collect()
+    assert len(plan) == 200
+
+    # naive single-stream recompute in the same (h % 8, h, key) order
+    import hashlib
+
+    def h60(k):
+        return int(hashlib.md5(f"|{k}".encode()).hexdigest()[:15], 16)
+
+    order = sorted(rows, key=lambda r: (h60(r[0]) % 8, h60(r[0]), r[0]))
+    cum, expect = 0, {}
+    for k, t in order:
+        expect[k] = (len(t), cum, cum // budget, cum % budget)
+        cum += len(t)
+    for r in plan:
+        assert (r["n_bytes"], r["start_off"], r["shard_id"],
+                r["shard_off"]) == expect[r["doc_id"]], r
+
+    # shard capacity: a shard's docs span from its first doc's offset to
+    # past the next boundary (straddlers stay whole), so each non-final
+    # shard's byte total is within one max-doc of the budget either way
+    max_doc = max(len(t) for _, t in rows)
+    per_shard: dict[int, int] = {}
+    last_end: dict[int, int] = {}
+    for r in plan:
+        per_shard[r["shard_id"]] = per_shard.get(r["shard_id"], 0) \
+            + r["n_bytes"]
+        last_end[r["shard_id"]] = max(
+            last_end.get(r["shard_id"], 0), r["start_off"] + r["n_bytes"])
+    sids = sorted(per_shard)
+    assert sids == list(range(len(sids)))  # contiguous shard ids
+    for sid in sids[:-1]:
+        assert budget - max_doc < per_shard[sid] < budget + max_doc
+        # the shard's stream reaches (or crosses) its upper boundary
+        assert last_end[sid] >= (sid + 1) * budget
+
+    # layout is a pure function of keys: repartitioning cannot move docs
+    plan2 = shard_plan(df.repartition(13), shard_bytes=budget,
+                       n_buckets=8).collect()
+    assert sorted(map(tuple, plan)) == sorted(map(tuple, plan2))
+
+
+def test_shard_plan_rejects_nonpositive_budget(spark):
+    import pytest as _pytest
+
+    from ocr_spark.operators.corpus import shard_plan
+
+    df = spark.createDataFrame([(1, "a")], ["doc_id", "text"])
+    with _pytest.raises(ValueError):
+        shard_plan(df, shard_bytes=0)
