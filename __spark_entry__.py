@@ -3921,6 +3921,93 @@ def q_microdata(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id", "item_idx", "prop")
 
 
+def q_rel_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed link-relation extraction (extractor/core.py:
+    extract_rel_links): every doc carries a rel=canonical link and a
+    rel=nofollow anchor, docs with id % 5 != 4 add the rel=next
+    pagination link, and docs with id % 11 == 0 add a space-separated
+    rel="alternate feed" that must emit ONE ROW PER TOKEN with a
+    shared href.  link_idx is document order, so the oracle computes
+    each row's index arithmetically from the presence flags."""
+    from ocr_spark.operators.extract import rel_links_pages
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def build(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            htmls = []
+            for doc_id in pdf["doc_id"]:
+                parts = [
+                    '<html><head>',
+                    f'<link rel="canonical" '
+                    f'href="https://s.example.com/c{doc_id}">',
+                ]
+                if doc_id % 5 != 4:
+                    parts.append(f'<link rel="next" '
+                                 f'href="https://s.example.com/p'
+                                 f'{doc_id + 1}">')
+                if doc_id % 11 == 0:
+                    parts.append('<link rel="alternate feed" '
+                                 'href="/feed.xml">')
+                parts.append('</head><body>'
+                             f'<a rel="nofollow" '
+                             f'href="https://out.example.com/{doc_id % 7}"'
+                             '>x</a></body></html>')
+                htmls.append("".join(parts).encode())
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "html": htmls})
+
+    pages = docs.mapInPandas(build, schema="doc_id long, html binary")
+    return rel_links_pages(pages, payload_col="html",
+                           passthrough=("doc_id",)) \
+        .orderBy("doc_id", "link_idx")
+
+
+def q_article_stitch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-page article reassembly, composed end-to-end from REAL
+    kernels: docs form 4-page pagination chains (<link rel="next">
+    from page d to d+1 unless d % 4 == 3), the rel-link kernel
+    extracts the edges from the markup, and stitch_series
+    (operators/web.py) collapses each chain to one document via
+    pointer doubling with texts concatenated in reading order.  The
+    oracle exploits the planted group structure (series = id div 4,
+    keyed by the group's last page) with an ordered string_agg —
+    closed form, while the engine runs the full parse -> resolve ->
+    stitch plan."""
+    from ocr_spark.operators.extract import rel_links_pages
+    from ocr_spark.operators.web import stitch_series
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    url = F.concat(F.lit("https://a.example.com/p"),
+                   F.col("doc_id").cast("string"))
+
+    def build(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            htmls = []
+            for doc_id in pdf["doc_id"]:
+                nxt = (f'<link rel="next" '
+                       f'href="https://a.example.com/p{doc_id + 1}">'
+                       if doc_id % 4 != 3 else "")
+                htmls.append((f"<html><head>{nxt}</head>"
+                              "<body><p>x</p></body></html>").encode())
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "html": htmls})
+
+    paged = docs.select("doc_id").mapInPandas(
+        build, schema="doc_id long, html binary")
+    links = rel_links_pages(paged, payload_col="html",
+                            passthrough=("doc_id",))
+    edges = (links.filter(F.col("rel") == "next")
+             .select(F.concat(F.lit("https://a.example.com/p"),
+                              F.col("doc_id").cast("string")).alias("src"),
+                     F.col("href").alias("dst")))
+    pages = docs.select(url.alias("url"), "text")
+    return (stitch_series(pages, edges, max_hops=8)
+            .orderBy("series_id"))
+
+
 def q_redirect_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Redirect-chain resolution by pointer doubling
     (operators/web.py:resolve_redirects).  Every id-group of 10 plants
@@ -4060,6 +4147,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": q_pagerank,
         "redirect_resolve": q_redirect_resolve,
         "microdata": q_microdata,
+        "rel_links": q_rel_links,
+        "article_stitch": q_article_stitch,
         "hits": q_hits,
         "graph_components": q_graph_components,
         "graph_prior": q_graph_prior,
@@ -7037,6 +7126,42 @@ def oracle_sql() -> dict[str, str]:
                  THEN 1 ELSE 0 END AS INT) AS keep
           FROM documents d LEFT JOIN r3 ON r3.node = d.doc_id % 20
           ORDER BY d.doc_id
+        """,
+        # link_idx arithmetic from the presence flags: canonical at 0,
+        # next at 1 when present, the alternate/feed pair after it,
+        # nofollow last
+        "rel_links": """
+          WITH f AS (
+            SELECT doc_id,
+              CASE WHEN doc_id % 5 <> 4 THEN 1 ELSE 0 END AS hn,
+              CASE WHEN doc_id % 11 = 0 THEN 1 ELSE 0 END AS ha
+            FROM documents)
+          SELECT doc_id, 0 AS link_idx, 'canonical' AS rel,
+                 'https://s.example.com/c' || doc_id AS href FROM f
+          UNION ALL
+          SELECT doc_id, 1, 'next',
+                 'https://s.example.com/p' || (doc_id + 1)
+          FROM f WHERE hn = 1
+          UNION ALL
+          SELECT doc_id, 1 + hn, 'alternate', '/feed.xml'
+          FROM f WHERE ha = 1
+          UNION ALL
+          SELECT doc_id, 2 + hn, 'feed', '/feed.xml' FROM f WHERE ha = 1
+          UNION ALL
+          SELECT doc_id, 1 + hn + 2 * ha, 'nofollow',
+                 'https://out.example.com/' || (doc_id % 7) FROM f
+          ORDER BY doc_id, link_idx
+        """,
+        # planted group structure: series = id div 4, keyed by the
+        # group's LAST page, texts concatenated in id order
+        "article_stitch": """
+          SELECT 'https://a.example.com/p'
+                   || (4 * (doc_id // 4) + 3) AS series_id,
+                 CAST(count(*) AS BIGINT) AS n_pages,
+                 string_agg(text, chr(10) ORDER BY doc_id) AS text
+          FROM documents
+          GROUP BY doc_id // 4
+          ORDER BY series_id
         """,
         # every microdata row is a closed-form function of
         # (doc_id, first two tokens); the oracle rebuilds the row set

@@ -1008,6 +1008,50 @@ def extract_jsonld(payload: bytes) -> list[dict]:
     return out
 
 
+class _RelLinkParser(HTMLParser):
+    """Collects every ``<link>``/``<a>``/``<area>`` carrying BOTH a
+    ``rel`` and an ``href``, in document order.  A space-separated
+    ``rel`` (per spec a set of tokens) yields one pair per token,
+    lowercased; the href is kept verbatim (resolution against <base>
+    is the outlink extractor's job — rel semantics like next/prev/
+    canonical are usually same-site relative urls that the caller
+    resolves against the page url)."""
+
+    _TAGS = frozenset({"link", "a", "area"})
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.pairs: list[tuple[str, str]] = []
+
+    def handle_starttag(self, tag, attrs):
+        if tag not in self._TAGS:
+            return
+        d = dict(attrs)
+        rel, href = d.get("rel"), d.get("href")
+        if rel is None or href is None:
+            return
+        for token in rel.lower().split():
+            self.pairs.append((token, href.strip()))
+
+
+def extract_rel_links(payload: bytes) -> list[dict]:
+    """HTML bytes -> the page's typed link RELATIONS, one dict per
+    (rel-token, href) pair with ``link_idx`` in document order:
+    rel=next/prev (pagination chains), rel=canonical, rel=alternate
+    (feeds/translations), rel=nofollow etc.  These drive crawl
+    scheduling (next/prev discovery), series stitching, and
+    canonicalization; the kernel is the generic surface under all of
+    them.  Undecodable payloads -> no rows."""
+    try:
+        decoded, _codec = decode_html(payload)
+        p = _RelLinkParser()
+        p.feed(decoded)
+    except Exception:
+        return []
+    return [{"link_idx": i, "rel": rel, "href": href}
+            for i, (rel, href) in enumerate(p.pairs)]
+
+
 # Microdata value sources per the WHATWG/schema.org spec: URL-carrying
 # elements contribute an attribute, everything else its text content.
 _MD_VOID_TAGS = frozenset({

@@ -25,9 +25,10 @@ from pyspark.sql import types as T
 from ocr_spark.extractor.core import extract_bytes
 
 __all__ = ["extract_pages", "extract_meta_pages", "extract_jsonld_pages",
-           "extract_microdata_pages",
+           "extract_microdata_pages", "rel_links_pages",
            "EXTRACT_RESULT_FIELDS", "META_RESULT_FIELDS",
-           "JSONLD_RESULT_FIELDS", "MICRODATA_RESULT_FIELDS", "SPAN_TYPE"]
+           "JSONLD_RESULT_FIELDS", "MICRODATA_RESULT_FIELDS",
+           "REL_LINK_RESULT_FIELDS", "SPAN_TYPE"]
 
 SPAN_TYPE = T.ArrayType(
     T.StructType(
@@ -296,6 +297,60 @@ def extract_jsonld_pages(
                         "etype": pa.string(), "name": pa.string(),
                         "word_count": pa.int64(), "status": pa.string()}
             for f in JSONLD_RESULT_FIELDS:
+                arrays.append(pa.array(fields[f.name], pa_types[f.name]))
+                names.append(f.name)
+            yield pa.RecordBatch.from_arrays(arrays, names)
+
+    return df.select(*cols).mapInArrow(kernel, schema=out_schema)
+
+
+REL_LINK_RESULT_FIELDS = [
+    T.StructField("link_idx", T.IntegerType(), True),
+    T.StructField("rel", T.StringType(), True),
+    T.StructField("href", T.StringType(), True),
+]
+
+
+def rel_links_pages(
+    df: DataFrame,
+    payload_col: str = "html",
+    passthrough: tuple[str, ...] = ("url",),
+) -> DataFrame:
+    """Typed link relations per page (``<link>/<a>/<area>`` with
+    rel+href -> ``(link_idx, rel, href)`` rows): the generic kernel
+    under pagination discovery (rel=next/prev), canonicalization
+    (rel=canonical) and feed discovery (rel=alternate); extracted by
+    ``extractor.core.extract_rel_links``.
+
+    Same Arrow discipline as the jsonld/microdata kernels: one batched
+    pass, passthrough repeated per emitted row, the binary payload
+    never shuffles."""
+    from ocr_spark.extractor.core import extract_rel_links
+
+    cols = list(passthrough) + [payload_col]
+    out_schema = T.StructType(
+        [df.schema[c] for c in passthrough] + REL_LINK_RESULT_FIELDS
+    )
+
+    def kernel(batches):
+        import pyarrow as pa  # executor-side import
+
+        for batch in batches:
+            payloads = batch.column(len(cols) - 1).to_pylist()
+            idx: list[int] = []
+            fields = {f.name: [] for f in REL_LINK_RESULT_FIELDS}
+            for rowno, payload in enumerate(payloads):
+                for row in extract_rel_links(
+                        payload if payload is not None else b""):
+                    idx.append(rowno)
+                    for k in fields:
+                        fields[k].append(row[k])
+            arrays = [batch.column(i).take(pa.array(idx, pa.int64()))
+                      for i in range(len(passthrough))]
+            names = list(passthrough)
+            pa_types = {"link_idx": pa.int32(), "rel": pa.string(),
+                        "href": pa.string()}
+            for f in REL_LINK_RESULT_FIELDS:
                 arrays.append(pa.array(fields[f.name], pa_types[f.name]))
                 names.append(f.name)
             yield pa.RecordBatch.from_arrays(arrays, names)

@@ -53,7 +53,7 @@ __all__ = ["TRACKING_PARAMS", "url_normalize", "url_host",
            "parse_crawl_delay", "crawl_delay_hosts",
            "surt_key", "anchor_text_agg", "domain_quality", "sitemap_urls", "feed_entries",
            "canonical_collapse", "url_path", "url_templates", "url_blocklist_filter",
-           "crawl_schedule", "resolve_redirects"]
+           "crawl_schedule", "resolve_redirects", "stitch_series"]
 
 # the closed, documented drop-set; extend per deployment.  Matched on
 # the parameter NAME (the part left of '='), utm_ by prefix.
@@ -1030,5 +1030,76 @@ def resolve_redirects(edges: DataFrame, src: str = "src", dst: str = "dst",
             .alias("final_url"),
             F.when(F.col("_is_src").isNull(), F.col("hops")).alias("hops"),
             F.col("_is_src").isNull().alias("resolved"),
+        )
+    )
+
+
+def stitch_series(pages: DataFrame, edges: DataFrame,
+                  key_col: str = "url", text_col: str = "text",
+                  src: str = "src", dst: str = "dst",
+                  max_hops: int = 16, sep: str = "\n") -> DataFrame:
+    """Reassemble multi-page articles (rel=next pagination chains) into
+    single documents -> ``(series_id, n_pages, text)``.
+
+    Publishers split articles across /page/1../page/N urls; a corpus
+    that keeps them as separate documents fragments the text (bad for
+    LM training: truncated context, per-page boilerplate ratios) and
+    triple-counts the article in per-domain stats.  Given the pages
+    table and the rel=next edge list (from ``rel_links_pages``), every
+    chain collapses to ONE row keyed by its LAST page (the chain
+    terminal — the only member every page can reach), with page texts
+    concatenated in reading order.
+
+    Built on :func:`resolve_redirects` (same pointer doubling, same
+    ``max_hops`` power-of-two contract): each member resolves to the
+    terminal in O(log max_hops) joins, reading-order position is
+    ``max(hops in series) - hops``, and the concat is one grouped
+    ``array_sort(collect_list(struct(position, text)))`` — a series is
+    at most pagination-deep (browsers cap redirect/pagination chains
+    ~20), so the per-group state is small by construction, never a
+    skew hazard.  Standalone pages (no rel=next in or out) pass
+    through as 1-page series of themselves.  Contract notes: pages
+    trapped in a rel=next LOOP are malformed markup and fall back to
+    1-page series of themselves (stitching identity, nothing dropped);
+    in-branching (two pages pointing to the same next) merges into one
+    series — position ties order by text, deterministically."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    res = resolve_redirects(e, max_hops=max_hops)
+    members = res.filter(F.col("resolved")).select(
+        F.col("src").alias(key_col),
+        F.col("final_url").alias("series_id"),
+        F.col("hops"),
+    )
+    # non-members: never a rel=next source (terminals + standalone
+    # pages), plus loop-trapped pages (unresolved) — all 1-page series
+    # of themselves at hops 0
+    non_src = (pages.select(key_col)
+               .join(e.select(F.col("src").alias(key_col)).distinct(),
+                     key_col, "left_anti"))
+    loops = res.filter(~F.col("resolved")).select(F.col("src").alias(key_col))
+    selves = non_src.union(loops).select(
+        F.col(key_col),
+        F.col(key_col).alias("series_id"),
+        F.lit(0).alias("hops"),
+    )
+    placed = members.union(selves)
+    depth = placed.groupBy("series_id").agg(
+        F.max("hops").alias("chain_len"))
+    return (
+        placed.join(depth, "series_id")
+        .withColumn("position", F.col("chain_len") - F.col("hops"))
+        .join(pages.select(key_col, text_col), key_col)
+        .groupBy("series_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_pages"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(
+                        F.struct(F.col("position"),
+                                 F.col(text_col).alias("t")))),
+                    lambda s: s["t"],
+                ),
+                sep,
+            ).alias("text"),
         )
     )

@@ -592,3 +592,49 @@ def test_resolve_redirects_functional_dedup_and_validation(spark):
     assert out["a"]["final_url"] == "b" and out["a"]["hops"] == 1
     with _pytest.raises(ValueError):
         resolve_redirects(edges, max_hops=10)  # not a power of two
+
+
+def test_extract_rel_links_tokens_and_order():
+    from ocr_spark.extractor.core import extract_rel_links
+
+    html = (b'<html><head>'
+            b'<link rel="canonical" href="https://e.x/a">'
+            b'<link rel="next" href="/a/2">'
+            b'<link rel="alternate stylesheet" href="alt.css">'
+            b'</head><body>'
+            b'<a rel="nofollow" href="https://spam.x">s</a>'
+            b'<a href="https://plain.x">no rel</a>'
+            b'<link rel="prev">no href</link>'
+            b'</body></html>')
+    rows = extract_rel_links(html)
+    assert [(r["link_idx"], r["rel"], r["href"]) for r in rows] == [
+        (0, "canonical", "https://e.x/a"),
+        (1, "next", "/a/2"),
+        (2, "alternate", "alt.css"),   # space-separated rel: one row
+        (3, "stylesheet", "alt.css"),  # per token, shared href
+        (4, "nofollow", "https://spam.x"),
+    ]
+    assert extract_rel_links(b"") == []
+
+
+def test_stitch_series_chains_singletons_and_loops(spark):
+    from ocr_spark.operators.web import stitch_series
+
+    pages = spark.createDataFrame(
+        [("a1", "one"), ("a2", "two"), ("a3", "three"),
+         ("solo", "alone"), ("l1", "loopA"), ("l2", "loopB")],
+        ["url", "text"])
+    edges = spark.createDataFrame(
+        [("a1", "a2"), ("a2", "a3"),      # 3-page article
+         ("l1", "l2"), ("l2", "l1")],     # malformed rel=next loop
+        ["src", "dst"])
+    out = {r["series_id"]: r
+           for r in stitch_series(pages, edges, sep=" ").collect()}
+    # the chain collapses to ONE row keyed by its last page, in order
+    assert out["a3"]["n_pages"] == 3
+    assert out["a3"]["text"] == "one two three"
+    # standalone page passes through
+    assert out["solo"]["n_pages"] == 1 and out["solo"]["text"] == "alone"
+    # loop members fall back to 1-page series of themselves
+    assert out["l1"]["text"] == "loopA" and out["l2"]["text"] == "loopB"
+    assert set(out) == {"a3", "solo", "l1", "l2"}
