@@ -3870,6 +3870,27 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_flagship_extract(spark, SF0001)
 
 
+# fixed merge table for q_bpe_encode — the production shape: trained
+# once (bpe_train / a released tokenizer), applied corpus-wide; merged
+# symbols participate in later merges (th+e, an+d)
+BPE_ENCODE_MERGES = [("t", "h"), ("th", "e"), ("a", "n"),
+                     ("an", "d"), ("e", "r"), ("o", "n")]
+
+
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer APPLICATION at corpus scale
+    (functions/colloc.py:bpe_encode): a fixed 6-merge table applied to
+    every document, counting real tokenizer tokens per doc (the number
+    token budgets / packing / mixing should key off, vs whitespace
+    words).  Zero shuffle — per-row fold expressions only.  The oracle
+    replicates greedy left-to-right merging with a sep-encoded
+    replace chain (replace() is exactly BPE's non-overlapping scan)."""
+    from ocr_spark.functions.colloc import bpe_encode
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return bpe_encode(docs, BPE_ENCODE_MERGES).orderBy("doc_id")
+
+
 def q_microdata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema.org MICRODATA extraction (extractor/core.py:
     extract_microdata) — the in-markup sibling of q_jsonld's script
@@ -4149,6 +4170,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "microdata": q_microdata,
         "rel_links": q_rel_links,
         "article_stitch": q_article_stitch,
+        "bpe_encode": q_bpe_encode,
         "hits": q_hits,
         "graph_components": q_graph_components,
         "graph_prior": q_graph_prior,
@@ -7126,6 +7148,30 @@ def oracle_sql() -> dict[str, str]:
                  THEN 1 ELSE 0 END AS INT) AS keep
           FROM documents d LEFT JOIN r3 ON r3.node = d.doc_id % 20
           ORDER BY d.doc_id
+        """,
+        # sep-encode each word (chr(1) before every char), then one
+        # replace() per merge IN TABLE ORDER — replace's left-to-right
+        # non-overlapping scan IS BPE's greedy merge; symbol count =
+        # remaining sep chars
+        "bpe_encode": f"""
+          WITH w AS (
+            SELECT doc_id, unnest({toks}) AS word FROM documents
+          ), enc AS (
+            SELECT doc_id,
+              replace(replace(replace(replace(replace(replace(
+                regexp_replace(word, '(.)', chr(1) || '\\1', 'g'),
+                chr(1)||'t'||chr(1)||'h', chr(1)||'th'),
+                chr(1)||'th'||chr(1)||'e', chr(1)||'the'),
+                chr(1)||'a'||chr(1)||'n', chr(1)||'an'),
+                chr(1)||'an'||chr(1)||'d', chr(1)||'and'),
+                chr(1)||'e'||chr(1)||'r', chr(1)||'er'),
+                chr(1)||'o'||chr(1)||'n', chr(1)||'on') AS s
+            FROM w
+          )
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+                 CAST(sum(len(s) - len(replace(s, chr(1), ''))) AS BIGINT)
+                   AS n_bpe_tokens
+          FROM enc GROUP BY doc_id ORDER BY doc_id
         """,
         # link_idx arithmetic from the presence flags: canonical at 0,
         # next at 1 when present, the alternate/feed pair after it,

@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 from ocr_spark.functions.text import tokens
 
 __all__ = ["collocations", "bpe_pair_counts", "bpe_train",
-           "bpe_train_local", "apply_merge"]
+           "bpe_train_local", "apply_merge", "bpe_encode"]
 
 
 def _bigrams(toks) -> F.Column:
@@ -243,3 +243,37 @@ def bpe_train_local(texts: list[str], n_merges: int) -> list[tuple[str, str]]:
             else:
                 del words[w]
     return merges
+
+
+def bpe_encode(df: DataFrame, merges: list[tuple[str, str]],
+               text_col: str = "text",
+               key_col: str = "doc_id") -> DataFrame:
+    """Apply a FIXED BPE merge table to every document ->
+    ``(key, n_words, n_bpe_tokens)`` — the production tokenizer shape:
+    the merge table is trained ONCE (:func:`bpe_train`, or shipped with
+    a released tokenizer) and then applied to the whole corpus, which
+    is exactly the pass a training pipeline runs to size its data in
+    REAL tokenizer tokens rather than whitespace words (token budgets,
+    sequence packing, and per-source mixing all key off this count).
+
+    Merges apply in table order, each a greedy left-to-right
+    non-overlapping scan (:func:`apply_merge`), with merged symbols
+    participating in later merges — standard BPE application.  The
+    whole encode is per-row JVM expression work (split -> fold per
+    word, summed with a higher-order aggregate): ZERO shuffle, zero
+    Python, linear in corpus bytes at any scale."""
+    words = tokens(text_col)
+
+    def enc(w):
+        syms = F.filter(F.split(w, ""), lambda x: x != F.lit(""))
+        for left, right in merges:
+            syms = apply_merge(syms, left, right)
+        return syms
+
+    counts = F.transform(words, lambda w: F.size(enc(w)))
+    return df.select(
+        F.col(key_col),
+        F.size(words).cast("long").alias("n_words"),
+        F.aggregate(counts, F.lit(0),
+                    lambda a, x: a + x).cast("long").alias("n_bpe_tokens"),
+    )

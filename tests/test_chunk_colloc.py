@@ -177,3 +177,35 @@ def test_split_sections_preamble_order_and_empty_sections(spark):
     assert rows[(2, 0)].heading is None     # headingless doc: one section
     assert rows[(2, 0)].n_tokens == 4
     assert (3, 0) not in rows               # empty doc emits nothing
+
+
+def test_bpe_encode_matches_pure_python(spark):
+    from ocr_spark.functions.colloc import bpe_encode
+
+    merges = [("t", "h"), ("th", "e"), ("a", "n")]
+
+    def py_encode(word):
+        syms = list(word)
+        for l, r in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if (out and out[-1] == l and syms[i] == r):
+                    out[-1] = l + r
+                else:
+                    out.append(syms[i])
+                i += 1
+            syms = out
+        return len(syms)
+
+    rows = [(0, "the man with the plan"), (1, "thethe ant"),
+            (2, ""), (3, "   "), (4, "a")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in bpe_encode(df, merges).collect()}
+    for doc_id, text in rows:
+        words = text.split()
+        assert got[doc_id]["n_words"] == len(words)
+        assert got[doc_id]["n_bpe_tokens"] == sum(
+            py_encode(w) for w in words), (doc_id, text)
+    # blank docs encode to zero tokens, zero words
+    assert got[2]["n_words"] == 0 and got[2]["n_bpe_tokens"] == 0
+    assert got[3]["n_words"] == 0 and got[3]["n_bpe_tokens"] == 0
