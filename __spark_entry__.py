@@ -4029,6 +4029,93 @@ def q_article_stitch(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("series_id"))
 
 
+def q_redirect_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Meta-refresh redirect resolution composed from REAL markup:
+    the same planted chain/cycle structure as q_redirect_resolve, but
+    the edges come out of actual ``<meta http-equiv=refresh>`` tags
+    via the http-equiv kernel (extractor/core.py:extract_http_equiv)
+    instead of being synthesized columns — parse -> edge list ->
+    pointer doubling in one plan.  Oracle: the identical hop-capped
+    recursive CTE on the closed-form edge list."""
+    from ocr_spark.operators.extract import http_equiv_pages
+    from ocr_spark.operators.web import resolve_redirects
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def build(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            htmls = []
+            for doc_id in pdf["doc_id"]:
+                r = doc_id % 10
+                tgt = {1: doc_id + 1, 2: doc_id + 1, 3: doc_id - 3,
+                       4: doc_id + 1, 5: doc_id - 1}.get(r)
+                meta = (f'<meta http-equiv="refresh" content="0; '
+                        f'url=https://g.example.com/p{tgt}">'
+                        if tgt is not None else "")
+                htmls.append((f"<html><head>{meta}</head>"
+                              "<body>x</body></html>").encode())
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "html": htmls})
+
+    pages = docs.mapInPandas(build, schema="doc_id long, html binary")
+    equiv = http_equiv_pages(pages, payload_col="html",
+                             passthrough=("doc_id",))
+    edges = (equiv.filter(F.col("refresh_url").isNotNull())
+             .select(F.concat(F.lit("https://g.example.com/p"),
+                              F.col("doc_id").cast("string")).alias("src"),
+                     F.col("refresh_url").alias("dst")))
+    return resolve_redirects(edges, max_hops=16).orderBy("src")
+
+
+def q_lang_mismatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared-vs-detected language consistency (a strong spam /
+    mojibake / template-reuse signal: markup claiming one language
+    over text reading as another).  Declared comes from REAL
+    ``<html lang>`` attributes via the http-equiv kernel — docs with
+    id % 7 == 0 omit the attribute (NULL declared, never a mismatch),
+    docs with id % 13 == 0 declare the wrong constant 'zz' — and
+    detected is the shipping marker-argmax lang_id over the doc's own
+    text.  ``mismatch = declared IS NOT NULL AND declared !=
+    detected`` (the zh rows mismatch by construction: the latin
+    marker set cannot confirm a zh declaration)."""
+    from ocr_spark.functions.text import with_lang_id
+    from ocr_spark.operators.extract import http_equiv_pages
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+
+    def build(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            htmls = []
+            for doc_id, lang in zip(pdf["doc_id"], pdf["lang"]):
+                if doc_id % 7 == 0:
+                    attr = ""
+                elif doc_id % 13 == 0:
+                    attr = ' lang="zz"'
+                else:
+                    attr = f' lang="{lang}"'
+                htmls.append(
+                    f"<html{attr}><body>x</body></html>".encode())
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "html": htmls})
+
+    pages = docs.select("doc_id", "lang").mapInPandas(
+        build, schema="doc_id long, html binary")
+    declared = http_equiv_pages(pages, passthrough=("doc_id",)) \
+        .select("doc_id", F.col("html_lang").alias("declared"))
+    detected = with_lang_id(docs).select(
+        "doc_id", F.col("lang_pred").alias("detected"))
+    return (
+        declared.join(detected, "doc_id")
+        .withColumn(
+            "mismatch",
+            F.col("declared").isNotNull()
+            & (F.col("declared") != F.col("detected")))
+        .orderBy("doc_id")
+    )
+
+
 def q_redirect_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Redirect-chain resolution by pointer doubling
     (operators/web.py:resolve_redirects).  Every id-group of 10 plants
@@ -4171,6 +4258,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_links": q_rel_links,
         "article_stitch": q_article_stitch,
         "bpe_encode": q_bpe_encode,
+        "redirect_graph": q_redirect_graph,
+        "lang_mismatch": q_lang_mismatch,
         "hits": q_hits,
         "graph_components": q_graph_components,
         "graph_prior": q_graph_prior,
@@ -5543,6 +5632,20 @@ def oracle_sql() -> dict[str, str]:
     }
     # shared DuckDB fragments ------------------------------------------------
     toks = "string_split_regex(trim(text), '\\s+')"
+    # marker-argmax language id, shared by lang_id and lang_mismatch
+    lang_counts = f"""
+            SELECT doc_id,
+              len(list_filter({toks}, t -> list_contains({markers['en']}, t))) AS c_en,
+              len(list_filter({toks}, t -> list_contains({markers['es']}, t))) AS c_es,
+              len(list_filter({toks}, t -> list_contains({markers['de']}, t))) AS c_de,
+              len(list_filter({toks}, t -> list_contains({markers['fr']}, t))) AS c_fr
+            FROM documents"""
+    lang_case = """
+            CASE WHEN c_en > 0 AND c_en >= c_es AND c_en >= c_de AND c_en >= c_fr THEN 'en'
+                 WHEN c_es > 0 AND c_es > c_en AND c_es >= c_de AND c_es >= c_fr THEN 'es'
+                 WHEN c_de > 0 AND c_de > c_en AND c_de > c_es AND c_de >= c_fr THEN 'de'
+                 WHEN c_fr > 0 AND c_fr > c_en AND c_fr > c_es AND c_fr > c_de THEN 'fr'
+                 ELSE 'und' END"""
     shingles = (
         f"list_distinct(CASE WHEN len({toks}) >= 3 THEN "
         f"list_transform(range(1, len({toks}) - 1), "
@@ -6331,20 +6434,26 @@ def oracle_sql() -> dict[str, str]:
           FROM src
         """,
         "lang_id": f"""
-          WITH c AS (
-            SELECT doc_id,
-              len(list_filter({toks}, t -> list_contains({markers['en']}, t))) AS c_en,
-              len(list_filter({toks}, t -> list_contains({markers['es']}, t))) AS c_es,
-              len(list_filter({toks}, t -> list_contains({markers['de']}, t))) AS c_de,
-              len(list_filter({toks}, t -> list_contains({markers['fr']}, t))) AS c_fr
-            FROM documents)
-          SELECT doc_id,
-            CASE WHEN c_en > 0 AND c_en >= c_es AND c_en >= c_de AND c_en >= c_fr THEN 'en'
-                 WHEN c_es > 0 AND c_es > c_en AND c_es >= c_de AND c_es >= c_fr THEN 'es'
-                 WHEN c_de > 0 AND c_de > c_en AND c_de > c_es AND c_de >= c_fr THEN 'de'
-                 WHEN c_fr > 0 AND c_fr > c_en AND c_fr > c_es AND c_fr > c_de THEN 'fr'
-                 ELSE 'und' END AS lang_pred
+          WITH c AS ({lang_counts})
+          SELECT doc_id, {lang_case} AS lang_pred
           FROM c
+        """,
+        # declared from the planted <html lang> arithmetic, detected =
+        # the SAME marker-argmax CASE lang_id ships (shared fragment)
+        "lang_mismatch": f"""
+          WITH c AS ({lang_counts}),
+          det AS (SELECT doc_id, {lang_case} AS detected FROM c),
+          dec AS (
+            SELECT doc_id,
+              CASE WHEN doc_id % 7 = 0 THEN NULL
+                   WHEN doc_id % 13 = 0 THEN 'zz'
+                   ELSE lang END AS declared
+            FROM documents)
+          SELECT d.doc_id, d.declared, t.detected,
+                 d.declared IS NOT NULL AND d.declared <> t.detected
+                   AS mismatch
+          FROM dec d JOIN det t ON d.doc_id = t.doc_id
+          ORDER BY d.doc_id
         """,
         "lang_id_cjk": _lang_id_cjk_sql(),
         "frame_sample": """
@@ -7234,6 +7343,34 @@ def oracle_sql() -> dict[str, str]:
           SELECT doc_id, NULL, NULL, 'stray', 's', 'orphan_prop'
           FROM t WHERE doc_id % 17 = 0
           ORDER BY doc_id, item_idx, prop
+        """,
+        # same recursive walk as redirect_resolve; the engine side must
+        # first recover the edges from real <meta http-equiv=refresh>
+        "redirect_graph": """
+          WITH RECURSIVE e0 AS (
+            SELECT 'https://g.example.com/p' || doc_id AS src,
+                   'https://g.example.com/p' || CASE
+                      WHEN doc_id % 10 IN (1, 2, 4) THEN doc_id + 1
+                      WHEN doc_id % 10 = 3 THEN doc_id - 3
+                      WHEN doc_id % 10 = 5 THEN doc_id - 1 END AS dst
+            FROM documents WHERE doc_id % 10 IN (1, 2, 3, 4, 5)),
+          edges AS (SELECT src, min(dst) AS dst FROM e0 GROUP BY src),
+          walk(src, cur, hops) AS (
+            SELECT src, dst, 1 FROM edges
+            UNION ALL
+            SELECT w.src, g.dst, w.hops + 1
+            FROM walk w JOIN edges g ON g.src = w.cur
+            WHERE w.hops < 16),
+          lastpos AS (SELECT src, arg_max(cur, hops) AS cur,
+                             max(hops) AS hops
+                      FROM walk GROUP BY src)
+          SELECT l.src AS src,
+                 CASE WHEN s.src IS NULL THEN l.cur END AS final_url,
+                 CASE WHEN s.src IS NULL THEN l.hops END AS hops,
+                 s.src IS NULL AS resolved
+          FROM lastpos l
+          LEFT JOIN (SELECT DISTINCT src FROM edges) s ON s.src = l.cur
+          ORDER BY l.src
         """,
         # hop-capped recursive walk over the SAME functional edge list;
         # resolved = the walk's last node has no outgoing edge

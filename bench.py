@@ -65,7 +65,8 @@ BENCH_QUERIES = [
     "warc_extract", "url_normalize", "domain_topk", "url_blocklist", "url_templates",
     "crawl_schedule", "crawl_delay", "robots_filter",
     "outlinks", "anchor_agg", "cdx_index", "pagerank", "hits", "graph_components", "graph_prior",
-    "redirect_resolve", "rel_links", "article_stitch",
+    "redirect_resolve", "redirect_graph", "rel_links", "article_stitch",
+    "lang_mismatch",
     "media_decode", "png_decode", "audio_decode", "frame_sample", "exif",
     "pricing_summary", "top_customers", "regional_revenue",
     "customers_no_orders", "setop_except", "json_extract",

@@ -1008,6 +1008,65 @@ def extract_jsonld(payload: bytes) -> list[dict]:
     return out
 
 
+# "N" or "N; url=..." with optional quotes/spaces, case-insensitive —
+# the forms browsers actually honor for meta refresh
+_REFRESH_RE = re.compile(
+    r"\s*(\d+)\s*(?:;\s*url\s*=\s*['\"]?([^'\"]+?)['\"]?\s*)?$", re.I)
+
+
+class _HttpEquivParser(HTMLParser):
+    """First-wins head directives: ``<html lang>``, ``<meta http-equiv=
+    content-language>`` (first comma-separated tag, lowercased) and
+    ``<meta http-equiv=refresh>`` (delay + target url)."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.html_lang: str | None = None
+        self.content_language: str | None = None
+        self.refresh_delay: int | None = None
+        self.refresh_url: str | None = None
+
+    def handle_starttag(self, tag, attrs):
+        d = dict(attrs)
+        if tag == "html" and self.html_lang is None and d.get("lang"):
+            self.html_lang = d["lang"].strip().lower()
+        elif tag == "meta":
+            he = (d.get("http-equiv") or "").lower()
+            content = d.get("content")
+            if (he == "content-language" and content
+                    and self.content_language is None):
+                self.content_language = content.split(",")[0].strip().lower()
+            elif he == "refresh" and content and self.refresh_delay is None:
+                m = _REFRESH_RE.match(content)
+                if m:
+                    self.refresh_delay = int(m.group(1))
+                    self.refresh_url = m.group(2)
+
+
+def extract_http_equiv(payload: bytes) -> dict:
+    """HTML bytes -> head DIRECTIVES (vs extract_meta's head CONTENT):
+    ``html_lang`` (the root element's declared language), ``content_
+    language`` (http-equiv fallback), ``refresh_delay``/``refresh_url``
+    (the client-side redirect).  Declared language feeds the
+    declared-vs-detected quality check (a page whose markup claims one
+    language while its text reads as another is a strong spam/mojibake
+    signal); refresh targets are redirect-graph edges next to HTTP
+    Location and rel=canonical.  Absent directives are None;
+    undecodable payloads return all-None."""
+    none = {"html_lang": None, "content_language": None,
+            "refresh_delay": None, "refresh_url": None}
+    try:
+        decoded, _codec = decode_html(payload)
+        p = _HttpEquivParser()
+        p.feed(decoded)
+    except Exception:
+        return dict(none)
+    return {"html_lang": p.html_lang,
+            "content_language": p.content_language,
+            "refresh_delay": p.refresh_delay,
+            "refresh_url": p.refresh_url}
+
+
 class _RelLinkParser(HTMLParser):
     """Collects every ``<link>``/``<a>``/``<area>`` carrying BOTH a
     ``rel`` and an ``href``, in document order.  A space-separated

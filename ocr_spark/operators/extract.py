@@ -26,9 +26,11 @@ from ocr_spark.extractor.core import extract_bytes
 
 __all__ = ["extract_pages", "extract_meta_pages", "extract_jsonld_pages",
            "extract_microdata_pages", "rel_links_pages",
+           "http_equiv_pages",
            "EXTRACT_RESULT_FIELDS", "META_RESULT_FIELDS",
            "JSONLD_RESULT_FIELDS", "MICRODATA_RESULT_FIELDS",
-           "REL_LINK_RESULT_FIELDS", "SPAN_TYPE"]
+           "REL_LINK_RESULT_FIELDS", "HTTP_EQUIV_RESULT_FIELDS",
+           "SPAN_TYPE"]
 
 SPAN_TYPE = T.ArrayType(
     T.StructType(
@@ -297,6 +299,56 @@ def extract_jsonld_pages(
                         "etype": pa.string(), "name": pa.string(),
                         "word_count": pa.int64(), "status": pa.string()}
             for f in JSONLD_RESULT_FIELDS:
+                arrays.append(pa.array(fields[f.name], pa_types[f.name]))
+                names.append(f.name)
+            yield pa.RecordBatch.from_arrays(arrays, names)
+
+    return df.select(*cols).mapInArrow(kernel, schema=out_schema)
+
+
+HTTP_EQUIV_RESULT_FIELDS = [
+    T.StructField("html_lang", T.StringType(), True),
+    T.StructField("content_language", T.StringType(), True),
+    T.StructField("refresh_delay", T.IntegerType(), True),
+    T.StructField("refresh_url", T.StringType(), True),
+]
+
+
+def http_equiv_pages(
+    df: DataFrame,
+    payload_col: str = "html",
+    passthrough: tuple[str, ...] = ("url",),
+) -> DataFrame:
+    """Head directives per page (one row each): declared language
+    (``<html lang>`` + http-equiv content-language) and meta-refresh
+    redirect target; extracted by ``extractor.core.extract_http_equiv``.
+    One-to-ONE per page (unlike the jsonld/microdata kernels), same
+    Arrow discipline: one batched pass, payload never shuffles."""
+    from ocr_spark.extractor.core import extract_http_equiv
+
+    cols = list(passthrough) + [payload_col]
+    out_schema = T.StructType(
+        [df.schema[c] for c in passthrough] + HTTP_EQUIV_RESULT_FIELDS
+    )
+
+    def kernel(batches):
+        import pyarrow as pa  # executor-side import
+
+        for batch in batches:
+            payloads = batch.column(len(cols) - 1).to_pylist()
+            fields = {f.name: [] for f in HTTP_EQUIV_RESULT_FIELDS}
+            for payload in payloads:
+                row = extract_http_equiv(
+                    payload if payload is not None else b"")
+                for k in fields:
+                    fields[k].append(row[k])
+            arrays = [batch.column(i) for i in range(len(passthrough))]
+            names = list(passthrough)
+            pa_types = {"html_lang": pa.string(),
+                        "content_language": pa.string(),
+                        "refresh_delay": pa.int32(),
+                        "refresh_url": pa.string()}
+            for f in HTTP_EQUIV_RESULT_FIELDS:
                 arrays.append(pa.array(fields[f.name], pa_types[f.name]))
                 names.append(f.name)
             yield pa.RecordBatch.from_arrays(arrays, names)

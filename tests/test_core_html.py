@@ -460,3 +460,29 @@ def test_microdata_scope_ends_with_element():
     rows = extract_microdata(html)
     assert [(r["item_idx"], r["prop"], r["status"]) for r in rows] == [
         (0, "a", "ok"), (None, "late", "orphan_prop")]
+
+
+def test_http_equiv_directives():
+    from ocr_spark.extractor.core import extract_http_equiv
+
+    out = extract_http_equiv(
+        b'<html lang="EN-us"><head>'
+        b'<meta http-equiv="refresh" content="5; URL=\'https://x.y/z\'">'
+        b'<meta http-equiv="Content-Language" content="fr, de">'
+        b'</head></html>')
+    assert out == {"html_lang": "en-us", "content_language": "fr",
+                   "refresh_delay": 5, "refresh_url": "https://x.y/z"}
+    # delay-only refresh: parsed, no target; first parseable wins
+    out = extract_http_equiv(
+        b'<meta http-equiv="refresh" content="0">'
+        b'<meta http-equiv="refresh" content="9;url=https://late.x">')
+    assert out["refresh_delay"] == 0 and out["refresh_url"] is None
+    # unparseable content ignored (a later valid one wins)
+    out = extract_http_equiv(
+        b'<meta http-equiv="refresh" content="garbage">'
+        b'<meta http-equiv="refresh" content="2;url=/next">')
+    assert out["refresh_delay"] == 2 and out["refresh_url"] == "/next"
+    # absent directives -> all None (also for undecodable/empty)
+    assert extract_http_equiv(b"<html></html>") == {
+        "html_lang": None, "content_language": None,
+        "refresh_delay": None, "refresh_url": None}
