@@ -4029,6 +4029,49 @@ def q_article_stitch(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("series_id"))
 
 
+def q_host_lang_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain language-entropy spam signal
+    (operators/web.py:host_lang_profile): docs hash into 29 synthetic
+    registered domains, languages from the corpus's real lang labels;
+    high entropy + low majority share = the multi-language content-
+    mill red flag.  Entropy terms are irrational (ln of rationals), so
+    round(.,6) snaps both engines' last-ulp summation noise without
+    tie hazard."""
+    from ocr_spark.operators.web import host_lang_profile
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    pages = docs.select(
+        F.concat(F.lit("https://site"),
+                 (F.col("doc_id") % 29).cast("string"),
+                 F.lit(".com/p"), F.col("doc_id").cast("string"))
+        .alias("url"),
+        "lang",
+    )
+    return host_lang_profile(pages).orderBy("domain")
+
+
+def q_pdf_text_fix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF typography repair (operators/normalize.py:fix_pdf_text):
+    docs with id % 3 == 0 get every word boundary replaced by an
+    end-of-line hyphenation split plus a presentation-form ligature
+    prefix (U+FB01/FB02/FB00 — what PDF extractors leak); the repair
+    must merge letter-hyphen-newline-letter splits (tokens ending in
+    digits/punctuation survive, by design) and normalize ligatures.
+    The oracle applies DuckDB's own RE2 to the same pattern — an
+    independent second implementation of both the break and the
+    repair."""
+    from ocr_spark.operators.normalize import fix_pdf_text
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    broken = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(F.lit("ﬁrst ﬂat eﬀort "),
+                 F.regexp_replace("text", " ", "-\n")),
+    ).otherwise(F.col("text"))
+    return docs.select(
+        "doc_id", fix_pdf_text(broken).alias("text")).orderBy("doc_id")
+
+
 def q_redirect_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Meta-refresh redirect resolution composed from REAL markup:
     the same planted chain/cycle structure as q_redirect_resolve, but
@@ -4260,6 +4303,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode": q_bpe_encode,
         "redirect_graph": q_redirect_graph,
         "lang_mismatch": q_lang_mismatch,
+        "pdf_text_fix": q_pdf_text_fix,
+        "host_lang_entropy": q_host_lang_entropy,
         "hits": q_hits,
         "graph_components": q_graph_components,
         "graph_prior": q_graph_prior,
@@ -7343,6 +7388,42 @@ def oracle_sql() -> dict[str, str]:
           SELECT doc_id, NULL, NULL, 'stray', 's', 'orphan_prop'
           FROM t WHERE doc_id % 17 = 0
           ORDER BY doc_id, item_idx, prop
+        """,
+        "host_lang_entropy": """
+          WITH d AS (
+            SELECT 'site' || (doc_id % 29) || '.com' AS domain, lang
+            FROM documents),
+          per AS (SELECT domain, lang, count(*) AS n
+                  FROM d GROUP BY domain, lang),
+          tot AS (SELECT domain, sum(n) AS total, count(*) AS n_langs,
+                         max(n) AS top_n
+                  FROM per GROUP BY domain)
+          SELECT p.domain,
+            CAST(max(t.total) AS BIGINT) AS n_docs,
+            CAST(max(t.n_langs) AS BIGINT) AS n_langs,
+            round(max(t.top_n * 1.0 / t.total), 6) AS top_share,
+            round(-sum((p.n * 1.0 / t.total) * ln(p.n * 1.0 / t.total)), 6)
+              AS lang_entropy
+          FROM per p JOIN tot t USING (domain)
+          GROUP BY p.domain ORDER BY p.domain
+        """,
+        # same break construction, then DuckDB's own RE2 dehyphenation
+        # + ligature replace chain (independent second implementation)
+        "pdf_text_fix": r"""
+          WITH b AS (
+            SELECT doc_id, CASE WHEN doc_id % 3 = 0
+              THEN chr(64257) || 'rst ' || chr(64258) || 'at e'
+                   || chr(64256) || 'ort '
+                   || regexp_replace(text, ' ', '-' || chr(10), 'g')
+              ELSE text END AS t
+            FROM documents)
+          SELECT doc_id,
+            replace(replace(replace(replace(replace(replace(replace(
+              regexp_replace(t, '(\p{L})-\r?\n(\p{L})', '\1\2', 'g'),
+              chr(64256), 'ff'), chr(64257), 'fi'), chr(64258), 'fl'),
+              chr(64259), 'ffi'), chr(64260), 'ffl'), chr(64261), 'st'),
+              chr(64262), 'st') AS text
+          FROM b ORDER BY doc_id
         """,
         # same recursive walk as redirect_resolve; the engine side must
         # first recover the edges from real <meta http-equiv=refresh>

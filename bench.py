@@ -66,7 +66,7 @@ BENCH_QUERIES = [
     "crawl_schedule", "crawl_delay", "robots_filter",
     "outlinks", "anchor_agg", "cdx_index", "pagerank", "hits", "graph_components", "graph_prior",
     "redirect_resolve", "redirect_graph", "rel_links", "article_stitch",
-    "lang_mismatch",
+    "lang_mismatch", "pdf_text_fix", "host_lang_entropy",
     "media_decode", "png_decode", "audio_decode", "frame_sample", "exif",
     "pricing_summary", "top_customers", "regional_revenue",
     "customers_no_orders", "setop_except", "json_extract",

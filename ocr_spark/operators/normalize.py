@@ -27,7 +27,8 @@ import unicodedata
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
-__all__ = ["nfc_clean", "normalize_text"]
+__all__ = ["nfc_clean", "normalize_text", "fix_pdf_text",
+           "LIGATURES", "DEHYPHEN_PATTERN"]
 
 # C0 controls except \t \n \r, plus DEL; then zero-widths + BOM.
 # Spelled as explicit ranges so the DuckDB oracle regex is identical.
@@ -72,3 +73,40 @@ def normalize_text(df: DataFrame, text_col: str = "text",
             yield pa.RecordBatch.from_arrays(arrays, out_names)
 
     return df.mapInArrow(kernel, schema=out_schema)
+
+
+# PDF typography artifacts: presentation-form ligature code points
+# (U+FB00..FB06) that PDF extractors emit verbatim, breaking token
+# statistics and exact dedup; replacement pairs shared with the oracle.
+LIGATURES: list[tuple[str, str]] = [
+    ("ﬀ", "ff"), ("ﬁ", "fi"), ("ﬂ", "fl"),
+    ("ﬃ", "ffi"), ("ﬄ", "ffl"), ("ﬅ", "st"),
+    ("ﬆ", "st"),
+]
+
+# letter '-' newline letter -> merged word; the standard line-break
+# dehyphenation heuristic (both sides must be letters, so numeric
+# ranges and trailing hyphens survive).  RE2-common syntax.
+DEHYPHEN_PATTERN = r"(\p{L})-\r?\n(\p{L})"
+
+
+def fix_pdf_text(col):
+    """PDF-extraction text repair as a pure JVM expression column:
+    merge words split by end-of-line hyphenation (``exam-\\n ple`` ->
+    ``example``; only letter-hyphen-newline-letter merges, so real
+    hyphenated compounds and numeric ranges survive) and normalize
+    presentation-form ligatures to their ASCII sequences (U+FB01 ->
+    ``fi`` etc. — fonts substitute them at render time and extractors
+    leak them into text, where they silently split token statistics
+    and defeat exact dedup).  Zero shuffle, zero Python; the DuckDB
+    oracle applies its OWN regexp engine to the same pattern — an
+    independent second implementation, same discipline as
+    normalize_text above."""
+    from pyspark.sql import Column
+    from pyspark.sql import functions as F
+
+    c = F.col(col) if isinstance(col, str) else col
+    out = F.regexp_replace(c, DEHYPHEN_PATTERN, "$1$2")
+    for lig, rep in LIGATURES:
+        out = F.replace(out, F.lit(lig), F.lit(rep))
+    return out

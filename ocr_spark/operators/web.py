@@ -53,7 +53,8 @@ __all__ = ["TRACKING_PARAMS", "url_normalize", "url_host",
            "parse_crawl_delay", "crawl_delay_hosts",
            "surt_key", "anchor_text_agg", "domain_quality", "sitemap_urls", "feed_entries",
            "canonical_collapse", "url_path", "url_templates", "url_blocklist_filter",
-           "crawl_schedule", "resolve_redirects", "stitch_series"]
+           "crawl_schedule", "resolve_redirects", "stitch_series",
+           "host_lang_profile"]
 
 # the closed, documented drop-set; extend per deployment.  Matched on
 # the parameter NAME (the part left of '='), utm_ by prefix.
@@ -1101,5 +1102,45 @@ def stitch_series(pages: DataFrame, edges: DataFrame,
                 ),
                 sep,
             ).alias("text"),
+        )
+    )
+
+
+def host_lang_profile(df: DataFrame, url_col: str = "url",
+                      lang_col: str = "lang") -> DataFrame:
+    """Per-registered-domain language profile ->
+    ``(domain, n_docs, n_langs, top_share, lang_entropy)``.
+
+    Legitimate sites are overwhelmingly monolingual (or cleanly split
+    by subdomain/path); machine-generated spam farms and scraped-
+    content mills serve MANY languages from one domain.  High
+    ``lang_entropy`` (Shannon, nats) with low ``top_share`` is the
+    standard domain-level red flag next to domain_quality's
+    blocklist-hit rate — both feed the same per-domain keep/cap
+    decision (RefinedWeb/C4-style curation).
+
+    Shape: two chained hash aggregates — per (domain, lang) counts,
+    then per domain — so a mega-domain is absorbed map-side by partial
+    aggregation of the skinny count rows; the entropy sum runs over at
+    most |languages| rows per domain.  No windows, no explode, text
+    never moves."""
+    d = df.select(registered_domain(url_col).alias("domain"),
+                  F.col(lang_col).alias("lang"))
+    per = d.groupBy("domain", "lang").agg(F.count(F.lit(1)).alias("n"))
+    tot = per.groupBy("domain").agg(
+        F.sum("n").alias("total"),
+        F.count(F.lit(1)).alias("n_langs"),
+        F.max("n").alias("top_n"),
+    )
+    p = F.col("n") / F.col("total")
+    return (
+        per.join(tot, "domain")
+        .groupBy("domain")
+        .agg(
+            F.max("total").alias("n_docs"),
+            F.max("n_langs").alias("n_langs"),
+            F.round(F.max(F.col("top_n") / F.col("total")), 6)
+            .alias("top_share"),
+            F.round(-F.sum(p * F.log(p)), 6).alias("lang_entropy"),
         )
     )

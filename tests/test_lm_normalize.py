@@ -105,3 +105,28 @@ class TestNormalize:
                 ._jdf.queryExecution().executedPlan().toString())
         assert "Exchange" not in plan
         assert "BatchEvalPython" not in plan
+
+
+def test_fix_pdf_text_dehyphenation_and_ligatures(spark):
+    from pyspark.sql import functions as F
+
+    from ocr_spark.operators.normalize import fix_pdf_text
+
+    rows = [
+        (0, "exam-\nple"),          # letter both sides -> merged
+        (1, "exam-\r\nple"),        # CRLF form
+        (2, "pages 3-\n4"),         # digit after hyphen -> survives
+        (3, "word1-\nnext"),        # digit before hyphen -> survives
+        (4, "state-\nof-the-art"),  # only the line-break hyphen merges
+        (5, "eﬀort ﬁne ﬂat ﬃx ﬄood ﬆar"),
+    ]
+    df = spark.createDataFrame(rows, ["i", "t"])
+    got = {r["i"]: r["out"]
+           for r in df.select("i", fix_pdf_text(F.col("t")).alias("out"))
+           .collect()}
+    assert got[0] == "example"
+    assert got[1] == "example"
+    assert got[2] == "pages 3-\n4"
+    assert got[3] == "word1-\nnext"
+    assert got[4] == "stateof-the-art"
+    assert got[5] == "effort fine flat ffix fflood star"

@@ -638,3 +638,26 @@ def test_stitch_series_chains_singletons_and_loops(spark):
     # loop members fall back to 1-page series of themselves
     assert out["l1"]["text"] == "loopA" and out["l2"]["text"] == "loopB"
     assert set(out) == {"a3", "solo", "l1", "l2"}
+
+
+def test_host_lang_profile_entropy_and_shares(spark):
+    import math
+
+    from ocr_spark.operators.web import host_lang_profile
+
+    rows = (
+        [(f"https://mono.com/p{i}", "en") for i in range(4)]
+        + [("https://spam.com/1", "en"), ("https://spam.com/2", "fr"),
+           ("https://spam.com/3", "de"), ("https://spam.com/4", "fr")]
+    )
+    df = spark.createDataFrame(rows, ["url", "lang"])
+    out = {r["domain"]: r for r in host_lang_profile(df).collect()}
+    assert out["mono.com"]["n_docs"] == 4
+    assert out["mono.com"]["n_langs"] == 1
+    assert out["mono.com"]["top_share"] == 1.0
+    assert out["mono.com"]["lang_entropy"] == 0.0
+    s = out["spam.com"]
+    assert s["n_docs"] == 4 and s["n_langs"] == 3
+    assert s["top_share"] == 0.5  # fr 2/4
+    expect = -(0.25 * math.log(0.25) * 2 + 0.5 * math.log(0.5))
+    assert abs(s["lang_entropy"] - round(expect, 6)) < 1e-9
