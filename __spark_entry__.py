@@ -427,6 +427,23 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                                hash_mode="md5_affine")
 
 
+def q_edit_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level near-dup verification
+    (operators/dedup.py:edit_verify): the MinHash-LSH candidates
+    re-scored by exact Levenshtein similarity on 200-char prefixes —
+    the check that catches typo/OCR/template-number edits token-set
+    Jaccard misses.  Both engines run their native levenshtein over
+    the same candidate CTE, so distance AND similarity are
+    value-oracled."""
+    from ocr_spark.operators.dedup import edit_verify, lsh_candidate_pairs
+
+    docs = _docs_with_near_dups(spark, sf_dir)
+    pairs = lsh_candidate_pairs(docs, "doc_id", "text",
+                                n_hashes=16, bands=8, shingle_k=3,
+                                hash_mode="md5_affine")
+    return edit_verify(pairs, docs, max_chars=200).orderBy("id_a", "id_b")
+
+
 def q_cross_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-corpus near-dup candidates: the mutated twins (the
     incoming snapshot) LSH-joined against the ORIGINAL documents (the
@@ -4202,6 +4219,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substr_dedup": q_substr_dedup,
         "dedup_keep_latest": q_dedup_keep_latest,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "edit_verify": q_edit_verify,
         "cross_dedup": q_cross_dedup,
         "snapshot_update": q_snapshot_update,
         "cdc_chunks": q_cdc_chunks,
@@ -5963,6 +5981,32 @@ def oracle_sql() -> dict[str, str]:
         FROM banded l JOIN banded r
           ON l.band = r.band AND l.band_sig = r.band_sig
          AND l.doc_id < r.doc_id
+        """,
+        # the same candidate CTE re-scored by DuckDB's native
+        # levenshtein on 200-char prefixes
+        "edit_verify": near_dup_union + f"""
+        , tok AS (SELECT doc_id, text, {toks} AS toksl FROM base)
+        , sh AS (SELECT doc_id, {shingles_col} AS shl FROM tok)
+        {aff_banded('FROM sh WHERE len(shl) > 0')}
+        , cand AS (
+          SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+          FROM banded l JOIN banded r
+            ON l.band = r.band AND l.band_sig = r.band_sig
+           AND l.doc_id < r.doc_id)
+        SELECT c.id_a, c.id_b,
+          levenshtein(substr(a.text, 1, 200), substr(b.text, 1, 200))
+            AS edit_dist,
+          CASE WHEN greatest(len(substr(a.text, 1, 200)),
+                             len(substr(b.text, 1, 200))) = 0 THEN 1.0
+               ELSE round(1 - levenshtein(substr(a.text, 1, 200),
+                                          substr(b.text, 1, 200)) * 1.0
+                          / greatest(len(substr(a.text, 1, 200)),
+                                     len(substr(b.text, 1, 200))), 6)
+          END AS edit_sim
+        FROM cand c
+        JOIN base a ON a.doc_id = c.id_a
+        JOIN base b ON b.doc_id = c.id_b
+        ORDER BY c.id_a, c.id_b
         """,
         # cross-corpus candidates: signatures are a pure function of
         # text, so banding the union and splitting sides by id range

@@ -41,7 +41,7 @@ BENCH_QUERIES = [
     "microdata",
     "profile_extract", "extract_metrics",
     "dedup_exact", "line_dedup", "substr_dedup", "cdc_chunks",
-    "dedup_keep_latest", "minhash_lsh_pairs", "cross_dedup", "snapshot_update", "ngram_jaccard", "containment", "tfidf_near_dup",
+    "dedup_keep_latest", "minhash_lsh_pairs", "edit_verify", "cross_dedup", "snapshot_update", "ngram_jaccard", "containment", "tfidf_near_dup",
     "lsh_jaccard", "dedup_clusters", "cluster_split", "split_leakage",
     "simhash_near_dup", "embed_near_dup",
     "embed_near_dup_lsh", "span_qa", "cosine_topk", "ann_topk", "ann_recall", "ann_topk_ivf", "ivf_recall",

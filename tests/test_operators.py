@@ -1152,3 +1152,25 @@ def test_ann_topk_ivfpq_arrow_encoder_identical(spark):
         df.filter("vec_id < 4"), df, cents, books,
         encoder="arrow", **kw).collect())
     assert a == b
+
+
+def test_edit_verify_distance_similarity_and_caps(spark):
+    from ocr_spark.operators.dedup import edit_verify
+
+    docs = spark.createDataFrame(
+        [(1, "kitten goes here"), (2, "sitting goes here"),
+         (3, ""), (4, ""), (5, "A" * 300 + "tail-A"),
+         (6, "A" * 300 + "tail-B")],
+        ["doc_id", "text"])
+    pairs = spark.createDataFrame(
+        [(1, 2), (3, 4), (5, 6)], ["id_a", "id_b"])
+    out = {(r["id_a"], r["id_b"]): r
+           for r in edit_verify(pairs, docs, max_chars=256).collect()}
+    # classic kitten/sitting = 3 edits over the longer prefix
+    r = out[(1, 2)]
+    assert r["edit_dist"] == 3
+    assert r["edit_sim"] == round(1 - 3 / len("sitting goes here"), 6)
+    # two empty prefixes compare identical
+    assert out[(3, 4)]["edit_dist"] == 0 and out[(3, 4)]["edit_sim"] == 1.0
+    # the cap: differences beyond max_chars are invisible by contract
+    assert out[(5, 6)]["edit_dist"] == 0 and out[(5, 6)]["edit_sim"] == 1.0
