@@ -4046,6 +4046,32 @@ def q_article_stitch(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("series_id"))
 
 
+def q_format_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher line-format signals
+    (functions/quality.py:with_format_signals) over constructed
+    layouts: docs with id % 4 == 0 gain two bullet lines, docs with
+    id % 6 == 0 a trailing ellipsis teaser, and every doc's real text
+    supplies the stop-word hits — so all three signal families are
+    exercised with closed-form expected values."""
+    from ocr_spark.functions.quality import with_format_signals
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    built = F.concat(
+        F.when(F.col("doc_id") % 4 == 0,
+               F.lit("- item one\n- item two\n")).otherwise(F.lit("")),
+        F.col("text"),
+        F.when(F.col("doc_id") % 6 == 0,
+               F.lit("\nto be continued...")).otherwise(F.lit("")),
+    )
+    return (
+        with_format_signals(
+            docs.select("doc_id", built.alias("text")))
+        .select("doc_id", "bullet_line_ratio", "ellipsis_line_ratio",
+                "stopword_hits", "has_stop_words")
+        .orderBy("doc_id")
+    )
+
+
 def q_host_lang_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain language-entropy spam signal
     (operators/web.py:host_lang_profile): docs hash into 29 synthetic
@@ -4323,6 +4349,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_mismatch": q_lang_mismatch,
         "pdf_text_fix": q_pdf_text_fix,
         "host_lang_entropy": q_host_lang_entropy,
+        "format_signals": q_format_signals,
         "hits": q_hits,
         "graph_components": q_graph_components,
         "graph_prior": q_graph_prior,
@@ -7432,6 +7459,44 @@ def oracle_sql() -> dict[str, str]:
           SELECT doc_id, NULL, NULL, 'stray', 's', 'orphan_prop'
           FROM t WHERE doc_id % 17 = 0
           ORDER BY doc_id, item_idx, prop
+        """,
+        # same construction, then DuckDB list ops over split lines and
+        # list_intersect against the stop-word literals
+        "format_signals": f"""
+          WITH b AS (
+            SELECT doc_id,
+              CASE WHEN doc_id % 4 = 0
+                   THEN '- item one' || chr(10) || '- item two' || chr(10)
+                   ELSE '' END
+              || text
+              || CASE WHEN doc_id % 6 = 0
+                      THEN chr(10) || 'to be continued...'
+                      ELSE '' END AS text
+            FROM documents),
+          l AS (
+            SELECT doc_id,
+              list_transform(
+                list_filter(string_split(text, chr(10)),
+                            ln -> len(trim(ln)) > 0),
+                ln -> trim(ln)) AS lines,
+              len(list_intersect(
+                list_distinct(list_transform({toks}, t -> lower(t))),
+                ['the','be','to','of','and','that','have','with']))
+                AS stop_hits
+            FROM b)
+          SELECT doc_id,
+            CASE WHEN len(lines) > 0 THEN round(
+              len(list_filter(lines,
+                  ln -> regexp_matches(ln, '^([-*•·]|[0-9]+\\.)')))
+              * 1.0 / len(lines), 4) ELSE 0.0 END AS bullet_line_ratio,
+            CASE WHEN len(lines) > 0 THEN round(
+              len(list_filter(lines,
+                  ln -> regexp_matches(ln, '(\\.\\.\\.|…)$')))
+              * 1.0 / len(lines), 4) ELSE 0.0 END AS ellipsis_line_ratio,
+            CAST(stop_hits AS INT) AS stopword_hits,
+            CAST(CASE WHEN stop_hits >= 2 THEN 1 ELSE 0 END AS INT)
+              AS has_stop_words
+          FROM l ORDER BY doc_id
         """,
         "host_lang_entropy": """
           WITH d AS (

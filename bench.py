@@ -46,7 +46,8 @@ BENCH_QUERIES = [
     "simhash_near_dup", "embed_near_dup",
     "embed_near_dup_lsh", "span_qa", "cosine_topk", "ann_topk", "ann_recall", "ann_topk_ivf", "ivf_recall",
     "semantic_dedup", "pq_encode", "pq_error", "ann_topk_ivfpq",
-    "text_stats", "repetition_stats", "quality_filter", "pii_scrub",
+    "text_stats", "repetition_stats", "quality_filter", "format_signals",
+    "pii_scrub",
     "mojibake_fix",
     "lang_id", "lang_id_cjk", "lang_confusion", "fingerprint", "search_keys", "token_count",
     "chunk_text", "chunk_tokens", "sections", "collocations", "bpe_pairs",

@@ -36,7 +36,8 @@ from ocr_spark.functions.text import tokens, with_text_stats
 __all__ = [
     "word_bigrams_all", "max_sorted_run", "with_repetition_stats",
     "with_quality_filter", "QUALITY_THRESHOLDS", "unigram_logprob",
-    "bigram_logprob", "readability",
+    "bigram_logprob", "readability", "with_format_signals",
+    "GOPHER_STOP_WORDS",
 ]
 
 # Rule thresholds for the composite filter.  Closed, documented set —
@@ -307,4 +308,52 @@ def readability(col: str | Column) -> Column:
             F.lit(206.835)
             - 1.015 * (n_words.cast("double") / n_sent)
             - 84.6 * (n_syll.cast("double") / n_words), 6),
+    )
+
+
+# the Gopher stop-word set (Rae et al. 2021 §A1.1): a real document
+# almost surely contains >= 2 of these; listing pages / nav dumps do not
+GOPHER_STOP_WORDS = ("the", "be", "to", "of", "and",
+                     "that", "have", "with")
+
+_BULLET_RE = r"^([-*•·]|[0-9]+\.)"
+_ELLIPSIS_RE = r"(\.\.\.|…)$"
+
+
+def with_format_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher line-FORMAT signals (the layout complement of
+    with_repetition_stats' content signals), all per-row map-side
+    expressions over the split-lines array — zero shuffle:
+
+    - ``bullet_line_ratio``: fraction of non-blank lines starting
+      with a list marker (-, *, bullet/middot, or "N.") — listing and
+      nav pages score high;
+    - ``ellipsis_line_ratio``: fraction ending in "..."/U+2026 —
+      truncated-teaser farms score high;
+    - ``stopword_hits`` / ``has_stop_words``: how many of the 8
+      Gopher stop words appear (lowercased exact token match); real
+      prose hits >= 2, keyword-stuffing and tag-soup pages do not.
+
+    Ratios rounded to 4 (hash-stable vs the oracle); the int flag
+    keeps the cross-engine value hash representation-stable."""
+    lines = F.filter(
+        F.split(F.col(text_col), "\n"),
+        lambda ln: F.length(F.trim(ln)) > 0,
+    )
+    trimmed = F.transform(lines, lambda ln: F.trim(ln))
+    n_lines = F.size(lines)
+    n_bullet = F.size(F.filter(trimmed, lambda ln: ln.rlike(_BULLET_RE)))
+    n_ellip = F.size(F.filter(trimmed, lambda ln: ln.rlike(_ELLIPSIS_RE)))
+    stop_hits = F.size(F.array_intersect(
+        F.array_distinct(F.transform(tokens(text_col),
+                                     lambda t: F.lower(t))),
+        F.array(*[F.lit(w) for w in GOPHER_STOP_WORDS]),
+    ))
+    ratio = (lambda n: F.when(n_lines > 0, F.round(n / n_lines, 4))
+             .otherwise(F.lit(0.0)))
+    return (
+        df.withColumn("bullet_line_ratio", ratio(n_bullet))
+        .withColumn("ellipsis_line_ratio", ratio(n_ellip))
+        .withColumn("stopword_hits", stop_hits.cast("int"))
+        .withColumn("has_stop_words", (stop_hits >= 2).cast("int"))
     )

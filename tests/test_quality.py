@@ -178,3 +178,23 @@ def test_ccnet_buckets_tertiles(spark):
         assert c[b] / n < 0.6        # no degenerate single-bucket fit
     assert all((r.ppl is None) == (r.bucket is None) or r.bucket is not None
                for r in out)
+
+
+def test_format_signals_bullets_ellipsis_stopwords(spark):
+    from ocr_spark.functions.quality import with_format_signals
+
+    rows = [
+        (0, "- a\n* b\n1. c\nplain\n\n  "),       # 3 of 4 non-blank lines
+        (1, "teaser one...\nand more…\nplain"),   # 2 of 3 ellipsis
+        (2, "the cat sat with the dog and that"), # stop words: the/with/and/that
+        (3, "keyword spam keyword spam"),         # zero stop words
+        (4, ""),                                  # blank -> all zeros
+    ]
+    df = spark.createDataFrame(rows, ["i", "text"])
+    out = {r["i"]: r for r in with_format_signals(df).collect()}
+    assert out[0]["bullet_line_ratio"] == 0.75
+    assert out[1]["ellipsis_line_ratio"] == round(2 / 3, 4)
+    assert out[2]["stopword_hits"] == 4 and out[2]["has_stop_words"] == 1
+    assert out[3]["stopword_hits"] == 0 and out[3]["has_stop_words"] == 0
+    assert out[4]["bullet_line_ratio"] == 0.0
+    assert out[4]["ellipsis_line_ratio"] == 0.0
