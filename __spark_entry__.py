@@ -4046,6 +4046,24 @@ def q_article_stitch(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("series_id"))
 
 
+def q_jl_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection
+    (operators/similarity.py:jl_project): 64-dim embeddings down to 8
+    components from seeded 3-decimal rational-literal Gaussians, one
+    row per (vec_id, component).  Both engines accumulate the dot
+    left-to-right over the same literals, so the doubles match
+    bitwise and round(.,9) is pure belt-and-braces."""
+    from ocr_spark.operators.similarity import jl_project
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    p = jl_project(emb, dim=64, out_dim=8, seed=7)
+    return (
+        p.select("vec_id", F.posexplode("proj").alias("dim_idx", "value"))
+        .select("vec_id", "dim_idx", F.round("value", 9).alias("value"))
+        .orderBy("vec_id", "dim_idx")
+    )
+
+
 def q_format_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher line-format signals
     (functions/quality.py:with_format_signals) over constructed
@@ -4350,6 +4368,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_text_fix": q_pdf_text_fix,
         "host_lang_entropy": q_host_lang_entropy,
         "format_signals": q_format_signals,
+        "jl_project": q_jl_project,
         "hits": q_hits,
         "graph_components": q_graph_components,
         "graph_prior": q_graph_prior,
@@ -4437,6 +4456,25 @@ def _mix_budget_cases() -> str:
     return " ".join(
         f"WHEN '{s}' THEN {b}" for s, b in sorted(MIX_BUDGETS.items())
     )
+
+
+def _jl_project_sql(out_dim: int = 8, dim: int = 64, seed: int = 7) -> str:
+    """DuckDB twin of jl_project: one UNION ALL branch per output
+    component, list_dot_product over the identical rational-literal
+    Gaussian rows (same left-to-right double accumulation)."""
+    from ocr_spark.operators.similarity import _hyperplanes
+
+    rows = _hyperplanes(dim, out_dim, seed)
+    branches = []
+    for j, row in enumerate(rows):
+        arr = "[" + ", ".join(repr(x) for x in row) + "]"
+        branches.append(
+            f"SELECT vec_id, {j} AS dim_idx, "
+            f"round(list_dot_product(embedding::DOUBLE[], {arr}), 9) "
+            f"AS value FROM embeddings"
+        )
+    return ("\n          UNION ALL\n          ".join(branches)
+            + "\n          ORDER BY vec_id, dim_idx")
 
 
 def _lsh_bucket_sql(n_planes: int, dim: int = 64) -> str:
@@ -7460,6 +7498,7 @@ def oracle_sql() -> dict[str, str]:
           FROM t WHERE doc_id % 17 = 0
           ORDER BY doc_id, item_idx, prop
         """,
+        "jl_project": _jl_project_sql(),
         # same construction, then DuckDB list ops over split lines and
         # list_intersect against the stop-word literals
         "format_signals": f"""

@@ -46,6 +46,7 @@ BENCH_QUERIES = [
     "simhash_near_dup", "embed_near_dup",
     "embed_near_dup_lsh", "span_qa", "cosine_topk", "ann_topk", "ann_recall", "ann_topk_ivf", "ivf_recall",
     "semantic_dedup", "pq_encode", "pq_error", "ann_topk_ivfpq",
+    "jl_project",
     "text_stats", "repetition_stats", "quality_filter", "format_signals",
     "pii_scrub",
     "mojibake_fix",

@@ -34,7 +34,7 @@ __all__ = [
     "cosine_near_dup_pairs",
     "ivf_centroids", "kmeans_refine", "ivf_assign", "ivf_assign_gemm",
     "ivf_probe_lists", "ann_topk_ivf", "ann_topk_ivfpq", "semantic_dedup",
-    "pq_codebooks", "pq_encode", "pq_encode_gemm",
+    "pq_codebooks", "pq_encode", "pq_encode_gemm", "jl_project",
 ]
 
 
@@ -933,3 +933,32 @@ def pq_encode_gemm(df: DataFrame, codebooks: list[list[list[float]]],
             yield pd.DataFrame(out)
 
     return df.select(id_col, *keep, vec_col).mapInPandas(kernel, schema)
+
+
+def jl_project(df: DataFrame, dim: int, out_dim: int = 8, seed: int = 7,
+               vec_col: str = "embedding",
+               out_col: str = "proj") -> DataFrame:
+    """Johnson-Lindenstrauss random projection: ``dim -> out_dim``
+    with a seeded Gaussian matrix (Johnson & Lindenstrauss 1984;
+    dense-Gaussian form per Indyk-Motwani 1998) — the standard
+    dimensionality-reduction front end for ANN and clustering when
+    embeddings are wider than the distance computation needs:
+    pairwise distances are preserved within (1 ± eps) w.h.p., and a
+    GEMM over 8-dim projections moves 8x fewer bytes through every
+    shuffle/scan than the 64-dim originals.
+
+    The matrix is driver-derived from the seed and rounded to
+    3-decimal RATIONAL literals (the same discipline as the LSH
+    hyperplanes / IVF codebooks above), and each output component is
+    a sequential left-to-right :func:`dot` — so any SQL engine
+    re-derives bit-identical doubles from the same literals, which is
+    what makes the projection value-oracled rather than
+    distribution-tested.  One narrow per-row pass: no shuffle, no
+    Python, O(dim * out_dim) flops per row."""
+    mat = _hyperplanes(dim, out_dim, seed)
+    comps = [
+        dot(F.col(vec_col),
+            F.array(*[F.lit(float(x)) for x in row]))
+        for row in mat
+    ]
+    return df.withColumn(out_col, F.array(*comps))

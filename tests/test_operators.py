@@ -1174,3 +1174,35 @@ def test_edit_verify_distance_similarity_and_caps(spark):
     assert out[(3, 4)]["edit_dist"] == 0 and out[(3, 4)]["edit_sim"] == 1.0
     # the cap: differences beyond max_chars are invisible by contract
     assert out[(5, 6)]["edit_dist"] == 0 and out[(5, 6)]["edit_sim"] == 1.0
+
+
+def test_jl_project_preserves_distances_approximately(spark):
+    import math
+    import random
+
+    from ocr_spark.operators.similarity import jl_project
+
+    rnd = random.Random(3)
+    vecs = [(i, [rnd.gauss(0, 1) for _ in range(64)]) for i in range(40)]
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    out = {r["vec_id"]: r["proj"]
+           for r in jl_project(df, dim=64, out_dim=16, seed=7).collect()}
+    assert all(len(p) == 16 for p in out.values())
+
+    def d(a, b):
+        return math.sqrt(sum((x - y) ** 2 for x, y in zip(a, b)))
+
+    orig = {i: v for i, v in vecs}
+    # JL guarantee (statistical): projected/original distance ratios
+    # concentrate around the matrix's expected scale; spread is bounded
+    ratios = []
+    for i in range(0, 40, 2):
+        a, b = orig[i], orig[i + 1]
+        if d(a, b) > 0:
+            ratios.append(d(out[i], out[i + 1]) / d(a, b))
+    mean = sum(ratios) / len(ratios)
+    assert all(0.5 * mean < r < 1.6 * mean for r in ratios), ratios
+    # determinism: same seed -> identical projection
+    out2 = {r["vec_id"]: r["proj"]
+            for r in jl_project(df, dim=64, out_dim=16, seed=7).collect()}
+    assert out == out2
