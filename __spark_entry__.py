@@ -2162,6 +2162,21 @@ def q_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shard_plan(docs, shard_bytes=16384, n_buckets=64)
 
 
+def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized shard manifest
+    (operators/corpus.py:shard_manifest): per planned 16 KiB shard,
+    doc/byte totals plus the md5 of the texts concatenated in plan
+    order — what a shard writer publishes so readers can verify
+    emitted bytes against the plan.  The oracle re-derives every
+    digest with an ordered string_agg over the same prefix-sum
+    placement."""
+    from ocr_spark.operators.corpus import shard_manifest
+
+    docs = _t(spark, sf_dir, "documents")
+    return shard_manifest(docs, shard_bytes=16384,
+                          n_buckets=64).orderBy("shard_id")
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (GPT-3-style n-gram overlap): the
     'benchmark' is a deterministic derived eval set — the first 60
@@ -4046,6 +4061,33 @@ def q_article_stitch(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("series_id"))
 
 
+def q_reciprocal_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-exchange detection (operators/web.py:reciprocal_links)
+    over a deterministic graph: every doc links to (13·id + 7) mod M
+    (organic, one-directional by construction) and adjacent pairs
+    id % 5 in (0,1) link BOTH ways (the planted exchange ring) —
+    so reciprocity separates the ring members exactly.  Oracle: one
+    reversed self-join plus two hash aggregates."""
+    from ocr_spark.operators.web import reciprocal_links
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    m = docs.agg((F.max("doc_id") + F.lit(1)).alias("m"))
+    cand = docs.crossJoin(F.broadcast(m)).select(
+        "doc_id",
+        ((F.col("doc_id") * 13 + 7) % F.col("m")).alias("k1"),
+        F.when(F.col("doc_id") % 5 == 0, F.col("doc_id") + 1)
+        .when(F.col("doc_id") % 5 == 1, F.col("doc_id") - 1).alias("k2"),
+    )
+    dsts = docs.select(F.col("doc_id").alias("dst"))
+    e1 = (cand.join(dsts, cand.k1 == dsts.dst)
+          .select(F.col("doc_id").alias("src"), "dst"))
+    e2 = (cand.filter(F.col("k2").isNotNull())
+          .join(dsts, cand.k2 == dsts.dst)
+          .select(F.col("doc_id").alias("src"), "dst"))
+    edges = e1.union(e2)
+    return reciprocal_links(edges).orderBy("node")
+
+
 def q_jl_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Johnson-Lindenstrauss random projection
     (operators/similarity.py:jl_project): 64-dim embeddings down to 8
@@ -4344,6 +4386,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "packed_batches": q_packed_batches,
         "shard_plan": q_shard_plan,
+        "shard_manifest": q_shard_manifest,
         "decontaminate": q_decontaminate,
         "curate_corpus": q_curate_corpus,
         "warc_extract": q_warc_extract,
@@ -4369,6 +4412,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_lang_entropy": q_host_lang_entropy,
         "format_signals": q_format_signals,
         "jl_project": q_jl_project,
+        "reciprocal_links": q_reciprocal_links,
         "hits": q_hits,
         "graph_components": q_graph_components,
         "graph_prior": q_graph_prior,
@@ -7499,6 +7543,35 @@ def oracle_sql() -> dict[str, str]:
           ORDER BY doc_id, item_idx, prop
         """,
         "jl_project": _jl_project_sql(),
+        "reciprocal_links": """
+          WITH mm AS (SELECT max(doc_id) + 1 AS m FROM documents),
+          cand AS (
+            SELECT doc_id,
+              (doc_id * 13 + 7) % (SELECT m FROM mm) AS k1,
+              CASE WHEN doc_id % 5 = 0 THEN doc_id + 1
+                   WHEN doc_id % 5 = 1 THEN doc_id - 1 END AS k2
+            FROM documents),
+          e AS (
+            SELECT DISTINCT a, b FROM (
+              SELECT c.doc_id AS a, d.doc_id AS b
+              FROM cand c JOIN documents d ON d.doc_id = c.k1
+              UNION ALL
+              SELECT c.doc_id AS a, d.doc_id AS b
+              FROM cand c JOIN documents d ON d.doc_id = c.k2
+              WHERE c.k2 IS NOT NULL
+            ) WHERE a <> b),
+          deg AS (SELECT a, count(*) AS out_degree FROM e GROUP BY a),
+          mut AS (
+            SELECT e.a, count(*) AS n_mutual
+            FROM e JOIN e r ON r.a = e.b AND r.b = e.a
+            GROUP BY e.a)
+          SELECT d.a AS node, CAST(d.out_degree AS BIGINT) AS out_degree,
+                 CAST(coalesce(m.n_mutual, 0) AS BIGINT) AS n_mutual,
+                 round(coalesce(m.n_mutual, 0) * 1.0 / d.out_degree, 6)
+                   AS reciprocity
+          FROM deg d LEFT JOIN mut m ON m.a = d.a
+          ORDER BY node
+        """,
         # same construction, then DuckDB list ops over split lines and
         # list_intersect against the stop-word literals
         "format_signals": f"""
@@ -7747,6 +7820,27 @@ def oracle_sql() -> dict[str, str]:
           FROM nodes n JOIN h2 ON h2.node = n.node
                        JOIN a2 ON a2.node = n.node
           ORDER BY n.node
+        """,
+        # the same prefix-sum placement, digested per shard with an
+        # ordered string_agg
+        "shard_manifest": """
+          WITH t AS (
+            SELECT doc_id, text, CAST(strlen(text) AS BIGINT) AS n_bytes,
+              ('0x' || substr(md5('|' || doc_id::VARCHAR), 1, 15))::BIGINT AS h
+            FROM documents
+          ), run AS (
+            SELECT doc_id, text, n_bytes,
+              CAST(sum(n_bytes) OVER (ORDER BY h % 64, h, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum
+            FROM t
+          )
+          SELECT CAST((cum - n_bytes) // 16384 AS BIGINT) AS shard_id,
+                 CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(n_bytes) AS BIGINT) AS n_bytes,
+                 md5(string_agg(text, '' ORDER BY cum - n_bytes))
+                   AS content_digest
+          FROM run GROUP BY 1 ORDER BY shard_id
         """,
         # same prefix-sum order as pack_sequences, but over BYTES with
         # no document splitting: shard = start_off div budget

@@ -62,12 +62,13 @@ BENCH_QUERIES = [
     "lm_score", "tfidf", "ccnet_buckets", "soft404", "entropy", "stratified_sample", "epoch_mix",
     "dsir_select", "cluster_best", "weighted_sample", "epoch_shuffle",
     "data_split", "bloom_dedup", "token_budget_mix", "length_buckets",
-    "pack_sequences", "shard_plan",
+    "pack_sequences", "shard_plan", "shard_manifest",
     "packed_batches", "decontaminate", "curate_corpus",
     "warc_extract", "url_normalize", "domain_topk", "url_blocklist", "url_templates",
     "crawl_schedule", "crawl_delay", "robots_filter",
     "outlinks", "anchor_agg", "cdx_index", "pagerank", "hits", "graph_components", "graph_prior",
     "redirect_resolve", "redirect_graph", "rel_links", "article_stitch",
+    "reciprocal_links",
     "lang_mismatch", "pdf_text_fix", "host_lang_entropy",
     "media_decode", "png_decode", "audio_decode", "frame_sample", "exif",
     "pricing_summary", "top_customers", "regional_revenue",

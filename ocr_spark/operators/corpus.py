@@ -39,7 +39,7 @@ __all__ = ["stratified_sample", "token_budget_mix", "sample_thresholds",
            "data_split", "split_thresholds", "cluster_split",
            "contamination_pairs", "pack_sequences", "packed_sequences",
            "length_buckets", "weighted_sample", "epoch_shuffle",
-           "shard_plan"]
+           "shard_plan", "shard_manifest"]
 
 # 60-bit hash space: 15 md5 hex chars, inside int64 on every engine
 HASH_SPACE = 1 << 60
@@ -699,4 +699,40 @@ def shard_plan(df: DataFrame, shard_bytes: int, key_col: str = "doc_id",
             "shard_off",
             (F.col("start_off") - F.col("shard_id") * sb).cast("long"))
         .select(key_col, "n_bytes", "start_off", "shard_id", "shard_off")
+    )
+
+
+def shard_manifest(df: DataFrame, shard_bytes: int,
+                   key_col: str = "doc_id", text_col: str = "text",
+                   n_buckets: int = 64, salt: str = "",
+                   sep: str = "") -> DataFrame:
+    """The writer half of :func:`shard_plan` (as packed_sequences is
+    to pack_sequences): materialize each planned shard's CONTENT
+    DIGEST and totals -> ``(shard_id, n_docs, n_bytes,
+    content_digest)``, where the digest is md5 over the shard's
+    document texts concatenated in plan order (``start_off``).
+
+    This is what a distributed shard writer publishes as its output
+    manifest: a reader (or a re-run) can verify every emitted shard
+    byte-for-byte against the plan without trusting the writer.  The
+    concat group is ONE shard — bounded by ``shard_bytes`` plus one
+    straddling document BY CONSTRUCTION — so the collect_list is
+    capacity-bounded, never a skew hazard (same argument as
+    stitch_series' pagination-depth bound)."""
+    plan = shard_plan(df, shard_bytes, key_col=key_col,
+                      text_col=text_col, n_buckets=n_buckets, salt=salt)
+    joined = plan.join(df.select(key_col, text_col), key_col)
+    ordered = F.transform(
+        F.array_sort(F.collect_list(
+            F.struct(F.col("start_off"), F.col(text_col).alias("t")))),
+        lambda s: s["t"],
+    )
+    return (
+        joined.groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_bytes").alias("n_bytes"),
+            F.md5(F.encode(F.array_join(ordered, sep), "utf-8"))
+            .alias("content_digest"),
+        )
     )

@@ -54,7 +54,7 @@ __all__ = ["TRACKING_PARAMS", "url_normalize", "url_host",
            "surt_key", "anchor_text_agg", "domain_quality", "sitemap_urls", "feed_entries",
            "canonical_collapse", "url_path", "url_templates", "url_blocklist_filter",
            "crawl_schedule", "resolve_redirects", "stitch_series",
-           "host_lang_profile"]
+           "host_lang_profile", "reciprocal_links"]
 
 # the closed, documented drop-set; extend per deployment.  Matched on
 # the parameter NAME (the part left of '='), utm_ by prefix.
@@ -1142,5 +1142,42 @@ def host_lang_profile(df: DataFrame, url_col: str = "url",
             F.round(F.max(F.col("top_n") / F.col("total")), 6)
             .alias("top_share"),
             F.round(-F.sum(p * F.log(p)), 6).alias("lang_entropy"),
+        )
+    )
+
+
+def reciprocal_links(edges: DataFrame, src: str = "src",
+                     dst: str = "dst") -> DataFrame:
+    """Link-exchange (reciprocal-link) detection over the site graph ->
+    ``(node, out_degree, n_mutual, reciprocity)``.
+
+    Organic linking is overwhelmingly one-directional (a page cites a
+    source; the source does not cite back); link farms and paid
+    link-exchange rings produce dense MUTUAL edges.  High
+    ``reciprocity`` (mutual / out-degree) is a classic link-spam
+    signal (TrustRank-era heuristics) that composes with the
+    PageRank/HITS authority priors: authority earned through
+    reciprocal rings gets discounted before graph_prior feeds the
+    keep decision.
+
+    Shape: the mutual set is ONE self equi-join of the deduped edge
+    list on the reversed key — an equi-join, never a cartesian — and
+    both counts are hash aggregates with map-side partials absorbing
+    hub nodes.  Nodes with no outgoing edges do not appear (they can
+    have no reciprocity)."""
+    e = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+         .filter(F.col("a") != F.col("b")).distinct())
+    rev = e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    mutual = e.join(rev, ["a", "b"])
+    deg = e.groupBy("a").agg(F.count(F.lit(1)).alias("out_degree"))
+    mut = mutual.groupBy("a").agg(F.count(F.lit(1)).alias("n_mutual"))
+    return (
+        deg.join(mut, "a", "left")
+        .select(
+            F.col("a").alias("node"),
+            "out_degree",
+            F.coalesce("n_mutual", F.lit(0)).alias("n_mutual"),
+            F.round(F.coalesce("n_mutual", F.lit(0))
+                    / F.col("out_degree"), 6).alias("reciprocity"),
         )
     )

@@ -661,3 +661,45 @@ def test_host_lang_profile_entropy_and_shares(spark):
     assert s["top_share"] == 0.5  # fr 2/4
     expect = -(0.25 * math.log(0.25) * 2 + 0.5 * math.log(0.5))
     assert abs(s["lang_entropy"] - round(expect, 6)) < 1e-9
+
+
+def test_reciprocal_links_ring_vs_organic(spark):
+    from ocr_spark.operators.web import reciprocal_links
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "a"),            # exchange pair
+         ("a", "c"), ("c", "d"),            # organic
+         ("x", "x"),                        # self-loop dropped
+         ("a", "b")],                       # duplicate edge deduped
+        ["src", "dst"])
+    out = {r["node"]: r for r in reciprocal_links(edges).collect()}
+    assert out["a"]["out_degree"] == 2 and out["a"]["n_mutual"] == 1
+    assert out["a"]["reciprocity"] == 0.5
+    assert out["b"]["out_degree"] == 1 and out["b"]["reciprocity"] == 1.0
+    assert out["c"]["n_mutual"] == 0 and out["c"]["reciprocity"] == 0.0
+    # dangling target d and pure-self-loop x never appear
+    assert set(out) == {"a", "b", "c"}
+
+
+def test_shard_manifest_digests_match_plan(spark):
+    import hashlib
+
+    from ocr_spark.operators.corpus import shard_manifest, shard_plan
+
+    rows = [(i, "y" * (23 * (i % 7) + 5)) for i in range(60)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    plan = shard_plan(df, shard_bytes=300, n_buckets=8).collect()
+    man = {r["shard_id"]: r
+           for r in shard_manifest(df, shard_bytes=300,
+                                   n_buckets=8).collect()}
+    texts = dict(rows)
+    by_shard: dict[int, list] = {}
+    for p in plan:
+        by_shard.setdefault(p["shard_id"], []).append(p)
+    assert set(man) == set(by_shard)
+    for sid, docs in by_shard.items():
+        docs.sort(key=lambda p: p["start_off"])
+        blob = "".join(texts[p["doc_id"]] for p in docs).encode()
+        assert man[sid]["content_digest"] == hashlib.md5(blob).hexdigest()
+        assert man[sid]["n_docs"] == len(docs)
+        assert man[sid]["n_bytes"] == sum(p["n_bytes"] for p in docs)
