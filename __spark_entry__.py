@@ -2532,6 +2532,53 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
+def q_trust_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TrustRank + spam mass (operators/web.py:trust_rank; Gyöngyi et
+    al. VLDB'04/'06) over the SAME deterministic quadratic-map graph
+    as q_pagerank, with seeds = docs whose id % 17 == 3 (a sparse,
+    deterministic "hand-verified good" set).  Three un-normalized
+    seeded iterations next to the three uniform PageRank iterations;
+    the published columns are trust, pr, and the ABSOLUTE spam mass
+    pr - trust — all on the exact 9-decimal grid (same argument as
+    q_pagerank: d=0.85 has 2 decimals, out-degrees are 1 or 2, so 3
+    iterations of +/x land on <= 9 decimals; the relative mass
+    (pr-tr)/pr is NOT grid-exact, which is why the absolute form is
+    the oracled one — production callers divide downstream).  The
+    oracle unrolls both recurrences as chained SQL aggregates."""
+    from ocr_spark.operators.web import pagerank, trust_rank
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    m = docs.agg((F.max("doc_id") + F.lit(1)).alias("m"))
+    cand = docs.crossJoin(F.broadcast(m)).select(
+        "doc_id",
+        ((F.col("doc_id") * F.col("doc_id") + 1) % F.col("m")).alias("k1"),
+        ((F.col("doc_id") * 13 + 5) % F.col("m")).alias("k2"),
+    )
+    dsts = docs.select(F.col("doc_id").alias("dst"))
+    e1 = (cand.join(dsts, cand.k1 == dsts.dst)
+          .select(F.col("doc_id").alias("src"), "dst"))
+    e2 = (cand.filter(F.col("doc_id") % 3 != 0)
+          .join(dsts, cand.k2 == dsts.dst)
+          .select(F.col("doc_id").alias("src"), "dst"))
+    edges = (e1.union(e2).filter(F.col("src") != F.col("dst"))
+             .localCheckpoint())
+    seeds = docs.filter(F.col("doc_id") % 17 == 3) \
+        .select(F.col("doc_id").alias("node"))
+    tr = trust_rank(edges, seeds, n_iter=3, damping=0.85)
+    pr = pagerank(edges, n_iter=3, damping=0.85)
+    return (
+        tr.join(pr, "node")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.round("trust", 9).alias("trust"),
+            F.round("rank", 9).alias("pr"),
+            F.round(F.round("rank", 9) - F.round("trust", 9), 9)
+            .alias("spam_mass"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HITS hubs & authorities (operators/web.py:hits) over the SAME
     deterministic quadratic-map graph as q_pagerank (links to
@@ -4401,6 +4448,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_agg": q_anchor_agg,
         "cdx_index": q_cdx_index,
         "pagerank": q_pagerank,
+        "trust_rank": q_trust_rank,
         "redirect_resolve": q_redirect_resolve,
         "microdata": q_microdata,
         "rel_links": q_rel_links,
@@ -7779,6 +7827,73 @@ def oracle_sql() -> dict[str, str]:
         """,
         # HITS: same quadratic-map graph; 2 un-normalized iterations
         # unrolled — every score is an exact integer path count
+        "trust_rank": """
+          WITH mm AS (SELECT max(doc_id) + 1 AS m FROM documents),
+          cand AS (
+            SELECT doc_id,
+              (doc_id * doc_id + 1) % (SELECT m FROM mm) AS k1,
+              (doc_id * 13 + 5) % (SELECT m FROM mm) AS k2
+            FROM documents),
+          e AS (
+            SELECT DISTINCT src, dst FROM (
+              SELECT c.doc_id AS src, d.doc_id AS dst
+              FROM cand c JOIN documents d ON d.doc_id = c.k1
+              UNION ALL
+              SELECT c.doc_id AS src, d.doc_id AS dst
+              FROM cand c JOIN documents d ON d.doc_id = c.k2
+              WHERE c.doc_id % 3 <> 0
+            ) WHERE src <> dst),
+          nodes AS (SELECT DISTINCT node FROM (
+            SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e)),
+          deg AS (SELECT src, count(*) AS dg FROM e GROUP BY src),
+          tv AS (SELECT node,
+                   CASE WHEN node % 17 = 3 THEN 1.0 ELSE 0.0 END AS t
+                 FROM nodes),
+          t0 AS (SELECT node, t AS r FROM tv),
+          t1 AS (SELECT tv.node, 0.15 * tv.t + 0.85 * coalesce(s.x, 0) AS r
+                 FROM tv LEFT JOIN (
+                   SELECT e.dst AS node, sum(t0.r / deg.dg) AS x
+                   FROM e JOIN t0 ON t0.node = e.src
+                        JOIN deg ON deg.src = e.src
+                   GROUP BY e.dst) s ON s.node = tv.node),
+          t2 AS (SELECT tv.node, 0.15 * tv.t + 0.85 * coalesce(s.x, 0) AS r
+                 FROM tv LEFT JOIN (
+                   SELECT e.dst AS node, sum(t1.r / deg.dg) AS x
+                   FROM e JOIN t1 ON t1.node = e.src
+                        JOIN deg ON deg.src = e.src
+                   GROUP BY e.dst) s ON s.node = tv.node),
+          t3 AS (SELECT tv.node, 0.15 * tv.t + 0.85 * coalesce(s.x, 0) AS r
+                 FROM tv LEFT JOIN (
+                   SELECT e.dst AS node, sum(t2.r / deg.dg) AS x
+                   FROM e JOIN t2 ON t2.node = e.src
+                        JOIN deg ON deg.src = e.src
+                   GROUP BY e.dst) s ON s.node = tv.node),
+          r0 AS (SELECT node, 1.0 AS r FROM nodes),
+          r1 AS (SELECT n.node, 0.15 + 0.85 * coalesce(s.x, 0) AS r
+                 FROM nodes n LEFT JOIN (
+                   SELECT e.dst AS node, sum(r0.r / deg.dg) AS x
+                   FROM e JOIN r0 ON r0.node = e.src
+                        JOIN deg ON deg.src = e.src
+                   GROUP BY e.dst) s ON s.node = n.node),
+          r2 AS (SELECT n.node, 0.15 + 0.85 * coalesce(s.x, 0) AS r
+                 FROM nodes n LEFT JOIN (
+                   SELECT e.dst AS node, sum(r1.r / deg.dg) AS x
+                   FROM e JOIN r1 ON r1.node = e.src
+                        JOIN deg ON deg.src = e.src
+                   GROUP BY e.dst) s ON s.node = n.node),
+          r3 AS (SELECT n.node, 0.15 + 0.85 * coalesce(s.x, 0) AS r
+                 FROM nodes n LEFT JOIN (
+                   SELECT e.dst AS node, sum(r2.r / deg.dg) AS x
+                   FROM e JOIN r2 ON r2.node = e.src
+                        JOIN deg ON deg.src = e.src
+                   GROUP BY e.dst) s ON s.node = n.node)
+          SELECT t3.node AS doc_id,
+                 round(t3.r, 9) AS trust,
+                 round(r3.r, 9) AS pr,
+                 round(round(r3.r, 9) - round(t3.r, 9), 9) AS spam_mass
+          FROM t3 JOIN r3 ON r3.node = t3.node
+          ORDER BY doc_id
+        """,
         "hits": """
           WITH mm AS (SELECT max(doc_id) + 1 AS m FROM documents),
           cand AS (

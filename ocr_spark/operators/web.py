@@ -302,6 +302,74 @@ def pagerank(edges: DataFrame, n_iter: int = 3, damping: float = 0.85,
     return ranks
 
 
+def trust_rank(edges: DataFrame, seeds: DataFrame, n_iter: int = 3,
+               damping: float = 0.85, src: str = "src",
+               dst: str = "dst", seed_col: str = "node") -> DataFrame:
+    """Fixed-iteration TrustRank (Gyöngyi, Garcia-Molina & Pedersen,
+    "Combating web spam with TrustRank", VLDB 2004) -> ``(node,
+    trust)``: PageRank with the uniform teleport replaced by a
+    trusted-seed vector, so trust flows OUT of hand-verified good pages
+    and decays with link distance — pages reachable only through spam
+    neighborhoods get near-zero trust even when their raw PageRank is
+    inflated by a link farm.
+
+    Convention mirrors :func:`pagerank`'s un-normalized Page-et-al.
+    form so the two scores are directly comparable on the same graph:
+    ``trust = (1-d)*t + d * Σ(trust_in / out_degree)`` from ``t`` as
+    the start vector, where ``t(v) = 1.0`` for seed nodes and ``0``
+    otherwise (un-normalized teleport — the 1/|S| scaling of the paper
+    is a presentation constant; dividing the output by |S| recovers
+    it).  With d having two decimals and out-degrees small integers,
+    k iterations stay on an exact decimal grid just like
+    :func:`pagerank`, which is what lets a SQL oracle re-derive the
+    scores bit-comparably after round(., 9).
+
+    Spam mass (Gyöngyi et al., "Link spam detection based on mass
+    estimation", VLDB 2006) is the downstream composition: ``mass =
+    pr - trust`` (absolute) or ``(pr - trust)/pr`` (relative) — the
+    rank a page gets from NON-trusted sources; callers compute it by
+    joining this output to :func:`pagerank`'s on the same edge list.
+
+    Scale shape per iteration: identical to :func:`pagerank` — one
+    equi-join of the skinny trust table to the edge list, one hash
+    aggregate on ``dst`` (map-side partials absorb hot in-degrees),
+    one left join back to the node set, ``localCheckpoint`` lineage
+    truncation; the seed table is joined once up front (broadcast-able
+    when the seed list is small, the common case)."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")) \
+        .distinct()
+    nodes = (e.select(F.col("src").alias("node"))
+             .union(e.select(F.col("dst").alias("node")))
+             .distinct().localCheckpoint())
+    t = (nodes.join(seeds.select(F.col(seed_col).alias("node"))
+                    .distinct(), "node", "left_semi")
+         .select("node", F.lit(1.0).alias("t")))
+    tvec = (nodes.join(t, "node", "left")
+            .select("node", F.coalesce(F.col("t"), F.lit(0.0)).alias("t"))
+            .localCheckpoint())
+    deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    trust = tvec.select("node", F.col("t").alias("trust"))
+    for _ in range(n_iter):
+        contrib = (
+            e.join(trust.withColumnRenamed("node", "src"), "src")
+            .join(deg, "src")
+            .select(F.col("dst").alias("node"),
+                    (F.col("trust") / F.col("deg")).alias("c"))
+        )
+        sums = contrib.groupBy("node").agg(F.sum("c").alias("s"))
+        trust = (
+            tvec.join(sums, "node", "left")
+            .select(
+                "node",
+                (F.lit(1.0 - damping) * F.col("t")
+                 + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))
+                 ).alias("trust"),
+            )
+            .localCheckpoint()
+        )
+    return trust
+
+
 def hits(edges: DataFrame, n_iter: int = 2,
          src: str = "src", dst: str = "dst") -> DataFrame:
     """Fixed-iteration HITS (Kleinberg, JACM 1999) over an edge list ->
