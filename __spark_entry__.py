@@ -2579,6 +2579,34 @@ def q_trust_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangles + clustering coefficient
+    (operators/web.py:triangle_count; Suri & Vassilvitskii WWW'11
+    degree-ordered orientation) over the SAME deterministic
+    quadratic-map graph as q_pagerank, viewed undirected.  Every
+    published column is an exact integer — the coefficient ships as
+    the (2T, deg*(deg-1)) numerator/denominator pair — so the oracle
+    (a plain u<v<w triple self-join; orientation is an execution
+    strategy, not a semantics change) has zero float hazard."""
+    from ocr_spark.operators.web import triangle_count
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    m = docs.agg((F.max("doc_id") + F.lit(1)).alias("m"))
+    cand = docs.crossJoin(F.broadcast(m)).select(
+        "doc_id",
+        ((F.col("doc_id") * F.col("doc_id") + 1) % F.col("m")).alias("k1"),
+        ((F.col("doc_id") * 13 + 5) % F.col("m")).alias("k2"),
+    )
+    dsts = docs.select(F.col("doc_id").alias("dst"))
+    e1 = (cand.join(dsts, cand.k1 == dsts.dst)
+          .select(F.col("doc_id").alias("src"), "dst"))
+    e2 = (cand.filter(F.col("doc_id") % 3 != 0)
+          .join(dsts, cand.k2 == dsts.dst)
+          .select(F.col("doc_id").alias("src"), "dst"))
+    edges = e1.union(e2).filter(F.col("src") != F.col("dst"))
+    return triangle_count(edges).orderBy("node")
+
+
 def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HITS hubs & authorities (operators/web.py:hits) over the SAME
     deterministic quadratic-map graph as q_pagerank (links to
@@ -4449,6 +4477,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdx_index": q_cdx_index,
         "pagerank": q_pagerank,
         "trust_rank": q_trust_rank,
+        "triangle_count": q_triangle_count,
         "redirect_resolve": q_redirect_resolve,
         "microdata": q_microdata,
         "rel_links": q_rel_links,
@@ -7824,6 +7853,50 @@ def oracle_sql() -> dict[str, str]:
           SELECT a.doc_id, a.cluster_id, sz.component_size
           FROM assign a JOIN sz USING (cluster_id)
           ORDER BY a.doc_id
+        """,
+        # triangles over the undirected view of the quadratic-map
+        # graph: plain u<v<w triple join (the oriented-wedge plan is an
+        # execution strategy; the result set is identical), all-integer
+        "triangle_count": """
+          WITH mm AS (SELECT max(doc_id) + 1 AS m FROM documents),
+          cand AS (
+            SELECT doc_id,
+              (doc_id * doc_id + 1) % (SELECT m FROM mm) AS k1,
+              (doc_id * 13 + 5) % (SELECT m FROM mm) AS k2
+            FROM documents),
+          e AS (
+            SELECT DISTINCT src, dst FROM (
+              SELECT c.doc_id AS src, d.doc_id AS dst
+              FROM cand c JOIN documents d ON d.doc_id = c.k1
+              UNION ALL
+              SELECT c.doc_id AS src, d.doc_id AS dst
+              FROM cand c JOIN documents d ON d.doc_id = c.k2
+              WHERE c.doc_id % 3 <> 0
+            ) WHERE src <> dst),
+          und AS (
+            SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+            FROM e),
+          deg AS (
+            SELECT node, count(*) AS degree FROM (
+              SELECT a AS node FROM und UNION ALL SELECT b AS node FROM und)
+            GROUP BY node),
+          tri AS (
+            SELECT e1.a AS x, e1.b AS y, e2.b AS z
+            FROM und e1
+            JOIN und e2 ON e2.a = e1.b
+            JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+          pn AS (
+            SELECT node, count(*) AS t FROM (
+              SELECT x AS node FROM tri
+              UNION ALL SELECT y AS node FROM tri
+              UNION ALL SELECT z AS node FROM tri)
+            GROUP BY node)
+          SELECT d.node, d.degree,
+                 coalesce(pn.t, 0) AS triangles,
+                 2 * coalesce(pn.t, 0) AS coef_num,
+                 d.degree * (d.degree - 1) AS coef_den
+          FROM deg d LEFT JOIN pn ON pn.node = d.node
+          ORDER BY d.node
         """,
         # HITS: same quadratic-map graph; 2 un-normalized iterations
         # unrolled — every score is an exact integer path count

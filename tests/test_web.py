@@ -703,3 +703,57 @@ def test_shard_manifest_digests_match_plan(spark):
         assert man[sid]["content_digest"] == hashlib.md5(blob).hexdigest()
         assert man[sid]["n_docs"] == len(docs)
         assert man[sid]["n_bytes"] == sum(p["n_bytes"] for p in docs)
+
+
+# -- triangle counting --------------------------------------------------------
+
+def _triangles_reference(edges):
+    """Brute-force per-node triangle counts over an undirected edge
+    list (itertools over the adjacency sets — fine at test scale)."""
+    adj = {}
+    for a, b in edges:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    tri = {n: 0 for n in adj}
+    for n, nbrs in adj.items():
+        lst = sorted(nbrs)
+        for i in range(len(lst)):
+            for j in range(i + 1, len(lst)):
+                if lst[j] in adj[lst[i]]:
+                    tri[n] += 1
+    return {n: (len(adj[n]), tri[n]) for n in adj}
+
+
+def test_triangle_count_matches_bruteforce(spark):
+    from ocr_spark.operators.web import triangle_count
+
+    # K4 on 0-3 (4 triangles, each node in 3), a pendant (3-4), a
+    # disjoint triangle (5,6,7), an isolated path (8-9), duplicate and
+    # reversed edges, and a self-loop to be dropped
+    edges = [(0, 1), (1, 0), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3),
+             (3, 4), (5, 6), (6, 7), (7, 5), (8, 9), (9, 9), (0, 1)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r for r in triangle_count(df).collect()}
+    ref = _triangles_reference(edges)
+    assert set(got) == set(ref)
+    for n, (deg, t) in ref.items():
+        r = got[n]
+        assert (r["degree"], r["triangles"]) == (deg, t), n
+        assert r["coef_num"] == 2 * t
+        assert r["coef_den"] == deg * (deg - 1)
+
+
+def test_triangle_count_hub_and_triangle_free(spark):
+    from ocr_spark.operators.web import triangle_count
+
+    # star K1,20: a hub with 20 leaves — zero triangles anywhere, and
+    # the degree-ordered orientation must point every edge leaf->hub
+    # (no wedge blowup at the hub)
+    edges = [(100, i) for i in range(20)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    rows = triangle_count(df).collect()
+    assert all(r["triangles"] == 0 for r in rows)
+    hub = next(r for r in rows if r["node"] == 100)
+    assert hub["degree"] == 20 and hub["coef_den"] == 20 * 19
