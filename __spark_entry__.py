@@ -2579,6 +2579,29 @@ def q_trust_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order data-layout audit (operators/layout.py:zorder_layout;
+    the Delta OPTIMIZE ZORDER / Iceberg z-order rewrite strategy) over
+    documents bucketized on two dims: x = byte length mod 256, y =
+    doc_id mod 256.  Publishes per-file min/max/span of BOTH dims for
+    the z-order assignment NEXT TO the naive x-sorted assignment —
+    the side-by-side IS the data-skipping evaluation (z-order files
+    are rectangles; linear files span the full y range).  All-integer
+    output; the oracle re-derives the Morton key with the same bitwise
+    arithmetic."""
+    from ocr_spark.operators.layout import zorder_layout
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dims = docs.select(
+        (F.octet_length(F.coalesce(F.col("text"), F.lit(""))) % 256)
+        .cast("int").alias("len_bucket"),
+        (F.col("doc_id") % 256).cast("int").alias("id_bucket"),
+    )
+    return (zorder_layout(dims, "len_bucket", "id_bucket",
+                          bits=8, n_files=16)
+            .orderBy("layout", "file_id"))
+
+
 def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-node triangles + clustering coefficient
     (operators/web.py:triangle_count; Suri & Vassilvitskii WWW'11
@@ -4478,6 +4501,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": q_pagerank,
         "trust_rank": q_trust_rank,
         "triangle_count": q_triangle_count,
+        "zorder_layout": q_zorder_layout,
         "redirect_resolve": q_redirect_resolve,
         "microdata": q_microdata,
         "rel_links": q_rel_links,
@@ -7853,6 +7877,49 @@ def oracle_sql() -> dict[str, str]:
           SELECT a.doc_id, a.cluster_id, sz.component_size
           FROM assign a JOIN sz USING (cluster_id)
           ORDER BY a.doc_id
+        """,
+        # z-order layout audit: Morton key re-derived bitwise, file id
+        # = top 4 key bits, per-file min/max/span for both layouts
+        "zorder_layout": """
+          WITH dims AS (
+            SELECT CAST(strlen(coalesce(text, '')) % 256 AS INT) AS x,
+                   CAST(doc_id % 256 AS INT) AS y
+            FROM documents),
+          keys AS (
+            SELECT x, y,
+              ( (((x >> 0) & 1) << 0)
+              + (((y >> 0) & 1) << 1)
+              + (((x >> 1) & 1) << 2)
+              + (((y >> 1) & 1) << 3)
+              + (((x >> 2) & 1) << 4)
+              + (((y >> 2) & 1) << 5)
+              + (((x >> 3) & 1) << 6)
+              + (((y >> 3) & 1) << 7)
+              + (((x >> 4) & 1) << 8)
+              + (((y >> 4) & 1) << 9)
+              + (((x >> 5) & 1) << 10)
+              + (((y >> 5) & 1) << 11)
+              + (((x >> 6) & 1) << 12)
+              + (((y >> 6) & 1) << 13)
+              + (((x >> 7) & 1) << 14)
+              + (((y >> 7) & 1) << 15) ) AS z,
+              ((x << 8) + y) AS lin
+            FROM dims)
+          SELECT * FROM (
+            SELECT 'zorder' AS layout, z >> 12 AS file_id,
+                   count(*) AS n_rows,
+                   min(x) AS min_x, max(x) AS max_x,
+                   min(y) AS min_y, max(y) AS max_y,
+                   max(x) - min(x) AS span_x, max(y) - min(y) AS span_y
+            FROM keys GROUP BY z >> 12
+            UNION ALL
+            SELECT 'linear' AS layout, lin >> 12 AS file_id,
+                   count(*) AS n_rows,
+                   min(x) AS min_x, max(x) AS max_x,
+                   min(y) AS min_y, max(y) AS max_y,
+                   max(x) - min(x) AS span_x, max(y) - min(y) AS span_y
+            FROM keys GROUP BY lin >> 12)
+          ORDER BY layout, file_id
         """,
         # triangles over the undirected view of the quadratic-map
         # graph: plain u<v<w triple join (the oriented-wedge plan is an
