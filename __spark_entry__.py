@@ -2579,6 +2579,38 @@ def q_trust_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity release audit (functions/scrub.py:k_anonymity;
+    Sweeney 2002) over documents with quasi-identifiers (lang, source,
+    500-char length bucket) at k=3: one row per equivalence class with
+    its size and safety flag.  The indirect-identifier complement to
+    pii_scrub's direct-identifier redaction; ONE hash aggregate."""
+    from ocr_spark.functions.scrub import k_anonymity
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "lang", "source",
+        F.floor(F.col("n_chars") / 500).alias("len_b"))
+    return k_anonymity(docs, ["lang", "source", "len_b"], k=3) \
+        .orderBy("lang", "source", "len_b")
+
+
+def q_k_suppress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppression arm (functions/scrub.py:suppress_below_k): drop
+    rows in sub-k quasi-identifier classes, then summarize survivors
+    per lang.  The anti-join ships only the unsafe-class key list
+    (null-safe keys: NULL quasi values form a class too)."""
+    from ocr_spark.functions.scrub import suppress_below_k
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars",
+        F.floor(F.col("n_chars") / 500).alias("len_b"))
+    kept = suppress_below_k(docs, ["lang", "source", "len_b"], k=3)
+    return (kept.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_kept"),
+                 F.sum("n_chars").alias("chars_kept"))
+            .orderBy("lang"))
+
+
 def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order data-layout audit (operators/layout.py:zorder_layout;
     the Delta OPTIMIZE ZORDER / Iceberg z-order rewrite strategy) over
@@ -4502,6 +4534,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trust_rank": q_trust_rank,
         "triangle_count": q_triangle_count,
         "zorder_layout": q_zorder_layout,
+        "k_anonymity": q_k_anonymity,
+        "k_suppress": q_k_suppress,
         "redirect_resolve": q_redirect_resolve,
         "microdata": q_microdata,
         "rel_links": q_rel_links,
@@ -7877,6 +7911,38 @@ def oracle_sql() -> dict[str, str]:
           SELECT a.doc_id, a.cluster_id, sz.component_size
           FROM assign a JOIN sz USING (cluster_id)
           ORDER BY a.doc_id
+        """,
+        # k-anonymity: one GROUP BY on the quasi key (NULLs group, as
+        # in Spark)
+        "k_anonymity": """
+          SELECT lang, source,
+                 floor(n_chars / 500)::BIGINT AS len_b,
+                 count(*) AS class_size,
+                 count(*) >= 3 AS is_safe
+          FROM documents
+          GROUP BY lang, source, floor(n_chars / 500)::BIGINT
+          ORDER BY lang, source, len_b
+        """,
+        # suppression: anti-filter rows in sub-k classes, summarize
+        # survivors per lang (IS NOT DISTINCT FROM = null-safe key)
+        "k_suppress": """
+          WITH keyed AS (
+            SELECT lang, source, n_chars,
+                   floor(n_chars / 500)::BIGINT AS len_b
+            FROM documents),
+          unsafe AS (
+            SELECT lang, source, len_b FROM keyed
+            GROUP BY lang, source, len_b HAVING count(*) < 3),
+          kept AS (
+            SELECT k.* FROM keyed k
+            WHERE NOT EXISTS (
+              SELECT 1 FROM unsafe u
+              WHERE u.lang IS NOT DISTINCT FROM k.lang
+                AND u.source IS NOT DISTINCT FROM k.source
+                AND u.len_b IS NOT DISTINCT FROM k.len_b))
+          SELECT lang, count(*) AS n_kept,
+                 sum(n_chars) AS chars_kept
+          FROM kept GROUP BY lang ORDER BY lang
         """,
         # z-order layout audit: Morton key re-derived bitwise, file id
         # = top 4 key bits, per-file min/max/span for both layouts

@@ -48,7 +48,7 @@ BENCH_QUERIES = [
     "semantic_dedup", "pq_encode", "pq_error", "ann_topk_ivfpq",
     "jl_project",
     "text_stats", "repetition_stats", "quality_filter", "format_signals",
-    "pii_scrub",
+    "pii_scrub", "k_anonymity", "k_suppress",
     "mojibake_fix",
     "lang_id", "lang_id_cjk", "lang_confusion", "fingerprint", "search_keys", "token_count",
     "chunk_text", "chunk_tokens", "sections", "collocations", "bpe_pairs",

@@ -25,7 +25,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["PII_PATTERNS", "count_pii", "with_pii_scrub"]
+__all__ = ["PII_PATTERNS", "count_pii", "with_pii_scrub",
+           "k_anonymity", "suppress_below_k"]
 
 # (name, regex, replacement) in redaction order.  Kept Java/RE2-common.
 PII_PATTERNS: list[tuple[str, str, str]] = [
@@ -61,3 +62,53 @@ def with_pii_scrub(df: DataFrame, text_col: str = "text",
         )
         cur = F.regexp_replace(cur, pat, repl)
     return df.withColumn(out_col, cur)
+
+
+def k_anonymity(df: DataFrame, quasi_cols: list[str],
+                k: int = 5) -> DataFrame:
+    """k-anonymity audit over quasi-identifier columns ->
+    ``(quasi_cols..., class_size, is_safe)``, one row per
+    equivalence class (Sweeney 2002; the release gate run before a
+    curated corpus ships).
+
+    A released record is k-anonymous when at least k records share
+    its full quasi-identifier combination — combinations rarer than
+    that re-identify people even after direct PII is scrubbed (the
+    classic zip+birthdate+sex attack).  This is the complement to
+    :func:`with_pii_scrub`: scrubbing removes direct identifiers,
+    the k-audit catches the indirect ones.
+
+    Shape: ONE hash aggregate on the quasi key (map-side partials
+    absorb hot classes — 'en'-sized classes combine per-partition
+    first); no join, no window, no Python.  NULL quasi values form
+    their own class (they're a disclosure surface too)."""
+    if not quasi_cols:
+        raise ValueError("quasi_cols must be non-empty")
+    return (df.groupBy(*quasi_cols)
+            .agg(F.count(F.lit(1)).alias("class_size"))
+            .withColumn("is_safe", F.col("class_size") >= F.lit(k)))
+
+
+def suppress_below_k(df: DataFrame, quasi_cols: list[str],
+                     k: int = 5) -> DataFrame:
+    """Drop every row whose quasi-identifier equivalence class has
+    fewer than k members — the suppression (not generalization) arm
+    of k-anonymization.
+
+    Shape: the audit aggregate above, filtered to UNSAFE classes
+    only, then a LEFT ANTI equi-join back on the quasi key.  The
+    anti-join ships only the unsafe-class key list (in a web corpus
+    the tail classes are many but each key is skinny — the safe
+    mega-classes never cross the exchange), and rows in safe classes
+    stream through.  Identical column contract in and out."""
+    unsafe = (k_anonymity(df, quasi_cols, k)
+              .filter(~F.col("is_safe")).select(*quasi_cols)
+              .alias("unsafe"))
+    lhs = df.alias("lhs")
+    # null-safe keys: a NULL quasi value is a class like any other
+    # (groupBy already treats it so) and must suppress the same way
+    cond = None
+    for c in quasi_cols:
+        eq = F.col(f"lhs.{c}").eqNullSafe(F.col(f"unsafe.{c}"))
+        cond = eq if cond is None else (cond & eq)
+    return lhs.join(unsafe, cond, "left_anti")

@@ -198,3 +198,39 @@ def test_format_signals_bullets_ellipsis_stopwords(spark):
     assert out[3]["stopword_hits"] == 0 and out[3]["has_stop_words"] == 0
     assert out[4]["bullet_line_ratio"] == 0.0
     assert out[4]["ellipsis_line_ratio"] == 0.0
+
+
+# -- k-anonymity --------------------------------------------------------------
+
+def test_k_anonymity_classes_and_flags(spark):
+    from ocr_spark.functions.scrub import k_anonymity
+
+    rows = [("en", 1), ("en", 1), ("en", 1),          # safe at k=3
+            ("de", 2), ("de", 2),                       # unsafe
+            (None, 3), (None, 3), (None, 3), (None, 3)]  # NULL class, safe
+    df = spark.createDataFrame(rows, "lang string, b int")
+    got = {(r["lang"], r["b"]): (r["class_size"], r["is_safe"])
+           for r in k_anonymity(df, ["lang", "b"], k=3).collect()}
+    assert got == {("en", 1): (3, True), ("de", 2): (2, False),
+                   (None, 3): (4, True)}
+
+
+def test_suppress_below_k_drops_unsafe_and_null_classes(spark):
+    from ocr_spark.functions.scrub import suppress_below_k
+
+    rows = [("en", 1, 10), ("en", 1, 11), ("en", 1, 12),
+            ("de", 2, 20), ("de", 2, 21),
+            (None, 3, 30), (None, 3, 31)]
+    df = spark.createDataFrame(rows, "lang string, b int, doc_id int")
+    kept = suppress_below_k(df, ["lang", "b"], k=3).collect()
+    # the de class AND the NULL-lang class are both sub-k -> dropped
+    assert sorted(r["doc_id"] for r in kept) == [10, 11, 12]
+    # column contract unchanged
+    assert sorted(kept[0].asDict()) == ["b", "doc_id", "lang"]
+
+
+def test_suppress_below_k_keeps_everything_at_k1(spark):
+    from ocr_spark.functions.scrub import suppress_below_k
+
+    df = spark.createDataFrame([("a", 1), ("b", 2)], "lang string, d int")
+    assert suppress_below_k(df, ["lang"], k=1).count() == 2
