@@ -2579,6 +2579,24 @@ def q_trust_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bitext_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based bitext mining (operators/similarity.py:bitext_mine;
+    Artetxe & Schwenk ACL'19) between the even- and odd-id halves of
+    the embeddings table standing in for two languages: mutual-best
+    pairs whose cosine clears 1.10x the mean of both sides' top-4
+    neighborhoods.  Cosines on the round-6 grid, margin at round-5;
+    the oracle re-derives both directions from the same cross
+    cosines.  ~60 certified pairs at the gate scale (the round-3
+    oracle-power lesson applied from day one)."""
+    from ocr_spark.operators.similarity import bitext_mine
+
+    emb = _t(spark, sf_dir, "embeddings")
+    src = emb.filter(F.col("vec_id") % 2 == 0)
+    tgt = emb.filter(F.col("vec_id") % 2 == 1)
+    return (bitext_mine(src, tgt, k=4, threshold=1.10)
+            .orderBy("src_id"))
+
+
 def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-anonymity release audit (functions/scrub.py:k_anonymity;
     Sweeney 2002) over documents with quasi-identifiers (lang, source,
@@ -4536,6 +4554,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_layout": q_zorder_layout,
         "k_anonymity": q_k_anonymity,
         "k_suppress": q_k_suppress,
+        "bitext_mine": q_bitext_mine,
         "redirect_resolve": q_redirect_resolve,
         "microdata": q_microdata,
         "rel_links": q_rel_links,
@@ -7911,6 +7930,40 @@ def oracle_sql() -> dict[str, str]:
           SELECT a.doc_id, a.cluster_id, sz.component_size
           FROM assign a JOIN sz USING (cluster_id)
           ORDER BY a.doc_id
+        """,
+        # bitext mining: both top-k directions from one cross-cosine
+        # CTE; mutual best + round-5 margin over round-6 cosines
+        "bitext_mine": """
+          WITH src AS (SELECT * FROM embeddings WHERE vec_id % 2 = 0),
+          tgt AS (SELECT * FROM embeddings WHERE vec_id % 2 = 1),
+          fwd AS (
+            SELECT s.vec_id AS x, t.vec_id AS y,
+              round(list_dot_product(s.embedding::DOUBLE[],
+                                     t.embedding::DOUBLE[])
+                / (sqrt(list_dot_product(s.embedding::DOUBLE[],
+                                         s.embedding::DOUBLE[]))
+                 * sqrt(list_dot_product(t.embedding::DOUBLE[],
+                                         t.embedding::DOUBLE[]))), 6)
+              AS cos
+            FROM src s JOIN tgt t ON true),
+          fr AS (SELECT x, y, cos, row_number() OVER (
+                   PARTITION BY x ORDER BY cos DESC, y ASC) AS r
+                 FROM fwd),
+          br AS (SELECT x, y, cos, row_number() OVER (
+                   PARTITION BY y ORDER BY cos DESC, x ASC) AS r
+                 FROM fwd),
+          fm AS (SELECT x, avg(cos) AS m FROM fr WHERE r <= 4 GROUP BY x),
+          bm AS (SELECT y, avg(cos) AS m FROM br WHERE r <= 4 GROUP BY y),
+          mutual AS (
+            SELECT f.x, f.y, f.cos FROM fr f
+            JOIN br b ON f.x = b.x AND f.y = b.y
+            WHERE f.r = 1 AND b.r = 1),
+          mg AS (
+            SELECT m.x AS src_id, m.y AS tgt_id, m.cos AS cos_sim,
+                   round(m.cos / ((fm.m + bm.m) / 2), 5) AS margin
+            FROM mutual m JOIN fm ON fm.x = m.x JOIN bm ON bm.y = m.y)
+          SELECT src_id, tgt_id, cos_sim, margin FROM mg
+          WHERE margin >= 1.10 ORDER BY src_id
         """,
         # k-anonymity: one GROUP BY on the quasi key (NULLs group, as
         # in Spark)

@@ -31,7 +31,7 @@ from pyspark.sql import Window
 __all__ = [
     "dot", "l2norm", "cosine", "cosine_topk", "cosine_pairs_bruteforce",
     "lsh_bucket_assign", "lsh_probe_buckets", "ann_topk_lsh",
-    "cosine_near_dup_pairs",
+    "cosine_near_dup_pairs", "bitext_mine",
     "ivf_centroids", "kmeans_refine", "ivf_assign", "ivf_assign_gemm",
     "ivf_probe_lists", "ann_topk_ivf", "ann_topk_ivfpq", "semantic_dedup",
     "pq_codebooks", "pq_encode", "pq_encode_gemm", "jl_project",
@@ -962,3 +962,52 @@ def jl_project(df: DataFrame, dim: int, out_dim: int = 8, seed: int = 7,
         for row in mat
     ]
     return df.withColumn(out_col, F.array(*comps))
+
+
+def bitext_mine(src: DataFrame, tgt: DataFrame, k: int = 4,
+                threshold: float = 1.10, id_col: str = "vec_id",
+                vec_col: str = "embedding") -> DataFrame:
+    """Margin-based parallel-text mining between two embedding sets ->
+    ``(src_id, tgt_id, cos_sim, margin)`` — the CCMatrix/LASER
+    recipe (Artetxe & Schwenk ACL'19): a cross-lingual pair is kept
+    when each side is the other's NEAREST neighbor (mutual best) AND
+    the ratio of their cosine to the mean of both sides' top-k
+    neighborhoods clears a margin threshold.  Absolute-cosine
+    thresholds fail across languages because embedding-space density
+    varies by language; the margin normalizes by the local
+    neighborhood, which is why every large bitext harvest uses it.
+
+    Shape: two :func:`cosine_topk` passes (src->tgt and tgt->src) —
+    the exact kernels here, with the broadcast-query contract; at
+    harvest scale swap in :func:`ann_topk_lsh` / :func:`ann_topk_ivf`
+    for both directions, the margin/mutual algebra downstream is
+    identical (it only consumes (query, neighbor, cos, rank) rows).
+    Neighborhood means, the mutual-best join, and the margin are all
+    skinny id-keyed equi-joins/aggregates; the wide vectors never
+    cross an exchange after the top-k passes.  Cosines ride the
+    round-6 grid of cosine_topk; the margin is published at round-5.
+    ``src`` and ``tgt`` must use disjoint id spaces (bitext sides are
+    different documents by construction)."""
+    fwd = cosine_topk(src, tgt, k=k, id_col=id_col, vec_col=vec_col) \
+        .select(F.col("query_id").alias("x"),
+                F.col("neighbor_id").alias("y"), "cos_sim", "rank")
+    bwd = cosine_topk(tgt, src, k=k, id_col=id_col, vec_col=vec_col) \
+        .select(F.col("query_id").alias("y"),
+                F.col("neighbor_id").alias("x"), "cos_sim", "rank")
+    fwd = fwd.localCheckpoint()  # reused: best-of + neighborhood mean
+    bwd = bwd.localCheckpoint()
+    fmean = fwd.groupBy("x").agg(F.avg("cos_sim").alias("fwd_mean"))
+    bmean = bwd.groupBy("y").agg(F.avg("cos_sim").alias("bwd_mean"))
+    best_f = fwd.filter(F.col("rank") == 1).select("x", "y", "cos_sim")
+    best_b = bwd.filter(F.col("rank") == 1).select("x", "y")
+    mutual = best_f.join(best_b, ["x", "y"])
+    return (
+        mutual.join(fmean, "x").join(bmean, "y")
+        .withColumn("margin",
+                    F.round(F.col("cos_sim")
+                            / ((F.col("fwd_mean") + F.col("bwd_mean")) / 2),
+                            5))
+        .filter(F.col("margin") >= threshold)
+        .select(F.col("x").alias("src_id"), F.col("y").alias("tgt_id"),
+                "cos_sim", "margin")
+    )

@@ -1206,3 +1206,59 @@ def test_jl_project_preserves_distances_approximately(spark):
     out2 = {r["vec_id"]: r["proj"]
             for r in jl_project(df, dim=64, out_dim=16, seed=7).collect()}
     assert out == out2
+
+
+# -- bitext mining -------------------------------------------------------------
+
+def test_bitext_mine_finds_planted_pairs(spark):
+    """Planted parallel pairs (near-identical vectors across sides)
+    must come back as mutual bests with high margin; unrelated
+    orthogonal-ish vectors must not pair."""
+    import numpy as np
+
+    from ocr_spark.operators.similarity import bitext_mine
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(6, 16).astype("float64")
+    rows = []
+    # src ids 0..5; tgt ids 100..105: tgt i = src i + tiny noise for
+    # i < 3 (planted translations); tgt 103..105 independent
+    for i in range(6):
+        rows.append((i, [float(v) for v in base[i]]))
+    for i in range(3):
+        rows.append((100 + i,
+                     [float(v) for v in base[i] + 0.01 * rng.randn(16)]))
+    for i in range(3, 6):
+        rows.append((100 + i, [float(v) for v in rng.randn(16)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    src = df.filter(df.vec_id < 100)
+    tgt = df.filter(df.vec_id >= 100)
+    got = {(r["src_id"], r["tgt_id"]): r["margin"]
+           for r in bitext_mine(src, tgt, k=3, threshold=1.05).collect()}
+    for i in range(3):
+        assert (i, 100 + i) in got, got
+        assert got[(i, 100 + i)] > 1.05
+    # a mutual-best pair always exists even between random sides, but
+    # every planted translation must outscore every accidental pair
+    accidental = [m for (s, t), m in got.items() if t - 100 != s]
+    planted = [got[(i, 100 + i)] for i in range(3)]
+    assert min(planted) > max(accidental, default=0.0)
+
+
+def test_bitext_mine_mutual_best_is_required(spark):
+    """A one-directional best (x's best is y, but y's best is x') must
+    not be emitted."""
+    from ocr_spark.operators.similarity import bitext_mine
+
+    # tgt 100 = [1, 0]; src 0 = [1, 0.1] (best of tgt100 too? no:
+    # src 1 = [1, 0.01] is closer to tgt100) -> src0's best is tgt100
+    # but tgt100's best is src1 => only (1, 100) survives
+    rows = [(0, [1.0, 0.1]), (1, [1.0, 0.01]), (100, [1.0, 0.0]),
+            (101, [0.0, 1.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    src = df.filter(df.vec_id < 100)
+    tgt = df.filter(df.vec_id >= 100)
+    pairs = {(r["src_id"], r["tgt_id"])
+             for r in bitext_mine(src, tgt, k=2, threshold=0.0).collect()}
+    assert (0, 100) not in pairs
+    assert (1, 100) in pairs
