@@ -3046,6 +3046,76 @@ def q_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ahash_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared builder for the aHash queries: each doc becomes a REAL
+    16x16 grayscale PNG (zlib IDAT, CRC chunks, per-doc filter type
+    0-4) whose pixels are constant per 2x2 aHash block: block index
+    b = gy*8+gx has value (t*t + 5*b + d0) % 256 with
+    t = (d0+1)*(b+3) and d0 = doc_id rounded down to even — a
+    scattered (quadratic) pattern so unrelated images are far apart in
+    Hamming space, while consecutive (even, odd) ids form planted
+    near-duplicate pairs: the odd id's block #(d0 % 64) is inverted
+    (255 - v), a small perturbation.  Closed form, so DuckDB
+    re-derives every hash bit."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def build(batches):
+        import pandas as pd
+
+        from ocr_spark.data.synth import build_png
+
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                did = int(d)
+                d0 = did - did % 2
+                flip = d0 % 64 if did % 2 == 1 else -1
+
+                def px(i, c, d0=d0, flip=flip):
+                    b = ((i // 16) // 2) * 8 + (i % 16) // 2
+                    t = (d0 + 1) * (b + 3)
+                    v = (t * t + 5 * b + d0) % 256
+                    return 255 - v if b == flip else v
+
+                payloads.append(
+                    build_png(16, 16, color_type=0, filter_type=did % 5,
+                              pixel_fn=px))
+            yield pd.DataFrame({"media_id": pdf["doc_id"].astype(str),
+                                "payload": payloads})
+
+    return docs.mapInPandas(build, schema="media_id string, payload binary")
+
+
+def q_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual average-hash over REAL decoded PNG pixels
+    (multimodal.ahash_from_png): luma -> 8x8 block means -> 64 bits by
+    exact integer cross-multiplication, emitted as both a bitstring
+    and the production hex key.  The oracle recomputes every bit
+    arithmetically from the closed-form block values — the decode,
+    unfilter (type varies per doc), pooling, and threshold logic are
+    all value-gated."""
+    from ocr_spark.operators.multimodal import image_ahash
+
+    out = image_ahash(_ahash_media(spark, sf_dir))
+    return out.select("media_id", "width", "height",
+                      "ahash_bits", "ahash_hex", "status")
+
+
+def q_ahash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate IMAGE pairs: aHash + pigeonhole chunk blocking
+    (4x16-bit chunks, exact for Hamming <= 3 by pigeonhole) + JVM-side
+    XOR-popcount verify — simhash's recipe applied to the image
+    modality.  Planted pairs: every (even, odd) id pair differs by one
+    inverted block.  Oracle: brute-force Hamming over the re-derived
+    bit tables (feasible at oracle scale; the Spark side never goes
+    all-pairs)."""
+    from ocr_spark.operators.multimodal import ahash_near_dup, image_ahash
+
+    hashes = image_ahash(_ahash_media(spark, sf_dir))
+    return ahash_near_dup(hashes, max_hamming=3).select(
+        "media_a", "media_b", F.col("hamming").cast("int").alias("hamming"))
+
+
 def q_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio sample decode, codec-free: each doc becomes a
     RIFF-conformant 16-bit PCM WAV whose samples are the closed-form
@@ -4573,6 +4643,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_decode": q_media_decode,
         "exif": q_exif,
         "png_decode": q_png_decode,
+        "image_ahash": q_image_ahash,
+        "ahash_near_dup": q_ahash_near_dup,
         "audio_decode": q_audio_decode,
         "frame_sample": q_frame_sample,
         "pricing_summary": q_pricing_summary,
@@ -6838,6 +6910,84 @@ def oracle_sql() -> dict[str, str]:
               / (w*h) AS mean_b,
             'ok' AS status
           FROM d
+        """,
+        # aHash: pixels are constant per 2x2 block, so the oracle works
+        # on the 64 block values directly; the bit test 64*v > sum(v)
+        # is the cross-multiplied form of "block mean > global mean"
+        # (equal-size blocks), identical to the decoder's integer test
+        "image_ahash": """
+          WITH dd AS (
+            SELECT doc_id, doc_id - doc_id % 2 AS d0 FROM documents),
+          blk AS (
+            SELECT dd.doc_id, g.b,
+              CASE WHEN dd.doc_id % 2 = 1 AND g.b = dd.d0 % 64
+                   THEN 255 - (((dd.d0 + 1) * (g.b + 3)
+                                * (dd.d0 + 1) * (g.b + 3)
+                                + 5 * g.b + dd.d0) % 256)
+                   ELSE ((dd.d0 + 1) * (g.b + 3)
+                         * (dd.d0 + 1) * (g.b + 3)
+                         + 5 * g.b + dd.d0) % 256
+              END AS v
+            FROM dd, (SELECT unnest(range(0, 64)) AS b) g),
+          tot AS (SELECT doc_id, sum(v) AS s FROM blk GROUP BY doc_id),
+          bits AS (
+            SELECT blk.doc_id, blk.b,
+                   CASE WHEN 64 * blk.v > t.s THEN 1 ELSE 0 END AS bit
+            FROM blk JOIN tot t ON blk.doc_id = t.doc_id),
+          bstr AS (
+            SELECT doc_id,
+                   string_agg(CAST(bit AS VARCHAR), '' ORDER BY b)
+                     AS ahash_bits
+            FROM bits GROUP BY doc_id),
+          nib AS (
+            SELECT doc_id, b // 4 AS ni,
+                   sum(bit * CASE b % 4 WHEN 0 THEN 8 WHEN 1 THEN 4
+                             WHEN 2 THEN 2 ELSE 1 END) AS nv
+            FROM bits GROUP BY doc_id, b // 4),
+          hexs AS (
+            SELECT doc_id,
+                   string_agg(substr('0123456789abcdef',
+                                     CAST(nv AS INT) + 1, 1),
+                              '' ORDER BY ni) AS ahash_hex
+            FROM nib GROUP BY doc_id)
+          SELECT CAST(bstr.doc_id AS VARCHAR) AS media_id,
+                 CAST(16 AS INT) AS width, CAST(16 AS INT) AS height,
+                 bstr.ahash_bits, hexs.ahash_hex, 'ok' AS status
+          FROM bstr JOIN hexs ON bstr.doc_id = hexs.doc_id
+        """,
+        # ahash_near_dup: brute-force Hamming over the re-derived bit
+        # tables; pair order is lexicographic on the VARCHAR ids to
+        # match the operator's string comparison
+        "ahash_near_dup": """
+          WITH dd AS (
+            SELECT doc_id, doc_id - doc_id % 2 AS d0 FROM documents),
+          blk AS (
+            SELECT dd.doc_id, g.b,
+              CASE WHEN dd.doc_id % 2 = 1 AND g.b = dd.d0 % 64
+                   THEN 255 - (((dd.d0 + 1) * (g.b + 3)
+                                * (dd.d0 + 1) * (g.b + 3)
+                                + 5 * g.b + dd.d0) % 256)
+                   ELSE ((dd.d0 + 1) * (g.b + 3)
+                         * (dd.d0 + 1) * (g.b + 3)
+                         + 5 * g.b + dd.d0) % 256
+              END AS v
+            FROM dd, (SELECT unnest(range(0, 64)) AS b) g),
+          tot AS (SELECT doc_id, sum(v) AS s FROM blk GROUP BY doc_id),
+          bits AS (
+            SELECT blk.doc_id, blk.b,
+                   CASE WHEN 64 * blk.v > t.s THEN 1 ELSE 0 END AS bit
+            FROM blk JOIN tot t ON blk.doc_id = t.doc_id),
+          p AS (
+            SELECT CAST(a.doc_id AS VARCHAR) AS media_a,
+                   CAST(c.doc_id AS VARCHAR) AS media_b,
+                   sum(CASE WHEN a.bit <> c.bit THEN 1 ELSE 0 END)
+                     AS hamming
+            FROM bits a JOIN bits c
+              ON a.b = c.b
+             AND CAST(a.doc_id AS VARCHAR) < CAST(c.doc_id AS VARCHAR)
+            GROUP BY 1, 2)
+          SELECT media_a, media_b, CAST(hamming AS INT) AS hamming
+          FROM p WHERE hamming <= 3
         """,
         # audio_decode: the decoder's integer accumulators are exact, so
         # the oracle regenerates the sawtooth samples and re-aggregates;

@@ -30,9 +30,10 @@ from pyspark.sql import types as T
 
 from ocr_spark.extractor.core import parse_image_header
 
-__all__ = ["MEDIA_SCHEMA", "EXIF_SCHEMA", "decode_media",
+__all__ = ["MEDIA_SCHEMA", "EXIF_SCHEMA", "AHASH_SCHEMA", "decode_media",
            "decode_png_pixels", "decode_wav_samples", "parse_exif",
-           "exif_extract", "sample_frames"]
+           "exif_extract", "sample_frames", "ahash_from_png",
+           "image_ahash", "ahash_near_dup"]
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -58,23 +59,13 @@ MEDIA_SCHEMA = T.StructType(
 _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
 
 
-def decode_png_pixels(payload: bytes) -> dict:
-    """REAL pixel decode for PNG, pure stdlib (zlib) — no Pillow, no
-    codec: chunk walk, IHDR parse, multi-IDAT concatenation + inflate,
-    scanline unfiltering for all five PNG filter types (None/Sub/Up/
-    Average/Paeth, RFC 2083 §6), then per-channel mean features.
-
-    Supports 8-bit greyscale / RGB / grey+alpha / RGBA, non-interlaced
-    (the overwhelming majority of web PNGs); anything else raises, and
-    ``decode_media`` turns that into a processing_error ROW, never an
-    exception.  Returns the decode_media field dict with ``feature`` =
-    per-channel means — exact rationals (int sum / pixel count), so a
-    SQL oracle recomputes them bit-identically.
-
-    This closes the reference's image modality with an honest decoder:
-    the reference PIL-opens uploaded images before OCR
-    (/root/reference/services/file_processor.py:49-62); here the same
-    validation+decode step runs inside the Arrow batch kernel."""
+def _decode_png_raw(payload: bytes):
+    """Decode a PNG to raw unfiltered pixel bytes: returns
+    ``(width, height, channels, pixels)`` where ``pixels`` is the
+    row-major interleaved byte buffer (len = w*h*channels).  Shared by
+    :func:`decode_png_pixels` (per-channel means) and
+    :func:`image_ahash` (perceptual hash); raises on anything outside
+    8-bit gray/RGB/GA/RGBA non-interlaced."""
     if len(payload) < 8 or payload[:8] != b"\x89PNG\r\n\x1a\n":
         raise ValueError("not a PNG signature")
     pos, ihdr, idat = 8, None, []
@@ -107,7 +98,7 @@ def decode_png_pixels(payload: bytes) -> dict:
         raise ValueError(
             f"IDAT size mismatch: got {len(raw)}, want {h * (stride + 1)}")
     prev = bytearray(stride)
-    sums = [0] * ch
+    pixels = bytearray()
     for y in range(h):
         row = bytearray(raw[y * (stride + 1) + 1: (y + 1) * (stride + 1)])
         f = raw[y * (stride + 1)]
@@ -132,9 +123,32 @@ def decode_png_pixels(payload: bytes) -> dict:
                 row[i] = (row[i] + pr) & 0xFF
         elif f != 0:
             raise ValueError(f"unknown PNG filter type {f}")
-        for c in range(ch):   # strided slice sums run in C, not Python
-            sums[c] += sum(row[c::ch])
+        pixels += row
         prev = row
+    return int(w), int(h), ch, bytes(pixels)
+
+
+def decode_png_pixels(payload: bytes) -> dict:
+    """REAL pixel decode for PNG, pure stdlib (zlib) — no Pillow, no
+    codec: chunk walk, IHDR parse, multi-IDAT concatenation + inflate,
+    scanline unfiltering for all five PNG filter types (None/Sub/Up/
+    Average/Paeth, RFC 2083 §6), then per-channel mean features.
+
+    Supports 8-bit greyscale / RGB / grey+alpha / RGBA, non-interlaced
+    (the overwhelming majority of web PNGs); anything else raises, and
+    ``decode_media`` turns that into a processing_error ROW, never an
+    exception.  Returns the decode_media field dict with ``feature`` =
+    per-channel means — exact rationals (int sum / pixel count), so a
+    SQL oracle recomputes them bit-identically.
+
+    This closes the reference's image modality with an honest decoder:
+    the reference PIL-opens uploaded images before OCR
+    (/root/reference/services/file_processor.py:49-62); here the same
+    validation+decode step runs inside the Arrow batch kernel."""
+    w, h, ch, pixels = _decode_png_raw(payload)
+    sums = [0] * ch
+    for c in range(ch):       # strided slice sums run in C, not Python
+        sums[c] = sum(pixels[c::ch])
     n_px = w * h
     return {
         "kind": "image",
@@ -203,6 +217,155 @@ def decode_wav_samples(payload: bytes) -> dict:
         "n_frames": n // n_ch,
         "feature": [mean, rms, float(int(np.abs(s).max()))],
     }
+
+
+AHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("ahash_bits", T.StringType(), True),   # 64 x '0'/'1'
+        T.StructField("ahash_hex", T.StringType(), True),    # 16 hex chars
+        T.StructField("status", T.StringType(), True),
+        T.StructField("error_msg", T.StringType(), True),
+    ]
+)
+
+
+def ahash_from_png(payload: bytes, grid: int = 8) -> dict:
+    """Perceptual average-hash (aHash) over REAL decoded PNG pixels:
+    luma plane -> ``grid x grid`` block means -> one bit per block
+    (1 iff the block mean exceeds the global mean), row-major.
+
+    Everything is exact integer arithmetic so a SQL oracle can
+    recompute the hash bit-for-bit: luma is the integer BT.601 weights
+    ``(299r + 587g + 114b) // 1000`` (channel 0 for gray/GA), blocks
+    require ``w % grid == 0 and h % grid == 0`` (else raise -> error
+    row; a production pipeline would resample first, which needs a
+    resampler the oracle could not reproduce), and the bit test is the
+    cross-multiplied comparison ``grid*grid * block_sum > total_sum``
+    — no float division anywhere.
+
+    Near-identical images (small crops/overlays/banner swaps — the
+    web-dedup case) differ in a handful of bits, so Hamming distance
+    over this hash is the image analogue of simhash over text
+    (operators/dedup.py): candidate generation via pigeonhole chunks,
+    exact verify via XOR popcount.  Reference parity: the reference's
+    image intake dedups retries by byte digest only
+    (/root/reference/services/file_processor.py:49-62); this is the
+    content-level upgrade of that capability."""
+    w, h, ch, pixels = _decode_png_raw(payload)
+    if w % grid or h % grid:
+        raise ValueError(
+            f"aHash needs dimensions divisible by {grid}, got {w}x{h} "
+            "(resample upstream)")
+    import numpy as np
+
+    a = np.frombuffer(pixels, dtype=np.uint8).reshape(h, w, ch)
+    a = a.astype(np.int64)
+    if ch >= 3:
+        luma = (299 * a[:, :, 0] + 587 * a[:, :, 1]
+                + 114 * a[:, :, 2]) // 1000
+    else:
+        luma = a[:, :, 0]
+    bh, bw = h // grid, w // grid
+    # block sums: exact ints; (grid, bh, grid, bw) pooling
+    blocks = luma.reshape(grid, bh, grid, bw).sum(axis=(1, 3))
+    total = int(blocks.sum())
+    bits = (grid * grid * blocks.reshape(-1) > total).astype(np.int64)
+    bit_str = "".join("1" if b else "0" for b in bits)
+    val = int("".join(bit_str), 2)
+    return {
+        "width": w,
+        "height": h,
+        "ahash_bits": bit_str,
+        "ahash_hex": f"{val:016x}",
+    }
+
+
+def image_ahash(df: DataFrame, payload_col: str = "payload",
+                id_col: str = "media_id", grid: int = 8) -> DataFrame:
+    """Per-image perceptual hash rows, Arrow-batched (same shape and
+    error taxonomy as :func:`decode_media`: bad payloads become
+    ``processing_error`` ROWS).  The binary column never shuffles —
+    the hash is computed where the bytes already live, and only the
+    80-byte hash row moves downstream."""
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                base = {"media_id": str(mid), "width": None, "height": None,
+                        "ahash_bits": None, "ahash_hex": None,
+                        "status": "ok", "error_msg": None}
+                try:
+                    base.update(ahash_from_png(bytes(payload), grid=grid))
+                except Exception as exc:
+                    base["status"] = "processing_error"
+                    base["error_msg"] = f"{type(exc).__name__}: {exc}"
+                rows.append(base)
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, payload_col).mapInPandas(kernel, AHASH_SCHEMA)
+
+
+def ahash_near_dup(hashes: DataFrame, max_hamming: int = 3,
+                   id_col: str = "media_id",
+                   hex_col: str = "ahash_hex") -> DataFrame:
+    """Near-duplicate image pairs by aHash Hamming distance — the
+    simhash pigeonhole recipe applied to the image hash (same proof:
+    4 disjoint 16-bit chunks, so any pair within Hamming distance 3
+    agrees exactly on at least one chunk; ``max_hamming`` > 3 would
+    need more/smaller chunks and raises instead of silently missing
+    pairs).
+
+    Scale shape (the only one that survives 10^12 images): candidates
+    come from an equi-join on (chunk_idx, chunk_value) — never
+    all-pairs — and the exact Hamming verify is four JVM-side
+    ``bit_count(a XOR b)`` terms over ints carried with the candidate
+    row, so no join-back touches the hash table again."""
+    from pyspark.sql import functions as F
+
+    if max_hamming > 3:
+        raise ValueError(
+            "pigeonhole with 4x16-bit chunks is exact only for "
+            f"max_hamming <= 3, got {max_hamming}")
+    ok = hashes.where(F.col(hex_col).isNotNull())
+    chunks = [
+        F.conv(F.substring(F.col(hex_col), 1 + 4 * i, 4), 16, 10)
+        .cast("long").alias(f"c{i}")
+        for i in range(4)
+    ]
+    keyed = ok.select(F.col(id_col).alias("mid"), *chunks)
+    bands = keyed.select(
+        "mid", "c0", "c1", "c2", "c3",
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("band"),
+                     F.col(f"c{i}").alias("val")) for i in range(4)
+        ])).alias("bk"),
+    ).select("mid", "c0", "c1", "c2", "c3",
+             F.col("bk.band").alias("band"), F.col("bk.val").alias("val"))
+    left = bands
+    right = bands.select(
+        F.col("mid").alias("mid_b"), F.col("c0").alias("d0"),
+        F.col("c1").alias("d1"), F.col("c2").alias("d2"),
+        F.col("c3").alias("d3"), "band", "val")
+    ham = sum(
+        F.bit_count(F.col(f"c{i}").bitwiseXOR(F.col(f"d{i}")))
+        for i in range(4)
+    )
+    pairs = (
+        left.join(right, ["band", "val"])
+        .where(F.col("mid") < F.col("mid_b"))
+        .select(F.col("mid").alias("media_a"),
+                F.col("mid_b").alias("media_b"),
+                ham.alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+    return pairs
 
 
 def _fake_decode(payload: bytes) -> dict:

@@ -1262,3 +1262,101 @@ def test_bitext_mine_mutual_best_is_required(spark):
              for r in bitext_mine(src, tgt, k=2, threshold=0.0).collect()}
     assert (0, 100) not in pairs
     assert (1, 100) in pairs
+
+
+def test_ahash_exact_bits_and_hex():
+    """aHash bits follow the exact integer rule 64*block_sum > total:
+    a half-dark / half-light image hashes to exactly the light half's
+    bits, for every PNG filter type and for the RGB luma path."""
+    from ocr_spark.data.synth import build_png
+    from ocr_spark.operators.multimodal import ahash_from_png
+
+    # top half 10, bottom half 200 -> bottom 32 blocks above the mean
+    def px(i, c):
+        return 10 if i // 16 < 8 else 200
+
+    for f in range(5):
+        r = ahash_from_png(build_png(16, 16, color_type=0,
+                                     filter_type=f, pixel_fn=px))
+        assert r["ahash_bits"] == "0" * 32 + "1" * 32, f
+        assert r["ahash_hex"] == "00000000ffffffff"
+
+    # RGB: integer BT.601 luma ((299r+587g+114b)//1000) decides bits
+    def rgb(i, c):
+        return (10, 250, 10)[c] if i % 16 < 8 else (250, 10, 250)[c]
+
+    r = ahash_from_png(build_png(16, 16, color_type=2, pixel_fn=rgb))
+    # left luma = (299*10+587*250+114*10)//1000 = 150; right = 77+2+28=107
+    assert r["ahash_bits"] == ("1" * 4 + "0" * 4) * 8
+
+
+def test_ahash_rejects_non_divisible_dims():
+    import pytest as _pytest
+
+    from ocr_spark.data.synth import build_png
+    from ocr_spark.operators.multimodal import ahash_from_png
+
+    with _pytest.raises(ValueError, match="divisible"):
+        ahash_from_png(build_png(13, 16, color_type=0))
+
+
+def test_ahash_near_dup_matches_bruteforce(spark):
+    """Pigeonhole blocking (4x16-bit chunks) must find EXACTLY the
+    pairs within Hamming distance 3 — compare against the all-pairs
+    answer computed from the same hashes."""
+    from ocr_spark.data.synth import build_png
+    from ocr_spark.operators.multimodal import (ahash_from_png,
+                                                ahash_near_dup, image_ahash)
+
+    def make(d):
+        def px(i, c, d=d):
+            b = ((i // 16) // 2) * 8 + (i % 16) // 2
+            v = ((d // 3) * 89 + b * b * 7) % 256
+            # plant perturbations of increasing size within each triple
+            return 255 - v if d % 3 and b < (d % 3) * 2 else v
+
+        return build_png(16, 16, color_type=0, pixel_fn=px)
+
+    rows = [(str(i), make(i)) for i in range(60)]
+    df = spark.createDataFrame(rows, "media_id string, payload binary")
+    hashes = image_ahash(df)
+    got = {(r["media_a"], r["media_b"], r["hamming"])
+           for r in ahash_near_dup(hashes, max_hamming=3).collect()}
+
+    bits = {r["media_id"]: r["ahash_bits"] for r in hashes.collect()}
+    ids = sorted(bits)
+    want = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            h = sum(x != y for x, y in zip(bits[a], bits[b]))
+            if h <= 3:
+                want.add((min(a, b), max(a, b), h))
+    assert got == want
+    assert want, "test must exercise a non-empty pair set"
+
+
+def test_ahash_near_dup_rejects_unsound_threshold():
+    import pytest as _pytest
+
+    from ocr_spark.operators.multimodal import ahash_near_dup
+
+    with _pytest.raises(ValueError, match="pigeonhole"):
+        ahash_near_dup(None, max_hamming=4)
+
+
+def test_image_ahash_error_rows(spark):
+    """Undecodable payloads become processing_error ROWS (same taxonomy
+    as decode_media), never exceptions."""
+    from ocr_spark.data.synth import build_png
+    from ocr_spark.operators.multimodal import image_ahash
+
+    rows = [("ok", build_png(16, 16, color_type=0)),
+            ("badsize", build_png(13, 7)),
+            ("notpng", b"GIF89a nope")]
+    df = spark.createDataFrame(rows, "media_id string, payload binary")
+    out = {r["media_id"]: r for r in image_ahash(df).collect()}
+    assert out["ok"]["status"] == "ok" and len(out["ok"]["ahash_bits"]) == 64
+    assert out["badsize"]["status"] == "processing_error"
+    assert "divisible" in out["badsize"]["error_msg"]
+    assert out["notpng"]["status"] == "processing_error"
+    assert out["notpng"]["ahash_hex"] is None
