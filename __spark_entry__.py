@@ -3116,6 +3116,48 @@ def q_ahash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_a", "media_b", F.col("hamming").cast("int").alias("hamming"))
 
 
+def q_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-hash (gradient) variant of image_ahash over REAL
+    18x16 grayscale PNGs whose pixels are constant per 2x2 block on
+    the 9x8 dHash grid (block b = gy*9+gx has the same scattered
+    quadratic value as the aHash builder, mod 72 for the planted
+    flip).  Bits compare horizontally adjacent block sums — local
+    gradients, robust to global brightness shifts where aHash is not.
+    The oracle re-derives all 64 comparisons from the closed-form
+    block values."""
+    from ocr_spark.operators.multimodal import image_dhash
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def build(batches):
+        import pandas as pd
+
+        from ocr_spark.data.synth import build_png
+
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                did = int(d)
+                d0 = did - did % 2
+                flip = d0 % 72 if did % 2 == 1 else -1
+
+                def px(i, c, d0=d0, flip=flip):
+                    b = ((i // 18) // 2) * 9 + (i % 18) // 2
+                    t = (d0 + 1) * (b + 3)
+                    v = (t * t + 5 * b + d0) % 256
+                    return 255 - v if b == flip else v
+
+                payloads.append(
+                    build_png(18, 16, color_type=0, filter_type=did % 5,
+                              pixel_fn=px))
+            yield pd.DataFrame({"media_id": pdf["doc_id"].astype(str),
+                                "payload": payloads})
+
+    media = docs.mapInPandas(build, schema="media_id string, payload binary")
+    return image_dhash(media).select("media_id", "width", "height",
+                                     "ahash_bits", "ahash_hex", "status")
+
+
 def q_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio sample decode, codec-free: each doc becomes a
     RIFF-conformant 16-bit PCM WAV whose samples are the closed-form
@@ -4645,6 +4687,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "png_decode": q_png_decode,
         "image_ahash": q_image_ahash,
         "ahash_near_dup": q_ahash_near_dup,
+        "image_dhash": q_image_dhash,
         "audio_decode": q_audio_decode,
         "frame_sample": q_frame_sample,
         "pricing_summary": q_pricing_summary,
@@ -6952,6 +6995,50 @@ def oracle_sql() -> dict[str, str]:
             FROM nib GROUP BY doc_id)
           SELECT CAST(bstr.doc_id AS VARCHAR) AS media_id,
                  CAST(16 AS INT) AS width, CAST(16 AS INT) AS height,
+                 bstr.ahash_bits, hexs.ahash_hex, 'ok' AS status
+          FROM bstr JOIN hexs ON bstr.doc_id = hexs.doc_id
+        """,
+        # dHash: 72 closed-form block values per doc; bit bi compares
+        # horizontally adjacent blocks (strict <), then the same
+        # bitstring/nibble assembly as image_ahash
+        "image_dhash": """
+          WITH dd AS (
+            SELECT doc_id, doc_id - doc_id % 2 AS d0 FROM documents),
+          blk AS (
+            SELECT dd.doc_id, g.b,
+              CASE WHEN dd.doc_id % 2 = 1 AND g.b = dd.d0 % 72
+                   THEN 255 - (((dd.d0 + 1) * (g.b + 3)
+                                * (dd.d0 + 1) * (g.b + 3)
+                                + 5 * g.b + dd.d0) % 256)
+                   ELSE ((dd.d0 + 1) * (g.b + 3)
+                         * (dd.d0 + 1) * (g.b + 3)
+                         + 5 * g.b + dd.d0) % 256
+              END AS v
+            FROM dd, (SELECT unnest(range(0, 72)) AS b) g),
+          bits AS (
+            SELECT l.doc_id, (l.b // 9) * 8 + (l.b % 9) AS bi,
+                   CASE WHEN l.v < r.v THEN 1 ELSE 0 END AS bit
+            FROM blk l JOIN blk r
+              ON l.doc_id = r.doc_id AND r.b = l.b + 1
+            WHERE l.b % 9 < 8),
+          bstr AS (
+            SELECT doc_id,
+                   string_agg(CAST(bit AS VARCHAR), '' ORDER BY bi)
+                     AS ahash_bits
+            FROM bits GROUP BY doc_id),
+          nib AS (
+            SELECT doc_id, bi // 4 AS ni,
+                   sum(bit * CASE bi % 4 WHEN 0 THEN 8 WHEN 1 THEN 4
+                             WHEN 2 THEN 2 ELSE 1 END) AS nv
+            FROM bits GROUP BY doc_id, bi // 4),
+          hexs AS (
+            SELECT doc_id,
+                   string_agg(substr('0123456789abcdef',
+                                     CAST(nv AS INT) + 1, 1),
+                              '' ORDER BY ni) AS ahash_hex
+            FROM nib GROUP BY doc_id)
+          SELECT CAST(bstr.doc_id AS VARCHAR) AS media_id,
+                 CAST(18 AS INT) AS width, CAST(16 AS INT) AS height,
                  bstr.ahash_bits, hexs.ahash_hex, 'ok' AS status
           FROM bstr JOIN hexs ON bstr.doc_id = hexs.doc_id
         """,

@@ -33,7 +33,8 @@ from ocr_spark.extractor.core import parse_image_header
 __all__ = ["MEDIA_SCHEMA", "EXIF_SCHEMA", "AHASH_SCHEMA", "decode_media",
            "decode_png_pixels", "decode_wav_samples", "parse_exif",
            "exif_extract", "sample_frames", "ahash_from_png",
-           "image_ahash", "ahash_near_dup"]
+           "image_ahash", "ahash_near_dup", "dhash_from_png",
+           "image_dhash"]
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -281,6 +282,75 @@ def ahash_from_png(payload: bytes, grid: int = 8) -> dict:
         "ahash_bits": bit_str,
         "ahash_hex": f"{val:016x}",
     }
+
+
+def dhash_from_png(payload: bytes, grid: int = 8) -> dict:
+    """Difference-hash (dHash) over REAL decoded PNG pixels: luma ->
+    ``(grid+1) x grid`` block means -> one bit per horizontally
+    adjacent pair (1 iff the left block's mean is strictly below the
+    right's), row-major — 64 bits at the default grid.
+
+    Complements :func:`ahash_from_png`: aHash thresholds against the
+    global mean, so a uniform brightness shift can move many bits at
+    once; dHash encodes local gradients, which survive global
+    brightness/contrast changes (the re-encoded-thumbnail case).  Same
+    exactness contract: integer luma, equal-size blocks (requires
+    ``w % (grid+1) == 0 and h % grid == 0``, else raise -> error row),
+    and the bit test compares raw integer block sums (equal blocks, so
+    no division).  The output hex key feeds the same
+    :func:`ahash_near_dup` pigeonhole blocking."""
+    w, h, ch, pixels = _decode_png_raw(payload)
+    cols = grid + 1
+    if w % cols or h % grid:
+        raise ValueError(
+            f"dHash needs width divisible by {cols} and height by "
+            f"{grid}, got {w}x{h} (resample upstream)")
+    import numpy as np
+
+    a = np.frombuffer(pixels, dtype=np.uint8).reshape(h, w, ch)
+    a = a.astype(np.int64)
+    if ch >= 3:
+        luma = (299 * a[:, :, 0] + 587 * a[:, :, 1]
+                + 114 * a[:, :, 2]) // 1000
+    else:
+        luma = a[:, :, 0]
+    bh, bw = h // grid, w // cols
+    blocks = luma.reshape(grid, bh, cols, bw).sum(axis=(1, 3))
+    bits = (blocks[:, :-1] < blocks[:, 1:]).astype(np.int64).reshape(-1)
+    bit_str = "".join("1" if b else "0" for b in bits)
+    val = int(bit_str, 2)
+    return {
+        "width": w,
+        "height": h,
+        "ahash_bits": bit_str,
+        "ahash_hex": f"{val:016x}",
+    }
+
+
+def image_dhash(df: DataFrame, payload_col: str = "payload",
+                id_col: str = "media_id", grid: int = 8) -> DataFrame:
+    """Per-image difference-hash rows — same schema, batching, and
+    error taxonomy as :func:`image_ahash` (the two hashes are drop-in
+    alternatives feeding the same near-dup blocking)."""
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                base = {"media_id": str(mid), "width": None, "height": None,
+                        "ahash_bits": None, "ahash_hex": None,
+                        "status": "ok", "error_msg": None}
+                try:
+                    base.update(dhash_from_png(bytes(payload), grid=grid))
+                except Exception as exc:
+                    base["status"] = "processing_error"
+                    base["error_msg"] = f"{type(exc).__name__}: {exc}"
+                rows.append(base)
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, payload_col).mapInPandas(kernel, AHASH_SCHEMA)
 
 
 def image_ahash(df: DataFrame, payload_col: str = "payload",

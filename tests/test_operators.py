@@ -1360,3 +1360,31 @@ def test_image_ahash_error_rows(spark):
     assert "divisible" in out["badsize"]["error_msg"]
     assert out["notpng"]["status"] == "processing_error"
     assert out["notpng"]["ahash_hex"] is None
+
+
+def test_dhash_gradient_bits_and_brightness_invariance():
+    """dHash bits encode left<right comparisons; a global brightness
+    shift (every pixel +40) must leave the hash UNCHANGED — the
+    property aHash does not have."""
+    from ocr_spark.data.synth import build_png
+    from ocr_spark.operators.multimodal import ahash_from_png, dhash_from_png
+
+    def px(i, c):
+        return ((i % 18) // 2) * 13 % 200          # increases along x
+
+    def px_bright(i, c):
+        return px(i, c) + 40
+
+    a = dhash_from_png(build_png(18, 16, color_type=0, pixel_fn=px))
+    b = dhash_from_png(build_png(18, 16, color_type=0, pixel_fn=px_bright))
+    assert a["ahash_bits"] == b["ahash_bits"]
+    # monotone-increasing rows -> every comparison bit is 1... except
+    # where the %200 wrap makes a drop: columns are 0,13,26,...,104 per
+    # 2px block -> strictly increasing, all 64 bits set
+    assert a["ahash_hex"] == "ffffffffffffffff"
+
+    # error row path: wrong divisibility
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="divisible"):
+        dhash_from_png(build_png(16, 16, color_type=0))
