@@ -3116,6 +3116,47 @@ def q_ahash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_a", "media_b", F.col("hamming").cast("int").alias("hamming"))
 
 
+def q_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Silence-aware segmentation over REAL decoded WAV PCM: per doc a
+    RIFF-conformant mono 8kHz WAV whose frame f (200 samples) is
+    planted quiet when (f+d) % 3 == 0 or (f*f+d) % 7 == 0 (tiny
+    samples (i%9)-4) and loud otherwise (the sawtooth
+    ((7+d%5)*i % 4096) - 2048); audio_segments decodes, computes exact
+    integer frame energies, applies the strict mean-square threshold,
+    and emits one row per maximal loud run.  The oracle regenerates
+    every sample and re-derives energies, the loudness test, and the
+    gaps-and-islands grouping — the whole operator is value-gated."""
+    from ocr_spark.operators.multimodal import audio_segments
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def build(batches):
+        import pandas as pd
+
+        from ocr_spark.data.synth import build_wav
+
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                did = int(d)
+                n = 2000 + (did % 5) * 400
+
+                def s(i, did=did):
+                    f = i // 200
+                    if (f + did) % 3 == 0 or (f * f + did) % 7 == 0:
+                        return (i % 9) - 4
+                    return (7 + did % 5) * i % 4096 - 2048
+
+                payloads.append(build_wav(n, rate=8000, sample_fn=s))
+            yield pd.DataFrame({"media_id": pdf["doc_id"].astype(str),
+                                "payload": payloads})
+
+    media = docs.mapInPandas(build, schema="media_id string, payload binary")
+    return audio_segments(media, frame_samples=200, threshold=10000).select(
+        "media_id", "seg_idx", "start_frame", "n_frames",
+        "start_ms", "end_ms", "energy", "status")
+
+
 def q_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Difference-hash (gradient) variant of image_ahash over REAL
     18x16 grayscale PNGs whose pixels are constant per 2x2 block on
@@ -4688,6 +4729,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_ahash": q_image_ahash,
         "ahash_near_dup": q_ahash_near_dup,
         "image_dhash": q_image_dhash,
+        "audio_segments": q_audio_segments,
         "audio_decode": q_audio_decode,
         "frame_sample": q_frame_sample,
         "pricing_summary": q_pricing_summary,
@@ -6997,6 +7039,50 @@ def oracle_sql() -> dict[str, str]:
                  CAST(16 AS INT) AS width, CAST(16 AS INT) AS height,
                  bstr.ahash_bits, hexs.ahash_hex, 'ok' AS status
           FROM bstr JOIN hexs ON bstr.doc_id = hexs.doc_id
+        """,
+        # audio_segments: the oracle regenerates every PCM sample,
+        # re-derives frame energies + the strict mean-square loudness
+        # test, and groups loud runs with gaps-and-islands — nothing
+        # about the operator's arithmetic is assumed
+        "audio_segments": """
+          WITH params AS (
+            SELECT doc_id, 2000 + (doc_id % 5) * 400 AS n FROM documents),
+          smp AS (
+            SELECT doc_id, unnest(range(0, n)) AS i FROM params),
+          sv AS (
+            SELECT doc_id, i // 200 AS f,
+              CASE WHEN ((i // 200) + doc_id) % 3 = 0
+                     OR ((i // 200) * (i // 200) + doc_id) % 7 = 0
+                   THEN (i % 9) - 4
+                   ELSE ((7 + doc_id % 5) * i) % 4096 - 2048
+              END AS s
+            FROM smp),
+          fr AS (
+            SELECT doc_id, f, sum(s * s) AS e, count(*) AS c
+            FROM sv GROUP BY doc_id, f),
+          loud AS (SELECT doc_id, f, e FROM fr WHERE e > 10000 * c),
+          isl AS (
+            SELECT doc_id, f, e,
+                   f - row_number() OVER (PARTITION BY doc_id ORDER BY f)
+                     AS grp
+            FROM loud),
+          seg AS (
+            SELECT doc_id, grp, min(f) AS start_frame,
+                   count(*) AS n_frames, sum(e) AS energy
+            FROM isl GROUP BY doc_id, grp),
+          num AS (
+            SELECT doc_id, start_frame, n_frames, energy,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY start_frame) - 1 AS seg_idx
+            FROM seg)
+          SELECT CAST(doc_id AS VARCHAR) AS media_id,
+                 CAST(seg_idx AS INT) AS seg_idx,
+                 CAST(start_frame AS INT) AS start_frame,
+                 CAST(n_frames AS INT) AS n_frames,
+                 CAST(start_frame * 25 AS BIGINT) AS start_ms,
+                 CAST((start_frame + n_frames) * 25 AS BIGINT) AS end_ms,
+                 CAST(energy AS BIGINT) AS energy, 'ok' AS status
+          FROM num
         """,
         # dHash: 72 closed-form block values per doc; bit bi compares
         # horizontally adjacent blocks (strict <), then the same

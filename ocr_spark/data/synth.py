@@ -351,19 +351,22 @@ def build_png(width: int, height: int, base: int = 0,
 
 def build_wav(n_samples: int, rate: int = 8000, base: int = 0,
               step: int = 7, channels: int = 1,
-              truncate: int = 0) -> bytes:
+              truncate: int = 0, sample_fn=None) -> bytes:
     """A REAL (RIFF-conformant) PCM WAV whose 16-bit samples are the
     deterministic sawtooth ``((base + step*i) % 4096) - 2048`` for
     per-channel frame i (duplicated across channels) — so an oracle
     can recompute mean / RMS / peak arithmetically without decoding.
     ``truncate`` drops that many trailing bytes from the data chunk
     while keeping the declared chunk size, producing the exact
-    'data chunk truncated' error the decoder must emit as a row."""
+    'data chunk truncated' error the decoder must emit as a row.
+    ``sample_fn(i) -> int`` overrides the default sawtooth (the
+    audio_segments oracle plants closed-form quiet/loud frames)."""
     import struct
 
+    fn = sample_fn or (lambda i: ((base + step * i) % 4096) - 2048)
     frames = bytearray()
     for i in range(n_samples):
-        s = ((base + step * i) % 4096) - 2048
+        s = fn(i)
         frames += struct.pack("<h", s) * channels
     data = bytes(frames)
     fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * 2 * channels,

@@ -34,7 +34,7 @@ __all__ = ["MEDIA_SCHEMA", "EXIF_SCHEMA", "AHASH_SCHEMA", "decode_media",
            "decode_png_pixels", "decode_wav_samples", "parse_exif",
            "exif_extract", "sample_frames", "ahash_from_png",
            "image_ahash", "ahash_near_dup", "dhash_from_png",
-           "image_dhash"]
+           "image_dhash", "audio_segments"]
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -160,20 +160,13 @@ def decode_png_pixels(payload: bytes) -> dict:
     }
 
 
-def decode_wav_samples(payload: bytes) -> dict:
-    """REAL sample decode for RIFF/WAV PCM, pure stdlib + numpy — no
-    codec: chunk walk (word-aligned per the RIFF spec, tolerant of
-    extra chunks in any order), fmt validation (16-bit integer PCM
-    only — anything else raises and decode_media turns it into a
-    processing_error ROW), little-endian int16 sample parse, then
-    exact integer-accumulator features: ``feature = [mean, rms, peak]``
-    over all interleaved samples.  mean is an exact rational
-    (int sum / count) and rms one IEEE sqrt away from one, so a SQL
-    oracle recomputes them bit-identically.
-
-    Closes the audio modality the same way decode_png_pixels closes
-    images: the decode step is real, only the model-based featurizer
-    a production pipeline would bolt on stays pluggable."""
+def _decode_wav_raw(payload: bytes):
+    """Decode a RIFF/WAV 16-bit PCM payload to raw samples: returns
+    ``(n_channels, sample_rate, samples)`` where ``samples`` is the
+    interleaved int64 numpy array.  Shared by
+    :func:`decode_wav_samples` (whole-file features) and
+    :func:`audio_segments` (frame-energy segmentation); raises on
+    anything outside 16-bit integer PCM."""
     import sys
 
     import numpy as np
@@ -208,10 +201,29 @@ def decode_wav_samples(payload: bytes) -> dict:
     s = np.frombuffer(data[:len(data) - (len(data) % 2)], dtype="<i2")
     if sys.byteorder == "big":          # pragma: no cover
         s = s.byteswap()
-    s = s.astype(np.int64)              # exact integer accumulators:
-    n = int(s.size)                     # |s|<=2^15, s^2*n < 2^63 for
-    mean = int(s.sum()) / n             # any data chunk under 8 EiB
-    rms = float(np.sqrt(int((s * s).sum()) / n))
+    return int(n_ch), int(rate), s.astype(np.int64)
+
+
+def decode_wav_samples(payload: bytes) -> dict:
+    """REAL sample decode for RIFF/WAV PCM, pure stdlib + numpy — no
+    codec: chunk walk (word-aligned per the RIFF spec, tolerant of
+    extra chunks in any order), fmt validation (16-bit integer PCM
+    only — anything else raises and decode_media turns it into a
+    processing_error ROW), little-endian int16 sample parse, then
+    exact integer-accumulator features: ``feature = [mean, rms, peak]``
+    over all interleaved samples.  mean is an exact rational
+    (int sum / count) and rms one IEEE sqrt away from one, so a SQL
+    oracle recomputes them bit-identically.
+
+    Closes the audio modality the same way decode_png_pixels closes
+    images: the decode step is real, only the model-based featurizer
+    a production pipeline would bolt on stays pluggable."""
+    import numpy as np
+
+    n_ch, rate, s = _decode_wav_raw(payload)
+    n = int(s.size)                     # exact integer accumulators:
+    mean = int(s.sum()) / n             # |s|<=2^15, s^2*n < 2^63 for
+    rms = float(np.sqrt(int((s * s).sum()) / n))  # data under 8 EiB
     return {
         "kind": "audio",
         "duration_ms": (n // n_ch) * 1000 // rate,
@@ -436,6 +448,102 @@ def ahash_near_dup(hashes: DataFrame, max_hamming: int = 3,
         .distinct()
     )
     return pairs
+
+
+SEGMENT_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("seg_idx", T.IntegerType(), True),
+        T.StructField("start_frame", T.IntegerType(), True),
+        T.StructField("n_frames", T.IntegerType(), True),
+        T.StructField("start_ms", T.LongType(), True),
+        T.StructField("end_ms", T.LongType(), True),
+        T.StructField("energy", T.LongType(), True),
+        T.StructField("status", T.StringType(), True),
+        T.StructField("error_msg", T.StringType(), True),
+    ]
+)
+
+
+def audio_segments(df: DataFrame, frame_samples: int = 200,
+                   threshold: int = 10000,
+                   payload_col: str = "payload",
+                   id_col: str = "media_id") -> DataFrame:
+    """Silence-aware activity segmentation over REAL decoded WAV PCM:
+    fixed frames of ``frame_samples`` per-channel samples, a frame is
+    LOUD iff its energy (sum of squares over all channels, exact
+    integer) strictly exceeds ``threshold`` (a mean-square bound)
+    times its sample count, and each maximal run of loud frames
+    becomes one segment row with frame extent, millisecond extent
+    (from the file's own sample rate), and exact integer energy.
+
+    This is the audio analogue of the extractor's boilerplate strip:
+    a speech/audio training pipeline drops silence before featurizing,
+    and the segment boundaries are the unit of downstream chunking.
+    Everything is integer arithmetic over closed-form-synthesizable
+    samples, so a SQL oracle re-derives frame energies, the loudness
+    test, AND the gaps-and-islands run grouping bit-for-bit.  A
+    trailing partial frame is judged against its actual sample count.
+    Undecodable payloads become error ROWS (one per payload,
+    seg_idx NULL), never exceptions; the binary column never
+    shuffles."""
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    n_ch, rate, s = _decode_wav_raw(bytes(payload))
+                    n_fr = int(s.size) // n_ch          # per-channel frames
+                    s = s[:n_fr * n_ch]
+                    sq = s * s
+                    step = frame_samples * n_ch
+                    n_frames = (n_fr + frame_samples - 1) // frame_samples
+                    seg_start = seg_energy = None
+                    seg_idx = 0
+                    emitted = False
+                    for f in range(n_frames):
+                        chunk = sq[f * step:(f + 1) * step]
+                        e = int(chunk.sum())
+                        loud = e > threshold * int(chunk.size)
+                        if loud and seg_start is None:
+                            seg_start, seg_energy = f, e
+                        elif loud:
+                            seg_energy += e
+                        if seg_start is not None and (
+                                not loud or f == n_frames - 1):
+                            end_f = f if not loud else f + 1
+                            rows.append({
+                                "media_id": str(mid), "seg_idx": seg_idx,
+                                "start_frame": seg_start,
+                                "n_frames": end_f - seg_start,
+                                "start_ms": seg_start * frame_samples
+                                * 1000 // rate,
+                                "end_ms": min(end_f * frame_samples, n_fr)
+                                * 1000 // rate,
+                                "energy": seg_energy,
+                                "status": "ok", "error_msg": None})
+                            seg_idx += 1
+                            seg_start = None
+                            emitted = True
+                    if not emitted:
+                        rows.append({"media_id": str(mid), "seg_idx": None,
+                                     "start_frame": None, "n_frames": None,
+                                     "start_ms": None, "end_ms": None,
+                                     "energy": None, "status": "silent",
+                                     "error_msg": None})
+                except Exception as exc:
+                    rows.append({"media_id": str(mid), "seg_idx": None,
+                                 "start_frame": None, "n_frames": None,
+                                 "start_ms": None, "end_ms": None,
+                                 "energy": None, "status": "processing_error",
+                                 "error_msg": f"{type(exc).__name__}: {exc}"})
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, payload_col).mapInPandas(kernel, SEGMENT_SCHEMA)
 
 
 def _fake_decode(payload: bytes) -> dict:

@@ -1388,3 +1388,51 @@ def test_dhash_gradient_bits_and_brightness_invariance():
 
     with _pytest.raises(ValueError, match="divisible"):
         dhash_from_png(build_png(16, 16, color_type=0))
+
+
+def test_audio_segments_runs_and_edges(spark):
+    """Segmentation edges: trailing partial frame judged by its own
+    sample count, all-quiet file -> one 'silent' row, truncated data
+    chunk -> processing_error row, stereo energy sums both channels."""
+    import struct
+
+    from ocr_spark.data.synth import build_wav
+    from ocr_spark.operators.multimodal import audio_segments
+
+    loud = lambda i: 2000
+    quiet = lambda i: 1
+    rows = [
+        # 450 mono samples: frames [0,200) [200,400) loud, partial
+        # [400,450) loud too (2000^2*50 > 10000*50) -> ONE segment of
+        # 3 frames covering 450 samples -> end_ms = 450*1000//8000 = 56
+        ("partial", build_wav(450, rate=8000, sample_fn=loud)),
+        ("allquiet", build_wav(600, rate=8000, sample_fn=quiet)),
+        ("broken", build_wav(400, truncate=3)),
+        # stereo: per-channel frames = 300; quiet mono value 100 has
+        # energy 100^2*400(samples incl both ch)=4e6 > 10000*400? equal
+        # -> strict > fails at exactly threshold; use 101 to pass
+        ("stereo", build_wav(300, rate=8000, channels=2,
+                             sample_fn=lambda i: 101)),
+    ]
+    df = spark.createDataFrame(rows, "media_id string, payload binary")
+    out = {}
+    for r in audio_segments(df, frame_samples=200, threshold=10000).collect():
+        out.setdefault(r["media_id"], []).append(r)
+
+    p = out["partial"]
+    assert len(p) == 1 and p[0]["n_frames"] == 3
+    assert p[0]["start_ms"] == 0 and p[0]["end_ms"] == 450 * 1000 // 8000
+    assert p[0]["energy"] == 2000 * 2000 * 450
+
+    a = out["allquiet"]
+    assert len(a) == 1 and a[0]["status"] == "silent"
+    assert a[0]["seg_idx"] is None
+
+    b = out["broken"]
+    assert len(b) == 1 and b[0]["status"] == "processing_error"
+    assert "truncated" in b[0]["error_msg"]
+
+    s = out["stereo"]
+    # 101^2 * 400 = 4,080,400 > 10000*400 -> loud; 2 frames, one run
+    assert len(s) == 1 and s[0]["n_frames"] == 2
+    assert s[0]["energy"] == 101 * 101 * 600   # all samples, both channels
