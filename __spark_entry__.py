@@ -3116,6 +3116,30 @@ def q_ahash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_a", "media_b", F.col("hamming").cast("int").alias("hamming"))
 
 
+def q_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modality composition: perceptual hash -> near-dup pairs ->
+    connected components -> canonical-image election.  Reuses the
+    certified pieces end-to-end (image_ahash, ahash_near_dup's
+    pigeonhole blocking, the large-star/small-star CC used for text
+    dedup) — the image analogue of dedup_clusters, with cluster_size
+    via groupBy+join (no hot-key window).  The oracle chains
+    brute-force Hamming pairs with a recursive-CTE transitive closure
+    over VARCHAR ids."""
+    from ocr_spark.operators.dedup import connected_components
+    from ocr_spark.operators.multimodal import ahash_near_dup, image_ahash
+
+    hashes = image_ahash(_ahash_media(spark, sf_dir))
+    pairs = ahash_near_dup(hashes, max_hamming=3)
+    assign = connected_components(
+        pairs, src="media_a", dst="media_b",
+        nodes=hashes.select("media_id"), key_col="media_id")
+    sizes = assign.groupBy("cluster_id").count()
+    return assign.join(sizes, "cluster_id").select(
+        "media_id", "cluster_id",
+        (F.col("media_id") == F.col("cluster_id")).alias("is_canonical"),
+        F.col("count").cast("long").alias("cluster_size"))
+
+
 def q_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Silence-aware segmentation over REAL decoded WAV PCM: per doc a
     RIFF-conformant mono 8kHz WAV whose frame f (200 samples) is
@@ -4729,6 +4753,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_ahash": q_image_ahash,
         "ahash_near_dup": q_ahash_near_dup,
         "image_dhash": q_image_dhash,
+        "image_dedup": q_image_dedup,
         "audio_segments": q_audio_segments,
         "audio_decode": q_audio_decode,
         "frame_sample": q_frame_sample,
@@ -7039,6 +7064,62 @@ def oracle_sql() -> dict[str, str]:
                  CAST(16 AS INT) AS width, CAST(16 AS INT) AS height,
                  bstr.ahash_bits, hexs.ahash_hex, 'ok' AS status
           FROM bstr JOIN hexs ON bstr.doc_id = hexs.doc_id
+        """,
+        # image_dedup: brute-force Hamming pairs over the re-derived
+        # bit tables, then a recursive-CTE transitive closure (min
+        # reachable VARCHAR id == the star-algorithm label), sizes by
+        # plain group-count
+        "image_dedup": """
+          WITH RECURSIVE dd AS (
+            SELECT doc_id, doc_id - doc_id % 2 AS d0 FROM documents),
+          blk AS (
+            SELECT dd.doc_id, g.b,
+              CASE WHEN dd.doc_id % 2 = 1 AND g.b = dd.d0 % 64
+                   THEN 255 - (((dd.d0 + 1) * (g.b + 3)
+                                * (dd.d0 + 1) * (g.b + 3)
+                                + 5 * g.b + dd.d0) % 256)
+                   ELSE ((dd.d0 + 1) * (g.b + 3)
+                         * (dd.d0 + 1) * (g.b + 3)
+                         + 5 * g.b + dd.d0) % 256
+              END AS v
+            FROM dd, (SELECT unnest(range(0, 64)) AS b) g),
+          tot AS (SELECT doc_id, sum(v) AS s FROM blk GROUP BY doc_id),
+          bits AS (
+            SELECT blk.doc_id, blk.b,
+                   CASE WHEN 64 * blk.v > t.s THEN 1 ELSE 0 END AS bit
+            FROM blk JOIN tot t ON blk.doc_id = t.doc_id),
+          cand AS (
+            SELECT CAST(a.doc_id AS VARCHAR) AS ida,
+                   CAST(c.doc_id AS VARCHAR) AS idb
+            FROM bits a JOIN bits c
+              ON a.b = c.b
+             AND CAST(a.doc_id AS VARCHAR) < CAST(c.doc_id AS VARCHAR)
+            GROUP BY 1, 2
+            HAVING sum(CASE WHEN a.bit <> c.bit THEN 1 ELSE 0 END) <= 3),
+          edges AS (
+            SELECT ida AS s, idb AS d FROM cand
+            UNION
+            SELECT idb AS s, ida AS d FROM cand),
+          reach(node, x) AS (
+            SELECT s, s FROM edges
+            UNION
+            SELECT reach.node, e.d FROM reach JOIN edges e
+              ON reach.x = e.s),
+          labels AS (
+            SELECT node, min(x) AS cluster_id FROM reach GROUP BY node),
+          assign AS (
+            SELECT CAST(d.doc_id AS VARCHAR) AS media_id,
+                   coalesce(l.cluster_id, CAST(d.doc_id AS VARCHAR))
+                     AS cluster_id
+            FROM documents d LEFT JOIN labels l
+              ON CAST(d.doc_id AS VARCHAR) = l.node),
+          sizes AS (
+            SELECT cluster_id, count(*) AS cluster_size
+            FROM assign GROUP BY cluster_id)
+          SELECT a.media_id, a.cluster_id,
+                 a.media_id = a.cluster_id AS is_canonical,
+                 CAST(s.cluster_size AS BIGINT) AS cluster_size
+          FROM assign a JOIN sizes s ON a.cluster_id = s.cluster_id
         """,
         # audio_segments: the oracle regenerates every PCM sample,
         # re-derives frame energies + the strict mean-square loudness

@@ -71,7 +71,8 @@ BENCH_QUERIES = [
     "reciprocal_links",
     "lang_mismatch", "pdf_text_fix", "host_lang_entropy",
     "media_decode", "png_decode", "audio_decode", "frame_sample", "exif",
-    "image_ahash", "ahash_near_dup", "image_dhash", "audio_segments",
+    "image_ahash", "ahash_near_dup", "image_dhash", "image_dedup",
+    "audio_segments",
     "pricing_summary", "top_customers", "regional_revenue",
     "customers_no_orders", "setop_except", "json_extract",
     "running_window", "trailing_window", "daily_events", "interval_union", "funnel", "retention", "sessionize",
