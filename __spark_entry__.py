@@ -3116,6 +3116,46 @@ def q_ahash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_a", "media_b", F.col("hamming").cast("int").alias("hamming"))
 
 
+def q_png_palette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL palette-PNG (color type 3) decode: per doc an indexed PNG
+    whose pixel i is PLTE index (base+i) % 256 with the closed-form
+    palette entry j = (37j % 256, 59j % 256, 83j % 256); the decoder
+    walks chunks, inflates, unfilters, and expands indices through the
+    PLTE table to RGB means.  Every 17th doc ships a 32-entry palette
+    with out-of-range indices -> the exact 'palette index N out of
+    range' error ROW, whose N the oracle re-derives (max index is
+    min(base+n-1, 255)).  Closes the indexed-color class of web PNGs
+    the same way png_decode closed truecolor."""
+    from ocr_spark.operators.multimodal import decode_media, decode_png_pixels
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def build(batches):
+        import pandas as pd
+
+        from ocr_spark.data.synth import build_png
+
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                did = int(d)
+                payloads.append(build_png(
+                    8 + did % 8, 6 + did % 5, base=did % 256,
+                    color_type=3, filter_type=did % 5,
+                    palette_size=32 if did % 17 == 0 else 256))
+            yield pd.DataFrame({"media_id": pdf["doc_id"].astype(str),
+                                "payload": payloads})
+
+    media = docs.mapInPandas(build, schema="media_id string, payload binary")
+    out = decode_media(media, decode_fn=decode_png_pixels)
+    return out.select(
+        "media_id", "kind", "width", "height",
+        F.col("feature")[0].alias("mean_r"),
+        F.col("feature")[1].alias("mean_g"),
+        F.col("feature")[2].alias("mean_b"),
+        "status", "error_msg")
+
+
 def q_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-modality composition: perceptual hash -> near-dup pairs ->
     connected components -> canonical-image election.  Reuses the
@@ -4753,6 +4793,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_ahash": q_image_ahash,
         "ahash_near_dup": q_ahash_near_dup,
         "image_dhash": q_image_dhash,
+        "png_palette": q_png_palette,
         "image_dedup": q_image_dedup,
         "audio_segments": q_audio_segments,
         "audio_decode": q_audio_decode,
@@ -7064,6 +7105,41 @@ def oracle_sql() -> dict[str, str]:
                  CAST(16 AS INT) AS width, CAST(16 AS INT) AS height,
                  bstr.ahash_bits, hexs.ahash_hex, 'ok' AS status
           FROM bstr JOIN hexs ON bstr.doc_id = hexs.doc_id
+        """,
+        # png_palette: indexed-color means re-derived through the
+        # closed-form palette; error docs get the exact out-of-range
+        # message with max index = min(base+n-1, 255)
+        "png_palette": """
+          WITH d AS (
+            SELECT CAST(doc_id AS VARCHAR) AS media_id,
+                   8 + doc_id % 8 AS w, 6 + doc_id % 5 AS h,
+                   doc_id % 256 AS base,
+                   (doc_id % 17 = 0) AS corrupt
+            FROM documents)
+          SELECT media_id,
+            CASE WHEN corrupt THEN NULL ELSE 'image' END AS kind,
+            CASE WHEN corrupt THEN NULL ELSE CAST(w AS INT) END AS width,
+            CASE WHEN corrupt THEN NULL ELSE CAST(h AS INT) END AS height,
+            CASE WHEN corrupt THEN NULL ELSE
+              list_sum(list_transform(range(0, w*h),
+                       i -> ((base + i) % 256 * 37) % 256)) / (w*h)
+            END AS mean_r,
+            CASE WHEN corrupt THEN NULL ELSE
+              list_sum(list_transform(range(0, w*h),
+                       i -> ((base + i) % 256 * 59) % 256)) / (w*h)
+            END AS mean_g,
+            CASE WHEN corrupt THEN NULL ELSE
+              list_sum(list_transform(range(0, w*h),
+                       i -> ((base + i) % 256 * 83) % 256)) / (w*h)
+            END AS mean_b,
+            CASE WHEN corrupt THEN 'processing_error' ELSE 'ok' END
+              AS status,
+            CASE WHEN corrupt THEN
+              'ValueError: palette index '
+              || least(base + w*h - 1, 255)
+              || ' out of range (PLTE has 32 entries)'
+            ELSE NULL END AS error_msg
+          FROM d
         """,
         # image_dedup: brute-force Hamming pairs over the re-derived
         # bit tables, then a recursive-CTE transitive closure (min

@@ -295,18 +295,23 @@ def build_pdf_from_streams(streams: list[bytes], compress: bool = False) -> byte
 
 def build_png(width: int, height: int, base: int = 0,
               color_type: int = 2, filter_type: int = 0,
-              pixel_fn=None) -> bytes:
+              pixel_fn=None, palette_size: int = 256) -> bytes:
     """A REAL (spec-conformant, zlib-inflatable, CRC-correct) PNG whose
     pixels are a deterministic closed-form function of (base, index):
     channel value at pixel i, channel c = (base + channels*i + c) % 256
     — so an oracle can recompute per-channel means arithmetically
     without decoding anything.  ``filter_type`` pre-filters every
     scanline with the given PNG filter (0..4) so decoders must actually
-    unfilter; ``pixel_fn(i, c) -> int`` overrides the default ramp."""
+    unfilter; ``pixel_fn(i, c) -> int`` overrides the default ramp.
+    ``color_type=3`` emits a palette PNG: pixel values are PLTE
+    indices and the palette itself is the closed form
+    ``entry j = ((j*37) % 256, (j*59) % 256, (j*83) % 256)`` truncated
+    to ``palette_size`` entries — so an oracle recomputes the expanded
+    RGB arithmetically."""
     import struct
     import zlib
 
-    channels = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
     px = pixel_fn or (lambda i, c: (base + channels * i + c) % 256)
 
     def chunk(ctype: bytes, data: bytes) -> bytes:
@@ -343,8 +348,15 @@ def build_png(width: int, height: int, base: int = 0,
                 enc[i] = (row[i] - pr) & 0xFF
         raw += bytes([filter_type]) + enc
         prev = row
+    plte = b""
+    if color_type == 3:
+        pal = bytearray()
+        for j in range(palette_size):
+            pal += bytes(((j * 37) % 256, (j * 59) % 256, (j * 83) % 256))
+        plte = chunk(b"PLTE", bytes(pal))
     return (b"\x89PNG\r\n\x1a\n"
             + chunk(b"IHDR", ihdr)
+            + plte
             + chunk(b"IDAT", zlib.compress(bytes(raw)))
             + chunk(b"IEND", b""))
 

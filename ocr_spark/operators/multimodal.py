@@ -55,9 +55,10 @@ MEDIA_SCHEMA = T.StructType(
 )
 
 
-# PNG color type -> samples per pixel (8-bit depth only; palette images
-# would need the PLTE table — rejected explicitly, not mis-decoded)
-_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+# PNG color type -> samples per pixel (8-bit depth only).  Type 3
+# (palette) decodes as 1 index byte per pixel, then expands through
+# the PLTE table to RGB.
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 
 def _decode_png_raw(payload: bytes):
@@ -69,13 +70,15 @@ def _decode_png_raw(payload: bytes):
     8-bit gray/RGB/GA/RGBA non-interlaced."""
     if len(payload) < 8 or payload[:8] != b"\x89PNG\r\n\x1a\n":
         raise ValueError("not a PNG signature")
-    pos, ihdr, idat = 8, None, []
+    pos, ihdr, idat, plte = 8, None, [], None
     while pos + 8 <= len(payload):
         (length,), ctype = struct.unpack(">I", payload[pos:pos + 4]), \
             payload[pos + 4:pos + 8]
         data = payload[pos + 8:pos + 8 + length]
         if ctype == b"IHDR":
             ihdr = data
+        elif ctype == b"PLTE":
+            plte = data
         elif ctype == b"IDAT":
             idat.append(data)
         elif ctype == b"IEND":
@@ -88,7 +91,7 @@ def _decode_png_raw(payload: bytes):
     if depth != 8 or color not in _PNG_CHANNELS or interlace != 0:
         raise ValueError(
             f"unsupported PNG: depth={depth} color_type={color} "
-            f"interlace={interlace} (8-bit gray/RGB/GA/RGBA "
+            f"interlace={interlace} (8-bit gray/palette/RGB/GA/RGBA "
             "non-interlaced only)")
     if w == 0 or h == 0:
         raise ValueError("zero-dimension PNG")
@@ -126,6 +129,19 @@ def _decode_png_raw(payload: bytes):
             raise ValueError(f"unknown PNG filter type {f}")
         pixels += row
         prev = row
+    if color == 3:                      # palette expansion -> RGB
+        import numpy as np
+
+        if plte is None or len(plte) == 0 or len(plte) % 3:
+            raise ValueError("palette PNG without a valid PLTE chunk")
+        m = len(plte) // 3
+        idx = np.frombuffer(bytes(pixels), dtype=np.uint8)
+        if int(idx.max(initial=0)) >= m:
+            raise ValueError(
+                f"palette index {int(idx.max())} out of range "
+                f"(PLTE has {m} entries)")
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(m, 3)
+        return int(w), int(h), 3, pal[idx].tobytes()
     return int(w), int(h), ch, bytes(pixels)
 
 

@@ -1436,3 +1436,41 @@ def test_audio_segments_runs_and_edges(spark):
     # 101^2 * 400 = 4,080,400 > 10000*400 -> loud; 2 frames, one run
     assert len(s) == 1 and s[0]["n_frames"] == 2
     assert s[0]["energy"] == 101 * 101 * 600   # all samples, both channels
+
+
+def test_png_palette_decode_and_rejections():
+    """Palette (color type 3) PNGs expand indices through PLTE to RGB
+    — exact across every filter type; missing PLTE and out-of-range
+    indices raise (error ROWS via decode_media)."""
+    import pytest as _pytest
+
+    from ocr_spark.data.synth import build_png
+    from ocr_spark.operators.multimodal import decode_png_pixels
+
+    for f in range(5):
+        d = decode_png_pixels(build_png(12, 6, base=9, color_type=3,
+                                        filter_type=f))
+        n = 72
+        want = [sum(((9 + i) % 256 * m) % 256 for i in range(n)) / n
+                for m in (37, 59, 83)]
+        assert d["feature"] == want, f
+
+    with _pytest.raises(ValueError, match="out of range"):
+        decode_png_pixels(build_png(4, 4, color_type=3,
+                                    pixel_fn=lambda i, c: 200,
+                                    palette_size=100))
+    # strip the PLTE chunk -> 'without a valid PLTE'
+    png = build_png(4, 4, color_type=3)
+    import struct
+    import zlib
+
+    out, pos = png[:8], 8
+    while pos + 8 <= len(png):
+        ln = struct.unpack(">I", png[pos:pos + 4])[0]
+        ct, data = png[pos + 4:pos + 8], png[pos + 8:pos + 8 + ln]
+        if ct != b"PLTE":
+            out += (struct.pack(">I", ln) + ct + data
+                    + struct.pack(">I", zlib.crc32(ct + data)))
+        pos += 12 + ln
+    with _pytest.raises(ValueError, match="PLTE"):
+        decode_png_pixels(out)
