@@ -3156,6 +3156,44 @@ def q_png_palette(spark: SparkSession, sf_dir: str) -> DataFrame:
         "status", "error_msg")
 
 
+def q_gif_structure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL animated-GIF container parse over synthesized
+    block-conformant GIF89a payloads: frame count, total animation
+    duration (summed GCE delays), NETSCAPE loop count (present on
+    d % 3 != 0), global-color-table flag — every field closed-form
+    from doc_id; every 17th payload is tail-truncated into the exact
+    'truncated sub-block data' parse_error row.  The structure level
+    is what a crawl pipeline needs to tell a static logo from a
+    40-frame animation (multimodal.parse_gif_structure)."""
+    from ocr_spark.operators.multimodal import gif_structure
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def build(batches):
+        import pandas as pd
+
+        from ocr_spark.data.synth import build_gif
+
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                did = int(d)
+                payloads.append(build_gif(
+                    16 + did % 32, 16 + (did * 3) % 32,
+                    n_frames=1 + did % 7,
+                    delay_fn=lambda f, did=did: 4 + (did + f) % 10,
+                    loop=did % 4 if did % 3 != 0 else None,
+                    gct=did % 2 == 0,
+                    truncate=4 if did % 17 == 0 else 0))
+            yield pd.DataFrame({"media_id": pdf["doc_id"].astype(str),
+                                "payload": payloads})
+
+    media = docs.mapInPandas(build, schema="media_id string, payload binary")
+    return gif_structure(media).select(
+        "media_id", "width", "height", "n_frames", "total_ms",
+        "loop_count", "has_gct", "status", "error_msg")
+
+
 def q_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-modality composition: perceptual hash -> near-dup pairs ->
     connected components -> canonical-image election.  Reuses the
@@ -4794,6 +4832,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ahash_near_dup": q_ahash_near_dup,
         "image_dhash": q_image_dhash,
         "png_palette": q_png_palette,
+        "gif_structure": q_gif_structure,
         "image_dedup": q_image_dedup,
         "audio_segments": q_audio_segments,
         "audio_decode": q_audio_decode,
@@ -7139,6 +7178,34 @@ def oracle_sql() -> dict[str, str]:
               || least(base + w*h - 1, 255)
               || ' out of range (PLTE has 32 entries)'
             ELSE NULL END AS error_msg
+          FROM d
+        """,
+        # gif_structure: every field is a closed form of doc_id; the
+        # parser's block walk (GCE delays, NETSCAPE loop, color-table
+        # skips, sub-block chains) is what the equality tests
+        "gif_structure": """
+          WITH d AS (
+            SELECT CAST(doc_id AS VARCHAR) AS media_id, doc_id,
+                   1 + doc_id % 7 AS nf,
+                   (doc_id % 17 = 0) AS corrupt
+            FROM documents)
+          SELECT media_id,
+            CASE WHEN corrupt THEN NULL
+                 ELSE CAST(16 + doc_id % 32 AS INT) END AS width,
+            CASE WHEN corrupt THEN NULL
+                 ELSE CAST(16 + (doc_id * 3) % 32 AS INT) END AS height,
+            CASE WHEN corrupt THEN NULL
+                 ELSE CAST(nf AS INT) END AS n_frames,
+            CASE WHEN corrupt THEN NULL
+                 ELSE CAST(10 * list_sum(list_transform(range(0, nf),
+                           f -> 4 + (doc_id + f) % 10)) AS BIGINT)
+            END AS total_ms,
+            CASE WHEN corrupt OR doc_id % 3 = 0 THEN NULL
+                 ELSE CAST(doc_id % 4 AS INT) END AS loop_count,
+            CASE WHEN corrupt THEN NULL ELSE doc_id % 2 = 0 END AS has_gct,
+            CASE WHEN corrupt THEN 'parse_error' ELSE 'ok' END AS status,
+            CASE WHEN corrupt THEN 'ValueError: truncated sub-block data'
+                 ELSE NULL END AS error_msg
           FROM d
         """,
         # image_dedup: brute-force Hamming pairs over the re-derived

@@ -361,6 +361,39 @@ def build_png(width: int, height: int, base: int = 0,
             + chunk(b"IEND", b""))
 
 
+def build_gif(width: int, height: int, n_frames: int = 1,
+              delay_fn=None, loop: int | None = 0,
+              truncate: int = 0, gct: bool = True) -> bytes:
+    """A REAL (block-structure-conformant) animated GIF89a: logical
+    screen descriptor (+ tiny global color table when ``gct``), a
+    NETSCAPE2.0 loop extension when ``loop`` is not None, and per
+    frame a Graphic Control Extension carrying
+    ``delay_fn(f)`` centiseconds (default ``4 + f``) followed by an
+    image descriptor and placeholder LZW sub-blocks (the structure
+    parser walks them by length; pixel decode is out of scope).
+    ``truncate`` drops trailing bytes to produce the exact truncation
+    errors the parser must emit as rows."""
+    import struct
+
+    d = delay_fn or (lambda f: 4 + f)
+    packed = 0x80 if gct else 0x00      # gct flag, size bits 0 -> 2 entries
+    out = bytearray(b"GIF89a" + struct.pack("<HH", width, height)
+                    + bytes([packed, 0, 0]))
+    if gct:
+        out += bytes(6)                 # 2-entry global color table
+    if loop is not None:
+        out += (b"\x21\xff\x0bNETSCAPE2.0\x03\x01"
+                + struct.pack("<H", loop) + b"\x00")
+    for f in range(n_frames):
+        out += b"\x21\xf9\x04\x00" + struct.pack("<H", d(f)) + b"\x00\x00"
+        out += (b"\x2c" + struct.pack("<HHHH", 0, 0, width, height)
+                + b"\x00")              # no local color table
+        out += bytes([2, 3, (f * 7) % 256, (f * 13) % 256,
+                      (f * 29) % 256, 0])   # LZW min code + 1 sub-block
+    out += b"\x3b"
+    return bytes(out[:-truncate]) if truncate else bytes(out)
+
+
 def build_wav(n_samples: int, rate: int = 8000, base: int = 0,
               step: int = 7, channels: int = 1,
               truncate: int = 0, sample_fn=None) -> bytes:

@@ -1474,3 +1474,30 @@ def test_png_palette_decode_and_rejections():
         pos += 12 + ln
     with _pytest.raises(ValueError, match="PLTE"):
         decode_png_pixels(out)
+
+
+def test_gif_structure_parse_and_error_rows(spark):
+    """Real GIF block walk: frame count / summed delays / loop count /
+    GCT flag recovered exactly; malformed payloads become parse_error
+    ROWS."""
+    from ocr_spark.data.synth import build_gif
+    from ocr_spark.operators.multimodal import (gif_structure,
+                                                parse_gif_structure)
+
+    r = parse_gif_structure(build_gif(40, 30, n_frames=5, loop=3))
+    assert (r["n_frames"], r["total_ms"], r["loop_count"]) == (5, 300, 3)
+    # GIF87a (no extensions possible, but signature accepted)
+    legacy = b"GIF87a" + build_gif(8, 8, n_frames=1, loop=None,
+                                   gct=False)[6:]
+    assert parse_gif_structure(legacy)["n_frames"] == 1
+
+    rows = [("anim", build_gif(16, 16, n_frames=3, loop=0)),
+            ("trunc", build_gif(16, 16, n_frames=2, truncate=4)),
+            ("notgif", b"\x89PNG\r\n\x1a\n junk")]
+    df = spark.createDataFrame(rows, "media_id string, payload binary")
+    out = {r["media_id"]: r for r in gif_structure(df).collect()}
+    assert out["anim"]["status"] == "ok" and out["anim"]["n_frames"] == 3
+    assert out["anim"]["loop_count"] == 0          # 0 = loop forever
+    assert out["trunc"]["status"] == "parse_error"
+    assert "truncated" in out["trunc"]["error_msg"]
+    assert out["notgif"]["status"] == "parse_error"
