@@ -3156,6 +3156,30 @@ def q_png_palette(spark: SparkSession, sf_dir: str) -> DataFrame:
         "status", "error_msg")
 
 
+def q_content_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-type routing (functions/quality.py:with_content_type)
+    over constructed mixed-content docs: id % 4 == 1 appends a code
+    block (def/return/import + braces), % 4 == 2 a LaTeX fragment,
+    % 4 == 3 a CSV table — so every router branch fires.  All signals
+    and the precedence cascade are integer closed forms the oracle
+    re-derives on the identically constructed text."""
+    from ocr_spark.functions.quality import with_content_type
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    m = F.col("doc_id") % 4
+    built = F.concat(
+        F.col("text"),
+        F.when(m == 1, F.lit(
+            "\ndef f(x):\n    return x + 1\nimport os\n    y = {1: 2};"))
+        .when(m == 2, F.lit("\n$$ \\frac{a}{b} + \\sum_i x_i $$"))
+        .when(m == 3, F.lit("\na,b,c,d\n1,2,3,4\n5,6,7,8\n9,10,11,12"))
+        .otherwise(F.lit("")))
+    return with_content_type(
+        docs.select("doc_id", built.alias("text"))).select(
+        "doc_id", "n_lines", "indent_lines", "csv_lines", "sym_count",
+        "kw_hits", "math_hits", "content_label")
+
+
 def q_gif_structure(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL animated-GIF container parse over synthesized
     block-conformant GIF89a payloads: frame count, total animation
@@ -4833,6 +4857,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_dhash": q_image_dhash,
         "png_palette": q_png_palette,
         "gif_structure": q_gif_structure,
+        "content_type": q_content_type,
         "image_dedup": q_image_dedup,
         "audio_segments": q_audio_segments,
         "audio_decode": q_audio_decode,
@@ -7179,6 +7204,69 @@ def oracle_sql() -> dict[str, str]:
               || ' out of range (PLTE has 32 entries)'
             ELSE NULL END AS error_msg
           FROM d
+        """,
+        # content_type: the oracle rebuilds the identical mixed-content
+        # text, then recomputes every signal (line filters, substring
+        # hits, symbol translate) and the same precedence cascade
+        "content_type": """
+          WITH built AS (
+            SELECT doc_id,
+              text || CASE
+                WHEN doc_id % 4 = 1 THEN chr(10) || 'def f(x):'
+                  || chr(10) || '    return x + 1'
+                  || chr(10) || 'import os'
+                  || chr(10) || '    y = {1: 2};'
+                WHEN doc_id % 4 = 2 THEN chr(10)
+                  || '$$ \\frac{a}{b} + \\sum_i x_i $$'
+                WHEN doc_id % 4 = 3 THEN chr(10) || 'a,b,c,d'
+                  || chr(10) || '1,2,3,4' || chr(10) || '5,6,7,8'
+                  || chr(10) || '9,10,11,12'
+                ELSE '' END AS t
+            FROM documents),
+          sig AS (
+            SELECT doc_id, t,
+              len(list_filter(string_split(t, chr(10)),
+                  ln -> len(trim(ln)) > 0)) AS n_lines,
+              len(list_filter(string_split(t, chr(10)),
+                  ln -> len(trim(ln)) > 0
+                        AND (starts_with(ln, '    ')
+                             OR starts_with(ln, chr(9))))) AS indent_lines,
+              len(list_filter(string_split(t, chr(10)),
+                  ln -> len(trim(ln)) > 0
+                        AND len(string_split(ln, ',')) >= 4)) AS csv_lines,
+              length(t) - length(translate(t, '{}();=<>', ''))
+                AS sym_count,
+              (CASE WHEN contains(t, 'def ') THEN 1 ELSE 0 END
+               + CASE WHEN contains(t, 'function ') THEN 1 ELSE 0 END
+               + CASE WHEN contains(t, 'class ') THEN 1 ELSE 0 END
+               + CASE WHEN contains(t, 'import ') THEN 1 ELSE 0 END
+               + CASE WHEN contains(t, 'return ') THEN 1 ELSE 0 END
+               + CASE WHEN contains(t, 'const ') THEN 1 ELSE 0 END
+               + CASE WHEN contains(t, 'var ') THEN 1 ELSE 0 END
+               + CASE WHEN contains(t, '#include') THEN 1 ELSE 0 END)
+                AS kw_hits,
+              (CASE WHEN contains(t, '\\frac') THEN 1 ELSE 0 END
+               + CASE WHEN contains(t, '\\sum') THEN 1 ELSE 0 END
+               + CASE WHEN contains(t, '\\begin{') THEN 1 ELSE 0 END
+               + CASE WHEN contains(t, '$$') THEN 1 ELSE 0 END
+               + CASE WHEN contains(t, '\\alpha') THEN 1 ELSE 0 END)
+                AS math_hits
+            FROM built)
+          SELECT doc_id,
+            CAST(n_lines AS INT) AS n_lines,
+            CAST(indent_lines AS INT) AS indent_lines,
+            CAST(csv_lines AS INT) AS csv_lines,
+            CAST(sym_count AS INT) AS sym_count,
+            CAST(kw_hits AS INT) AS kw_hits,
+            CAST(math_hits AS INT) AS math_hits,
+            CASE
+              WHEN kw_hits >= 2 OR (n_lines >= 3
+                   AND indent_lines * 10 >= n_lines * 3
+                   AND sym_count * 100 >= length(t) * 3) THEN 'code'
+              WHEN math_hits >= 2 THEN 'math'
+              WHEN n_lines >= 3 AND csv_lines * 2 >= n_lines THEN 'data'
+              ELSE 'prose' END AS content_label
+          FROM sig
         """,
         # gif_structure: every field is a closed form of doc_id; the
         # parser's block walk (GCE delays, NETSCAPE loop, color-table

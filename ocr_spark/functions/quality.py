@@ -37,7 +37,8 @@ __all__ = [
     "word_bigrams_all", "max_sorted_run", "with_repetition_stats",
     "with_quality_filter", "QUALITY_THRESHOLDS", "unigram_logprob",
     "bigram_logprob", "readability", "with_format_signals",
-    "GOPHER_STOP_WORDS",
+    "GOPHER_STOP_WORDS", "with_content_type",
+    "CODE_KEYWORDS", "MATH_MARKERS", "CODE_SYMBOLS",
 ]
 
 # Rule thresholds for the composite filter.  Closed, documented set —
@@ -356,4 +357,70 @@ def with_format_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("ellipsis_line_ratio", ratio(n_ellip))
         .withColumn("stopword_hits", stop_hits.cast("int"))
         .withColumn("has_stop_words", (stop_hits >= 2).cast("int"))
+    )
+
+
+# Content-type routing: closed marker sets (documented; identical
+# literals in the DuckDB oracle).  Keyword hits use substring search,
+# not tokenization, so 'import os' and 'import(os)' both count.
+CODE_KEYWORDS = ["def ", "function ", "class ", "import ", "return ",
+                 "const ", "var ", "#include"]
+MATH_MARKERS = ["\\frac", "\\sum", "\\begin{", "$$", "\\alpha"]
+CODE_SYMBOLS = "{}();=<>"
+
+
+def with_content_type(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Content-type router: label each document prose / code / math /
+    data from deterministic layout signals, the routing step a mixed
+    web corpus needs before tokenization (code goes to a code
+    pipeline with different dedup + quality rules, math to a
+    math-preserving normalizer, tabular data is usually dropped —
+    FineWeb/StarCoder-style corpus construction).
+
+    Signals (all JVM built-ins, zero shuffle, pipelined with the
+    scan):
+      n_lines        non-empty lines
+      indent_lines   lines starting with 4 spaces or a tab
+      csv_lines      lines with >= 3 commas
+      sym_count      chars in ``{}();=<>``
+      kw_hits        distinct CODE_KEYWORDS present (substring)
+      math_hits      distinct MATH_MARKERS present (substring)
+
+    Label precedence (first match wins, integer cross-multiplied —
+    no float thresholds):
+      code:  kw_hits >= 2, or >= 3 lines with 30%+ indented AND
+             symbol density >= 3%
+      math:  math_hits >= 2
+      data:  >= 3 lines and half of them CSV-ish
+      prose: otherwise
+    """
+    c = F.col(text_col)
+    lines = F.filter(F.split(c, "\n"), lambda ln: F.length(F.trim(ln)) > 0)
+    n_lines = F.size(lines)
+    indent_lines = F.size(F.filter(
+        lines, lambda ln: ln.startswith("    ") | ln.startswith("\t")))
+    csv_lines = F.size(F.filter(
+        lines, lambda ln: F.size(F.split(ln, ",")) >= 4))
+    sym_count = F.length(c) - F.length(F.translate(c, CODE_SYMBOLS, ""))
+    kw_hits = sum(
+        (F.instr(c, kw) > 0).cast("int") for kw in CODE_KEYWORDS)
+    math_hits = sum(
+        (F.instr(c, mk) > 0).cast("int") for mk in MATH_MARKERS)
+    is_code = (kw_hits >= 2) | (
+        (n_lines >= 3) & (indent_lines * 10 >= n_lines * 3)
+        & (sym_count * 100 >= F.length(c) * 3))
+    label = (
+        F.when(is_code, "code")
+        .when(math_hits >= 2, "math")
+        .when((n_lines >= 3) & (csv_lines * 2 >= n_lines), "data")
+        .otherwise("prose")
+    )
+    return (
+        df.withColumn("n_lines", n_lines.cast("int"))
+        .withColumn("indent_lines", indent_lines.cast("int"))
+        .withColumn("csv_lines", csv_lines.cast("int"))
+        .withColumn("sym_count", sym_count.cast("int"))
+        .withColumn("kw_hits", kw_hits.cast("int"))
+        .withColumn("math_hits", math_hits.cast("int"))
+        .withColumn("content_label", label)
     )

@@ -1501,3 +1501,24 @@ def test_gif_structure_parse_and_error_rows(spark):
     assert out["trunc"]["status"] == "parse_error"
     assert "truncated" in out["trunc"]["error_msg"]
     assert out["notgif"]["status"] == "parse_error"
+
+
+def test_content_type_router_precedence(spark):
+    """Router precedence: code beats math beats data; indentation +
+    symbol density reaches 'code' without any keyword; empty text is
+    prose."""
+    from ocr_spark.functions.quality import with_content_type
+
+    rows = [
+        ("both", "def f():\n    return 1\n$$ \\frac{a}{b} \\sum $$"),
+        ("mathy", "see $$ \\frac{1}{2} $$"),
+        ("indent", "    a = {x};\n    b = (y);\n    c = <z>;"),
+        ("csv", "a,b,c,d\n1,2,3,4\n5,6,7,8"),
+        ("empty", ""),
+        ("prose", "Just a plain sentence about nothing much at all."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    out = {r["doc_id"]: r["content_label"]
+           for r in with_content_type(df).collect()}
+    assert out == {"both": "code", "mathy": "math", "indent": "code",
+                   "csv": "data", "empty": "prose", "prose": "prose"}
