@@ -3156,6 +3156,18 @@ def q_png_palette(spark: SparkSession, sf_dir: str) -> DataFrame:
         "status", "error_msg")
 
 
+def q_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-in-the-middle training transform
+    (operators/corpus.py:fim_transform): character-third splits,
+    50/50 PSM/SPM by the md5-derived hash parity, sentinel-joined
+    output text.  The oracle recomputes the identical substrings,
+    parity, and concatenation."""
+    from ocr_spark.operators.corpus import fim_transform
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return fim_transform(docs)
+
+
 def q_content_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-type routing (functions/quality.py:with_content_type)
     over constructed mixed-content docs: id % 4 == 1 appends a code
@@ -4858,6 +4870,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "png_palette": q_png_palette,
         "gif_structure": q_gif_structure,
         "content_type": q_content_type,
+        "fim_transform": q_fim_transform,
         "image_dedup": q_image_dedup,
         "audio_segments": q_audio_segments,
         "audio_decode": q_audio_decode,
@@ -7204,6 +7217,32 @@ def oracle_sql() -> dict[str, str]:
               || ' out of range (PLTE has 32 entries)'
             ELSE NULL END AS error_msg
           FROM d
+        """,
+        # fim_transform: substr thirds + md5-parity mode + sentinel
+        # concat, all re-derived
+        "fim_transform": """
+          WITH s AS (
+            SELECT doc_id, text, length(text) AS ln,
+                   CAST(floor(length(text) / 3) AS INT) AS p1,
+                   CAST(floor(length(text) * 2 / 3) AS INT) AS p2,
+                   ('0x' || substr(md5('fim|' || CAST(doc_id AS VARCHAR)),
+                                   1, 15))::BIGINT % 2 = 1 AS spm
+            FROM documents)
+          SELECT doc_id,
+            CASE WHEN ln < 3 THEN 'raw'
+                 WHEN spm THEN 'spm' ELSE 'psm' END AS fim_mode,
+            p1 AS prefix_len,
+            CAST(p2 - p1 AS INT) AS middle_len,
+            CAST(ln - p2 AS INT) AS suffix_len,
+            CASE WHEN ln < 3 THEN text
+                 WHEN spm THEN '<fim_suffix>' || substr(text, p2 + 1)
+                   || '<fim_prefix>' || substr(text, 1, p1)
+                   || '<fim_middle>' || substr(text, p1 + 1, p2 - p1)
+                 ELSE '<fim_prefix>' || substr(text, 1, p1)
+                   || '<fim_suffix>' || substr(text, p2 + 1)
+                   || '<fim_middle>' || substr(text, p1 + 1, p2 - p1)
+            END AS fim_text
+          FROM s
         """,
         # content_type: the oracle rebuilds the identical mixed-content
         # text, then recomputes every signal (line filters, substring

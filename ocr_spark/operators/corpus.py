@@ -39,7 +39,7 @@ __all__ = ["stratified_sample", "token_budget_mix", "sample_thresholds",
            "data_split", "split_thresholds", "cluster_split",
            "contamination_pairs", "pack_sequences", "packed_sequences",
            "length_buckets", "weighted_sample", "epoch_shuffle",
-           "shard_plan", "shard_manifest"]
+           "shard_plan", "shard_manifest", "fim_transform"]
 
 # 60-bit hash space: 15 md5 hex chars, inside int64 on every engine
 HASH_SPACE = 1 << 60
@@ -735,4 +735,51 @@ def shard_manifest(df: DataFrame, shard_bytes: int,
             F.md5(F.encode(F.array_join(ordered, sep), "utf-8"))
             .alias("content_digest"),
         )
+    )
+
+
+def fim_transform(df: DataFrame, key_col: str = "doc_id",
+                  text_col: str = "text",
+                  sentinel_prefix: str = "<fim_prefix>",
+                  sentinel_suffix: str = "<fim_suffix>",
+                  sentinel_middle: str = "<fim_middle>") -> DataFrame:
+    """Fill-in-the-middle transformation (Bavarian et al. 2022; the
+    StarCoder/DeepSeek-Coder code-pretraining recipe): split each
+    document into (prefix, middle, suffix) at the deterministic
+    character thirds ``p1 = floor(len/3)``, ``p2 = floor(2*len/3)``
+    and emit the sentinel-joined training text — PSM order
+    (prefix, suffix, middle) for even hash parity, SPM
+    (suffix, prefix, middle) for odd, the 50/50 mix the papers use.
+
+    Parity comes from the md5-derived 60-bit key hash (deterministic
+    across retries and partitionings, reproducible in SQL — same
+    contract as stratified_sample), NOT ``rand()``.  Pure per-row JVM
+    string expressions: zero shuffle, pipelined with the scan, safe at
+    any corpus size.  Documents shorter than 3 chars pass through
+    unsplit (mode 'raw') — a FIM split of a 2-char doc is all
+    sentinels and no signal."""
+    c = F.col(text_col)
+    ln = F.length(c)
+    p1 = F.floor(ln / 3).cast("int")
+    p2 = F.floor(ln * 2 / 3).cast("int")
+    prefix = F.substring(c, 1, p1)
+    middle = c.substr(p1 + 1, p2 - p1)
+    suffix = c.substr(p2 + 1, ln - p2)
+    spm = _md5_60(key_col, "fim") % 2 == 1
+    psm_text = F.concat(F.lit(sentinel_prefix), prefix,
+                        F.lit(sentinel_suffix), suffix,
+                        F.lit(sentinel_middle), middle)
+    spm_text = F.concat(F.lit(sentinel_suffix), suffix,
+                        F.lit(sentinel_prefix), prefix,
+                        F.lit(sentinel_middle), middle)
+    mode = (F.when(ln < 3, "raw")
+            .when(spm, "spm").otherwise("psm"))
+    return df.select(
+        key_col,
+        mode.alias("fim_mode"),
+        p1.alias("prefix_len"),
+        (p2 - p1).cast("int").alias("middle_len"),
+        (ln - p2).cast("int").alias("suffix_len"),
+        F.when(ln < 3, c).when(spm, spm_text).otherwise(psm_text)
+        .alias("fim_text"),
     )

@@ -1522,3 +1522,38 @@ def test_content_type_router_precedence(spark):
            for r in with_content_type(df).collect()}
     assert out == {"both": "code", "mathy": "math", "indent": "code",
                    "csv": "data", "empty": "prose", "prose": "prose"}
+
+
+def test_fim_transform_reconstructs_and_mixes(spark):
+    """FIM invariants: prefix+middle+suffix reassembles the original
+    text, lengths are exact thirds, both PSM and SPM modes appear, and
+    sub-3-char docs pass through raw."""
+    from ocr_spark.operators.corpus import fim_transform
+
+    rows = [(i, f"doc {i} " + "abcdefghij" * (1 + i % 4)) for i in range(40)]
+    rows += [(100, "ab"), (101, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    src = {r["doc_id"]: r["text"] for r in df.collect()}
+    out = fim_transform(df).collect()
+    modes = set()
+    for r in out:
+        t = src[r["doc_id"]]
+        assert r["prefix_len"] + r["middle_len"] + r["suffix_len"] == len(t)
+        modes.add(r["fim_mode"])
+        if r["fim_mode"] == "raw":
+            assert r["fim_text"] == t and len(t) < 3
+            continue
+        ft = r["fim_text"]
+        if r["fim_mode"] == "psm":
+            assert ft.startswith("<fim_prefix>")
+            pre = ft[len("<fim_prefix>"):ft.index("<fim_suffix>")]
+            suf = ft[ft.index("<fim_suffix>") + len("<fim_suffix>"):
+                     ft.index("<fim_middle>")]
+        else:
+            assert ft.startswith("<fim_suffix>")
+            suf = ft[len("<fim_suffix>"):ft.index("<fim_prefix>")]
+            pre = ft[ft.index("<fim_prefix>") + len("<fim_prefix>"):
+                     ft.index("<fim_middle>")]
+        mid = ft[ft.index("<fim_middle>") + len("<fim_middle>"):]
+        assert pre + mid + suf == t, r["doc_id"]
+    assert {"psm", "spm", "raw"} <= modes
