@@ -3168,6 +3168,18 @@ def q_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fim_transform(docs)
 
 
+def q_span_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 span-corruption pairs (operators/corpus.py:span_corrupt):
+    deterministic masked spans (tokens 7-9 of every 20), sentinel
+    replacement in the input, ordered sentinel+span target with the
+    closing sentinel.  The oracle rebuilds both strings token-by-token
+    with the same indexed-transform logic."""
+    from ocr_spark.operators.corpus import span_corrupt
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return span_corrupt(docs)
+
+
 def q_content_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-type routing (functions/quality.py:with_content_type)
     over constructed mixed-content docs: id % 4 == 1 appends a code
@@ -4871,6 +4883,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gif_structure": q_gif_structure,
         "content_type": q_content_type,
         "fim_transform": q_fim_transform,
+        "span_corrupt": q_span_corrupt,
         "image_dedup": q_image_dedup,
         "audio_segments": q_audio_segments,
         "audio_decode": q_audio_decode,
@@ -7243,6 +7256,37 @@ def oracle_sql() -> dict[str, str]:
                    || '<fim_middle>' || substr(text, p1 + 1, p2 - p1)
             END AS fim_text
           FROM s
+        """,
+        # span_corrupt: both strings rebuilt token-by-token with the
+        # same indexed transform + filter + join
+        "span_corrupt": r"""
+          WITH tl AS (
+            SELECT doc_id,
+              CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+                   ELSE string_split_regex(trim(text), '\s+') END AS tk
+            FROM documents),
+          s AS (SELECT doc_id, tk, len(tk) AS n FROM tl),
+          pieces AS (
+            SELECT doc_id, n,
+              array_to_string(list_filter(list_transform(range(0, n), i ->
+                CASE WHEN i % 20 < 7 OR i % 20 >= 10 THEN tk[i + 1]
+                     WHEN i % 20 = 7 THEN '<extra_id_'
+                       || CAST(i // 20 AS VARCHAR) || '>'
+                     ELSE '' END), p -> p <> ''), ' ') AS input_text,
+              array_to_string(list_filter(list_transform(range(0, n), i ->
+                CASE WHEN i % 20 = 7 THEN '<extra_id_'
+                       || CAST(i // 20 AS VARCHAR) || '> ' || tk[i + 1]
+                     WHEN i % 20 > 7 AND i % 20 < 10 THEN tk[i + 1]
+                     ELSE '' END), p -> p <> ''), ' ') AS tgt,
+              CASE WHEN n > 7 THEN (n - 8) // 20 + 1 ELSE 0 END AS n_spans
+            FROM s)
+          SELECT doc_id, CAST(n AS INT) AS n_tokens,
+                 CAST(n_spans AS INT) AS n_spans, input_text,
+                 CASE WHEN n_spans = 0 THEN ''
+                      ELSE tgt || ' <extra_id_'
+                        || CAST(n_spans AS VARCHAR) || '>'
+                 END AS target_text
+          FROM pieces
         """,
         # content_type: the oracle rebuilds the identical mixed-content
         # text, then recomputes every signal (line filters, substring

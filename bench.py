@@ -62,7 +62,7 @@ BENCH_QUERIES = [
     "lm_score", "tfidf", "ccnet_buckets", "soft404", "entropy", "content_type", "stratified_sample", "epoch_mix",
     "dsir_select", "cluster_best", "weighted_sample", "epoch_shuffle",
     "data_split", "bloom_dedup", "token_budget_mix", "length_buckets",
-    "pack_sequences", "fim_transform", "shard_plan", "shard_manifest",
+    "pack_sequences", "fim_transform", "span_corrupt", "shard_plan", "shard_manifest",
     "packed_batches", "decontaminate", "curate_corpus",
     "warc_extract", "url_normalize", "domain_topk", "url_blocklist", "url_templates",
     "crawl_schedule", "crawl_delay", "robots_filter",

@@ -39,7 +39,7 @@ __all__ = ["stratified_sample", "token_budget_mix", "sample_thresholds",
            "data_split", "split_thresholds", "cluster_split",
            "contamination_pairs", "pack_sequences", "packed_sequences",
            "length_buckets", "weighted_sample", "epoch_shuffle",
-           "shard_plan", "shard_manifest", "fim_transform"]
+           "shard_plan", "shard_manifest", "fim_transform", "span_corrupt"]
 
 # 60-bit hash space: 15 md5 hex chars, inside int64 on every engine
 HASH_SPACE = 1 << 60
@@ -782,4 +782,63 @@ def fim_transform(df: DataFrame, key_col: str = "doc_id",
         (ln - p2).cast("int").alias("suffix_len"),
         F.when(ln < 3, c).when(spm, spm_text).otherwise(psm_text)
         .alias("fim_text"),
+    )
+
+
+def span_corrupt(df: DataFrame, key_col: str = "doc_id",
+                 text_col: str = "text", period: int = 20,
+                 span_start: int = 7, span_len: int = 3) -> DataFrame:
+    """T5-style span corruption (Raffel et al. 2020 §3.1.4): mask
+    deterministic token spans and emit the (input, target) pair —
+    input has each masked run replaced by one ``<extra_id_k>``
+    sentinel, target lists sentinel+span in order and closes with a
+    final sentinel.  Token i is masked iff
+    ``span_start <= i % period < span_start + span_len`` (defaults:
+    3 of every 20 tokens = the paper's 15% noise density with mean
+    span 3) — deterministic positions instead of the paper's random
+    draw, so the same doc always yields the same pair (reproducible
+    across retries/partitionings, SQL-oracle-able; a production run
+    wanting fresh noise per epoch salts ``span_start`` per epoch).
+
+    Pure per-row JVM expressions (split + indexed transform + filter
+    + join): zero shuffle, zero Python, pipelined with the scan."""
+    from ocr_spark.functions.text import tokens
+
+    toks = tokens(text_col)
+    n = F.size(toks)
+    idx = F.when(n == 0, F.array().cast("array<int>")).otherwise(
+        F.sequence(F.lit(0), n - 1))
+    lo, hi = span_start, span_start + span_len
+
+    def run_id(i):
+        return F.floor(i / period).cast("int")
+
+    def sentinel(k):
+        return F.concat(F.lit("<extra_id_"), k.cast("string"), F.lit(">"))
+
+    def masked(i):
+        return (i % period >= lo) & (i % period < hi)
+
+    tok_at = lambda i: F.element_at(toks, i + 1)
+    inp_pieces = F.transform(idx, lambda i: (
+        F.when(~masked(i), tok_at(i))
+        .when(i % period == lo, sentinel(run_id(i)))
+        .otherwise(F.lit(""))))
+    tgt_pieces = F.transform(idx, lambda i: (
+        F.when(masked(i) & (i % period == lo),
+               F.concat(sentinel(run_id(i)), F.lit(" "), tok_at(i)))
+        .when(masked(i), tok_at(i))
+        .otherwise(F.lit(""))))
+    join = lambda arr: F.array_join(
+        F.filter(arr, lambda p: F.length(p) > 0), " ")
+    n_spans = F.when(n > lo, F.floor((n - lo - 1) / period) + 1) \
+        .otherwise(F.lit(0)).cast("int")
+    target = F.when(n_spans == 0, F.lit("")).otherwise(
+        F.concat(join(tgt_pieces), F.lit(" "), sentinel(n_spans)))
+    return df.select(
+        key_col,
+        n.cast("int").alias("n_tokens"),
+        n_spans.alias("n_spans"),
+        join(inp_pieces).alias("input_text"),
+        target.alias("target_text"),
     )

@@ -1557,3 +1557,35 @@ def test_fim_transform_reconstructs_and_mixes(spark):
         mid = ft[ft.index("<fim_middle>") + len("<fim_middle>"):]
         assert pre + mid + suf == t, r["doc_id"]
     assert {"psm", "spm", "raw"} <= modes
+
+
+def test_span_corrupt_roundtrip(spark):
+    """Span-corruption invariants: replacing each input sentinel with
+    its target span reconstructs the original token stream; span/
+    sentinel numbering is consecutive; short docs yield empty
+    targets."""
+    import re
+
+    from ocr_spark.operators.corpus import span_corrupt
+
+    rows = [(k, " ".join(f"w{k}_{i}" for i in range(k))) for k in
+            (0, 3, 8, 20, 45, 67)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    src = dict(rows)
+    for r in span_corrupt(df).collect():
+        orig = src[r["doc_id"]].split()
+        if r["n_spans"] == 0:
+            assert r["target_text"] == ""
+            assert r["input_text"].split() == orig
+            continue
+        # parse target: <extra_id_k> toks ... <extra_id_{n_spans}>
+        parts = re.split(r"<extra_id_(\d+)>", r["target_text"])
+        spans = {}
+        for k_str, toks in zip(parts[1::2], parts[2::2]):
+            spans[int(k_str)] = toks.split()
+        assert spans.pop(r["n_spans"]) == []      # closing sentinel
+        rebuilt = []
+        for tok in r["input_text"].split():
+            m = re.fullmatch(r"<extra_id_(\d+)>", tok)
+            rebuilt += spans[int(m.group(1))] if m else [tok]
+        assert rebuilt == orig, r["doc_id"]
