@@ -3156,6 +3156,18 @@ def q_png_palette(spark: SparkSession, sf_dir: str) -> DataFrame:
         "status", "error_msg")
 
 
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids via the posexplode + (label, dim)
+    hash-aggregate shape (operators/similarity.py:label_centroids) —
+    map-side partials absorb the fan-in, the exchange carries only
+    n_labels x dim partial rows.  The oracle unnests the same vectors
+    and re-averages on the double grid."""
+    from ocr_spark.operators.similarity import label_centroids
+
+    emb = _t(spark, sf_dir, "embeddings").select("label", "embedding")
+    return label_centroids(emb)
+
+
 def q_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fill-in-the-middle training transform
     (operators/corpus.py:fim_transform): character-third splits,
@@ -4884,6 +4896,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "content_type": q_content_type,
         "fim_transform": q_fim_transform,
         "span_corrupt": q_span_corrupt,
+        "label_centroids": q_label_centroids,
         "image_dedup": q_image_dedup,
         "audio_segments": q_audio_segments,
         "audio_decode": q_audio_decode,
@@ -7230,6 +7243,17 @@ def oracle_sql() -> dict[str, str]:
               || ' out of range (PLTE has 32 entries)'
             ELSE NULL END AS error_msg
           FROM d
+        """,
+        # label_centroids: unnest per dim, double-cast before sum, same
+        # rounding grid
+        "label_centroids": """
+          SELECT label, CAST(t.i AS INT) AS dim,
+                 round(sum(CAST(embedding[t.i + 1] AS DOUBLE))
+                       / count(*), 6) AS centroid,
+                 CAST(count(*) AS BIGINT) AS n_members
+          FROM embeddings e,
+               unnest(range(0, len(e.embedding))) AS t(i)
+          GROUP BY label, t.i
         """,
         # fim_transform: substr thirds + md5-parity mode + sentinel
         # concat, all re-derived

@@ -35,6 +35,7 @@ __all__ = [
     "ivf_centroids", "kmeans_refine", "ivf_assign", "ivf_assign_gemm",
     "ivf_probe_lists", "ann_topk_ivf", "ann_topk_ivfpq", "semantic_dedup",
     "pq_codebooks", "pq_encode", "pq_encode_gemm", "jl_project",
+    "label_centroids",
 ]
 
 
@@ -1010,4 +1011,39 @@ def bitext_mine(src: DataFrame, tgt: DataFrame, k: int = 4,
         .filter(F.col("margin") >= threshold)
         .select(F.col("x").alias("src_id"), F.col("y").alias("tgt_id"),
                 "cos_sim", "margin")
+    )
+
+
+def label_centroids(df: DataFrame, label_col: str = "label",
+                    vec_col: str = "embedding",
+                    round_digits: int = 6) -> DataFrame:
+    """Distributed mean-pool of embedding vectors per label: one row
+    per (label, dim) with the centroid component and the member count
+    — the centroid/cluster-quality surface an embedding-curated corpus
+    needs (per-cluster representative vectors, drift tracking across
+    crawls, IVF quantizer seeding from real clusters).
+
+    Scale shape — the honest distributed vector aggregation:
+    ``posexplode`` the vector and hash-aggregate on (label, dim).
+    Partial aggregation absorbs everything map-side; the exchange
+    carries at most ``n_labels * dim`` partial rows per task, NOT one
+    row per input vector component, so a 10^12-vector corpus shuffles
+    kilobytes.  (The tempting alternative — collect vectors per label
+    and average in Python — is a straight OOM at scale.)  Components
+    are cast to double BEFORE summation and the published centroid is
+    rounded, pinning both engines to one IEEE grid."""
+    e = df.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(F.col(vec_col)).alias("dim", "v"),
+    ).select("label", "dim", F.col("v").cast("double").alias("v"))
+    return (
+        e.groupBy("label", "dim")
+        .agg(F.sum("v").alias("s"), F.count("v").alias("n"))
+        .select(
+            "label",
+            F.col("dim").cast("int").alias("dim"),
+            F.round(F.col("s") / F.col("n"), round_digits)
+            .alias("centroid"),
+            F.col("n").cast("long").alias("n_members"),
+        )
     )

@@ -1589,3 +1589,28 @@ def test_span_corrupt_roundtrip(spark):
             m = re.fullmatch(r"<extra_id_(\d+)>", tok)
             rebuilt += spans[int(m.group(1))] if m else [tok]
         assert rebuilt == orig, r["doc_id"]
+
+
+def test_label_centroids_match_numpy_and_plan(spark):
+    """Centroids equal the numpy per-label mean (round 6); the plan is
+    explode -> hash aggregate with map-side partials (two
+    HashAggregates around one exchange), no Python in the plan."""
+    import numpy as np
+
+    from ocr_spark.operators.similarity import label_centroids
+
+    rows = [(i % 3, [float(i), float(i * 2), 0.5 * i]) for i in range(30)]
+    df = spark.createDataFrame(rows, "label int, embedding array<double>")
+    out = label_centroids(df)
+    got = {(r["label"], r["dim"]): (r["centroid"], r["n_members"])
+           for r in out.collect()}
+    arr = {lab: np.array([e for l2, e in rows if l2 == lab])
+           for lab in (0, 1, 2)}
+    for lab, a in arr.items():
+        for d in range(3):
+            c, n = got[(lab, d)]
+            assert n == len(a)
+            assert c == round(float(a[:, d].mean()), 6)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+    assert plan.count("HashAggregate") >= 2       # partial + final
