@@ -3156,6 +3156,51 @@ def q_png_palette(spark: SparkSession, sf_dir: str) -> DataFrame:
         "status", "error_msg")
 
 
+def q_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signed feature-hashing vectors
+    (functions/model.py:feature_hash_vector) emitted as exploded
+    (doc_id, bucket, value) rows — exact integers, so the oracle
+    re-derives every component from the md5 bucket/sign hashes with a
+    docs x buckets frame left-joined to the token aggregate."""
+    from ocr_spark.functions.model import feature_hash_vector
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.select(
+        "doc_id",
+        F.posexplode(feature_hash_vector("text", dim=16))
+        .alias("bucket", "value"))
+
+
+def q_hash_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-free retrieval over hashed vectors: cosine between
+    each doc's 16-dim signed-hash vector and the fixed query's vector,
+    distributed top-20 (orderBy+limit = TakeOrderedAndProject, never a
+    global window) ranked on the ROUNDED cosine with doc_id
+    tie-break so both engines select identically.  Exact integer dots
+    and norms; one IEEE sqrt+division at the end."""
+    from ocr_spark.functions.model import feature_hash_vector
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    v = feature_hash_vector("text", dim=16)
+    q = feature_hash_vector(F.lit("table spark data"), dim=16)
+    dot = F.aggregate(F.zip_with(v, q, lambda a, b: a * b),
+                      F.lit(0).cast("long"), lambda acc, x: acc + x)
+    nd = F.aggregate(v, F.lit(0).cast("long"), lambda acc, x: acc + x * x)
+    nq = F.aggregate(q, F.lit(0).cast("long"), lambda acc, x: acc + x * x)
+    cos = F.round(dot.cast("double")
+                  / (F.sqrt(nd.cast("double")) * F.sqrt(nq.cast("double"))),
+                  6)
+    from pyspark.sql import Window
+
+    scored = (docs.select("doc_id", cos.alias("cos"),
+                          nd.alias("nd"))
+              .where(F.col("nd") > 0)
+              .orderBy(F.col("cos").desc(), "doc_id").limit(20))
+    w = Window.orderBy(F.col("cos").desc(), "doc_id")
+    return scored.select("doc_id", "cos",
+                         F.row_number().over(w).alias("rank"))
+
+
 def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label embedding centroids via the posexplode + (label, dim)
     hash-aggregate shape (operators/similarity.py:label_centroids) —
@@ -4897,6 +4942,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fim_transform": q_fim_transform,
         "span_corrupt": q_span_corrupt,
         "label_centroids": q_label_centroids,
+        "feature_hash": q_feature_hash,
+        "hash_retrieval": q_hash_retrieval,
         "image_dedup": q_image_dedup,
         "audio_segments": q_audio_segments,
         "audio_decode": q_audio_decode,
@@ -7243,6 +7290,87 @@ def oracle_sql() -> dict[str, str]:
               || ' out of range (PLTE has 32 entries)'
             ELSE NULL END AS error_msg
           FROM d
+        """,
+        # feature_hash: md5 bucket/sign per token, aggregate, then a
+        # docs x buckets frame so zero components are present
+        "feature_hash": r"""
+          WITH tl AS (
+            SELECT doc_id,
+              CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+                   ELSE string_split_regex(trim(text), '\s+') END AS tk
+            FROM documents),
+          tok AS (SELECT doc_id, unnest(tk) AS t FROM tl),
+          h AS (
+            SELECT doc_id,
+              ('0x' || substr(md5('fh|' || t), 1, 15))::BIGINT % 16
+                AS bucket,
+              CASE WHEN ('0x' || substr(md5('fs|' || t), 1, 15))::BIGINT
+                        % 2 = 0 THEN 1 ELSE -1 END AS sgn
+            FROM tok),
+          agg AS (SELECT doc_id, bucket, sum(sgn) AS v
+                  FROM h GROUP BY 1, 2),
+          frame AS (SELECT d.doc_id, g.b FROM documents d,
+                    (SELECT unnest(range(0, 16)) AS b) g)
+          SELECT f.doc_id, CAST(f.b AS INT) AS bucket,
+                 CAST(coalesce(a.v, 0) AS BIGINT) AS value
+          FROM frame f LEFT JOIN agg a
+            ON f.doc_id = a.doc_id AND f.b = a.bucket
+        """,
+        # hash_retrieval: doc + query hashed vectors re-derived, exact
+        # integer dot/norms, one sqrt+division, rank on the rounded
+        # cosine with doc_id tie-break
+        "hash_retrieval": r"""
+          WITH tl AS (
+            SELECT doc_id,
+              CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+                   ELSE string_split_regex(trim(text), '\s+') END AS tk
+            FROM documents),
+          tok AS (SELECT doc_id, unnest(tk) AS t FROM tl),
+          h AS (
+            SELECT doc_id,
+              ('0x' || substr(md5('fh|' || t), 1, 15))::BIGINT % 16 AS b,
+              CASE WHEN ('0x' || substr(md5('fs|' || t), 1, 15))::BIGINT
+                        % 2 = 0 THEN 1 ELSE -1 END AS sgn
+            FROM tok),
+          agg AS (SELECT doc_id, b, sum(sgn) AS v FROM h GROUP BY 1, 2),
+          frame AS (SELECT d.doc_id, g.b FROM documents d,
+                    (SELECT unnest(range(0, 16)) AS b) g),
+          dvec AS (
+            SELECT f.doc_id, f.b, coalesce(a.v, 0) AS v
+            FROM frame f LEFT JOIN agg a
+              ON f.doc_id = a.doc_id AND f.b = a.b),
+          qtok AS (SELECT unnest(['table', 'spark', 'data']) AS t),
+          qh AS (
+            SELECT
+              ('0x' || substr(md5('fh|' || t), 1, 15))::BIGINT % 16 AS b,
+              CASE WHEN ('0x' || substr(md5('fs|' || t), 1, 15))::BIGINT
+                        % 2 = 0 THEN 1 ELSE -1 END AS sgn
+            FROM qtok),
+          qagg AS (SELECT b, sum(sgn) AS v FROM qh GROUP BY 1),
+          qvec AS (
+            SELECT g.b, coalesce(q.v, 0) AS v
+            FROM (SELECT unnest(range(0, 16)) AS b) g
+            LEFT JOIN qagg q ON g.b = q.b),
+          nq AS (SELECT sum(v * v) AS nq FROM qvec),
+          dots AS (
+            SELECT d.doc_id, sum(d.v * q.v) AS dot,
+                   sum(d.v * d.v) AS nd
+            FROM dvec d JOIN qvec q ON d.b = q.b
+            GROUP BY 1),
+          scored AS (
+            SELECT doc_id,
+                   round(CAST(dot AS DOUBLE)
+                         / (sqrt(CAST(nd AS DOUBLE))
+                            * sqrt(CAST((SELECT nq FROM nq) AS DOUBLE))),
+                         6) AS cos
+            FROM dots WHERE nd > 0),
+          top AS (
+            SELECT doc_id, cos FROM scored
+            ORDER BY cos DESC, doc_id LIMIT 20)
+          SELECT doc_id, cos,
+                 CAST(row_number() OVER (ORDER BY cos DESC, doc_id) AS INT)
+                   AS rank
+          FROM top
         """,
         # label_centroids: unnest per dim, double-cast before sum, same
         # rounding grid

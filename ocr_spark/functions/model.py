@@ -37,7 +37,7 @@ from pyspark.sql import functions as F
 
 from ocr_spark.functions.text import tokens
 
-__all__ = ["N_FEATURES", "linear_text_score"]
+__all__ = ["N_FEATURES", "linear_text_score", "feature_hash_vector"]
 
 N_FEATURES = 64
 
@@ -84,3 +84,39 @@ def linear_text_score(col: str | Column,
         "score": F.round(score, 6),
         "keep": score >= F.lit(0.5),
     }
+
+
+def feature_hash_vector(col: str | Column, dim: int = 16) -> Column:
+    """Signed feature-hashing vectorizer (the hashing trick,
+    Weinberger et al. ICML'09): token t adds ``sign(t)`` to component
+    ``bucket(t)``, with bucket = md5-60('fh|' || t) % dim and sign
+    from an independent hash bit — the unbiased sketch that lets a
+    linear model or a cosine retrieval run without a vocabulary
+    (exactly what a 10^12-doc corpus can't build a global vocab for).
+
+    Returns an ``array<long>`` of EXACT integer counts — per-row HOF
+    fold, zero shuffle, SQL-oracle-able bit-for-bit.  Per-row cost is
+    O(dim * n_tokens) hash evaluations; a production variant at large
+    dim switches to the explode -> (doc, bucket) aggregate shape
+    (dsir_weights) whose exchange is bounded by dim rows per doc."""
+    toks = tokens(col)
+
+    def bucket(t: Column) -> Column:
+        return _md5_mod("fh|", t, dim)
+
+    def positive(t: Column) -> Column:
+        return _md5_mod("fs|", t, 2) == 0
+
+    # NOTE: the lambdas must take exactly ONE parameter — a second
+    # parameter (even a defaulted `d=d` capture) makes PySpark bind it
+    # to the array INDEX.  Capture d with a closure factory instead.
+    def filt(d: int, want_positive: bool):
+        def pred(t: Column) -> Column:
+            p = positive(t)
+            return (bucket(t) == d) & (p if want_positive else ~p)
+
+        return F.size(F.filter(toks, pred))
+
+    comps = [(filt(d, True) - filt(d, False)).cast("long")
+             for d in range(dim)]
+    return F.array(*comps)

@@ -1614,3 +1614,29 @@ def test_label_centroids_match_numpy_and_plan(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
     assert plan.count("HashAggregate") >= 2       # partial + final
+
+
+def test_feature_hash_vector_exact(spark):
+    """Hash-trick vectors equal a Python md5 reference: same bucket,
+    same sign, exact integer counts; empty text -> all-zero vector."""
+    import hashlib
+
+    from ocr_spark.functions.model import feature_hash_vector
+
+    def ref(text, dim=16):
+        v = [0] * dim
+        for t in text.split():
+            b = int(hashlib.md5(f"fh|{t}".encode()).hexdigest()[:15],
+                    16) % dim
+            s = 1 if int(hashlib.md5(f"fs|{t}".encode()).hexdigest()[:15],
+                         16) % 2 == 0 else -1
+            v[b] += s
+        return v
+
+    rows = [(1, "the quick brown fox jumps over the lazy dog"),
+            (2, "spark table data spark spark"), (3, ""), (4, "  ")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["v"] for r in df.select(
+        "doc_id", feature_hash_vector("text").alias("v")).collect()}
+    for did, text in rows:
+        assert out[did] == ref(text), did
