@@ -3156,6 +3156,20 @@ def q_png_palette(spark: SparkSession, sf_dir: str) -> DataFrame:
         "status", "error_msg")
 
 
+def q_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlier audit composed on label_centroids
+    (operators/similarity.py:centroid_outliers): cosine of each vector
+    to its own label centroid, ranked ascending per label (rank 1 =
+    least cluster-like).  Centroids broadcast back; the oracle
+    re-derives centroids on the same round-6 grid and re-ranks with
+    the same (cos, vec_id) tie-break."""
+    from ocr_spark.operators.similarity import centroid_outliers
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding")
+    return centroid_outliers(emb)
+
+
 def q_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Signed feature-hashing vectors
     (functions/model.py:feature_hash_vector) emitted as exploded
@@ -4944,6 +4958,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_centroids": q_label_centroids,
         "feature_hash": q_feature_hash,
         "hash_retrieval": q_hash_retrieval,
+        "centroid_outliers": q_centroid_outliers,
         "image_dedup": q_image_dedup,
         "audio_segments": q_audio_segments,
         "audio_decode": q_audio_decode,
@@ -7290,6 +7305,36 @@ def oracle_sql() -> dict[str, str]:
               || ' out of range (PLTE has 32 entries)'
             ELSE NULL END AS error_msg
           FROM d
+        """,
+        # centroid_outliers: centroids re-derived on the round-6 grid,
+        # cosine to own-label centroid, rank with (cos, vec_id)
+        # tie-break
+        "centroid_outliers": """
+          WITH cent AS (
+            SELECT label, t.i AS dim,
+                   round(sum(CAST(embedding[t.i + 1] AS DOUBLE))
+                         / count(*), 6) AS c
+            FROM embeddings e,
+                 unnest(range(0, len(e.embedding))) AS t(i)
+            GROUP BY label, t.i),
+          terms AS (
+            SELECT e.vec_id, e.label,
+                   sum(CAST(e.embedding[cent.dim + 1] AS DOUBLE) * cent.c)
+                     AS dot,
+                   sum(CAST(e.embedding[cent.dim + 1] AS DOUBLE)
+                       * CAST(e.embedding[cent.dim + 1] AS DOUBLE)) AS nv,
+                   sum(cent.c * cent.c) AS nc
+            FROM embeddings e JOIN cent ON e.label = cent.label
+            GROUP BY e.vec_id, e.label),
+          scored AS (
+            SELECT vec_id, label,
+                   round(dot / (sqrt(nv) * sqrt(nc)), 6) AS cos_centroid
+            FROM terms WHERE nv > 0 AND nc > 0)
+          SELECT vec_id, label, cos_centroid,
+                 CAST(row_number() OVER (PARTITION BY label
+                      ORDER BY cos_centroid ASC, vec_id ASC) AS INT)
+                   AS outlier_rank
+          FROM scored
         """,
         # feature_hash: md5 bucket/sign per token, aggregate, then a
         # docs x buckets frame so zero components are present

@@ -46,7 +46,7 @@ BENCH_QUERIES = [
     "simhash_near_dup", "embed_near_dup",
     "embed_near_dup_lsh", "span_qa", "cosine_topk", "ann_topk", "ann_recall", "ann_topk_ivf", "ivf_recall",
     "semantic_dedup", "pq_encode", "pq_error", "ann_topk_ivfpq",
-    "jl_project", "bitext_mine", "label_centroids", "feature_hash", "hash_retrieval",
+    "jl_project", "bitext_mine", "label_centroids", "centroid_outliers", "feature_hash", "hash_retrieval",
     "text_stats", "repetition_stats", "quality_filter", "format_signals",
     "pii_scrub", "k_anonymity", "k_suppress",
     "mojibake_fix",

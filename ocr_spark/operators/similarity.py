@@ -35,7 +35,7 @@ __all__ = [
     "ivf_centroids", "kmeans_refine", "ivf_assign", "ivf_assign_gemm",
     "ivf_probe_lists", "ann_topk_ivf", "ann_topk_ivfpq", "semantic_dedup",
     "pq_codebooks", "pq_encode", "pq_encode_gemm", "jl_project",
-    "label_centroids",
+    "label_centroids", "centroid_outliers",
 ]
 
 
@@ -1047,3 +1047,49 @@ def label_centroids(df: DataFrame, label_col: str = "label",
             F.col("n").cast("long").alias("n_members"),
         )
     )
+
+
+def centroid_outliers(df: DataFrame, label_col: str = "label",
+                      id_col: str = "vec_id", vec_col: str = "embedding",
+                      round_digits: int = 6) -> DataFrame:
+    """Per-label outlier audit: cosine of every vector to its OWN
+    label's centroid, ranked ascending within the label — the standard
+    mislabeled/noisy-sample detector for embedding-curated corpora
+    (rank 1 = the member least like its cluster; drop or re-label the
+    head of each list).
+
+    Scale shape: centroids come from :func:`label_centroids` (bounded
+    exchange), are reassembled into arrays with a per-label sort (the
+    centroid table is n_labels x dim rows — driver-tiny), and join
+    back BROADCAST; the per-vector cosine is a zero-shuffle zip_with
+    fold.  The only per-label serialization is the rank window over
+    each label's members — bounded by the label group, not the corpus.
+    Cosines are published on the round-6 grid (centroids are already
+    rounded, so the oracle's arithmetic is identical)."""
+    from pyspark.sql import Window
+
+    cent = label_centroids(df, label_col=label_col, vec_col=vec_col,
+                           round_digits=round_digits)
+    carr = (
+        cent.groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "centroid")))
+             .alias("dc"))
+        .select("label",
+                F.transform("dc", lambda x: x["centroid"]).alias("cvec"))
+    )
+    j = df.select(F.col(id_col).alias("vec_id"),
+                  F.col(label_col).alias("label"),
+                  F.col(vec_col).cast("array<double>").alias("v")) \
+        .join(F.broadcast(carr), "label")
+    dot = F.aggregate(F.zip_with("v", "cvec", lambda a, b: a * b),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    nv = F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x * x)
+    nc = F.aggregate("cvec", F.lit(0.0), lambda acc, x: acc + x * x)
+    cos = F.round(dot / (F.sqrt(nv) * F.sqrt(nc)), round_digits)
+    # zero-norm guard BEFORE the division (double 0/0 is NaN, not NULL)
+    scored = j.where((nv > 0) & (nc > 0)) \
+        .select("vec_id", "label", cos.alias("cos_centroid"))
+    w = Window.partitionBy("label").orderBy(F.col("cos_centroid").asc(),
+                                            F.col("vec_id").asc())
+    return scored.select("vec_id", "label", "cos_centroid",
+                         F.row_number().over(w).alias("outlier_rank"))

@@ -1640,3 +1640,26 @@ def test_feature_hash_vector_exact(spark):
         "doc_id", feature_hash_vector("text").alias("v")).collect()}
     for did, text in rows:
         assert out[did] == ref(text), did
+
+
+def test_centroid_outliers_flags_the_planted_vector(spark):
+    """A vector pointing away from its label's cluster must get
+    outlier_rank 1; in-cluster members rank after it; the centroid
+    join is broadcast."""
+    from ocr_spark.operators.similarity import centroid_outliers
+
+    rows = [(i, 0, [1.0, 0.01 * i, 0.0]) for i in range(10)]
+    rows.append((99, 0, [-1.0, 0.0, 0.0]))          # planted outlier
+    rows += [(100 + i, 1, [0.0, 1.0, 0.02 * i]) for i in range(5)]
+    df = spark.createDataFrame(rows,
+                               "vec_id long, label int, embedding "
+                               "array<double>")
+    out = centroid_outliers(df)
+    got = {r["vec_id"]: (r["label"], r["outlier_rank"])
+           for r in out.collect()}
+    assert got[99] == (0, 1)
+    assert len(got) == 16
+    ranks0 = sorted(rank for vid, (lab, rank) in got.items() if lab == 0)
+    assert ranks0 == list(range(1, 12))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
