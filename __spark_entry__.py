@@ -3275,6 +3275,30 @@ def q_content_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         "kw_hits", "math_hits", "content_label")
 
 
+def q_code_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composition: content-type routing -> code-only corpus ->
+    fill-in-the-middle transform, chained in ONE plan (the
+    code-pretraining branch of a mixed-corpus pipeline).  Both stages
+    are individually certified; this gates their CONTRACT — the oracle
+    chains the same route condition and FIM arithmetic as CTEs."""
+    from ocr_spark.functions.quality import with_content_type
+    from ocr_spark.operators.corpus import fim_transform
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    m = F.col("doc_id") % 4
+    built = F.concat(
+        F.col("text"),
+        F.when(m == 1, F.lit(
+            "\ndef f(x):\n    return x + 1\nimport os\n    y = {1: 2};"))
+        .when(m == 2, F.lit("\n$$ \\frac{a}{b} + \\sum_i x_i $$"))
+        .when(m == 3, F.lit("\na,b,c,d\n1,2,3,4\n5,6,7,8\n9,10,11,12"))
+        .otherwise(F.lit("")))
+    routed = with_content_type(docs.select("doc_id", built.alias("text")))
+    code = routed.where(F.col("content_label") == "code") \
+        .select("doc_id", "text")
+    return fim_transform(code)
+
+
 def q_gif_structure(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL animated-GIF container parse over synthesized
     block-conformant GIF89a payloads: frame count, total animation
@@ -3975,6 +3999,23 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.round(F.percentile("n_chars", F.lit(0.99)), 6)
                 .alias("p99"))
             .orderBy("lang"))
+
+
+def q_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language quality floor: the p25 length threshold computed
+    PER LANG (exact interpolated percentile) and broadcast-joined back
+    as a keep flag — the calibration move that stops a global quality
+    cutoff from disproportionately dropping low-resource languages
+    (every multilingual curation pipeline needs per-group thresholds,
+    not one global one).  Two-pass shape: tiny per-group aggregate ->
+    broadcast -> zero-shuffle row filter."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang",
+                                                 "n_chars")
+    thr = docs.groupBy("lang").agg(
+        F.round(F.percentile("n_chars", F.lit(0.25)), 6).alias("lang_p25"))
+    return (docs.join(F.broadcast(thr), "lang")
+            .select("doc_id", "lang", "n_chars", "lang_p25",
+                    (F.col("n_chars") >= F.col("lang_p25")).alias("keep")))
 
 
 def q_rollup_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4959,6 +5000,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feature_hash": q_feature_hash,
         "hash_retrieval": q_hash_retrieval,
         "centroid_outliers": q_centroid_outliers,
+        "quality_calibration": q_quality_calibration,
+        "code_corpus": q_code_corpus,
         "image_dedup": q_image_dedup,
         "audio_segments": q_audio_segments,
         "audio_decode": q_audio_decode,
@@ -7305,6 +7348,82 @@ def oracle_sql() -> dict[str, str]:
               || ' out of range (PLTE has 32 entries)'
             ELSE NULL END AS error_msg
           FROM d
+        """,
+        # code_corpus: the content_type route condition and the FIM
+        # arithmetic chained as CTEs over the same built text
+        "code_corpus": """
+          WITH built AS (
+            SELECT doc_id,
+              text || CASE
+                WHEN doc_id % 4 = 1 THEN chr(10) || 'def f(x):'
+                  || chr(10) || '    return x + 1'
+                  || chr(10) || 'import os'
+                  || chr(10) || '    y = {1: 2};'
+                WHEN doc_id % 4 = 2 THEN chr(10)
+                  || '$$ \\frac{a}{b} + \\sum_i x_i $$'
+                WHEN doc_id % 4 = 3 THEN chr(10) || 'a,b,c,d'
+                  || chr(10) || '1,2,3,4' || chr(10) || '5,6,7,8'
+                  || chr(10) || '9,10,11,12'
+                ELSE '' END AS t
+            FROM documents),
+          sig AS (
+            SELECT doc_id, t,
+              len(list_filter(string_split(t, chr(10)),
+                  ln -> len(trim(ln)) > 0)) AS n_lines,
+              len(list_filter(string_split(t, chr(10)),
+                  ln -> len(trim(ln)) > 0
+                        AND (starts_with(ln, '    ')
+                             OR starts_with(ln, chr(9))))) AS indent_lines,
+              length(t) - length(translate(t, '{}();=<>', ''))
+                AS sym_count,
+              (CASE WHEN contains(t, 'def ') THEN 1 ELSE 0 END
+               + CASE WHEN contains(t, 'function ') THEN 1 ELSE 0 END
+               + CASE WHEN contains(t, 'class ') THEN 1 ELSE 0 END
+               + CASE WHEN contains(t, 'import ') THEN 1 ELSE 0 END
+               + CASE WHEN contains(t, 'return ') THEN 1 ELSE 0 END
+               + CASE WHEN contains(t, 'const ') THEN 1 ELSE 0 END
+               + CASE WHEN contains(t, 'var ') THEN 1 ELSE 0 END
+               + CASE WHEN contains(t, '#include') THEN 1 ELSE 0 END)
+                AS kw_hits
+            FROM built),
+          code AS (
+            SELECT doc_id, t FROM sig
+            WHERE kw_hits >= 2 OR (n_lines >= 3
+                  AND indent_lines * 10 >= n_lines * 3
+                  AND sym_count * 100 >= length(t) * 3)),
+          f AS (
+            SELECT doc_id, t, length(t) AS ln,
+                   CAST(floor(length(t) / 3) AS INT) AS p1,
+                   CAST(floor(length(t) * 2 / 3) AS INT) AS p2,
+                   ('0x' || substr(md5('fim|' || CAST(doc_id AS VARCHAR)),
+                                   1, 15))::BIGINT % 2 = 1 AS spm
+            FROM code)
+          SELECT doc_id,
+            CASE WHEN ln < 3 THEN 'raw'
+                 WHEN spm THEN 'spm' ELSE 'psm' END AS fim_mode,
+            p1 AS prefix_len,
+            CAST(p2 - p1 AS INT) AS middle_len,
+            CAST(ln - p2 AS INT) AS suffix_len,
+            CASE WHEN ln < 3 THEN t
+                 WHEN spm THEN '<fim_suffix>' || substr(t, p2 + 1)
+                   || '<fim_prefix>' || substr(t, 1, p1)
+                   || '<fim_middle>' || substr(t, p1 + 1, p2 - p1)
+                 ELSE '<fim_prefix>' || substr(t, 1, p1)
+                   || '<fim_suffix>' || substr(t, p2 + 1)
+                   || '<fim_middle>' || substr(t, p1 + 1, p2 - p1)
+            END AS fim_text
+          FROM f
+        """,
+        # quality_calibration: per-lang quantile_cont(0.25) (the same
+        # linear interpolation as Spark's percentile) joined back
+        "quality_calibration": """
+          WITH thr AS (
+            SELECT lang, round(quantile_cont(n_chars, 0.25), 6)
+                     AS lang_p25
+            FROM documents GROUP BY lang)
+          SELECT d.doc_id, d.lang, d.n_chars, t.lang_p25,
+                 d.n_chars >= t.lang_p25 AS keep
+          FROM documents d JOIN thr t ON d.lang = t.lang
         """,
         # centroid_outliers: centroids re-derived on the round-6 grid,
         # cosine to own-label centroid, rank with (cos, vec_id)
