@@ -3275,6 +3275,54 @@ def q_content_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         "kw_hits", "math_hits", "content_label")
 
 
+def q_srt_cues(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRT subtitle parsing (operators/captions.py): per doc a
+    closed-form cue file (1 + d%6 cues; cue i starts at
+    i*2000 + d%997 ms, runs 1500 + (i%3)*250 ms, carries 1 + (i+d)%2
+    text lines; odd cues use the WebVTT '.' millisecond separator so
+    both timestamp forms are exercised); every 17th doc's first
+    timing line is corrupted into the exact 'bad timing line' error
+    row.  The oracle re-derives every cue extent arithmetically — the
+    timestamp parse is what the equality gates."""
+    from ocr_spark.operators.captions import srt_cues
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def build(batches):
+        import pandas as pd
+
+        def ts(ms, dot):
+            h, rem = divmod(ms, 3600000)
+            m, rem = divmod(rem, 60000)
+            s, milli = divmod(rem, 1000)
+            sep = "." if dot else ","
+            return f"{h:02d}:{m:02d}:{s:02d}{sep}{milli:03d}"
+
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                did = int(d)
+                blocks = []
+                for i in range(1 + did % 6):
+                    start = i * 2000 + did % 997
+                    end = start + 1500 + (i % 3) * 250
+                    arrow = "-->" if did % 17 != 0 or i != 0 else "->"
+                    nl = 1 + (i + did) % 2
+                    lines = "\n".join(
+                        f"line {did} {i} {j}" for j in range(nl))
+                    blocks.append(
+                        f"{i + 1}\n{ts(start, i % 2 == 1)} {arrow} "
+                        f"{ts(end, i % 2 == 1)}\n{lines}")
+                payloads.append("\n\n".join(blocks))
+            yield pd.DataFrame({"media_id": pdf["doc_id"].astype(str),
+                                "payload": payloads})
+
+    media = docs.mapInPandas(build, schema="media_id string, payload string")
+    return srt_cues(media).select(
+        "media_id", "cue_idx", "start_ms", "end_ms", "dur_ms",
+        "text", "n_lines", "status", "error_msg")
+
+
 def q_code_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composition: content-type routing -> code-only corpus ->
     fill-in-the-middle transform, chained in ONE plan (the
@@ -5002,6 +5050,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "centroid_outliers": q_centroid_outliers,
         "quality_calibration": q_quality_calibration,
         "code_corpus": q_code_corpus,
+        "srt_cues": q_srt_cues,
         "image_dedup": q_image_dedup,
         "audio_segments": q_audio_segments,
         "audio_decode": q_audio_decode,
@@ -7348,6 +7397,41 @@ def oracle_sql() -> dict[str, str]:
               || ' out of range (PLTE has 32 entries)'
             ELSE NULL END AS error_msg
           FROM d
+        """,
+        # srt_cues: every cue extent re-derived arithmetically; error
+        # docs collapse to the single parse_error row
+        "srt_cues": """
+          WITH d AS (
+            SELECT doc_id, 1 + doc_id % 6 AS nf,
+                   (doc_id % 17 = 0) AS corrupt
+            FROM documents),
+          ok AS (
+            SELECT CAST(d.doc_id AS VARCHAR) AS media_id,
+                   CAST(t.i + 1 AS INT) AS cue_idx,
+                   CAST(t.i * 2000 + d.doc_id % 997 AS BIGINT) AS start_ms,
+                   CAST(t.i * 2000 + d.doc_id % 997
+                        + 1500 + (t.i % 3) * 250 AS BIGINT) AS end_ms,
+                   CAST(1500 + (t.i % 3) * 250 AS BIGINT) AS dur_ms,
+                   'line ' || d.doc_id || ' ' || t.i || ' 0'
+                     || CASE WHEN (t.i + d.doc_id) % 2 = 1
+                        THEN ' line ' || d.doc_id || ' ' || t.i || ' 1'
+                        ELSE '' END AS text,
+                   CAST(1 + (t.i + d.doc_id) % 2 AS INT) AS n_lines,
+                   'ok' AS status, CAST(NULL AS VARCHAR) AS error_msg
+            FROM d, unnest(range(0, d.nf)) AS t(i)
+            WHERE NOT d.corrupt),
+          bad AS (
+            SELECT CAST(doc_id AS VARCHAR) AS media_id,
+                   CAST(NULL AS INT) AS cue_idx,
+                   CAST(NULL AS BIGINT) AS start_ms,
+                   CAST(NULL AS BIGINT) AS end_ms,
+                   CAST(NULL AS BIGINT) AS dur_ms,
+                   CAST(NULL AS VARCHAR) AS text,
+                   CAST(NULL AS INT) AS n_lines,
+                   'parse_error' AS status,
+                   'ValueError: bad timing line in block 1' AS error_msg
+            FROM d WHERE corrupt)
+          SELECT * FROM ok UNION ALL SELECT * FROM bad
         """,
         # code_corpus: the content_type route condition and the FIM
         # arithmetic chained as CTEs over the same built text

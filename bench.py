@@ -70,7 +70,7 @@ BENCH_QUERIES = [
     "redirect_resolve", "redirect_graph", "rel_links", "article_stitch",
     "reciprocal_links",
     "lang_mismatch", "pdf_text_fix", "host_lang_entropy",
-    "media_decode", "png_decode", "png_palette", "gif_structure", "audio_decode", "frame_sample", "exif",
+    "media_decode", "png_decode", "png_palette", "gif_structure", "srt_cues", "audio_decode", "frame_sample", "exif",
     "image_ahash", "ahash_near_dup", "image_dhash", "image_dedup",
     "audio_segments",
     "pricing_summary", "top_customers", "regional_revenue",

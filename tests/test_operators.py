@@ -1663,3 +1663,30 @@ def test_centroid_outliers_flags_the_planted_vector(spark):
     assert ranks0 == list(range(1, 12))
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_srt_cues_parse_and_errors(spark):
+    """SRT parsing edges: multi-line cues joined with a space, WebVTT
+    '.' milliseconds accepted, end<start / bad index / empty payload
+    are single parse_error rows."""
+    from ocr_spark.operators.captions import parse_srt, srt_cues
+
+    ok = ("1\n00:00:01,000 --> 00:00:03,500\nHello\nworld\n\n"
+          "2\n00:01:00.250 --> 01:00:00,000\ndots")
+    cues = parse_srt(ok)
+    assert cues[0]["text"] == "Hello world" and cues[0]["n_lines"] == 2
+    assert cues[1]["start_ms"] == 60250 and cues[1]["end_ms"] == 3600000
+
+    rows = [("good", ok),
+            ("rev", "1\n00:00:05,000 --> 00:00:01,000\nbackwards"),
+            ("noidx", "x\n00:00:01,000 --> 00:00:02,000\nhey"),
+            ("empty", "")]
+    df = spark.createDataFrame(rows, "media_id string, payload string")
+    out = {}
+    for r in srt_cues(df).collect():
+        out.setdefault(r["media_id"], []).append(r)
+    assert len(out["good"]) == 2
+    assert out["rev"][0]["status"] == "parse_error"
+    assert "ends before" in out["rev"][0]["error_msg"]
+    assert "bad index" in out["noidx"][0]["error_msg"]
+    assert "no cues" in out["empty"][0]["error_msg"]
