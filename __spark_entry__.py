@@ -3275,6 +3275,57 @@ def q_content_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         "kw_hits", "math_hits", "content_label")
 
 
+def q_markdown_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markdown -> plain text normalization
+    (operators/normalize.py:markdown_strip) over constructed README-
+    style docs (header, bold lang, link, fenced block, blockquote
+    wrapped around each doc's text).  The oracle applies the IDENTICAL
+    pattern strings under RE2 with the 'g' flag — the pattern table is
+    imported, not retyped, so engine and oracle cannot drift."""
+    from ocr_spark.operators.normalize import markdown_strip
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    did = F.col("doc_id").cast("string")
+    built = F.concat(
+        F.lit("# Doc "), did, F.lit("\n\n**"), F.col("lang"),
+        F.lit("** [home](http://example.com/"), did,
+        F.lit(")\n\n```\nsnippet "), did,
+        F.lit("\n```\n\n> note "), did, F.lit("\n\n"), F.col("text"))
+    md = docs.select("doc_id", built.alias("md"))
+    return md.select(
+        "doc_id",
+        markdown_strip("md").alias("plain"),
+        F.regexp_count("md", F.lit(r"\[([^\]]*)\]\(")).alias("n_links"),
+        F.regexp_count("md", F.lit(r"(?m)^```")).alias("n_fences"))
+
+
+def _markdown_strip_sql() -> str:
+    """DuckDB twin of markdown_strip: the SAME pattern table applied in
+    the same order ($1 -> \\1 is the only engine difference)."""
+    from ocr_spark.operators.normalize import MD_PATTERNS
+
+    expr = "t"
+    for pat, rep in MD_PATTERNS:
+        duck_rep = rep.replace("$1", "\\1")
+        expr = f"regexp_replace({expr}, '{pat}', '{duck_rep}', 'g')"
+    return rf"""
+      WITH m AS (
+        SELECT doc_id,
+          '# Doc ' || doc_id || chr(10) || chr(10)
+          || '**' || lang || '** [home](http://example.com/'
+          || doc_id || ')' || chr(10) || chr(10)
+          || '```' || chr(10) || 'snippet ' || doc_id || chr(10)
+          || '```' || chr(10) || chr(10)
+          || '> note ' || doc_id || chr(10) || chr(10) || text AS t
+        FROM documents)
+      SELECT doc_id, {expr} AS plain,
+        CAST(len(regexp_extract_all(t, '\[([^\]]*)\]\(')) AS INT)
+          AS n_links,
+        CAST(len(regexp_extract_all(t, '(?m)^```')) AS INT) AS n_fences
+      FROM m
+    """
+
+
 def q_srt_cues(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SRT subtitle parsing (operators/captions.py): per doc a
     closed-form cue file (1 + d%6 cues; cue i starts at
@@ -5051,6 +5102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_calibration": q_quality_calibration,
         "code_corpus": q_code_corpus,
         "srt_cues": q_srt_cues,
+        "markdown_strip": q_markdown_strip,
         "image_dedup": q_image_dedup,
         "audio_segments": q_audio_segments,
         "audio_decode": q_audio_decode,
@@ -7398,6 +7450,8 @@ def oracle_sql() -> dict[str, str]:
             ELSE NULL END AS error_msg
           FROM d
         """,
+        # markdown_strip: the imported pattern table under RE2
+        "markdown_strip": _markdown_strip_sql(),
         # srt_cues: every cue extent re-derived arithmetically; error
         # docs collapse to the single parse_error row
         "srt_cues": """

@@ -53,7 +53,7 @@ BENCH_QUERIES = [
     "lang_id", "lang_id_cjk", "lang_confusion", "fingerprint", "search_keys", "token_count",
     "chunk_text", "chunk_tokens", "sections", "collocations", "bpe_pairs",
     "bpe_encode",
-    "table_extract", "html_markdown", "wet_export", "wat_export",
+    "table_extract", "html_markdown", "markdown_strip", "wet_export", "wat_export",
     "bigram_lm", "readability", "unicode_clean",
     "postings", "posting_deltas", "snippets", "corpus_stats", "crawl_delta", "index_delta",
     "capture_history",

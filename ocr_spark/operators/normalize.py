@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
 __all__ = ["nfc_clean", "normalize_text", "fix_pdf_text",
+           "markdown_strip", "MD_PATTERNS",
            "LIGATURES", "DEHYPHEN_PATTERN"]
 
 # C0 controls except \t \n \r, plus DEL; then zero-widths + BOM.
@@ -110,3 +111,40 @@ def fix_pdf_text(col):
     for lig, rep in LIGATURES:
         out = F.replace(out, F.lit(lig), F.lit(rep))
     return out
+
+
+# markdown_strip pattern table: (java_regex == re2_regex, replacement)
+# — shared literal patterns; ONLY constructs both engines implement
+# identically (no backreferences in patterns — RE2 lacks them; the
+# $1/\1 difference lives in the engine-specific replacement string).
+MD_PATTERNS: list[tuple[str, str]] = [
+    (r"(?m)^```.*$", ""),                       # code-fence delimiters
+    (r"!\[([^\]]*)\]\([^)]*\)", "$1"),          # images -> alt text
+    (r"\[([^\]]*)\]\([^)]*\)", "$1"),           # links -> anchor text
+    (r"\*{1,3}([^*]+)\*{1,3}", "$1"),           # bold/italic (asterisk)
+    (r"`([^`]+)`", "$1"),                       # inline code
+    (r"(?m)^#{1,6}[ \t]+", ""),                 # ATX headers
+    (r"(?m)^>[ \t]?", ""),                      # blockquotes
+    (r"(?m)^-{3,}[ \t]*$", ""),                 # horizontal rules
+]
+
+
+def markdown_strip(col):
+    """Markdown -> plain text: drop fences/headers/quote markers,
+    unwrap links/images/emphasis/inline code — the normalization a
+    README/docs corpus needs before quality scoring and dedup (markup
+    density otherwise dominates the symbol-ratio signals).
+
+    Ordered regexp_replace chain over MD_PATTERNS — pure JVM
+    expressions, zero shuffle.  Patterns avoid backreferences so the
+    identical pattern strings run under DuckDB's RE2 for the oracle
+    (replacement syntax is the only per-engine difference: $1 vs \\1).
+    Deliberately lossy on nesting (bold inside links etc. unwraps in
+    pattern order) — documented, deterministic, same in both
+    engines."""
+    from pyspark.sql import functions as F
+
+    c = F.col(col) if isinstance(col, str) else col
+    for pat, rep in MD_PATTERNS:
+        c = F.regexp_replace(c, pat, rep)
+    return c

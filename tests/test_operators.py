@@ -1690,3 +1690,15 @@ def test_srt_cues_parse_and_errors(spark):
     assert "ends before" in out["rev"][0]["error_msg"]
     assert "bad index" in out["noidx"][0]["error_msg"]
     assert "no cues" in out["empty"][0]["error_msg"]
+
+
+def test_markdown_strip_unwraps_markup(spark):
+    """Strip drops fences/headers/quote markers and unwraps
+    links/images/emphasis/inline code."""
+    from ocr_spark.operators.normalize import markdown_strip
+
+    md = ("# Title\n\n**bold** *it* [anchor](http://x) ![alt](y.png) "
+          "`code`\n```\nfence\n```\n> quote\n---\nplain")
+    df = spark.createDataFrame([(1, md)], "id long, text string")
+    got = df.select(markdown_strip("text").alias("p")).collect()[0]["p"]
+    assert got == "Title\n\nbold it anchor alt code\n\nfence\n\nquote\n\nplain"
