@@ -3275,6 +3275,19 @@ def q_content_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         "kw_hits", "math_hits", "content_label")
 
 
+def q_dist_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSI drift monitor (operators/snapshot.py:dist_drift) between
+    two synthetic 'crawls' (even vs odd doc ids) over the n_chars
+    distribution with fixed bucket boundaries.  The oracle recomputes
+    smoothed shares and (p-q)*ln(p/q) on the same double grid."""
+    from ocr_spark.operators.snapshot import dist_drift
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    a = docs.where(F.col("doc_id") % 2 == 0)
+    b = docs.where(F.col("doc_id") % 2 == 1)
+    return dist_drift(a, b, "n_chars")
+
+
 def q_markdown_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Markdown -> plain text normalization
     (operators/normalize.py:markdown_strip) over constructed README-
@@ -5103,6 +5116,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "code_corpus": q_code_corpus,
         "srt_cues": q_srt_cues,
         "markdown_strip": q_markdown_strip,
+        "dist_drift": q_dist_drift,
         "image_dedup": q_image_dedup,
         "audio_segments": q_audio_segments,
         "audio_decode": q_audio_decode,
@@ -7449,6 +7463,44 @@ def oracle_sql() -> dict[str, str]:
               || ' out of range (PLTE has 32 entries)'
             ELSE NULL END AS error_msg
           FROM d
+        """,
+        # dist_drift: fixed buckets, Laplace-smoothed shares, same
+        # double arithmetic for (p-q)*ln(p/q)
+        "dist_drift": """
+          WITH bk AS (
+            SELECT doc_id % 2 = 0 AS is_a,
+              CASE WHEN n_chars < 500 THEN 0
+                   WHEN n_chars < 1000 THEN 1
+                   WHEN n_chars < 2000 THEN 2
+                   WHEN n_chars < 4000 THEN 3
+                   WHEN n_chars < 8000 THEN 4
+                   ELSE 5 END AS bucket
+            FROM documents),
+          ca AS (SELECT bucket, count(*) AS n_a FROM bk
+                 WHERE is_a GROUP BY 1),
+          cb AS (SELECT bucket, count(*) AS n_b FROM bk
+                 WHERE NOT is_a GROUP BY 1),
+          tot AS (SELECT
+                    (SELECT count(*) FROM bk WHERE is_a) AS ta,
+                    (SELECT count(*) FROM bk WHERE NOT is_a) AS tb),
+          frame AS (SELECT unnest(range(0, 6)) AS bucket),
+          j AS (
+            SELECT f.bucket,
+                   coalesce(ca.n_a, 0) AS n_a,
+                   coalesce(cb.n_b, 0) AS n_b,
+                   CAST(coalesce(ca.n_a, 0) + 1 AS DOUBLE)
+                     / (t.ta + 6) AS p,
+                   CAST(coalesce(cb.n_b, 0) + 1 AS DOUBLE)
+                     / (t.tb + 6) AS q
+            FROM frame f
+            LEFT JOIN ca ON f.bucket = ca.bucket
+            LEFT JOIN cb ON f.bucket = cb.bucket
+            CROSS JOIN tot t)
+          SELECT CAST(bucket AS INT) AS bucket,
+                 CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+                 round(p, 6) AS p_share, round(q, 6) AS q_share,
+                 round((p - q) * ln(p / q), 6) AS psi
+          FROM j
         """,
         # markdown_strip: the imported pattern table under RE2
         "markdown_strip": _markdown_strip_sql(),

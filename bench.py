@@ -55,7 +55,7 @@ BENCH_QUERIES = [
     "bpe_encode",
     "table_extract", "html_markdown", "markdown_strip", "wet_export", "wat_export",
     "bigram_lm", "readability", "unicode_clean",
-    "postings", "posting_deltas", "snippets", "corpus_stats", "crawl_delta", "index_delta",
+    "postings", "posting_deltas", "snippets", "corpus_stats", "crawl_delta", "dist_drift", "index_delta",
     "capture_history",
     "asof_join", "range_join", "bm25", "search_results", "doc_attributes",
     "sentences", "domain_quality", "sitemap", "feed", "incremental_extract", "canonical_collapse",

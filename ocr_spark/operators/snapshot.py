@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["snapshot_delta", "capture_history"]
+__all__ = ["snapshot_delta", "capture_history", "dist_drift"]
 
 
 def snapshot_delta(old: DataFrame, new: DataFrame, key_col: str = "url",
@@ -131,4 +131,57 @@ def revisit_schedule(snaps: DataFrame, key_col: str = "url",
         F.col("n_changes").cast("long").alias("n_changes"),
         F.round(rate, 6).alias("change_rate"),
         revisit.alias("revisit_days"),
+    )
+
+
+def dist_drift(a: DataFrame, b: DataFrame, value_col: str,
+               boundaries: tuple[int, ...] = (500, 1000, 2000, 4000, 8000),
+               round_digits: int = 6) -> DataFrame:
+    """Population Stability Index between two corpus snapshots: bucket
+    ``value_col`` by FIXED boundaries (fixed, not quantiles — quantile
+    buckets move with the data and hide the drift being measured),
+    Laplace-smooth the per-snapshot shares, and emit per-bucket
+    ``psi = (p - q) * ln(p / q)``.  Sum over buckets is the headline
+    drift number (rule of thumb: > 0.25 = the new crawl's distribution
+    has shifted enough to re-tune quality thresholds).  This is the
+    monitor a continuously-refreshed corpus runs between crawls before
+    trusting round-N thresholds on round-N+1 data.
+
+    Scale shape: two tiny hash aggregates (one per snapshot, output =
+    n_buckets rows each) joined on bucket id — map-side partials absorb
+    everything; nothing wide ever shuffles.  Smoothed shares are exact
+    rationals divided once in double and the published columns are
+    rounded, so a SQL oracle recomputes them bit-identically."""
+    k = len(boundaries) + 1
+
+    def bucket(col: str):
+        c = F.col(col)
+        e = F.lit(k - 1)
+        for i, bnd in reversed(list(enumerate(boundaries))):
+            e = F.when(c < bnd, F.lit(i)).otherwise(e)
+        return e
+
+    def counts(df: DataFrame, name: str) -> DataFrame:
+        return (df.select(bucket(value_col).alias("bucket"))
+                .groupBy("bucket").count()
+                .withColumnRenamed("count", name))
+
+    frame = a.sparkSession.range(k).select(
+        F.col("id").cast("int").alias("bucket"))
+    ca, cb = counts(a, "n_a"), counts(b, "n_b")
+    j = (frame.join(ca, "bucket", "left").join(cb, "bucket", "left")
+         .select("bucket",
+                 F.coalesce("n_a", F.lit(0)).alias("n_a"),
+                 F.coalesce("n_b", F.lit(0)).alias("n_b")))
+    ta = a.count()
+    tb = b.count()
+    p = (F.col("n_a") + 1).cast("double") / F.lit(float(ta + k))
+    q = (F.col("n_b") + 1).cast("double") / F.lit(float(tb + k))
+    return j.select(
+        "bucket",
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.round(p, round_digits).alias("p_share"),
+        F.round(q, round_digits).alias("q_share"),
+        F.round((p - q) * F.log(p / q), round_digits).alias("psi"),
     )

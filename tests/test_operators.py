@@ -1702,3 +1702,25 @@ def test_markdown_strip_unwraps_markup(spark):
     df = spark.createDataFrame([(1, md)], "id long, text string")
     got = df.select(markdown_strip("text").alias("p")).collect()[0]["p"]
     assert got == "Title\n\nbold it anchor alt code\n\nfence\n\nquote\n\nplain"
+
+
+def test_dist_drift_psi_properties(spark):
+    """PSI is ~0 for identical snapshots and grows when one snapshot
+    shifts; empty buckets survive via Laplace smoothing."""
+    import math
+
+    from ocr_spark.operators.snapshot import dist_drift
+
+    a = spark.createDataFrame([(i, 100 + i * 10) for i in range(200)],
+                              "id long, v long")
+    same = dist_drift(a, a, "v")
+    rows = same.collect()
+    assert len(rows) == 6
+    assert all(abs(r["psi"]) < 1e-9 for r in rows)
+
+    b = spark.createDataFrame([(i, 5000 + i * 10) for i in range(200)],
+                              "id long, v long")
+    shifted = dist_drift(a, b, "v").collect()
+    total = sum(r["psi"] for r in shifted)
+    assert total > 0.25          # the classic "distribution moved" bar
+    assert all(math.isfinite(r["psi"]) for r in shifted)
