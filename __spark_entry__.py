@@ -3275,6 +3275,19 @@ def q_content_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         "kw_hits", "math_hits", "content_label")
 
 
+def q_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank extractive summarization
+    (operators/summarize.py:textrank_sentences): per-doc sentence
+    graph from normalized token overlaps, 3 unrolled weighted-PageRank
+    iterations, top-2 sentences.  The oracle re-derives the graph and
+    unrolls the same three iterations as chained aggregates (the
+    pagerank oracle convention), scores on the round-9 grid."""
+    from ocr_spark.operators.summarize import textrank_sentences
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return textrank_sentences(docs, n_iter=3, top_k=2)
+
+
 def q_dist_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PSI drift monitor (operators/snapshot.py:dist_drift) between
     two synthetic 'crawls' (even vs odd doc ids) over the n_chars
@@ -5117,6 +5130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "srt_cues": q_srt_cues,
         "markdown_strip": q_markdown_strip,
         "dist_drift": q_dist_drift,
+        "textrank": q_textrank,
         "image_dedup": q_image_dedup,
         "audio_segments": q_audio_segments,
         "audio_decode": q_audio_decode,
@@ -7463,6 +7477,67 @@ def oracle_sql() -> dict[str, str]:
               || ' out of range (PLTE has 32 entries)'
             ELSE NULL END AS error_msg
           FROM d
+        """,
+        # textrank: sentence graph + three unrolled weighted-PageRank
+        # iterations (pagerank oracle convention), round-9 scores
+        "textrank": r"""
+          WITH sl AS (
+            SELECT doc_id, list_filter(list_transform(
+                regexp_extract_all(text, '[^.!?]+[.!?]*'), s -> trim(s)),
+                s -> len(s) > 0) AS ss
+            FROM documents),
+          sent AS (
+            SELECT doc_id AS k, p.idx AS sidx, p.s AS s
+            FROM (SELECT doc_id, unnest(list_transform(range(1, len(ss) + 1),
+                  i -> {'idx': CAST(i - 1 AS INT), 's': ss[i]})) AS p
+                  FROM sl)),
+          tk AS (
+            SELECT k, sidx, s,
+              list_distinct(string_split_regex(trim(lower(s)), '\s+')) AS t
+            FROM sent),
+          e AS (
+            SELECT a.k, a.sidx AS src, b.sidx AS dst,
+              CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
+                / (len(a.t) + len(b.t)) AS w
+            FROM tk a JOIN tk b ON a.k = b.k AND a.sidx <> b.sidx
+            WHERE len(list_intersect(a.t, b.t)) > 0),
+          ws AS (SELECT k, src, sum(w) AS wsum FROM e GROUP BY 1, 2),
+          n0 AS (SELECT k, sidx FROM tk),
+          r0 AS (SELECT k, sidx, 1.0 AS r FROM n0),
+          r1 AS (SELECT n.k, n.sidx, 0.15 + 0.85 * coalesce(c.x, 0) AS r
+                 FROM n0 n LEFT JOIN (
+                   SELECT e.k, e.dst AS sidx,
+                          sum(e.w / ws.wsum * r0.r) AS x
+                   FROM e JOIN ws ON e.k = ws.k AND e.src = ws.src
+                        JOIN r0 ON r0.k = e.k AND r0.sidx = e.src
+                   GROUP BY e.k, e.dst) c
+                 ON c.k = n.k AND c.sidx = n.sidx),
+          r2 AS (SELECT n.k, n.sidx, 0.15 + 0.85 * coalesce(c.x, 0) AS r
+                 FROM n0 n LEFT JOIN (
+                   SELECT e.k, e.dst AS sidx,
+                          sum(e.w / ws.wsum * r1.r) AS x
+                   FROM e JOIN ws ON e.k = ws.k AND e.src = ws.src
+                        JOIN r1 ON r1.k = e.k AND r1.sidx = e.src
+                   GROUP BY e.k, e.dst) c
+                 ON c.k = n.k AND c.sidx = n.sidx),
+          r3 AS (SELECT n.k, n.sidx, 0.15 + 0.85 * coalesce(c.x, 0) AS r
+                 FROM n0 n LEFT JOIN (
+                   SELECT e.k, e.dst AS sidx,
+                          sum(e.w / ws.wsum * r2.r) AS x
+                   FROM e JOIN ws ON e.k = ws.k AND e.src = ws.src
+                        JOIN r2 ON r2.k = e.k AND r2.sidx = e.src
+                   GROUP BY e.k, e.dst) c
+                 ON c.k = n.k AND c.sidx = n.sidx),
+          sc AS (SELECT r3.k, r3.sidx, round(r3.r, 9) AS score, tk.s
+                 FROM r3 JOIN tk ON tk.k = r3.k AND tk.sidx = r3.sidx),
+          rk AS (SELECT k, sidx, score, s,
+                 row_number() OVER (PARTITION BY k
+                                    ORDER BY score DESC, sidx)
+                   AS sent_rank
+                 FROM sc)
+          SELECT k AS doc_id, CAST(sent_rank AS INT) AS sent_rank,
+                 CAST(sidx AS INT) AS sent_idx, score, s AS sentence
+          FROM rk WHERE sent_rank <= 2
         """,
         # dist_drift: fixed buckets, Laplace-smoothed shares, same
         # double arithmetic for (p-q)*ln(p/q)

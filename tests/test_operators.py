@@ -1724,3 +1724,28 @@ def test_dist_drift_psi_properties(spark):
     total = sum(r["psi"] for r in shifted)
     assert total > 0.25          # the classic "distribution moved" bar
     assert all(math.isfinite(r["psi"]) for r in shifted)
+
+
+def test_textrank_prefers_connected_sentences(spark):
+    """The sentence sharing tokens with the most others must outrank
+    an isolated one; single-sentence docs score the teleport constant;
+    empty docs emit nothing."""
+    from ocr_spark.operators.summarize import textrank_sentences
+
+    doc = ("Spark processes data. Spark processes large data fast. "
+           "Cats are unrelated animals! Processing data keeps spark busy. "
+           "Ducks exist?")
+    df = spark.createDataFrame(
+        [(1, doc), (2, "One sentence only."), (3, "")],
+        "doc_id long, text string")
+    rows = textrank_sentences(df, top_k=2).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    top = sorted(by_doc[1], key=lambda r: r["sent_rank"])
+    assert "spark" in top[0]["sentence"].lower()
+    assert top[0]["score"] > top[1]["score"] or (
+        top[0]["score"] == top[1]["score"]
+        and top[0]["sent_idx"] < top[1]["sent_idx"])
+    assert by_doc[2][0]["score"] == 0.15
+    assert 3 not in by_doc
