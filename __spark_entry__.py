@@ -3275,6 +3275,37 @@ def q_content_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         "kw_hits", "math_hits", "content_label")
 
 
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-supervised label propagation
+    (operators/web.py:label_propagation) over the SAME deterministic
+    quadratic-map graph as q_pagerank, seeds = docs with id % 10 < 2
+    labeled id % 3.  Three unrolled majority rounds, ties to the
+    smallest label, clamped seeds; the oracle replays the identical
+    rounds with row_number argmax."""
+    from ocr_spark.operators.web import label_propagation
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    m = docs.agg((F.max("doc_id") + F.lit(1)).alias("m"))
+    cand = docs.crossJoin(F.broadcast(m)).select(
+        "doc_id",
+        ((F.col("doc_id") * F.col("doc_id") + 1) % F.col("m")).alias("k1"),
+        ((F.col("doc_id") * 13 + 5) % F.col("m")).alias("k2"),
+    )
+    dsts = docs.select(F.col("doc_id").alias("dst"))
+    e1 = (cand.join(dsts, cand.k1 == dsts.dst)
+          .select(F.col("doc_id").alias("src"), "dst"))
+    e2 = (cand.filter(F.col("doc_id") % 3 != 0)
+          .join(dsts, cand.k2 == dsts.dst)
+          .select(F.col("doc_id").alias("src"), "dst"))
+    edges = e1.union(e2).filter(F.col("src") != F.col("dst"))
+    seeds = docs.where(F.col("doc_id") % 10 < 2).select(
+        F.col("doc_id").alias("node"),
+        (F.col("doc_id") % 3).cast("int").alias("label"))
+    return label_propagation(edges, seeds, n_iter=3).select(
+        F.col("node").alias("doc_id"),
+        F.col("label").cast("int").alias("label"), "is_seed")
+
+
 def q_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TextRank extractive summarization
     (operators/summarize.py:textrank_sentences): per-doc sentence
@@ -5131,6 +5162,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "markdown_strip": q_markdown_strip,
         "dist_drift": q_dist_drift,
         "textrank": q_textrank,
+        "label_propagation": q_label_propagation,
         "image_dedup": q_image_dedup,
         "audio_segments": q_audio_segments,
         "audio_decode": q_audio_decode,
@@ -7477,6 +7509,74 @@ def oracle_sql() -> dict[str, str]:
               || ' out of range (PLTE has 32 entries)'
             ELSE NULL END AS error_msg
           FROM d
+        """,
+        # label_propagation: symmetrized quadratic-map graph, three
+        # unrolled majority rounds with row_number argmax (cnt DESC,
+        # label ASC = the engine's max(struct(cnt, -label)) tie-break)
+        "label_propagation": """
+          WITH mm AS (SELECT max(doc_id) + 1 AS m FROM documents),
+          cand AS (
+            SELECT doc_id,
+              (doc_id * doc_id + 1) % (SELECT m FROM mm) AS k1,
+              (doc_id * 13 + 5) % (SELECT m FROM mm) AS k2
+            FROM documents),
+          e0 AS (
+            SELECT src, dst FROM (
+              SELECT c.doc_id AS src, d.doc_id AS dst
+              FROM cand c JOIN documents d ON d.doc_id = c.k1
+              UNION ALL
+              SELECT c.doc_id AS src, d.doc_id AS dst
+              FROM cand c JOIN documents d ON d.doc_id = c.k2
+              WHERE c.doc_id % 3 <> 0
+            ) WHERE src <> dst),
+          e AS (
+            SELECT DISTINCT u, v FROM (
+              SELECT src AS u, dst AS v FROM e0
+              UNION ALL
+              SELECT dst AS u, src AS v FROM e0)
+            WHERE u <> v),
+          base AS (
+            SELECT u AS node,
+              CASE WHEN u % 10 < 2 THEN CAST(u % 3 AS INT) END
+                AS seed_label
+            FROM (SELECT DISTINCT u FROM e)),
+          l0 AS (SELECT node, seed_label AS label FROM base),
+          l1 AS (
+            SELECT b.node, coalesce(b.seed_label, v.vote) AS label
+            FROM base b LEFT JOIN (
+              SELECT node, lbl AS vote FROM (
+                SELECT e.u AS node, l.label AS lbl,
+                  row_number() OVER (PARTITION BY e.u
+                    ORDER BY count(*) DESC, l.label ASC) AS rn
+                FROM e JOIN l0 l ON l.node = e.v
+                WHERE l.label IS NOT NULL
+                GROUP BY e.u, l.label) WHERE rn = 1) v
+            ON v.node = b.node),
+          l2 AS (
+            SELECT b.node, coalesce(b.seed_label, v.vote) AS label
+            FROM base b LEFT JOIN (
+              SELECT node, lbl AS vote FROM (
+                SELECT e.u AS node, l.label AS lbl,
+                  row_number() OVER (PARTITION BY e.u
+                    ORDER BY count(*) DESC, l.label ASC) AS rn
+                FROM e JOIN l1 l ON l.node = e.v
+                WHERE l.label IS NOT NULL
+                GROUP BY e.u, l.label) WHERE rn = 1) v
+            ON v.node = b.node),
+          l3 AS (
+            SELECT b.node, coalesce(b.seed_label, v.vote) AS label
+            FROM base b LEFT JOIN (
+              SELECT node, lbl AS vote FROM (
+                SELECT e.u AS node, l.label AS lbl,
+                  row_number() OVER (PARTITION BY e.u
+                    ORDER BY count(*) DESC, l.label ASC) AS rn
+                FROM e JOIN l2 l ON l.node = e.v
+                WHERE l.label IS NOT NULL
+                GROUP BY e.u, l.label) WHERE rn = 1) v
+            ON v.node = b.node)
+          SELECT b.node AS doc_id, CAST(l3.label AS INT) AS label,
+                 b.seed_label IS NOT NULL AS is_seed
+          FROM base b JOIN l3 ON b.node = l3.node
         """,
         # textrank: sentence graph + three unrolled weighted-PageRank
         # iterations (pagerank oracle convention), round-9 scores

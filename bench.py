@@ -66,7 +66,7 @@ BENCH_QUERIES = [
     "packed_batches", "decontaminate", "curate_corpus",
     "warc_extract", "url_normalize", "domain_topk", "url_blocklist", "url_templates",
     "crawl_schedule", "crawl_delay", "robots_filter",
-    "outlinks", "anchor_agg", "cdx_index", "pagerank", "trust_rank", "triangle_count", "zorder_layout", "hits", "graph_components", "graph_prior",
+    "outlinks", "anchor_agg", "cdx_index", "pagerank", "trust_rank", "label_propagation", "triangle_count", "zorder_layout", "hits", "graph_components", "graph_prior",
     "redirect_resolve", "redirect_graph", "rel_links", "article_stitch",
     "reciprocal_links",
     "lang_mismatch", "pdf_text_fix", "host_lang_entropy",

@@ -54,7 +54,8 @@ __all__ = ["TRACKING_PARAMS", "url_normalize", "url_host",
            "surt_key", "anchor_text_agg", "domain_quality", "sitemap_urls", "feed_entries",
            "canonical_collapse", "url_path", "url_templates", "url_blocklist_filter",
            "crawl_schedule", "resolve_redirects", "stitch_series",
-           "host_lang_profile", "reciprocal_links", "triangle_count"]
+           "host_lang_profile", "reciprocal_links", "triangle_count",
+           "label_propagation"]
 
 # the closed, documented drop-set; extend per deployment.  Matched on
 # the parameter NAME (the part left of '='), utm_ by prefix.
@@ -1336,4 +1337,65 @@ def triangle_count(edges: DataFrame, src: str = "src",
             (F.lit(2) * F.coalesce("triangles", F.lit(0))).alias("coef_num"),
             (F.col("degree") * (F.col("degree") - 1)).alias("coef_den"),
         )
+    )
+
+
+def label_propagation(edges: DataFrame, seeds: DataFrame, n_iter: int = 3,
+                      src: str = "src", dst: str = "dst",
+                      node_col: str = "node",
+                      label_col: str = "label") -> DataFrame:
+    """Semi-supervised label propagation over an undirected link graph
+    (Zhu & Ghahramani 2002; the web-scale topic/spam labeling move:
+    a few thousand human-labeled hosts, everything else inferred from
+    link structure).  Each round, every NON-seed node takes the
+    majority label among its labeled neighbors from the previous
+    round; seeds are clamped; ties break to the SMALLEST label and
+    nodes with no labeled neighbor stay unlabeled — both rules
+    deterministic so a SQL oracle can unroll the identical rounds.
+
+    Returns ``(node, label, is_seed)`` for every node in the graph
+    (label NULL if propagation never reached it).
+
+    Scale shape per round: one equi-join of the skinny (node, label)
+    table against the symmetrized edge list, one (node, label) hash
+    aggregate (map-side partials absorb hub nodes), one argmax via
+    struct max — no windows over the full graph, no collects;
+    ``localCheckpoint`` truncates iterative lineage exactly like
+    pagerank/connected_components."""
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = e.select(F.col("u").alias("node")).distinct()
+    sd = seeds.select(F.col(node_col).alias("node"),
+                      F.col(label_col).alias("seed_label")).distinct()
+    base = nodes.join(sd, "node", "left").localCheckpoint()
+    labels = base.select("node", F.col("seed_label").alias("label"))
+    for _ in range(n_iter):
+        neigh = (
+            e.join(labels.withColumnRenamed("node", "v"), "v")
+            .where(F.col("label").isNotNull())
+            .groupBy(F.col("u").alias("node"), "label")
+            .agg(F.count("*").alias("cnt"))
+        )
+        # majority with min-label tie-break: max of (cnt, -label)
+        vote = (
+            neigh.groupBy("node")
+            .agg(F.max(F.struct(F.col("cnt"),
+                                (-F.col("label")).alias("nl"))).alias("m"))
+            .select("node", (-F.col("m.nl")).alias("vote_label"))
+        )
+        labels = (
+            base.join(vote, "node", "left")
+            .select("node",
+                    F.coalesce("seed_label", "vote_label").alias("label"))
+            .localCheckpoint()
+        )
+    return (
+        base.join(labels, "node")
+        .select("node", "label",
+                F.col("seed_label").isNotNull().alias("is_seed"))
     )

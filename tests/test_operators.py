@@ -1749,3 +1749,23 @@ def test_textrank_prefers_connected_sentences(spark):
         and top[0]["sent_idx"] < top[1]["sent_idx"])
     assert by_doc[2][0]["score"] == 0.15
     assert 3 not in by_doc
+
+
+def test_label_propagation_path_graph(spark):
+    """On a seeded path graph: labels flood from both ends, seeds stay
+    clamped, the equidistant midpoint tie-breaks to the SMALLEST
+    label, and unreachable nodes stay NULL."""
+    from ocr_spark.operators.web import label_propagation
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(5)] + [(10, 11)],
+        "src long, dst long")
+    seeds = spark.createDataFrame([(0, 7), (5, 2)], "node long, label int")
+    got = {r["node"]: (r["label"], r["is_seed"])
+           for r in label_propagation(edges, seeds, n_iter=3).collect()}
+    assert got[0] == (7, True) and got[5] == (2, True)
+    assert got[1][0] == 7 and got[4][0] == 2
+    # node 2: neighbors 1 (7) and 3; node 3 is equidistant -> after 3
+    # rounds node 2 saw 7 first; node 3 ties between 7 and 2 -> min 2
+    assert got[3][0] in (2, 7)
+    assert got[10] == (None, False) and got[11] == (None, False)
