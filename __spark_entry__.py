@@ -3192,22 +3192,36 @@ def q_hash_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     global window) ranked on the ROUNDED cosine with doc_id
     tie-break so both engines select identically.  Exact integer dots
     and norms; one IEEE sqrt+division at the end."""
-    from ocr_spark.functions.model import feature_hash_vector
+    import hashlib
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    v = feature_hash_vector("text", dim=16)
-    q = feature_hash_vector(F.lit("table spark data"), dim=16)
-    dot = F.aggregate(F.zip_with(v, q, lambda a, b: a * b),
-                      F.lit(0).cast("long"), lambda acc, x: acc + x)
-    nd = F.aggregate(v, F.lit(0).cast("long"), lambda acc, x: acc + x * x)
-    nq = F.aggregate(q, F.lit(0).cast("long"), lambda acc, x: acc + x * x)
-    cos = F.round(dot.cast("double")
-                  / (F.sqrt(nd.cast("double")) * F.sqrt(nq.cast("double"))),
-                  6)
     from pyspark.sql import Window
 
-    scored = (docs.select("doc_id", cos.alias("cos"),
-                          nd.alias("nd"))
+    from ocr_spark.functions.model import feature_hash_vector
+
+    # the query vector is a CONSTANT: hash it driver-side (identical
+    # md5 arithmetic) instead of re-evaluating the fold per row
+    qv = [0] * 16
+    for t in "table spark data".split():
+        b = int(hashlib.md5(f"fh|{t}".encode()).hexdigest()[:15], 16) % 16
+        s = (1 if int(hashlib.md5(f"fs|{t}".encode()).hexdigest()[:15],
+                      16) % 2 == 0 else -1)
+        qv[b] += s
+    nq = sum(x * x for x in qv)
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    # materialize the doc vector ONCE: CollapseProject would otherwise
+    # inline the fold into dot AND norm (measured 10x slower)
+    vec = docs.select(
+        "doc_id", feature_hash_vector("text", dim=16).alias("v")
+    ).localCheckpoint()
+    dot = sum((F.element_at("v", d + 1) * qv[d] for d in range(16)
+               if qv[d] != 0), F.lit(0).cast("long"))
+    nd = F.aggregate("v", F.lit(0).cast("long"),
+                     lambda acc, x: acc + x * x)
+    cos = F.round(dot.cast("double")
+                  / (F.sqrt(nd.cast("double")) * F.sqrt(F.lit(float(nq)))),
+                  6)
+    scored = (vec.select("doc_id", cos.alias("cos"), nd.alias("nd"))
               .where(F.col("nd") > 0)
               .orderBy(F.col("cos").desc(), "doc_id").limit(20))
     w = Window.orderBy(F.col("cos").desc(), "doc_id")

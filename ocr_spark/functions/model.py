@@ -94,29 +94,35 @@ def feature_hash_vector(col: str | Column, dim: int = 16) -> Column:
     linear model or a cosine retrieval run without a vocabulary
     (exactly what a 10^12-doc corpus can't build a global vocab for).
 
-    Returns an ``array<long>`` of EXACT integer counts — per-row HOF
-    fold, zero shuffle, SQL-oracle-able bit-for-bit.  Per-row cost is
-    O(dim * n_tokens) hash evaluations; a production variant at large
-    dim switches to the explode -> (doc, bucket) aggregate shape
-    (dsir_weights) whose exchange is bounded by dim rows per doc."""
+    Returns an ``array<long>`` of EXACT integer counts — ONE per-row
+    HOF fold (2 hash evaluations per token, a vector update per
+    step), zero shuffle, SQL-oracle-able bit-for-bit.  Callers
+    composing several reductions over the vector (dot + norm + ...)
+    should materialize it once (select + localCheckpoint/cache):
+    Spark's CollapseProject re-inlines the fold into every consumer
+    otherwise and the interpreted HOF re-runs per consumer (measured
+    10x on the retrieval query)."""
     toks = tokens(col)
 
     def bucket(t: Column) -> Column:
         return _md5_mod("fh|", t, dim)
 
-    def positive(t: Column) -> Column:
-        return _md5_mod("fs|", t, 2) == 0
+    def sign(t: Column) -> Column:
+        return F.when(_md5_mod("fs|", t, 2) == 0, F.lit(1)) \
+            .otherwise(F.lit(-1)).cast("long")
 
-    # NOTE: the lambdas must take exactly ONE parameter — a second
-    # parameter (even a defaulted `d=d` capture) makes PySpark bind it
-    # to the array INDEX.  Capture d with a closure factory instead.
-    def filt(d: int, want_positive: bool):
-        def pred(t: Column) -> Column:
-            p = positive(t)
-            return (bucket(t) == d) & (p if want_positive else ~p)
-
-        return F.size(F.filter(toks, pred))
-
-    comps = [(filt(d, True) - filt(d, False)).cast("long")
-             for d in range(dim)]
-    return F.array(*comps)
+    # hash each token ONCE into (bucket, sign) structs, then fold the
+    # struct list into the dense vector — 2 md5 evaluations per token
+    # total (hashing inside the fold's inner lambda would re-evaluate
+    # per vector component).  NOTE: inner lambdas must take their
+    # exact arity — an extra defaulted parameter would be bound to the
+    # element INDEX.
+    hashed = F.transform(toks, lambda t: F.struct(
+        bucket(t).alias("b"), sign(t).alias("s")))
+    zero = F.array_repeat(F.lit(0).cast("long"), dim)
+    return F.aggregate(
+        hashed, zero,
+        lambda acc, p: F.transform(
+            acc, lambda x, i: x + F.when(p["b"] == i.cast("long"),
+                                         p["s"]).otherwise(F.lit(0))),
+    )
