@@ -3185,6 +3185,105 @@ def q_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("bucket", "value"))
 
 
+def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: Reciprocal Rank Fusion
+    (operators/index.py:rrf_fuse, Cormack et al. 2009) of the hashed-
+    vector cosine ranking (q_hash_retrieval) and a term-frequency
+    ranking for 'spark' — the rank-only combiner production hybrid
+    search uses because it needs no score calibration.  The oracle
+    embeds the SAME hash-ranking SQL (shared helper, zero drift) and
+    fuses with the identical 1/(60+rank) arithmetic."""
+    from pyspark.sql import Window
+
+    from ocr_spark.operators.index import rrf_fuse
+
+    ra = q_hash_retrieval(spark, sf_dir).select("doc_id", "rank")
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    tf = docs.select(
+        "doc_id",
+        F.regexp_count(F.lower("text"), F.lit("spark")).alias("tf"))
+    wb = Window.orderBy(F.col("tf").desc(), F.col("doc_id").asc())
+    rb = (tf.where(F.col("tf") > 0)
+          .orderBy(F.col("tf").desc(), "doc_id").limit(20)
+          .select("doc_id", F.row_number().over(wb).alias("rank")))
+    return rrf_fuse([ra, rb], k=60)
+
+
+def q_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@{5,10,20} self-evaluation (operators/index.py:ndcg_eval)
+    of the hashed-vector ranking against term-frequency relevance —
+    the eval that closes the retrieval loop (same family as
+    ann_recall / ivf_recall / lang_confusion).  The oracle embeds the
+    shared hash-ranking SQL and recomputes both DCG sums with the
+    identical log2 discount and tie-breaks."""
+    from ocr_spark.operators.index import ndcg_eval
+
+    ranking = q_hash_retrieval(spark, sf_dir).select("doc_id", "rank")
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    relevance = docs.select(
+        "doc_id",
+        F.regexp_count(F.lower("text"), F.lit("spark")).alias("rel"))
+    return ndcg_eval(ranking, relevance, cutoffs=(5, 10, 20))
+
+
+def _hash_retrieval_sql() -> str:
+    """DuckDB twin of q_hash_retrieval — factored out so the RRF
+    fusion oracle can embed the same ranking as a subquery."""
+    return r'''
+          WITH tl AS (
+            SELECT doc_id,
+              CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+                   ELSE string_split_regex(trim(text), '\s+') END AS tk
+            FROM documents),
+          tok AS (SELECT doc_id, unnest(tk) AS t FROM tl),
+          h AS (
+            SELECT doc_id,
+              ('0x' || substr(md5('fh|' || t), 1, 15))::BIGINT % 16 AS b,
+              CASE WHEN ('0x' || substr(md5('fs|' || t), 1, 15))::BIGINT
+                        % 2 = 0 THEN 1 ELSE -1 END AS sgn
+            FROM tok),
+          agg AS (SELECT doc_id, b, sum(sgn) AS v FROM h GROUP BY 1, 2),
+          frame AS (SELECT d.doc_id, g.b FROM documents d,
+                    (SELECT unnest(range(0, 16)) AS b) g),
+          dvec AS (
+            SELECT f.doc_id, f.b, coalesce(a.v, 0) AS v
+            FROM frame f LEFT JOIN agg a
+              ON f.doc_id = a.doc_id AND f.b = a.b),
+          qtok AS (SELECT unnest(['table', 'spark', 'data']) AS t),
+          qh AS (
+            SELECT
+              ('0x' || substr(md5('fh|' || t), 1, 15))::BIGINT % 16 AS b,
+              CASE WHEN ('0x' || substr(md5('fs|' || t), 1, 15))::BIGINT
+                        % 2 = 0 THEN 1 ELSE -1 END AS sgn
+            FROM qtok),
+          qagg AS (SELECT b, sum(sgn) AS v FROM qh GROUP BY 1),
+          qvec AS (
+            SELECT g.b, coalesce(q.v, 0) AS v
+            FROM (SELECT unnest(range(0, 16)) AS b) g
+            LEFT JOIN qagg q ON g.b = q.b),
+          nq AS (SELECT sum(v * v) AS nq FROM qvec),
+          dots AS (
+            SELECT d.doc_id, sum(d.v * q.v) AS dot,
+                   sum(d.v * d.v) AS nd
+            FROM dvec d JOIN qvec q ON d.b = q.b
+            GROUP BY 1),
+          scored AS (
+            SELECT doc_id,
+                   round(CAST(dot AS DOUBLE)
+                         / (sqrt(CAST(nd AS DOUBLE))
+                            * sqrt(CAST((SELECT nq FROM nq) AS DOUBLE))),
+                         6) AS cos
+            FROM dots WHERE nd > 0),
+          top AS (
+            SELECT doc_id, cos FROM scored
+            ORDER BY cos DESC, doc_id LIMIT 20)
+          SELECT doc_id, cos,
+                 CAST(row_number() OVER (ORDER BY cos DESC, doc_id) AS INT)
+                   AS rank
+          FROM top
+        '''
+
+
 def q_hash_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary-free retrieval over hashed vectors: cosine between
     each doc's 16-dim signed-hash vector and the fixed query's vector,
@@ -3531,6 +3630,51 @@ def q_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("count").cast("long").alias("cluster_size"))
 
 
+def _audio_segments_sql() -> str:
+    """DuckDB twin of q_audio_segments — factored out so the
+    caption-alignment oracle can embed the same segments."""
+    return '''
+          WITH params AS (
+            SELECT doc_id, 2000 + (doc_id % 5) * 400 AS n FROM documents),
+          smp AS (
+            SELECT doc_id, unnest(range(0, n)) AS i FROM params),
+          sv AS (
+            SELECT doc_id, i // 200 AS f,
+              CASE WHEN ((i // 200) + doc_id) % 3 = 0
+                     OR ((i // 200) * (i // 200) + doc_id) % 7 = 0
+                   THEN (i % 9) - 4
+                   ELSE ((7 + doc_id % 5) * i) % 4096 - 2048
+              END AS s
+            FROM smp),
+          fr AS (
+            SELECT doc_id, f, sum(s * s) AS e, count(*) AS c
+            FROM sv GROUP BY doc_id, f),
+          loud AS (SELECT doc_id, f, e FROM fr WHERE e > 10000 * c),
+          isl AS (
+            SELECT doc_id, f, e,
+                   f - row_number() OVER (PARTITION BY doc_id ORDER BY f)
+                     AS grp
+            FROM loud),
+          seg AS (
+            SELECT doc_id, grp, min(f) AS start_frame,
+                   count(*) AS n_frames, sum(e) AS energy
+            FROM isl GROUP BY doc_id, grp),
+          num AS (
+            SELECT doc_id, start_frame, n_frames, energy,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY start_frame) - 1 AS seg_idx
+            FROM seg)
+          SELECT CAST(doc_id AS VARCHAR) AS media_id,
+                 CAST(seg_idx AS INT) AS seg_idx,
+                 CAST(start_frame AS INT) AS start_frame,
+                 CAST(n_frames AS INT) AS n_frames,
+                 CAST(start_frame * 25 AS BIGINT) AS start_ms,
+                 CAST((start_frame + n_frames) * 25 AS BIGINT) AS end_ms,
+                 CAST(energy AS BIGINT) AS energy, 'ok' AS status
+          FROM num
+        '''
+
+
 def q_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Silence-aware segmentation over REAL decoded WAV PCM: per doc a
     RIFF-conformant mono 8kHz WAV whose frame f (200 samples) is
@@ -3543,6 +3687,15 @@ def q_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     gaps-and-islands grouping — the whole operator is value-gated."""
     from ocr_spark.operators.multimodal import audio_segments
 
+    media = _audio_media(spark, sf_dir)
+    return audio_segments(media, frame_samples=200, threshold=10000).select(
+        "media_id", "seg_idx", "start_frame", "n_frames",
+        "start_ms", "end_ms", "energy", "status")
+
+
+def _audio_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared WAV builder for q_audio_segments and q_caption_align —
+    see q_audio_segments' docstring for the closed forms."""
     docs = _t(spark, sf_dir, "documents").select("doc_id")
 
     def build(batches):
@@ -3566,10 +3719,65 @@ def q_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame({"media_id": pdf["doc_id"].astype(str),
                                 "payload": payloads})
 
-    media = docs.mapInPandas(build, schema="media_id string, payload binary")
-    return audio_segments(media, frame_samples=200, threshold=10000).select(
-        "media_id", "seg_idx", "start_frame", "n_frames",
-        "start_ms", "end_ms", "energy", "status")
+    return docs.mapInPandas(build, schema="media_id string, payload binary")
+
+
+def q_caption_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal composition: subtitle cues aligned to detected
+    speech segments by the binned interval-OVERLAP join
+    (operators/temporal.py:interval_join — canonical-bin emission, no
+    dedup shuffle).  Segments come from the REAL WAV decode
+    (q_audio_segments' builder), cues from a REAL SRT parse with
+    ms-scale extents (cue i of doc d: [i*120 + d%50, +140)); the
+    oracle embeds the shared segment SQL and re-derives cue extents
+    + the overlap arithmetic."""
+    from ocr_spark.operators.captions import srt_cues
+    from ocr_spark.operators.multimodal import audio_segments
+    from ocr_spark.operators.temporal import interval_join
+
+    segs = (audio_segments(_audio_media(spark, sf_dir),
+                           frame_samples=200, threshold=10000)
+            .where(F.col("status") == "ok")
+            .select("media_id", "seg_idx",
+                    F.col("start_ms").alias("s_lo"),
+                    F.col("end_ms").alias("s_hi")))
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def build(batches):
+        import pandas as pd
+
+        def ts(ms):
+            h, rem = divmod(ms, 3600000)
+            m, rem = divmod(rem, 60000)
+            s, milli = divmod(rem, 1000)
+            return f"{h:02d}:{m:02d}:{s:02d},{milli:03d}"
+
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                did = int(d)
+                blocks = []
+                for i in range(3 + did % 3):
+                    lo = i * 120 + did % 50
+                    blocks.append(
+                        f"{i + 1}\n{ts(lo)} --> {ts(lo + 140)}\n"
+                        f"cue {did} {i}")
+                payloads.append("\n\n".join(blocks))
+            yield pd.DataFrame({"media_id": pdf["doc_id"].astype(str),
+                                "payload": payloads})
+
+    cue_media = docs.mapInPandas(
+        build, schema="media_id string, payload string")
+    cues = srt_cues(cue_media).select(
+        "media_id", "cue_idx",
+        F.col("start_ms").alias("c_lo"), F.col("end_ms").alias("c_hi"))
+    pairs = interval_join(segs, cues, "s_lo", "s_hi", "c_lo", "c_hi",
+                          bin_width=100, keys=["media_id"])
+    return pairs.select(
+        "media_id", "seg_idx", "cue_idx",
+        (F.least("s_hi", "c_hi") - F.greatest("s_lo", "c_lo"))
+        .cast("long").alias("overlap_ms"))
 
 
 def q_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5169,6 +5377,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_centroids": q_label_centroids,
         "feature_hash": q_feature_hash,
         "hash_retrieval": q_hash_retrieval,
+        "rrf_fusion": q_rrf_fusion,
+        "retrieval_eval": q_retrieval_eval,
+        "caption_align": q_caption_align,
         "centroid_outliers": q_centroid_outliers,
         "quality_calibration": q_quality_calibration,
         "code_corpus": q_code_corpus,
@@ -7862,58 +8073,75 @@ def oracle_sql() -> dict[str, str]:
         # hash_retrieval: doc + query hashed vectors re-derived, exact
         # integer dot/norms, one sqrt+division, rank on the rounded
         # cosine with doc_id tie-break
-        "hash_retrieval": r"""
-          WITH tl AS (
+        "hash_retrieval": _hash_retrieval_sql(),
+        # retrieval_eval: shared hash-ranking SQL + tf relevance, both
+        # DCG sums with the same log2 discount; ndcg divides the
+        # UNROUNDED sums (rounding only on publish)
+        "retrieval_eval": f"""
+          WITH ra AS (
+            SELECT doc_id, rank FROM ({_hash_retrieval_sql()})),
+          rel AS (
             SELECT doc_id,
-              CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
-                   ELSE string_split_regex(trim(text), '\s+') END AS tk
+              CAST(len(regexp_extract_all(lower(text), 'spark'))
+                   AS DOUBLE) AS rel
             FROM documents),
-          tok AS (SELECT doc_id, unnest(tk) AS t FROM tl),
-          h AS (
+          ranked AS (
+            SELECT r.rank,
+                   coalesce(rel.rel, 0) / log2(r.rank + 1) AS g
+            FROM ra r LEFT JOIN rel ON r.doc_id = rel.doc_id
+            WHERE r.rank <= 20),
+          ideal0 AS (
+            SELECT rel,
+                   row_number() OVER (ORDER BY rel DESC, doc_id ASC)
+                     AS rank
+            FROM rel WHERE rel > 0),
+          ideal AS (
+            SELECT rank, rel / log2(rank + 1) AS g
+            FROM ideal0 WHERE rank <= 20),
+          cuts AS (SELECT unnest([5, 10, 20]) AS cutoff),
+          d AS (SELECT c.cutoff, sum(ranked.g) AS dcg
+                FROM cuts c JOIN ranked ON ranked.rank <= c.cutoff
+                GROUP BY 1),
+          i AS (SELECT c.cutoff, sum(ideal.g) AS idcg
+                FROM cuts c JOIN ideal ON ideal.rank <= c.cutoff
+                GROUP BY 1)
+          SELECT CAST(c.cutoff AS INT) AS cutoff,
+                 round(coalesce(d.dcg, 0), 6) AS dcg,
+                 round(coalesce(i.idcg, 0), 6) AS idcg,
+                 round(CASE WHEN coalesce(i.idcg, 0) > 0
+                       THEN coalesce(d.dcg, 0) / i.idcg
+                       ELSE 0 END, 6) AS ndcg
+          FROM cuts c
+          LEFT JOIN d ON c.cutoff = d.cutoff
+          LEFT JOIN i ON c.cutoff = i.cutoff
+        """,
+        # rrf_fusion: the hash ranking embedded via the shared helper,
+        # the tf ranking re-derived, fused with 1/(60+rank)
+        "rrf_fusion": f"""
+          WITH ra AS (
+            SELECT doc_id, rank FROM ({_hash_retrieval_sql()})),
+          rb0 AS (
             SELECT doc_id,
-              ('0x' || substr(md5('fh|' || t), 1, 15))::BIGINT % 16 AS b,
-              CASE WHEN ('0x' || substr(md5('fs|' || t), 1, 15))::BIGINT
-                        % 2 = 0 THEN 1 ELSE -1 END AS sgn
-            FROM tok),
-          agg AS (SELECT doc_id, b, sum(sgn) AS v FROM h GROUP BY 1, 2),
-          frame AS (SELECT d.doc_id, g.b FROM documents d,
-                    (SELECT unnest(range(0, 16)) AS b) g),
-          dvec AS (
-            SELECT f.doc_id, f.b, coalesce(a.v, 0) AS v
-            FROM frame f LEFT JOIN agg a
-              ON f.doc_id = a.doc_id AND f.b = a.b),
-          qtok AS (SELECT unnest(['table', 'spark', 'data']) AS t),
-          qh AS (
-            SELECT
-              ('0x' || substr(md5('fh|' || t), 1, 15))::BIGINT % 16 AS b,
-              CASE WHEN ('0x' || substr(md5('fs|' || t), 1, 15))::BIGINT
-                        % 2 = 0 THEN 1 ELSE -1 END AS sgn
-            FROM qtok),
-          qagg AS (SELECT b, sum(sgn) AS v FROM qh GROUP BY 1),
-          qvec AS (
-            SELECT g.b, coalesce(q.v, 0) AS v
-            FROM (SELECT unnest(range(0, 16)) AS b) g
-            LEFT JOIN qagg q ON g.b = q.b),
-          nq AS (SELECT sum(v * v) AS nq FROM qvec),
-          dots AS (
-            SELECT d.doc_id, sum(d.v * q.v) AS dot,
-                   sum(d.v * d.v) AS nd
-            FROM dvec d JOIN qvec q ON d.b = q.b
-            GROUP BY 1),
-          scored AS (
-            SELECT doc_id,
-                   round(CAST(dot AS DOUBLE)
-                         / (sqrt(CAST(nd AS DOUBLE))
-                            * sqrt(CAST((SELECT nq FROM nq) AS DOUBLE))),
-                         6) AS cos
-            FROM dots WHERE nd > 0),
-          top AS (
-            SELECT doc_id, cos FROM scored
-            ORDER BY cos DESC, doc_id LIMIT 20)
-          SELECT doc_id, cos,
-                 CAST(row_number() OVER (ORDER BY cos DESC, doc_id) AS INT)
-                   AS rank
-          FROM top
+                   len(regexp_extract_all(lower(text), 'spark')) AS tf
+            FROM documents),
+          rb AS (
+            SELECT doc_id, rank FROM (
+              SELECT doc_id,
+                     row_number() OVER (ORDER BY tf DESC, doc_id ASC)
+                       AS rank
+              FROM rb0 WHERE tf > 0)
+            WHERE rank <= 20),
+          u AS (
+            SELECT doc_id, 1.0 / (60.0 + rank) AS c FROM ra
+            UNION ALL
+            SELECT doc_id, 1.0 / (60.0 + rank) AS c FROM rb),
+          agg AS (
+            SELECT doc_id, round(sum(c), 9) AS rrf_score
+            FROM u GROUP BY doc_id)
+          SELECT doc_id, rrf_score,
+                 CAST(row_number() OVER (ORDER BY rrf_score DESC,
+                                         doc_id ASC) AS INT) AS fused_rank
+          FROM agg
         """,
         # label_centroids: unnest per dim, double-cast before sum, same
         # rounding grid
@@ -8134,45 +8362,25 @@ def oracle_sql() -> dict[str, str]:
         # re-derives frame energies + the strict mean-square loudness
         # test, and groups loud runs with gaps-and-islands — nothing
         # about the operator's arithmetic is assumed
-        "audio_segments": """
-          WITH params AS (
-            SELECT doc_id, 2000 + (doc_id % 5) * 400 AS n FROM documents),
-          smp AS (
-            SELECT doc_id, unnest(range(0, n)) AS i FROM params),
-          sv AS (
-            SELECT doc_id, i // 200 AS f,
-              CASE WHEN ((i // 200) + doc_id) % 3 = 0
-                     OR ((i // 200) * (i // 200) + doc_id) % 7 = 0
-                   THEN (i % 9) - 4
-                   ELSE ((7 + doc_id % 5) * i) % 4096 - 2048
-              END AS s
-            FROM smp),
-          fr AS (
-            SELECT doc_id, f, sum(s * s) AS e, count(*) AS c
-            FROM sv GROUP BY doc_id, f),
-          loud AS (SELECT doc_id, f, e FROM fr WHERE e > 10000 * c),
-          isl AS (
-            SELECT doc_id, f, e,
-                   f - row_number() OVER (PARTITION BY doc_id ORDER BY f)
-                     AS grp
-            FROM loud),
-          seg AS (
-            SELECT doc_id, grp, min(f) AS start_frame,
-                   count(*) AS n_frames, sum(e) AS energy
-            FROM isl GROUP BY doc_id, grp),
-          num AS (
-            SELECT doc_id, start_frame, n_frames, energy,
-                   row_number() OVER (PARTITION BY doc_id
-                                      ORDER BY start_frame) - 1 AS seg_idx
-            FROM seg)
-          SELECT CAST(doc_id AS VARCHAR) AS media_id,
-                 CAST(seg_idx AS INT) AS seg_idx,
-                 CAST(start_frame AS INT) AS start_frame,
-                 CAST(n_frames AS INT) AS n_frames,
-                 CAST(start_frame * 25 AS BIGINT) AS start_ms,
-                 CAST((start_frame + n_frames) * 25 AS BIGINT) AS end_ms,
-                 CAST(energy AS BIGINT) AS energy, 'ok' AS status
-          FROM num
+        "audio_segments": _audio_segments_sql(),
+        # caption_align: shared segment SQL + closed-form cue extents,
+        # overlap condition and arithmetic re-derived
+        "caption_align": f"""
+          WITH segs AS (
+            SELECT media_id, seg_idx, start_ms AS s_lo, end_ms AS s_hi
+            FROM ({_audio_segments_sql()})),
+          cues AS (
+            SELECT CAST(d.doc_id AS VARCHAR) AS media_id,
+                   CAST(t.i + 1 AS INT) AS cue_idx,
+                   t.i * 120 + d.doc_id % 50 AS c_lo,
+                   t.i * 120 + d.doc_id % 50 + 140 AS c_hi
+            FROM (SELECT doc_id, 3 + doc_id % 3 AS nc FROM documents) d,
+                 unnest(range(0, d.nc)) AS t(i))
+          SELECT s.media_id, s.seg_idx, c.cue_idx,
+                 CAST(least(s.s_hi, c.c_hi) - greatest(s.s_lo, c.c_lo)
+                      AS BIGINT) AS overlap_ms
+          FROM segs s JOIN cues c ON s.media_id = c.media_id
+          WHERE s.s_lo < c.c_hi AND c.c_lo < s.s_hi
         """,
         # dHash: 72 closed-form block values per doc; bit bi compares
         # horizontally adjacent blocks (strict <), then the same

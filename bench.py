@@ -47,6 +47,7 @@ BENCH_QUERIES = [
     "embed_near_dup_lsh", "span_qa", "cosine_topk", "ann_topk", "ann_recall", "ann_topk_ivf", "ivf_recall",
     "semantic_dedup", "pq_encode", "pq_error", "ann_topk_ivfpq",
     "jl_project", "bitext_mine", "label_centroids", "centroid_outliers", "feature_hash", "hash_retrieval",
+    "rrf_fusion", "retrieval_eval",
     "text_stats", "repetition_stats", "quality_filter", "format_signals",
     "pii_scrub", "k_anonymity", "k_suppress",
     "mojibake_fix",
@@ -70,7 +71,8 @@ BENCH_QUERIES = [
     "redirect_resolve", "redirect_graph", "rel_links", "article_stitch",
     "reciprocal_links",
     "lang_mismatch", "pdf_text_fix", "host_lang_entropy",
-    "media_decode", "png_decode", "png_palette", "gif_structure", "srt_cues", "audio_decode", "frame_sample", "exif",
+    "media_decode", "png_decode", "png_palette", "gif_structure", "srt_cues",
+    "caption_align", "audio_decode", "frame_sample", "exif",
     "image_ahash", "ahash_near_dup", "image_dhash", "image_dedup",
     "audio_segments",
     "pricing_summary", "top_customers", "regional_revenue",
@@ -132,6 +134,19 @@ def main() -> None:
     # run 1; the median is the steady-state number)
     print(f"pages_pipeline: {timings['pages_pipeline']}s", file=sys.stderr)
     qs = entry_mod.queries()
+
+    def drop_persisted_blocks() -> None:
+        # localCheckpoint() RDDs (iterative operators: connected
+        # components, pagerank, label propagation, textrank, vector
+        # materialization) stay in the block manager until JVM GC —
+        # over 190 queries x 3 repeats they accumulate and degraded
+        # the tail of the run 6-29x (measured, bench_r4_190q).
+        # DataFrame.unpersist() does not reach checkpoint RDDs, so
+        # sweep the JVM-side persistent-RDD map between queries.
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        for rid in list(jmap.keySet().toArray()):
+            jmap.get(rid).unpersist()
+
     all_runs: dict[str, list[float]] = {}
     for name in BENCH_QUERIES:
         runs = []
@@ -140,6 +155,7 @@ def main() -> None:
             df = qs[name](spark, SF_DIR)
             n = df.count()  # force full execution
             runs.append(round(time.perf_counter() - t0, 3))
+        drop_persisted_blocks()
         runs.sort()
         all_runs[name] = runs
         timings[name] = runs[len(runs) // 2]

@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 from ocr_spark.functions.text import tokens
 
 __all__ = ["inverted_index", "corpus_stats", "bm25_topk", "posting_deltas",
-           "tfidf_cosine_pairs", "index_delta", "kwic_snippets"]
+           "tfidf_cosine_pairs", "index_delta", "kwic_snippets", "rrf_fuse", "ndcg_eval"]
 
 
 def inverted_index(df: DataFrame, text_col: str = "text",
@@ -398,3 +398,100 @@ def kwic_snippets(df: DataFrame, term: str, window: int = 3,
             ).alias("snippet"),
         )
     )
+
+
+def rrf_fuse(rankings: list[DataFrame], k: int = 60,
+             id_col: str = "doc_id", rank_col: str = "rank",
+             round_digits: int = 9) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack et al., SIGIR 2009): fuse any
+    number of top-k rankings into one list by
+    ``rrf(d) = sum over rankings of 1 / (k + rank_r(d))`` — the
+    standard zero-training hybrid-retrieval combiner (BM25 + dense
+    cosine is THE production pairing) that needs no score calibration
+    because it only consumes ranks.
+
+    Input DataFrames carry ``(id_col, rank_col)``; a document missing
+    from a ranking contributes nothing for it.  Output:
+    ``(id_col, rrf_score, fused_rank)`` with the deterministic
+    (score DESC, id ASC) tie-break.
+
+    Scale shape: the inputs are already top-k (tiny); the fusion is a
+    union + one hash aggregate + one rank window over the fused list —
+    bounded by k * n_rankings rows, never the corpus."""
+    from functools import reduce
+
+    from pyspark.sql import Window
+
+    parts = [
+        r.select(F.col(id_col).alias("_id"),
+                 (F.lit(1.0) / (F.lit(float(k)) + F.col(rank_col)
+                                .cast("double"))).alias("_c"))
+        for r in rankings
+    ]
+    u = reduce(lambda a, b: a.unionByName(b), parts)
+    agg = u.groupBy("_id").agg(
+        F.round(F.sum("_c"), round_digits).alias("rrf_score"))
+    w = Window.orderBy(F.col("rrf_score").desc(), F.col("_id").asc())
+    return agg.select(F.col("_id").alias(id_col), "rrf_score",
+                      F.row_number().over(w).alias("fused_rank"))
+
+
+def ndcg_eval(ranking: DataFrame, relevance: DataFrame,
+              cutoffs: tuple[int, ...] = (5, 10, 20),
+              id_col: str = "doc_id", rank_col: str = "rank",
+              rel_col: str = "rel",
+              round_digits: int = 6) -> DataFrame:
+    """Ranked-retrieval self-evaluation: nDCG@k of a ranking against a
+    graded relevance table — the metric that closes the retrieval
+    loop (postings/BM25/ANN produce rankings; this says whether they
+    are any good, per cutoff).  DCG uses the classic ``rel /
+    log2(rank+1)`` discount; IDCG re-ranks the relevance table
+    ideally with the deterministic (rel DESC, id ASC) tie-break.
+
+    Scale shape: the ranking is already top-k (tiny); the ideal list
+    comes from a distributed orderBy+limit(max cutoff) —
+    TakeOrderedAndProject, never a global window over the corpus —
+    and the per-cutoff sums run over <= max(cutoffs) rows."""
+    from pyspark.sql import Window
+
+    kmax = max(cutoffs)
+    rel = relevance.select(F.col(id_col).alias("_id"),
+                           F.col(rel_col).cast("double").alias("_rel"))
+    ranked = (
+        ranking.select(F.col(id_col).alias("_id"),
+                       F.col(rank_col).cast("int").alias("_rank"))
+        .where(F.col("_rank") <= kmax)
+        .join(rel, "_id", "left")
+        .select("_rank",
+                (F.coalesce("_rel", F.lit(0.0))
+                 / F.log2(F.col("_rank") + 1)).alias("_g"))
+    )
+    ideal = (
+        rel.where(F.col("_rel") > 0)
+        .orderBy(F.col("_rel").desc(), F.col("_id").asc())
+        .limit(kmax)
+    )
+    wi = Window.orderBy(F.col("_rel").desc(), F.col("_id").asc())
+    ideal = ideal.select(
+        F.row_number().over(wi).alias("_rank"),
+        (F.col("_rel") / F.log2(F.row_number().over(wi) + 1)).alias("_g"))
+    cuts = ranking.sparkSession.createDataFrame(
+        [(c,) for c in sorted(cutoffs)], "cutoff int")
+
+    def at(df: DataFrame, name: str) -> DataFrame:
+        return (cuts.crossJoin(df)
+                .where(F.col("_rank") <= F.col("cutoff"))
+                .groupBy("cutoff").agg(F.sum("_g").alias(name)))
+
+    j = (cuts.join(at(ranked, "dcg"), "cutoff", "left")
+         .join(at(ideal, "idcg"), "cutoff", "left")
+         .select("cutoff",
+                 F.round(F.coalesce("dcg", F.lit(0.0)),
+                         round_digits).alias("dcg"),
+                 F.round(F.coalesce("idcg", F.lit(0.0)),
+                         round_digits).alias("idcg"),
+                 F.round(F.when(F.coalesce("idcg", F.lit(0.0)) > 0,
+                                F.coalesce("dcg", F.lit(0.0))
+                                / F.col("idcg")).otherwise(F.lit(0.0)),
+                         round_digits).alias("ndcg")))
+    return j

@@ -37,7 +37,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join", "range_join"]
+__all__ = ["asof_join", "range_join", "interval_join"]
 
 
 def asof_join(left: DataFrame, right: DataFrame, key_col: str,
@@ -143,3 +143,42 @@ def range_join(points: DataFrame, intervals: DataFrame,
                 c, F.lit(None).cast(intervals.schema[c].dataType))
         return matched.unionByName(unmatched)
     raise ValueError(f"unsupported how={how!r}")
+
+
+def interval_join(left: DataFrame, right: DataFrame,
+                  l_lo: str, l_hi: str, r_lo: str, r_hi: str,
+                  bin_width: float, keys: list[str] | None = None) -> DataFrame:
+    """Interval-OVERLAP join: every (left, right) pair with
+    ``l_lo < r_hi AND r_lo < l_hi`` (half-open), optionally also
+    matching on equi-``keys`` (e.g. media_id).  Executed as fixed-
+    width binning + equi-join like :func:`range_join`; a pair sharing
+    several bins would duplicate, so each pair is emitted ONLY from
+    its canonical bin — the bin containing ``greatest(l_lo, r_lo)``
+    — which makes the output exactly-once WITHOUT a distinct (no
+    wide dedup shuffle, the same trick DuckDB/Postgres use for
+    band joins).
+
+    This is the alignment join multimodal pipelines need (subtitle
+    cues x detected speech segments, OCR boxes x layout regions):
+    Spark has no native interval-overlap strategy, and the naive
+    theta-join is a cartesian product per key."""
+    if bin_width <= 0:
+        raise ValueError("bin_width must be positive")
+    w = float(bin_width)
+    keys = keys or []
+
+    def binned(df: DataFrame, lo: str, hi: str) -> DataFrame:
+        return df.withColumn(
+            "_bin",
+            F.explode(F.sequence(
+                F.floor(F.col(lo) / w).cast("long"),
+                F.floor(F.col(hi) / w).cast("long"))))
+
+    l = binned(left, l_lo, l_hi)
+    r = binned(right, r_lo, r_hi)
+    overlap = (F.col(l_lo) < F.col(r_hi)) & (F.col(r_lo) < F.col(l_hi))
+    canonical = F.col("_bin") == F.floor(
+        F.greatest(F.col(l_lo), F.col(r_lo)) / w).cast("long")
+    return (l.join(r, ["_bin"] + keys)
+            .filter(overlap & canonical)
+            .drop("_bin"))

@@ -1769,3 +1769,70 @@ def test_label_propagation_path_graph(spark):
     # rounds node 2 saw 7 first; node 3 ties between 7 and 2 -> min 2
     assert got[3][0] in (2, 7)
     assert got[10] == (None, False) and got[11] == (None, False)
+
+
+def test_rrf_fuse_combines_rankings(spark):
+    """RRF: a doc ranked well in BOTH lists beats a doc that tops only
+    one; missing entries contribute nothing; tie-break by id."""
+    from ocr_spark.operators.index import rrf_fuse
+
+    ra = spark.createDataFrame([(1, 1), (2, 2), (3, 3)],
+                               "doc_id long, rank int")
+    rb = spark.createDataFrame([(2, 1), (9, 2), (3, 3)],
+                               "doc_id long, rank int")
+    out = {r["doc_id"]: (r["rrf_score"], r["fused_rank"])
+           for r in rrf_fuse([ra, rb]).collect()}
+    # doc 2: 1/62 + 1/61 beats doc 1: 1/61 alone and doc 3: 2/63
+    assert out[2][1] == 1
+    assert out[2][0] == round(1 / 62 + 1 / 61, 9)
+    assert out[1][0] == round(1 / 61, 9)
+    assert out[3][0] == round(2 / 63, 9)
+    assert len(out) == 4
+
+
+def test_ndcg_eval_known_values(spark):
+    """nDCG against hand-computed values: a perfect ranking scores 1.0
+    at every cutoff; swapping the top two docs lowers it; docs missing
+    from the relevance table gain nothing."""
+    import math
+
+    from ocr_spark.operators.index import ndcg_eval
+
+    rel = spark.createDataFrame(
+        [(1, 3), (2, 2), (3, 1)], "doc_id long, rel int")
+    perfect = spark.createDataFrame(
+        [(1, 1), (2, 2), (3, 3)], "doc_id long, rank int")
+    out = {r["cutoff"]: r["ndcg"]
+           for r in ndcg_eval(perfect, rel, cutoffs=(2, 3)).collect()}
+    assert out == {2: 1.0, 3: 1.0}
+
+    swapped = spark.createDataFrame(
+        [(2, 1), (1, 2), (99, 3)], "doc_id long, rank int")
+    got = {r["cutoff"]: r for r in
+           ndcg_eval(swapped, rel, cutoffs=(3,)).collect()}[3]
+    dcg = 2 / math.log2(2) + 3 / math.log2(3)          # doc 99: rel 0
+    idcg = 3 / math.log2(2) + 2 / math.log2(3) + 1 / math.log2(4)
+    assert got["dcg"] == round(dcg, 6)
+    assert got["ndcg"] == round(dcg / idcg, 6)
+    assert got["ndcg"] < 1.0
+
+
+def test_interval_join_exactly_once(spark):
+    """The canonical-bin trick must emit each overlapping pair exactly
+    ONCE even when intervals span many bins, and must include
+    touching-at-zero-width cases correctly (half-open semantics)."""
+    from ocr_spark.operators.temporal import interval_join
+
+    left = spark.createDataFrame(
+        [("m", 1, 0, 1000), ("m", 2, 950, 960), ("x", 3, 0, 100)],
+        "media_id string, lid int, lo long, hi long")
+    right = spark.createDataFrame(
+        [("m", 10, 500, 2000), ("m", 11, 1000, 1100), ("x", 12, 100, 200)],
+        "media_id string, rid int, rlo long, rhi long")
+    got = sorted((r["lid"], r["rid"]) for r in interval_join(
+        left, right, "lo", "hi", "rlo", "rhi", bin_width=7,
+        keys=["media_id"]).collect())
+    # (1,10) overlap 500-1000 spans many 7-wide bins -> exactly once;
+    # (1,11): [0,1000) vs [1000,1100) half-open -> NO overlap;
+    # (3,12): [0,100) vs [100,200) -> NO overlap
+    assert got == [(1, 10), (2, 10)]
