@@ -4958,6 +4958,63 @@ def q_rel_links(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id", "link_idx")
 
 
+def q_hreflang_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multilingual translation-group alignment, composed end-to-end
+    from REAL kernels: docs form 3-page translation clusters (group =
+    id div 3, langs en/de/fr by id % 3) whose pages each declare the
+    FULL member set via <link rel=alternate hreflang> (plus x-default
+    on the en member); the hreflang kernel (extractor/core.py:
+    extract_hreflang) parses the markup and hreflang_groups
+    (operators/web.py) reduces each page's own declaration to its
+    group identity — no graph traversal — and flags non-reciprocal
+    edges via one anti-join.  Planted defects the output must
+    separate: pages with id % 11 == 7 carry NO hreflang block (absent
+    from the output, and their group-mates' edges to them come back
+    non-reciprocal), and in groups with g % 7 == 0 the fr member
+    omits the de alternate (fracturing its own group_id to the en url
+    and making de's edge to fr one-directional).  The oracle rebuilds
+    the edge set arithmetically and mirrors the reduction."""
+    from ocr_spark.operators.extract import hreflang_pages
+    from ocr_spark.operators.web import hreflang_groups
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    LANGS = ("en", "de", "fr")
+
+    def build(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            htmls = []
+            for doc_id in pdf["doc_id"]:
+                g, m = doc_id // 3, doc_id % 3
+                parts = ["<html><head>"]
+                if doc_id % 11 != 7:
+                    for lang in LANGS:
+                        if g % 7 == 0 and m == 2 and lang == "de":
+                            continue
+                        parts.append(
+                            f'<link rel="alternate" hreflang="{lang}" '
+                            f'href="https://ml.example.com/{g}/{lang}">')
+                    if m == 0:
+                        parts.append(
+                            '<link rel="alternate" hreflang="x-default"'
+                            f' href="https://ml.example.com/{g}/en">')
+                parts.append("</head><body><p>x</p></body></html>")
+                htmls.append("".join(parts).encode())
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "html": htmls})
+
+    pages = docs.mapInPandas(build, schema="doc_id long, html binary")
+    links = hreflang_pages(pages, payload_col="html",
+                           passthrough=("doc_id",))
+    page_url = F.concat(
+        F.lit("https://ml.example.com/"),
+        (F.col("doc_id") / 3).cast("long").cast("string"), F.lit("/"),
+        F.element_at(F.array(*[F.lit(x) for x in LANGS]),
+                     (F.col("doc_id") % 3 + 1).cast("int")))
+    return (hreflang_groups(links.withColumn("url", page_url))
+            .orderBy("url"))
+
+
 def q_article_stitch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-page article reassembly, composed end-to-end from REAL
     kernels: docs form 4-page pagination chains (<link rel="next">
@@ -5351,6 +5408,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redirect_resolve": q_redirect_resolve,
         "microdata": q_microdata,
         "rel_links": q_rel_links,
+        "hreflang_clusters": q_hreflang_clusters,
         "article_stitch": q_article_stitch,
         "bpe_encode": q_bpe_encode,
         "redirect_graph": q_redirect_graph,
@@ -9279,6 +9337,47 @@ def oracle_sql() -> dict[str, str]:
           SELECT doc_id, 1 + hn + 2 * ha, 'nofollow',
                  'https://out.example.com/' || (doc_id % 7) FROM f
           ORDER BY doc_id, link_idx
+        """,
+        # the edge set is a closed-form function of (doc_id): rebuild
+        # it with a 3-lang cross join minus the planted omissions,
+        # then mirror the per-page reduction + reciprocity anti-join
+        "hreflang_clusters": """
+          WITH d AS (
+            SELECT doc_id, doc_id // 3 AS g, doc_id % 3 AS m,
+                   CASE doc_id % 3 WHEN 0 THEN 'en'
+                                   WHEN 1 THEN 'de' ELSE 'fr' END AS lang
+            FROM documents WHERE doc_id % 11 <> 7),
+          self AS (
+            SELECT *, 'https://ml.example.com/' || g || '/' || lang
+                        AS url
+            FROM d),
+          edges AS (
+            SELECT s.url, s.m, t.alang AS hreflang,
+                   'https://ml.example.com/' || s.g || '/' || t.alang
+                     AS href
+            FROM self s
+            CROSS JOIN (VALUES ('en'), ('de'), ('fr')) AS t(alang)
+            WHERE NOT (s.g % 7 = 0 AND s.m = 2 AND t.alang = 'de')),
+          per_page AS (
+            SELECT url, min(href) AS group_id,
+                   CAST(count(DISTINCT hreflang) AS BIGINT) AS n_langs,
+                   max(CASE WHEN href = url THEN hreflang END)
+                     AS page_lang,
+                   min(m) = 0 AS has_x_default
+            FROM edges GROUP BY url),
+          out_edges AS (
+            SELECT DISTINCT url AS src, href AS dst FROM edges
+            WHERE href <> url),
+          nonrecip AS (
+            SELECT o.src, CAST(count(*) AS BIGINT) AS n
+            FROM out_edges o
+            LEFT JOIN out_edges r ON r.src = o.dst AND r.dst = o.src
+            WHERE r.src IS NULL GROUP BY o.src)
+          SELECT p.url, p.page_lang, p.group_id, p.n_langs,
+                 p.has_x_default,
+                 COALESCE(n.n, CAST(0 AS BIGINT)) AS n_nonreciprocal
+          FROM per_page p LEFT JOIN nonrecip n ON n.src = p.url
+          ORDER BY p.url
         """,
         # planted group structure: series = id div 4, keyed by the
         # group's LAST page, texts concatenated in id order

@@ -1111,6 +1111,48 @@ def extract_rel_links(payload: bytes) -> list[dict]:
             for i, (rel, href) in enumerate(p.pairs)]
 
 
+class _HreflangParser(HTMLParser):
+    """Collects ``<link rel="alternate" hreflang=... href=...>``
+    annotations in document order — the language/region alternate
+    declarations (Google's hreflang convention) that tie a page to its
+    translations.  Only ``<link>`` elements whose rel token set
+    contains ``alternate`` AND that carry both attributes qualify;
+    hreflang values are lowercased (BCP-47 matching is
+    case-insensitive), hrefs kept verbatim like the rel-link kernel."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.rows: list[tuple[str, str]] = []
+
+    def handle_starttag(self, tag, attrs):
+        if tag != "link":
+            return
+        d = dict(attrs)
+        rel = (d.get("rel") or "").lower().split()
+        hl, href = d.get("hreflang"), d.get("href")
+        if "alternate" not in rel or hl is None or href is None:
+            return
+        self.rows.append((hl.strip().lower(), href.strip()))
+
+
+def extract_hreflang(payload: bytes) -> list[dict]:
+    """HTML bytes -> the page's hreflang alternate declarations, one
+    dict per ``<link rel=alternate hreflang href>`` with ``link_idx``
+    in document order.  These drive multilingual page-group alignment
+    (each translation cluster declares its full member set, including
+    itself, per the hreflang convention) — the upstream kernel under
+    :func:`ocr_spark.operators.web.hreflang_groups`.  Undecodable
+    payloads -> no rows."""
+    try:
+        decoded, _codec = decode_html(payload)
+        p = _HreflangParser()
+        p.feed(decoded)
+    except Exception:
+        return []
+    return [{"link_idx": i, "hreflang": hl, "href": href}
+            for i, (hl, href) in enumerate(p.rows)]
+
+
 # Microdata value sources per the WHATWG/schema.org spec: URL-carrying
 # elements contribute an attribute, everything else its text content.
 _MD_VOID_TAGS = frozenset({

@@ -410,6 +410,60 @@ def rel_links_pages(
     return df.select(*cols).mapInArrow(kernel, schema=out_schema)
 
 
+HREFLANG_RESULT_FIELDS = [
+    T.StructField("link_idx", T.IntegerType(), True),
+    T.StructField("hreflang", T.StringType(), True),
+    T.StructField("href", T.StringType(), True),
+]
+
+
+def hreflang_pages(
+    df: DataFrame,
+    payload_col: str = "html",
+    passthrough: tuple[str, ...] = ("url",),
+) -> DataFrame:
+    """hreflang alternate declarations per page (``<link
+    rel="alternate" hreflang href>`` -> ``(link_idx, hreflang, href)``
+    rows): the extraction surface under multilingual translation-group
+    alignment (:func:`ocr_spark.operators.web.hreflang_groups`);
+    extracted by ``extractor.core.extract_hreflang``.
+
+    Same Arrow discipline as the rel-link kernel: one batched pass,
+    passthrough repeated per emitted row, the binary payload never
+    shuffles."""
+    from ocr_spark.extractor.core import extract_hreflang
+
+    cols = list(passthrough) + [payload_col]
+    out_schema = T.StructType(
+        [df.schema[c] for c in passthrough] + HREFLANG_RESULT_FIELDS
+    )
+
+    def kernel(batches):
+        import pyarrow as pa  # executor-side import
+
+        for batch in batches:
+            payloads = batch.column(len(cols) - 1).to_pylist()
+            idx: list[int] = []
+            fields = {f.name: [] for f in HREFLANG_RESULT_FIELDS}
+            for rowno, payload in enumerate(payloads):
+                for row in extract_hreflang(
+                        payload if payload is not None else b""):
+                    idx.append(rowno)
+                    for k in fields:
+                        fields[k].append(row[k])
+            arrays = [batch.column(i).take(pa.array(idx, pa.int64()))
+                      for i in range(len(passthrough))]
+            names = list(passthrough)
+            pa_types = {"link_idx": pa.int32(), "hreflang": pa.string(),
+                        "href": pa.string()}
+            for f in HREFLANG_RESULT_FIELDS:
+                arrays.append(pa.array(fields[f.name], pa_types[f.name]))
+                names.append(f.name)
+            yield pa.RecordBatch.from_arrays(arrays, names)
+
+    return df.select(*cols).mapInArrow(kernel, schema=out_schema)
+
+
 MICRODATA_RESULT_FIELDS = [
     T.StructField("item_idx", T.IntegerType(), True),
     T.StructField("item_type", T.StringType(), True),

@@ -1399,3 +1399,61 @@ def label_propagation(edges: DataFrame, seeds: DataFrame, n_iter: int = 3,
         .select("node", "label",
                 F.col("seed_label").isNotNull().alias("is_seed"))
     )
+
+
+def hreflang_groups(links: DataFrame, url_col: str = "url",
+                    lang_col: str = "hreflang",
+                    href_col: str = "href") -> DataFrame:
+    """Multilingual translation-group alignment from hreflang
+    alternate declarations (one input row per ``<link rel=alternate
+    hreflang>`` as emitted by ``extract.hreflang_pages``): per page,
+    the group identity, its declared language, and how well-formed its
+    declarations are.
+
+    Under the hreflang convention every member of a translation
+    cluster declares the FULL member set including itself, so group
+    identity is a per-page-local reduction — ``min(href)`` over the
+    page's own non-x-default alternates — and needs NO graph
+    traversal: pages with identical (well-formed) declarations land in
+    the same group by construction, and a page whose declaration
+    deviates (missing members) fractures out visibly instead of
+    corrupting its neighbours.  Deviations are additionally surfaced
+    as ``n_nonreciprocal``: the page's outgoing alternates (to other
+    urls, x-default excluded) that no page declares back.
+
+    Output per page: (url, page_lang, group_id, n_langs,
+    has_x_default, n_nonreciprocal).  ``page_lang`` is the hreflang of
+    the self-referencing alternate (NULL if the page omits itself).
+
+    Scale: rows are skinny (url, lang, href) strings; ONE groupBy on
+    url for the per-page reduction plus one distinct + anti-join on
+    (src, dst) for reciprocity — no component iteration, no html.  At
+    10^12 pages the anti-join is the only O(edges) exchange and both
+    sides are the same deduplicated projection (AQE handles the skew
+    of hub-less hreflang sets; clusters are bounded by the language
+    count, so no hot keys by construction)."""
+    is_alt = F.col(lang_col) != "x-default"
+    per_page = links.groupBy(url_col).agg(
+        F.min(F.when(is_alt, F.col(href_col))).alias("group_id"),
+        F.countDistinct(F.when(is_alt, F.col(lang_col))).alias("n_langs"),
+        F.max(F.when(is_alt & (F.col(href_col) == F.col(url_col)),
+                     F.col(lang_col))).alias("page_lang"),
+        F.max((~is_alt).cast("int")).cast("boolean")
+         .alias("has_x_default"),
+    )
+    out_edges = (links.filter(is_alt
+                              & (F.col(href_col) != F.col(url_col)))
+                 .select(F.col(url_col).alias("src"),
+                         F.col(href_col).alias("dst"))
+                 .distinct())
+    rev = out_edges.select(F.col("dst").alias("src"),
+                           F.col("src").alias("dst"))
+    nonrecip = (out_edges.join(rev, ["src", "dst"], "left_anti")
+                .groupBy("src").agg(F.count("*").alias("n_nonreciprocal")))
+    return (per_page
+            .join(nonrecip, per_page[url_col] == nonrecip["src"], "left")
+            .drop("src")
+            .withColumn("n_nonreciprocal",
+                        F.coalesce("n_nonreciprocal", F.lit(0)))
+            .select(url_col, "page_lang", "group_id", "n_langs",
+                    "has_x_default", "n_nonreciprocal"))

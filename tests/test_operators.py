@@ -1836,3 +1836,41 @@ def test_interval_join_exactly_once(spark):
     # (1,11): [0,1000) vs [1000,1100) half-open -> NO overlap;
     # (3,12): [0,100) vs [100,200) -> NO overlap
     assert got == [(1, 10), (2, 10)]
+
+
+def test_hreflang_kernel_and_groups(spark):
+    """Kernel: only <link rel~=alternate hreflang href> rows, rel
+    token-set matched, hreflang lowercased, undecodable -> no rows.
+    Grouping: well-formed 2-page cluster shares group_id; a page that
+    omits a member fractures its own group only; x-default excluded
+    from n_langs/group_id; edges to a silent page count
+    non-reciprocal."""
+    from ocr_spark.extractor.core import extract_hreflang
+    from ocr_spark.operators.web import hreflang_groups
+
+    html = (b'<html><head>'
+            b'<link rel="alternate stylesheet" hreflang="EN-us" href="/a">'
+            b'<link rel="alternate" href="/nolang">'
+            b'<a rel="alternate" hreflang="de" href="/not-a-link">x</a>'
+            b'<link rel="next" hreflang="fr" href="/not-alternate">'
+            b'</head></html>')
+    rows = extract_hreflang(html)
+    assert rows == [{"link_idx": 0, "hreflang": "en-us", "href": "/a"}]
+    assert extract_hreflang(b"\xff\xfe\x00\xd8 not html \x00") in ([], [
+    ]) and extract_hreflang(b"") == []
+
+    # A<->B well-formed (+x-default on A); C declares B but B doesn't
+    # declare C; C also omits itself (page_lang NULL).
+    links = spark.createDataFrame(
+        [("A", "en", "A"), ("A", "de", "B"), ("A", "x-default", "A"),
+         ("B", "en", "A"), ("B", "de", "B"),
+         ("C", "de", "B")],
+        "url string, hreflang string, href string")
+    got = {r["url"]: r.asDict() for r in hreflang_groups(links).collect()}
+    assert got["A"]["group_id"] == "A" and got["B"]["group_id"] == "A"
+    assert got["A"]["n_langs"] == 2 and got["A"]["has_x_default"]
+    assert got["A"]["page_lang"] == "en" and got["B"]["page_lang"] == "de"
+    assert got["A"]["n_nonreciprocal"] == 0
+    assert got["B"]["n_nonreciprocal"] == 0
+    assert got["C"]["page_lang"] is None and not got["C"]["has_x_default"]
+    assert got["C"]["group_id"] == "B" and got["C"]["n_nonreciprocal"] == 1
