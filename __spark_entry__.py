@@ -5015,6 +5015,74 @@ def q_hreflang_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("url"))
 
 
+def q_publish_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Publish-date extraction with htmldate-style source precedence
+    (extractor/core.py: extract_publish_date + operators/extract.py:
+    publish_date_pages): docs plant overlapping signals with DISTINCT
+    dates per source — JSON-LD datePublished (id % 3 == 0, but
+    INVALID 'not-a-date' when id % 21 == 6, which must fall through),
+    article:published_time meta (id % 2 == 0), first <time datetime>
+    (id % 5 != 4), and a /YYYY/MM/DD/ url path (id % 7 < 3, resolved
+    JVM-side with regexp + try_to_date, no Python) — so the winning
+    (source, date) pair per doc certifies the whole precedence chain.
+    The oracle rebuilds each source's date arithmetically and mirrors
+    the CASE ladder."""
+    import datetime as _dt
+
+    from ocr_spark.operators.extract import publish_date_pages
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def build(batches):
+        import pandas as pd
+
+        base_a = _dt.date(2020, 1, 1)
+        base_b = _dt.date(2021, 1, 1)
+        base_c = _dt.date(2019, 6, 15)
+        base_d = _dt.date(2018, 3, 1)
+        day = _dt.timedelta(days=1)
+        for pdf in batches:
+            urls, htmls = [], []
+            for doc_id in pdf["doc_id"]:
+                parts = ["<html><head>"]
+                if doc_id % 3 == 0:
+                    raw_a = ("not-a-date" if doc_id % 21 == 6 else
+                             (base_a + day * (doc_id % 997)).isoformat()
+                             + "T10:00:00Z")
+                    parts.append(
+                        '<script type="application/ld+json">'
+                        '{"@context":"https://schema.org",'
+                        '"@type":"NewsArticle",'
+                        f'"datePublished":"{raw_a}"}}</script>')
+                if doc_id % 2 == 0:
+                    raw_b = ((base_b + day * (doc_id % 499)).isoformat()
+                             + "T08:30:00+00:00")
+                    parts.append('<meta property='
+                                 '"article:published_time" '
+                                 f'content="{raw_b}">')
+                parts.append("</head><body>")
+                if doc_id % 5 != 4:
+                    raw_c = (base_c + day * (doc_id % 199)).isoformat()
+                    parts.append(f'<time datetime="{raw_c}">when</time>')
+                parts.append("<p>x</p></body></html>")
+                if doc_id % 7 < 3:
+                    d = base_d + day * (doc_id % 299)
+                    url = (f"https://news.example.com/{d.year}/"
+                           f"{d.month:02d}/{d.day:02d}/a{doc_id}")
+                else:
+                    url = f"https://news.example.com/a/{doc_id}"
+                urls.append(url)
+                htmls.append("".join(parts).encode())
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "url": urls,
+                                "html": htmls})
+
+    pages = docs.mapInPandas(
+        build, schema="doc_id long, url string, html binary")
+    return publish_date_pages(pages, payload_col="html", url_col="url",
+                              passthrough=("doc_id", "url")) \
+        .orderBy("doc_id")
+
+
 def q_article_stitch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-page article reassembly, composed end-to-end from REAL
     kernels: docs form 4-page pagination chains (<link rel="next">
@@ -5409,6 +5477,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "microdata": q_microdata,
         "rel_links": q_rel_links,
         "hreflang_clusters": q_hreflang_clusters,
+        "publish_date": q_publish_date,
         "article_stitch": q_article_stitch,
         "bpe_encode": q_bpe_encode,
         "redirect_graph": q_redirect_graph,
@@ -9378,6 +9447,46 @@ def oracle_sql() -> dict[str, str]:
                  COALESCE(n.n, CAST(0 AS BIGINT)) AS n_nonreciprocal
           FROM per_page p LEFT JOIN nonrecip n ON n.src = p.url
           ORDER BY p.url
+        """,
+        # each source's date is closed-form in doc_id; the CASE ladder
+        # mirrors the kernel's precedence incl. the invalid-jsonld
+        # fall-through and the url-path fallback
+        "publish_date": """
+          WITH d AS (
+            SELECT doc_id,
+              DATE '2020-01-01' + CAST(doc_id % 997 AS INTEGER) AS da,
+              DATE '2021-01-01' + CAST(doc_id % 499 AS INTEGER) AS db,
+              DATE '2019-06-15' + CAST(doc_id % 199 AS INTEGER) AS dc,
+              DATE '2018-03-01' + CAST(doc_id % 299 AS INTEGER) AS dd,
+              doc_id % 3 = 0 AND doc_id % 21 <> 6 AS has_j,
+              doc_id % 2 = 0 AS has_m,
+              doc_id % 5 <> 4 AS has_t,
+              doc_id % 7 < 3 AS has_u
+            FROM documents),
+          s AS (
+            SELECT doc_id,
+              CASE WHEN has_u
+                   THEN 'https://news.example.com/'
+                        || strftime(dd, '%Y/%m/%d') || '/a' || doc_id
+                   ELSE 'https://news.example.com/a/' || doc_id
+              END AS url,
+              CASE WHEN has_j THEN 'jsonld'
+                   WHEN has_m THEN 'meta'
+                   WHEN has_t THEN 'time'
+                   WHEN has_u THEN 'url' END AS source,
+              CASE WHEN has_j
+                     THEN strftime(da, '%Y-%m-%d') || 'T10:00:00Z'
+                   WHEN has_m
+                     THEN strftime(db, '%Y-%m-%d') || 'T08:30:00+00:00'
+                   WHEN has_t THEN strftime(dc, '%Y-%m-%d')
+                   WHEN has_u THEN strftime(dd, '%Y/%m/%d')
+              END AS published_raw,
+              CASE WHEN has_j THEN da WHEN has_m THEN db
+                   WHEN has_t THEN dc WHEN has_u THEN dd
+              END AS published
+            FROM d)
+          SELECT doc_id, url, source, published_raw, published
+          FROM s ORDER BY doc_id
         """,
         # planted group structure: series = id div 4, keyed by the
         # group's LAST page, texts concatenated in id order

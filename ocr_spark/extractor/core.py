@@ -1153,6 +1153,111 @@ def extract_hreflang(payload: bytes) -> list[dict]:
             for i, (hl, href) in enumerate(p.rows)]
 
 
+def _iso_date(s: str | None):
+    """First 10 chars as a VALID ISO date (YYYY-MM-DD) or None — the
+    shared validator under publish-date precedence (a syntactically
+    present but invalid date falls through to the next source)."""
+    import datetime as _dt
+
+    if not s or len(s) < 10:
+        return None
+    head = s[:10]
+    if len(s) > 10 and s[10] not in ("T", " "):
+        return None
+    try:
+        return _dt.date.fromisoformat(head)
+    except ValueError:
+        return None
+
+
+class _PublishDateParser(HTMLParser):
+    """Collects the three in-markup publish-date signals in one pass:
+    JSON-LD ``datePublished`` (script type=application/ld+json, top
+    level or inside @graph), ``<meta property="article:published_time"
+    content>`` (Open Graph article tags), and the first ``<time
+    datetime>``.  Precedence is applied by the caller."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.jsonld_raw: str | None = None
+        self.meta_raw: str | None = None
+        self.time_raw: str | None = None
+        self._in_ldjson = False
+        self._buf: list[str] = []
+
+    def handle_starttag(self, tag, attrs):
+        d = dict(attrs)
+        if (tag == "script"
+                and (d.get("type") or "").lower().strip()
+                == "application/ld+json"):
+            self._in_ldjson = True
+            self._buf = []
+        elif (tag == "meta"
+                and (d.get("property") or "").lower()
+                == "article:published_time"
+                and self.meta_raw is None and d.get("content")):
+            self.meta_raw = d["content"].strip()
+        elif (tag == "time" and self.time_raw is None
+                and d.get("datetime")):
+            self.time_raw = d["datetime"].strip()
+
+    def handle_data(self, data):
+        if self._in_ldjson:
+            self._buf.append(data)
+
+    def handle_endtag(self, tag):
+        if tag == "script" and self._in_ldjson:
+            self._in_ldjson = False
+            if self.jsonld_raw is not None:
+                return
+            import json as _json
+
+            try:
+                obj = _json.loads("".join(self._buf))
+            except Exception:
+                return
+            nodes = obj if isinstance(obj, list) else [obj]
+            expanded: list = []
+            for n in nodes:
+                if isinstance(n, dict):
+                    expanded.append(n)
+                    g = n.get("@graph")
+                    if isinstance(g, list):
+                        expanded.extend(x for x in g if isinstance(x, dict))
+            for n in expanded:
+                v = n.get("datePublished")
+                if isinstance(v, str) and v.strip():
+                    self.jsonld_raw = v.strip()
+                    return
+
+
+def extract_publish_date(payload: bytes) -> dict:
+    """HTML bytes -> the page's publish date from in-markup signals
+    with htmldate-style source precedence: JSON-LD ``datePublished``
+    > ``article:published_time`` meta > first ``<time datetime>``.
+    A source whose value is not a valid ISO date (YYYY-MM-DD prefix)
+    falls through to the next.  Returns ``{"source", "published_raw",
+    "published"}`` (all None when no source yields a valid date, or on
+    undecodable payloads).  URL-path fallback (/YYYY/MM/DD/) is the
+    operator's job JVM-side (``operators/extract.py:
+    publish_date_pages``) — it needs no Python."""
+    none = {"source": None, "published_raw": None, "published": None}
+    try:
+        decoded, _codec = decode_html(payload)
+        p = _PublishDateParser()
+        p.feed(decoded)
+        p.close()
+    except Exception:
+        return none
+    for source, raw in (("jsonld", p.jsonld_raw), ("meta", p.meta_raw),
+                        ("time", p.time_raw)):
+        d = _iso_date(raw)
+        if d is not None:
+            return {"source": source, "published_raw": raw,
+                    "published": d}
+    return none
+
+
 # Microdata value sources per the WHATWG/schema.org spec: URL-carrying
 # elements contribute an attribute, everything else its text content.
 _MD_VOID_TAGS = frozenset({

@@ -1874,3 +1874,45 @@ def test_hreflang_kernel_and_groups(spark):
     assert got["B"]["n_nonreciprocal"] == 0
     assert got["C"]["page_lang"] is None and not got["C"]["has_x_default"]
     assert got["C"]["group_id"] == "B" and got["C"]["n_nonreciprocal"] == 1
+
+
+def test_publish_date_precedence(spark):
+    """Kernel precedence jsonld > meta > time with invalid-date
+    fall-through; @graph nesting honored; operator applies the
+    url-path fallback ONLY when markup yields nothing, and an
+    invalid url date (2018-02-30) yields all-NULL."""
+    import datetime as dt
+
+    from ocr_spark.extractor.core import extract_publish_date
+    from ocr_spark.operators.extract import publish_date_pages
+
+    meta = (b'<meta property="article:published_time" '
+            b'content="2021-05-06T08:00:00Z">')
+    jl = (b'<script type="application/ld+json">{"@graph":[{"@type":'
+          b'"WebSite"},{"@type":"Article","datePublished":'
+          b'"2020-02-03T10:00:00Z"}]}</script>')
+    both = b"<html><head>" + jl + meta + b"</head></html>"
+    r = extract_publish_date(both)
+    assert (r["source"], str(r["published"])) == ("jsonld", "2020-02-03")
+    bad_jl = both.replace(b"2020-02-03T10:00:00Z", b"Feb 3, 2020")
+    r = extract_publish_date(bad_jl)
+    assert (r["source"], str(r["published"])) == ("meta", "2021-05-06")
+    t = b'<html><body><time datetime="2019-01-02">x</time></body></html>'
+    assert extract_publish_date(t)["source"] == "time"
+    assert extract_publish_date(b"<html></html>")["source"] is None
+
+    df = spark.createDataFrame(
+        [(1, "https://n.ex/2018/03/05/a1", bytearray(both)),
+         (2, "https://n.ex/2018/03/05/a2", bytearray(b"<html></html>")),
+         (3, "https://n.ex/2018/02/30/a3", bytearray(b"<html></html>")),
+         (4, "https://n.ex/about", bytearray(b"<html></html>"))],
+        "doc_id long, url string, html binary")
+    got = {r["doc_id"]: r.asDict()
+           for r in publish_date_pages(
+               df, passthrough=("doc_id", "url")).collect()}
+    assert got[1]["source"] == "jsonld"  # markup beats url path
+    assert (got[2]["source"], str(got[2]["published"]),
+            got[2]["published_raw"]) == ("url", "2018-03-05",
+                                         "2018/03/05")
+    assert got[3]["source"] is None and got[3]["published"] is None
+    assert got[4]["source"] is None
