@@ -5083,6 +5083,22 @@ def q_publish_date(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id")
 
 
+def q_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyphrase extraction (operators/index.py:rake_keyphrases)
+    over the documents table: top-3 distinct candidate phrases per doc
+    by the degree/frequency word-score sum, with the integer
+    milli-unit quantization contract (floor-divide each word's
+    deg*1000/freq BEFORE summing) so the oracle — a full second RAKE
+    implementation in SQL — matches bit-for-bit with no float
+    tolerance.  The corpus's natural 'a'/'the' occurrences are the
+    phrase delimiters."""
+    from ocr_spark.operators.index import rake_keyphrases
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return (rake_keyphrases(docs, k=3)
+            .orderBy("doc_id", "rank"))
+
+
 def q_article_stitch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-page article reassembly, composed end-to-end from REAL
     kernels: docs form 4-page pagination chains (<link rel="next">
@@ -5478,6 +5494,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_links": q_rel_links,
         "hreflang_clusters": q_hreflang_clusters,
         "publish_date": q_publish_date,
+        "rake_keyphrases": q_rake_keyphrases,
         "article_stitch": q_article_stitch,
         "bpe_encode": q_bpe_encode,
         "redirect_graph": q_redirect_graph,
@@ -9487,6 +9504,57 @@ def oracle_sql() -> dict[str, str]:
             FROM d)
           SELECT doc_id, url, source, published_raw, published
           FROM s ORDER BY doc_id
+        """,
+        # a full second RAKE implementation: same stopword delimiter
+        # regex, same integer milli-unit quantization, ties on the
+        # phrase string — no float tolerance anywhere
+        "rake_keyphrases": r"""
+          WITH segs AS (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(
+                     regexp_replace(lower(text), '\s+', ' ', 'g'),
+                     '(?:[^a-z0-9 ]+|\b(?:a|an|and|the|of|to|in|is|on|for)\b)'
+                   )) AS seg
+            FROM documents),
+          ph AS (
+            SELECT doc_id,
+                   trim(regexp_replace(seg, '\s+', ' ', 'g')) AS phrase
+            FROM segs
+            WHERE trim(regexp_replace(seg, '\s+', ' ', 'g')) <> ''),
+          w AS (
+            SELECT doc_id, len(string_split(phrase, ' ')) AS plen,
+                   unnest(string_split(phrase, ' ')) AS word
+            FROM ph),
+          stats AS (
+            SELECT doc_id, word, count(*) AS freq, sum(plen) AS deg
+            FROM w GROUP BY doc_id, word),
+          dph AS (
+            SELECT doc_id, phrase, count(*) AS n_occ
+            FROM ph GROUP BY doc_id, phrase),
+          dw AS (
+            SELECT doc_id, phrase, n_occ,
+                   CAST(len(string_split(phrase, ' ')) AS BIGINT)
+                     AS n_words,
+                   unnest(string_split(phrase, ' ')) AS word
+            FROM dph),
+          sc AS (
+            SELECT d.doc_id, d.phrase,
+                   CAST(max(d.n_occ) AS BIGINT) AS n_occ,
+                   max(d.n_words) AS n_words,
+                   CAST(sum((s.deg * 1000) // s.freq) AS BIGINT)
+                     AS score_milli
+            FROM dw d
+            JOIN stats s ON s.doc_id = d.doc_id AND s.word = d.word
+            GROUP BY d.doc_id, d.phrase),
+          ranked AS (
+            SELECT *, CAST(row_number() OVER (
+                     PARTITION BY doc_id
+                     ORDER BY score_milli DESC, phrase) AS INTEGER)
+                   AS rank
+            FROM sc)
+          SELECT doc_id, rank, phrase, n_words, n_occ, score_milli
+          FROM ranked WHERE rank <= 3
+          ORDER BY doc_id, rank
         """,
         # planted group structure: series = id div 4, keyed by the
         # group's LAST page, texts concatenated in id order

@@ -59,7 +59,7 @@ BENCH_QUERIES = [
     "postings", "posting_deltas", "snippets", "corpus_stats", "crawl_delta", "dist_drift", "index_delta",
     "capture_history",
     "asof_join", "range_join", "bm25", "search_results", "doc_attributes",
-    "sentences", "textrank", "domain_quality", "sitemap", "feed", "incremental_extract", "canonical_collapse",
+    "sentences", "textrank", "rake_keyphrases", "domain_quality", "sitemap", "feed", "incremental_extract", "canonical_collapse",
     "lm_score", "tfidf", "ccnet_buckets", "soft404", "entropy", "content_type", "code_corpus", "quality_calibration", "stratified_sample", "epoch_mix",
     "dsir_select", "cluster_best", "weighted_sample", "epoch_shuffle",
     "data_split", "bloom_dedup", "token_budget_mix", "length_buckets",

@@ -23,7 +23,8 @@ from pyspark.sql import functions as F
 from ocr_spark.functions.text import tokens
 
 __all__ = ["inverted_index", "corpus_stats", "bm25_topk", "posting_deltas",
-           "tfidf_cosine_pairs", "index_delta", "kwic_snippets", "rrf_fuse", "ndcg_eval"]
+           "tfidf_cosine_pairs", "index_delta", "kwic_snippets", "rrf_fuse", "ndcg_eval",
+           "rake_keyphrases"]
 
 
 def inverted_index(df: DataFrame, text_col: str = "text",
@@ -495,3 +496,64 @@ def ndcg_eval(ranking: DataFrame, relevance: DataFrame,
                                 / F.col("idcg")).otherwise(F.lit(0.0)),
                          round_digits).alias("ndcg")))
     return j
+
+
+RAKE_STOPWORDS = ("a", "an", "and", "the", "of", "to", "in", "is",
+                  "on", "for")
+
+
+def rake_keyphrases(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text", k: int = 3,
+                    stopwords: tuple[str, ...] = RAKE_STOPWORDS
+                    ) -> DataFrame:
+    """RAKE keyphrase extraction (Rose et al. 2010): candidate phrases
+    are the maximal runs between stopwords/punctuation; each word
+    scores deg(w)/freq(w) within its document (deg = summed length of
+    the phrases containing it, freq = its occurrence count); a phrase
+    scores the sum of its words' scores; top-k DISTINCT phrases per
+    document win.
+
+    Determinism contract: per-word scores are quantized to exact
+    integer milli-units with floor division BEFORE summing
+    (``score_milli = sum((deg*1000) div freq)``), so the published
+    score and the ranking are integer arithmetic end-to-end — no
+    float-summation-order sensitivity between executors (or between
+    this engine and a SQL oracle).  Ties break on the phrase string.
+
+    Plan shape: all splitting/trimming is JVM regexp on the normalized
+    text; three hash-aggregate shuffles on skinny (id, word) /
+    (id, phrase) projections (map-side combine absorbs hot words); the
+    only window is the per-document top-k over tens of candidate rows.
+    The full text column never shuffles."""
+    from pyspark.sql.window import Window
+
+    stop_alt = "|".join(stopwords)
+    delim = rf"(?:[^a-z0-9 ]+|\b(?:{stop_alt})\b)"
+    norm = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
+    ph = (df.select(id_col, F.explode(F.split(norm, delim)).alias("seg"))
+            .select(id_col,
+                    F.trim(F.regexp_replace("seg", r"\s+", " "))
+                     .alias("phrase"))
+            .filter(F.col("phrase") != ""))
+    words = F.split(F.col("phrase"), " ")
+    w = ph.select(id_col, F.size(words).alias("plen"),
+                  F.explode(words).alias("word"))
+    stats = (w.groupBy(id_col, "word")
+              .agg(F.count("*").alias("freq"),
+                   F.sum("plen").alias("deg")))
+    dph = ph.groupBy(id_col, "phrase").agg(F.count("*").alias("n_occ"))
+    dw = dph.select(id_col, "phrase", "n_occ",
+                    F.size(words).cast("long").alias("n_words"),
+                    F.explode(words).alias("word"))
+    sc = (dw.join(stats, [id_col, "word"])
+            .groupBy(id_col, "phrase")
+            .agg(F.max("n_occ").alias("n_occ"),
+                 F.max("n_words").alias("n_words"),
+                 F.sum(F.expr("(deg * 1000) div freq"))
+                  .alias("score_milli")))
+    win = (Window.partitionBy(id_col)
+           .orderBy(F.desc("score_milli"), F.asc("phrase")))
+    return (sc.withColumn("rank", F.row_number().over(win))
+              .filter(F.col("rank") <= k)
+              .select(id_col, "rank", "phrase", "n_words", "n_occ",
+                      "score_milli"))

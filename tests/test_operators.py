@@ -1916,3 +1916,30 @@ def test_publish_date_precedence(spark):
                                          "2018/03/05")
     assert got[3]["source"] is None and got[3]["published"] is None
     assert got[4]["source"] is None
+
+
+def test_rake_keyphrases_hand_example(spark):
+    """Hand-computed RAKE on a classic-style sentence: phrase scores
+    follow deg/freq word scores in exact milli-units; duplicate
+    phrases collapse with n_occ; stopwords delimit; punctuation
+    delimits; top-k and tie-break by phrase string."""
+    from ocr_spark.operators.index import rake_keyphrases
+
+    # phrases: "red apples" x2, "green pears", "fruit"
+    txt = ("Red apples, and green pears. red apples are fruit"
+           .replace(" are ", " is "))  # 'is' is a stopword too
+    df = spark.createDataFrame([(1, txt)], "doc_id long, text string")
+    got = rake_keyphrases(df, k=10).collect()
+    rows = {r["phrase"]: r for r in got}
+    # freq: red 2, apples 2, green 1, pears 1, fruit 1
+    # deg:  red 4, apples 4, green 2, pears 2, fruit 1
+    # scores (milli): red 2000, apples 2000, green 2000, pears 2000,
+    # fruit 1000 -> "red apples" 4000, "green pears" 4000, "fruit" 1000
+    assert rows["red apples"]["score_milli"] == 4000
+    assert rows["red apples"]["n_occ"] == 2
+    assert rows["green pears"]["score_milli"] == 4000
+    assert rows["fruit"]["score_milli"] == 1000
+    # tie at 4000 breaks on phrase string: green < red
+    by_rank = sorted(got, key=lambda r: r["rank"])
+    assert [r["phrase"] for r in by_rank] == ["green pears",
+                                              "red apples", "fruit"]
