@@ -5083,6 +5083,100 @@ def q_publish_date(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id")
 
 
+def q_social_cards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Social-card assembly from the generic namespaced-meta kernel
+    (extractor/core.py: extract_meta_kv + operators/extract.py:
+    social_cards): docs plant og:title (duplicated with a decoy value
+    when id % 9 == 0 — FIRST must win), og:description (id % 3 != 1),
+    og:image (id % 5 != 0), twitter:card summary/summary_large_image
+    by id % 4, and docs with id % 13 == 5 carry NO card tags yet MUST
+    come back as an all-NULL row (population left join).  The oracle
+    is a pure CASE ladder over doc_id."""
+    from ocr_spark.operators.extract import meta_kv_pages, social_cards
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def build(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            htmls = []
+            for doc_id in pdf["doc_id"]:
+                parts = ["<html><head>"]
+                if doc_id % 13 != 5:
+                    parts.append(f'<meta property="og:title" '
+                                 f'content="T{doc_id}">')
+                    if doc_id % 9 == 0:
+                        parts.append('<meta property="og:title" '
+                                     'content="DECOY">')
+                    if doc_id % 3 != 1:
+                        parts.append(f'<meta property="og:description"'
+                                     f' content="D{doc_id}">')
+                    if doc_id % 5 != 0:
+                        parts.append(
+                            '<meta property="og:image" content='
+                            f'"https://img.example.com/{doc_id}.jpg">')
+                    if doc_id % 4 == 0:
+                        parts.append('<meta name="twitter:card" '
+                                     'content="summary">')
+                    elif doc_id % 4 == 2:
+                        parts.append('<meta name="twitter:card" '
+                                     'content="summary_large_image">')
+                parts.append("</head><body><p>x</p></body></html>")
+                htmls.append("".join(parts).encode())
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "html": htmls})
+
+    pages = docs.mapInPandas(build, schema="doc_id long, html binary")
+    kv = meta_kv_pages(pages, payload_col="html",
+                       passthrough=("doc_id",))
+    return social_cards(kv, docs).orderBy("doc_id")
+
+
+def q_amp_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMP-variant collapse composed from the rel-link kernel: docs
+    pair up (pair p = id div 2) — even ids are canonical pages
+    declaring <link rel=amphtml> to the amp url, odd ids are AMP
+    variants declaring <link rel=canonical> back — and
+    amp_collapse (operators/web.py) keeps only MUTUAL pairs.
+    Planted one-way defects: the canonical omits its amphtml link
+    when p % 7 == 3 and the amp page omits its canonical when
+    p % 11 == 9, so those pairs must classify 'plain' on both sides.
+    The oracle is a CASE ladder over (parity, p mods)."""
+    from ocr_spark.operators.extract import rel_links_pages
+    from ocr_spark.operators.web import amp_collapse
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def build(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            urls, htmls = [], []
+            for doc_id in pdf["doc_id"]:
+                p = doc_id // 2
+                canon = f"https://site.example.com/p{p}"
+                amp = f"https://site.example.com/amp/p{p}"
+                if doc_id % 2 == 0:
+                    url, link = canon, (
+                        "" if p % 7 == 3 else
+                        f'<link rel="amphtml" href="{amp}">')
+                else:
+                    url, link = amp, (
+                        "" if p % 11 == 9 else
+                        f'<link rel="canonical" href="{canon}">')
+                urls.append(url)
+                htmls.append((f"<html><head>{link}</head>"
+                              "<body><p>x</p></body></html>").encode())
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "url": urls,
+                                "html": htmls})
+
+    pages = docs.mapInPandas(
+        build, schema="doc_id long, url string, html binary")
+    links = rel_links_pages(pages, payload_col="html",
+                            passthrough=("url",))
+    return amp_collapse(pages, links).orderBy("url")
+
+
 def q_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RAKE keyphrase extraction (operators/index.py:rake_keyphrases)
     over the documents table: top-3 distinct candidate phrases per doc
@@ -5494,6 +5588,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_links": q_rel_links,
         "hreflang_clusters": q_hreflang_clusters,
         "publish_date": q_publish_date,
+        "social_cards": q_social_cards,
+        "amp_collapse": q_amp_collapse,
         "rake_keyphrases": q_rake_keyphrases,
         "article_stitch": q_article_stitch,
         "bpe_encode": q_bpe_encode,
@@ -9504,6 +9600,55 @@ def oracle_sql() -> dict[str, str]:
             FROM d)
           SELECT doc_id, url, source, published_raw, published
           FROM s ORDER BY doc_id
+        """,
+        # pure CASE ladder: every field is a closed-form function of
+        # doc_id (no-card docs all-NULL but present; first-wins beats
+        # the planted duplicate decoy)
+        "social_cards": """
+          SELECT doc_id,
+            CASE WHEN doc_id % 13 = 5 THEN NULL
+                 WHEN doc_id % 4 = 0 THEN 'summary'
+                 WHEN doc_id % 4 = 2 THEN 'summary_large_image'
+                 ELSE 'og' END AS card_type,
+            CASE WHEN doc_id % 13 = 5 THEN NULL
+                 ELSE 'T' || doc_id END AS og_title,
+            CASE WHEN doc_id % 13 = 5 OR doc_id % 3 = 1 THEN NULL
+                 ELSE 'D' || doc_id END AS og_description,
+            CASE WHEN doc_id % 13 = 5 OR doc_id % 5 = 0 THEN NULL
+                 ELSE 'https://img.example.com/' || doc_id || '.jpg'
+            END AS og_image,
+            CAST(CASE WHEN doc_id % 13 = 5 THEN 0 ELSE 1 END
+                 + CASE WHEN doc_id % 13 = 5 OR doc_id % 3 = 1
+                        THEN 0 ELSE 1 END
+                 + CASE WHEN doc_id % 13 = 5 OR doc_id % 5 = 0
+                        THEN 0 ELSE 1 END AS BIGINT) AS n_og_fields
+          FROM documents ORDER BY doc_id
+        """,
+        # mutual iff neither one-way defect fires AND the amp member
+        # exists (doc ids are contiguous, so pair completeness is
+        # 2p+1 <= max id); CASE ladder over (parity, p mods)
+        "amp_collapse": """
+          WITH mx AS (SELECT max(doc_id) AS m FROM documents),
+          s AS (
+            SELECT doc_id % 2 AS odd, doc_id // 2 AS p,
+              CASE WHEN doc_id % 2 = 0
+                   THEN 'https://site.example.com/p' || (doc_id // 2)
+                   ELSE 'https://site.example.com/amp/p'
+                        || (doc_id // 2) END AS url,
+              ((doc_id // 2) % 7 <> 3 AND (doc_id // 2) % 11 <> 9
+               AND 2 * (doc_id // 2) + 1 <= (SELECT m FROM mx))
+                AS mutual
+            FROM documents)
+          SELECT url,
+            CASE WHEN mutual AND odd = 0 THEN 'canonical'
+                 WHEN mutual THEN 'amp_variant'
+                 ELSE 'plain' END AS role,
+            CASE WHEN mutual AND odd = 0
+                   THEN 'https://site.example.com/amp/p' || p
+                 WHEN mutual
+                   THEN 'https://site.example.com/p' || p
+            END AS partner
+          FROM s ORDER BY url
         """,
         # a full second RAKE implementation: same stopword delimiter
         # regex, same integer milli-unit quantization, ties on the

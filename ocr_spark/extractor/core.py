@@ -1153,6 +1153,52 @@ def extract_hreflang(payload: bytes) -> list[dict]:
             for i, (hl, href) in enumerate(p.rows)]
 
 
+class _MetaKVParser(HTMLParser):
+    """Collects namespaced ``<meta>`` key/value pairs in document
+    order: Open Graph / article tags key on the ``property``
+    attribute, Twitter-card tags on ``name`` — the two conventions
+    social-card consumers must merge.  Keys lowercased; every
+    occurrence emitted (first-wins is the consumer's policy, keyed by
+    the emitted index)."""
+
+    def __init__(self, prefixes: tuple[str, ...]) -> None:
+        super().__init__(convert_charrefs=True)
+        self._prefixes = prefixes
+        self.rows: list[tuple[str, str]] = []
+
+    def handle_starttag(self, tag, attrs):
+        if tag != "meta":
+            return
+        d = dict(attrs)
+        content = d.get("content")
+        if content is None:
+            return
+        for attr in ("property", "name"):
+            key = (d.get(attr) or "").lower().strip()
+            if key and any(key.startswith(p) for p in self._prefixes):
+                self.rows.append((key, content))
+                return
+
+
+def extract_meta_kv(
+    payload: bytes,
+    prefixes: tuple[str, ...] = ("og:", "twitter:", "article:"),
+) -> list[dict]:
+    """HTML bytes -> namespaced meta key/value rows (Open Graph,
+    Twitter cards, article:* tags) with ``idx`` in document order —
+    the generic kernel under social-card assembly (the consumer
+    resolves duplicate keys first-wins via min idx).  Undecodable
+    payloads -> no rows."""
+    try:
+        decoded, _codec = decode_html(payload)
+        p = _MetaKVParser(prefixes)
+        p.feed(decoded)
+    except Exception:
+        return []
+    return [{"idx": i, "key": k, "content": c}
+            for i, (k, c) in enumerate(p.rows)]
+
+
 def _iso_date(s: str | None):
     """First 10 chars as a VALID ISO date (YYYY-MM-DD) or None — the
     shared validator under publish-date precedence (a syntactically

@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import time
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -536,6 +536,99 @@ def publish_date_pages(
             .withColumn("published",
                         F.when(F.col("source") == "url", url_date)
                          .otherwise(F.col("published"))))
+
+
+META_KV_RESULT_FIELDS = [
+    T.StructField("idx", T.IntegerType(), True),
+    T.StructField("key", T.StringType(), True),
+    T.StructField("content", T.StringType(), True),
+]
+
+
+def meta_kv_pages(
+    df: DataFrame,
+    payload_col: str = "html",
+    passthrough: tuple[str, ...] = ("url",),
+    prefixes: tuple[str, ...] = ("og:", "twitter:", "article:"),
+) -> DataFrame:
+    """Namespaced meta key/value rows per page (Open Graph /
+    Twitter-card / article:* tags -> ``(idx, key, content)``):
+    the generic kernel under social-card assembly
+    (:func:`social_cards`); extracted by ``extractor.core.
+    extract_meta_kv``.  Same Arrow discipline as the rel-link kernel:
+    one batched pass, the binary payload never shuffles."""
+    from ocr_spark.extractor.core import extract_meta_kv
+
+    cols = list(passthrough) + [payload_col]
+    out_schema = T.StructType(
+        [df.schema[c] for c in passthrough] + META_KV_RESULT_FIELDS
+    )
+
+    def kernel(batches):
+        import pyarrow as pa  # executor-side import
+
+        for batch in batches:
+            payloads = batch.column(len(cols) - 1).to_pylist()
+            idx: list[int] = []
+            fields = {f.name: [] for f in META_KV_RESULT_FIELDS}
+            for rowno, payload in enumerate(payloads):
+                for row in extract_meta_kv(
+                        payload if payload is not None else b"",
+                        prefixes):
+                    idx.append(rowno)
+                    for k in fields:
+                        fields[k].append(row[k])
+            arrays = [batch.column(i).take(pa.array(idx, pa.int64()))
+                      for i in range(len(passthrough))]
+            names = list(passthrough)
+            pa_types = {"idx": pa.int32(), "key": pa.string(),
+                        "content": pa.string()}
+            for f in META_KV_RESULT_FIELDS:
+                arrays.append(pa.array(fields[f.name], pa_types[f.name]))
+                names.append(f.name)
+            yield pa.RecordBatch.from_arrays(arrays, names)
+
+    return df.select(*cols).mapInArrow(kernel, schema=out_schema)
+
+
+def social_cards(kv: DataFrame, ids: DataFrame,
+                 id_col: str = "doc_id") -> DataFrame:
+    """Social-card assembly from meta KV rows (``meta_kv_pages``
+    output): per document, the resolved Open Graph core fields
+    (og:title / og:description / og:image, duplicate tags resolved
+    FIRST-WINS by document order), the card type (twitter:card value
+    when declared, else 'og' when any OG field exists, else NULL),
+    and the OG completeness count.  ``ids`` is the full document
+    population — pages with no card tags come back as all-NULL rows
+    (a left join), because "no card" is a signal downstream ranking
+    consumes, not an absent row.
+
+    Plan: one (id, key) hash aggregate with min_by for first-wins,
+    one conditional-aggregation pivot, one broadcast-able left join —
+    skinny rows throughout, no window."""
+    firsts = (kv.groupBy(id_col, "key")
+                .agg(F.min_by("content", "idx").alias("content")))
+
+    def first(key: str) -> Column:
+        return F.max(F.when(F.col("key") == key, F.col("content")))
+
+    pivot = (firsts.groupBy(id_col)
+             .agg(first("og:title").alias("og_title"),
+                  first("og:description").alias("og_description"),
+                  first("og:image").alias("og_image"),
+                  first("twitter:card").alias("tw_card")))
+    joined = ids.select(id_col).join(pivot, id_col, "left")
+    n_og = sum(F.col(c).isNotNull().cast("long")
+               for c in ("og_title", "og_description", "og_image"))
+    any_og = (F.col("og_title").isNotNull()
+              | F.col("og_description").isNotNull()
+              | F.col("og_image").isNotNull())
+    return joined.select(
+        id_col,
+        F.coalesce(F.col("tw_card"),
+                   F.when(any_og, F.lit("og"))).alias("card_type"),
+        "og_title", "og_description", "og_image",
+        n_og.alias("n_og_fields"))
 
 
 MICRODATA_RESULT_FIELDS = [

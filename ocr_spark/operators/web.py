@@ -1457,3 +1457,46 @@ def hreflang_groups(links: DataFrame, url_col: str = "url",
                         F.coalesce("n_nonreciprocal", F.lit(0)))
             .select(url_col, "page_lang", "group_id", "n_langs",
                     "has_x_default", "n_nonreciprocal"))
+
+
+def amp_collapse(pages: DataFrame, links: DataFrame,
+                 url_col: str = "url") -> DataFrame:
+    """AMP-variant collapse over a page population: pair canonical
+    pages with their AMP variants via MUTUAL declarations (the
+    canonical's ``<link rel=amphtml>`` must point at the AMP page AND
+    the AMP page's ``<link rel=canonical>`` must point back — one-way
+    declarations stay unpaired, exactly like hreflang reciprocity),
+    then classify every page: ``canonical`` (has a mutual AMP
+    variant, partner = its amp url), ``amp_variant`` (the mutual
+    duplicate a curation pass drops, partner = its canonical), or
+    ``plain`` (everything else, including dangling one-way
+    declarations).  ``links`` is ``extract.rel_links_pages`` output
+    (url, rel, href).
+
+    Scale: the pair join and both classification joins are on skinny
+    deduplicated (url, url) projections; the html never shuffles; at
+    CommonCrawl scale AMP variants are ~1:1 with canonicals so no
+    skew by construction."""
+    amp_decl = (links.filter(F.col("rel") == "amphtml")
+                .select(F.col(url_col).alias("canon_url"),
+                        F.col("href").alias("amp_url")).distinct())
+    canon_decl = (links.filter(F.col("rel") == "canonical")
+                  .select(F.col("href").alias("canon_url"),
+                          F.col(url_col).alias("amp_url")).distinct())
+    pairs = amp_decl.join(canon_decl, ["canon_url", "amp_url"])
+    as_canon = pairs.select(F.col("canon_url").alias(url_col),
+                            F.col("amp_url").alias("amp_partner"))
+    as_amp = pairs.select(F.col("amp_url").alias(url_col),
+                          F.col("canon_url").alias("canon_partner"))
+    return (pages.select(url_col)
+            .join(as_canon, url_col, "left")
+            .join(as_amp, url_col, "left")
+            .select(
+                url_col,
+                F.when(F.col("amp_partner").isNotNull(),
+                       F.lit("canonical"))
+                 .when(F.col("canon_partner").isNotNull(),
+                       F.lit("amp_variant"))
+                 .otherwise(F.lit("plain")).alias("role"),
+                F.coalesce("amp_partner", "canon_partner")
+                 .alias("partner")))

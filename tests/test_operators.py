@@ -1943,3 +1943,58 @@ def test_rake_keyphrases_hand_example(spark):
     by_rank = sorted(got, key=lambda r: r["rank"])
     assert [r["phrase"] for r in by_rank] == ["green pears",
                                               "red apples", "fruit"]
+
+
+def test_meta_kv_and_social_cards(spark):
+    """Kernel: property- and name-keyed tags both captured, prefix
+    filter applied, document order kept; assembly: first-wins on
+    duplicate og:title, twitter:card beats 'og' for card_type,
+    no-card pages come back all-NULL via the population join."""
+    from ocr_spark.extractor.core import extract_meta_kv
+    from ocr_spark.operators.extract import social_cards
+
+    html = (b'<html><head>'
+            b'<meta property="og:title" content="first">'
+            b'<meta property="og:title" content="second">'
+            b'<meta name="twitter:card" content="summary">'
+            b'<meta name="description" content="not-namespaced">'
+            b'<meta property="og:image">'
+            b'</head></html>')
+    rows = extract_meta_kv(html)
+    assert [(r["idx"], r["key"], r["content"]) for r in rows] == [
+        (0, "og:title", "first"), (1, "og:title", "second"),
+        (2, "twitter:card", "summary")]
+
+    kv = spark.createDataFrame(
+        [(1, 0, "og:title", "first"), (1, 1, "og:title", "second"),
+         (1, 2, "twitter:card", "summary"),
+         (2, 0, "og:description", "d2")],
+        "doc_id long, idx int, key string, content string")
+    ids = spark.createDataFrame([(1,), (2,), (3,)], "doc_id long")
+    got = {r["doc_id"]: r.asDict()
+           for r in social_cards(kv, ids).collect()}
+    assert got[1]["og_title"] == "first"          # first wins
+    assert got[1]["card_type"] == "summary"        # twitter beats og
+    assert got[2]["card_type"] == "og" and got[2]["n_og_fields"] == 1
+    assert got[3]["card_type"] is None and got[3]["n_og_fields"] == 0
+
+
+def test_amp_collapse_mutuality(spark):
+    """Only MUTUAL amphtml/canonical pairs classify; one-way
+    declarations in either direction stay plain."""
+    from ocr_spark.operators.web import amp_collapse
+
+    pages = spark.createDataFrame(
+        [("C1",), ("A1",), ("C2",), ("A2",), ("C3",), ("A3",), ("P",)],
+        "url string")
+    links = spark.createDataFrame(
+        [("C1", "amphtml", "A1"), ("A1", "canonical", "C1"),  # mutual
+         ("C2", "amphtml", "A2"),                             # one-way
+         ("A3", "canonical", "C3")],                          # one-way
+        "url string, rel string, href string")
+    got = {r["url"]: (r["role"], r["partner"])
+           for r in amp_collapse(pages, links).collect()}
+    assert got["C1"] == ("canonical", "A1")
+    assert got["A1"] == ("amp_variant", "C1")
+    for u in ("C2", "A2", "C3", "A3", "P"):
+        assert got[u] == ("plain", None)
