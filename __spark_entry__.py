@@ -5177,6 +5177,21 @@ def q_amp_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
     return amp_collapse(pages, links).orderBy("url")
 
 
+def q_texttiling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextTiling topic segmentation (operators/chunk.py:texttiling)
+    over the documents table at block=10: per-gap lexical-cohesion
+    scores in exact integer micro-units (cosine² via (dot²·1e6) div
+    (|l|²·|r|²) — no sqrt, no float order), bounded-window depth, and
+    the above-mean-depth boundary rule.  The oracle is a full second
+    implementation in SQL (range-lateral token positions, the same
+    two aggregates, adjacent self-join, frame-bounded windows) — no
+    tolerance anywhere."""
+    from ocr_spark.operators.chunk import texttiling
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return texttiling(docs, block=10).orderBy("doc_id", "gap_idx")
+
+
 def q_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RAKE keyphrase extraction (operators/index.py:rake_keyphrases)
     over the documents table: top-3 distinct candidate phrases per doc
@@ -5591,6 +5606,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "social_cards": q_social_cards,
         "amp_collapse": q_amp_collapse,
         "rake_keyphrases": q_rake_keyphrases,
+        "texttiling": q_texttiling,
         "article_stitch": q_article_stitch,
         "bpe_encode": q_bpe_encode,
         "redirect_graph": q_redirect_graph,
@@ -9700,6 +9716,62 @@ def oracle_sql() -> dict[str, str]:
           SELECT doc_id, rank, phrase, n_words, n_occ, score_milli
           FROM ranked WHERE rank <= 3
           ORDER BY doc_id, rank
+        """,
+        # full second TextTiling implementation: range-lateral token
+        # positions, same integer micro-unit cosine², frame-bounded
+        # depth windows, above-mean boundary rule
+        "texttiling": r"""
+          WITH d AS (
+            SELECT doc_id,
+                   string_split(regexp_replace(lower(text), '\s+',
+                                               ' ', 'g'), ' ') AS ts
+            FROM documents),
+          pos AS (
+            SELECT doc_id, u.i // 10 AS blk, ts[u.i + 1] AS term
+            FROM d, (SELECT unnest(range(0, 4096)) AS i) u
+            WHERE u.i < len(ts) AND ts[u.i + 1] <> ''),
+          tf AS (
+            SELECT doc_id, blk, term, count(*) AS n
+            FROM pos GROUP BY doc_id, blk, term),
+          nrm AS (
+            SELECT doc_id, blk, sum(n * n) AS nrm
+            FROM tf GROUP BY doc_id, blk),
+          dt AS (
+            SELECT l.doc_id, l.blk, sum(l.n * r.n) AS dot
+            FROM tf l
+            JOIN tf r ON r.doc_id = l.doc_id AND r.blk = l.blk + 1
+                     AND r.term = l.term
+            GROUP BY l.doc_id, l.blk),
+          gaps AS (
+            SELECT l.doc_id, l.blk AS gap_idx, l.nrm AS nrm_l,
+                   r.nrm AS nrm_r
+            FROM nrm l
+            JOIN nrm r ON r.doc_id = l.doc_id AND r.blk = l.blk + 1),
+          sc AS (
+            SELECT g.doc_id, g.gap_idx,
+                   CAST((COALESCE(dot, 0) * COALESCE(dot, 0) * 1000000)
+                        // (nrm_l * nrm_r) AS BIGINT) AS score_micro
+            FROM gaps g
+            LEFT JOIN dt ON dt.doc_id = g.doc_id
+                        AND dt.blk = g.gap_idx),
+          dep AS (
+            SELECT doc_id, gap_idx, score_micro,
+              greatest(coalesce(max(score_micro) OVER (
+                PARTITION BY doc_id ORDER BY gap_idx
+                ROWS BETWEEN 2 PRECEDING AND 1 PRECEDING)
+                - score_micro, 0), 0)
+              + greatest(coalesce(max(score_micro) OVER (
+                PARTITION BY doc_id ORDER BY gap_idx
+                ROWS BETWEEN 1 FOLLOWING AND 2 FOLLOWING)
+                - score_micro, 0), 0) AS depth_micro
+            FROM sc)
+          SELECT doc_id, gap_idx, score_micro,
+                 CAST(depth_micro AS BIGINT) AS depth_micro,
+                 depth_micro > 0 AND depth_micro >
+                   (sum(depth_micro) OVER (PARTITION BY doc_id))
+                   // (count(*) OVER (PARTITION BY doc_id))
+                   AS is_boundary
+          FROM dep ORDER BY doc_id, gap_idx
         """,
         # planted group structure: series = id div 4, keyed by the
         # group's LAST page, texts concatenated in id order

@@ -52,7 +52,7 @@ BENCH_QUERIES = [
     "pii_scrub", "k_anonymity", "k_suppress",
     "mojibake_fix",
     "lang_id", "lang_id_cjk", "lang_confusion", "fingerprint", "search_keys", "token_count",
-    "chunk_text", "chunk_tokens", "sections", "collocations", "bpe_pairs",
+    "chunk_text", "chunk_tokens", "sections", "texttiling", "collocations", "bpe_pairs",
     "bpe_encode",
     "table_extract", "html_markdown", "markdown_strip", "wet_export", "wat_export",
     "bigram_lm", "readability", "unicode_clean",

@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 
 from ocr_spark.functions.text import tokens
 
-__all__ = ["chunk_text", "chunk_tokens", "split_sections"]
+__all__ = ["chunk_text", "chunk_tokens", "split_sections", "texttiling"]
 
 
 def _n_chunks(n_col, size: int, stride: int):
@@ -159,3 +159,84 @@ def split_sections(df: DataFrame, key_col: str = "doc_id",
     return out.filter(
         F.col("heading").isNotNull() | (F.length(F.trim("body")) > 0)
     )
+
+
+def texttiling(df: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text", block: int = 10) -> DataFrame:
+    """TextTiling-style topic segmentation (Hearst 1997, the
+    token-sequence variant): split each document into fixed
+    ``block``-token pseudo-sentences, score every gap between
+    adjacent blocks by lexical cohesion, and mark boundaries at gaps
+    whose DEPTH (drop from the neighbouring cohesion peaks) exceeds
+    the document's mean depth.
+
+    Determinism contract (same discipline as RAKE): cohesion is
+    published as integer micro-units of cosine² —
+    ``score_micro = (dot² * 1e6) div (|l|²·|r|²)`` over the adjacent
+    blocks' term-frequency vectors — so scores, depths, and the
+    threshold are integer arithmetic end-to-end (no sqrt, no float
+    summation order).  Depth uses the bounded-window variant (peaks
+    over the 2 gaps either side, edge windows clamp to 0) rather than
+    the original's unbounded hill-climb, keeping the plan a pair of
+    frame-bounded window functions instead of an iteration.
+
+    Output: one row per gap — (id, gap_idx, score_micro, depth_micro,
+    is_boundary).  Single-block documents emit no rows.
+
+    Plan shape: posexplode -> two skinny hash aggregates (per-block
+    tf, per-block norm) -> self-join of adjacent blocks on (id, term)
+    -> per-doc windows over tens of gap rows.  The text column never
+    shuffles; everything after the explode is (id, block, term, n)
+    integers.  Window partitions are per-document and bounded by
+    len/block, so no hot keys at corpus scale."""
+    from pyspark.sql import Window
+
+    toks = F.split(F.regexp_replace(F.lower(F.col(text_col)),
+                                    r"\s+", " "), " ")
+    pos = (df.select(id_col, F.posexplode(toks).alias("pos", "term"))
+             .filter(F.col("term") != "")
+             .select(id_col, (F.col("pos") / block).cast("long")
+                     .alias("blk"), "term"))
+    tf = (pos.groupBy(id_col, "blk", "term")
+             .agg(F.count("*").alias("n")))
+    norm = (tf.groupBy(id_col, "blk")
+              .agg(F.sum(F.col("n") * F.col("n")).alias("nrm")))
+    right = tf.select(id_col, (F.col("blk") - 1).alias("blk"),
+                      "term", F.col("n").alias("n_r"))
+    dot = (tf.join(right, [id_col, "blk", "term"])
+             .groupBy(id_col, "blk")
+             .agg(F.sum(F.col("n") * F.col("n_r")).alias("dot")))
+    # every adjacent-block gap must exist even when dot == 0
+    gaps = (norm.alias("l")
+            .join(norm.alias("r"),
+                  (F.col(f"l.{id_col}") == F.col(f"r.{id_col}"))
+                  & (F.col("l.blk") + 1 == F.col("r.blk")))
+            .select(F.col(f"l.{id_col}").alias(id_col),
+                    F.col("l.blk").alias("gap_idx"),
+                    F.col("l.nrm").alias("nrm_l"),
+                    F.col("r.nrm").alias("nrm_r")))
+    scored = (gaps.join(dot, (gaps[id_col] == dot[id_col])
+                        & (gaps["gap_idx"] == dot["blk"]), "left")
+              .select(gaps[id_col], "gap_idx",
+                      F.coalesce("dot", F.lit(0)).alias("dot"),
+                      "nrm_l", "nrm_r")
+              .withColumn("score_micro",
+                          F.expr("(dot * dot * 1000000)"
+                                 " div (nrm_l * nrm_r)")))
+    w = Window.partitionBy(id_col).orderBy("gap_idx")
+    peak_l = F.max("score_micro").over(w.rowsBetween(-2, -1))
+    peak_r = F.max("score_micro").over(w.rowsBetween(1, 2))
+    depth = (F.greatest(F.coalesce(peak_l - F.col("score_micro"),
+                                   F.lit(0)), F.lit(0))
+             + F.greatest(F.coalesce(peak_r - F.col("score_micro"),
+                                     F.lit(0)), F.lit(0)))
+    d = scored.withColumn("depth_micro", depth)
+    return (d.withColumn(
+                "is_boundary",
+                (F.col("depth_micro") > 0)
+                & (F.col("depth_micro")
+                   > F.expr("sum(depth_micro) over"
+                            " (partition by {id}) div count(*) over"
+                            " (partition by {id})".format(id=id_col))))
+             .select(id_col, "gap_idx", "score_micro", "depth_micro",
+                     "is_boundary"))

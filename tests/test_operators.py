@@ -1998,3 +1998,22 @@ def test_amp_collapse_mutuality(spark):
     assert got["A1"] == ("amp_variant", "C1")
     for u in ("C2", "A2", "C3", "A3", "P"):
         assert got[u] == ("plain", None)
+
+
+def test_texttiling_hand_example(spark):
+    """Hand-computed tiling: a doc whose vocabulary flips mid-stream
+    ('x'-blocks then 'y'-blocks) puts the one boundary exactly at the
+    topic shift; identical adjacent blocks score the cosine² ceiling
+    (1e6 micro-units); a single-block doc emits no gap rows."""
+    from ocr_spark.operators.chunk import texttiling
+
+    df = spark.createDataFrame(
+        [(1, "x x x x x x y y y"), (2, "short text only")],
+        "doc_id long, text string")
+    got = sorted(texttiling(df, block=3).collect(),
+                 key=lambda r: (r["doc_id"], r["gap_idx"]))
+    assert [r["doc_id"] for r in got] == [1, 1]  # doc 2: one block
+    g0, g1 = got
+    assert g0["score_micro"] == 1_000_000 and g1["score_micro"] == 0
+    assert (g0["depth_micro"], g1["depth_micro"]) == (0, 1_000_000)
+    assert (g0["is_boundary"], g1["is_boundary"]) == (False, True)
