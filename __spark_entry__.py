@@ -5177,6 +5177,36 @@ def q_amp_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
     return amp_collapse(pages, links).orderBy("url")
 
 
+def q_cocitation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-citation related-page mining (operators/web.py:
+    cocitation_pairs) over a planted link graph: every doc s links to
+    (7s+1..3) mod M — so each consecutive dst pair {a, a+1} is
+    co-cited by exactly TWO sources unless one of them is a hub —
+    and docs with s % 101 == 0 add ten (11s+k) mod M hub links,
+    pushing their out-degree past the max_out=8 cap so the guard
+    EXCLUDES them (their support disappears from the counts, the
+    documented undercount direction).  Oracle: same graph, degree
+    CTE, self-join, HAVING >= 2."""
+    from ocr_spark.operators.web import cocitation_pairs
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    mm = docs.count()
+    base = docs.select(F.col("doc_id").alias("src"))
+    e_main = base.select(
+        "src", F.explode(F.array(F.lit(1), F.lit(2), F.lit(3)))
+        .alias("k")).select(
+        "src", ((F.col("src") * 7 + F.col("k")) % mm).alias("dst"))
+    e_hub = (base.filter(F.col("src") % 101 == 0)
+             .select("src", F.explode(F.array(
+                 *[F.lit(k) for k in range(10)])).alias("k"))
+             .select("src",
+                     ((F.col("src") * 11 + F.col("k")) % mm)
+                     .alias("dst")))
+    edges = e_main.unionByName(e_hub)
+    return (cocitation_pairs(edges, max_out=8, min_count=2)
+            .orderBy("dst_a", "dst_b"))
+
+
 def q_texttiling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TextTiling topic segmentation (operators/chunk.py:texttiling)
     over the documents table at block=10: per-gap lexical-cohesion
@@ -5607,6 +5637,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "amp_collapse": q_amp_collapse,
         "rake_keyphrases": q_rake_keyphrases,
         "texttiling": q_texttiling,
+        "cocitation": q_cocitation,
         "article_stitch": q_article_stitch,
         "bpe_encode": q_bpe_encode,
         "redirect_graph": q_redirect_graph,
@@ -9716,6 +9747,27 @@ def oracle_sql() -> dict[str, str]:
           SELECT doc_id, rank, phrase, n_words, n_occ, score_milli
           FROM ranked WHERE rank <= 3
           ORDER BY doc_id, rank
+        """,
+        # same planted graph, degree CTE, self-join on source,
+        # HAVING >= 2; hub sources (degree > 8) excluded up front
+        "cocitation": """
+          WITH m AS (SELECT count(*) AS mm FROM documents),
+          e0 AS (
+            SELECT doc_id AS s, (7 * doc_id + t.k) % mm AS d
+            FROM documents, (VALUES (1), (2), (3)) t(k), m
+            UNION
+            SELECT doc_id AS s, (11 * doc_id + u.k) % mm AS d
+            FROM documents, (SELECT unnest(range(0, 10)) AS k) u, m
+            WHERE doc_id % 101 = 0),
+          deg AS (SELECT s, count(*) AS od FROM e0 GROUP BY s),
+          kept AS (
+            SELECT e0.s, e0.d FROM e0
+            JOIN deg ON deg.s = e0.s WHERE deg.od <= 8)
+          SELECT a.d AS dst_a, b.d AS dst_b,
+                 CAST(count(*) AS BIGINT) AS n_cocite
+          FROM kept a JOIN kept b ON a.s = b.s AND a.d < b.d
+          GROUP BY a.d, b.d HAVING count(*) >= 2
+          ORDER BY dst_a, dst_b
         """,
         # full second TextTiling implementation: range-lateral token
         # positions, same integer micro-unit cosine², frame-bounded

@@ -1500,3 +1500,38 @@ def amp_collapse(pages: DataFrame, links: DataFrame,
                  .otherwise(F.lit("plain")).alias("role"),
                 F.coalesce("amp_partner", "canon_partner")
                  .alias("partner")))
+
+
+def cocitation_pairs(edges: DataFrame, src: str = "src",
+                     dst: str = "dst", max_out: int = 64,
+                     min_count: int = 2) -> DataFrame:
+    """Co-citation related-page mining (Small 1973, the web form):
+    two pages are related when the same source links to both; the
+    signal is the number of distinct co-citing sources.  Output one
+    row per unordered pair (dst_a < dst_b) with ``n_cocite >=
+    min_count``.
+
+    Skew guard: the self-join expands each source's out-set
+    quadratically, so hub sources (portals, sitemaps boilerplate)
+    with out-degree > ``max_out`` are EXCLUDED up front by a skinny
+    degree aggregate — the standard cap-and-report move this repo's
+    LSH buckets use; at max_out=64 a source contributes at most
+    2,016 pairs, bounding every join task.  Dropped-hub counts are
+    cheap for the caller to audit (one filter on the same degree
+    aggregate); exclusion UNDERCOUNTS pair support, never fabricates
+    pairs — the conservative direction for a relatedness signal.
+
+    Plan: dedup edges -> degree aggregate -> semi-join keep ->
+    self-join on src (bounded fan-out) -> one hash aggregate on the
+    skinny (dst_a, dst_b) pair key.  No html, no windows."""
+    e = edges.select(src, dst).distinct()
+    deg = e.groupBy(src).agg(F.count("*").alias("out_deg"))
+    kept = e.join(deg.filter(F.col("out_deg") <= max_out)
+                  .select(src), src)
+    a = kept.select(src, F.col(dst).alias("dst_a"))
+    b = kept.select(src, F.col(dst).alias("dst_b"))
+    return (a.join(b, src)
+            .filter(F.col("dst_a") < F.col("dst_b"))
+            .groupBy("dst_a", "dst_b")
+            .agg(F.count("*").alias("n_cocite"))
+            .filter(F.col("n_cocite") >= min_count))

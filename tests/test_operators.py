@@ -2017,3 +2017,22 @@ def test_texttiling_hand_example(spark):
     assert g0["score_micro"] == 1_000_000 and g1["score_micro"] == 0
     assert (g0["depth_micro"], g1["depth_micro"]) == (0, 1_000_000)
     assert (g0["is_boundary"], g1["is_boundary"]) == (False, True)
+
+
+def test_cocitation_cap_and_counts(spark):
+    """Pair support counts distinct co-citing sources; the unordered
+    pair key is canonical (a < b); a hub source past max_out is
+    excluded entirely (its pairs vanish — undercount, never
+    fabricate); duplicate edges dedup before counting."""
+    from ocr_spark.operators.web import cocitation_pairs
+
+    edges = spark.createDataFrame(
+        [("s1", "a"), ("s1", "b"), ("s1", "b"),   # dup edge
+         ("s2", "b"), ("s2", "a"),                # reversed order
+         ("s3", "a"), ("s3", "c"),
+         ("hub", "a"), ("hub", "b"), ("hub", "c"), ("hub", "d")],
+        "src string, dst string")
+    got = {(r["dst_a"], r["dst_b"]): r["n_cocite"]
+           for r in cocitation_pairs(edges, max_out=3,
+                                     min_count=2).collect()}
+    assert got == {("a", "b"): 2}  # s1+s2; hub dropped; (a,c) only 1
