@@ -5177,6 +5177,53 @@ def q_amp_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
     return amp_collapse(pages, links).orderBy("url")
 
 
+def q_meta_robots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-curation robots directives (operators/web.py:
+    robots_directives) merged from both channels: docs plant
+    <meta name=robots> tags — 'noindex, follow' (id % 5 == 1),
+    'nofollow' as a SECOND tag (id % 7 == 2, unions with the first),
+    uppercase 'NONE' (id % 11 == 4, implies both, tests case folding)
+    — and an X-Robots-Tag: noindex response header (id % 13 == 3)
+    that must merge in even with silent markup.  Most-restrictive
+    union; silent pages indexable.  Oracle: a boolean CASE ladder
+    over the id mods."""
+    from ocr_spark.operators.extract import meta_kv_pages
+    from ocr_spark.operators.web import robots_directives
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def build(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            htmls, hdrs = [], []
+            for doc_id in pdf["doc_id"]:
+                parts = ["<html><head>"]
+                if doc_id % 5 == 1:
+                    parts.append('<meta name="robots" '
+                                 'content="noindex, follow">')
+                if doc_id % 7 == 2:
+                    parts.append('<meta name="robots" '
+                                 'content="nofollow">')
+                if doc_id % 11 == 4:
+                    parts.append('<meta name="robots" content="NONE">')
+                parts.append("</head><body><p>x</p></body></html>")
+                htmls.append("".join(parts).encode())
+                hdr = "HTTP/1.1 200 OK\r\nContent-Type: text/html"
+                if doc_id % 13 == 3:
+                    hdr += "\r\nX-Robots-Tag: noindex"
+                hdrs.append(hdr)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "html": htmls,
+                                "headers": hdrs})
+
+    pages = docs.mapInPandas(
+        build, schema="doc_id long, html binary, headers string")
+    kv = meta_kv_pages(pages, payload_col="html",
+                       passthrough=("doc_id",), prefixes=("robots",))
+    return (robots_directives(kv, pages.select("doc_id", "headers"))
+            .orderBy("doc_id"))
+
+
 def q_cocitation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Co-citation related-page mining (operators/web.py:
     cocitation_pairs) over a planted link graph: every doc s links to
@@ -5638,6 +5685,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rake_keyphrases": q_rake_keyphrases,
         "texttiling": q_texttiling,
         "cocitation": q_cocitation,
+        "meta_robots": q_meta_robots,
         "article_stitch": q_article_stitch,
         "bpe_encode": q_bpe_encode,
         "redirect_graph": q_redirect_graph,
@@ -9747,6 +9795,17 @@ def oracle_sql() -> dict[str, str]:
           SELECT doc_id, rank, phrase, n_words, n_occ, score_milli
           FROM ranked WHERE rank <= 3
           ORDER BY doc_id, rank
+        """,
+        # boolean CASE ladder over the id mods: noindex from any of
+        # the three channels, nofollow from the tag or NONE
+        "meta_robots": """
+          SELECT doc_id,
+            (doc_id % 5 = 1 OR doc_id % 11 = 4 OR doc_id % 13 = 3)
+              AS noindex,
+            (doc_id % 7 = 2 OR doc_id % 11 = 4) AS nofollow,
+            NOT (doc_id % 5 = 1 OR doc_id % 11 = 4 OR doc_id % 13 = 3)
+              AS indexable
+          FROM documents ORDER BY doc_id
         """,
         # same planted graph, degree CTE, self-join on source,
         # HAVING >= 2; hub sources (degree > 8) excluded up front

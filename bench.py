@@ -66,7 +66,7 @@ BENCH_QUERIES = [
     "pack_sequences", "fim_transform", "span_corrupt", "shard_plan", "shard_manifest",
     "packed_batches", "decontaminate", "curate_corpus",
     "warc_extract", "url_normalize", "domain_topk", "url_blocklist", "url_templates",
-    "crawl_schedule", "crawl_delay", "robots_filter",
+    "crawl_schedule", "crawl_delay", "robots_filter", "meta_robots",
     "outlinks", "anchor_agg", "cdx_index", "pagerank", "trust_rank", "label_propagation", "triangle_count", "zorder_layout", "hits", "graph_components", "graph_prior",
     "redirect_resolve", "redirect_graph", "rel_links", "hreflang_clusters",
     "publish_date", "social_cards", "amp_collapse", "article_stitch",

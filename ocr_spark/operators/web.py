@@ -1535,3 +1535,45 @@ def cocitation_pairs(edges: DataFrame, src: str = "src",
             .groupBy("dst_a", "dst_b")
             .agg(F.count("*").alias("n_cocite"))
             .filter(F.col("n_cocite") >= min_count))
+
+
+def robots_directives(kv: DataFrame, pages: DataFrame,
+                      id_col: str = "doc_id",
+                      headers_col: str = "headers") -> DataFrame:
+    """Index-curation robots directives per page, merged from BOTH
+    declaration channels the way indexers do: ``<meta name=robots>``
+    tags (the ``meta_kv_pages`` rows with prefix 'robots') and the
+    ``X-Robots-Tag`` response header (parsed with a pure JVM regex
+    from the raw header block on ``pages``).  Token matching is
+    word-bounded within the comma/space-separated directive list;
+    ``none`` implies both noindex and nofollow; multiple declarations
+    union (most-restrictive wins, per Google's documented conflict
+    rule).  Output: (id, noindex, nofollow, indexable) for the WHOLE
+    population — silent pages are indexable, which is why the
+    population left join, not the kv rows, drives the output.
+
+    Scale: one bool_or aggregate over the skinny kv rows + one
+    broadcast-able join; the header regex is whole-stage-codegen'd;
+    no Python beyond the shared meta kernel."""
+    def has(col: Column, token: str) -> Column:
+        return col.rlike(rf"(?i)(^|[,\s])(?:{token}|none)([,\s]|$)")
+
+    meta = (kv.filter(F.col("key") == "robots")
+            .groupBy(id_col)
+            .agg(F.max(has(F.col("content"), "noindex").cast("int"))
+                  .alias("m_noidx"),
+                 F.max(has(F.col("content"), "nofollow").cast("int"))
+                  .alias("m_nofol")))
+    hdr = F.regexp_extract(F.col(headers_col),
+                           r"(?im)^X-Robots-Tag:\s*([^\r\n]+)", 1)
+    base = pages.select(
+        id_col,
+        has(hdr, "noindex").cast("int").alias("h_noidx"),
+        has(hdr, "nofollow").cast("int").alias("h_nofol"))
+    out = base.join(meta, id_col, "left")
+    noindex = (F.coalesce("m_noidx", F.lit(0))
+               + F.col("h_noidx") > 0).alias("noindex")
+    nofollow = (F.coalesce("m_nofol", F.lit(0))
+                + F.col("h_nofol") > 0).alias("nofollow")
+    return out.select(id_col, noindex, nofollow).withColumn(
+        "indexable", ~F.col("noindex"))

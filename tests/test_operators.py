@@ -2036,3 +2036,30 @@ def test_cocitation_cap_and_counts(spark):
            for r in cocitation_pairs(edges, max_out=3,
                                      min_count=2).collect()}
     assert got == {("a", "b"): 2}  # s1+s2; hub dropped; (a,c) only 1
+
+
+def test_robots_directives_merge(spark):
+    """Both channels union most-restrictive: meta 'none' implies
+    both; a second meta tag adds nofollow; header-only noindex
+    counts; plain 'follow' never matches nofollow; silent pages
+    indexable."""
+    from ocr_spark.operators.web import robots_directives
+
+    kv = spark.createDataFrame(
+        [(1, 0, "robots", "noindex, follow"),
+         (1, 1, "robots", "nofollow"),
+         (2, 0, "robots", "NONE"),
+         (5, 0, "robots", "follow, archive")],
+        "doc_id long, idx int, key string, content string")
+    pages = spark.createDataFrame(
+        [(1, "HTTP/1.1 200 OK"), (2, "HTTP/1.1 200 OK"),
+         (3, "HTTP/1.1 200 OK\r\nX-Robots-Tag: noindex"),
+         (4, "HTTP/1.1 200 OK"), (5, "HTTP/1.1 200 OK")],
+        "doc_id long, headers string")
+    got = {r["doc_id"]: (r["noindex"], r["nofollow"], r["indexable"])
+           for r in robots_directives(kv, pages).collect()}
+    assert got[1] == (True, True, False)
+    assert got[2] == (True, True, False)
+    assert got[3] == (True, False, False)
+    assert got[4] == (False, False, True)
+    assert got[5] == (False, False, True)
