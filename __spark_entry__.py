@@ -5177,6 +5177,32 @@ def q_amp_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
     return amp_collapse(pages, links).orderBy("url")
 
 
+def q_link_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-depth BFS (operators/web.py:link_depth) over a planted
+    graph: the binary tree i -> 2i+1, 2i+2 (depths = floor(log2) from
+    the root) plus cross edges i -> (17i+5) mod M on i % 10 == 0
+    (cycles + shortcuts, so MIN-depth must win over tree depth),
+    seeded at {0, 1}.  Oracle: DuckDB recursive CTE BFS bounded at
+    the same max_hops, min(depth) per node."""
+    from ocr_spark.operators.web import link_depth
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    mm = docs.count()
+    base = docs.select(F.col("doc_id").alias("src"))
+    kids = base.select(
+        "src", F.explode(F.array(
+            F.col("src") * 2 + 1, F.col("src") * 2 + 2)).alias("dst")) \
+        .filter(F.col("dst") < mm)
+    cross = (base.filter(F.col("src") % 10 == 0)
+             .select("src",
+                     ((F.col("src") * 17 + 5) % mm).alias("dst")))
+    edges = kids.unionByName(cross)
+    seeds = docs.filter(F.col("doc_id") <= 1) \
+        .select(F.col("doc_id").alias("node"))
+    return (link_depth(edges, seeds, max_hops=8)
+            .orderBy("node"))
+
+
 def q_meta_robots(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Index-curation robots directives (operators/web.py:
     robots_directives) merged from both channels: docs plant
@@ -5686,6 +5712,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "texttiling": q_texttiling,
         "cocitation": q_cocitation,
         "meta_robots": q_meta_robots,
+        "link_depth": q_link_depth,
         "article_stitch": q_article_stitch,
         "bpe_encode": q_bpe_encode,
         "redirect_graph": q_redirect_graph,
@@ -9795,6 +9822,28 @@ def oracle_sql() -> dict[str, str]:
           SELECT doc_id, rank, phrase, n_words, n_occ, score_milli
           FROM ranked WHERE rank <= 3
           ORDER BY doc_id, rank
+        """,
+        # recursive-CTE BFS over the same planted graph, bounded at
+        # the same hop count; min(depth) collapses path multiplicity
+        "link_depth": """
+          WITH RECURSIVE m AS (SELECT count(*) AS mm FROM documents),
+          e AS (
+            SELECT doc_id AS src, 2 * doc_id + 1 AS dst
+            FROM documents, m WHERE 2 * doc_id + 1 < mm
+            UNION ALL
+            SELECT doc_id, 2 * doc_id + 2
+            FROM documents, m WHERE 2 * doc_id + 2 < mm
+            UNION ALL
+            SELECT doc_id, (17 * doc_id + 5) % mm
+            FROM documents, m WHERE doc_id % 10 = 0),
+          bfs(node, depth) AS (
+            SELECT doc_id, 0 FROM documents WHERE doc_id <= 1
+            UNION ALL
+            SELECT e.dst, b.depth + 1
+            FROM bfs b JOIN e ON e.src = b.node
+            WHERE b.depth < 8)
+          SELECT node, CAST(min(depth) AS INTEGER) AS depth
+          FROM bfs GROUP BY node ORDER BY node
         """,
         # boolean CASE ladder over the id mods: noindex from any of
         # the three channels, nofollow from the tag or NONE

@@ -1577,3 +1577,41 @@ def robots_directives(kv: DataFrame, pages: DataFrame,
                 + F.col("h_nofol") > 0).alias("nofollow")
     return out.select(id_col, noindex, nofollow).withColumn(
         "indexable", ~F.col("noindex"))
+
+
+def link_depth(edges: DataFrame, seeds: DataFrame, max_hops: int = 8,
+               src: str = "src", dst: str = "dst",
+               node_col: str = "node") -> DataFrame:
+    """Crawl-depth estimation: minimum link hops from any seed page
+    (homepages, sitemap roots) to every reachable page — the
+    frontier-BFS the crawl-prioritization literature keys on (depth
+    correlates with quality; deep pages are calendar/faceted spam).
+    Returns (node, depth) for REACHED nodes only (the caller
+    left-joins the population; unreachable = NULL = orphan signal).
+
+    Iteration discipline matches the repo's other fixed-point
+    operators (components, pagerank, label propagation): bounded
+    rounds, frontier-only expansion (settled nodes are never
+    re-joined — each round's join input is the new frontier, not the
+    whole distance table), per-round ``localCheckpoint`` to truncate
+    lineage, and one cheap isEmpty action per round for early exit.
+    State is the skinny (node, depth) pair; the hot-hub fan-in
+    collapses in the frontier's distinct() map-side."""
+    settled = seeds.select(F.col(node_col).alias("node"),
+                           F.lit(0).alias("depth")).distinct()
+    settled = settled.localCheckpoint()
+    frontier = settled
+    for h in range(1, max_hops + 1):
+        nxt = (frontier
+               .join(edges.select(F.col(src).alias("node"),
+                                  F.col(dst).alias("nxt")), "node")
+               .select(F.col("nxt").alias("node"),
+                       F.lit(h).alias("depth"))
+               .distinct())
+        frontier = (nxt.join(settled.select("node"), "node",
+                             "left_anti")
+                    .localCheckpoint())
+        if frontier.isEmpty():
+            break
+        settled = settled.unionByName(frontier).localCheckpoint()
+    return settled

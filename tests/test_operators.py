@@ -2063,3 +2063,22 @@ def test_robots_directives_merge(spark):
     assert got[3] == (True, False, False)
     assert got[4] == (False, False, True)
     assert got[5] == (False, False, True)
+
+
+def test_link_depth_bfs(spark):
+    """Min hops wins over longer paths; cycles don't loop (bounded
+    frontier BFS); unreachable nodes absent; max_hops truncates."""
+    from ocr_spark.operators.web import link_depth
+
+    #  0 -> 1 -> 2 -> 3 -> 0 (cycle), plus shortcut 0 -> 3, island 9
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 0), (0, 3), (8, 9)],
+        "src long, dst long")
+    seeds = spark.createDataFrame([(0,)], "node long")
+    got = {r["node"]: r["depth"]
+           for r in link_depth(edges, seeds, max_hops=8).collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 1}  # 3 via shortcut, not 3 hops
+    # truncation: only depth<=1 settles
+    got1 = {r["node"]: r["depth"]
+            for r in link_depth(edges, seeds, max_hops=1).collect()}
+    assert got1 == {0: 0, 1: 1, 3: 1}
