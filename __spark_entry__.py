@@ -5177,6 +5177,36 @@ def q_amp_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
     return amp_collapse(pages, links).orderBy("url")
 
 
+def q_scholarly_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scholarly identifier mining (operators/index.py:
+    mine_identifiers) with planted linkage keys: docs with id % 4 ==
+    0 carry a DOI (a SECOND one when id % 20 == 0 — match_idx must
+    order them), docs with id % 6 == 1 an arXiv id; the corpus
+    vocabulary is digit-free so the planted strings are the only
+    matches.  Both engines run the IDENTICAL pattern strings; the
+    oracle rebuilds every row closed-form."""
+    from ocr_spark.operators.index import mine_identifiers
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    i = F.col("doc_id")
+    aug = F.concat(
+        F.col("text"),
+        F.when(i % 4 == 0,
+               F.concat(F.lit(" see doi:10.5555/art."),
+                        i.cast("string"), F.lit(".x")))
+         .otherwise(F.lit("")),
+        F.when(i % 20 == 0,
+               F.concat(F.lit(" and 10.1234/xyz"), i.cast("string")))
+         .otherwise(F.lit("")),
+        F.when(i % 6 == 1,
+               F.concat(F.lit(" arxiv:2301."),
+                        (F.lit(10000) + i % 80000).cast("string")))
+         .otherwise(F.lit("")))
+    return (mine_identifiers(docs.select("doc_id",
+                                         aug.alias("text")))
+            .orderBy("doc_id", "kind", "match_idx"))
+
+
 def q_link_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawl-depth BFS (operators/web.py:link_depth) over a planted
     graph: the binary tree i -> 2i+1, 2i+2 (depths = floor(log2) from
@@ -5713,6 +5743,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cocitation": q_cocitation,
         "meta_robots": q_meta_robots,
         "link_depth": q_link_depth,
+        "scholarly_ids": q_scholarly_ids,
         "article_stitch": q_article_stitch,
         "bpe_encode": q_bpe_encode,
         "redirect_graph": q_redirect_graph,
@@ -9844,6 +9875,26 @@ def oracle_sql() -> dict[str, str]:
             WHERE b.depth < 8)
           SELECT node, CAST(min(depth) AS INTEGER) AS depth
           FROM bfs GROUP BY node ORDER BY node
+        """,
+        # closed-form rebuild of every planted identifier row: the
+        # corpus vocabulary is digit-free (verified), so the planted
+        # strings are the only regex matches; match_idx 0 is the
+        # doi:10.5555 plant (it precedes the 10.1234 plant in the
+        # concat), arxiv ids are always 5 digits at these scales
+        "scholarly_ids": """
+          SELECT doc_id, kind, match_idx, ident FROM (
+            SELECT doc_id, 'doi' AS kind, 0 AS match_idx,
+                   '10.5555/art.' || doc_id || '.x' AS ident
+            FROM documents WHERE doc_id % 4 = 0
+            UNION ALL
+            SELECT doc_id, 'doi', 1, '10.1234/xyz' || doc_id
+            FROM documents WHERE doc_id % 20 = 0
+            UNION ALL
+            SELECT doc_id, 'arxiv', 0,
+                   'arxiv:2301.' ||
+                   CAST(10000 + doc_id % 80000 AS VARCHAR)
+            FROM documents WHERE doc_id % 6 = 1)
+          ORDER BY doc_id, kind, match_idx
         """,
         # boolean CASE ladder over the id mods: noindex from any of
         # the three channels, nofollow from the tag or NONE

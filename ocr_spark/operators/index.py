@@ -24,7 +24,7 @@ from ocr_spark.functions.text import tokens
 
 __all__ = ["inverted_index", "corpus_stats", "bm25_topk", "posting_deltas",
            "tfidf_cosine_pairs", "index_delta", "kwic_snippets", "rrf_fuse", "ndcg_eval",
-           "rake_keyphrases"]
+           "rake_keyphrases", "mine_identifiers"]
 
 
 def inverted_index(df: DataFrame, text_col: str = "text",
@@ -557,3 +557,44 @@ def rake_keyphrases(df: DataFrame, id_col: str = "doc_id",
               .filter(F.col("rank") <= k)
               .select(id_col, "rank", "phrase", "n_words", "n_occ",
                       "score_milli"))
+
+
+# Java-regex/RE2-common patterns (no backrefs, no lookaround) so the
+# DuckDB oracle runs the IDENTICAL strings — same discipline as the
+# PII scrub table.  DOI per the Crossref display guidelines; arXiv
+# new-style YYMM.NNNNN ids.
+IDENTIFIER_PATTERNS = {
+    "doi": r"\b10\.\d{4,9}/[-._;()/:a-z0-9]+",
+    "arxiv": r"\barxiv:\d{4}\.\d{4,5}\b",
+}
+
+
+def mine_identifiers(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text",
+                     patterns: dict[str, str] | None = None
+                     ) -> DataFrame:
+    """Scholarly/external identifier mining: every match of every
+    pattern family, one row per occurrence with its per-(doc, kind)
+    match index — the linkage keys citation-graph and
+    dataset-provenance pipelines join on.  Case-folded before
+    matching (DOIs are case-insensitive per spec).
+
+    Plan: per-row ``regexp_extract_all`` + posexplode per pattern,
+    unioned — pure JVM regex, zero shuffle, the text column read
+    once per family in the same scan (Catalyst collapses the union
+    branches into one FileScan)."""
+    pats = IDENTIFIER_PATTERNS if patterns is None else patterns
+    parts = []
+    low = F.lower(F.col(text_col))
+    for kind, pat in sorted(pats.items()):
+        parts.append(
+            df.select(
+                id_col,
+                F.lit(kind).alias("kind"),
+                F.posexplode(
+                    F.regexp_extract_all(low, F.lit(pat), 0))
+                 .alias("match_idx", "ident")))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select(id_col, "kind", "match_idx", "ident")

@@ -353,3 +353,37 @@ class TestKwicSnippets:
             (1, 4): "b c hit d",          # right edge clamps
             (3, 0): "hit",
         }
+
+
+class TestMineIdentifiers:
+    def test_kinds_order_and_boundaries(self, spark):
+        from ocr_spark.operators.index import mine_identifiers
+
+        df = spark.createDataFrame(
+            [(1, "see DOI:10.1000/ABC.def then 10.99999/x-y_z(1):a end"),
+             (2, "preprint arXiv:2301.00042 and arxiv:9912.1234."),
+             (3, "x10.1234/notadoi and arxiv:123.4567 miss"),
+             (4, "no identifiers at all"),
+             (5, "")],
+            "doc_id long, text string")
+        rows = {(r.doc_id, r.kind, r.match_idx): r.ident
+                for r in mine_identifiers(df).collect()}
+        assert rows == {
+            # case-folded before matching; two DOIs keep scan order
+            (1, "doi", 0): "10.1000/abc.def",
+            (1, "doi", 1): "10.99999/x-y_z(1):a",
+            (2, "arxiv", 0): "arxiv:2301.00042",
+            (2, "arxiv", 1): "arxiv:9912.1234",
+            # \b blocks x10.…; arxiv needs a 4-digit YYMM block
+            # (123.4567 has only 3 before the dot)
+        }
+
+    def test_custom_pattern_table(self, spark):
+        from ocr_spark.operators.index import mine_identifiers
+
+        df = spark.createDataFrame(
+            [(1, "ISBN 978-0306406157 ok")], "doc_id long, text string")
+        out = mine_identifiers(
+            df, patterns={"isbn": r"\b97[89]-\d{10}\b"}).collect()
+        assert [(r.kind, r.ident) for r in out] == \
+            [("isbn", "978-0306406157")]
