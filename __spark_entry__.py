@@ -5207,6 +5207,30 @@ def q_scholarly_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id", "kind", "match_idx"))
 
 
+def q_id_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bibliographic coupling (operators/index.py:identifier_linkage)
+    over planted topic DOIs: every doc carries doi 10.5555/topic<i%7>
+    and 10.5555/area<i%11>, plus a hot 10.5555/hotx held by ALL docs
+    that the max_df=100 guard must exclude (df=500 > 100; the topic
+    families sit at ~71/~45 docs, under the guard).  Pairs with
+    n_shared >= 2 are exactly the doc pairs congruent mod 77; the
+    oracle rebuilds the surviving postings closed-form and replays
+    the same join."""
+    from ocr_spark.operators.index import (mine_identifiers,
+                                           identifier_linkage)
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    i = F.col("doc_id")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" doi:10.5555/topic"), (i % 7).cast("string"),
+        F.lit(" doi:10.5555/area"), (i % 11).cast("string"),
+        F.lit(" doi:10.5555/hotx"))
+    ids = mine_identifiers(docs.select("doc_id", aug.alias("text")))
+    return (identifier_linkage(ids, min_shared=2, max_df=100)
+            .orderBy("doc_a", "doc_b"))
+
+
 def q_link_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawl-depth BFS (operators/web.py:link_depth) over a planted
     graph: the binary tree i -> 2i+1, 2i+2 (depths = floor(log2) from
@@ -5744,6 +5768,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "meta_robots": q_meta_robots,
         "link_depth": q_link_depth,
         "scholarly_ids": q_scholarly_ids,
+        "id_linkage": q_id_linkage,
         "article_stitch": q_article_stitch,
         "bpe_encode": q_bpe_encode,
         "redirect_graph": q_redirect_graph,
@@ -9895,6 +9920,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(10000 + doc_id % 80000 AS VARCHAR)
             FROM documents WHERE doc_id % 6 = 1)
           ORDER BY doc_id, kind, match_idx
+        """,
+        # rebuild the surviving postings closed-form (the hot ident
+        # df=500 > max_df=100 is excluded, the two topic families
+        # survive), replay the self-join + pair count, HAVING >= 2
+        "id_linkage": """
+          WITH post AS (
+            SELECT doc_id, 'topic' || (doc_id % 7) AS ident
+            FROM documents
+            UNION ALL
+            SELECT doc_id, 'area' || (doc_id % 11) FROM documents)
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 CAST(count(*) AS BIGINT) AS n_shared
+          FROM post a
+          JOIN post b ON a.ident = b.ident AND a.doc_id < b.doc_id
+          GROUP BY 1, 2 HAVING count(*) >= 2
+          ORDER BY doc_a, doc_b
         """,
         # boolean CASE ladder over the id mods: noindex from any of
         # the three channels, nofollow from the tag or NONE

@@ -24,7 +24,7 @@ from ocr_spark.functions.text import tokens
 
 __all__ = ["inverted_index", "corpus_stats", "bm25_topk", "posting_deltas",
            "tfidf_cosine_pairs", "index_delta", "kwic_snippets", "rrf_fuse", "ndcg_eval",
-           "rake_keyphrases", "mine_identifiers"]
+           "rake_keyphrases", "mine_identifiers", "identifier_linkage"]
 
 
 def inverted_index(df: DataFrame, text_col: str = "text",
@@ -598,3 +598,40 @@ def mine_identifiers(df: DataFrame, id_col: str = "doc_id",
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.select(id_col, "kind", "match_idx", "ident")
+
+
+def identifier_linkage(ids: DataFrame, id_col: str = "doc_id",
+                       min_shared: int = 1,
+                       max_df: int | None = None) -> DataFrame:
+    """Bibliographic coupling over mined identifiers
+    (``mine_identifiers`` output): two documents link with strength
+    ``n_shared`` = how many distinct (kind, ident) keys they share —
+    the citation-graph edge scholarly dedup and related-work mining
+    join on.
+
+    Plan: distinct (doc, kind, ident) postings; optional
+    hot-identifier guard (an ident held by more than ``max_df`` docs
+    is EXCLUDED via a broadcast anti-join — a mega-cited DOI would
+    otherwise expand quadratically; same discipline as the
+    ngram_jaccard hot-shingle guard, dedup.py).  Then a self
+    equi-join on (kind, ident) — never all-pairs — and a pair-count
+    aggregate.  Exchange ∝ postings; pair expansion bounded by
+    max_df² per identifier; dropped hot idents are countable by the
+    caller via the same groupBy."""
+    post = ids.select(id_col, "kind", "ident").distinct()
+    if max_df is not None:
+        hot = (post.groupBy("kind", "ident")
+               .agg(F.count("*").alias("df"))
+               .filter(F.col("df") > max_df)
+               .select("kind", "ident"))
+        post = post.join(F.broadcast(hot), ["kind", "ident"],
+                         "left_anti")
+    return (post.alias("l")
+            .join(post.alias("r"),
+                  (F.col("l.kind") == F.col("r.kind"))
+                  & (F.col("l.ident") == F.col("r.ident"))
+                  & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
+            .groupBy(F.col(f"l.{id_col}").alias("doc_a"),
+                     F.col(f"r.{id_col}").alias("doc_b"))
+            .agg(F.count("*").alias("n_shared"))
+            .filter(F.col("n_shared") >= min_shared))

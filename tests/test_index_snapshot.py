@@ -387,3 +387,35 @@ class TestMineIdentifiers:
             df, patterns={"isbn": r"\b97[89]-\d{10}\b"}).collect()
         assert [(r.kind, r.ident) for r in out] == \
             [("isbn", "978-0306406157")]
+
+
+class TestIdentifierLinkage:
+    def test_pairs_min_shared_and_hot_guard(self, spark):
+        from ocr_spark.operators.index import identifier_linkage
+
+        # docs 1,2 share x+y (n_shared=2); 3 shares only x with them;
+        # 'hot' is held by everyone and must fall to the max_df guard
+        # (df=4 > 3); kinds must NOT cross-match (doi:z vs arxiv:z)
+        rows = [(d, k, i) for d, k, i in [
+            (1, "doi", "x"), (1, "doi", "y"), (1, "doi", "z"),
+            (2, "doi", "x"), (2, "doi", "y"), (2, "arxiv", "z"),
+            (3, "doi", "x"),
+            (4, "doi", "w")]] + [(d, "doi", "hot") for d in (1, 2, 3, 4)]
+        ids = spark.createDataFrame(
+            rows, "doc_id long, kind string, ident string")
+        got = {(r.doc_a, r.doc_b): r.n_shared
+               for r in identifier_linkage(ids, max_df=3).collect()}
+        assert got == {(1, 2): 2, (1, 3): 1, (2, 3): 1}
+        got2 = {(r.doc_a, r.doc_b): r.n_shared
+                for r in identifier_linkage(
+                    ids, min_shared=2, max_df=3).collect()}
+        assert got2 == {(1, 2): 2}
+
+    def test_duplicate_mentions_count_once(self, spark):
+        from ocr_spark.operators.index import identifier_linkage
+
+        ids = spark.createDataFrame(
+            [(1, "doi", "x"), (1, "doi", "x"), (2, "doi", "x")],
+            "doc_id long, kind string, ident string")
+        out = identifier_linkage(ids).collect()
+        assert [(r.doc_a, r.doc_b, r.n_shared) for r in out] == [(1, 2, 1)]
