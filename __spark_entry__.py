@@ -5231,6 +5231,30 @@ def q_id_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_a", "doc_b"))
 
 
+def q_measurements(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity mining (operators/index.py:mine_measurements) over
+    planted measurement mentions on the digit-free corpus: every doc
+    "weighs <i%50>.5 kg", even docs also "span <i%90> cm", docs with
+    i%5==1 also "hold 2.25 gb" — concat order fixes match_idx.  The
+    oracle rebuilds every row closed-form (integer milli-units and
+    the literal factor table, no float parse on either side)."""
+    from ocr_spark.operators.index import mine_measurements
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    i = F.col("doc_id")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" weighs "), (i % 50).cast("string"), F.lit(".5 kg"),
+        F.when(i % 2 == 0,
+               F.concat(F.lit(" spans "), (i % 90).cast("string"),
+                        F.lit(" cm"))).otherwise(F.lit("")),
+        F.when(i % 5 == 1, F.lit(" holds 2.25 gb"))
+         .otherwise(F.lit("")))
+    return (mine_measurements(docs.select("doc_id",
+                                          aug.alias("text")))
+            .orderBy("doc_id", "match_idx"))
+
+
 def q_link_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawl-depth BFS (operators/web.py:link_depth) over a planted
     graph: the binary tree i -> 2i+1, 2i+2 (depths = floor(log2) from
@@ -5769,6 +5793,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_depth": q_link_depth,
         "scholarly_ids": q_scholarly_ids,
         "id_linkage": q_id_linkage,
+        "measurements": q_measurements,
         "article_stitch": q_article_stitch,
         "bpe_encode": q_bpe_encode,
         "redirect_graph": q_redirect_graph,
@@ -9936,6 +9961,29 @@ def oracle_sql() -> dict[str, str]:
           JOIN post b ON a.ident = b.ident AND a.doc_id < b.doc_id
           GROUP BY 1, 2 HAVING count(*) >= 2
           ORDER BY doc_a, doc_b
+        """,
+        # closed-form rebuild of every planted measurement row with
+        # the same integer milli-unit decomposition and factor table
+        "measurements": """
+          SELECT doc_id, match_idx, unit, value_milli, dimension,
+                 norm_milli
+          FROM (
+            SELECT doc_id, 0 AS match_idx, 'kg' AS unit,
+                   (doc_id % 50) * 1000 + 500 AS value_milli,
+                   'mass' AS dimension,
+                   ((doc_id % 50) * 1000 + 500) * 1000000
+                     AS norm_milli
+            FROM documents
+            UNION ALL
+            SELECT doc_id, 1, 'cm', (doc_id % 90) * 1000, 'length',
+                   (doc_id % 90) * 1000 * 10
+            FROM documents WHERE doc_id % 2 = 0
+            UNION ALL
+            SELECT doc_id,
+                   CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END,
+                   'gb', 2250, 'data', 2250000000000
+            FROM documents WHERE doc_id % 5 = 1)
+          ORDER BY doc_id, match_idx
         """,
         # boolean CASE ladder over the id mods: noindex from any of
         # the three channels, nofollow from the tag or NONE

@@ -24,7 +24,8 @@ from ocr_spark.functions.text import tokens
 
 __all__ = ["inverted_index", "corpus_stats", "bm25_topk", "posting_deltas",
            "tfidf_cosine_pairs", "index_delta", "kwic_snippets", "rrf_fuse", "ndcg_eval",
-           "rake_keyphrases", "mine_identifiers", "identifier_linkage"]
+           "rake_keyphrases", "mine_identifiers", "identifier_linkage",
+           "mine_measurements"]
 
 
 def inverted_index(df: DataFrame, text_col: str = "text",
@@ -635,3 +636,67 @@ def identifier_linkage(ids: DataFrame, id_col: str = "doc_id",
                      F.col(f"r.{id_col}").alias("doc_b"))
             .agg(F.count("*").alias("n_shared"))
             .filter(F.col("n_shared") >= min_shared))
+
+
+# One shared Java-regex/RE2-common pattern (no backrefs/lookaround) so
+# the DuckDB oracle can run the IDENTICAL string.  Alternation order
+# is load-bearing under leftmost-FIRST semantics (both engines):
+# compounds before their prefixes (km|cm|mm|ms|mg|mb before m/g/b,
+# kg|kb|gb before g/b).  Value capped at 6 integer digits + 3 dp so
+# the normalized milli-base product (worst case 1e9 milli-val x 1e9
+# gb->bytes factor = 1e18) stays inside BIGINT under ANSI mode.
+MEASUREMENT_PATTERN = (
+    r"\b(\d{1,6}(?:\.\d{1,3})?)\s?"
+    r"(km|cm|mm|ms|mg|mb|kg|kb|gb|m|g|s|h)\b")
+
+# unit -> (dimension, base units per unit, expressed so that
+# value_milli * factor = amount in MILLI-base-units, bit-exact ints)
+MEASUREMENT_UNITS = {
+    "km": ("length", 1_000_000), "m": ("length", 1_000),
+    "cm": ("length", 10), "mm": ("length", 1),
+    "kg": ("mass", 1_000_000), "g": ("mass", 1_000),
+    "mg": ("mass", 1),
+    "gb": ("data", 1_000_000_000), "mb": ("data", 1_000_000),
+    "kb": ("data", 1_000),
+    "h": ("time", 3_600_000), "s": ("time", 1_000),
+    "ms": ("time", 1),
+}
+
+
+def mine_measurements(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """Quantity mining: every ``<number> <unit>`` mention, one row per
+    occurrence with the value decomposed EXACTLY into integer
+    milli-units (string split on '.', never a float parse — round-half
+    float casts are engine-dependent) and normalized to an integer
+    amount of milli-base-units (mm/mg/bytes/ms) via the literal
+    factor table — the structured-fact shape product/recipe/spec
+    extraction pipelines aggregate.
+
+    Plan: two ``regexp_extract_all`` group pulls over the same
+    case-folded column (Catalyst subexpression-eliminates the shared
+    lower()), ``arrays_zip`` keeps value/unit aligned by scan
+    position, one posexplode — pure JVM, zero shuffle."""
+    low = F.lower(F.col(text_col))
+    pat = F.lit(MEASUREMENT_PATTERN)
+    z = F.arrays_zip(F.regexp_extract_all(low, pat, 1),
+                     F.regexp_extract_all(low, pat, 2))
+    ex = df.select(
+        id_col, F.posexplode(z).alias("match_idx", "m")).select(
+        id_col, "match_idx",
+        F.col("m").getField("0").alias("raw"),
+        F.col("m").getField("1").alias("unit"))
+    parts = F.split(F.col("raw"), r"\.")
+    value_milli = (
+        F.get(parts, 0).cast("long") * 1000
+        + F.rpad(F.coalesce(F.get(parts, 1), F.lit("")), 3, "0")
+           .cast("long"))
+    dim, factor = F.lit(None).cast("string"), F.lit(None).cast("long")
+    for u, (d, f) in sorted(MEASUREMENT_UNITS.items()):
+        dim = F.when(F.col("unit") == u, d).otherwise(dim)
+        factor = F.when(F.col("unit") == u, f).otherwise(factor)
+    return ex.select(
+        id_col, "match_idx", "unit",
+        value_milli.alias("value_milli"),
+        dim.alias("dimension"),
+        (value_milli * factor).alias("norm_milli"))

@@ -419,3 +419,38 @@ class TestIdentifierLinkage:
             "doc_id long, kind string, ident string")
         out = identifier_linkage(ids).collect()
         assert [(r.doc_a, r.doc_b, r.n_shared) for r in out] == [(1, 2, 1)]
+
+
+class TestMineMeasurements:
+    def test_units_values_and_normalization(self, spark):
+        from ocr_spark.operators.index import mine_measurements
+
+        df = spark.createDataFrame(
+            [(1, "hike 12 km then a 3.5 m drop, a 500mb file, 2 h"),
+             (2, "Mass 0.5 KG and 750 mg"),      # case-folded
+             (3, "1234567 km is too many digits"),  # skipped, not cut
+             (4, "no numbers here"), (5, "")],
+            "doc_id long, text string")
+        rows = {(r.doc_id, r.match_idx):
+                (r.unit, r.value_milli, r.dimension, r.norm_milli)
+                for r in mine_measurements(df).collect()}
+        assert rows == {
+            (1, 0): ("km", 12000, "length", 12_000_000_000),
+            (1, 1): ("m", 3500, "length", 3_500_000),
+            (1, 2): ("mb", 500000, "data", 500_000_000_000),
+            (1, 3): ("h", 2000, "time", 7_200_000_000),
+            (2, 0): ("kg", 500, "mass", 500_000_000),
+            (2, 1): ("mg", 750000, "mass", 750_000),
+        }
+
+    def test_compound_units_beat_prefixes(self, spark):
+        from ocr_spark.operators.index import mine_measurements
+
+        # "10 ms" must parse as ms (time), never m + stray "s"
+        df = spark.createDataFrame(
+            [(1, "latency 10 ms, size 3 gb")],
+            "doc_id long, text string")
+        out = {r.unit: (r.dimension, r.norm_milli)
+               for r in mine_measurements(df).collect()}
+        assert out == {"ms": ("time", 10000),
+                       "gb": ("data", 3_000_000_000_000)}
