@@ -730,6 +730,20 @@ def q_embed_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  n_planes=4)
 
 
+def q_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive triplet mining (similarity.py:triplet_mine): for
+    each anchor, most-similar same-LSH-bucket neighbor >= 0.3 as the
+    positive, most-similar neighbor <= 0.0 as the hard negative,
+    6-dp ties to the smaller id.  Same literal hyperplanes as the
+    near-dup path, so the oracle re-derives buckets and replays the
+    argmax windows."""
+    from ocr_spark.operators.similarity import triplet_mine
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return (triplet_mine(emb, dim=64, t_pos=0.3, t_neg=0.0, n_planes=4)
+            .orderBy("anchor"))
+
+
 def q_span_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Span-offset QA: explode the extraction's span array and roll up
     per span kind (count, covered bytes).  Oracled: on the wrapped
@@ -5794,6 +5808,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scholarly_ids": q_scholarly_ids,
         "id_linkage": q_id_linkage,
         "measurements": q_measurements,
+        "triplets": q_triplets,
         "article_stitch": q_article_stitch,
         "bpe_encode": q_bpe_encode,
         "redirect_graph": q_redirect_graph,
@@ -5966,6 +5981,37 @@ def _embed_near_dup_lsh_sql() -> str:
              round({cos}, 6) AS cos_sim
       FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
       WHERE round({cos}, 6) >= {EMBED_LSH_THRESHOLD}
+    """
+
+
+def _triplets_sql(t_pos: float = 0.3, t_neg: float = 0.0) -> str:
+    cos = (
+        "list_dot_product(l.emb, r.emb) / "
+        "(sqrt(list_dot_product(l.emb, l.emb)) * "
+        "sqrt(list_dot_product(r.emb, r.emb)))"
+    )
+    return f"""
+      WITH b AS (
+        SELECT vec_id, embedding::DOUBLE[] AS emb,
+               {_lsh_bucket_sql(n_planes=4)} AS bucket
+        FROM embeddings),
+      sims AS (
+        SELECT l.vec_id AS anchor, r.vec_id AS o, round({cos}, 6) AS s
+        FROM b l JOIN b r
+        ON l.bucket = r.bucket AND l.vec_id <> r.vec_id),
+      pos AS (
+        SELECT anchor, o, s, row_number() OVER (
+          PARTITION BY anchor ORDER BY s DESC, o) AS rn
+        FROM sims WHERE s >= {t_pos}),
+      neg AS (
+        SELECT anchor, o, s, row_number() OVER (
+          PARTITION BY anchor ORDER BY s DESC, o) AS rn
+        FROM sims WHERE s <= {t_neg})
+      SELECT p.anchor, p.o AS positive, p.s AS pos_sim,
+             n.o AS negative, n.s AS neg_sim
+      FROM pos p JOIN neg n ON p.anchor = n.anchor
+      WHERE p.rn = 1 AND n.rn = 1
+      ORDER BY p.anchor
     """
 
 
@@ -7879,6 +7925,7 @@ def oracle_sql() -> dict[str, str]:
           WHERE len(trim(text)) > 0 AND len({toks}) >= 2
         """,
         "embed_near_dup_lsh": _embed_near_dup_lsh_sql(),
+        "triplets": _triplets_sql(),
         "ann_topk": _ann_topk_sql(),
         "ann_topk_ivf": _ann_topk_ivf_sql(),
         "ann_topk_ivfpq": _ann_topk_ivfpq_sql(),

@@ -35,7 +35,7 @@ __all__ = [
     "ivf_centroids", "kmeans_refine", "ivf_assign", "ivf_assign_gemm",
     "ivf_probe_lists", "ann_topk_ivf", "ann_topk_ivfpq", "semantic_dedup",
     "pq_codebooks", "pq_encode", "pq_encode_gemm", "jl_project",
-    "label_centroids", "centroid_outliers",
+    "label_centroids", "centroid_outliers", "triplet_mine",
 ]
 
 
@@ -1093,3 +1093,75 @@ def centroid_outliers(df: DataFrame, label_col: str = "label",
                                             F.col("vec_id").asc())
     return scored.select("vec_id", "label", "cos_centroid",
                          F.row_number().over(w).alias("outlier_rank"))
+
+
+def triplet_mine(df: DataFrame, dim: int, t_pos: float = 0.8,
+                 t_neg: float = 0.5, n_planes: int = 6, seed: int = 42,
+                 id_col: str = "vec_id",
+                 vec_col: str = "embedding") -> DataFrame:
+    """Contrastive training triplets (anchor, positive, hard negative)
+    mined from LSH buckets: for every anchor, the positive is its
+    most-similar same-bucket neighbor with cosine >= ``t_pos``, the
+    hard negative its most-similar same-bucket neighbor with cosine
+    <= ``t_neg`` — confusable-but-dissimilar, the negative that
+    actually moves an embedding model (hard-negative mining of the
+    sentence-embedding / DPR literature).  Ties break to the smaller
+    neighbor id on the 6-dp-rounded similarity; anchors missing
+    either side emit nothing.
+
+    Plan: ONE shuffle (groupBy lsh_bucket), then each bucket reduces
+    ITSELF with a blocked numpy self-GEMM to one skinny row per
+    anchor — the O(|bucket|^2) similarity matrix is never
+    materialized as rows (strictly cheaper than the near-dup pair
+    op), and per-block memory is block_rows x |bucket| doubles.  Hot
+    buckets are the known LSH skew point; cap upstream with the same
+    bucket-size guard as the dedup path if the corpus is pathological."""
+    b = lsh_bucket_assign(df, dim, n_planes, seed, vec_col).select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec"),
+        "lsh_bucket")
+
+    def kernel(pdf):
+        import numpy as np
+        import pandas as pd
+
+        cols = ["anchor", "positive", "pos_sim", "negative", "neg_sim"]
+        empty = pd.DataFrame({c: [] for c in cols}).astype(
+            {"anchor": "int64", "positive": "int64",
+             "pos_sim": "float64", "negative": "int64",
+             "neg_sim": "float64"})
+        n = len(pdf)
+        if n < 3:
+            return empty
+        ids = pdf["_id"].to_numpy(np.int64)
+        order = np.argsort(ids)          # id-sorted => argmax ties
+        ids = ids[order]                 # fall to the smaller id
+        mat = np.stack([np.asarray(v, np.float64)
+                        for v in pdf["_vec"]])[order]
+        nrm = np.linalg.norm(mat, axis=1)
+        nrm[nrm == 0.0] = np.nan
+        out = []
+        block = 2048
+        for s in range(0, n, block):
+            e = min(s + block, n)
+            sims = _round_half_away(
+                (mat[s:e] @ mat.T) / np.outer(nrm[s:e], nrm), 6)
+            for i in range(e - s):
+                row = sims[i].copy()
+                row[s + i] = np.nan      # never self
+                pos = np.where(row >= t_pos)[0]
+                neg = np.where(row <= t_neg)[0]
+                if pos.size == 0 or neg.size == 0:
+                    continue
+                p = pos[np.argmax(row[pos])]
+                q = neg[np.argmax(row[neg])]
+                out.append((ids[s + i], ids[p], row[p],
+                            ids[q], row[q]))
+        if not out:
+            return empty
+        return pd.DataFrame(out, columns=cols)
+
+    return (b.groupBy("lsh_bucket")
+            .applyInPandas(kernel,
+                           schema="anchor long, positive long, "
+                                  "pos_sim double, negative long, "
+                                  "neg_sim double"))

@@ -2082,3 +2082,34 @@ def test_link_depth_bfs(spark):
     got1 = {r["node"]: r["depth"]
             for r in link_depth(edges, seeds, max_hops=1).collect()}
     assert got1 == {0: 0, 1: 1, 3: 1}
+
+
+class TestTripletMine:
+    def test_single_bucket_geometry(self, spark):
+        from ocr_spark.operators.similarity import triplet_mine
+
+        # n_planes=0 -> one bucket; cosines are hand-computable:
+        # 1,2,5 colinear (cos 1.0), 3 orthogonal (0.0), 4 diagonal
+        # (0.707107 to the colinear set -- neither pos nor neg)
+        df = spark.createDataFrame(
+            [(1, [1.0, 0.0]), (2, [1.0, 0.0]), (3, [0.0, 1.0]),
+             (4, [1.0, 1.0]), (5, [2.0, 0.0])],
+            "vec_id long, embedding array<double>")
+        got = {r.anchor: (r.positive, r.pos_sim, r.negative, r.neg_sim)
+               for r in triplet_mine(df, dim=2, t_pos=0.9, t_neg=0.5,
+                                     n_planes=0).collect()}
+        # pos ties (2 vs 5 for anchor 1) fall to the smaller id
+        assert got == {
+            1: (2, 1.0, 3, 0.0),
+            2: (1, 1.0, 3, 0.0),
+            5: (1, 1.0, 3, 0.0),
+        }
+
+    def test_small_bucket_emits_nothing(self, spark):
+        from ocr_spark.operators.similarity import triplet_mine
+
+        df = spark.createDataFrame(
+            [(1, [1.0, 0.0]), (2, [1.0, 0.1])],
+            "vec_id long, embedding array<double>")
+        assert triplet_mine(df, dim=2, t_pos=0.9, t_neg=0.5,
+                            n_planes=0).count() == 0
