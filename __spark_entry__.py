@@ -744,6 +744,18 @@ def q_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("anchor"))
 
 
+def q_cloze_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cloze QA synthesis (operators/corpus.py:cloze_qa) straight
+    over the documents table — no planting needed: answer selection
+    is the integer (df, term) struct-min and the oracle is a full
+    second implementation (same sentence regex, token split, df
+    aggregate, argmin window, list_transform rebuild)."""
+    from ocr_spark.operators.corpus import cloze_qa
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return cloze_qa(docs).orderBy("doc_id", "sent_idx")
+
+
 def q_span_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Span-offset QA: explode the extraction's span array and roll up
     per span kind (count, covered bytes).  Oracled: on the wrapped
@@ -5809,6 +5821,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "id_linkage": q_id_linkage,
         "measurements": q_measurements,
         "triplets": q_triplets,
+        "cloze_qa": q_cloze_qa,
         "article_stitch": q_article_stitch,
         "bpe_encode": q_bpe_encode,
         "redirect_graph": q_redirect_graph,
@@ -11533,6 +11546,51 @@ def oracle_sql() -> dict[str, str]:
     """
     # sentence segmentation: same lookbehind-free regex, explode via
     # the ordinality struct-transform idiom
+    # full second cloze implementation: same sentence regex +
+    # whitespace token split, df over distinct per-doc tokens,
+    # (df, term) argmin via a window, list_transform blank rebuild
+    d["cloze_qa"] = r"""
+      WITH low AS (SELECT doc_id, lower(text) AS t FROM documents),
+      sl AS (
+        SELECT doc_id,
+          list_filter(list_transform(
+            regexp_extract_all(t, '[^.!?]+[.!?]*'), s -> trim(s)),
+            s -> len(s) > 0) AS ss
+        FROM low),
+      sent AS (
+        SELECT doc_id, p.idx AS sent_idx, p.s AS s
+        FROM (SELECT doc_id,
+                unnest(list_transform(range(1, len(ss) + 1),
+                  i -> {'idx': CAST(i - 1 AS INT), 's': ss[i]})) AS p
+              FROM sl)),
+      stok AS (
+        SELECT doc_id, sent_idx,
+               string_split_regex(trim(s), '\s+') AS toks
+        FROM sent),
+      stok_f AS (SELECT * FROM stok WHERE len(toks) >= 5),
+      dtok AS (
+        SELECT doc_id, unnest(list_distinct(
+          CASE WHEN len(trim(t)) = 0 THEN CAST([] AS VARCHAR[])
+               ELSE string_split_regex(trim(t), '\s+') END)) AS term
+        FROM low),
+      dfreq AS (SELECT term, count(*) AS df FROM dtok GROUP BY term),
+      cand AS (
+        SELECT doc_id, sent_idx, unnest(list_distinct(toks)) AS term
+        FROM stok_f),
+      ranked AS (
+        SELECT c.doc_id, c.sent_idx, c.term, d.df,
+               row_number() OVER (PARTITION BY c.doc_id, c.sent_idx
+                                  ORDER BY d.df, c.term) AS rn
+        FROM cand c JOIN dfreq d USING (term))
+      SELECT b.doc_id, b.sent_idx,
+             array_to_string(list_transform(sf.toks,
+               x -> CASE WHEN x = b.term THEN '____' ELSE x END),
+               ' ') AS question,
+             b.term AS answer, b.df AS answer_df
+      FROM (SELECT * FROM ranked WHERE rn = 1) b
+      JOIN stok_f sf USING (doc_id, sent_idx)
+      ORDER BY doc_id, sent_idx
+    """
     d["sentences"] = """
       WITH aug AS (
         SELECT doc_id,

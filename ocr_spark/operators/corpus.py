@@ -39,7 +39,8 @@ __all__ = ["stratified_sample", "token_budget_mix", "sample_thresholds",
            "data_split", "split_thresholds", "cluster_split",
            "contamination_pairs", "pack_sequences", "packed_sequences",
            "length_buckets", "weighted_sample", "epoch_shuffle",
-           "shard_plan", "shard_manifest", "fim_transform", "span_corrupt"]
+           "shard_plan", "shard_manifest", "fim_transform", "span_corrupt",
+           "cloze_qa"]
 
 # 60-bit hash space: 15 md5 hex chars, inside int64 on every engine
 HASH_SPACE = 1 << 60
@@ -842,3 +843,62 @@ def span_corrupt(df: DataFrame, key_col: str = "doc_id",
         join(inp_pieces).alias("input_text"),
         target.alias("target_text"),
     )
+
+
+def cloze_qa(df: DataFrame, id_col: str = "doc_id",
+             text_col: str = "text", min_tokens: int = 5) -> DataFrame:
+    """Cloze question synthesis — the deterministic reading-
+    comprehension pairs (question with a blank, answer term) that
+    instruction-tuning corpora bootstrap from raw text.  Per sentence
+    (>= ``min_tokens`` whitespace tokens, case-folded): the answer is
+    the token with the LOWEST corpus document frequency (rarest =
+    most informative blank; ties to the lexicographically smallest
+    token — a (df, term) struct-min, fully integer/string, no float
+    scoring to drift cross-engine), and the question is the sentence
+    with every whole-token occurrence of the answer replaced by
+    '____' — rebuilt from the token array (concat_ws over a
+    transform), never a regex substitution that would need
+    metacharacter escaping.
+
+    Tokens that sentence segmentation splits differently than the
+    full-text tokenization (an unspaced 'a.b' straddling a boundary)
+    are absent from the df table and silently ineligible as answers;
+    a sentence whose every token is ineligible emits nothing.
+
+    Plan: df table = one explode + hash aggregate over distinct
+    per-doc tokens; sentence tokens join it on term (the stopword-df
+    row is one row per term — standard AQE-handled skew), argmin is a
+    struct-min aggregate keyed (doc, sent), one join back to the
+    sentence row.  Text crosses the shuffle only as single sentences."""
+    from ocr_spark.functions.text import sentences, tokens
+
+    low = df.select(id_col, F.lower(F.col(text_col)).alias("_t"))
+    sent = (low.select(
+        id_col,
+        F.posexplode(sentences(F.col("_t"))).alias("sent_idx", "s"))
+        .withColumn("toks", tokens(F.col("s")))
+        .filter(F.size("toks") >= min_tokens))
+    tok = sent.select(
+        id_col, "sent_idx",
+        F.explode(F.array_distinct("toks")).alias("term"))
+    dfreq = (low.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(tokens(F.col("_t"))))
+         .alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("df")))
+    best = (tok.join(dfreq, "term")
+            .groupBy(id_col, "sent_idx")
+            .agg(F.min(F.struct("df", "term")).alias("b")))
+    ans = F.col("b").getField("term")
+    return (sent.join(best, [id_col, "sent_idx"])
+            .select(
+                id_col, "sent_idx",
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.col("toks"),
+                        lambda t: F.when(t == ans, F.lit("____"))
+                                   .otherwise(t))).alias("question"),
+                ans.alias("answer"),
+                F.col("b").getField("df").alias("answer_df")))

@@ -494,3 +494,36 @@ def test_shard_plan_rejects_nonpositive_budget(spark):
     df = spark.createDataFrame([(1, "a")], ["doc_id", "text"])
     with _pytest.raises(ValueError):
         shard_plan(df, shard_bytes=0)
+
+
+class TestClozeQA:
+    def test_rarest_term_blank_and_ties(self, spark):
+        from ocr_spark.operators.corpus import cloze_qa
+
+        df = spark.createDataFrame(
+            [(1, "the rare gem shines here. the cat sat."),
+             (2, "the gem glows and the gem endures daily."),
+             (3, "common words fill the air today."),
+             (4, "apple apple apple apple zed.")],
+            "doc_id long, text string")
+        got = {(r.doc_id, r.sent_idx):
+               (r.question, r.answer, r.answer_df)
+               for r in cloze_qa(df, min_tokens=5).collect()}
+        assert got == {
+            # df=1 ties resolve to the lexicographically smallest
+            (1, 0): ("the rare gem shines ____", "here.", 1),
+            (2, 0): ("the gem glows ____ the gem endures daily.",
+                     "and", 1),
+            (3, 0): ("common words fill the ____ today.", "air", 1),
+            # every occurrence of the answer is blanked
+            (4, 0): ("____ ____ ____ ____ zed.", "apple", 1),
+        }
+        # "the cat sat." has 3 tokens < min_tokens -> no row
+
+    def test_short_sentences_skipped(self, spark):
+        from ocr_spark.operators.corpus import cloze_qa
+
+        df = spark.createDataFrame(
+            [(1, "tiny one. two words here!")],
+            "doc_id long, text string")
+        assert cloze_qa(df, min_tokens=5).count() == 0
