@@ -1647,6 +1647,20 @@ def q_search_results(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy(F.col("score").desc(), "doc_id"))
 
 
+def q_hybrid_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval (index.py:hybrid_rerank): the shared
+    BM25_QUERY literals for the recall stage, a seeded 3-dp rational
+    query vector (similarity._hyperplanes seed=99) for the rerank, so
+    the oracle replays both stages exactly."""
+    from ocr_spark.operators.index import hybrid_rerank
+    from ocr_spark.operators.similarity import _hyperplanes
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qv = _hyperplanes(64, 1, seed=99)[0]
+    return hybrid_rerank(docs, emb, BM25_QUERY, qv).orderBy("rank")
+
+
 def q_crawl_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot diff (operators/snapshot.py): documents vs a
     deterministically mutated twin (every 13th removed, every
@@ -5822,6 +5836,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "measurements": q_measurements,
         "triplets": q_triplets,
         "cloze_qa": q_cloze_qa,
+        "hybrid_rerank": q_hybrid_rerank,
         "article_stitch": q_article_stitch,
         "bpe_encode": q_bpe_encode,
         "redirect_graph": q_redirect_graph,
@@ -6025,6 +6040,62 @@ def _triplets_sql(t_pos: float = 0.3, t_neg: float = 0.0) -> str:
       FROM pos p JOIN neg n ON p.anchor = n.anchor
       WHERE p.rn = 1 AND n.rn = 1
       ORDER BY p.anchor
+    """
+
+
+def _hybrid_rerank_sql(k_candidates: int = 50, k: int = 10) -> str:
+    from ocr_spark.operators.similarity import _hyperplanes
+
+    qv = _hyperplanes(64, 1, seed=99)[0]
+    lit = "[" + ", ".join(repr(float(x)) for x in qv) + "]::DOUBLE[]"
+    toks = "string_split_regex(trim(text), '\\s+')"
+    terms = ", ".join(f"'{t}'" for t in BM25_QUERY)
+    tf_cols = ", ".join(
+        f"sum(CASE WHEN term = '{t}' THEN 1 ELSE 0 END) AS tf_{i}"
+        for i, t in enumerate(BM25_QUERY))
+    df_cols = ", ".join(
+        f"(SELECT count(DISTINCT CASE WHEN term = '{t}' "
+        f"THEN doc_id END) FROM ex) AS df_{i}"
+        for i, t in enumerate(BM25_QUERY))
+    score = " ".join(
+        f"+ ln((n_docs - df_{i} + 0.5) / (df_{i} + 0.5) + 1)"
+        f" * (CAST(tf_{i} AS DOUBLE) * 2.2"
+        f" / (CAST(tf_{i} AS DOUBLE)"
+        f" + 1.2 * (0.25 + 0.75 * l.dl / avgdl)))"
+        for i in range(len(BM25_QUERY)))
+    return f"""
+      WITH tok AS (
+        SELECT doc_id,
+          CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+               ELSE {toks} END AS tl
+        FROM documents),
+      lens AS (SELECT doc_id, len(tl) AS dl FROM tok),
+      ex AS (
+        SELECT doc_id, t AS term
+        FROM (SELECT doc_id, unnest(tl) AS t FROM tok)
+        WHERE t IN ({terms})),
+      tfs AS (SELECT doc_id, {tf_cols} FROM ex GROUP BY doc_id),
+      st AS (
+        SELECT (SELECT count(*) FROM lens) AS n_docs,
+               (SELECT avg(dl) FROM lens) AS avgdl, {df_cols}),
+      cands AS (
+        SELECT l.doc_id, round(0.0 {score}, 6) AS score
+        FROM lens l JOIN tfs USING (doc_id), st
+        ORDER BY score DESC, l.doc_id LIMIT {k_candidates}),
+      scored AS (
+        SELECT e.vec_id AS doc_id, c.score AS bm25_score,
+               round(list_dot_product(e.emb, {lit}) /
+                     (sqrt(list_dot_product(e.emb, e.emb)) *
+                      sqrt(list_dot_product({lit}, {lit}))), 6)
+                 AS cos_sim
+        FROM (SELECT vec_id, embedding::DOUBLE[] AS emb
+              FROM embeddings) e
+        JOIN cands c ON c.doc_id = e.vec_id)
+      SELECT doc_id, bm25_score, cos_sim,
+             CAST(row_number() OVER (
+               ORDER BY cos_sim DESC, doc_id) AS INT) AS rank
+      FROM scored QUALIFY rank <= {k}
+      ORDER BY rank
     """
 
 
@@ -7939,6 +8010,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "embed_near_dup_lsh": _embed_near_dup_lsh_sql(),
         "triplets": _triplets_sql(),
+        "hybrid_rerank": _hybrid_rerank_sql(),
         "ann_topk": _ann_topk_sql(),
         "ann_topk_ivf": _ann_topk_ivf_sql(),
         "ann_topk_ivfpq": _ann_topk_ivfpq_sql(),

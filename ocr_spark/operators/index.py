@@ -25,7 +25,7 @@ from ocr_spark.functions.text import tokens
 __all__ = ["inverted_index", "corpus_stats", "bm25_topk", "posting_deltas",
            "tfidf_cosine_pairs", "index_delta", "kwic_snippets", "rrf_fuse", "ndcg_eval",
            "rake_keyphrases", "mine_identifiers", "identifier_linkage",
-           "mine_measurements"]
+           "mine_measurements", "hybrid_rerank"]
 
 
 def inverted_index(df: DataFrame, text_col: str = "text",
@@ -700,3 +700,40 @@ def mine_measurements(df: DataFrame, id_col: str = "doc_id",
         value_milli.alias("value_milli"),
         dim.alias("dimension"),
         (value_milli * factor).alias("norm_milli"))
+
+
+def hybrid_rerank(docs: DataFrame, emb: DataFrame,
+                  query_terms: tuple[str, ...],
+                  query_vec: list[float], k_candidates: int = 50,
+                  k: int = 10, id_col: str = "doc_id",
+                  vec_id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> DataFrame:
+    """Two-stage retrieval — the production search shape: a cheap
+    lexical recall stage (BM25 top ``k_candidates``) followed by an
+    exact embedding rerank of ONLY those candidates against the query
+    vector.  Returns (doc, bm25_score, cos_sim, rank) ranked by
+    cosine, ties to the smaller id.
+
+    Scale shape: stage 1 is the documented bm25_topk plan (filtered
+    explode, broadcast stats, TakeOrdered); stage 2 BROADCASTS the
+    k_candidates-row result into a semi-join against the embedding
+    table — the corpus embeddings are scanned once, never shuffled,
+    and the expensive scorer touches exactly k_candidates vectors.
+    The query vector rides as a literal array (rational 3-dp floats),
+    so the SQL oracle re-derives identical cosines."""
+    from ocr_spark.operators.similarity import cosine
+
+    cands = bm25_topk(docs, query_terms, k=k_candidates,
+                      id_col=id_col).select(id_col, "score")
+    qv = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = (emb.select(F.col(vec_id_col).alias(id_col),
+                         F.col(vec_col))
+              .join(F.broadcast(cands), id_col)
+              .withColumn("cos_sim",
+                          F.round(cosine(F.col(vec_col), qv), 6)))
+    from pyspark.sql import Window
+    w = Window.orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(id_col, F.col("score").alias("bm25_score"),
+                    "cos_sim", "rank"))

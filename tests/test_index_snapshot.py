@@ -454,3 +454,39 @@ class TestMineMeasurements:
                for r in mine_measurements(df).collect()}
         assert out == {"ms": ("time", 10000),
                        "gb": ("data", 3_000_000_000_000)}
+
+
+class TestHybridRerank:
+    def test_candidates_then_cosine_order(self, spark):
+        from ocr_spark.operators.index import hybrid_rerank
+
+        docs = spark.createDataFrame(
+            [(1, "ocr spark engine"), (2, "spark pipeline"),
+             (3, "spark notes extra"), (4, "nothing relevant")],
+            "doc_id long, text string")
+        emb = spark.createDataFrame(
+            [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [1.0, 1.0]),
+             (4, [1.0, 0.0])],
+            "vec_id long, embedding array<double>")
+        out = hybrid_rerank(docs, emb, ("spark",), [1.0, 0.0],
+                            k_candidates=3, k=2).collect()
+        # doc 4 never enters (no lexical hit); rerank is by cosine
+        assert [(r.doc_id, r.cos_sim, r.rank) for r in out] == [
+            (1, 1.0, 1), (3, 0.707107, 2)]
+        assert all(r.bm25_score > 0 for r in out)
+
+    def test_k_candidates_bounds_recall(self, spark):
+        from ocr_spark.operators.index import hybrid_rerank
+
+        # doc 2 has the best cosine but the WORST bm25 of the three
+        # hits; with k_candidates=2 it must never reach the reranker
+        docs = spark.createDataFrame(
+            [(1, "q q q"), (2, "q filler filler filler filler"),
+             (3, "q q filler")],
+            "doc_id long, text string")
+        emb = spark.createDataFrame(
+            [(1, [0.0, 1.0]), (2, [1.0, 0.0]), (3, [1.0, 1.0])],
+            "vec_id long, embedding array<double>")
+        out = hybrid_rerank(docs, emb, ("q",), [1.0, 0.0],
+                            k_candidates=2, k=2).collect()
+        assert [r.doc_id for r in out] == [3, 1]
