@@ -1661,6 +1661,27 @@ def q_hybrid_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hybrid_rerank(docs, emb, BM25_QUERY, qv).orderBy("rank")
 
 
+GAZETTEER = {  # shared literals with the oracle VALUES table
+    "hash join": "Q_HASHJOIN", "merge join": "Q_MERGEJOIN",
+    "join": "Q_JOIN", "data": "Q_DATA", "window": "Q_WINDOW",
+    "scan": "Q_SCAN",
+}
+
+
+def q_gazetteer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gazetteer entity spotting (operators/annotate.py:
+    gazetteer_link) with a fixed dictionary over the natural corpus
+    vocabulary — bigram surfaces ('hash join') must suppress their
+    contained unigrams ('join'); the oracle is a full second
+    implementation (range-lateral n-gram positions, VALUES gazetteer,
+    NOT EXISTS containment)."""
+    from ocr_spark.operators.annotate import gazetteer_link
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return (gazetteer_link(docs, GAZETTEER)
+            .orderBy("doc_id", "pos", "n_words"))
+
+
 def q_crawl_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot diff (operators/snapshot.py): documents vs a
     deterministically mutated twin (every 13th removed, every
@@ -5837,6 +5858,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triplets": q_triplets,
         "cloze_qa": q_cloze_qa,
         "hybrid_rerank": q_hybrid_rerank,
+        "gazetteer": q_gazetteer,
         "article_stitch": q_article_stitch,
         "bpe_encode": q_bpe_encode,
         "redirect_graph": q_redirect_graph,
@@ -11662,6 +11684,42 @@ def oracle_sql() -> dict[str, str]:
       FROM (SELECT * FROM ranked WHERE rn = 1) b
       JOIN stok_f sf USING (doc_id, sent_idx)
       ORDER BY doc_id, sent_idx
+    """
+    # full second gazetteer implementation: range-lateral n-gram
+    # positions, VALUES dictionary, NOT-EXISTS strict containment
+    d["gazetteer"] = r"""
+      WITH tok AS (
+        SELECT doc_id,
+          CASE WHEN len(trim(lower(text))) = 0
+               THEN CAST([] AS VARCHAR[])
+               ELSE string_split_regex(trim(lower(text)), '\s+')
+          END AS tl
+        FROM documents),
+      u AS (
+        SELECT doc_id, tl, unnest(range(0, len(tl))) AS i FROM tok),
+      grams AS (
+        SELECT doc_id, CAST(i AS INT) AS pos, tl[i + 1] AS surface
+        FROM u
+        UNION ALL
+        SELECT doc_id, CAST(i AS INT),
+               tl[i + 1] || ' ' || tl[i + 2]
+        FROM u WHERE i + 2 <= len(tl)),
+      gaz(surface, entity_id, n_words) AS (VALUES
+        ('hash join', 'Q_HASHJOIN', 2),
+        ('merge join', 'Q_MERGEJOIN', 2),
+        ('join', 'Q_JOIN', 1), ('data', 'Q_DATA', 1),
+        ('window', 'Q_WINDOW', 1), ('scan', 'Q_SCAN', 1)),
+      m AS (
+        SELECT g.doc_id, g.pos, z.n_words, g.surface, z.entity_id
+        FROM grams g JOIN gaz z USING (surface))
+      SELECT doc_id, pos, n_words, surface, entity_id
+      FROM m a
+      WHERE NOT EXISTS (
+        SELECT 1 FROM m b
+        WHERE b.doc_id = a.doc_id AND b.pos <= a.pos
+          AND b.pos + b.n_words >= a.pos + a.n_words
+          AND (b.pos <> a.pos OR b.n_words <> a.n_words))
+      ORDER BY doc_id, pos, n_words
     """
     d["sentences"] = """
       WITH aug AS (

@@ -2113,3 +2113,34 @@ class TestTripletMine:
             "vec_id long, embedding array<double>")
         assert triplet_mine(df, dim=2, t_pos=0.9, t_neg=0.5,
                             n_planes=0).count() == 0
+
+
+class TestGazetteerLink:
+    def test_maximal_munch_and_case_fold(self, spark):
+        from ocr_spark.operators.annotate import gazetteer_link
+
+        df = spark.createDataFrame(
+            [(1, "the Data Table holds a table of data"),
+             (2, "spark data table spark"), (3, "nothing here")],
+            "doc_id long, text string")
+        gaz = {"data table": "E_DT", "table": "E_T",
+               "data": "E_D", "spark": "E_S"}
+        got = sorted(tuple(r) for r in gazetteer_link(df, gaz).collect())
+        # 'Data Table' (pos 1, 2 words) suppresses its contained
+        # unigrams; standalone 'table'@5 and 'data'@7 survive
+        assert got == [
+            (1, 1, 2, "data table", "E_DT"),
+            (1, 5, 1, "table", "E_T"),
+            (1, 7, 1, "data", "E_D"),
+            (2, 0, 1, "spark", "E_S"),
+            (2, 1, 2, "data table", "E_DT"),
+            (2, 3, 1, "spark", "E_S"),
+        ]
+
+    def test_empty_gazetteer_rejected(self, spark):
+        from ocr_spark.operators.annotate import gazetteer_link
+        import pytest
+
+        df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        with pytest.raises(ValueError):
+            gazetteer_link(df, {})
