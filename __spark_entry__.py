@@ -1682,6 +1682,35 @@ def q_gazetteer(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id", "pos", "n_words"))
 
 
+def q_entity_contexts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KWIC windows (annotate.py:mention_contexts) around the BIGRAM
+    gazetteer mentions (n_words=2 rows need no containment
+    suppression — nothing longer exists to contain them, which keeps
+    the oracle to one gram pass)."""
+    from ocr_spark.operators.annotate import (gazetteer_link,
+                                              mention_contexts)
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    m = (gazetteer_link(docs, GAZETTEER)
+         .filter(F.col("n_words") == 2))
+    return (mention_contexts(docs, m, window=3)
+            .select("doc_id", "pos", "entity_id", "context")
+            .orderBy("doc_id", "pos"))
+
+
+def q_entity_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity co-occurrence graph (annotate.py:entity_cooc) over ALL
+    gazetteer mentions within a 20-token window, kept at n_cooc >= 2,
+    with integer marginals for downstream PMI."""
+    from ocr_spark.operators.annotate import (entity_cooc,
+                                              gazetteer_link)
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    m = gazetteer_link(docs, GAZETTEER)
+    return (entity_cooc(m, window=20, min_count=2)
+            .orderBy("entity_a", "entity_b"))
+
+
 def q_crawl_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot diff (operators/snapshot.py): documents vs a
     deterministically mutated twin (every 13th removed, every
@@ -5859,6 +5888,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cloze_qa": q_cloze_qa,
         "hybrid_rerank": q_hybrid_rerank,
         "gazetteer": q_gazetteer,
+        "entity_contexts": q_entity_contexts,
+        "entity_graph": q_entity_graph,
         "article_stitch": q_article_stitch,
         "bpe_encode": q_bpe_encode,
         "redirect_graph": q_redirect_graph,
@@ -11720,6 +11751,81 @@ def oracle_sql() -> dict[str, str]:
           AND b.pos + b.n_words >= a.pos + a.n_words
           AND (b.pos <> a.pos OR b.n_words <> a.n_words))
       ORDER BY doc_id, pos, n_words
+    """
+    # bigram mentions only (no containment possible), 1-based
+    # inclusive list slice mirrors Spark's slice(start+1, end-start)
+    d["entity_contexts"] = r"""
+      WITH tok AS (
+        SELECT doc_id,
+          CASE WHEN len(trim(lower(text))) = 0
+               THEN CAST([] AS VARCHAR[])
+               ELSE string_split_regex(trim(lower(text)), '\s+')
+          END AS tl
+        FROM documents),
+      u AS (
+        SELECT doc_id, tl, unnest(range(0, len(tl))) AS i FROM tok),
+      gaz(surface, entity_id) AS (VALUES
+        ('hash join', 'Q_HASHJOIN'), ('merge join', 'Q_MERGEJOIN')),
+      m AS (
+        SELECT u.doc_id, CAST(u.i AS INT) AS pos, z.entity_id, u.tl
+        FROM u JOIN gaz z
+        ON u.i + 2 <= len(u.tl)
+           AND u.tl[u.i + 1] || ' ' || u.tl[u.i + 2] = z.surface)
+      SELECT doc_id, pos, entity_id,
+             array_to_string(
+               tl[greatest(0, pos - 3) + 1 :
+                  least(len(tl), pos + 2 + 3)], ' ') AS context
+      FROM m ORDER BY doc_id, pos
+    """
+    # full gazetteer mention set (containment applied), windowed
+    # self-join, pair counts >= 2, integer marginals joined back
+    d["entity_graph"] = r"""
+      WITH tok AS (
+        SELECT doc_id,
+          CASE WHEN len(trim(lower(text))) = 0
+               THEN CAST([] AS VARCHAR[])
+               ELSE string_split_regex(trim(lower(text)), '\s+')
+          END AS tl
+        FROM documents),
+      u AS (
+        SELECT doc_id, tl, unnest(range(0, len(tl))) AS i FROM tok),
+      grams AS (
+        SELECT doc_id, CAST(i AS INT) AS pos, tl[i + 1] AS surface
+        FROM u
+        UNION ALL
+        SELECT doc_id, CAST(i AS INT),
+               tl[i + 1] || ' ' || tl[i + 2]
+        FROM u WHERE i + 2 <= len(tl)),
+      gaz(surface, entity_id, n_words) AS (VALUES
+        ('hash join', 'Q_HASHJOIN', 2),
+        ('merge join', 'Q_MERGEJOIN', 2),
+        ('join', 'Q_JOIN', 1), ('data', 'Q_DATA', 1),
+        ('window', 'Q_WINDOW', 1), ('scan', 'Q_SCAN', 1)),
+      m0 AS (
+        SELECT g.doc_id, g.pos, z.n_words, z.entity_id
+        FROM grams g JOIN gaz z USING (surface)),
+      m AS (
+        SELECT * FROM m0 a
+        WHERE NOT EXISTS (
+          SELECT 1 FROM m0 b
+          WHERE b.doc_id = a.doc_id AND b.pos <= a.pos
+            AND b.pos + b.n_words >= a.pos + a.n_words
+            AND (b.pos <> a.pos OR b.n_words <> a.n_words))),
+      pairs AS (
+        SELECT a.entity_id AS entity_a, b.entity_id AS entity_b,
+               CAST(count(*) AS BIGINT) AS n_cooc
+        FROM m a JOIN m b
+        ON a.doc_id = b.doc_id AND a.entity_id < b.entity_id
+           AND abs(a.pos - b.pos) <= 20
+        GROUP BY 1, 2 HAVING count(*) >= 2),
+      marg AS (SELECT entity_id, CAST(count(*) AS BIGINT) AS n
+               FROM m GROUP BY entity_id)
+      SELECT p.entity_a, p.entity_b, p.n_cooc,
+             ma.n AS n_a, mb.n AS n_b
+      FROM pairs p
+      JOIN marg ma ON ma.entity_id = p.entity_a
+      JOIN marg mb ON mb.entity_id = p.entity_b
+      ORDER BY entity_a, entity_b
     """
     d["sentences"] = """
       WITH aug AS (

@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 
 from ocr_spark.functions.text import tokens
 
-__all__ = ["gazetteer_link"]
+__all__ = ["gazetteer_link", "mention_contexts", "entity_cooc"]
 
 
 def gazetteer_link(df: DataFrame, gazetteer: dict[str, str],
@@ -90,3 +90,66 @@ def gazetteer_link(df: DataFrame, gazetteer: dict[str, str],
            | (F.col("b.n_words") != F.col("a.n_words"))))
     return a.join(b, contained, "left_anti").select(
         id_col, "pos", "n_words", "surface", "entity_id")
+
+
+def mention_contexts(df: DataFrame, mentions: DataFrame,
+                     window: int = 3, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Context windows around mentions — the KWIC view entity-linking
+    and citation-analysis pipelines read: for each (doc, pos, n_words)
+    mention row, the surrounding ``window`` tokens on each side
+    (clamped at document edges) joined back into a snippet.
+
+    Plan: the token arrays join the mention rows on the document key
+    (ONE shuffle of (doc, tokens) against the skinny mention side);
+    the slice/join is per-row JVM.  At 100 TB restrict ``mentions``
+    first — the operator only materializes windows for rows given."""
+    tl = df.select(id_col,
+                   tokens(F.lower(F.col(text_col))).alias("_toks"))
+    start = F.greatest(F.lit(0), F.col("pos") - window)
+    end = F.least(F.size("_toks"),
+                  F.col("pos") + F.col("n_words") + window)
+    return (mentions.join(tl, id_col)
+            .select(
+                id_col, "pos", "n_words",
+                *[c for c in mentions.columns
+                  if c not in (id_col, "pos", "n_words")],
+                F.array_join(
+                    F.slice("_toks", start + 1, end - start), " ")
+                 .alias("context")))
+
+
+def entity_cooc(mentions: DataFrame, window: int | None = None,
+                min_count: int = 1,
+                id_col: str = "doc_id") -> DataFrame:
+    """Entity co-occurrence graph from mention rows — the
+    knowledge-graph edge builder: entity pairs appearing in the same
+    document (optionally within ``window`` token positions), with the
+    co-occurrence count and each side's corpus mention count so the
+    caller can derive PMI/likelihood ratios (emitted as exact
+    integers; no float scoring inside the operator).
+
+    Plan: mention self-join keyed by document (mentions are orders of
+    magnitude sparser than tokens), pair-count aggregate, then two
+    broadcast joins of the tiny per-entity marginal aggregate."""
+    m = mentions.select(id_col, "pos", "entity_id")
+    a, b = m.alias("a"), m.alias("b")
+    cond = ((F.col(f"a.{id_col}") == F.col(f"b.{id_col}"))
+            & (F.col("a.entity_id") < F.col("b.entity_id")))
+    if window is not None:
+        d = F.col("a.pos") - F.col("b.pos")
+        cond = cond & (d <= window) & (-d <= window)
+    pairs = (a.join(b, cond)
+             .groupBy(F.col("a.entity_id").alias("entity_a"),
+                      F.col("b.entity_id").alias("entity_b"))
+             .agg(F.count("*").alias("n_cooc"))
+             .filter(F.col("n_cooc") >= min_count))
+    marg = m.groupBy("entity_id").agg(F.count("*").alias("n"))
+    return (pairs
+            .join(F.broadcast(marg.withColumnRenamed("n", "n_a")),
+                  pairs.entity_a == marg.entity_id)
+            .drop("entity_id")
+            .join(F.broadcast(marg.withColumnRenamed("n", "n_b")),
+                  pairs.entity_b == marg.entity_id)
+            .drop("entity_id")
+            .select("entity_a", "entity_b", "n_cooc", "n_a", "n_b"))

@@ -2144,3 +2144,40 @@ class TestGazetteerLink:
         df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
         with pytest.raises(ValueError):
             gazetteer_link(df, {})
+
+
+class TestMentionContexts:
+    def test_window_clamps_at_edges(self, spark):
+        from ocr_spark.operators.annotate import mention_contexts
+
+        docs = spark.createDataFrame(
+            [(1, "a b c d e f g")], "doc_id long, text string")
+        mentions = spark.createDataFrame(
+            [(1, 2, 2, "E_CD"), (1, 0, 1, "E_A"), (1, 6, 1, "E_G")],
+            "doc_id long, pos int, n_words int, entity_id string")
+        got = {r.entity_id: r.context
+               for r in mention_contexts(docs, mentions,
+                                         window=2).collect()}
+        assert got == {
+            "E_CD": "a b c d e f",   # 2 left + span + 2 right
+            "E_A": "a b c",          # left edge clamps
+            "E_G": "e f g",          # right edge clamps
+        }
+
+
+class TestEntityCooc:
+    def test_window_and_marginals(self, spark):
+        from ocr_spark.operators.annotate import entity_cooc
+
+        m = spark.createDataFrame(
+            [(1, 0, "E1"), (1, 2, "E2"), (1, 10, "E3"),
+             (2, 0, "E1"), (2, 1, "E2")],
+            "doc_id long, pos int, entity_id string")
+        allp = {(r.entity_a, r.entity_b): (r.n_cooc, r.n_a, r.n_b)
+                for r in entity_cooc(m).collect()}
+        assert allp == {("E1", "E2"): (2, 2, 2),
+                        ("E1", "E3"): (1, 2, 1),
+                        ("E2", "E3"): (1, 2, 1)}
+        near = {(r.entity_a, r.entity_b): r.n_cooc
+                for r in entity_cooc(m, window=3).collect()}
+        assert near == {("E1", "E2"): 2}
