@@ -1711,6 +1711,34 @@ def q_entity_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("entity_a", "entity_b"))
 
 
+def q_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter record linkage (dedup.py:record_linkage)
+    between two derived metadata snapshots: right-side titles are
+    perturbed for doc_id%7==0, years for doc_id%3==0; blocking on
+    host=doc_id%20 gives a 25x25-per-block candidate set the oracle
+    replays with the same literal integer weights."""
+    from ocr_spark.operators.dedup import record_linkage
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    i = F.col("doc_id")
+    left = docs.select(
+        "doc_id", (i % 20).alias("host"),
+        F.concat(F.lit("t"), (i % 40).cast("string")).alias("title"),
+        (F.lit(2000) + i % 25).alias("year"))
+    right = docs.select(
+        (i + 1000).alias("doc_id"), (i % 20).alias("host"),
+        F.concat(F.lit("t"), (i % 40).cast("string"),
+                 F.when(i % 7 == 0, F.lit("x"))
+                  .otherwise(F.lit(""))).alias("title"),
+        (F.lit(2000) + i % 25
+         + F.when(i % 3 == 0, 1).otherwise(0)).alias("year"))
+    return (record_linkage(left, right, "host",
+                           {"title": (4000, -2000),
+                            "year": (1000, -1500)},
+                           t_match=4000, t_possible=2000)
+            .orderBy("l_doc_id", "r_doc_id"))
+
+
 def q_crawl_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot diff (operators/snapshot.py): documents vs a
     deterministically mutated twin (every 13th removed, every
@@ -5890,6 +5918,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gazetteer": q_gazetteer,
         "entity_contexts": q_entity_contexts,
         "entity_graph": q_entity_graph,
+        "record_linkage": q_record_linkage,
         "article_stitch": q_article_stitch,
         "bpe_encode": q_bpe_encode,
         "redirect_graph": q_redirect_graph,
@@ -11826,6 +11855,35 @@ def oracle_sql() -> dict[str, str]:
       JOIN marg ma ON ma.entity_id = p.entity_a
       JOIN marg mb ON mb.entity_id = p.entity_b
       ORDER BY entity_a, entity_b
+    """
+    # same literal weights/thresholds; both snapshots rebuilt
+    # closed-form; no NULL fields at the driver scale (NULL path is
+    # pytest-covered)
+    d["record_linkage"] = """
+      WITH l AS (
+        SELECT doc_id AS lid, doc_id % 20 AS blk,
+               't' || (doc_id % 40) AS lt,
+               2000 + doc_id % 25 AS ly
+        FROM documents),
+      r AS (
+        SELECT doc_id + 1000 AS rid, doc_id % 20 AS blk,
+               't' || (doc_id % 40) ||
+                 CASE WHEN doc_id % 7 = 0 THEN 'x' ELSE '' END AS rt,
+               2000 + doc_id % 25 +
+                 CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS ry
+        FROM documents),
+      j AS (
+        SELECT lid, rid, lt = rt AS agree_title, ly = ry AS agree_year,
+               CAST((CASE WHEN lt = rt THEN 4000 ELSE -2000 END)
+                  + (CASE WHEN ly = ry THEN 1000 ELSE -1500 END)
+                 AS BIGINT) AS score_milli
+        FROM l JOIN r USING (blk))
+      SELECT lid AS l_doc_id, rid AS r_doc_id, agree_title,
+             agree_year, score_milli,
+             CASE WHEN score_milli >= 4000 THEN 'match'
+                  ELSE 'possible' END AS decision
+      FROM j WHERE score_milli >= 2000
+      ORDER BY l_doc_id, r_doc_id
     """
     d["sentences"] = """
       WITH aug AS (

@@ -46,6 +46,7 @@ __all__ = [
     "simhash_near_dup_pairs", "simhash_bucket_overflow",
     "connected_components", "near_dup_clusters", "cluster_representatives",
     "bloom_build", "bloom_member", "bloom_line_dedup", "cdc_chunks",
+    "record_linkage",
 ]
 
 # Mersenne prime 2^31-1: the affine minhash family works mod P, so
@@ -1200,3 +1201,55 @@ def edit_verify(pairs: DataFrame, docs: DataFrame,
         .select(id_a, id_b, dist.alias("edit_dist"),
                 sim.alias("edit_sim"))
     )
+
+
+def record_linkage(left: DataFrame, right: DataFrame,
+                   block_col: str,
+                   field_weights: dict[str, tuple[int, int]],
+                   t_match: int, t_possible: int,
+                   id_col: str = "doc_id") -> DataFrame:
+    """Blocked probabilistic record linkage (the Fellegi-Sunter 1969
+    decision rule, as used by every dedup-across-snapshots / entity-
+    resolution pipeline): candidate pairs share the blocking key; each
+    compared field contributes its agreement weight when equal, its
+    disagreement weight when unequal, and ZERO when either side is
+    NULL (absence is no evidence); pairs scoring >= ``t_match`` are
+    links, >= ``t_possible`` go to review, the rest are dropped (the
+    overwhelming majority — emitting non-links would be quadratic).
+
+    ``field_weights``: field -> (agree_milli, disagree_milli) —
+    integer milli log-odds chosen by the caller, kept integral so the
+    decision boundary is bit-exact cross-engine (the u/m-probability
+    estimation that derives them is upstream offline work).
+
+    Plan: ONE equi-join on the blocking key (never all-pairs — the
+    blocking-key design bounds the candidate set exactly like LSH
+    bands); per-field comparisons are per-row JVM expressions.  A hot
+    blocking key expands quadratically — same discipline as every
+    candidate generator here: pick blocks with bounded selectivity or
+    cap/salt upstream, and count drops."""
+    lid, rid = f"l_{id_col}", f"r_{id_col}"
+    l = left.select(
+        F.col(id_col).alias(lid), F.col(block_col).alias("_blk"),
+        *[F.col(c).alias(f"l_{c}") for c in field_weights])
+    r = right.select(
+        F.col(id_col).alias(rid), F.col(block_col).alias("_blk"),
+        *[F.col(c).alias(f"r_{c}") for c in field_weights])
+    j = l.join(r, "_blk")
+    score = F.lit(0)
+    agree_cols = []
+    for c, (wa, wd) in sorted(field_weights.items()):
+        lc, rc = F.col(f"l_{c}"), F.col(f"r_{c}")
+        agree = F.when(lc.isNull() | rc.isNull(),
+                       F.lit(None).cast("boolean")).otherwise(lc == rc)
+        agree_cols.append(agree.alias(f"agree_{c}"))
+        score = score + (F.when(agree.isNull(), 0)
+                          .when(agree, F.lit(wa))
+                          .otherwise(F.lit(wd)))
+    out = j.select(lid, rid, *agree_cols,
+                   score.cast("long").alias("score_milli"))
+    return (out.filter(F.col("score_milli") >= t_possible)
+            .withColumn(
+                "decision",
+                F.when(F.col("score_milli") >= t_match, "match")
+                 .otherwise("possible")))

@@ -2181,3 +2181,31 @@ class TestEntityCooc:
         near = {(r.entity_a, r.entity_b): r.n_cooc
                 for r in entity_cooc(m, window=3).collect()}
         assert near == {("E1", "E2"): 2}
+
+
+class TestRecordLinkage:
+    def test_decisions_and_null_is_no_evidence(self, spark):
+        from ocr_spark.operators.dedup import record_linkage
+
+        left = spark.createDataFrame(
+            [(1, "a", "x", 2000), (2, "a", "y", 2001),
+             (3, "b", "z", None)],
+            "doc_id long, blk string, title string, year int")
+        right = spark.createDataFrame(
+            [(10, "a", "x", 2000), (11, "a", "y", 2000),
+             (12, "b", "z", 2005), (13, "c", "x", 2000)],
+            "doc_id long, blk string, title string, year int")
+        out = {(r.l_doc_id, r.r_doc_id):
+               (r.agree_title, r.agree_year, r.score_milli, r.decision)
+               for r in record_linkage(
+                   left, right, "blk",
+                   {"title": (4000, -2000), "year": (1000, -1500)},
+                   t_match=4000, t_possible=2000).collect()}
+        assert out == {
+            (1, 10): (True, True, 5000, "match"),
+            (2, 11): (True, False, 2500, "possible"),
+            # NULL year contributes zero and surfaces as NULL agree
+            (3, 12): (True, None, 4000, "match"),
+        }
+        # (1,11)/(2,10) score below t_possible and are dropped;
+        # 13 shares no block and never becomes a candidate
