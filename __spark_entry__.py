@@ -1711,6 +1711,27 @@ def q_entity_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("entity_a", "entity_b"))
 
 
+def q_code_switch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-sentence code-switch detection (functions/text.py:
+    code_switch) with planted foreign sentences: docs with i%4==0
+    gain a Spanish marker sentence, i%6==0 a German one (leading '.'
+    so the plant is always its own segment).  The oracle replays the
+    sentence explode, the shared marker-argmax CASE, the majority
+    window, and the lag-based switch count."""
+    from ocr_spark.functions.text import code_switch
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    i = F.col("doc_id")
+    aug = F.concat(
+        F.col("text"),
+        F.when(i % 4 == 0, F.lit(". el que los las por."))
+         .otherwise(F.lit("")),
+        F.when(i % 6 == 0, F.lit(". der und ist nicht mit."))
+         .otherwise(F.lit("")))
+    return (code_switch(docs.select("doc_id", aug.alias("text")))
+            .orderBy("doc_id"))
+
+
 def q_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fellegi-Sunter record linkage (dedup.py:record_linkage)
     between two derived metadata snapshots: right-side titles are
@@ -5919,6 +5940,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_contexts": q_entity_contexts,
         "entity_graph": q_entity_graph,
         "record_linkage": q_record_linkage,
+        "code_switch": q_code_switch,
         "article_stitch": q_article_stitch,
         "bpe_encode": q_bpe_encode,
         "redirect_graph": q_redirect_graph,
@@ -11884,6 +11906,67 @@ def oracle_sql() -> dict[str, str]:
                   ELSE 'possible' END AS decision
       FROM j WHERE score_milli >= 2000
       ORDER BY l_doc_id, r_doc_id
+    """
+    # per-sentence marker argmax (shared lang_case over sentence
+    # tokens), majority via count-desc/lang-asc window, lag switches
+    d["code_switch"] = f"""
+      WITH aug AS (
+        SELECT doc_id, text ||
+          CASE WHEN doc_id % 4 = 0
+               THEN '. el que los las por.' ELSE '' END ||
+          CASE WHEN doc_id % 6 = 0
+               THEN '. der und ist nicht mit.' ELSE '' END AS t
+        FROM documents),
+      sl AS (
+        SELECT doc_id,
+          list_filter(list_transform(
+            regexp_extract_all(t, '[^.!?]+[.!?]*'), s -> trim(s)),
+            s -> len(s) > 0) AS ss
+        FROM aug),
+      sent AS (
+        SELECT doc_id, p.idx AS sent_idx, p.s AS s
+        FROM (SELECT doc_id,
+                unnest(list_transform(range(1, len(ss) + 1),
+                  i -> {{'idx': CAST(i - 1 AS INT), 's': ss[i]}})) AS p
+              FROM sl)),
+      c AS (
+        SELECT doc_id, sent_idx,
+          len(list_filter(string_split_regex(trim(s), '\\s+'),
+              t -> list_contains({markers['en']}, t))) AS c_en,
+          len(list_filter(string_split_regex(trim(s), '\\s+'),
+              t -> list_contains({markers['es']}, t))) AS c_es,
+          len(list_filter(string_split_regex(trim(s), '\\s+'),
+              t -> list_contains({markers['de']}, t))) AS c_de,
+          len(list_filter(string_split_regex(trim(s), '\\s+'),
+              t -> list_contains({markers['fr']}, t))) AS c_fr
+        FROM sent),
+      lc AS (SELECT doc_id, sent_idx, {lang_case} AS lang FROM c),
+      tot AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sents,
+               CAST(sum(CASE WHEN lang <> 'und' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_classified
+        FROM lc GROUP BY doc_id),
+      cl AS (SELECT * FROM lc WHERE lang <> 'und'),
+      mj AS (
+        SELECT doc_id, lang AS majority_lang FROM (
+          SELECT doc_id, lang,
+                 row_number() OVER (PARTITION BY doc_id
+                   ORDER BY count(*) DESC, lang) AS rn
+          FROM cl GROUP BY doc_id, lang) WHERE rn = 1),
+      sw AS (
+        SELECT doc_id,
+               CAST(sum(CASE WHEN prev IS NOT NULL AND prev <> lang
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_switches
+        FROM (SELECT doc_id, lang,
+                     lag(lang) OVER (PARTITION BY doc_id
+                                     ORDER BY sent_idx) AS prev
+              FROM cl) GROUP BY doc_id)
+      SELECT t.doc_id, t.n_sents, t.n_classified,
+             coalesce(mj.majority_lang, 'und') AS majority_lang,
+             coalesce(sw.n_switches, 0) AS n_switches
+      FROM tot t
+      LEFT JOIN mj USING (doc_id) LEFT JOIN sw USING (doc_id)
+      ORDER BY t.doc_id
     """
     d["sentences"] = """
       WITH aug AS (

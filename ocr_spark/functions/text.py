@@ -17,7 +17,8 @@ from pyspark.sql import functions as F
 __all__ = [
     "tokens", "token_count", "token_count_cjk", "word_shingles",
     "sentences",
-    "with_text_stats", "with_lang_id", "fingerprint", "fix_mojibake",
+    "with_text_stats", "with_lang_id", "code_switch", "fingerprint",
+    "fix_mojibake",
     "tfidf_topk",
     "MOJIBAKE_PAIRS", "LANG_MARKERS",
     "HAN_RANGES", "HANGUL_RANGES", "KANA_RANGES",
@@ -378,3 +379,77 @@ def search_key(col: str | Column) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     folded = F.translate(F.lower(c), _FOLD_SRC, _FOLD_DST)
     return F.trim(F.regexp_replace(folded, "[^a-z0-9]+", " "))
+
+
+def _marker_argmax(toks: Column) -> Column:
+    """The latin marker-argmax of ``with_lang_id`` over an arbitrary
+    token-array column (en > es > de > fr priority ties, 'und' when
+    no marker hits) — factored so sentence-level classification uses
+    the IDENTICAL decision rule as document-level."""
+    counts = {}
+    for lang, marker_words in LANG_MARKERS.items():
+        arr = F.array(*[F.lit(m) for m in marker_words])
+        counts[lang] = F.size(
+            F.filter(toks, lambda t: F.array_contains(arr, t)))
+    order = list(LANG_MARKERS)
+    expr = F.lit("und")
+    for lang in reversed(order):
+        cond = counts[lang] > 0
+        for other in order:
+            if order.index(other) < order.index(lang):
+                cond = cond & (counts[lang] > counts[other])
+            elif other != lang:
+                cond = cond & (counts[lang] >= counts[other])
+        expr = F.when(cond, F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def code_switch(df: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Per-sentence code-switch detection — the corpus-curation signal
+    that splits genuinely multilingual pages (forums, parallel text,
+    quote-heavy news) from monolingual ones before language-routed
+    processing.  Each sentence is classified with the SAME latin
+    marker argmax as ``with_lang_id``; 'und' sentences (no marker
+    evidence) are excluded from the switch sequence.  Emits per doc:
+    total and classified sentence counts, the majority language
+    (ties to the alphabetically first), and how many ADJACENT
+    classified sentences disagree (``n_switches``).
+
+    Plan: sentence explode (no shuffle), per-sentence JVM argmax,
+    then two skinny aggregates keyed by document (majority via a
+    (neg-count, lang) struct-min; switches via a lag window whose
+    partitions are single documents — bounded by per-doc sentence
+    count, never corpus-wide)."""
+    from pyspark.sql import Window
+
+    sent = (df.select(
+        id_col,
+        F.posexplode(sentences(F.col(text_col)))
+         .alias("sent_idx", "s"))
+        .withColumn("lang", _marker_argmax(tokens(F.col("s"))))
+        .drop("s"))
+    totals = sent.groupBy(id_col).agg(
+        F.count("*").alias("n_sents"),
+        F.sum(F.when(F.col("lang") != "und", 1).otherwise(0))
+         .alias("n_classified"))
+    cl = sent.filter(F.col("lang") != "und")
+    maj = (cl.groupBy(id_col, "lang").agg(F.count("*").alias("n"))
+           .groupBy(id_col)
+           .agg(F.min(F.struct((-F.col("n")).alias("nc"),
+                               F.col("lang").alias("lg"))).alias("b"))
+           .select(id_col,
+                   F.col("b").getField("lg").alias("majority_lang")))
+    w = Window.partitionBy(id_col).orderBy("sent_idx")
+    sw = (cl.withColumn("prev", F.lag("lang").over(w))
+          .groupBy(id_col)
+          .agg(F.sum(
+              F.when(F.col("prev").isNotNull()
+                     & (F.col("prev") != F.col("lang")), 1)
+               .otherwise(0)).alias("n_switches")))
+    return (totals.join(maj, id_col, "left").join(sw, id_col, "left")
+            .select(
+                id_col, "n_sents", "n_classified",
+                F.coalesce("majority_lang", F.lit("und"))
+                 .alias("majority_lang"),
+                F.coalesce("n_switches", F.lit(0)).alias("n_switches")))

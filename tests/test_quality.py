@@ -234,3 +234,23 @@ def test_suppress_below_k_keeps_everything_at_k1(spark):
 
     df = spark.createDataFrame([("a", 1), ("b", 2)], "lang string, d int")
     assert suppress_below_k(df, ["lang"], k=1).count() == 2
+
+
+class TestCodeSwitch:
+    def test_switches_majority_and_ties(self, spark):
+        from ocr_spark.functions.text import code_switch
+
+        df = spark.createDataFrame(
+            [(1, "the cat is with that. el que los la por. "
+                 "the dog is that."),
+             (2, "xyz abc. qrs tuv."),
+             (3, "der und ist mit. le la les des.")],
+            "doc_id long, text string")
+        got = {r.doc_id: (r.n_sents, r.n_classified, r.majority_lang,
+                          r.n_switches)
+               for r in code_switch(df).collect()}
+        assert got == {
+            1: (3, 3, "en", 2),          # en -> es -> en
+            2: (2, 0, "und", 0),         # no marker evidence at all
+            3: (2, 2, "de", 1),          # 1-1 tie falls alphabetically
+        }
