@@ -1711,6 +1711,33 @@ def q_entity_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("entity_a", "entity_b"))
 
 
+def q_subword_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subword vocabulary learning (functions/subword.py:
+    subword_vocab): frequency-truncated substring pieces with the
+    WordPiece start/continuation distinction; the oracle recounts
+    every substring with the same total order."""
+    from ocr_spark.functions.subword import subword_vocab
+
+    docs = _t(spark, sf_dir, "documents").select("text")
+    return subword_vocab(docs, vocab_size=150,
+                         max_piece_len=4).orderBy("rank")
+
+
+def q_subword_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy WordPiece segmentation fertility stats
+    (functions/subword.py:wordpiece_segment_stats) against the vocab
+    learned from the same corpus; the oracle rebuilds the vocab, the
+    per-(word, pos) longest-match steps table, and replays the greedy
+    walk as a recursive CTE."""
+    from ocr_spark.functions.subword import (subword_vocab,
+                                             wordpiece_segment_stats)
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    vocab = subword_vocab(docs, vocab_size=150, max_piece_len=4)
+    return (wordpiece_segment_stats(docs, vocab, max_piece_len=4)
+            .orderBy("doc_id"))
+
+
 def q_code_switch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-sentence code-switch detection (functions/text.py:
     code_switch) with planted foreign sentences: docs with i%4==0
@@ -5941,6 +5968,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_graph": q_entity_graph,
         "record_linkage": q_record_linkage,
         "code_switch": q_code_switch,
+        "subword_vocab": q_subword_vocab,
+        "subword_segment": q_subword_segment,
         "article_stitch": q_article_stitch,
         "bpe_encode": q_bpe_encode,
         "redirect_graph": q_redirect_graph,
@@ -11967,6 +11996,94 @@ def oracle_sql() -> dict[str, str]:
       FROM tot t
       LEFT JOIN mj USING (doc_id) LEFT JOIN sw USING (doc_id)
       ORDER BY t.doc_id
+    """
+    # same substring counting + (n desc, piece, is_cont) total order
+    d["subword_vocab"] = r"""
+      WITH tok AS (
+        SELECT CASE WHEN len(trim(lower(text))) = 0
+                    THEN CAST([] AS VARCHAR[])
+                    ELSE string_split_regex(trim(lower(text)), '\s+')
+               END AS tl
+        FROM documents),
+      wf AS (
+        SELECT t AS word, CAST(count(*) AS BIGINT) AS wc
+        FROM (SELECT unnest(tl) AS t FROM tok) GROUP BY t),
+      pos AS (
+        SELECT word, wc, unnest(range(0, len(word))) AS i FROM wf),
+      sub AS (
+        SELECT piece, is_cont, sum(wc) AS n_occ FROM (
+          SELECT substr(word, i + 1, l.j) AS piece,
+                 i > 0 AS is_cont, wc
+          FROM pos, (VALUES (1), (2), (3), (4)) l(j)
+          WHERE i + l.j <= len(word))
+        GROUP BY 1, 2),
+      multi AS (
+        SELECT piece, is_cont, n_occ FROM (
+          SELECT *, row_number() OVER (
+            ORDER BY n_occ DESC, piece, is_cont) AS rn
+          FROM sub WHERE len(piece) >= 2) WHERE rn <= 150),
+      v AS (
+        SELECT piece, is_cont, n_occ FROM sub WHERE len(piece) = 1
+        UNION ALL SELECT piece, is_cont, n_occ FROM multi)
+      SELECT CAST(row_number() OVER (
+               ORDER BY n_occ DESC, piece, is_cont) AS INT) AS rank,
+             piece, is_cont, CAST(n_occ AS BIGINT) AS n_occ
+      FROM v ORDER BY rank
+    """
+    # vocab rebuilt, longest-match steps table, recursive greedy walk
+    d["subword_segment"] = r"""
+      WITH RECURSIVE tok AS (
+        SELECT doc_id,
+               CASE WHEN len(trim(lower(text))) = 0
+                    THEN CAST([] AS VARCHAR[])
+                    ELSE string_split_regex(trim(lower(text)), '\s+')
+               END AS tl
+        FROM documents),
+      wtok AS (SELECT doc_id, unnest(tl) AS word FROM tok),
+      wf AS (SELECT word, CAST(count(*) AS BIGINT) AS wc
+             FROM wtok GROUP BY word),
+      pos AS (
+        SELECT word, wc, unnest(range(0, len(word))) AS i FROM wf),
+      sub AS (
+        SELECT piece, is_cont, sum(wc) AS n_occ FROM (
+          SELECT substr(word, i + 1, l.j) AS piece,
+                 i > 0 AS is_cont, wc
+          FROM pos, (VALUES (1), (2), (3), (4)) l(j)
+          WHERE i + l.j <= len(word))
+        GROUP BY 1, 2),
+      vocab AS (
+        SELECT piece, is_cont FROM sub WHERE len(piece) = 1
+        UNION ALL
+        SELECT piece, is_cont FROM (
+          SELECT *, row_number() OVER (
+            ORDER BY n_occ DESC, piece, is_cont) AS rn
+          FROM sub WHERE len(piece) >= 2) WHERE rn <= 150),
+      dwpos AS (SELECT word, i AS pos FROM pos),
+      m AS (
+        SELECT p.word, p.pos, max(len(v.piece)) AS l
+        FROM dwpos p JOIN vocab v
+        ON v.is_cont = (p.pos > 0)
+           AND v.piece = substr(p.word, p.pos + 1, len(v.piece))
+        GROUP BY 1, 2),
+      steps AS (
+        SELECT p.word, p.pos, coalesce(m.l, 1) AS jump,
+               m.l IS NOT NULL AS matched
+        FROM dwpos p LEFT JOIN m USING (word, pos)),
+      walk(word, pos, np, nu) AS (
+        SELECT word, 0, 0, 0 FROM wf
+        UNION ALL
+        SELECT w.word, w.pos + s.jump, w.np + 1,
+               w.nu + CASE WHEN s.matched THEN 0 ELSE 1 END
+        FROM walk w JOIN steps s
+        ON s.word = w.word AND s.pos = w.pos
+        WHERE w.pos < len(w.word)),
+      done AS (
+        SELECT word, np, nu FROM walk WHERE pos = len(word))
+      SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+             CAST(sum(d.np) AS BIGINT) AS n_pieces,
+             CAST(sum(d.nu) AS BIGINT) AS n_unk
+      FROM wtok t JOIN done d USING (word)
+      GROUP BY t.doc_id ORDER BY t.doc_id
     """
     d["sentences"] = """
       WITH aug AS (

@@ -254,3 +254,42 @@ class TestCodeSwitch:
             2: (2, 0, "und", 0),         # no marker evidence at all
             3: (2, 2, "de", 1),          # 1-1 tie falls alphabetically
         }
+
+
+class TestSubword:
+    def test_vocab_ordering_and_singles_retained(self, spark):
+        from ocr_spark.functions.subword import subword_vocab
+
+        df = spark.createDataFrame([(1, "aa aa b")],
+                                   "doc_id long, text string")
+        got = [tuple(r) for r in
+               subword_vocab(df, vocab_size=10, max_piece_len=2)
+               .orderBy("rank").collect()]
+        # count desc, piece asc, is_cont asc; singles always kept
+        assert got == [(1, "a", False, 2), (2, "a", True, 2),
+                       (3, "aa", False, 2), (4, "b", False, 1)]
+
+    def test_vocab_size_truncates_multis_only(self, spark):
+        from ocr_spark.functions.subword import subword_vocab
+
+        df = spark.createDataFrame([(1, "abc abd")],
+                                   "doc_id long, text string")
+        v = subword_vocab(df, vocab_size=1, max_piece_len=3).collect()
+        multis = [r.piece for r in v if len(r.piece) >= 2]
+        singles = {r.piece for r in v if len(r.piece) == 1}
+        assert multis == ["ab"]          # the single best multi piece
+        assert singles == {"a", "b", "c", "d"}
+
+    def test_greedy_longest_match_and_unk(self, spark):
+        from ocr_spark.functions.subword import wordpiece_segment_stats
+
+        vocab = spark.createDataFrame(
+            [("spa", False), ("rk", True), ("s", False), ("p", True),
+             ("a", True), ("r", True), ("k", True)],
+            "piece string, is_cont boolean")
+        docs = spark.createDataFrame(
+            [(1, "Spark zz spark")], "doc_id long, text string")
+        r = wordpiece_segment_stats(docs, vocab).collect()[0]
+        # spark -> spa+rk (case-folded), zz -> two UNK single-char
+        # advances
+        assert (r.n_words, r.n_pieces, r.n_unk) == (3, 6, 2)
