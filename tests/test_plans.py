@@ -573,3 +573,54 @@ def test_bucketed_tables_join_and_agg_without_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS bkt_docs")
         spark.sql("DROP TABLE IF EXISTS bkt_scores")
+
+
+def test_mine_measurements_zero_shuffle(spark):
+    """Quantity mining is a pure per-row JVM pass: no Exchange, no
+    Python in the plan."""
+    # (the driver query's orderBy adds its own exchange; probe the
+    # operator body instead)
+    from ocr_spark.operators.index import mine_measurements
+    body = mine_measurements(
+        entry_mod._t(spark, SF, "documents").select("doc_id", "text"))
+    bp = plan_of(body)
+    assert "Exchange" not in bp
+    assert "BatchEvalPython" not in bp
+
+
+def test_gazetteer_dictionary_join_is_broadcast(spark):
+    """Corpus text must never shuffle to meet the dictionary: the
+    gazetteer join is a BroadcastHashJoin; the only exchanges in the
+    full query serve the mention-level containment self-join."""
+    plan = plan_of(entry_mod.q_gazetteer(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_hybrid_rerank_broadcasts_candidates(spark):
+    """Stage-2 must semi-join the k-candidate set against embeddings
+    via broadcast — the embedding table is scanned, never shuffled."""
+    plan = plan_of(entry_mod.q_hybrid_rerank(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_record_linkage_single_block_join(spark):
+    """Candidate generation is ONE equi-join on the blocking key —
+    never a cartesian product."""
+    plan = plan_of(entry_mod.q_record_linkage(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_triplet_mine_single_shuffle_gemm(spark):
+    """One grouping exchange into the per-bucket GEMM kernel; no
+    per-row Python (the kernel is Arrow-batched applyInPandas)."""
+    from ocr_spark.operators.similarity import triplet_mine
+    emb = entry_mod._t(spark, SF, "embeddings").select(
+        "vec_id", "embedding")
+    plan = plan_of(triplet_mine(emb, dim=64, t_pos=0.3, t_neg=0.0,
+                                n_planes=4))
+    assert plan.count("Exchange") == 1
+    assert "FlatMapGroupsInPandas" in plan
+    assert "BatchEvalPython" not in plan
