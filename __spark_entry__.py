@@ -1738,6 +1738,65 @@ def q_subword_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
+def q_license(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """License detection (functions/quality.py:license_detect) over
+    planted signals on the license-phrase-free corpus (verified 0
+    natural hits): CC grants with a type cycling over i%20, MIT,
+    public-domain, and all-rights-reserved plants that overlap so
+    precedence and the n_signals ambiguity count are both exercised;
+    the oracle rebuilds every row closed-form."""
+    from ocr_spark.functions.quality import license_detect
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    i = F.col("doc_id")
+    cc_type = (F.when(i % 20 == 0, "by").when(i % 20 == 5, "by-sa")
+                .when(i % 20 == 10, "by-nc").otherwise("by-nd"))
+    aug = F.concat(
+        F.col("text"),
+        F.when(i % 5 == 0,
+               F.concat(F.lit(" licensed under creativecommons.org"
+                              "/licenses/"), cc_type, F.lit("/ terms")))
+         .otherwise(F.lit("")),
+        F.when(i % 13 == 2, F.lit(" this work is in the public domain"))
+         .otherwise(F.lit("")),
+        F.when(i % 7 == 1, F.lit(" released under the mit license"))
+         .otherwise(F.lit("")),
+        F.when(i % 11 == 3, F.lit(" all rights reserved."))
+         .otherwise(F.lit("")))
+    return (license_detect(docs.select("doc_id", aug.alias("text")))
+            .orderBy("doc_id"))
+
+
+def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition (operators/web.py:kcore) over a planted
+    ring + two dense tiers: every node rides the ring (degree 2 —
+    the periphery the k=4 peel strips in round one), nodes < 50 form
+    a circulant C50(1,2,3) (core degree 6-7), nodes 50..99 a
+    C50(1,2) (degree 4-5 after the periphery dies).  The surviving
+    100-node core has degree variety {4..7} including the tier-
+    boundary ring edge 49-50, so the value hash certifies real peel
+    mechanics, not an empty fixpoint.  Oracle: the peel unrolled as
+    12 chained MATERIALIZED CTE rounds."""
+    from ocr_spark.operators.web import kcore
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    mm = docs.count()
+    i = F.col("doc_id")
+    ring = docs.select(i.alias("src"), ((i + 1) % mm).alias("dst"))
+    parts = [ring]
+    for j in (1, 2, 3):
+        parts.append(docs.filter(i < 50).select(
+            i.alias("src"), ((i + j) % 50).alias("dst")))
+    for j in (1, 2):
+        parts.append(docs.filter((i >= 50) & (i < 100)).select(
+            i.alias("src"),
+            (F.lit(50) + (i - 50 + j) % 50).alias("dst")))
+    edges = parts[0]
+    for p in parts[1:]:
+        edges = edges.unionByName(p)
+    return kcore(edges, k=4, max_rounds=12).orderBy("node")
+
+
 def q_code_switch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-sentence code-switch detection (functions/text.py:
     code_switch) with planted foreign sentences: docs with i%4==0
@@ -5970,6 +6029,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "code_switch": q_code_switch,
         "subword_vocab": q_subword_vocab,
         "subword_segment": q_subword_segment,
+        "license": q_license,
+        "kcore": q_kcore,
         "article_stitch": q_article_stitch,
         "bpe_encode": q_bpe_encode,
         "redirect_graph": q_redirect_graph,
@@ -6230,6 +6291,43 @@ def _hybrid_rerank_sql(k_candidates: int = 50, k: int = 10) -> str:
       FROM scored QUALIFY rank <= {k}
       ORDER BY rank
     """
+
+
+def _kcore_sql(k: int = 4, rounds: int = 12) -> str:
+    """The peel loop unrolled as chained CTE rounds (same trick as
+    the pagerank oracle): degree aggregate -> keep set -> restricted
+    edge list, exactly ``rounds`` times."""
+    parts = ["""
+      WITH m AS (SELECT count(*) AS mm FROM documents),
+      raw AS (
+        SELECT doc_id AS u, (doc_id + 1) % mm AS v FROM documents, m
+        UNION ALL
+        SELECT doc_id, (doc_id + j.j) % 50
+        FROM documents, (VALUES (1), (2), (3)) j(j)
+        WHERE doc_id < 50
+        UNION ALL
+        SELECT doc_id, 50 + (doc_id - 50 + j.j) % 50
+        FROM documents, (VALUES (1), (2)) j(j)
+        WHERE doc_id >= 50 AND doc_id < 100),
+      e0 AS MATERIALIZED (
+        SELECT DISTINCT u, v FROM (
+          SELECT u, v FROM raw WHERE u <> v
+          UNION ALL
+          SELECT v, u FROM raw WHERE u <> v))"""]
+    # MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, and
+    # each round references the previous one three times -> 3^rounds
+    # scan expansion without it (observed as fd exhaustion)
+    for r in range(1, rounds + 1):
+        parts.append(f"""
+      keep{r} AS MATERIALIZED (SELECT u FROM e{r - 1}
+                  GROUP BY u HAVING count(*) >= {k}),
+      e{r} AS MATERIALIZED (SELECT a.u, a.v FROM e{r - 1} a
+               JOIN keep{r} x ON a.u = x.u
+               JOIN keep{r} y ON a.v = y.u)""")
+    parts.append(f"""
+      SELECT u AS node, CAST(count(*) AS BIGINT) AS degree
+      FROM e{rounds} GROUP BY u ORDER BY node""")
+    return ",".join(parts[:1] + parts[1:-1]) + parts[-1]
 
 
 def _lsh_margins_sql(n_planes: int, dim: int = 64) -> str:
@@ -12085,6 +12183,26 @@ def oracle_sql() -> dict[str, str]:
       FROM wtok t JOIN done d USING (word)
       GROUP BY t.doc_id ORDER BY t.doc_id
     """
+    # closed-form plants on the verified license-phrase-free corpus
+    d["license"] = """
+      SELECT doc_id,
+        CASE WHEN doc_id % 5 = 0 THEN 'cc-' ||
+               CASE WHEN doc_id % 20 = 0 THEN 'by'
+                    WHEN doc_id % 20 = 5 THEN 'by-sa'
+                    WHEN doc_id % 20 = 10 THEN 'by-nc'
+                    ELSE 'by-nd' END
+             WHEN doc_id % 13 = 2 THEN 'public-domain'
+             WHEN doc_id % 7 = 1 THEN 'mit'
+             WHEN doc_id % 11 = 3 THEN 'all-rights-reserved'
+             ELSE 'none' END AS license,
+        CAST(CAST(doc_id % 5 = 0 AS INT)
+           + CAST(doc_id % 13 = 2 AS INT)
+           + CAST(doc_id % 7 = 1 AS INT)
+           + CAST(doc_id % 11 = 3 AS INT) AS INT) AS n_signals
+      FROM documents ORDER BY doc_id
+    """
+    # 12 unrolled peel rounds over the planted ring+chord graph
+    d["kcore"] = _kcore_sql()
     d["sentences"] = """
       WITH aug AS (
         SELECT doc_id,

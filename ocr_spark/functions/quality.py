@@ -39,6 +39,7 @@ __all__ = [
     "bigram_logprob", "readability", "with_format_signals",
     "GOPHER_STOP_WORDS", "with_content_type",
     "CODE_KEYWORDS", "MATH_MARKERS", "CODE_SYMBOLS",
+    "license_detect", "LICENSE_PATTERNS", "CC_LICENSE_RE",
 ]
 
 # Rule thresholds for the composite filter.  Closed, documented set —
@@ -424,3 +425,45 @@ def with_content_type(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("math_hits", math_hits.cast("int"))
         .withColumn("content_label", label)
     )
+
+
+# Licensing-signal patterns — Java-regex/RE2-common (no backrefs or
+# lookaround) so the DuckDB oracle runs the IDENTICAL strings; matched
+# against lowercased text.  Ordered by decision precedence: an
+# explicit CC grant beats boilerplate "all rights reserved" footers.
+CC_LICENSE_RE = r"creativecommons\.org/licenses/([a-z-]+)/"
+LICENSE_PATTERNS: tuple[tuple[str, str], ...] = (
+    ("public-domain",
+     r"creativecommons\.org/publicdomain|\bpublic domain\b"),
+    ("mit", r"\bmit license\b"),
+    ("apache", r"\bapache license\b"),
+    ("gpl", r"\bgnu general public license\b"),
+    ("all-rights-reserved", r"\ball rights reserved\b"),
+)
+
+
+def license_detect(df: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Content-licensing detection — the corpus-governance pass that
+    routes permissively-licensed pages into open releases and flags
+    restricted ones: per document, the highest-precedence license
+    signal (explicit CC grant with its type > public domain > MIT >
+    Apache > GPL > all-rights-reserved > none) plus ``n_signals``,
+    how many DISTINCT signal families matched — >1 is the ambiguity
+    flag a human review queue keys on.
+
+    Per-row JVM regexes only, zero shuffle; the reference has no
+    licensing path — additive governance capability."""
+    low = F.lower(F.col(text_col))
+    cc_type = F.regexp_extract(low, CC_LICENSE_RE, 1)
+    flags = {lbl: low.rlike(pat) for lbl, pat in LICENSE_PATTERNS}
+    n = (cc_type != "").cast("int")
+    for f in flags.values():
+        n = n + f.cast("int")
+    lic = F.lit("none")
+    for lbl, _ in reversed(LICENSE_PATTERNS):
+        lic = F.when(flags[lbl], F.lit(lbl)).otherwise(lic)
+    lic = F.when(cc_type != "", F.concat(F.lit("cc-"), cc_type)) \
+           .otherwise(lic)
+    return df.select(id_col, lic.alias("license"),
+                     n.alias("n_signals"))

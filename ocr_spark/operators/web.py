@@ -55,7 +55,7 @@ __all__ = ["TRACKING_PARAMS", "url_normalize", "url_host",
            "canonical_collapse", "url_path", "url_templates", "url_blocklist_filter",
            "crawl_schedule", "resolve_redirects", "stitch_series",
            "host_lang_profile", "reciprocal_links", "triangle_count",
-           "label_propagation"]
+           "label_propagation", "kcore"]
 
 # the closed, documented drop-set; extend per deployment.  Matched on
 # the parameter NAME (the part left of '='), utm_ by prefix.
@@ -1615,3 +1615,45 @@ def link_depth(edges: DataFrame, seeds: DataFrame, max_hops: int = 8,
             break
         settled = settled.unionByName(frontier).localCheckpoint()
     return settled
+
+
+def kcore(edges: DataFrame, k: int = 3, max_rounds: int = 12,
+          src: str = "src", dst: str = "dst") -> DataFrame:
+    """k-core decomposition of the (undirected) link graph: iterative
+    peeling of nodes with degree < k until the fixpoint — the dense
+    residue is where link farms and mutual-promotion rings live
+    (Seidman 1983 cores; the spam-graph pruning move of the web-graph
+    literature).  Returns every surviving node with its degree INSIDE
+    the final core.
+
+    Semantics contract (shared with the unrolled SQL oracle): exactly
+    the peel sequence up to ``max_rounds`` rounds; self-loops are
+    dropped up front (they inflate degree by a cycle of one); the
+    graph is symmetrized so direction never affects membership.
+
+    Iteration discipline matches the repo's other fixed-point
+    operators (link_depth, components, pagerank): state is the skinny
+    symmetric edge list, per-round ``localCheckpoint`` truncates
+    lineage, one tiny count action per round gives early exit, each
+    round is a degree aggregate + two semi-joins (the hot hub is
+    absorbed map-side by the partial count)."""
+    e = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+         .filter(F.col("u") != F.col("v")))
+    sym = (e.unionByName(e.select(F.col("v").alias("u"),
+                                  F.col("u").alias("v")))
+           .distinct()
+           .localCheckpoint())
+    n_prev = sym.select("u").distinct().count()
+    for _ in range(max_rounds):
+        keep = (sym.groupBy("u").agg(F.count("*").alias("d"))
+                .filter(F.col("d") >= k).select("u"))
+        sym = (sym.join(keep, "u", "left_semi")
+               .join(keep.select(F.col("u").alias("v")), "v",
+                     "left_semi")
+               .localCheckpoint())
+        n_now = sym.select("u").distinct().count()
+        if n_now == n_prev:
+            break
+        n_prev = n_now
+    return (sym.groupBy(F.col("u").alias("node"))
+            .agg(F.count("*").alias("degree")))

@@ -293,3 +293,28 @@ class TestSubword:
         # spark -> spa+rk (case-folded), zz -> two UNK single-char
         # advances
         assert (r.n_words, r.n_pieces, r.n_unk) == (3, 6, 2)
+
+
+class TestLicenseDetect:
+    def test_precedence_and_ambiguity_count(self, spark):
+        from ocr_spark.functions.quality import license_detect
+
+        df = spark.createDataFrame(
+            [(1, "see creativecommons.org/licenses/by-nc/4.0/ terms "
+                 "but also all rights reserved"),
+             (2, "released under the MIT License"),
+             (3, "this is in the Public Domain"),
+             (4, "covered by the GNU General Public License v3"),
+             (5, "plain page, no licensing text"),
+             (6, "Apache License 2.0 applies; all rights reserved")],
+            "doc_id long, text string")
+        got = {r.doc_id: (r.license, r.n_signals)
+               for r in license_detect(df).collect()}
+        assert got == {
+            1: ("cc-by-nc", 2),        # CC grant beats the footer
+            2: ("mit", 1),             # case-folded
+            3: ("public-domain", 1),
+            4: ("gpl", 1),
+            5: ("none", 0),
+            6: ("apache", 2),          # apache beats all-rights
+        }

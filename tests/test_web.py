@@ -757,3 +757,29 @@ def test_triangle_count_hub_and_triangle_free(spark):
     assert all(r["triangles"] == 0 for r in rows)
     hub = next(r for r in rows if r["node"] == 100)
     assert hub["degree"] == 20 and hub["coef_den"] == 20 * 19
+
+
+class TestKCore:
+    def test_peel_cascade_and_core_degree(self, spark):
+        from ocr_spark.operators.web import kcore
+
+        # triangle {1,2,3} fully connected plus a pendant path
+        # 3-4-5: k=2 peels 5 then 4, leaving the triangle (deg 2)
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5)],
+            "src long, dst long")
+        got = {r.node: r.degree
+               for r in kcore(edges, k=2, max_rounds=8).collect()}
+        assert got == {1: 2, 2: 2, 3: 2}
+
+    def test_self_loops_dropped_and_direction_ignored(self, spark):
+        from ocr_spark.operators.web import kcore
+
+        # 4's self-loop must not save it; reverse-direction duplicate
+        # edges must not double-count degree
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 1), (2, 3), (3, 1), (4, 4), (4, 1)],
+            "src long, dst long")
+        got = {r.node: r.degree
+               for r in kcore(edges, k=2, max_rounds=8).collect()}
+        assert got == {1: 2, 2: 2, 3: 2}
