@@ -5436,15 +5436,16 @@ def q_id_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bibliographic coupling (operators/index.py:identifier_linkage)
     over planted topic DOIs: every doc carries doi 10.5555/topic<i%7>
     and 10.5555/area<i%11>, plus a hot 10.5555/hotx held by ALL docs
-    that the max_df=100 guard must exclude (df=500 > 100; the topic
-    families sit at ~71/~45 docs, under the guard).  Pairs with
-    n_shared >= 2 are exactly the doc pairs congruent mod 77; the
-    oracle rebuilds the surviving postings closed-form and replays
-    the same join."""
+    that the guard must exclude.  max_df is HALF the corpus so the
+    guard behavior is scale-stable (hot df = N > N/2 out; topic N/7
+    and area N/11 in, at every sf — the closed-form oracle relies on
+    exactly this).  Pairs with n_shared >= 2 are the doc pairs
+    congruent mod 77."""
     from ocr_spark.operators.index import (mine_identifiers,
                                            identifier_linkage)
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    mm = docs.count()
     i = F.col("doc_id")
     aug = F.concat(
         F.col("text"),
@@ -5452,7 +5453,7 @@ def q_id_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(" doi:10.5555/area"), (i % 11).cast("string"),
         F.lit(" doi:10.5555/hotx"))
     ids = mine_identifiers(docs.select("doc_id", aug.alias("text")))
-    return (identifier_linkage(ids, min_shared=2, max_df=100)
+    return (identifier_linkage(ids, min_shared=2, max_df=mm // 2)
             .orderBy("doc_a", "doc_b"))
 
 
