@@ -1456,6 +1456,20 @@ def q_table_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("doc_id", "table_idx", "row_idx", "col_idx")
 
 
+def q_table_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Header-keyed record triples (structure.py:table_records) over
+    the same planted table pages: the 4-column header table yields
+    (record, c<i%4>, token) rows; the headerless second table must
+    emit nothing.  Oracle rebuilds every triple arithmetically."""
+    from ocr_spark.operators.structure import (extract_tables,
+                                               table_records)
+
+    pages = _table_pages(spark, sf_dir)
+    cells = extract_tables(pages, passthrough=("doc_id",))
+    return (table_records(cells)
+            .orderBy("doc_id", "table_idx", "record_idx", "field"))
+
+
 def _markdown_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents -> pages exercising the whole markdown feature set
     (h1, p, nested ul, ol, link, bold/italic/code, blockquote, hr,
@@ -6032,6 +6046,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "subword_segment": q_subword_segment,
         "license": q_license,
         "kcore": q_kcore,
+        "table_records": q_table_records,
         "article_stitch": q_article_stitch,
         "bpe_encode": q_bpe_encode,
         "redirect_graph": q_redirect_graph,
@@ -9498,6 +9513,22 @@ def oracle_sql() -> dict[str, str]:
           UNION ALL SELECT * FROM dat
           UNION ALL SELECT * FROM second
           ORDER BY doc_id, table_idx, row_idx, col_idx
+        """,
+        # record triples from the same planted layout: field c<i%4>,
+        # record i//4, value = token; headerless table 1 absent
+        "table_records": f"""
+          WITH tok AS (
+            SELECT doc_id,
+              CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+                   ELSE {toks} END AS tl
+            FROM documents)
+          SELECT doc_id, CAST(0 AS INT) AS table_idx,
+                 CAST(i // 4 AS INT) AS record_idx,
+                 'c' || (i % 4)::VARCHAR AS field,
+                 tl[CAST(i + 1 AS INT)] AS value
+          FROM (SELECT doc_id, tl, unnest(range(0, len(tl))) AS i
+                FROM tok)
+          ORDER BY doc_id, table_idx, record_idx, field
         """,
         # markdown rendering: the closed-form markdown both engines
         # build from the doc's tokens (_markdown_pages fancy branch

@@ -34,7 +34,8 @@ from pyspark.sql import types as T
 
 from ocr_spark.extractor.core import decode_html
 
-__all__ = ["parse_tables", "extract_tables", "to_markdown", "html_markdown"]
+__all__ = ["parse_tables", "extract_tables", "to_markdown", "html_markdown",
+           "table_records"]
 
 _WS_RE = re.compile("[\\s\u200b\u200c\ufeff]+")  # same class as core._WS_RE
 
@@ -429,3 +430,37 @@ def html_markdown(df: DataFrame, html_col: str = "html",
                 arrays, list(passthrough) + ["markdown"])
 
     return df.select(*cols).mapInArrow(kernel, schema=out_schema)
+
+
+def table_records(cells, id_col: str = "doc_id"):
+    """Header-keyed record materialization over ``extract_tables``
+    cell rows — the step that turns a scraped <table> grid into the
+    (record, field, value) triples table-QA and knowledge-base
+    pipelines consume: every data cell pairs with its column's header
+    text from the table's FIRST header row; ``record_idx`` numbers
+    the data rows 0-based.  Tables with no header row emit nothing
+    (no field names exist), and ragged data cells beyond the header
+    width drop with the inner join — both documented contracts.
+
+    Plan: two skinny projections of the cell table joined on
+    (doc, table, col).  record_idx is pure arithmetic
+    (row_idx - header_row_count; the parser emits contiguous row
+    ordinals) — deliberately NOT a rank window, so a million-row
+    table never funnels through one window task."""
+    from pyspark.sql import functions as F
+
+    hdr = cells.filter(F.col("is_header"))
+    spans = (hdr.groupBy(id_col, "table_idx")
+             .agg(F.min("row_idx").alias("h0"),
+                  (F.max("row_idx") + 1).alias("hdr_rows")))
+    fields = (hdr.join(spans, [id_col, "table_idx"])
+              .filter(F.col("row_idx") == F.col("h0"))
+              .select(id_col, "table_idx", "col_idx",
+                      F.col("cell").alias("field"), "hdr_rows"))
+    data = cells.filter(~F.col("is_header"))
+    return (data.join(fields, [id_col, "table_idx", "col_idx"])
+            .select(
+                id_col, "table_idx",
+                (F.col("row_idx") - F.col("hdr_rows")).cast("int")
+                 .alias("record_idx"),
+                "field", F.col("cell").alias("value")))

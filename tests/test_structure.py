@@ -125,3 +125,27 @@ class TestSparkOperators:
             assert "BatchEvalPython" not in plan
             assert "ArrowEvalPython" in plan or "MapInArrow" in plan or \
                 "PythonMapInArrow" in plan
+
+
+class TestTableRecords:
+    def test_header_pairing_and_headerless_skip(self, spark):
+        from ocr_spark.operators.structure import (extract_tables,
+                                                   table_records)
+
+        html = (b"<html><body>"
+                b"<table><tr><th>name</th><th>age</th></tr>"
+                b"<tr><td>ann</td><td>3</td></tr>"
+                b"<tr><td>bo</td><td>5</td><td>extra</td></tr></table>"
+                b"<table><tr><td>no</td><td>header</td></tr></table>"
+                b"</body></html>")
+        df = spark.createDataFrame([(1, bytearray(html))],
+                                   "doc_id long, html binary")
+        cells = extract_tables(df, passthrough=("doc_id",))
+        got = {(r.record_idx, r.field): r.value
+               for r in table_records(cells).collect()}
+        # ragged 'extra' cell (col 2, no header) drops; table 1
+        # (headerless) emits nothing
+        assert got == {
+            (0, "name"): "ann", (0, "age"): "3",
+            (1, "name"): "bo", (1, "age"): "5",
+        }
