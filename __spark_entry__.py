@@ -1739,16 +1739,26 @@ def q_subword_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_subword_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy WordPiece segmentation fertility stats
-    (functions/subword.py:wordpiece_segment_stats) against the vocab
-    learned from the same corpus; the oracle rebuilds the vocab, the
-    per-(word, pos) longest-match steps table, and replays the greedy
-    walk as a recursive CTE."""
+    (functions/subword.py:wordpiece_segment_stats): the vocab is
+    trained on the EVEN documents only, and odd documents carry a
+    planted ' çapka' token whose 'ç' no even doc contains — so the
+    UNK path (no matching piece, single-char advance) is exercised
+    and value-oracled, not just pytest-covered.  The oracle rebuilds
+    the restricted vocab, the longest-match steps table, and replays
+    the greedy walk as a recursive CTE."""
     from ocr_spark.functions.subword import (subword_vocab,
                                              wordpiece_segment_stats)
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    vocab = subword_vocab(docs, vocab_size=150, max_piece_len=4)
-    return (wordpiece_segment_stats(docs, vocab, max_piece_len=4)
+    i = F.col("doc_id")
+    aug = docs.select(
+        "doc_id",
+        F.concat(F.col("text"),
+                 F.when(i % 2 == 1, F.lit(" çapka"))
+                  .otherwise(F.lit(""))).alias("text"))
+    vocab = subword_vocab(aug.filter(i % 2 == 0),
+                          vocab_size=150, max_piece_len=4)
+    return (wordpiece_segment_stats(aug, vocab, max_piece_len=4)
             .orderBy("doc_id"))
 
 
@@ -12160,25 +12170,31 @@ def oracle_sql() -> dict[str, str]:
              piece, is_cont, CAST(n_occ AS BIGINT) AS n_occ
       FROM v ORDER BY rank
     """
-    # vocab rebuilt, longest-match steps table, recursive greedy walk
+    # vocab rebuilt from EVEN docs, longest-match steps table over the
+    # augmented corpus (odd docs carry the out-of-vocab ' çapka'),
+    # recursive greedy walk
     d["subword_segment"] = r"""
-      WITH RECURSIVE tok AS (
+      WITH RECURSIVE aug AS (
+        SELECT doc_id, text ||
+          CASE WHEN doc_id % 2 = 1 THEN ' çapka' ELSE '' END AS text
+        FROM documents),
+      tok AS (
         SELECT doc_id,
                CASE WHEN len(trim(lower(text))) = 0
                     THEN CAST([] AS VARCHAR[])
                     ELSE string_split_regex(trim(lower(text)), '\s+')
                END AS tl
-        FROM documents),
+        FROM aug),
       wtok AS (SELECT doc_id, unnest(tl) AS word FROM tok),
-      wf AS (SELECT word, CAST(count(*) AS BIGINT) AS wc
-             FROM wtok GROUP BY word),
-      pos AS (
-        SELECT word, wc, unnest(range(0, len(word))) AS i FROM wf),
+      wfv AS (SELECT word, CAST(count(*) AS BIGINT) AS wc
+              FROM wtok WHERE doc_id % 2 = 0 GROUP BY word),
+      posv AS (
+        SELECT word, wc, unnest(range(0, len(word))) AS i FROM wfv),
       sub AS (
         SELECT piece, is_cont, sum(wc) AS n_occ FROM (
           SELECT substr(word, i + 1, l.j) AS piece,
                  i > 0 AS is_cont, wc
-          FROM pos, (VALUES (1), (2), (3), (4)) l(j)
+          FROM posv, (VALUES (1), (2), (3), (4)) l(j)
           WHERE i + l.j <= len(word))
         GROUP BY 1, 2),
       vocab AS (
@@ -12188,7 +12204,9 @@ def oracle_sql() -> dict[str, str]:
           SELECT *, row_number() OVER (
             ORDER BY n_occ DESC, piece, is_cont) AS rn
           FROM sub WHERE len(piece) >= 2) WHERE rn <= 150),
-      dwpos AS (SELECT word, i AS pos FROM pos),
+      dw AS (SELECT DISTINCT word FROM wtok),
+      dwpos AS (
+        SELECT word, unnest(range(0, len(word))) AS pos FROM dw),
       m AS (
         SELECT p.word, p.pos, max(len(v.piece)) AS l
         FROM dwpos p JOIN vocab v
@@ -12200,7 +12218,7 @@ def oracle_sql() -> dict[str, str]:
                m.l IS NOT NULL AS matched
         FROM dwpos p LEFT JOIN m USING (word, pos)),
       walk(word, pos, np, nu) AS (
-        SELECT word, 0, 0, 0 FROM wf
+        SELECT word, 0, 0, 0 FROM dw
         UNION ALL
         SELECT w.word, w.pos + s.jump, w.np + 1,
                w.nu + CASE WHEN s.matched THEN 0 ELSE 1 END
