@@ -27,7 +27,8 @@ __all__ = ["gazetteer_link", "mention_contexts", "entity_cooc"]
 
 def gazetteer_link(df: DataFrame, gazetteer: dict[str, str],
                    id_col: str = "doc_id",
-                   text_col: str = "text") -> DataFrame:
+                   text_col: str = "text",
+                   materialize: bool = True) -> DataFrame:
     """Entity mentions: every token n-gram (n up to the longest
     gazetteer surface form) whose case-folded text equals a gazetteer
     surface, minus any mention STRICTLY contained in a longer mention
@@ -37,11 +38,11 @@ def gazetteer_link(df: DataFrame, gazetteer: dict[str, str],
     deliberately not promised).  Output: (doc, pos, n_words, surface,
     entity_id), one row per surviving mention occurrence.
 
-    Plan: per-n gram arrays built JVM-side (transform over a guarded
-    sequence + array_join(slice)), exploded and immediately
-    broadcast-joined against the literal gazetteer — corpus text
-    never shuffles; the containment check is a left-anti self-join
-    over the (rare) mention rows keyed by document."""
+    Plan: all n-gram lengths build as tagged arrays in ONE projection
+    and explode once (a per-n union would re-scan the corpus once per
+    length), then immediately broadcast-join the literal gazetteer —
+    corpus text never shuffles; the containment check is a left-anti
+    self-join over the (rare) mention rows keyed by document."""
     if not gazetteer:
         raise ValueError("gazetteer must be non-empty")
     lengths = {len(s.split()) for s in gazetteer}
@@ -63,23 +64,27 @@ def gazetteer_link(df: DataFrame, gazetteer: dict[str, str],
             F.array_join(F.slice("_toks", i + 1, n), " ")
              .alias("surface"))
 
-    parts = []
+    arrays = []
     for n in sorted(lengths):
-        grams = F.when(
+        arrays.append(F.when(
             F.size("_toks") >= n,
             F.transform(
                 F.sequence(F.lit(0), F.size("_toks") - n), gram_fn(n))
         ).otherwise(F.array().cast(
-            "array<struct<pos:int,surface:string>>"))
-        parts.append(
-            tl.select(id_col, F.explode(grams).alias("g"))
-            .select(id_col, F.col("g.pos").alias("pos"),
-                    F.col("g.surface").alias("surface")))
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
+            "array<struct<pos:int,surface:string>>")))
+    combined = arrays[0] if len(arrays) == 1 else F.concat(*arrays)
+    out = (tl.select(id_col, F.explode(combined).alias("g"))
+           .select(id_col, F.col("g.pos").alias("pos"),
+                   F.col("g.surface").alias("surface")))
+    # materialize the (tiny) mention set before the containment
+    # self-join: both join sides reference it, and without the
+    # checkpoint each side re-runs the corpus scan + explode (the
+    # CollapseProject/reuse lesson — one corpus pass, not two)
     m = out.join(gaz, "surface").select(
         id_col, "pos", "n_words", "surface", "entity_id")
+    if materialize:
+        # (materialize=False keeps the plan lazy/inspectable)
+        m = m.localCheckpoint()
     a, b = m.alias("a"), m.alias("b")
     contained = (
         (F.col(f"a.{id_col}") == F.col(f"b.{id_col}"))

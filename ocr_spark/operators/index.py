@@ -580,25 +580,29 @@ def mine_identifiers(df: DataFrame, id_col: str = "doc_id",
     dataset-provenance pipelines join on.  Case-folded before
     matching (DOIs are case-insensitive per spec).
 
-    Plan: per-row ``regexp_extract_all`` + posexplode per pattern,
-    unioned — pure JVM regex, zero shuffle, the text column read
-    once per family in the same scan (Catalyst collapses the union
-    branches into one FileScan)."""
+    Plan: ONE pass — every family's ``regexp_extract_all`` runs as a
+    tagged-struct array in the same projection (a union of per-family
+    branches would re-scan the corpus once per family; concat +
+    single explode keeps it one FileScan), pure JVM regex, zero
+    shuffle."""
     pats = IDENTIFIER_PATTERNS if patterns is None else patterns
-    parts = []
     low = F.lower(F.col(text_col))
-    for kind, pat in sorted(pats.items()):
-        parts.append(
-            df.select(
-                id_col,
-                F.lit(kind).alias("kind"),
-                F.posexplode(
-                    F.regexp_extract_all(low, F.lit(pat), 0))
-                 .alias("match_idx", "ident")))
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out.select(id_col, "kind", "match_idx", "ident")
+
+    def tag(kind):
+        # closure factory; the 2-arg HOF lambda receives (elem, idx)
+        return lambda x, i: F.struct(
+            F.lit(kind).alias("kind"), i.alias("match_idx"),
+            x.alias("ident"))
+
+    arrays = [
+        F.transform(F.regexp_extract_all(low, F.lit(pat), 0), tag(kind))
+        for kind, pat in sorted(pats.items())
+    ]
+    combined = arrays[0] if len(arrays) == 1 else F.concat(*arrays)
+    return (df.select(id_col, F.explode(combined).alias("m"))
+            .select(id_col, F.col("m.kind").alias("kind"),
+                    F.col("m.match_idx").alias("match_idx"),
+                    F.col("m.ident").alias("ident")))
 
 
 def identifier_linkage(ids: DataFrame, id_col: str = "doc_id",

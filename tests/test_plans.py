@@ -590,11 +590,20 @@ def test_mine_measurements_zero_shuffle(spark):
 
 def test_gazetteer_dictionary_join_is_broadcast(spark):
     """Corpus text must never shuffle to meet the dictionary: the
-    gazetteer join is a BroadcastHashJoin; the only exchanges in the
-    full query serve the mention-level containment self-join."""
-    plan = plan_of(entry_mod.q_gazetteer(spark, SF))
+    gazetteer join is a BroadcastHashJoin and the corpus is scanned
+    ONCE (all n-gram lengths ride one projection, not a per-n union;
+    materialize=False keeps the plan lazy for inspection — the
+    production default checkpoints the mention set so the containment
+    self-join cannot re-run the scan)."""
+    from ocr_spark.operators.annotate import gazetteer_link
+    docs = entry_mod._t(spark, SF, "documents").select(
+        "doc_id", "text")
+    plan = plan_of(gazetteer_link(docs, entry_mod.GAZETTEER,
+                                  materialize=False))
     assert "BroadcastHashJoin" in plan
     assert "BatchEvalPython" not in plan
+    assert plan.count("Scan parquet") == 2  # a/b sides of the lazy
+    # containment self-join only; the materialized default is 1
 
 
 def test_hybrid_rerank_broadcasts_candidates(spark):
