@@ -1821,6 +1821,31 @@ def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kcore(edges, k=4, max_rounds=12).orderBy("node")
 
 
+def q_section_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heading->body instruction pairs (operators/corpus.py:
+    section_qa) over token-derived markdown: docs with >= 8 tokens
+    get two headed sections ('# t0 t1' with body t2..t7, '## t2'
+    with body t4..t7 t0 t1); shorter docs stay heading-free and must
+    emit nothing.  Oracle rebuilds both pairs from the token list."""
+    from ocr_spark.functions.text import tokens
+    from ocr_spark.operators.corpus import section_qa
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", tokens("text").alias("tl"))
+    t = [F.get("tl", i) for i in range(8)]
+    md = F.concat(
+        F.lit("# "), t[0], F.lit(" "), t[1], F.lit("\n"),
+        F.array_join(F.slice("tl", 3, 6), " "),
+        F.lit("\n## "), t[2], F.lit("\n"),
+        F.array_join(F.slice("tl", 5, 4), " "),
+        F.lit(" "), t[0], F.lit(" "), t[1])
+    shaped = docs.select(
+        "doc_id",
+        F.when(F.size("tl") >= 8, md).otherwise(F.col("text"))
+         .alias("text"))
+    return section_qa(shaped).orderBy("doc_id", "section_idx")
+
+
 def q_code_switch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-sentence code-switch detection (functions/text.py:
     code_switch) with planted foreign sentences: docs with i%4==0
@@ -6057,6 +6082,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "license": q_license,
         "kcore": q_kcore,
         "table_records": q_table_records,
+        "section_qa": q_section_qa,
         "article_stitch": q_article_stitch,
         "bpe_encode": q_bpe_encode,
         "redirect_graph": q_redirect_graph,
@@ -12253,6 +12279,30 @@ def oracle_sql() -> dict[str, str]:
     """
     # 12 unrolled peel rounds over the planted ring+chord graph
     d["kcore"] = _kcore_sql()
+    # both planted sections rebuilt from the token list (1-based
+    # inclusive DuckDB slices; short docs emit nothing)
+    d["section_qa"] = f"""
+      WITH tok AS (
+        SELECT doc_id,
+          CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+               ELSE {toks} END AS tl
+        FROM documents),
+      ok AS (SELECT doc_id, tl FROM tok WHERE len(tl) >= 8)
+      SELECT doc_id, section_idx, question, answer, answer_tokens
+      FROM (
+        SELECT doc_id, CAST(1 AS INT) AS section_idx,
+               tl[1] || ' ' || tl[2] AS question,
+               array_to_string(tl[3:8], ' ') AS answer,
+               CAST(6 AS INT) AS answer_tokens
+        FROM ok
+        UNION ALL
+        SELECT doc_id, CAST(2 AS INT), tl[3],
+               array_to_string(tl[5:8], ' ') || ' ' || tl[1]
+                 || ' ' || tl[2],
+               CAST(6 AS INT)
+        FROM ok)
+      ORDER BY doc_id, section_idx
+    """
     d["sentences"] = """
       WITH aug AS (
         SELECT doc_id,

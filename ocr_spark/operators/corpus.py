@@ -40,7 +40,7 @@ __all__ = ["stratified_sample", "token_budget_mix", "sample_thresholds",
            "contamination_pairs", "pack_sequences", "packed_sequences",
            "length_buckets", "weighted_sample", "epoch_shuffle",
            "shard_plan", "shard_manifest", "fim_transform", "span_corrupt",
-           "cloze_qa"]
+           "cloze_qa", "section_qa"]
 
 # 60-bit hash space: 15 md5 hex chars, inside int64 on every engine
 HASH_SPACE = 1 << 60
@@ -902,3 +902,30 @@ def cloze_qa(df: DataFrame, id_col: str = "doc_id",
                                    .otherwise(t))).alias("question"),
                 ans.alias("answer"),
                 F.col("b").getField("df").alias("answer_df")))
+
+
+def section_qa(df: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text",
+               min_body_tokens: int = 5) -> DataFrame:
+    """Heading->body instruction-pair mining over markdown-shaped
+    text — the practical QA-synthesis move for documents that HAVE
+    structure (how-to pages, docs sites, wikis): each heading becomes
+    the question (its ``#`` prefix stripped), its section body the
+    answer.  Pre-heading preambles (NULL heading) and bodies under
+    ``min_body_tokens`` are dropped — a heading with no substantive
+    body is navigation, not an answer.
+
+    Composition of :func:`ocr_spark.operators.chunk.split_sections`
+    (same per-document window bound); the pair assembly adds only
+    per-row JVM expressions."""
+    from ocr_spark.operators.chunk import split_sections
+
+    s = split_sections(df, key_col=id_col, text_col=text_col)
+    return (s.filter(F.col("heading").isNotNull()
+                     & (F.col("n_tokens") >= min_body_tokens))
+            .select(
+                id_col, "section_idx",
+                F.trim(F.regexp_replace("heading", r"^#{1,6} ", ""))
+                 .alias("question"),
+                F.col("body").alias("answer"),
+                F.col("n_tokens").alias("answer_tokens")))

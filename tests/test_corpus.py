@@ -527,3 +527,22 @@ class TestClozeQA:
             [(1, "tiny one. two words here!")],
             "doc_id long, text string")
         assert cloze_qa(df, min_tokens=5).count() == 0
+
+
+class TestSectionQA:
+    def test_pairs_and_filters(self, spark):
+        from ocr_spark.operators.corpus import section_qa
+
+        df = spark.createDataFrame(
+            [(1, "preamble text here\n# Setup Guide\none two three "
+                 "four five\n## Tiny\nshort\n### Deep Dive\na b c d "
+                 "e f")],
+            "doc_id long, text string")
+        got = {(r.section_idx): (r.question, r.answer,
+                                 r.answer_tokens)
+               for r in section_qa(df, min_body_tokens=5).collect()}
+        # preamble (NULL heading) and the 1-token 'Tiny' body drop
+        assert got == {
+            1: ("Setup Guide", "one two three four five", 5),
+            3: ("Deep Dive", "a b c d e f", 6),
+        }
