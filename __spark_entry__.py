@@ -2739,6 +2739,26 @@ def q_anchor_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return anchor_text_agg(edges).orderBy("dst")
 
 
+ANCHOR_CATEGORIES = {  # shared literals with the oracle VALUES table
+    "compute": ("join", "scan", "merge", "agg"),
+    "storage": ("table", "row", "column", "data"),
+    "streaming": ("stream", "window", "batch"),
+}
+
+
+def q_anchor_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-vote classification (operators/web.py:anchor_classify)
+    over the q_outlinks graph — the anchors are raw corpus tokens, so
+    the fixed category keywords get real vote distributions; the
+    oracle chains the closed-form edge reconstruction with the same
+    vote/argmax SQL."""
+    from ocr_spark.operators.web import anchor_classify
+
+    edges = q_outlinks(spark, sf_dir)
+    return (anchor_classify(edges, ANCHOR_CATEGORIES)
+            .orderBy("dst"))
+
+
 def q_cdx_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDX capture-index generation (the Common-Crawl/Wayback lookup
     artifact): normalize the url, derive its SURT key (reversed host
@@ -6083,6 +6103,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kcore": q_kcore,
         "table_records": q_table_records,
         "section_qa": q_section_qa,
+        "anchor_classify": q_anchor_classify,
         "article_stitch": q_article_stitch,
         "bpe_encode": q_bpe_encode,
         "redirect_graph": q_redirect_graph,
@@ -10063,6 +10084,37 @@ def oracle_sql() -> dict[str, str]:
                  anchor AS top_anchor, CAST(cnt AS BIGINT)
                    AS top_anchor_count
           FROM rk WHERE rn = 1
+        """,
+        # same edge reconstruction, VALUES keyword table, vote
+        # aggregate, count-desc/category-asc argmax window
+        "anchor_classify": f"""
+          WITH edges AS ({_outlinks_edges_sql()}),
+          kw(term, category) AS (VALUES
+            ('agg', 'compute'), ('join', 'compute'),
+            ('merge', 'compute'), ('scan', 'compute'),
+            ('column', 'storage'), ('data', 'storage'),
+            ('row', 'storage'), ('table', 'storage'),
+            ('batch', 'streaming'), ('stream', 'streaming'),
+            ('window', 'streaming')),
+          tk AS (
+            SELECT dst, unnest(
+              CASE WHEN len(trim(lower(anchor))) = 0
+                   THEN CAST([] AS VARCHAR[])
+                   ELSE string_split_regex(trim(lower(anchor)),
+                                           '\\s+') END) AS term
+            FROM edges),
+          votes AS (
+            SELECT dst, category, CAST(count(*) AS BIGINT) AS n_votes
+            FROM tk JOIN kw USING (term) GROUP BY dst, category),
+          rk AS (
+            SELECT dst, category, n_votes,
+                   row_number() OVER (PARTITION BY dst
+                     ORDER BY n_votes DESC, category) AS rn,
+                   CAST(sum(n_votes) OVER (PARTITION BY dst)
+                     AS BIGINT) AS n_votes_total
+            FROM votes)
+          SELECT dst, category, n_votes, n_votes_total
+          FROM rk WHERE rn = 1 ORDER BY dst
         """,
         "cdx_index": _cdx_index_sql(),
         "graph_prior": """

@@ -55,7 +55,7 @@ __all__ = ["TRACKING_PARAMS", "url_normalize", "url_host",
            "canonical_collapse", "url_path", "url_templates", "url_blocklist_filter",
            "crawl_schedule", "resolve_redirects", "stitch_series",
            "host_lang_profile", "reciprocal_links", "triangle_count",
-           "label_propagation", "kcore"]
+           "label_propagation", "kcore", "anchor_classify"]
 
 # the closed, documented drop-set; extend per deployment.  Matched on
 # the parameter NAME (the part left of '='), utm_ by prefix.
@@ -1657,3 +1657,49 @@ def kcore(edges: DataFrame, k: int = 3, max_rounds: int = 12,
         n_prev = n_now
     return (sym.groupBy(F.col("u").alias("node"))
             .agg(F.count("*").alias("degree")))
+
+
+def anchor_classify(edges: DataFrame,
+                    categories: dict[str, tuple[str, ...]],
+                    dst_col: str = "dst",
+                    anchor_col: str = "anchor") -> DataFrame:
+    """Anchor-vote page classification — the off-page signal search
+    and crawl-prioritization stacks lean on: how OTHER pages describe
+    a target beats how it describes itself.  Incoming anchor tokens
+    (case-folded) vote through a keyword->category table; each target
+    gets its winning category (votes desc, ties to the alphabetically
+    first), its winning vote count, and the total matched votes (the
+    winner/total ratio is the caller's confidence signal).  Targets
+    with no matching anchor token emit nothing.  A keyword listed
+    under two categories votes for both — dictionary hygiene is the
+    caller's contract.
+
+    Plan: explode anchor tokens (anchors are short — single words to
+    a few), broadcast-join the literal keyword table so only voting
+    tokens survive, two skinny (dst, category) aggregates, and an
+    order-free struct-min argmax — no window over a hot in-degree
+    target."""
+    from ocr_spark.functions.text import tokens
+
+    spark = edges.sparkSession
+    kw = F.broadcast(spark.createDataFrame(
+        [(w, c) for c, ws in sorted(categories.items())
+         for w in sorted(ws)],
+        "term string, category string"))
+    toks = edges.select(
+        F.col(dst_col).alias("dst"),
+        F.explode(tokens(F.lower(F.col(anchor_col)))).alias("term"))
+    votes = (toks.join(kw, "term")
+             .groupBy("dst", "category")
+             .agg(F.count("*").alias("n_votes")))
+    tot = votes.groupBy("dst").agg(
+        F.sum("n_votes").alias("n_votes_total"))
+    best = (votes.groupBy("dst")
+            .agg(F.min(F.struct(
+                (-F.col("n_votes")).alias("nv"),
+                F.col("category").alias("c"))).alias("b")))
+    return (best.join(tot, "dst")
+            .select("dst",
+                    F.col("b").getField("c").alias("category"),
+                    (-F.col("b").getField("nv")).alias("n_votes"),
+                    "n_votes_total"))

@@ -783,3 +783,33 @@ class TestKCore:
         got = {r.node: r.degree
                for r in kcore(edges, k=2, max_rounds=8).collect()}
         assert got == {1: 2, 2: 2, 3: 2}
+
+
+class TestAnchorClassify:
+    def test_votes_ties_and_silence(self, spark):
+        from ocr_spark.operators.web import anchor_classify
+
+        edges = spark.createDataFrame(
+            [(1, "T", "fast JOIN engine"), (2, "T", "join scan"),
+             (3, "T", "data table"), (4, "U", "table data"),
+             (5, "V", "nothing relevant")],
+            "src long, dst string, anchor string")
+        cats = {"compute": ("join", "scan"),
+                "storage": ("table", "data")}
+        got = {r.dst: (r.category, r.n_votes, r.n_votes_total)
+               for r in anchor_classify(edges, cats).collect()}
+        assert got == {
+            "T": ("compute", 3, 5),   # 3 compute vs 2 storage
+            "U": ("storage", 2, 2),
+            # V never matched -> absent
+        }
+
+    def test_exact_tie_is_alphabetical(self, spark):
+        from ocr_spark.operators.web import anchor_classify
+
+        edges = spark.createDataFrame(
+            [(1, "X", "join table")], "src long, dst string, anchor string")
+        cats = {"compute": ("join",), "storage": ("table",)}
+        out = anchor_classify(edges, cats).collect()
+        assert [(r.dst, r.category, r.n_votes) for r in out] == \
+            [("X", "compute", 1)]
