@@ -1762,6 +1762,16 @@ def q_subword_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
+def q_compressibility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-k-gram compressibility proxy (functions/quality.py:
+    compressibility) straight over the corpus; the oracle recounts
+    distinct/total k-grams per (doc, k) with range-lateral substr."""
+    from ocr_spark.functions.quality import compressibility
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return compressibility(docs).orderBy("doc_id", "k")
+
+
 def q_license(spark: SparkSession, sf_dir: str) -> DataFrame:
     """License detection (functions/quality.py:license_detect) over
     planted signals on the license-phrase-free corpus (verified 0
@@ -6104,6 +6114,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_records": q_table_records,
         "section_qa": q_section_qa,
         "anchor_classify": q_anchor_classify,
+        "compressibility": q_compressibility,
         "article_stitch": q_article_stitch,
         "bpe_encode": q_bpe_encode,
         "redirect_graph": q_redirect_graph,
@@ -12310,6 +12321,31 @@ def oracle_sql() -> dict[str, str]:
              CAST(sum(d.nu) AS BIGINT) AS n_unk
       FROM wtok t JOIN done d USING (word)
       GROUP BY t.doc_id ORDER BY t.doc_id
+    """
+    # distinct/total char k-grams recounted via range-lateral substr
+    d["compressibility"] = """
+      WITH base AS (SELECT doc_id, text, len(text) AS n
+                    FROM documents),
+      kk AS (
+        SELECT doc_id, text, n, k.k AS k,
+               greatest(n - (k.k - 1), 0) AS tot
+        FROM base, (VALUES (4), (8), (16)) k(k)),
+      ex AS (
+        SELECT doc_id, k,
+               substr(text, CAST(i + 1 AS INT), k) AS gr
+        FROM (SELECT doc_id, text, k, tot,
+                     unnest(range(0, tot)) AS i
+              FROM kk)),
+      agg AS (
+        SELECT doc_id, k, CAST(count(DISTINCT gr) AS BIGINT)
+                 AS n_distinct
+        FROM ex GROUP BY 1, 2)
+      SELECT kk.doc_id, CAST(kk.n AS INT) AS n_chars,
+             CAST(kk.k AS INT) AS k,
+             CAST(kk.tot AS BIGINT) AS n_grams,
+             coalesce(agg.n_distinct, 0) AS n_distinct
+      FROM kk LEFT JOIN agg USING (doc_id, k)
+      ORDER BY kk.doc_id, kk.k
     """
     # closed-form plants on the verified license-phrase-free corpus
     d["license"] = """

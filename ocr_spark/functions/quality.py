@@ -40,6 +40,7 @@ __all__ = [
     "GOPHER_STOP_WORDS", "with_content_type",
     "CODE_KEYWORDS", "MATH_MARKERS", "CODE_SYMBOLS",
     "license_detect", "LICENSE_PATTERNS", "CC_LICENSE_RE",
+    "compressibility",
 ]
 
 # Rule thresholds for the composite filter.  Closed, documented set —
@@ -467,3 +468,45 @@ def license_detect(df: DataFrame, id_col: str = "doc_id",
            .otherwise(lic)
     return df.select(id_col, lic.alias("license"),
                      n.alias("n_signals"))
+
+
+def compressibility(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text",
+                    ks: tuple[int, ...] = (4, 8, 16)) -> DataFrame:
+    """Codec-free compressibility proxy: per document and char-gram
+    size k, the total and DISTINCT character k-gram counts — highly
+    repetitive text (template spam, keyword stuffing, generated
+    filler) has few distinct k-grams relative to total.  Gopher-class
+    pipelines run a real compressor for this signal; a codec is not
+    reproducible as relational ops, so this publishes the exact
+    integer pair (same discipline as posting_deltas' gap_sum: no
+    float ratio inside the operator — callers divide).
+
+    One row per (doc, k), long format.  Documents shorter than k
+    chars emit (0, 0) for that k.
+
+    Plan: all k values build as one struct array in a single
+    projection (one scan) and explode; the k-gram arrays are per-row
+    JVM transforms over the raw string — zero shuffle."""
+    s = F.col(text_col)
+    n = F.length(s)
+
+    def stats(k):
+        tot = F.greatest(n - (k - 1), F.lit(0))
+        dist = F.when(
+            tot > 0,
+            F.size(F.array_distinct(F.transform(
+                F.sequence(F.lit(1), tot),
+                lambda i: F.substring(s, i, k))))
+        ).otherwise(F.lit(0))
+        return F.struct(F.lit(k).alias("k"),
+                        tot.cast("long").alias("n_grams"),
+                        dist.cast("long").alias("n_distinct"))
+
+    arr = F.array(*[stats(k) for k in ks])
+    return (df.select(id_col, n.alias("n_chars"),
+                      F.explode(arr).alias("g"))
+            .select(id_col, "n_chars",
+                    F.col("g.k").alias("k"),
+                    F.col("g.n_grams").alias("n_grams"),
+                    F.col("g.n_distinct").alias("n_distinct")))

@@ -318,3 +318,19 @@ class TestLicenseDetect:
             5: ("none", 0),
             6: ("apache", 2),          # apache beats all-rights
         }
+
+
+class TestCompressibility:
+    def test_counts_and_short_doc(self, spark):
+        from ocr_spark.functions.quality import compressibility
+
+        df = spark.createDataFrame(
+            [(1, "ababab"), (2, "abc")], "doc_id long, text string")
+        got = {(r.doc_id, r.k): (r.n_chars, r.n_grams, r.n_distinct)
+               for r in compressibility(df, ks=(2, 4)).collect()}
+        # 'ababab': 2-grams ab,ba,ab,ba,ab -> 5 total, 2 distinct;
+        # 4-grams abab,baba,abab -> 3 total, 2 distinct
+        assert got == {
+            (1, 2): (6, 5, 2), (1, 4): (6, 3, 2),
+            (2, 2): (3, 2, 2), (2, 4): (3, 0, 0),
+        }
