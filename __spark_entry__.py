@@ -1762,6 +1762,33 @@ def q_subword_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
+def q_jsonl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL ingest with quarantine (sources/jsonl.py:
+    parse_json_records): every doc becomes a JSON line built from its
+    sanitized first token and doc_id%100; docs with doc_id%17==0
+    lose the closing brace and must come back flagged with the raw
+    line retained.  The oracle rebuilds both the parsed fields and
+    the quarantined raw strings closed-form."""
+    from ocr_spark.sources.jsonl import parse_json_records
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    from ocr_spark.functions.text import tokens
+    i = F.col("doc_id")
+    s0 = F.coalesce(
+        F.regexp_replace(F.get(tokens("text"), 0),
+                         "[^A-Za-z0-9]", ""), F.lit(""))
+    line = F.concat(F.lit('{"title": "'), s0,
+                    F.lit('", "views": '),
+                    (i % 100).cast("string"), F.lit("}"))
+    broken = F.substring(line, 1, F.length(line) - 1)
+    shaped = docs.select(
+        "doc_id",
+        F.when(i % 17 == 0, broken).otherwise(line).alias("line"))
+    return (parse_json_records(shaped, "line",
+                               "title string, views bigint")
+            .orderBy("doc_id"))
+
+
 def q_compressibility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Char-k-gram compressibility proxy (functions/quality.py:
     compressibility) straight over the corpus; the oracle recounts
@@ -6115,6 +6142,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "section_qa": q_section_qa,
         "anchor_classify": q_anchor_classify,
         "compressibility": q_compressibility,
+        "jsonl_ingest": q_jsonl_ingest,
         "article_stitch": q_article_stitch,
         "bpe_encode": q_bpe_encode,
         "redirect_graph": q_redirect_graph,
@@ -12321,6 +12349,29 @@ def oracle_sql() -> dict[str, str]:
              CAST(sum(d.nu) AS BIGINT) AS n_unk
       FROM wtok t JOIN done d USING (word)
       GROUP BY t.doc_id ORDER BY t.doc_id
+    """
+    # parsed fields + quarantined raw lines rebuilt closed-form
+    d["jsonl_ingest"] = f"""
+      WITH tok AS (
+        SELECT doc_id,
+          CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+               ELSE {toks} END AS tl
+        FROM documents),
+      b AS (
+        SELECT doc_id,
+          coalesce(CASE WHEN len(tl) >= 1
+                   THEN regexp_replace(tl[1], '[^A-Za-z0-9]', '', 'g')
+                   END, '') AS s0
+        FROM tok)
+      SELECT doc_id,
+        CASE WHEN doc_id % 17 = 0 THEN NULL ELSE s0 END AS title,
+        CASE WHEN doc_id % 17 = 0 THEN NULL
+             ELSE doc_id % 100 END AS views,
+        doc_id % 17 = 0 AS corrupt,
+        CASE WHEN doc_id % 17 = 0 THEN
+          '{{"title": "' || s0 || '", "views": ' || (doc_id % 100)
+        END AS quarantine_raw
+      FROM b ORDER BY doc_id
     """
     # distinct/total char k-grams recounted via range-lateral substr
     d["compressibility"] = """

@@ -70,7 +70,7 @@ BENCH_QUERIES = [
     "outlinks", "anchor_agg", "cdx_index", "pagerank", "trust_rank", "label_propagation", "triangle_count", "zorder_layout", "hits", "graph_components", "graph_prior",
     "redirect_resolve", "redirect_graph", "rel_links", "hreflang_clusters",
     "publish_date", "social_cards", "amp_collapse", "article_stitch",
-    "reciprocal_links", "cocitation", "link_depth", "scholarly_ids", "id_linkage", "measurements", "triplets", "cloze_qa", "hybrid_rerank", "gazetteer", "entity_contexts", "entity_graph", "record_linkage", "code_switch", "subword_vocab", "subword_segment", "license", "kcore", "table_records", "section_qa", "anchor_classify", "compressibility",
+    "reciprocal_links", "cocitation", "link_depth", "scholarly_ids", "id_linkage", "measurements", "triplets", "cloze_qa", "hybrid_rerank", "gazetteer", "entity_contexts", "entity_graph", "record_linkage", "code_switch", "subword_vocab", "subword_segment", "license", "kcore", "table_records", "section_qa", "anchor_classify", "compressibility", "jsonl_ingest",
     "lang_mismatch", "pdf_text_fix", "host_lang_entropy",
     "media_decode", "png_decode", "png_palette", "gif_structure", "srt_cues",
     "caption_align", "audio_decode", "frame_sample", "exif",

@@ -45,29 +45,42 @@ def _word_counts(df: DataFrame, text_col: str) -> DataFrame:
 
 def _substring_candidates(words: DataFrame, max_piece_len: int,
                           ) -> DataFrame:
-    """(word, pos, piece, is_cont) for every in-word substring up to
-    ``max_piece_len`` chars — built per DISTINCT word."""
-    pos = words.select(
-        "word", F.explode(F.sequence(
-            F.lit(0), F.length("word") - 1)).alias("pos"))
-    parts = []
+    """(word, pos, piece_len, piece, is_cont) for every in-word
+    substring up to ``max_piece_len`` chars — built per DISTINCT
+    word, ALL lengths in one projection (a per-length union would
+    replan the word source once per length; one tagged array +
+    explode keeps it a single pass)."""
+    def piece_fn(ln):
+        # closure factory (HOF single-param arity rule)
+        return lambda i: F.struct(
+            i.cast("int").alias("pos"),
+            F.lit(ln).alias("piece_len"),
+            F.substring(F.col("word"), i + 1, ln).alias("piece"),
+            (i > 0).alias("is_cont"))
+
+    arrays = []
     for ln in range(1, max_piece_len + 1):
-        parts.append(
-            pos.filter(F.col("pos") + ln <= F.length("word"))
-            .select(
-                "word", "pos", F.lit(ln).alias("piece_len"),
-                F.substring(F.col("word"), F.col("pos") + 1, ln)
-                 .alias("piece"),
-                (F.col("pos") > 0).alias("is_cont")))
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+        arrays.append(F.when(
+            F.length("word") >= ln,
+            F.transform(
+                F.sequence(F.lit(0), F.length("word") - ln),
+                piece_fn(ln))
+        ).otherwise(F.array().cast(
+            "array<struct<pos:int,piece_len:int,"
+            "piece:string,is_cont:boolean>>")))
+    combined = (arrays[0] if len(arrays) == 1
+                else F.concat(*arrays))
+    return (words.select("word", F.explode(combined).alias("g"))
+            .select("word", F.col("g.pos").alias("pos"),
+                    F.col("g.piece_len").alias("piece_len"),
+                    F.col("g.piece").alias("piece"),
+                    F.col("g.is_cont").alias("is_cont")))
 
 
 def subword_vocab(df: DataFrame, vocab_size: int = 150,
                   max_piece_len: int = 4,
-                  text_col: str = "text") -> DataFrame:
+                  text_col: str = "text",
+                  materialize: bool = True) -> DataFrame:
     """Learn the vocabulary: substring occurrences weighted by corpus
     word frequency; top ``vocab_size`` pieces of length >= 2 by
     (count desc, piece asc, is_cont asc — a total order), plus EVERY
@@ -83,6 +96,11 @@ def subword_vocab(df: DataFrame, vocab_size: int = 150,
            .join(wc, "word")
            .groupBy("piece", "is_cont")
            .agg(F.sum("wc").alias("n_occ")))
+    if materialize:
+        # the aggregated piece table feeds BOTH the top-k window and
+        # the singles branch; lazy, each branch replans the corpus
+        # substring pass (materialize=False keeps it inspectable)
+        sub = sub.localCheckpoint()
     order = [F.col("n_occ").desc(), F.col("piece").asc(),
              F.col("is_cont").asc()]
     multi = (sub.filter(F.length("piece") >= 2)
@@ -98,7 +116,8 @@ def subword_vocab(df: DataFrame, vocab_size: int = 150,
 def wordpiece_segment_stats(df: DataFrame, vocab: DataFrame,
                             max_piece_len: int = 4,
                             id_col: str = "doc_id",
-                            text_col: str = "text") -> DataFrame:
+                            text_col: str = "text",
+                            materialize: bool = True) -> DataFrame:
     """Greedy longest-match segmentation statistics per document:
     ``n_words``, ``n_pieces`` (greedy pieces over all word
     occurrences), ``n_unk`` (positions where no vocab piece matched —
@@ -114,9 +133,20 @@ def wordpiece_segment_stats(df: DataFrame, vocab: DataFrame,
         id_col,
         F.explode(tokens(F.lower(F.col(text_col)))).alias("word"))
     dw = wf.select("word").distinct()
+    if materialize:
+        # the distinct-word hub feeds candidates, the position spine,
+        # AND (transitively) every later stage; without materializing
+        # it Catalyst replans the whole token-explode subtree per
+        # consumer (measured: 46 corpus scans / 68 exchanges in one
+        # plan; 4 scans / ~10 exchanges with the checkpoint).
+        # materialize=False keeps the plan lazy for inspection.
+        dw = dw.localCheckpoint()
+    vb = vocab.select("piece", "is_cont")
+    if materialize:
+        vb = vb.localCheckpoint()  # tiny; one evaluation of the
+        # caller's vocab plan instead of one per consumer stage
     cand = (_substring_candidates(dw, max_piece_len)
-            .join(F.broadcast(vocab.select("piece", "is_cont")),
-                  ["piece", "is_cont"], "left_semi"))
+            .join(F.broadcast(vb), ["piece", "is_cont"], "left_semi"))
     best = (cand.groupBy("word", "pos")
             .agg(F.max("piece_len").alias("jump")))
     spine = dw.select(

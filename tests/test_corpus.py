@@ -546,3 +546,28 @@ class TestSectionQA:
             1: ("Setup Guide", "one two three four five", 5),
             3: ("Deep Dive", "a b c d e f", 6),
         }
+
+
+class TestParseJsonRecords:
+    def test_quarantine_contract(self, spark):
+        from ocr_spark.sources.jsonl import parse_json_records
+
+        df = spark.createDataFrame(
+            [(1, '{"title": "ok", "views": 42}'),
+             (2, '{"title": "trunc", "views": 7'),   # no closing brace
+             (3, "not json at all"),
+             (4, None),
+             (5, '{"title": "extra", "views": 1, "junk": true}')],
+            "doc_id long, line string")
+        got = {r.doc_id: (r.title, r.views, r.corrupt,
+                          r.quarantine_raw)
+               for r in parse_json_records(
+                   df, "line", "title string, views bigint").collect()}
+        assert got[1] == ("ok", 42, False, None)
+        # truncation rejects the whole record; raw line quarantined
+        assert got[2] == (None, None, True,
+                          '{"title": "trunc", "views": 7')
+        assert got[3] == (None, None, True, "not json at all")
+        assert got[4] == (None, None, True, None)
+        # unreferenced keys are ignored, not errors
+        assert got[5] == ("extra", 1, False, None)

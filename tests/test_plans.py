@@ -633,3 +633,41 @@ def test_triplet_mine_single_shuffle_gemm(spark):
     assert plan.count("Exchange") == 1
     assert "FlatMapGroupsInPandas" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_compressibility_zero_shuffle(spark):
+    """The k-gram proxy is a pure per-row pass: one scan, no
+    Exchange, no Python."""
+    from ocr_spark.functions.quality import compressibility
+    docs = entry_mod._t(spark, SF, "documents").select("doc_id", "text")
+    plan = plan_of(compressibility(docs))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
+    assert plan.count("Scan parquet") == 1
+
+
+def test_anchor_classify_keyword_join_is_broadcast(spark):
+    """Only voting tokens survive the scan stage: the keyword table
+    joins via broadcast; no cartesian anywhere."""
+    from ocr_spark.operators.web import anchor_classify
+    edges = spark.createDataFrame(
+        [(1, "T", "join scan")], "src long, dst string, anchor string")
+    plan = plan_of(anchor_classify(edges, entry_mod.ANCHOR_CATEGORIES))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_subword_segment_walk_is_fold_not_iteration(spark):
+    """The greedy walk must not be an iterative job: with the
+    distinct-word and vocab hubs materialized, the whole segmentation
+    plan is ONE corpus scan and a handful of exchanges — not the
+    46-scan / 68-exchange replanning blow-up the lazy form exhibits
+    (kept measurable via materialize=False)."""
+    from ocr_spark.functions.subword import (subword_vocab,
+                                             wordpiece_segment_stats)
+    docs = entry_mod._t(spark, SF, "documents").select("doc_id", "text")
+    vocab = subword_vocab(docs, vocab_size=20, max_piece_len=4)
+    plan = plan_of(wordpiece_segment_stats(docs, vocab))
+    assert "BatchEvalPython" not in plan
+    assert plan.count("Exchange") <= 8
+    assert plan.count("Scan parquet") == 1
