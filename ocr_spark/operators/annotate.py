@@ -125,8 +125,8 @@ def mention_contexts(df: DataFrame, mentions: DataFrame,
 
 
 def entity_cooc(mentions: DataFrame, window: int | None = None,
-                min_count: int = 1,
-                id_col: str = "doc_id") -> DataFrame:
+                min_count: int = 1, id_col: str = "doc_id",
+                materialize: bool = True) -> DataFrame:
     """Entity co-occurrence graph from mention rows — the
     knowledge-graph edge builder: entity pairs appearing in the same
     document (optionally within ``window`` token positions), with the
@@ -138,6 +138,10 @@ def entity_cooc(mentions: DataFrame, window: int | None = None,
     magnitude sparser than tokens), pair-count aggregate, then two
     broadcast joins of the tiny per-entity marginal aggregate."""
     m = mentions.select(id_col, "pos", "entity_id")
+    if materialize:
+        # mentions feed both self-join sides AND the marginals; lazy,
+        # the upstream spotting pipeline re-runs three times
+        m = m.localCheckpoint()
     a, b = m.alias("a"), m.alias("b")
     cond = ((F.col(f"a.{id_col}") == F.col(f"b.{id_col}"))
             & (F.col("a.entity_id") < F.col("b.entity_id")))

@@ -607,7 +607,8 @@ def mine_identifiers(df: DataFrame, id_col: str = "doc_id",
 
 def identifier_linkage(ids: DataFrame, id_col: str = "doc_id",
                        min_shared: int = 1,
-                       max_df: int | None = None) -> DataFrame:
+                       max_df: int | None = None,
+                       materialize: bool = True) -> DataFrame:
     """Bibliographic coupling over mined identifiers
     (``mine_identifiers`` output): two documents link with strength
     ``n_shared`` = how many distinct (kind, ident) keys they share —
@@ -624,6 +625,10 @@ def identifier_linkage(ids: DataFrame, id_col: str = "doc_id",
     max_df² per identifier; dropped hot idents are countable by the
     caller via the same groupBy."""
     post = ids.select(id_col, "kind", "ident").distinct()
+    if materialize:
+        # the posting set fans out to the df guard and BOTH self-join
+        # sides — lazy, the upstream mining scan re-runs per consumer
+        post = post.localCheckpoint()
     if max_df is not None:
         hot = (post.groupBy("kind", "ident")
                .agg(F.count("*").alias("df"))

@@ -432,7 +432,8 @@ def html_markdown(df: DataFrame, html_col: str = "html",
     return df.select(*cols).mapInArrow(kernel, schema=out_schema)
 
 
-def table_records(cells, id_col: str = "doc_id"):
+def table_records(cells, id_col: str = "doc_id",
+                  materialize: bool = True):
     """Header-keyed record materialization over ``extract_tables``
     cell rows — the step that turns a scraped <table> grid into the
     (record, field, value) triples table-QA and knowledge-base
@@ -449,6 +450,12 @@ def table_records(cells, id_col: str = "doc_id"):
     table never funnels through one window task."""
     from pyspark.sql import functions as F
 
+    if materialize:
+        # the cell table fans out to three consumers (header spans,
+        # field row, data side); left lazy, each consumer re-runs the
+        # upstream Arrow parse of every page (measured 2x the
+        # extract cost at sf0.1).  materialize=False for inspection.
+        cells = cells.localCheckpoint()
     hdr = cells.filter(F.col("is_header"))
     spans = (hdr.groupBy(id_col, "table_idx")
              .agg(F.min("row_idx").alias("h0"),

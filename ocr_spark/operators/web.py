@@ -1662,7 +1662,8 @@ def kcore(edges: DataFrame, k: int = 3, max_rounds: int = 12,
 def anchor_classify(edges: DataFrame,
                     categories: dict[str, tuple[str, ...]],
                     dst_col: str = "dst",
-                    anchor_col: str = "anchor") -> DataFrame:
+                    anchor_col: str = "anchor",
+                    materialize: bool = True) -> DataFrame:
     """Anchor-vote page classification — the off-page signal search
     and crawl-prioritization stacks lean on: how OTHER pages describe
     a target beats how it describes itself.  Incoming anchor tokens
@@ -1692,6 +1693,11 @@ def anchor_classify(edges: DataFrame,
     votes = (toks.join(kw, "term")
              .groupBy("dst", "category")
              .agg(F.count("*").alias("n_votes")))
+    if materialize:
+        # (dst, category) votes are tiny and feed BOTH the total and
+        # the argmax; lazy, the edge source (often an Arrow outlink
+        # kernel) re-runs per consumer
+        votes = votes.localCheckpoint()
     tot = votes.groupBy("dst").agg(
         F.sum("n_votes").alias("n_votes_total"))
     best = (votes.groupBy("dst")
