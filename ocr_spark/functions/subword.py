@@ -100,7 +100,7 @@ def subword_vocab(df: DataFrame, vocab_size: int = 150,
         # the aggregated piece table feeds BOTH the top-k window and
         # the singles branch; lazy, each branch replans the corpus
         # substring pass (materialize=False keeps it inspectable)
-        sub = sub.localCheckpoint()
+        sub = sub.localCheckpoint(eager=False)
     order = [F.col("n_occ").desc(), F.col("piece").asc(),
              F.col("is_cont").asc()]
     multi = (sub.filter(F.length("piece") >= 2)
@@ -134,16 +134,18 @@ def wordpiece_segment_stats(df: DataFrame, vocab: DataFrame,
         F.explode(tokens(F.lower(F.col(text_col)))).alias("word"))
     dw = wf.select("word").distinct()
     if materialize:
+        # (eager=False: materialized once at the first action — no
+        # extra per-checkpoint job at construction time)
         # the distinct-word hub feeds candidates, the position spine,
         # AND (transitively) every later stage; without materializing
         # it Catalyst replans the whole token-explode subtree per
         # consumer (measured: 46 corpus scans / 68 exchanges in one
         # plan; 4 scans / ~10 exchanges with the checkpoint).
         # materialize=False keeps the plan lazy for inspection.
-        dw = dw.localCheckpoint()
+        dw = dw.localCheckpoint(eager=False)
     vb = vocab.select("piece", "is_cont")
     if materialize:
-        vb = vb.localCheckpoint()  # tiny; one evaluation of the
+        vb = vb.localCheckpoint(eager=False)  # tiny; one evaluation of the
         # caller's vocab plan instead of one per consumer stage
     cand = (_substring_candidates(dw, max_piece_len)
             .join(F.broadcast(vb), ["piece", "is_cont"], "left_semi"))

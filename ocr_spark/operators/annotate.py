@@ -84,7 +84,7 @@ def gazetteer_link(df: DataFrame, gazetteer: dict[str, str],
         id_col, "pos", "n_words", "surface", "entity_id")
     if materialize:
         # (materialize=False keeps the plan lazy/inspectable)
-        m = m.localCheckpoint()
+        m = m.localCheckpoint(eager=False)
     a, b = m.alias("a"), m.alias("b")
     contained = (
         (F.col(f"a.{id_col}") == F.col(f"b.{id_col}"))
@@ -141,7 +141,7 @@ def entity_cooc(mentions: DataFrame, window: int | None = None,
     if materialize:
         # mentions feed both self-join sides AND the marginals; lazy,
         # the upstream spotting pipeline re-runs three times
-        m = m.localCheckpoint()
+        m = m.localCheckpoint(eager=False)
     a, b = m.alias("a"), m.alias("b")
     cond = ((F.col(f"a.{id_col}") == F.col(f"b.{id_col}"))
             & (F.col("a.entity_id") < F.col("b.entity_id")))

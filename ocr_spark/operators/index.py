@@ -628,7 +628,7 @@ def identifier_linkage(ids: DataFrame, id_col: str = "doc_id",
     if materialize:
         # the posting set fans out to the df guard and BOTH self-join
         # sides — lazy, the upstream mining scan re-runs per consumer
-        post = post.localCheckpoint()
+        post = post.localCheckpoint(eager=False)
     if max_df is not None:
         hot = (post.groupBy("kind", "ident")
                .agg(F.count("*").alias("df"))

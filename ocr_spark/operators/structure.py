@@ -455,7 +455,7 @@ def table_records(cells, id_col: str = "doc_id",
         # field row, data side); left lazy, each consumer re-runs the
         # upstream Arrow parse of every page (measured 2x the
         # extract cost at sf0.1).  materialize=False for inspection.
-        cells = cells.localCheckpoint()
+        cells = cells.localCheckpoint(eager=False)
     hdr = cells.filter(F.col("is_header"))
     spans = (hdr.groupBy(id_col, "table_idx")
              .agg(F.min("row_idx").alias("h0"),

@@ -1697,7 +1697,7 @@ def anchor_classify(edges: DataFrame,
         # (dst, category) votes are tiny and feed BOTH the total and
         # the argmax; lazy, the edge source (often an Arrow outlink
         # kernel) re-runs per consumer
-        votes = votes.localCheckpoint()
+        votes = votes.localCheckpoint(eager=False)
     tot = votes.groupBy("dst").agg(
         F.sum("n_votes").alias("n_votes_total"))
     best = (votes.groupBy("dst")
