@@ -652,7 +652,8 @@ def test_anchor_classify_keyword_join_is_broadcast(spark):
     from ocr_spark.operators.web import anchor_classify
     edges = spark.createDataFrame(
         [(1, "T", "join scan")], "src long, dst string, anchor string")
-    plan = plan_of(anchor_classify(edges, entry_mod.ANCHOR_CATEGORIES))
+    plan = plan_of(anchor_classify(edges, entry_mod.ANCHOR_CATEGORIES,
+                                   materialize=False))
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
 
