@@ -5995,6 +5995,54 @@ def q_redirect_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resolve_redirects(edges, max_hops=16).orderBy("src")
 
 
+def q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE winnowing fingerprint selection (Schleimer/Wilkerson/Aiken
+    SIGMOD'03, the MOSS algorithm — functions/text.py:
+    with_winnow_fingerprints): minimum k-gram hash per sliding window
+    of w, rightmost tie-break, distinct (pos, hash) set — the
+    position-robust guarantee the bottom-k `fingerprint` sketch lacks.
+    One row per selected fingerprint.  Zero shuffle; the oracle
+    re-derives the same windows, minima and tie-breaks over the same
+    60-bit md5 hash family with list comprehensions."""
+    from ocr_spark.functions.text import with_winnow_fingerprints
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = with_winnow_fingerprints(docs, "text", "fps", k=3, w=4)
+    return (out.select("doc_id", F.explode("fps").alias("f"))
+            .select("doc_id", F.col("f.pos").alias("pos"),
+                    F.col("f.h").alias("h"))
+            .orderBy("doc_id", "pos"))
+
+
+def q_kn_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram LM perplexity per document
+    (functions/quality.py:kneser_ney_logprob) — the production n-gram
+    smoother (continuation-probability back-off) vs bigram_lm's add-1
+    baseline.  One skinny bigram-type aggregate feeds all four model
+    tables; corpus text never shuffles.  The oracle re-derives
+    discount/continuation arithmetic with identical operand order."""
+    from ocr_spark.functions.quality import kneser_ney_logprob
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return kneser_ney_logprob(docs).orderBy("doc_id")
+
+
+def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov drift statistic between two
+    synthetic 'crawls' (even vs odd doc ids) over the n_chars
+    distribution (operators/snapshot.py:ks_drift) — the binning-free
+    companion to dist_drift's PSI.  The global ECDF cumsum runs as the
+    two-pass distributed prefix sum (range buckets + broadcast
+    offsets), never a single global window task.  Top-5 ECDF-gap
+    values; row 1 is the KS statistic."""
+    from ocr_spark.operators.snapshot import ks_drift
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    a = docs.where(F.col("doc_id") % 2 == 0)
+    b = docs.where(F.col("doc_id") % 2 == 1)
+    return ks_drift(a, b, "n_chars", bucket_width=100, top=5)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_extract": q_flagship_extract,
@@ -6046,6 +6094,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_confusion": q_lang_confusion,
         "lang_id_cjk": q_lang_id_cjk,
         "fingerprint": q_fingerprint,
+        "winnowing": q_winnowing,
         "search_keys": q_search_keys,
         "token_count": q_token_count,
         "chunk_text": q_chunk_text,
@@ -6057,6 +6106,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_markdown": q_html_markdown,
         "wet_export": q_wet_export,
         "bigram_lm": q_bigram_lm,
+        "kn_bigram_lm": q_kn_bigram_lm,
         "readability": q_readability,
         "unicode_clean": q_unicode_clean,
         "postings": q_postings,
@@ -6178,6 +6228,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "srt_cues": q_srt_cues,
         "markdown_strip": q_markdown_strip,
         "dist_drift": q_dist_drift,
+        "ks_drift": q_ks_drift,
         "textrank": q_textrank,
         "label_propagation": q_label_propagation,
         "image_dedup": q_image_dedup,
@@ -8820,6 +8871,32 @@ def oracle_sql() -> dict[str, str]:
                  round((p - q) * ln(p / q), 6) AS psi
           FROM j
         """,
+        # ks_drift: exact ECDFs via a window cumsum (the oracle may use
+        # the global window the engine's two-pass prefix sum avoids);
+        # identical long cumulative counts, identically-ordered double
+        # divisions, shared round(6), tie-break on v
+        "ks_drift": """
+          WITH va AS (SELECT n_chars AS v, count(*) AS n_a FROM documents
+                      WHERE doc_id % 2 = 0 AND n_chars IS NOT NULL
+                      GROUP BY 1),
+          vb AS (SELECT n_chars AS v, count(*) AS n_b FROM documents
+                 WHERE doc_id % 2 = 1 AND n_chars IS NOT NULL GROUP BY 1),
+          j AS (SELECT coalesce(va.v, vb.v) AS v,
+                       coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b
+                FROM va FULL JOIN vb ON va.v = vb.v),
+          c AS (SELECT v,
+                  CAST(sum(n_a) OVER (ORDER BY v) AS BIGINT) AS cum_a,
+                  CAST(sum(n_b) OVER (ORDER BY v) AS BIGINT) AS cum_b
+                FROM j),
+          t AS (SELECT CAST(sum(n_a) AS BIGINT) AS ta,
+                       CAST(sum(n_b) AS BIGINT) AS tb FROM j)
+          SELECT v, cum_a, cum_b,
+            round(cum_a / t.ta, 6) AS f_a,
+            round(cum_b / t.tb, 6) AS f_b,
+            round(abs(cum_a / t.ta - cum_b / t.tb), 6) AS ks
+          FROM c CROSS JOIN t
+          ORDER BY ks DESC, v ASC LIMIT 5
+        """,
         # markdown_strip: the imported pattern table under RE2
         "markdown_strip": _markdown_strip_sql(),
         # srt_cues: every cue extent re-derived arithmetically; error
@@ -9457,6 +9534,42 @@ def oracle_sql() -> dict[str, str]:
               '') AS fp
           FROM documents
         """,
+        # winnowing: ORDERED (non-distinct) 3-gram hashes, min per
+        # 4-window with rightmost tie-break, distinct (pos, h) — the
+        # identical selection arithmetic as text.with_winnow_fingerprints
+        # over the same 60-bit md5 family
+        "winnowing": f"""
+          WITH tok AS (
+            SELECT doc_id, text,
+              CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+                   ELSE {toks} END AS tl
+            FROM documents),
+          g AS (
+            SELECT doc_id,
+              CASE WHEN len(tl) >= 3 THEN
+                     list_transform(range(1, len(tl) - 1),
+                       i -> tl[i] || ' ' || tl[i+1] || ' ' || tl[i+2])
+                   WHEN len(trim(text)) > 0
+                     THEN [array_to_string(tl, ' ')]
+                   ELSE CAST([] AS VARCHAR[]) END AS sh
+            FROM tok),
+          h AS (
+            SELECT doc_id,
+              list_transform(sh,
+                s -> ('0x' || substr(md5(s), 1, 15))::BIGINT) AS hs
+            FROM g),
+          sel AS (
+            SELECT doc_id, list_transform(
+              range(1, greatest(1, len(hs) - 3) + 1),
+              i -> {{'pos': CAST(i + len(hs[i:i+3])
+                      - list_position(list_reverse(hs[i:i+3]),
+                                      list_min(hs[i:i+3])) AS INT),
+                    'h': list_min(hs[i:i+3])}}) AS fps
+            FROM h WHERE len(hs) > 0)
+          SELECT DISTINCT doc_id, f['pos'] AS pos, f['h'] AS h
+          FROM (SELECT doc_id, unnest(fps) AS f FROM sel)
+          ORDER BY doc_id, pos
+        """,
         "token_count": f"""
           SELECT doc_id,
             CASE WHEN len(trim(text)) = 0 THEN 0 ELSE len({toks}) END AS n_tokens,
@@ -9706,6 +9819,43 @@ def oracle_sql() -> dict[str, str]:
               ln((b.c_xy + 1)
                  / CAST(u.c_x + (SELECT v FROM vs) AS DOUBLE)) AS lp
             FROM pr JOIN bg b USING (w1, w2) JOIN uni u USING (w1)),
+          per AS (SELECT doc_id, avg(lp) AS a, count(*) AS nb
+                  FROM sc GROUP BY doc_id)
+          SELECT t.doc_id,
+            CAST(coalesce(p.nb, 0) AS BIGINT) AS n_bigrams,
+            round(p.a, 6) AS avg_logprob,
+            round(exp(-p.a), 6) AS ppl
+          FROM tok t LEFT JOIN per p USING (doc_id)
+          ORDER BY t.doc_id
+        """,
+        # kn_bigram_lm: interpolated Kneser-Ney with d = 0.75 — same
+        # CTE skeleton as bigram_lm; the per-pair probability mirrors
+        # quality.kneser_ney_logprob's operand order exactly
+        # (greatest(c_xy - d, 0)/c_x + d*n_fw/c_x*(n_bw/np)) so the
+        # doubles agree bit-for-bit before the shared round(6)
+        "kn_bigram_lm": f"""
+          WITH tok AS (
+            SELECT doc_id,
+              CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+                   ELSE {toks} END AS tl
+            FROM documents),
+          pr AS (
+            SELECT doc_id, p.w1 AS w1, p.w2 AS w2
+            FROM (SELECT doc_id, unnest(list_transform(range(1, len(tl)),
+                    i -> {{'w1': tl[i], 'w2': tl[i + 1]}})) AS p
+                  FROM tok)),
+          bg AS (SELECT w1, w2, count(*) AS c_xy FROM pr GROUP BY 1, 2),
+          ctx AS (SELECT w1, CAST(sum(c_xy) AS BIGINT) AS c_x,
+                         count(*) AS n_fw FROM bg GROUP BY w1),
+          bk AS (SELECT w2, count(*) AS n_bw FROM bg GROUP BY w2),
+          nps AS (SELECT count(*) AS np FROM bg),
+          sc AS (
+            SELECT pr.doc_id,
+              ln(greatest(b.c_xy - 0.75, 0.0) / c.c_x
+                 + 0.75 * c.n_fw / c.c_x
+                 * (k.n_bw / (SELECT np FROM nps))) AS lp
+            FROM pr JOIN bg b USING (w1, w2) JOIN ctx c USING (w1)
+                    JOIN bk k USING (w2)),
           per AS (SELECT doc_id, avg(lp) AS a, count(*) AS nb
                   FROM sc GROUP BY doc_id)
           SELECT t.doc_id,

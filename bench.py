@@ -51,12 +51,12 @@ BENCH_QUERIES = [
     "text_stats", "repetition_stats", "quality_filter", "format_signals",
     "pii_scrub", "k_anonymity", "k_suppress",
     "mojibake_fix",
-    "lang_id", "lang_id_cjk", "lang_confusion", "fingerprint", "search_keys", "token_count",
+    "lang_id", "lang_id_cjk", "lang_confusion", "fingerprint", "winnowing", "search_keys", "token_count",
     "chunk_text", "chunk_tokens", "sections", "texttiling", "collocations", "bpe_pairs",
     "bpe_encode",
     "table_extract", "html_markdown", "markdown_strip", "wet_export", "wat_export",
-    "bigram_lm", "readability", "unicode_clean",
-    "postings", "posting_deltas", "snippets", "corpus_stats", "crawl_delta", "dist_drift", "index_delta",
+    "bigram_lm", "kn_bigram_lm", "readability", "unicode_clean",
+    "postings", "posting_deltas", "snippets", "corpus_stats", "crawl_delta", "dist_drift", "ks_drift", "index_delta",
     "capture_history",
     "asof_join", "range_join", "bm25", "search_results", "doc_attributes",
     "sentences", "textrank", "rake_keyphrases", "domain_quality", "sitemap", "feed", "incremental_extract", "canonical_collapse",

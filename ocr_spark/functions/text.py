@@ -18,6 +18,7 @@ __all__ = [
     "tokens", "token_count", "token_count_cjk", "word_shingles",
     "sentences",
     "with_text_stats", "with_lang_id", "code_switch", "fingerprint",
+    "ordered_shingles", "with_winnow_fingerprints",
     "fix_mojibake",
     "tfidf_topk",
     "MOJIBAKE_PAIRS", "LANG_MARKERS",
@@ -230,6 +231,85 @@ def with_lang_id(df: DataFrame, text_col: str = "text",
         .otherwise(expr)
     )
     return df.withColumn(out_col, expr)
+
+
+def ordered_shingles(col: str | Column, k: int = 3) -> Column:
+    """POSITIONAL k-word shingles — :func:`word_shingles` without the
+    distinct: element i is the gram starting at token i, duplicates and
+    order preserved, because winnowing selection is defined over the
+    gram SEQUENCE, not the gram set.  Same short-doc contract (single
+    whole-doc shingle when 0 < n_tokens < k, empty for blank text) and
+    the same zip_with construction (the element_at-in-HOF form
+    re-tokenizes O(n*k) times — see :func:`word_shingles`)."""
+    toks = tokens(col)
+    n = F.size(toks)
+    cnt = n - (k - 1)
+    shingled = F.slice(toks, 1, cnt)
+    for j in range(1, k):
+        shingled = F.zip_with(
+            shingled, F.slice(toks, 1 + j, cnt),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
+    whole = F.array(F.concat_ws(" ", toks))
+    return (
+        F.when(n >= k, shingled).when(n > 0, whole).otherwise(
+            F.array().cast("array<string>")
+        )
+    )
+
+
+def with_winnow_fingerprints(df: DataFrame, text_col: str = "text",
+                             out_col: str = "fps",
+                             k: int = 3, w: int = 4) -> DataFrame:
+    """TRUE winnowing fingerprint selection (Schleimer, Wilkerson,
+    Aiken — "Winnowing: Local Algorithms for Document Fingerprinting",
+    SIGMOD'03; the MOSS algorithm), distinct from the bottom-k sketch
+    in :func:`fingerprint`: slide a window of ``w`` consecutive k-gram
+    hashes over the document and select the MINIMUM hash per window,
+    breaking ties toward the RIGHTMOST position; the selected (pos,
+    hash) set is the fingerprint.  Guarantee (the point of the
+    algorithm): any shared substring of at least ``k + w - 1`` tokens
+    between two documents contributes at least one IDENTICAL selected
+    fingerprint to both — detection is position-robust, unlike bottom-k
+    (which a single inserted token can shift entirely).
+
+    Adds ``out_col`` = array<struct<pos:int, h:bigint>> sorted by pos
+    (1-based gram position).  Docs shorter than ``w`` grams still
+    select their global minimum (one window over the whole doc); blank
+    docs get an empty array.
+
+    Scale shape: zero shuffle — one pass of per-row JVM higher-order
+    functions.  The hash array is materialized as a real column FIRST
+    so the per-window lambda slices an attribute, not an expression
+    tree (a non-lambda subexpression inside a HOF lambda body is
+    re-evaluated per element — the O(n^2)-rehash trap documented on
+    :func:`word_shingles`).  Hash = first 60 bits of md5, the repo's
+    SQL-oracle-reproducible integer hash family."""
+    hs = F.transform(
+        ordered_shingles(text_col, k),
+        lambda s: F.conv(F.substring(F.md5(F.encode(s, "utf-8")), 1, 15),
+                         16, 10).cast("long"),
+    )
+    df = df.withColumn("_winnow_hs", hs)
+    hsc = F.col("_winnow_hs")
+    n = F.size(hsc)
+
+    def pick(i: Column) -> Column:
+        a = F.slice(hsc, i, F.lit(w))
+        m = F.array_min(a)
+        # rightmost occurrence of the min inside the window:
+        # array_position over the reversed slice finds it from the right
+        rid = F.size(a) - F.array_position(F.reverse(a), m) + 1
+        return F.struct((i + rid - 1).cast("int").alias("pos"),
+                        m.alias("h"))
+
+    sel = F.array_sort(F.array_distinct(
+        F.transform(F.sequence(F.lit(1), F.greatest(F.lit(1), n - (w - 1))),
+                    pick)))
+    empty = F.array().cast("array<struct<pos:int,h:bigint>>")
+    return df.withColumn(
+        out_col, F.when(n > 0, sel).otherwise(empty)
+    ).drop("_winnow_hs")
 
 
 def fingerprint(col: str | Column, k: int = 3, bottom: int = 4) -> Column:

@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["snapshot_delta", "capture_history", "dist_drift"]
+__all__ = ["snapshot_delta", "capture_history", "dist_drift", "ks_drift"]
 
 
 def snapshot_delta(old: DataFrame, new: DataFrame, key_col: str = "url",
@@ -185,3 +185,71 @@ def dist_drift(a: DataFrame, b: DataFrame, value_col: str,
         F.round(q, round_digits).alias("q_share"),
         F.round((p - q) * F.log(p / q), round_digits).alias("psi"),
     )
+
+
+def ks_drift(a: DataFrame, b: DataFrame, value_col: str,
+             bucket_width: int = 1000, top: int = 5,
+             round_digits: int = 6) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift between corpus snapshots:
+    the EXACT supremum of |ECDF_a(v) - ECDF_b(v)| over observed values
+    of ``value_col`` — the scale-free companion to :func:`dist_drift`:
+    PSI needs pre-chosen bucket boundaries and misses drift that stays
+    inside one bucket; the KS statistic is the textbook
+    distribution-free test (Massey 1951) and binning-free by
+    construction.  Emits the ``top`` values with the largest ECDF gap
+    (deterministic tie-break on value) with both cumulative counts and
+    both ECDFs — row 1's ``ks`` is the test statistic.
+
+    Scale shape (the exact ECDF needs a GLOBAL cumulative sum — the
+    classic global-window single-task trap): the corpus reduces to
+    per-VALUE counts first (one skinny hash aggregate per side,
+    map-side partials absorb hot values), then the distributed
+    two-pass prefix sum used by ``operators.corpus.token_budget_mix``:
+    fixed-width range buckets over the value domain, per-bucket totals
+    collected to the driver (n_buckets rows — the only collect),
+    cumulative OFFSETS broadcast back, and a per-bucket window adds
+    the within-bucket cumsum.  Parallelism = n_buckets regardless of
+    corpus size; no global window task ever sees more than one
+    bucket's distinct values.  All cumulative counts are exact longs;
+    the two double divisions + abs are identically ordered in the SQL
+    oracle, and published floats are rounded."""
+    def counts(df: DataFrame, name: str) -> DataFrame:
+        return (df.select(F.col(value_col).alias("v"))
+                .where(F.col("v").isNotNull())
+                .groupBy("v").agg(F.count("*").alias(name)))
+
+    j = (counts(a, "n_a").join(counts(b, "n_b"), "v", "full")
+         .select("v",
+                 F.coalesce("n_a", F.lit(0)).alias("n_a"),
+                 F.coalesce("n_b", F.lit(0)).alias("n_b"))
+         .withColumn("bkt", F.floor(F.col("v") / bucket_width)))
+    # pass 1: per-bucket totals -> driver (tiny: one row per occupied
+    # range bucket) -> exclusive cumulative offsets, broadcast back
+    btot = sorted(j.groupBy("bkt").agg(F.sum("n_a").alias("ba"),
+                                       F.sum("n_b").alias("bb")).collect(),
+                  key=lambda r: r["bkt"])
+    offs, run_a, run_b = [], 0, 0
+    for r in btot:
+        offs.append((r["bkt"], run_a, run_b))
+        run_a += r["ba"]
+        run_b += r["bb"]
+    ta, tb = run_a, run_b
+    spark = a.sparkSession
+    off = F.broadcast(spark.createDataFrame(
+        offs or [(0, 0, 0)], "bkt long, off_a long, off_b long"))
+    # pass 2: within-bucket window + broadcast offset = global cumsum
+    w = Window.partitionBy("bkt").orderBy("v")
+    cum = (j.join(off, "bkt")
+           .select("v",
+                   (F.sum("n_a").over(w) + F.col("off_a")).alias("cum_a"),
+                   (F.sum("n_b").over(w) + F.col("off_b")).alias("cum_b")))
+    f_a = F.col("cum_a") / F.lit(ta).cast("long")
+    f_b = F.col("cum_b") / F.lit(tb).cast("long")
+    ks = F.abs(f_a - f_b)
+    return (cum.select(
+        "v", "cum_a", "cum_b",
+        F.round(f_a, round_digits).alias("f_a"),
+        F.round(f_b, round_digits).alias("f_b"),
+        F.round(ks, round_digits).alias("ks"))
+        .orderBy(F.col("ks").desc(), F.col("v").asc())
+        .limit(top))
