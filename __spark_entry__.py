@@ -6043,6 +6043,71 @@ def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ks_drift(a, b, "n_chars", bucket_width=100, top=5)
 
 
+def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS-style near-dup pairs from winnowing fingerprints
+    (operators/dedup.py:winnow_pairs): equi-join on selected hashes
+    with a broadcast hot-hash df cap, shared-count >= 3 — the
+    composition SIGMOD'03 §4 deploys; detects every shared run of
+    >= k + w - 1 tokens, unlike the sampling generators."""
+    from ocr_spark.operators.dedup import winnow_pairs
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return winnow_pairs(docs).orderBy("doc_a", "doc_b")
+
+
+def q_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth fit (functions/colloc.py:heaps_fit):
+    OLS of ln(cumulative vocab) on ln(cumulative tokens) in doc-id
+    order; cumulative distinct made prefix-summable by first-occurrence
+    (min doc) attribution, both series through the two-pass distributed
+    prefix sum."""
+    from ocr_spark.functions.colloc import heaps_fit
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return heaps_fit(docs)
+
+
+def q_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good-Turing frequency-of-frequencies smoothing table
+    (functions/quality.py:good_turing_counts): adjusted counts
+    r* = (r+1) N_{r+1}/N_r over the 20 lowest observed frequencies
+    (the GT-trustworthy region; this corpus's spectrum starts at
+    r~26).  One corpus-sized aggregate; everything else on the tiny
+    counts-of-counts table."""
+    from ocr_spark.functions.quality import good_turing_counts
+
+    docs = _t(spark, sf_dir, "documents").select("text")
+    return good_turing_counts(docs).orderBy("r")
+
+
+def q_term_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gries' DP dispersion for the top-20 corpus terms
+    (functions/colloc.py:term_dispersion): |v_i*S - s_i*V| summed as
+    exact decimal integers over the common denominator (order-free,
+    bit-reproducible), absent-doc tail folded in closed form.  The
+    oracle mirrors the integer sums in HUGEINT."""
+    from ocr_spark.functions.colloc import term_dispersion
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return term_dispersion(docs, top=20)
+
+
+def q_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word2vec SGNS training pairs with DETERMINISTIC negative
+    sampling (operators/corpus.py:skipgram_pairs) over every 10th
+    document: window-2 skip-grams, 2 negatives per pair drawn by
+    evaluating the corpus unigram inverse-CDF at a 60-bit hash of
+    (doc, pos, cpos, slot) — no RNG, so the oracle re-derives every
+    negative by the same closed form (global-window CDF + range
+    containment join)."""
+    from ocr_spark.operators.corpus import skipgram_pairs
+
+    docs = (_t(spark, sf_dir, "documents")
+            .where(F.col("doc_id") % 10 == 0).select("doc_id", "text"))
+    return skipgram_pairs(docs, window=2, n_neg=2).orderBy(
+        "doc_id", "pos", "cpos", "neg_slot")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_extract": q_flagship_extract,
@@ -6095,6 +6160,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id_cjk": q_lang_id_cjk,
         "fingerprint": q_fingerprint,
         "winnowing": q_winnowing,
+        "winnow_pairs": q_winnow_pairs,
         "search_keys": q_search_keys,
         "token_count": q_token_count,
         "chunk_text": q_chunk_text,
@@ -6107,6 +6173,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wet_export": q_wet_export,
         "bigram_lm": q_bigram_lm,
         "kn_bigram_lm": q_kn_bigram_lm,
+        "good_turing": q_good_turing,
+        "heaps_fit": q_heaps_fit,
+        "term_dispersion": q_term_dispersion,
         "readability": q_readability,
         "unicode_clean": q_unicode_clean,
         "postings": q_postings,
@@ -6137,6 +6206,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_dedup": q_bloom_dedup,
         "length_buckets": q_length_buckets,
         "token_budget_mix": q_token_budget_mix,
+        "skipgram_pairs": q_skipgram_pairs,
         "pack_sequences": q_pack_sequences,
         "packed_batches": q_packed_batches,
         "shard_plan": q_shard_plan,
@@ -6271,6 +6341,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_sitemaps": q_robots_sitemaps,
         "orders_above_avg": q_orders_above_avg,
     }
+
+
+def _winnow_sel_sql(toks: str) -> str:
+    """Shared DuckDB CTE chain deriving the winnowing (doc_id, pos, h)
+    selection over ``documents`` (mirrors text.with_winnow_fingerprints
+    at k=3, w=4) — terminal CTE ``wfp``.  Used by both the winnowing
+    and winnow_pairs oracles so the selection arithmetic exists once."""
+    return f"""
+          tok AS (
+            SELECT doc_id, text,
+              CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+                   ELSE {toks} END AS tl
+            FROM documents),
+          g AS (
+            SELECT doc_id,
+              CASE WHEN len(tl) >= 3 THEN
+                     list_transform(range(1, len(tl) - 1),
+                       i -> tl[i] || ' ' || tl[i+1] || ' ' || tl[i+2])
+                   WHEN len(trim(text)) > 0
+                     THEN [array_to_string(tl, ' ')]
+                   ELSE CAST([] AS VARCHAR[]) END AS sh
+            FROM tok),
+          h AS (
+            SELECT doc_id,
+              list_transform(sh,
+                s -> ('0x' || substr(md5(s), 1, 15))::BIGINT) AS hs
+            FROM g),
+          sel AS (
+            SELECT doc_id, list_transform(
+              range(1, greatest(1, len(hs) - 3) + 1),
+              i -> {{'pos': CAST(i + len(hs[i:i+3])
+                      - list_position(list_reverse(hs[i:i+3]),
+                                      list_min(hs[i:i+3])) AS INT),
+                    'h': list_min(hs[i:i+3])}}) AS fps
+            FROM h WHERE len(hs) > 0),
+          wfp AS (
+            SELECT DISTINCT doc_id, f['pos'] AS pos, f['h'] AS h
+            FROM (SELECT doc_id, unnest(fps) AS f FROM sel))"""
 
 
 def _shingles_sql_k(k: int) -> str:
@@ -9539,36 +9647,56 @@ def oracle_sql() -> dict[str, str]:
         # identical selection arithmetic as text.with_winnow_fingerprints
         # over the same 60-bit md5 family
         "winnowing": f"""
-          WITH tok AS (
-            SELECT doc_id, text,
-              CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
-                   ELSE {toks} END AS tl
-            FROM documents),
-          g AS (
-            SELECT doc_id,
-              CASE WHEN len(tl) >= 3 THEN
-                     list_transform(range(1, len(tl) - 1),
-                       i -> tl[i] || ' ' || tl[i+1] || ' ' || tl[i+2])
-                   WHEN len(trim(text)) > 0
-                     THEN [array_to_string(tl, ' ')]
-                   ELSE CAST([] AS VARCHAR[]) END AS sh
-            FROM tok),
-          h AS (
-            SELECT doc_id,
-              list_transform(sh,
-                s -> ('0x' || substr(md5(s), 1, 15))::BIGINT) AS hs
-            FROM g),
-          sel AS (
-            SELECT doc_id, list_transform(
-              range(1, greatest(1, len(hs) - 3) + 1),
-              i -> {{'pos': CAST(i + len(hs[i:i+3])
-                      - list_position(list_reverse(hs[i:i+3]),
-                                      list_min(hs[i:i+3])) AS INT),
-                    'h': list_min(hs[i:i+3])}}) AS fps
-            FROM h WHERE len(hs) > 0)
-          SELECT DISTINCT doc_id, f['pos'] AS pos, f['h'] AS h
-          FROM (SELECT doc_id, unnest(fps) AS f FROM sel)
+          WITH {_winnow_sel_sql(toks)}
+          SELECT doc_id, pos, h FROM wfp
           ORDER BY doc_id, pos
+        """,
+        # winnow_pairs: MOSS composition over the same selection —
+        # distinct (doc, h), df-capped hot hashes removed, equi-join,
+        # shared-count threshold (constants imported from the engine
+        # call site so thresholds cannot drift)
+        "winnow_pairs": f"""
+          WITH {_winnow_sel_sql(toks)},
+          fp AS (SELECT DISTINCT doc_id, h FROM wfp),
+          dfh AS (SELECT h, count(*) AS df_h FROM fp GROUP BY h),
+          keep AS (SELECT fp.doc_id, fp.h
+                   FROM fp JOIN dfh USING (h) WHERE df_h <= 20),
+          pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                           count(*) AS shared
+                    FROM keep a JOIN keep b
+                      ON a.h = b.h AND a.doc_id < b.doc_id
+                    GROUP BY 1, 2)
+          SELECT doc_a, doc_b, CAST(shared AS BIGINT) AS shared
+          FROM pairs WHERE shared >= 3 ORDER BY doc_a, doc_b
+        """,
+        # heaps_fit: cumulative tokens/vocab via window cumsums (the
+        # oracle may globally window what the engine prefix-sums in two
+        # passes); min-doc first occurrence makes cumulative distinct
+        # prefix-summable; zipf_fit's regr_slope convention
+        "heaps_fit": f"""
+          WITH tok AS (
+            SELECT doc_id,
+              CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+                   ELSE {toks} END AS tl FROM documents),
+          sizes AS (SELECT doc_id, CAST(len(tl) AS BIGINT) AS n_tok
+                    FROM tok),
+          fd AS (SELECT tok, min(doc_id) AS fd
+                 FROM (SELECT doc_id, unnest(tl) AS tok FROM tok)
+                 GROUP BY tok),
+          nt AS (SELECT fd AS doc_id, count(*) AS new_types
+                 FROM fd GROUP BY fd),
+          per AS (SELECT s.doc_id, s.n_tok,
+                         coalesce(nt.new_types, 0) AS nv
+                  FROM sizes s LEFT JOIN nt USING (doc_id)),
+          cum AS (SELECT doc_id,
+                    CAST(sum(n_tok) OVER (ORDER BY doc_id) AS BIGINT)
+                      AS cn,
+                    CAST(sum(nv) OVER (ORDER BY doc_id) AS BIGINT) AS cv
+                  FROM per)
+          SELECT CAST(count(*) AS BIGINT) AS n_points,
+                 round(regr_slope(ln(cv), ln(cn)), 4) AS beta,
+                 round(regr_intercept(ln(cv), ln(cn)), 4) AS ln_k
+          FROM cum WHERE cn > 0 AND cv > 0
         """,
         "token_count": f"""
           SELECT doc_id,
@@ -9864,6 +9992,107 @@ def oracle_sql() -> dict[str, str]:
             round(exp(-p.a), 6) AS ppl
           FROM tok t LEFT JOIN per p USING (doc_id)
           ORDER BY t.doc_id
+        """,
+        # good_turing: r* = (r+1) N_{r+1}/N_r on the counts-of-counts
+        # table; NULL r_star where N_{r+1} is absent (same as engine)
+        "good_turing": f"""
+          WITH tok AS (
+            SELECT CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+                        ELSE {toks} END AS tl FROM documents),
+          uni AS (SELECT tok, count(*) AS r
+                  FROM (SELECT unnest(tl) AS tok FROM tok) GROUP BY tok),
+          coc AS (SELECT r, count(*) AS n_r FROM uni GROUP BY r),
+          tot AS (SELECT CAST(sum(r * n_r) AS BIGINT) AS n_tokens FROM coc)
+          SELECT c.r, c.n_r,
+            CAST(coalesce(x.n_r, 0) AS BIGINT) AS n_r1,
+            round((c.r + 1) * x.n_r / c.n_r, 6) AS r_star,
+            round(c.r * c.n_r / t.n_tokens, 6) AS mass_share
+          FROM coc c LEFT JOIN coc x ON x.r = c.r + 1 CROSS JOIN tot t
+          ORDER BY c.r LIMIT 20
+        """,
+        # term_dispersion: the engine's exact-integer |v_i*S - s_i*V|
+        # sums re-derived in HUGEINT (engine: decimal(38,0)) with the
+        # same closed-form absent-doc tail, divided into double once
+        "term_dispersion": f"""
+          WITH tok AS (
+            SELECT doc_id,
+              CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+                   ELSE {toks} END AS tl FROM documents),
+          sizes AS (SELECT doc_id, CAST(len(tl) AS BIGINT) AS s FROM tok),
+          tdc AS (SELECT tok, doc_id, count(*) AS v_i
+                  FROM (SELECT doc_id, unnest(tl) AS tok FROM tok)
+                  GROUP BY 1, 2),
+          vt AS (SELECT tok, CAST(sum(v_i) AS BIGINT) AS v
+                 FROM tdc GROUP BY tok),
+          topt AS (SELECT tok, v FROM vt ORDER BY v DESC, tok ASC LIMIT 20),
+          tot AS (SELECT CAST(sum(s) AS BIGINT) AS s_tot FROM sizes),
+          per AS (
+            SELECT t.tok, t.v, o.s_tot,
+              sum(abs(CAST(d.v_i AS HUGEINT) * CAST(o.s_tot AS HUGEINT)
+                      - CAST(z.s AS HUGEINT) * CAST(t.v AS HUGEINT)))
+                AS num_present,
+              sum(z.s) AS s_present,
+              count(*) AS n_docs
+            FROM topt t JOIN tdc d USING (tok) JOIN sizes z USING (doc_id)
+                 CROSS JOIN tot o
+            GROUP BY 1, 2, 3)
+          SELECT tok, v, CAST(n_docs AS BIGINT) AS n_docs,
+            round(CAST(num_present
+                       + CAST(s_tot - s_present AS HUGEINT)
+                       * CAST(v AS HUGEINT) AS DOUBLE)
+                  / CAST(CAST(2 AS HUGEINT) * CAST(v AS HUGEINT)
+                         * CAST(s_tot AS HUGEINT) AS DOUBLE), 6) AS dp
+          FROM per ORDER BY v DESC, tok ASC
+        """,
+        # skipgram_pairs: window-2 skip-grams over every 10th doc; the
+        # negatives are the unigram inverse-CDF at the shared 60-bit
+        # hash — the oracle may use the global-window CDF the engine's
+        # two-pass prefix sum avoids, and a plain range join where the
+        # engine buckets the cumulative space
+        "skipgram_pairs": f"""
+          WITH d AS (
+            SELECT doc_id,
+              CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+                   ELSE {toks} END AS tl
+            FROM documents WHERE doc_id % 10 = 0),
+          dd AS (SELECT doc_id, tl FROM d WHERE len(tl) >= 2),
+          pr AS (
+            SELECT doc_id, tl, u['pos'] AS pos, u['cpos'] AS cpos
+            FROM (SELECT doc_id, tl,
+                    unnest(flatten(list_transform(range(1, len(tl) + 1),
+                      i -> list_filter(
+                        list_transform(
+                          range(greatest(1, i - 2), least(len(tl), i + 2) + 1),
+                          j -> {{'pos': CAST(i AS INT),
+                                 'cpos': CAST(j AS INT)}}),
+                        s -> s['cpos'] != s['pos'])))) AS u
+                  FROM dd)),
+          prt AS (SELECT doc_id, pos, cpos, tl[pos] AS center,
+                         tl[cpos] AS context FROM pr),
+          vocab AS (SELECT tok, count(*) AS c
+                    FROM (SELECT unnest(tl) AS tok FROM dd) GROUP BY tok),
+          cum AS (SELECT tok,
+                    CAST(sum(c) OVER (ORDER BY tok) - c AS BIGINT)
+                      AS cum_start,
+                    CAST(sum(c) OVER (ORDER BY tok) AS BIGINT) AS cum_end
+                  FROM vocab),
+          tot AS (SELECT CAST(sum(c) AS BIGINT) AS s_tot FROM vocab),
+          slots AS (SELECT unnest([1, 2]) AS neg_slot),
+          neg AS (
+            SELECT p.doc_id, p.pos, p.cpos, p.center, p.context,
+                   CAST(s.neg_slot AS INT) AS neg_slot,
+                   ('0x' || substr(md5('sgns' || '|'
+                      || CAST(p.doc_id AS VARCHAR) || '|'
+                      || CAST(p.pos AS VARCHAR) || '|'
+                      || CAST(p.cpos AS VARCHAR) || '|'
+                      || CAST(s.neg_slot AS VARCHAR)), 1, 15))::BIGINT
+                   % t.s_tot AS target
+            FROM prt p CROSS JOIN slots s CROSS JOIN tot t)
+          SELECT n.doc_id, n.pos, n.cpos, n.center, n.context, n.neg_slot,
+                 v.tok AS neg_tok
+          FROM neg n JOIN cum v
+            ON n.target >= v.cum_start AND n.target < v.cum_end
+          ORDER BY n.doc_id, n.pos, n.cpos, n.neg_slot
         """,
         # Flesch reading ease: same operand order so doubles match
         # bit-for-bit before the shared round(6)

@@ -51,18 +51,18 @@ BENCH_QUERIES = [
     "text_stats", "repetition_stats", "quality_filter", "format_signals",
     "pii_scrub", "k_anonymity", "k_suppress",
     "mojibake_fix",
-    "lang_id", "lang_id_cjk", "lang_confusion", "fingerprint", "winnowing", "search_keys", "token_count",
+    "lang_id", "lang_id_cjk", "lang_confusion", "fingerprint", "winnowing", "winnow_pairs", "search_keys", "token_count",
     "chunk_text", "chunk_tokens", "sections", "texttiling", "collocations", "bpe_pairs",
     "bpe_encode",
     "table_extract", "html_markdown", "markdown_strip", "wet_export", "wat_export",
-    "bigram_lm", "kn_bigram_lm", "readability", "unicode_clean",
+    "bigram_lm", "kn_bigram_lm", "good_turing", "term_dispersion", "heaps_fit", "readability", "unicode_clean",
     "postings", "posting_deltas", "snippets", "corpus_stats", "crawl_delta", "dist_drift", "ks_drift", "index_delta",
     "capture_history",
     "asof_join", "range_join", "bm25", "search_results", "doc_attributes",
     "sentences", "textrank", "rake_keyphrases", "domain_quality", "sitemap", "feed", "incremental_extract", "canonical_collapse",
     "lm_score", "tfidf", "ccnet_buckets", "soft404", "entropy", "content_type", "code_corpus", "quality_calibration", "stratified_sample", "epoch_mix",
     "dsir_select", "cluster_best", "weighted_sample", "epoch_shuffle",
-    "data_split", "bloom_dedup", "token_budget_mix", "length_buckets",
+    "data_split", "bloom_dedup", "token_budget_mix", "skipgram_pairs", "length_buckets",
     "pack_sequences", "fim_transform", "span_corrupt", "shard_plan", "shard_manifest",
     "packed_batches", "decontaminate", "curate_corpus",
     "warc_extract", "url_normalize", "domain_topk", "url_blocklist", "url_templates",

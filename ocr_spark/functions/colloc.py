@@ -27,7 +27,8 @@ from pyspark.sql import functions as F
 from ocr_spark.functions.text import tokens
 
 __all__ = ["collocations", "bpe_pair_counts", "bpe_train",
-           "bpe_train_local", "apply_merge", "bpe_encode"]
+           "bpe_train_local", "apply_merge", "bpe_encode",
+           "term_dispersion", "heaps_fit"]
 
 
 def _bigrams(toks) -> F.Column:
@@ -277,3 +278,129 @@ def bpe_encode(df: DataFrame, merges: list[tuple[str, str]],
         F.aggregate(counts, F.lit(0),
                     lambda a, x: a + x).cast("long").alias("n_bpe_tokens"),
     )
+
+
+def term_dispersion(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", top: int = 20,
+                    round_digits: int = 6) -> DataFrame:
+    """Gries' DP (Deviation of Proportions) dispersion for the corpus's
+    top terms (Gries 2008, "Dispersions and adjusted frequencies in
+    corpora") — the corpus-linguistics answer to "is this word frequent
+    because it is EVERYWHERE, or because three documents scream it":
+
+        DP(t) = 1/2 * sum_i | v_i / V  -  s_i / S |
+
+    over ALL documents i, with v_i the term's count in doc i, V its
+    corpus count, s_i the doc's token count, S the corpus token count.
+    DP ~ 0 = distributed exactly like the corpus (function words);
+    DP -> 1 = concentrated in few docs (topical/boilerplate terms).
+    For curation it separates genuinely common vocabulary from
+    template residue at equal raw frequency — the signal raw counts
+    and even zipf rank cannot give.
+
+    Exactness: the absent-doc tail is folded in closed form (every doc
+    where t is absent contributes s_i / S, so the tail sums to
+    (S - sum_present s_i) / S) — no zero-row materialization — and the
+    per-doc terms are summed as EXACT integers over the common
+    denominator V*S (|v_i * S - s_i * V| in decimal(38,0) — long*long
+    would wrap silently at web scale in non-ANSI Spark), divided into
+    double exactly once.  The sum is therefore order-independent and
+    the SQL oracle reproduces it bit-for-bit (DuckDB sums in HUGEINT).
+
+    Scale shape: one explode->hash aggregate for (term, doc) counts,
+    one for doc sizes; the top-``top`` term cut broadcasts back (count
+    desc, term asc — a total order, deterministic cut); the per-term
+    reduction runs over the restricted (top-term x doc) table joined
+    to the skinny doc-size table on the doc key.  Text never
+    shuffles."""
+    tl = df.select(id_col, tokens(text_col).alias("_t"))
+    sizes = tl.select(id_col, F.size("_t").cast("long").alias("s"))
+    toks = tl.select(id_col, F.explode("_t").alias("tok"))
+    tdc = toks.groupBy("tok", id_col).agg(F.count("*").alias("v_i"))
+    # tdc feeds the top-term cut AND the scoring join
+    tdc = tdc.localCheckpoint(eager=True)
+    vt = tdc.groupBy("tok").agg(F.sum("v_i").alias("v"))
+    top_t = vt.orderBy(F.desc("v"), F.asc("tok")).limit(top)
+    tot = sizes.agg(F.sum("s").alias("s_tot"))
+    dec = "decimal(38,0)"
+    t = (tdc.join(F.broadcast(top_t), "tok")
+         .join(sizes, id_col)
+         .crossJoin(F.broadcast(tot)))
+    per = t.groupBy("tok", "v", "s_tot").agg(
+        F.sum(F.abs(F.col("v_i").cast(dec) * F.col("s_tot").cast(dec)
+                    - F.col("s").cast(dec) * F.col("v").cast(dec)))
+        .alias("num_present"),
+        F.sum("s").alias("s_present"),
+        F.count("*").alias("n_docs_present"),
+    )
+    num = (F.col("num_present")
+           + (F.col("s_tot") - F.col("s_present")).cast(dec)
+           * F.col("v").cast(dec))
+    den = (F.lit(2).cast(dec) * F.col("v").cast(dec)
+           * F.col("s_tot").cast(dec))
+    return per.select(
+        "tok", F.col("v").cast("long").alias("v"),
+        F.col("n_docs_present").cast("long").alias("n_docs"),
+        F.round(num.cast("double") / den.cast("double"),
+                round_digits).alias("dp"),
+    ).orderBy(F.desc("v"), F.asc("tok"))
+
+
+def heaps_fit(df: DataFrame, text_col: str = "text",
+              id_col: str = "doc_id", bucket_width: int = 100,
+              round_digits: int = 4) -> DataFrame:
+    """Heaps'-law vocabulary-growth fit V(n) = K * n^beta (Heaps 1978;
+    Herdan 1960) over the corpus read in document-id order: OLS of
+    ln(cumulative vocabulary) on ln(cumulative tokens).  beta ~ 0.4-0.6
+    is healthy natural text; beta collapsing toward 0 as the crawl
+    grows means new pages stop contributing new vocabulary (template
+    farms / crawler traps); beta near 1 flags token-noise (OCR
+    garbage, random ids).  The longitudinal companion to the
+    Good-Turing point estimate of unseen mass.
+
+    The distributed trick is the CUMULATIVE DISTINCT count, which
+    cannot be prefix-summed naively: a term must count once, at its
+    FIRST document.  min(doc_id) per term is one skinny aggregate, and
+    new-types-per-doc then prefix-sums exactly like token counts — so
+    both cumulative series run through the same two-pass distributed
+    prefix sum (range buckets on the id + driver-collected per-bucket
+    offsets) with no global window task.  All cumulative points are
+    exact longs; the OLS runs on their logs and rounds (the zipf_fit
+    convention — regr_slope/regr_intercept share one published
+    definition across engines).
+
+    Output: one row — n_points, beta (slope), ln_k (intercept)."""
+    from pyspark.sql import Window
+
+    tl = df.select(F.col(id_col).alias("did"), tokens(text_col).alias("_t"))
+    sizes = tl.select("did", F.size("_t").cast("long").alias("n_tok"))
+    newt = (tl.select("did", F.explode("_t").alias("tok"))
+            .groupBy("tok").agg(F.min("did").alias("fd"))
+            .groupBy("fd").agg(F.count("*").alias("new_types")))
+    per = (sizes.join(newt, sizes.did == newt.fd, "left")
+           .select("did", "n_tok",
+                   F.coalesce("new_types", F.lit(0)).alias("new_types"))
+           .withColumn("bkt", F.floor(F.col("did") / bucket_width)))
+    btot = sorted(per.groupBy("bkt").agg(
+        F.sum("n_tok").alias("bn"), F.sum("new_types").alias("bv")).collect(),
+        key=lambda r: r["bkt"])
+    offs, rn, rv = [], 0, 0
+    for r in btot:
+        offs.append((r["bkt"], rn, rv))
+        rn += r["bn"]
+        rv += r["bv"]
+    spark = df.sparkSession
+    off = F.broadcast(spark.createDataFrame(
+        offs or [(0, 0, 0)], "bkt long, off_n long, off_v long"))
+    wb = Window.partitionBy("bkt").orderBy("did")
+    cum = (per.join(off, "bkt")
+           .select("did",
+                   (F.sum("n_tok").over(wb) + F.col("off_n")).alias("cn"),
+                   (F.sum("new_types").over(wb) + F.col("off_v")).alias("cv")))
+    pts = cum.where((F.col("cn") > 0) & (F.col("cv") > 0))
+    return pts.agg(
+        F.count("*").alias("n_points"),
+        F.round(F.regr_slope(F.log("cv"), F.log("cn")), round_digits)
+        .alias("beta"),
+        F.round(F.regr_intercept(F.log("cv"), F.log("cn")), round_digits)
+        .alias("ln_k"))

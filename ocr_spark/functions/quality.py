@@ -36,7 +36,8 @@ from ocr_spark.functions.text import tokens, with_text_stats
 __all__ = [
     "word_bigrams_all", "max_sorted_run", "with_repetition_stats",
     "with_quality_filter", "QUALITY_THRESHOLDS", "unigram_logprob",
-    "bigram_logprob", "kneser_ney_logprob", "readability",
+    "bigram_logprob", "kneser_ney_logprob", "good_turing_counts",
+    "readability",
     "with_format_signals",
     "GOPHER_STOP_WORDS", "with_content_type",
     "CODE_KEYWORDS", "MATH_MARKERS", "CODE_SYMBOLS",
@@ -369,6 +370,55 @@ def kneser_ney_logprob(df: DataFrame, text_col: str = "text",
             F.round(F.exp(-F.col("avg_logprob")), 6).alias("ppl"),
         )
     )
+
+
+def good_turing_counts(df: DataFrame, text_col: str = "text",
+                       n_rows: int = 20) -> DataFrame:
+    """Good-Turing frequency-of-frequencies smoothing table over the
+    corpus vocabulary (Good 1953; the Gale & Sampson 1995 "simple GT"
+    presentation): for each observed frequency r, the adjusted count
+    ``r* = (r+1) * N_{r+1} / N_r`` where N_r is the number of word
+    TYPES seen exactly r times.  The r=1 row's ``mass_share``
+    (N_1 / N) is the classic GT estimate of the probability that the
+    next token is UNSEEN — the number a corpus curator reads as "how
+    open is this vocabulary still" (rising N_1/N across crawl rounds =
+    the crawl is still discovering genuinely new text; flat = mining
+    the same pages).  Complements the LM scorers: they consume
+    smoothed estimates, this op derives the smoothing itself.
+
+    Output: the ``n_rows`` SMALLEST observed frequencies (the
+    published GT guidance is to trust raw counts-of-counts only in
+    the low-r region where N_r is large — "lowest observed", not
+    "r <= constant", because a corpus with no rare tail, like a
+    bounded synthetic vocabulary, starts its frequency spectrum well
+    above any fixed cut): r, n_r, n_r1 (= N_{r+1}, 0 when absent),
+    r_star (NULL when N_{r+1} is absent rather than a fake 0
+    estimate), mass_share (= r * N_r / N).
+
+    Scale shape: the corpus-sized work is ONE explode->hash-aggregate
+    (unigram counts, hot types absorbed map-side); everything after
+    operates on the counts-of-counts table, whose size is bounded by
+    max observed frequency — a few thousand rows at ANY corpus size
+    (it shrinks relative to the corpus as it grows).  The r+1 shift is
+    a broadcast self-join on that tiny table."""
+    uni = (df.select(F.explode(tokens(text_col)).alias("tok"))
+           .groupBy("tok").agg(F.count("*").alias("r")))
+    coc = uni.groupBy("r").agg(F.count("*").alias("n_r"))
+    # tiny table (|distinct frequencies|), three consumers
+    coc = coc.localCheckpoint(eager=True)
+    nxt = coc.select((F.col("r") - 1).alias("r"), F.col("n_r").alias("n_r1"))
+    tot = coc.agg(F.sum(F.col("r") * F.col("n_r")).alias("n_tokens"))
+    return (coc.join(F.broadcast(nxt), "r", "left")
+            .crossJoin(F.broadcast(tot))
+            .orderBy("r").limit(n_rows)
+            .select(
+                "r", "n_r",
+                F.coalesce("n_r1", F.lit(0)).cast("long").alias("n_r1"),
+                F.round((F.col("r") + 1) * F.col("n_r1") / F.col("n_r"), 6)
+                .alias("r_star"),
+                F.round(F.col("r") * F.col("n_r") / F.col("n_tokens"), 6)
+                .alias("mass_share"))
+            .orderBy("r"))
 
 
 def readability(col: str | Column) -> Column:

@@ -279,37 +279,46 @@ def with_winnow_fingerprints(df: DataFrame, text_col: str = "text",
     docs get an empty array.
 
     Scale shape: zero shuffle — one pass of per-row JVM higher-order
-    functions.  The hash array is materialized as a real column FIRST
-    so the per-window lambda slices an attribute, not an expression
-    tree (a non-lambda subexpression inside a HOF lambda body is
-    re-evaluated per element — the O(n^2)-rehash trap documented on
-    :func:`word_shingles`).  Hash = first 60 bits of md5, the repo's
+    functions.  The hash array is bound as a LAMBDA VARIABLE of a
+    single-element transform (``element_at(transform(array(hs_expr),
+    hs -> ...), 1)``) so every window references the evaluated array,
+    never the expression tree.  A plain ``withColumn`` staging column
+    does NOT achieve this: Catalyst's project-collapse inlines the
+    alias into each of the O(n * w) lambda-body references and the
+    md5-hash-array construction re-evaluates per reference — measured
+    minutes-vs-milliseconds at 5k docs.  (Same family as the
+    element_at-in-HOF trap documented on :func:`word_shingles`; a
+    lambda-bound variable is the one construct the optimizer never
+    expands.)  Hash = first 60 bits of md5, the repo's
     SQL-oracle-reproducible integer hash family."""
-    hs = F.transform(
+    hs_expr = F.transform(
         ordered_shingles(text_col, k),
         lambda s: F.conv(F.substring(F.md5(F.encode(s, "utf-8")), 1, 15),
                          16, 10).cast("long"),
     )
-    df = df.withColumn("_winnow_hs", hs)
-    hsc = F.col("_winnow_hs")
-    n = F.size(hsc)
-
-    def pick(i: Column) -> Column:
-        a = F.slice(hsc, i, F.lit(w))
-        m = F.array_min(a)
-        # rightmost occurrence of the min inside the window:
-        # array_position over the reversed slice finds it from the right
-        rid = F.size(a) - F.array_position(F.reverse(a), m) + 1
-        return F.struct((i + rid - 1).cast("int").alias("pos"),
-                        m.alias("h"))
-
-    sel = F.array_sort(F.array_distinct(
-        F.transform(F.sequence(F.lit(1), F.greatest(F.lit(1), n - (w - 1))),
-                    pick)))
     empty = F.array().cast("array<struct<pos:int,h:bigint>>")
+
+    def select_fps(hs: Column) -> Column:
+        n = F.size(hs)
+
+        def pick(i: Column) -> Column:
+            a = F.slice(hs, i, F.lit(w))
+            m = F.array_min(a)
+            # rightmost occurrence of the min inside the window:
+            # array_position over the reversed slice finds it from the
+            # right (slices of a lambda variable are O(w) copies)
+            rid = F.size(a) - F.array_position(F.reverse(a), m) + 1
+            return F.struct((i + rid - 1).cast("int").alias("pos"),
+                            m.alias("h"))
+
+        sel = F.array_sort(F.array_distinct(F.transform(
+            F.sequence(F.lit(1), F.greatest(F.lit(1), n - (w - 1))),
+            pick)))
+        return F.when(n > 0, sel).otherwise(empty)
+
     return df.withColumn(
-        out_col, F.when(n > 0, sel).otherwise(empty)
-    ).drop("_winnow_hs")
+        out_col,
+        F.element_at(F.transform(F.array(hs_expr), select_fps), 1))
 
 
 def fingerprint(col: str | Column, k: int = 3, bottom: int = 4) -> Column:

@@ -40,7 +40,7 @@ __all__ = ["stratified_sample", "token_budget_mix", "sample_thresholds",
            "contamination_pairs", "pack_sequences", "packed_sequences",
            "length_buckets", "weighted_sample", "epoch_shuffle",
            "shard_plan", "shard_manifest", "fim_transform", "span_corrupt",
-           "cloze_qa", "section_qa"]
+           "cloze_qa", "section_qa", "skipgram_pairs"]
 
 # 60-bit hash space: 15 md5 hex chars, inside int64 on every engine
 HASH_SPACE = 1 << 60
@@ -929,3 +929,110 @@ def section_qa(df: DataFrame, id_col: str = "doc_id",
                  .alias("question"),
                 F.col("body").alias("answer"),
                 F.col("n_tokens").alias("answer_tokens")))
+
+
+def skipgram_pairs(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id", window: int = 2,
+                   n_neg: int = 2, salt: str = "sgns",
+                   n_range_buckets: int = 64,
+                   broadcast_vocab: bool = True) -> DataFrame:
+    """Skip-gram-with-negative-sampling training pairs (word2vec SGNS,
+    Mikolov et al. 2013) as a deterministic distributed batch: for
+    every (center, context) pair inside a ``window``-token context,
+    emit ``n_neg`` negative words drawn from the corpus unigram
+    distribution.  This is the embedding-training data an LLM-corpus
+    pipeline generates from its cleaned text — the step after curation
+    and before any trainer runs.
+
+    Determinism is the whole design (the same rule as
+    :func:`stratified_sample`): negatives are NOT an RNG draw but the
+    unigram inverse-CDF evaluated at a 60-bit hash of
+    (doc, position, context-position, slot) — a pure function of the
+    data, identical across retries, partitionings, engines, and
+    re-derivable closed-form by a SQL oracle.  (The standard
+    freq^0.75 tilt is deliberately NOT applied: a float pow on both
+    engines lands on floor-boundary ties; raw counts keep every
+    cumulative boundary an exact integer.  A production tilt would
+    precompute integer milli-weights once, driver-side, like
+    ``sample_thresholds``.)
+
+    Plan, in 100-TB shapes:
+    1. pairs: per-row JVM higher-order functions over the token array
+       (no shuffle, no Python);
+    2. vocab CDF: one explode->hash aggregate, then cumulative ranges
+       [cum_start, cum_end) per term via the two-pass prefix sum —
+       ordered range-buckets = first token character (a prefix of the
+       sort key, so per-bucket windows + broadcast offsets compose to
+       the exact global cumsum), per-bucket totals collected (tiny);
+    3. negative assignment: target = hash % total_tokens, matched to
+       its CDF interval by an equi-join on fixed-width range buckets
+       of the cumulative space (each term explodes to the buckets its
+       interval spans — bounded by V + n_range_buckets rows), then an
+       interval-containment filter.  Never a theta-join, never a
+       per-row lookup loop.  ``broadcast_vocab=False`` shuffles on the
+       range bucket instead (then n_range_buckets IS the parallelism —
+       size it >= shuffle partitions).
+
+    Output: one row per (pair, negative slot): (id, pos, cpos, center,
+    context, neg_slot, neg_tok)."""
+    tl = (df.select(F.col(id_col).alias("_did"),
+                    tokens(text_col).alias("_t"))
+          .where(F.size("_t") >= 2))
+    t = F.col("_t")
+    win = window
+    pr_arr = F.flatten(F.transform(
+        F.sequence(F.lit(1), F.size(t)),
+        lambda i: F.filter(
+            F.transform(
+                F.sequence(F.greatest(F.lit(1), i - win),
+                           F.least(F.size(t), i + win)),
+                lambda j: F.struct(i.cast("int").alias("pos"),
+                                   j.cast("int").alias("cpos"))),
+            lambda s: s.cpos != s.pos)))
+    pairs = (tl.select("_did", "_t", F.explode(pr_arr).alias("p"))
+             .select("_did",
+                     F.col("p.pos").alias("pos"),
+                     F.col("p.cpos").alias("cpos"),
+                     F.expr("element_at(_t, p.pos)").alias("center"),
+                     F.expr("element_at(_t, p.cpos)").alias("context")))
+    # unigram CDF over the SAME input slice, ordered by token asc
+    vocab = (tl.select(F.explode("_t").alias("tok"))
+             .groupBy("tok").agg(F.count("*").alias("c"))
+             .withColumn("vb", F.substring("tok", 1, 1)))
+    vocab = vocab.localCheckpoint(eager=True)
+    btot = sorted(vocab.groupBy("vb").agg(F.sum("c").alias("bc")).collect(),
+                  key=lambda r: r["vb"])
+    offs, run = [], 0
+    for r in btot:
+        offs.append((r["vb"], run))
+        run += r["bc"]
+    s_tot = run
+    spark = df.sparkSession
+    off = F.broadcast(spark.createDataFrame(
+        offs or [("", 0)], "vb string, off long"))
+    wv = Window.partitionBy("vb").orderBy("tok")
+    cum = (vocab.join(off, "vb")
+           .select("tok",
+                   (F.sum("c").over(wv) + F.col("off") - F.col("c"))
+                   .alias("cum_start"),
+                   (F.sum("c").over(wv) + F.col("off")).alias("cum_end")))
+    bwidth = max(1, (s_tot + n_range_buckets - 1) // n_range_buckets)
+    cumx = cum.withColumn("rb", F.explode(F.sequence(
+        F.floor(F.col("cum_start") / bwidth),
+        F.floor((F.col("cum_end") - 1) / bwidth))))
+    if broadcast_vocab:
+        cumx = F.broadcast(cumx)
+    slots = spark.range(1, n_neg + 1).select(
+        F.col("id").cast("int").alias("neg_slot"))
+    negk = (pairs.crossJoin(F.broadcast(slots))
+            .withColumn("_sgkey", F.concat_ws(
+                "|", F.col("_did").cast("string"),
+                F.col("pos").cast("string"), F.col("cpos").cast("string"),
+                F.col("neg_slot").cast("string")))
+            .withColumn("target", _md5_60("_sgkey", salt) % s_tot)
+            .withColumn("rb", F.floor(F.col("target") / bwidth)))
+    return (negk.join(cumx, "rb")
+            .where((F.col("target") >= F.col("cum_start"))
+                   & (F.col("target") < F.col("cum_end")))
+            .select(F.col("_did").alias(id_col), "pos", "cpos", "center",
+                    "context", "neg_slot", F.col("tok").alias("neg_tok")))

@@ -37,6 +37,7 @@ from ocr_spark.functions.text import word_shingles
 
 __all__ = [
     "exact_dedup", "line_dedup", "drop_duplicated_spans",
+    "winnow_pairs",
     "minhash_signature",
     "minhash_affine_coeffs", "lsh_candidate_pairs", "lsh_cross_pairs",
     "lsh_bucket_overflow", "lsh_jaccard_pairs", "edit_verify",
@@ -1253,3 +1254,43 @@ def record_linkage(left: DataFrame, right: DataFrame,
                 "decision",
                 F.when(F.col("score_milli") >= t_match, "match")
                  .otherwise("possible")))
+
+
+def winnow_pairs(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id", k: int = 3, w: int = 4,
+                 min_shared: int = 3, max_df: int = 20) -> DataFrame:
+    """MOSS-style near-dup candidate pairs from WINNOWING fingerprints
+    (Schleimer et al. SIGMOD'03 §4 — the deployed plagiarism-detection
+    composition): docs sharing >= ``min_shared`` selected fingerprint
+    hashes are candidates.  Complements the MinHash/SimHash family
+    with the winnowing guarantee — any shared run of >= k + w - 1
+    tokens IS detected (those generators sample; winnowing's selection
+    is locally exhaustive), which is the property you want for
+    quote/boilerplate-chunk mining as opposed to whole-doc similarity.
+
+    Scale shape (the same discipline as ngram_jaccard_pairs): the
+    join is an EQUI-join on the fingerprint hash, never all-pairs;
+    ubiquitous fingerprints (site chrome selected on every page) are
+    removed by a document-frequency cap — the hot set is tiny by
+    construction (it is the set of near-universal hashes), so it rides
+    a broadcast anti-join; dropping them only lowers the shared count
+    (documented undercount direction).  The distinct (doc, hash)
+    projection is materialized once (three consumers: df counts + both
+    join sides)."""
+    from ocr_spark.functions.text import with_winnow_fingerprints
+
+    fp = (with_winnow_fingerprints(
+            df.select(F.col(id_col).alias("did"), text_col),
+            text_col, "fps", k=k, w=w)
+          .select("did", F.explode("fps").alias("f"))
+          .select("did", F.col("f.h").alias("h"))
+          .distinct())
+    fp = fp.localCheckpoint(eager=True)
+    hot = (fp.groupBy("h").agg(F.count("*").alias("df_h"))
+           .where(F.col("df_h") > max_df))
+    keep = fp.join(F.broadcast(hot), "h", "left_anti")
+    a = keep.select(F.col("did").alias("doc_a"), "h")
+    b = keep.select(F.col("did").alias("doc_b"), "h")
+    return (a.join(b, "h").where(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b").agg(F.count("*").alias("shared"))
+            .where(F.col("shared") >= min_shared))

@@ -672,3 +672,51 @@ def test_subword_segment_walk_is_fold_not_iteration(spark):
     assert "BatchEvalPython" not in plan
     assert plan.count("Exchange") <= 8
     assert plan.count("Scan parquet") == 1
+
+
+def test_round4_close_queries_plan_hygiene(spark):
+    """winnowing / winnow_pairs / kn_bigram_lm / ks_drift / good_turing
+    / term_dispersion / heaps_fit / skipgram_pairs: no per-row Python
+    anywhere (all selection/CDF/window arithmetic is JVM built-ins),
+    no cartesian product (the only nested-loop joins are broadcast
+    cross joins of 1-row scalar aggregates / the n_neg slot table)."""
+    for q in ("winnowing", "winnow_pairs", "kn_bigram_lm", "ks_drift",
+              "good_turing", "term_dispersion", "heaps_fit",
+              "skipgram_pairs"):
+        plan = plan_of(entry_mod.queries()[q](spark, SF))
+        assert "BatchEvalPython" not in plan, q
+        assert "CartesianProduct" not in plan, q
+
+
+def test_winnow_pairs_hot_hash_cap_is_broadcast_anti(spark):
+    """The df cap must ride a broadcast anti-join (the hot set is tiny
+    by construction), and the pair generation an equi-join on h."""
+    plan = plan_of(entry_mod.queries()["winnow_pairs"](spark, SF))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_ks_drift_window_is_bucket_partitioned(spark):
+    """The ECDF cumsum must run per range bucket, never as one global
+    window task: every Window in the plan carries a partition spec."""
+    import re
+
+    plan = plan_of(entry_mod.queries()["ks_drift"](spark, SF))
+    assert "Window" in plan
+    # a global window would show "Window [...], [v ASC...]" with no
+    # partition-by exchange; ours hash-partitions on bkt first
+    assert re.search(r"hashpartitioning\(bkt", plan), plan[:2000]
+
+
+def test_heaps_fit_window_is_bucket_partitioned(spark):
+    import re
+
+    plan = plan_of(entry_mod.queries()["heaps_fit"](spark, SF))
+    assert re.search(r"hashpartitioning\(bkt", plan)
+
+
+def test_kn_model_joins_are_broadcast(spark):
+    """All four KN model tables (bigram types, context totals, fan-in
+    counts, the N_pairs scalar) broadcast back over the per-doc pairs —
+    the corpus side must never shuffle for scoring."""
+    plan = plan_of(entry_mod.queries()["kn_bigram_lm"](spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 3

@@ -152,3 +152,41 @@ class TestKsDrift:
                 - bisect.bisect_right(sb, v) / len(b))
             for v in set(a) | set(b))
         assert rows[0]["ks"] == pytest.approx(want, abs=1e-6)
+
+
+class TestWinnowPairs:
+    def _pairs(self, spark, texts, **kw):
+        from ocr_spark.operators.dedup import winnow_pairs
+
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)],
+            "doc_id long, text string")
+        return winnow_pairs(df, **kw).collect()
+
+    def test_shared_run_detected(self, spark):
+        shared = " ".join(f"s{i}" for i in range(12))
+        texts = ["pre amble words " + shared,
+                 shared + " totally different tail here",
+                 "unrelated third document about nothing shared"]
+        rows = self._pairs(spark, texts, min_shared=1)
+        assert {(r["doc_a"], r["doc_b"]) for r in rows} == {(0, 1)}
+
+    def test_hot_hash_cap_drops_universal_chrome(self, spark):
+        # identical boilerplate-only docs: every selected fingerprint
+        # has df = n_docs > max_df, so the cap removes them all and no
+        # pair survives (the undercount direction the docstring states)
+        chrome = "copyright footer nav menu home about contact terms"
+        texts = [chrome] * 6
+        rows = self._pairs(spark, texts, min_shared=1, max_df=3)
+        assert rows == []
+        # and with the cap relaxed the same corpus is all-pairs
+        rows = self._pairs(spark, texts, min_shared=1, max_df=10)
+        assert len(rows) == 15
+
+    def test_min_shared_threshold(self, spark):
+        shared = " ".join(f"s{i}" for i in range(30))
+        texts = ["a1 a2 a3 " + shared, "b1 b2 b3 " + shared]
+        many = self._pairs(spark, texts, min_shared=2)
+        assert many and many[0]["shared"] >= 2
+        none = self._pairs(spark, texts, min_shared=10_000)
+        assert none == []
