@@ -6043,6 +6043,46 @@ def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ks_drift(a, b, "n_chars", bucket_width=100, top=5)
 
 
+def q_cross_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-corpus bigram perplexity (functions/quality.py:
+    cross_bigram_logprob) — the true CCNet configuration: the add-1
+    bigram LM trains on EVEN doc ids and scores ODD docs it never saw,
+    unseen pairs taking the add-1 floor via left joins.  Held-out
+    perplexity without self-scoring optimism."""
+    from ocr_spark.functions.quality import cross_bigram_logprob
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    train = docs.where(F.col("doc_id") % 2 == 0)
+    score = docs.where(F.col("doc_id") % 2 == 1)
+    return cross_bigram_logprob(train, score).orderBy("doc_id")
+
+
+def q_min_k_prob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-K% probability membership/contamination signal (Shi et al.
+    2024; functions/quality.py:min_k_prob): per doc, the mean logprob
+    of its 20% least-probable tokens under the corpus-trained unigram
+    — the bottom-k selection is a per-row array sort + slice + fold,
+    never a per-(doc, token) window."""
+    from ocr_spark.functions.quality import min_k_prob
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return min_k_prob(docs).orderBy("doc_id")
+
+
+def q_stylometry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burrows' Delta stylometric distance (functions/model.py:
+    burrows_delta) over every 25th document: mean |z-difference| of
+    relative frequencies of the corpus's 30 most frequent terms —
+    same-template detection by function-word style, orthogonal to
+    content dedup.  Explicit sigma = sqrt(avg(f^2) - avg(f)^2) so the
+    oracle replays the identical expression tree."""
+    from ocr_spark.functions.model import burrows_delta
+
+    docs = (_t(spark, sf_dir, "documents")
+            .where(F.col("doc_id") % 25 == 0).select("doc_id", "text"))
+    return burrows_delta(docs).orderBy("doc_a", "doc_b")
+
+
 def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MOSS-style near-dup pairs from winnowing fingerprints
     (operators/dedup.py:winnow_pairs): equi-join on selected hashes
@@ -6173,6 +6213,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wet_export": q_wet_export,
         "bigram_lm": q_bigram_lm,
         "kn_bigram_lm": q_kn_bigram_lm,
+        "cross_ppl": q_cross_ppl,
+        "min_k_prob": q_min_k_prob,
         "good_turing": q_good_turing,
         "heaps_fit": q_heaps_fit,
         "term_dispersion": q_term_dispersion,
@@ -6335,6 +6377,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_split": q_domain_split,
         "revisit_policy": q_revisit_policy,
         "model_score": q_model_score,
+        "stylometry": q_stylometry,
         "zipf_fit": q_zipf_fit,
         "oov_rate": q_oov_rate,
         "http_headers": q_http_headers,
@@ -9992,6 +10035,111 @@ def oracle_sql() -> dict[str, str]:
             round(exp(-p.a), 6) AS ppl
           FROM tok t LEFT JOIN per p USING (doc_id)
           ORDER BY t.doc_id
+        """,
+        # cross_ppl: bigram model from EVEN docs scoring ODD docs;
+        # LEFT joins + coalesce(0) give unseen pairs the add-1 floor —
+        # identical expression order to quality.cross_bigram_logprob
+        "cross_ppl": f"""
+          WITH tr AS (
+            SELECT CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+                        ELSE {toks} END AS tl
+            FROM documents WHERE doc_id % 2 = 0),
+          sc AS (
+            SELECT doc_id,
+              CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+                   ELSE {toks} END AS tl
+            FROM documents WHERE doc_id % 2 = 1),
+          bg AS (SELECT p.w1 AS w1, p.w2 AS w2, count(*) AS c_xy
+                 FROM (SELECT unnest(list_transform(range(1, len(tl)),
+                         i -> {{'w1': tl[i], 'w2': tl[i + 1]}})) AS p
+                       FROM tr) GROUP BY 1, 2),
+          uni AS (SELECT w1, count(*) AS c_x
+                  FROM (SELECT unnest(tl) AS w1 FROM tr) GROUP BY w1),
+          vs AS (SELECT count(*) AS v FROM uni),
+          pr AS (
+            SELECT doc_id, p.w1 AS w1, p.w2 AS w2
+            FROM (SELECT doc_id, unnest(list_transform(range(1, len(tl)),
+                    i -> {{'w1': tl[i], 'w2': tl[i + 1]}})) AS p
+                  FROM sc)),
+          sco AS (
+            SELECT pr.doc_id,
+              ln(CAST(coalesce(b.c_xy, 0) + 1 AS DOUBLE)
+                 / (coalesce(u.c_x, 0) + (SELECT v FROM vs))) AS lp
+            FROM pr LEFT JOIN bg b USING (w1, w2)
+                    LEFT JOIN uni u USING (w1)),
+          per AS (SELECT doc_id, avg(lp) AS a, count(*) AS nb
+                  FROM sco GROUP BY doc_id)
+          SELECT t.doc_id,
+            CAST(coalesce(p.nb, 0) AS BIGINT) AS n_bigrams,
+            round(p.a, 6) AS avg_logprob,
+            round(exp(-p.a), 6) AS ppl
+          FROM sc t LEFT JOIN per p USING (doc_id)
+          ORDER BY t.doc_id
+        """,
+        # min_k_prob: per-token unigram logprobs, per-doc ascending
+        # sort, first ceil(0.2 n) slice, mean — the oracle's list
+        # aggregation mirrors the engine's per-row fold (sum order
+        # inside the slice differs; round(6) is the shared publication)
+        "min_k_prob": f"""
+          WITH tok AS (
+            SELECT doc_id,
+              CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+                   ELSE {toks} END AS tl FROM documents),
+          tk AS (SELECT doc_id, unnest(tl) AS tok FROM tok),
+          vocab AS (SELECT tok, count(*) AS c FROM tk GROUP BY tok),
+          tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_total,
+                         count(*) AS v_size FROM vocab),
+          sco AS (
+            SELECT tk.doc_id,
+              ln(CAST(v.c + 1 AS DOUBLE) / (t.n_total + t.v_size)) AS lp
+            FROM tk JOIN vocab v USING (tok) CROSS JOIN tot t),
+          per AS (SELECT doc_id, list(lp ORDER BY lp) AS lps
+                  FROM sco GROUP BY doc_id),
+          sel AS (SELECT doc_id, len(lps) AS n,
+                         CAST(ceil(len(lps) * 0.2) AS INT) AS kn,
+                         lps FROM per)
+          SELECT d.doc_id,
+            CAST(coalesce(s.n, 0) AS BIGINT) AS n_tokens,
+            CAST(coalesce(s.kn, 0) AS INT) AS k_tokens,
+            round(list_sum(s.lps[1:s.kn]) / CAST(s.kn AS DOUBLE), 6)
+              AS min_k_logprob
+          FROM (SELECT DISTINCT doc_id FROM tok) d
+               LEFT JOIN sel s USING (doc_id)
+          ORDER BY d.doc_id
+        """,
+        # stylometry: Burrows' Delta with the engine's explicit
+        # sigma = sqrt(avg(f^2) - avg(f)*avg(f)) expression tree; the
+        # (term x doc) frame reconstructs zero cells; every 25th doc
+        "stylometry": f"""
+          WITH d AS (
+            SELECT doc_id AS did,
+              CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+                   ELSE {toks} END AS tl
+            FROM documents WHERE doc_id % 25 = 0),
+          sizes AS (SELECT did, CAST(len(tl) AS BIGINT) AS n FROM d),
+          tdc AS (SELECT tok, did, count(*) AS c
+                  FROM (SELECT did, unnest(tl) AS tok FROM d)
+                  GROUP BY 1, 2),
+          top AS (SELECT tok FROM (
+                    SELECT tok, sum(c) AS v FROM tdc GROUP BY tok)
+                  ORDER BY v DESC, tok ASC LIMIT 30),
+          frame AS (SELECT t.tok, s.did FROM top t CROSS JOIN sizes s),
+          cells AS (
+            SELECT f.tok, f.did,
+              CAST(coalesce(x.c, 0) AS DOUBLE) / z.n AS f
+            FROM frame f LEFT JOIN tdc x ON f.tok = x.tok AND f.did = x.did
+                 JOIN sizes z ON f.did = z.did),
+          stats AS (SELECT tok, avg(f) AS mu,
+                           sqrt(avg(f * f) - avg(f) * avg(f)) AS sigma
+                    FROM cells GROUP BY tok),
+          zs AS (SELECT c.tok, c.did, (c.f - s.mu) / s.sigma AS z
+                 FROM cells c JOIN stats s USING (tok)
+                 WHERE s.sigma > 0)
+          SELECT a.did AS doc_a, b.did AS doc_b,
+            round(avg(abs(a.z - b.z)), 6) AS delta,
+            CAST(count(*) AS BIGINT) AS n_terms_used
+          FROM zs a JOIN zs b ON a.tok = b.tok AND a.did < b.did
+          GROUP BY 1, 2 ORDER BY doc_a, doc_b
         """,
         # good_turing: r* = (r+1) N_{r+1}/N_r on the counts-of-counts
         # table; NULL r_star where N_{r+1} is absent (same as engine)

@@ -55,7 +55,7 @@ BENCH_QUERIES = [
     "chunk_text", "chunk_tokens", "sections", "texttiling", "collocations", "bpe_pairs",
     "bpe_encode",
     "table_extract", "html_markdown", "markdown_strip", "wet_export", "wat_export",
-    "bigram_lm", "kn_bigram_lm", "good_turing", "term_dispersion", "heaps_fit", "readability", "unicode_clean",
+    "bigram_lm", "kn_bigram_lm", "cross_ppl", "min_k_prob", "good_turing", "term_dispersion", "heaps_fit", "readability", "unicode_clean",
     "postings", "posting_deltas", "snippets", "corpus_stats", "crawl_delta", "dist_drift", "ks_drift", "index_delta",
     "capture_history",
     "asof_join", "range_join", "bm25", "search_results", "doc_attributes",
@@ -82,7 +82,7 @@ BENCH_QUERIES = [
     "hll_count", "percentiles", "length_outliers", "rollup_metrics", "pivot_tokens", "melt_tokens", "word_blocklist",
     "template_strip", "para_dedup",
     "cms_topk", "charset_detect", "domain_split", "revisit_policy",
-    "model_score", "zipf_fit", "oov_rate",
+    "model_score", "stylometry", "zipf_fit", "oov_rate",
     "http_headers", "http_dates", "robots_sitemaps", "orders_above_avg",
 ]
 

@@ -32,12 +32,13 @@ version where the model is local arithmetic over broadcast weights.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ocr_spark.functions.text import tokens
 
-__all__ = ["N_FEATURES", "linear_text_score", "feature_hash_vector"]
+__all__ = ["N_FEATURES", "linear_text_score", "feature_hash_vector",
+           "burrows_delta"]
 
 N_FEATURES = 64
 
@@ -126,3 +127,80 @@ def feature_hash_vector(col: str | Column, dim: int = 16) -> Column:
             acc, lambda x, i: x + F.when(p["b"] == i.cast("long"),
                                          p["s"]).otherwise(F.lit(0))),
     )
+
+
+def burrows_delta(df: DataFrame, pairs: DataFrame | None = None,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  n_terms: int = 30,
+                  round_digits: int = 6) -> DataFrame:
+    """Burrows' Delta stylometric distance (Burrows 2002; Evert et al.
+    2017 showed it is cosine-family on z-scored function-word rates):
+    for the corpus's ``n_terms`` most frequent terms (in authorship
+    work these are the function words — exactly the words every OTHER
+    similarity op throws away), z-score each document's relative term
+    frequency against the corpus distribution, and score a pair of
+    documents as the mean absolute z-difference:
+
+        delta(a, b) = mean_t | z(a, t) - z(b, t) |
+
+    Same-author / same-template documents sit close in function-word
+    style even when their topics — and therefore their shingle/minhash
+    profiles — share nothing, so this catches ghost-written template
+    farms that content dedup cannot.
+
+    ``pairs`` (doc_a, doc_b) names which pairs to score; production
+    feeds LSH/cluster candidates here (all-pairs is quadratic — the
+    same contract as ``edit_verify`` and ``lsh_jaccard``).  None
+    scores ALL pairs (test/oracle scale only).
+
+    Determinism: mean and std are computed with explicitly-ordered
+    arithmetic (sigma = sqrt(avg(f^2) - avg(f)*avg(f)), population
+    form) so the SQL oracle replays the identical expression tree;
+    zero-frequency (doc, term) cells contribute z = (0 - mu)/sigma and
+    are reconstructed by a frame join, not dropped.  Published delta
+    is rounded.
+
+    Scale shape: one explode->hash aggregate for (term, doc) counts; a
+    broadcast top-term cut; the (top-term x doc) z-matrix is skinny
+    (n_terms * n_docs rows); pair scoring is an equi-join of that
+    matrix with the candidate pair list on each side's doc id."""
+    tl = df.select(F.col(id_col).alias("did"), tokens(text_col).alias("_t"))
+    sizes = tl.select("did", F.size("_t").cast("long").alias("n"))
+    sizes = sizes.localCheckpoint(eager=True)
+    tdc = (tl.select("did", F.explode("_t").alias("tok"))
+           .groupBy("tok", "did").agg(F.count("*").alias("c")))
+    tdc = tdc.localCheckpoint(eager=True)
+    top = (tdc.groupBy("tok").agg(F.sum("c").alias("v"))
+           .orderBy(F.desc("v"), F.asc("tok")).limit(n_terms)
+           .select("tok"))
+    # full (term x doc) frame, zero cells included
+    frame = F.broadcast(top).crossJoin(sizes.select("did"))
+    cells = (frame.join(tdc, ["tok", "did"], "left")
+             .join(sizes, "did")
+             .select("tok", "did",
+                     (F.coalesce("c", F.lit(0)).cast("double") / F.col("n"))
+                     .alias("f")))
+    stats = cells.groupBy("tok").agg(
+        F.avg("f").alias("mu"),
+        F.sqrt(F.avg(F.col("f") * F.col("f"))
+               - F.avg("f") * F.avg("f")).alias("sigma"))
+    z = (cells.join(F.broadcast(stats), "tok")
+         .where(F.col("sigma") > 0)
+         .select("tok", "did",
+                 ((F.col("f") - F.col("mu")) / F.col("sigma")).alias("z")))
+    if pairs is None:
+        a = z.select(F.col("did").alias("doc_a"), "tok",
+                     F.col("z").alias("z_a"))
+        b = z.select(F.col("did").alias("doc_b"), "tok",
+                     F.col("z").alias("z_b"))
+        joined = a.join(b, "tok").where(F.col("doc_a") < F.col("doc_b"))
+    else:
+        za = z.select(F.col("did").alias("doc_a"), "tok",
+                      F.col("z").alias("z_a"))
+        zb = z.select(F.col("did").alias("doc_b"), "tok",
+                      F.col("z").alias("z_b"))
+        joined = (pairs.join(za, "doc_a").join(zb, ["doc_b", "tok"]))
+    return (joined.groupBy("doc_a", "doc_b")
+            .agg(F.round(F.avg(F.abs(F.col("z_a") - F.col("z_b"))),
+                         round_digits).alias("delta"),
+                 F.count("*").alias("n_terms_used")))

@@ -37,6 +37,7 @@ __all__ = [
     "word_bigrams_all", "max_sorted_run", "with_repetition_stats",
     "with_quality_filter", "QUALITY_THRESHOLDS", "unigram_logprob",
     "bigram_logprob", "kneser_ney_logprob", "good_turing_counts",
+    "cross_bigram_logprob", "min_k_prob",
     "readability",
     "with_format_signals",
     "GOPHER_STOP_WORDS", "with_content_type",
@@ -370,6 +371,120 @@ def kneser_ney_logprob(df: DataFrame, text_col: str = "text",
             F.round(F.exp(-F.col("avg_logprob")), 6).alias("ppl"),
         )
     )
+
+
+def cross_bigram_logprob(train: DataFrame, score: DataFrame,
+                         text_col: str = "text", id_col: str = "doc_id",
+                         broadcast_model: bool = True) -> DataFrame:
+    """CROSS-corpus bigram perplexity — the actual CCNet configuration
+    (Wenzek et al. 2020 train their LM on Wikipedia and score Common
+    Crawl with it), where :func:`bigram_logprob` is the self-scoring
+    proxy: the add-1 bigram model is trained on ``train`` and scores
+    ``score``, so pairs the training corpus never saw are possible and
+    get the add-1 floor instead of being undefined:
+
+        p(w2|w1) = (c(w1,w2) + 1) / (c(w1) + V)
+
+    with all counts from TRAIN (c = 0 for unseen pairs/contexts, V =
+    train unigram vocabulary).  A held-out split of one corpus (train
+    on even docs, score odd) gives cross-validated perplexity — the
+    quality signal without the self-scoring optimism of a model that
+    has seen every document it scores.
+
+    Scale shape: identical to bigram_logprob (two skinny train
+    aggregates broadcast over the scored corpus's exploded pairs;
+    text never shuffles) except the scoring joins are LEFT joins with
+    coalesce(0) so unseen pairs survive to take the floor."""
+    from ocr_spark.functions.colloc import _bigrams
+
+    ttl = train.select(tokens(text_col).alias("_t"))
+    bg = (ttl.select(F.explode(_bigrams(F.col("_t"))).alias("p"))
+          .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+          .groupBy("w1", "w2").agg(F.count("*").alias("c_xy")))
+    uni = (ttl.select(F.explode("_t").alias("w1"))
+           .groupBy("w1").agg(F.count("*").alias("c_x")))
+    uni = uni.localCheckpoint(eager=True)
+    vsize = uni.agg(F.count("*").alias("v"))
+    if broadcast_model:
+        bg, uni = F.broadcast(bg), F.broadcast(uni)
+    stl = score.select(id_col, tokens(text_col).alias("_t"))
+    prs = stl.select(id_col, F.explode(_bigrams(F.col("_t"))).alias("p")) \
+        .select(id_col, F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    scored = (
+        prs.join(bg, ["w1", "w2"], "left").join(uni, "w1", "left")
+        .crossJoin(F.broadcast(vsize))
+        .select(
+            id_col,
+            F.log((F.coalesce(F.col("c_xy"), F.lit(0)) + 1).cast("double")
+                  / (F.coalesce(F.col("c_x"), F.lit(0)) + F.col("v")))
+            .alias("lp"),
+        )
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.avg("lp").alias("avg_logprob"),
+        F.count("*").alias("n_bigrams"),
+    )
+    return (
+        score.select(id_col).distinct()
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),
+            F.round("avg_logprob", 6).alias("avg_logprob"),
+            F.round(F.exp(-F.col("avg_logprob")), 6).alias("ppl"),
+        )
+    )
+
+
+def min_k_prob(df: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id", k_frac: float = 0.2,
+               broadcast_vocab: bool = True) -> DataFrame:
+    """Min-K% probability (Shi et al. 2024, "Detecting Pretraining
+    Data from Large Language Models"): per document, the mean log
+    probability of its K% LEAST-probable tokens.  The published use is
+    membership inference — a document the model trained on has
+    suspiciously few low-probability tokens, so a high min-k% score
+    flags benchmark/corpus contamination that n-gram overlap
+    (``decontaminate``) misses when the text was lightly paraphrased.
+    The scoring model here is the corpus-trained add-1 unigram of
+    :func:`unigram_logprob` (the paper uses the target LLM; the
+    relational machinery is model-agnostic — any (token, logprob)
+    table broadcast in its place gives the paper's statistic exactly).
+
+    Scale shape: one explode + broadcast vocab join for per-token
+    logprobs (corpus text never shuffles), ONE hash aggregate back to
+    a per-doc logprob ARRAY, then the bottom-k selection is a per-row
+    JVM fold: array_sort ascending, slice the first ceil(k * n),
+    aggregate-mean.  Per-doc arrays are bounded by document token
+    counts — the same per-row-array discipline as the repetition
+    stats, never a per-(doc, token) window."""
+    toks = df.select(id_col, F.explode(tokens(text_col)).alias("tok"))
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    vocab = vocab.localCheckpoint(eager=True)
+    totals = vocab.agg(F.sum("c").alias("n_total"),
+                       F.count("*").alias("v_size"))
+    if broadcast_vocab:
+        vocab = F.broadcast(vocab)
+    scored = (toks.join(vocab, "tok")
+              .crossJoin(F.broadcast(totals))
+              .select(id_col,
+                      F.log((F.col("c") + 1).cast("double")
+                            / (F.col("n_total") + F.col("v_size")))
+                      .alias("lp")))
+    per_doc = scored.groupBy(id_col).agg(
+        F.array_sort(F.collect_list("lp")).alias("lps"))
+    n = F.size("lps")
+    kn = F.ceil(n * F.lit(float(k_frac))).cast("int")
+    bottom = F.slice("lps", 1, kn)
+    mink = (F.aggregate(bottom, F.lit(0.0), lambda acc, x: acc + x)
+            / kn.cast("double"))
+    return (df.select(id_col).distinct()
+            .join(per_doc, id_col, "left")
+            .select(id_col,
+                    F.coalesce(n, F.lit(0)).alias("n_tokens"),
+                    F.coalesce(kn, F.lit(0)).alias("k_tokens"),
+                    F.round(mink, 6).alias("min_k_logprob"))
+            )
 
 
 def good_turing_counts(df: DataFrame, text_col: str = "text",

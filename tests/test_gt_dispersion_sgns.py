@@ -157,3 +157,129 @@ class TestHeapsFit:
         assert row["ln_k"] == pytest.approx(my - beta * mx, abs=1e-3)
         # sanity: random-uniform draws still grow sublinearly
         assert 0.0 < row["beta"] < 1.0
+
+
+class TestCrossPpl:
+    def test_unseen_pairs_get_floor_not_dropped(self, spark):
+        from ocr_spark.functions.quality import cross_bigram_logprob
+
+        train = spark.createDataFrame(
+            [(0, "the cat sat"), (1, "the dog ran")],
+            "doc_id long, text string")
+        score = spark.createDataFrame(
+            [(10, "the cat ran"), (11, "zebra quark flux")],
+            "doc_id long, text string")
+        got = {r["doc_id"]: r
+               for r in cross_bigram_logprob(train, score).collect()}
+        # every scored pair counts, even wholly-unseen ones
+        assert got[10]["n_bigrams"] == 2
+        assert got[11]["n_bigrams"] == 2
+        # a doc of entirely unseen tokens scores strictly worse than
+        # one sharing pairs with training
+        assert got[10]["avg_logprob"] > got[11]["avg_logprob"]
+        # unseen floor: p = 1/V for c_xy = c_x = 0 -> lp = -ln(V)
+        import math
+        v = 6  # the cat sat dog ran -> 5? the,cat,sat,dog,ran = 5
+        v = 5
+        assert got[11]["avg_logprob"] == pytest.approx(
+            math.log(1 / v), abs=1e-6)
+
+    def test_self_vs_cross_optimism(self, spark):
+        # scoring the training corpus itself must be no worse than
+        # scoring held-out text of the same shape
+        from ocr_spark.functions.quality import (bigram_logprob,
+                                                 cross_bigram_logprob)
+
+        texts = [(i, "alpha beta gamma delta " * 3) for i in range(4)]
+        df = spark.createDataFrame(texts, "doc_id long, text string")
+        held = spark.createDataFrame(
+            [(9, "omega psi chi phi " * 3)], "doc_id long, text string")
+        self_score = bigram_logprob(df).agg(
+            F.avg("avg_logprob")).collect()[0][0]
+        cross = cross_bigram_logprob(df, held).collect()[0]["avg_logprob"]
+        assert self_score > cross
+
+
+class TestMinKProb:
+    def test_matches_hand_computation(self, spark):
+        from ocr_spark.functions.quality import min_k_prob
+
+        texts = [(0, "a a a a b"), (1, "b c c c c")]
+        df = spark.createDataFrame(texts, "doc_id long, text string")
+        got = {r["doc_id"]: r for r in min_k_prob(df, k_frac=0.2).collect()}
+        import math
+        # counts: a=4 b=2 c=4, N=10, V=3 -> lp(tok) = ln((c+1)/13)
+        lp = {t: math.log((c + 1) / 13) for t, c in
+              {"a": 4, "b": 2, "c": 4}.items()}
+        # doc0 tokens: 5 -> k = 1 -> bottom-1 = min lp = lp(b)
+        assert got[0]["k_tokens"] == 1
+        assert got[0]["min_k_logprob"] == pytest.approx(lp["b"], abs=1e-6)
+        assert got[0]["n_tokens"] == 5
+
+    def test_memorized_like_doc_scores_higher(self, spark):
+        from ocr_spark.functions.quality import min_k_prob
+
+        common = " ".join(["filler"] * 30)
+        rare = "filler xqz1 filler wvu2 filler tsr3"
+        df = spark.createDataFrame(
+            [(0, common), (1, rare)] + [(i, common) for i in range(2, 6)],
+            "doc_id long, text string")
+        got = {r["doc_id"]: r["min_k_logprob"]
+               for r in min_k_prob(df).collect()}
+        # the doc with rare tokens has a lower (worse) min-k score
+        assert got[0] > got[1]
+
+
+class TestBurrowsDelta:
+    def test_matches_naive(self, spark):
+        from ocr_spark.functions.model import burrows_delta
+
+        texts = ["the of and cat", "the the of dog", "of and and bird",
+                 "the of mouse mouse"]
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)],
+            "doc_id long, text string")
+        got = {(r["doc_a"], r["doc_b"]): r["delta"]
+               for r in burrows_delta(df, n_terms=3).collect()}
+
+        import statistics
+        docs = [t.split() for t in texts]
+        from collections import Counter
+        freq = Counter(t for d in docs for t in d)
+        top = sorted(freq, key=lambda t: (-freq[t], t))[:3]
+        fs = {t: [d.count(t) / len(d) for d in docs] for t in top}
+        z = {}
+        for t in top:
+            mu = sum(fs[t]) / len(docs)
+            sig = (sum(x * x for x in fs[t]) / len(docs) - mu * mu) ** 0.5
+            if sig > 0:
+                z[t] = [(x - mu) / sig for x in fs[t]]
+        for (a, b), d_got in got.items():
+            want = sum(abs(z[t][a] - z[t][b]) for t in z) / len(z)
+            assert d_got == pytest.approx(want, abs=1e-5), (a, b)
+
+    def test_same_style_different_topic_is_close(self, spark):
+        from ocr_spark.functions.model import burrows_delta
+
+        # docs 0/1: same function-word skeleton, different content;
+        # doc 2: different skeleton
+        t0 = "the cat of the house and the bird in the tree"
+        t1 = "the dog of the barn and the fish in the pond"
+        t2 = "buy now great offer buy cheap offer now now deal"
+        df = spark.createDataFrame(
+            [(0, t0), (1, t1), (2, t2)], "doc_id long, text string")
+        got = {(r["doc_a"], r["doc_b"]): r["delta"]
+               for r in burrows_delta(df, n_terms=6).collect()}
+        assert got[(0, 1)] < got[(0, 2)]
+        assert got[(0, 1)] < got[(1, 2)]
+
+    def test_candidate_pairs_restriction(self, spark):
+        from ocr_spark.functions.model import burrows_delta
+
+        df = spark.createDataFrame(
+            [(i, f"the of and tok{i} tok{i}") for i in range(6)],
+            "doc_id long, text string")
+        pairs = spark.createDataFrame(
+            [(0, 1), (2, 3)], "doc_a long, doc_b long")
+        rows = burrows_delta(df, pairs=pairs).collect()
+        assert {(r["doc_a"], r["doc_b"]) for r in rows} == {(0, 1), (2, 3)}

@@ -682,7 +682,7 @@ def test_round4_close_queries_plan_hygiene(spark):
     cross joins of 1-row scalar aggregates / the n_neg slot table)."""
     for q in ("winnowing", "winnow_pairs", "kn_bigram_lm", "ks_drift",
               "good_turing", "term_dispersion", "heaps_fit",
-              "skipgram_pairs"):
+              "skipgram_pairs", "cross_ppl", "min_k_prob", "stylometry"):
         plan = plan_of(entry_mod.queries()[q](spark, SF))
         assert "BatchEvalPython" not in plan, q
         assert "CartesianProduct" not in plan, q
