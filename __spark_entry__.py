@@ -6386,11 +6386,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+def _winnow_defaults() -> tuple[int, int, int, int]:
+    """(k, w, max_df, min_shared) read off the ENGINE signatures —
+    ``with_winnow_fingerprints`` (k, w) and ``winnow_pairs``
+    (max_df, min_shared) — so the oracle constants below track the
+    engine defaults instead of being re-stated literals.  The
+    q_winnowing / q_winnow_pairs call sites pass no overrides."""
+    import inspect
+
+    from ocr_spark.functions.text import with_winnow_fingerprints
+    from ocr_spark.operators.dedup import winnow_pairs as _wp
+
+    sig_f = inspect.signature(with_winnow_fingerprints).parameters
+    sig_p = inspect.signature(_wp).parameters
+    return (sig_f["k"].default, sig_f["w"].default,
+            sig_p["max_df"].default, sig_p["min_shared"].default)
+
+
+_WINNOW_K, _WINNOW_W, _WINNOW_MAX_DF, _WINNOW_MIN_SHARED = \
+    _winnow_defaults()
+
+
 def _winnow_sel_sql(toks: str) -> str:
     """Shared DuckDB CTE chain deriving the winnowing (doc_id, pos, h)
     selection over ``documents`` (mirrors text.with_winnow_fingerprints
-    at k=3, w=4) — terminal CTE ``wfp``.  Used by both the winnowing
-    and winnow_pairs oracles so the selection arithmetic exists once."""
+    at its defaults) — terminal CTE ``wfp``.  Used by both the
+    winnowing and winnow_pairs oracles so the selection arithmetic
+    exists once.  The shingle-build and window-slice literals below
+    are spelled for k=3 / w=4; the assert fails loudly if the engine
+    defaults ever drift from what this SQL encodes."""
+    assert (_WINNOW_K, _WINNOW_W) == (3, 4), (
+        "engine winnow defaults changed; update _winnow_sel_sql "
+        f"literals (k={_WINNOW_K}, w={_WINNOW_W})")
     return f"""
           tok AS (
             SELECT doc_id, text,
@@ -9696,21 +9723,25 @@ def oracle_sql() -> dict[str, str]:
         """,
         # winnow_pairs: MOSS composition over the same selection —
         # distinct (doc, h), df-capped hot hashes removed, equi-join,
-        # shared-count threshold (constants imported from the engine
-        # call site so thresholds cannot drift)
+        # shared-count threshold.  max_df / min_shared are INTERPOLATED
+        # from the winnow_pairs signature defaults (the q_winnow_pairs
+        # call site passes no overrides), so changing the engine
+        # defaults cannot silently desync this oracle.
         "winnow_pairs": f"""
           WITH {_winnow_sel_sql(toks)},
           fp AS (SELECT DISTINCT doc_id, h FROM wfp),
           dfh AS (SELECT h, count(*) AS df_h FROM fp GROUP BY h),
           keep AS (SELECT fp.doc_id, fp.h
-                   FROM fp JOIN dfh USING (h) WHERE df_h <= 20),
+                   FROM fp JOIN dfh USING (h)
+                   WHERE df_h <= {_WINNOW_MAX_DF}),
           pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                            count(*) AS shared
                     FROM keep a JOIN keep b
                       ON a.h = b.h AND a.doc_id < b.doc_id
                     GROUP BY 1, 2)
           SELECT doc_a, doc_b, CAST(shared AS BIGINT) AS shared
-          FROM pairs WHERE shared >= 3 ORDER BY doc_a, doc_b
+          FROM pairs WHERE shared >= {_WINNOW_MIN_SHARED}
+          ORDER BY doc_a, doc_b
         """,
         # heaps_fit: cumulative tokens/vocab via window cumsums (the
         # oracle may globally window what the engine prefix-sums in two
@@ -10116,7 +10147,8 @@ def oracle_sql() -> dict[str, str]:
               CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
                    ELSE {toks} END AS tl
             FROM documents WHERE doc_id % 25 = 0),
-          sizes AS (SELECT did, CAST(len(tl) AS BIGINT) AS n FROM d),
+          sizes AS (SELECT did, CAST(len(tl) AS BIGINT) AS n
+                    FROM d WHERE len(tl) > 0),
           tdc AS (SELECT tok, did, count(*) AS c
                   FROM (SELECT did, unnest(tl) AS tok FROM d)
                   GROUP BY 1, 2),

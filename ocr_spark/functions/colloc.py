@@ -306,6 +306,12 @@ def term_dispersion(df: DataFrame, text_col: str = "text",
     would wrap silently at web scale in non-ANSI Spark), divided into
     double exactly once.  The sum is therefore order-independent and
     the SQL oracle reproduces it bit-for-bit (DuckDB sums in HUGEINT).
+    Bound: Spark caps sum/product precision at decimal(38,0), so the
+    per-row product is exact only while |v_i*S - s_i*V| < 1e38 (comfortable
+    at 100 TB: ~1e26 for a 1e13-token corpus) and the AGGREGATE sum
+    must also stay < 1e38; in non-ANSI mode an overflow returns NULL
+    silently rather than erroring — run with spark.sql.ansi.enabled
+    (or check for NULL dp) if the corpus approaches that bound.
 
     Scale shape: one explode->hash aggregate for (term, doc) counts,
     one for doc sizes; the top-``top`` term cut broadcasts back (count

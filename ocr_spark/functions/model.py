@@ -165,7 +165,13 @@ def burrows_delta(df: DataFrame, pairs: DataFrame | None = None,
     (n_terms * n_docs rows); pair scoring is an equi-join of that
     matrix with the candidate pair list on each side's doc id."""
     tl = df.select(F.col(id_col).alias("did"), tokens(text_col).alias("_t"))
-    sizes = tl.select("did", F.size("_t").cast("long").alias("n"))
+    # Zero-token docs are excluded BEFORE the frame build: f = c/n is
+    # undefined at n = 0 (Spark yields NULL, DuckDB NULL-or-NaN
+    # depending on ieee_floating_point_ops), so a blank doc would
+    # otherwise emit pair rows with NULL delta / engine-divergent
+    # sigma.  The oracle applies the identical n > 0 cut.
+    sizes = (tl.select("did", F.size("_t").cast("long").alias("n"))
+             .where(F.col("n") > 0))
     sizes = sizes.localCheckpoint(eager=True)
     tdc = (tl.select("did", F.explode("_t").alias("tok"))
            .groupBy("tok", "did").agg(F.count("*").alias("c")))

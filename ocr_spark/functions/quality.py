@@ -457,7 +457,15 @@ def min_k_prob(df: DataFrame, text_col: str = "text",
     JVM fold: array_sort ascending, slice the first ceil(k * n),
     aggregate-mean.  Per-doc arrays are bounded by document token
     counts — the same per-row-array discipline as the repetition
-    stats, never a per-(doc, token) window."""
+    stats, never a per-(doc, token) window.
+
+    FP note: the bottom-k mean is a SEQUENTIAL left fold over the
+    sorted slice, so its accumulation order is fixed; the DuckDB
+    oracle's list_sum does not specify one, and a last-ulp difference
+    could in principle flip round(6) on a boundary.  Accepted as-is:
+    the parity suite has never tripped it — if it ever does, compare
+    with a small tolerance in the canon rather than re-ordering the
+    engine fold."""
     toks = df.select(id_col, F.explode(tokens(text_col)).alias("tok"))
     vocab = toks.groupBy("tok").agg(F.count("*").alias("c"))
     vocab = vocab.localCheckpoint(eager=True)

@@ -2,8 +2,9 @@
 with an ``oracle_sql()`` twin must match DuckDB on row count, column
 names, and (order-insensitively) values at sf0.01.
 
-Rows-only entries (simhash_near_dup, ann_topk) are checked for
-executability + non-degenerate output + determinism.
+Every entry has a value oracle (oracle_sql() covers queries() 1:1
+since round 4); any future rows-only entry would fall back to an
+executability + non-degenerate output + determinism check.
 """
 
 import math
