@@ -6149,9 +6149,198 @@ def q_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Driver-contract registry.
+
+    ORDER IS LOAD-BEARING: the driver's CORRECTNESS gate samples the
+    FIRST 50 entries, so the registry leads with queries that have
+    never produced a driver-green row (plus two long-green sentinels,
+    flagship_extract / pdf_extract, as canaries for the shared fixture
+    path).  Rotation policy: each round, consult CORRECTNESS_r*.json,
+    move the freshly-certified block behind the remaining
+    never-certified tail, and promote the next 48 uncertified entries
+    — successive rounds sweep the whole contract through the driver's
+    own gate.  Round-5 front: 48 never-driver-certified queries
+    (compositions first: curate_corpus, packed_batches, image_dedup,
+    caption_align, ...), then the never-certified remainder, then the
+    65 queries certified in rounds 1-4.  Parity for EVERY entry
+    (ordered or not) is independently enforced by
+    tests/test_oracle_parity.py.
+    """
     return {
+        # --- sentinels (long-green canaries)
         "flagship_extract": q_flagship_extract,
         "pdf_extract": q_pdf_extract,
+        # --- round-5 certification front: never driver-certified
+        "curate_corpus": q_curate_corpus,
+        "packed_batches": q_packed_batches,
+        "image_dedup": q_image_dedup,
+        "caption_align": q_caption_align,
+        "pagerank": q_pagerank,
+        "bm25": q_bm25,
+        "asof_join": q_asof_join,
+        "record_linkage": q_record_linkage,
+        "audio_segments": q_audio_segments,
+        "winnow_pairs": q_winnow_pairs,
+        "bitext_mine": q_bitext_mine,
+        "bloom_dedup": q_bloom_dedup,
+        "range_join": q_range_join,
+        "warc_extract": q_warc_extract,
+        "wet_export": q_wet_export,
+        "jsonl_ingest": q_jsonl_ingest,
+        "trust_rank": q_trust_rank,
+        "hits": q_hits,
+        "kcore": q_kcore,
+        "label_propagation": q_label_propagation,
+        "triangle_count": q_triangle_count,
+        "cdx_index": q_cdx_index,
+        "outlinks": q_outlinks,
+        "anchor_agg": q_anchor_agg,
+        "postings": q_postings,
+        "posting_deltas": q_posting_deltas,
+        "snippets": q_snippets,
+        "hybrid_rerank": q_hybrid_rerank,
+        "rrf_fusion": q_rrf_fusion,
+        "retrieval_eval": q_retrieval_eval,
+        "gazetteer": q_gazetteer,
+        "entity_graph": q_entity_graph,
+        "subword_vocab": q_subword_vocab,
+        "subword_segment": q_subword_segment,
+        "bpe_encode": q_bpe_encode,
+        "kn_bigram_lm": q_kn_bigram_lm,
+        "cross_ppl": q_cross_ppl,
+        "min_k_prob": q_min_k_prob,
+        "good_turing": q_good_turing,
+        "heaps_fit": q_heaps_fit,
+        "term_dispersion": q_term_dispersion,
+        "stylometry": q_stylometry,
+        "texttiling": q_texttiling,
+        "textrank": q_textrank,
+        "table_extract": q_table_extract,
+        "html_markdown": q_html_markdown,
+        "k_anonymity": q_k_anonymity,
+        "hll_count": q_hll_count,
+        # --- never driver-certified remainder (next rotation)
+        "search_keys": q_search_keys,
+        "chunk_text": q_chunk_text,
+        "chunk_tokens": q_chunk_tokens,
+        "sections": q_sections,
+        "collocations": q_collocations,
+        "bpe_pairs": q_bpe_pairs,
+        "bigram_lm": q_bigram_lm,
+        "readability": q_readability,
+        "unicode_clean": q_unicode_clean,
+        "corpus_stats": q_corpus_stats,
+        "crawl_delta": q_crawl_delta,
+        "index_delta": q_index_delta,
+        "capture_history": q_capture_history,
+        "search_results": q_search_results,
+        "doc_attributes": q_doc_attributes,
+        "sentences": q_sentences,
+        "domain_quality": q_domain_quality,
+        "wat_export": q_wat_export,
+        "sitemap": q_sitemap,
+        "feed": q_feed,
+        "incremental_extract": q_incremental_extract,
+        "canonical_collapse": q_canonical_collapse,
+        "weighted_sample": q_weighted_sample,
+        "epoch_shuffle": q_epoch_shuffle,
+        "epoch_mix": q_epoch_mix,
+        "dsir_select": q_dsir_select,
+        "data_split": q_data_split,
+        "length_buckets": q_length_buckets,
+        "skipgram_pairs": q_skipgram_pairs,
+        "shard_plan": q_shard_plan,
+        "shard_manifest": q_shard_manifest,
+        "url_normalize": q_url_normalize,
+        "domain_topk": q_domain_topk,
+        "url_blocklist": q_url_blocklist,
+        "url_templates": q_url_templates,
+        "crawl_schedule": q_crawl_schedule,
+        "crawl_delay": q_crawl_delay,
+        "robots_filter": q_robots_filter,
+        "zorder_layout": q_zorder_layout,
+        "k_suppress": q_k_suppress,
+        "redirect_resolve": q_redirect_resolve,
+        "microdata": q_microdata,
+        "rel_links": q_rel_links,
+        "hreflang_clusters": q_hreflang_clusters,
+        "publish_date": q_publish_date,
+        "social_cards": q_social_cards,
+        "amp_collapse": q_amp_collapse,
+        "rake_keyphrases": q_rake_keyphrases,
+        "cocitation": q_cocitation,
+        "meta_robots": q_meta_robots,
+        "link_depth": q_link_depth,
+        "scholarly_ids": q_scholarly_ids,
+        "id_linkage": q_id_linkage,
+        "measurements": q_measurements,
+        "triplets": q_triplets,
+        "cloze_qa": q_cloze_qa,
+        "entity_contexts": q_entity_contexts,
+        "code_switch": q_code_switch,
+        "license": q_license,
+        "table_records": q_table_records,
+        "section_qa": q_section_qa,
+        "anchor_classify": q_anchor_classify,
+        "compressibility": q_compressibility,
+        "article_stitch": q_article_stitch,
+        "redirect_graph": q_redirect_graph,
+        "lang_mismatch": q_lang_mismatch,
+        "pdf_text_fix": q_pdf_text_fix,
+        "host_lang_entropy": q_host_lang_entropy,
+        "format_signals": q_format_signals,
+        "jl_project": q_jl_project,
+        "reciprocal_links": q_reciprocal_links,
+        "graph_components": q_graph_components,
+        "graph_prior": q_graph_prior,
+        "exif": q_exif,
+        "png_decode": q_png_decode,
+        "image_ahash": q_image_ahash,
+        "ahash_near_dup": q_ahash_near_dup,
+        "image_dhash": q_image_dhash,
+        "png_palette": q_png_palette,
+        "gif_structure": q_gif_structure,
+        "content_type": q_content_type,
+        "fim_transform": q_fim_transform,
+        "span_corrupt": q_span_corrupt,
+        "label_centroids": q_label_centroids,
+        "feature_hash": q_feature_hash,
+        "hash_retrieval": q_hash_retrieval,
+        "centroid_outliers": q_centroid_outliers,
+        "quality_calibration": q_quality_calibration,
+        "code_corpus": q_code_corpus,
+        "srt_cues": q_srt_cues,
+        "markdown_strip": q_markdown_strip,
+        "dist_drift": q_dist_drift,
+        "ks_drift": q_ks_drift,
+        "audio_decode": q_audio_decode,
+        "trailing_window": q_trailing_window,
+        "daily_events": q_daily_events,
+        "length_outliers": q_length_outliers,
+        "soft404": q_soft404,
+        "entropy": q_entropy,
+        "http_dates": q_http_dates,
+        "interval_union": q_interval_union,
+        "funnel": q_funnel,
+        "retention": q_retention,
+        "percentiles": q_percentiles,
+        "rollup_metrics": q_rollup_metrics,
+        "pivot_tokens": q_pivot_tokens,
+        "melt_tokens": q_melt_tokens,
+        "word_blocklist": q_word_blocklist,
+        "template_strip": q_template_strip,
+        "para_dedup": q_para_dedup,
+        "cms_topk": q_cms_topk,
+        "charset_detect": q_charset_detect,
+        "domain_split": q_domain_split,
+        "revisit_policy": q_revisit_policy,
+        "model_score": q_model_score,
+        "zipf_fit": q_zipf_fit,
+        "oov_rate": q_oov_rate,
+        "http_headers": q_http_headers,
+        "robots_sitemaps": q_robots_sitemaps,
+        "orders_above_avg": q_orders_above_avg,
+        # --- driver-certified in rounds 1-4
         "pdf_layout": q_pdf_layout,
         "html_meta": q_html_meta,
         "jsonld": q_jsonld,
@@ -6200,152 +6389,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id_cjk": q_lang_id_cjk,
         "fingerprint": q_fingerprint,
         "winnowing": q_winnowing,
-        "winnow_pairs": q_winnow_pairs,
-        "search_keys": q_search_keys,
         "token_count": q_token_count,
-        "chunk_text": q_chunk_text,
-        "chunk_tokens": q_chunk_tokens,
-        "sections": q_sections,
-        "collocations": q_collocations,
-        "bpe_pairs": q_bpe_pairs,
-        "table_extract": q_table_extract,
-        "html_markdown": q_html_markdown,
-        "wet_export": q_wet_export,
-        "bigram_lm": q_bigram_lm,
-        "kn_bigram_lm": q_kn_bigram_lm,
-        "cross_ppl": q_cross_ppl,
-        "min_k_prob": q_min_k_prob,
-        "good_turing": q_good_turing,
-        "heaps_fit": q_heaps_fit,
-        "term_dispersion": q_term_dispersion,
-        "readability": q_readability,
-        "unicode_clean": q_unicode_clean,
-        "postings": q_postings,
-        "posting_deltas": q_posting_deltas,
-        "snippets": q_snippets,
-        "corpus_stats": q_corpus_stats,
-        "crawl_delta": q_crawl_delta,
-        "index_delta": q_index_delta,
-        "capture_history": q_capture_history,
-        "asof_join": q_asof_join,
-        "range_join": q_range_join,
-        "bm25": q_bm25,
-        "search_results": q_search_results,
-        "doc_attributes": q_doc_attributes,
-        "sentences": q_sentences,
-        "domain_quality": q_domain_quality,
-        "wat_export": q_wat_export,
-        "sitemap": q_sitemap,
-        "feed": q_feed,
-        "incremental_extract": q_incremental_extract,
-        "canonical_collapse": q_canonical_collapse,
         "stratified_sample": q_stratified_sample,
-        "weighted_sample": q_weighted_sample,
-        "epoch_shuffle": q_epoch_shuffle,
-        "epoch_mix": q_epoch_mix,
-        "dsir_select": q_dsir_select,
-        "data_split": q_data_split,
-        "bloom_dedup": q_bloom_dedup,
-        "length_buckets": q_length_buckets,
         "token_budget_mix": q_token_budget_mix,
-        "skipgram_pairs": q_skipgram_pairs,
         "pack_sequences": q_pack_sequences,
-        "packed_batches": q_packed_batches,
-        "shard_plan": q_shard_plan,
-        "shard_manifest": q_shard_manifest,
         "decontaminate": q_decontaminate,
-        "curate_corpus": q_curate_corpus,
-        "warc_extract": q_warc_extract,
-        "url_normalize": q_url_normalize,
-        "domain_topk": q_domain_topk,
-        "url_blocklist": q_url_blocklist,
-        "url_templates": q_url_templates,
-        "crawl_schedule": q_crawl_schedule,
-        "crawl_delay": q_crawl_delay,
-        "robots_filter": q_robots_filter,
-        "outlinks": q_outlinks,
-        "anchor_agg": q_anchor_agg,
-        "cdx_index": q_cdx_index,
-        "pagerank": q_pagerank,
-        "trust_rank": q_trust_rank,
-        "triangle_count": q_triangle_count,
-        "zorder_layout": q_zorder_layout,
-        "k_anonymity": q_k_anonymity,
-        "k_suppress": q_k_suppress,
-        "bitext_mine": q_bitext_mine,
-        "redirect_resolve": q_redirect_resolve,
-        "microdata": q_microdata,
-        "rel_links": q_rel_links,
-        "hreflang_clusters": q_hreflang_clusters,
-        "publish_date": q_publish_date,
-        "social_cards": q_social_cards,
-        "amp_collapse": q_amp_collapse,
-        "rake_keyphrases": q_rake_keyphrases,
-        "texttiling": q_texttiling,
-        "cocitation": q_cocitation,
-        "meta_robots": q_meta_robots,
-        "link_depth": q_link_depth,
-        "scholarly_ids": q_scholarly_ids,
-        "id_linkage": q_id_linkage,
-        "measurements": q_measurements,
-        "triplets": q_triplets,
-        "cloze_qa": q_cloze_qa,
-        "hybrid_rerank": q_hybrid_rerank,
-        "gazetteer": q_gazetteer,
-        "entity_contexts": q_entity_contexts,
-        "entity_graph": q_entity_graph,
-        "record_linkage": q_record_linkage,
-        "code_switch": q_code_switch,
-        "subword_vocab": q_subword_vocab,
-        "subword_segment": q_subword_segment,
-        "license": q_license,
-        "kcore": q_kcore,
-        "table_records": q_table_records,
-        "section_qa": q_section_qa,
-        "anchor_classify": q_anchor_classify,
-        "compressibility": q_compressibility,
-        "jsonl_ingest": q_jsonl_ingest,
-        "article_stitch": q_article_stitch,
-        "bpe_encode": q_bpe_encode,
-        "redirect_graph": q_redirect_graph,
-        "lang_mismatch": q_lang_mismatch,
-        "pdf_text_fix": q_pdf_text_fix,
-        "host_lang_entropy": q_host_lang_entropy,
-        "format_signals": q_format_signals,
-        "jl_project": q_jl_project,
-        "reciprocal_links": q_reciprocal_links,
-        "hits": q_hits,
-        "graph_components": q_graph_components,
-        "graph_prior": q_graph_prior,
         "media_decode": q_media_decode,
-        "exif": q_exif,
-        "png_decode": q_png_decode,
-        "image_ahash": q_image_ahash,
-        "ahash_near_dup": q_ahash_near_dup,
-        "image_dhash": q_image_dhash,
-        "png_palette": q_png_palette,
-        "gif_structure": q_gif_structure,
-        "content_type": q_content_type,
-        "fim_transform": q_fim_transform,
-        "span_corrupt": q_span_corrupt,
-        "label_centroids": q_label_centroids,
-        "feature_hash": q_feature_hash,
-        "hash_retrieval": q_hash_retrieval,
-        "rrf_fusion": q_rrf_fusion,
-        "retrieval_eval": q_retrieval_eval,
-        "caption_align": q_caption_align,
-        "centroid_outliers": q_centroid_outliers,
-        "quality_calibration": q_quality_calibration,
-        "code_corpus": q_code_corpus,
-        "srt_cues": q_srt_cues,
-        "markdown_strip": q_markdown_strip,
-        "dist_drift": q_dist_drift,
-        "ks_drift": q_ks_drift,
-        "textrank": q_textrank,
-        "label_propagation": q_label_propagation,
-        "image_dedup": q_image_dedup,
-        "audio_segments": q_audio_segments,
-        "audio_decode": q_audio_decode,
         "frame_sample": q_frame_sample,
         "pricing_summary": q_pricing_summary,
         "top_customers": q_top_customers,
@@ -6354,35 +6403,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "setop_except": q_setop_except,
         "json_extract": q_json_extract,
         "running_window": q_events_sessionless_window,
-        "trailing_window": q_trailing_window,
-        "daily_events": q_daily_events,
-        "length_outliers": q_length_outliers,
-        "soft404": q_soft404,
-        "entropy": q_entropy,
-        "http_dates": q_http_dates,
-        "interval_union": q_interval_union,
-        "funnel": q_funnel,
-        "retention": q_retention,
         "sessionize": q_sessionize,
-        "hll_count": q_hll_count,
-        "percentiles": q_percentiles,
-        "rollup_metrics": q_rollup_metrics,
-        "pivot_tokens": q_pivot_tokens,
-        "melt_tokens": q_melt_tokens,
-        "word_blocklist": q_word_blocklist,
-        "template_strip": q_template_strip,
-        "para_dedup": q_para_dedup,
-        "cms_topk": q_cms_topk,
-        "charset_detect": q_charset_detect,
-        "domain_split": q_domain_split,
-        "revisit_policy": q_revisit_policy,
-        "model_score": q_model_score,
-        "stylometry": q_stylometry,
-        "zipf_fit": q_zipf_fit,
-        "oov_rate": q_oov_rate,
-        "http_headers": q_http_headers,
-        "robots_sitemaps": q_robots_sitemaps,
-        "orders_above_avg": q_orders_above_avg,
     }
 
 
