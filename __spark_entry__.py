@@ -2913,12 +2913,32 @@ def q_trust_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_bitext_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Margin-based bitext mining (operators/similarity.py:bitext_mine;
     Artetxe & Schwenk ACL'19) between the even- and odd-id halves of
-    the embeddings table standing in for two languages: mutual-best
-    pairs whose cosine clears 1.10x the mean of both sides' top-4
-    neighborhoods.  Cosines on the round-6 grid, margin at round-5;
-    the oracle re-derives both directions from the same cross
-    cosines.  ~60 certified pairs at the gate scale (the round-3
-    oracle-power lesson applied from day one)."""
+    the embeddings table standing in for two languages — run through
+    the HARVEST-SCALE kernel: kernel='lsh' (6 literal hyperplanes,
+    multi_probe=1), so both top-k directions are sign-pattern bucket
+    equi-joins + per-bucket GEMM with NO broadcast side — the shape
+    CCMatrix needs when neither language's side fits an executor.
+    Mutual-best pairs whose cosine clears 1.10x the mean of both
+    sides' found top-4 neighborhoods; cosines on the round-6 grid,
+    margin at round-5.  The oracle re-derives the same rational
+    hyperplanes, probe sets, and margins in SQL.  The exact-kernel
+    certification baseline is retained as `bitext_mine_exact`."""
+    from ocr_spark.operators.similarity import bitext_mine
+
+    emb = _t(spark, sf_dir, "embeddings")
+    src = emb.filter(F.col("vec_id") % 2 == 0)
+    tgt = emb.filter(F.col("vec_id") % 2 == 1)
+    return (bitext_mine(src, tgt, k=4, threshold=1.10, kernel="lsh",
+                        dim=64, n_planes=6, multi_probe=1)
+            .orderBy("src_id"))
+
+
+def q_bitext_mine_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-kernel arm of bitext mining: same margin/mutual algebra
+    as q_bitext_mine but through cosine_topk (broadcast-query
+    contract).  Kept as the certification baseline the ANN kernels'
+    recall is judged against — and as the right kernel when one side
+    genuinely IS small (mining a new crawl against a reference set)."""
     from ocr_spark.operators.similarity import bitext_mine
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -6182,6 +6202,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_segments": q_audio_segments,
         "winnow_pairs": q_winnow_pairs,
         "bitext_mine": q_bitext_mine,
+        "bitext_mine_exact": q_bitext_mine_exact,
         "bloom_dedup": q_bloom_dedup,
         "range_join": q_range_join,
         "warc_extract": q_warc_extract,
@@ -6741,6 +6762,64 @@ def _ann_topk_sql() -> str:
                  ORDER BY round(cos_sim, 6) DESC, neighbor_id ASC) AS rank
         FROM scored)
       SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 5
+    """
+
+
+def _bitext_lsh_sql(n_planes: int = 6, k: int = 4,
+                    threshold: float = 1.10) -> str:
+    """DuckDB twin of q_bitext_mine at kernel='lsh', multi_probe=1:
+    both directions' candidate sets are re-derived from the same
+    rational hyperplane literals (exact bucket + smallest-|margin|
+    1-bit flip on the query side; corpus side exact bucket only, so
+    no duplicate pairs), ranked on round-6 cosines with the engine's
+    (cos desc, id asc) tie-break, cut at k, then the identical
+    neighborhood-mean / mutual-best / round-5 margin algebra as the
+    exact-kernel oracle."""
+    bucket = _lsh_bucket_sql(n_planes=n_planes)
+    flip = (f"list_sort(list_transform(range(0, {n_planes}), "
+            f"i -> {{'a': round(abs(({_lsh_margins_sql(n_planes)})[i+1]), 6),"
+            f" 'i': i}}))[1].i")
+    cos = ("list_dot_product(q.emb, c.emb) / "
+           "(sqrt(list_dot_product(q.emb, q.emb)) * "
+           "sqrt(list_dot_product(c.emb, c.emb)))")
+    return f"""
+      WITH b AS (
+        SELECT vec_id, embedding::DOUBLE[] AS emb, {bucket} AS bucket
+        FROM embeddings),
+      s AS (SELECT * FROM b WHERE vec_id % 2 = 0),
+      t AS (SELECT * FROM b WHERE vec_id % 2 = 1),
+      sp AS (
+        SELECT vec_id, emb,
+               unnest([bucket, xor(bucket, 1 << flip)]) AS bucket
+        FROM (SELECT vec_id, emb, bucket, {flip} AS flip FROM s)),
+      tp AS (
+        SELECT vec_id, emb,
+               unnest([bucket, xor(bucket, 1 << flip)]) AS bucket
+        FROM (SELECT vec_id, emb, bucket, {flip} AS flip FROM t)),
+      fr AS (
+        SELECT x, y, cos, row_number() OVER (
+                 PARTITION BY x ORDER BY cos DESC, y ASC) AS r
+        FROM (SELECT q.vec_id AS x, c.vec_id AS y, round({cos}, 6) AS cos
+              FROM sp q JOIN t c ON q.bucket = c.bucket)),
+      br AS (
+        SELECT x, y, cos, row_number() OVER (
+                 PARTITION BY y ORDER BY cos DESC, x ASC) AS r
+        FROM (SELECT q.vec_id AS y, c.vec_id AS x, round({cos}, 6) AS cos
+              FROM tp q JOIN s c ON q.bucket = c.bucket)),
+      fk AS (SELECT * FROM fr WHERE r <= {k}),
+      bk AS (SELECT * FROM br WHERE r <= {k}),
+      fm AS (SELECT x, avg(cos) AS m FROM fk GROUP BY x),
+      bm AS (SELECT y, avg(cos) AS m FROM bk GROUP BY y),
+      mutual AS (
+        SELECT f.x, f.y, f.cos FROM fk f
+        JOIN bk b2 ON f.x = b2.x AND f.y = b2.y
+        WHERE f.r = 1 AND b2.r = 1),
+      mg AS (
+        SELECT m.x AS src_id, m.y AS tgt_id, m.cos AS cos_sim,
+               round(m.cos / ((fm.m + bm.m) / 2), 5) AS margin
+        FROM mutual m JOIN fm ON fm.x = m.x JOIN bm ON bm.y = m.y)
+      SELECT src_id, tgt_id, cos_sim, margin FROM mg
+      WHERE margin >= {threshold} ORDER BY src_id
     """
 
 
@@ -11447,9 +11526,13 @@ def oracle_sql() -> dict[str, str]:
           FROM assign a JOIN sz USING (cluster_id)
           ORDER BY a.doc_id
         """,
-        # bitext mining: both top-k directions from one cross-cosine
+        # bitext mining (LSH kernel): both directions re-derived from
+        # the literal hyperplanes; probe sets, round-6 cosines, top-k,
+        # mutual best + round-5 margin — the full harvest-shape twin
+        "bitext_mine": _bitext_lsh_sql(),
+        # exact-kernel arm: both top-k directions from one cross-cosine
         # CTE; mutual best + round-5 margin over round-6 cosines
-        "bitext_mine": """
+        "bitext_mine_exact": """
           WITH src AS (SELECT * FROM embeddings WHERE vec_id % 2 = 0),
           tgt AS (SELECT * FROM embeddings WHERE vec_id % 2 = 1),
           fwd AS (

@@ -967,7 +967,11 @@ def jl_project(df: DataFrame, dim: int, out_dim: int = 8, seed: int = 7,
 
 def bitext_mine(src: DataFrame, tgt: DataFrame, k: int = 4,
                 threshold: float = 1.10, id_col: str = "vec_id",
-                vec_col: str = "embedding") -> DataFrame:
+                vec_col: str = "embedding", kernel: str = "exact",
+                dim: int = 64, n_planes: int = 6, seed: int = 42,
+                multi_probe: int = 0,
+                centroids: list[list[float]] | None = None,
+                nprobe: int = 2) -> DataFrame:
     """Margin-based parallel-text mining between two embedding sets ->
     ``(src_id, tgt_id, cos_sim, margin)`` — the CCMatrix/LASER
     recipe (Artetxe & Schwenk ACL'19): a cross-lingual pair is kept
@@ -978,21 +982,55 @@ def bitext_mine(src: DataFrame, tgt: DataFrame, k: int = 4,
     varies by language; the margin normalizes by the local
     neighborhood, which is why every large bitext harvest uses it.
 
-    Shape: two :func:`cosine_topk` passes (src->tgt and tgt->src) —
-    the exact kernels here, with the broadcast-query contract; at
-    harvest scale swap in :func:`ann_topk_lsh` / :func:`ann_topk_ivf`
-    for both directions, the margin/mutual algebra downstream is
-    identical (it only consumes (query, neighbor, cos, rank) rows).
-    Neighborhood means, the mutual-best join, and the margin are all
-    skinny id-keyed equi-joins/aggregates; the wide vectors never
-    cross an exchange after the top-k passes.  Cosines ride the
-    round-6 grid of cosine_topk; the margin is published at round-5.
-    ``src`` and ``tgt`` must use disjoint id spaces (bitext sides are
-    different documents by construction)."""
-    fwd = cosine_topk(src, tgt, k=k, id_col=id_col, vec_col=vec_col) \
+    Shape: two top-k passes (src->tgt and tgt->src) through the
+    ``kernel`` of choice — all three share the (query_id, neighbor_id,
+    cos_sim, rank) contract, so the margin/mutual algebra downstream
+    is byte-identical across kernels:
+
+    - ``'exact'``: :func:`cosine_topk` — broadcast-query contract,
+      correct only while ONE side is broadcastable; the certification
+      baseline.
+    - ``'lsh'``: :func:`ann_topk_lsh` (``dim``/``n_planes``/``seed``/
+      ``multi_probe``) — both sides arbitrarily large; candidates are
+      an equi-join on the sign-pattern bucket, scored by per-bucket
+      numpy GEMM.  The harvest-scale default: CCMatrix mines 1e9 x 1e9
+      sentence spaces and no side is small.
+    - ``'ivf'``: :func:`ann_topk_ivf` (``centroids``/``nprobe``) —
+      both sides large, candidates co-located on the inverted list id.
+
+    An ANN kernel may return < k (or zero) neighbors for a query whose
+    probe buckets are sparse; the neighborhood mean then averages what
+    was found, and a query with no neighbors simply cannot be a mutual
+    best — margins degrade gracefully toward the exact kernel's as
+    probes widen (that recall is measured by ``ann_recall`` /
+    ``ivf_recall``).  Neighborhood means, the mutual-best join, and
+    the margin are all skinny id-keyed equi-joins/aggregates; the wide
+    vectors never cross an exchange after the top-k passes.  Cosines
+    ride the round-6 grid shared by all three kernels; the margin is
+    published at round-5.  ``src`` and ``tgt`` must use disjoint id
+    spaces (bitext sides are different documents by construction)."""
+    if kernel == "exact":
+        def _topk(q: DataFrame, c: DataFrame) -> DataFrame:
+            return cosine_topk(q, c, k=k, id_col=id_col, vec_col=vec_col)
+    elif kernel == "lsh":
+        def _topk(q: DataFrame, c: DataFrame) -> DataFrame:
+            return ann_topk_lsh(q, c, dim=dim, k=k, n_planes=n_planes,
+                                seed=seed, id_col=id_col, vec_col=vec_col,
+                                multi_probe=multi_probe)
+    elif kernel == "ivf":
+        if centroids is None:
+            raise ValueError("kernel='ivf' requires centroids")
+
+        def _topk(q: DataFrame, c: DataFrame) -> DataFrame:
+            return ann_topk_ivf(q, c, centroids=centroids, k=k,
+                                nprobe=nprobe, id_col=id_col,
+                                vec_col=vec_col)
+    else:
+        raise ValueError(f"unknown bitext kernel {kernel!r}")
+    fwd = _topk(src, tgt) \
         .select(F.col("query_id").alias("x"),
                 F.col("neighbor_id").alias("y"), "cos_sim", "rank")
-    bwd = cosine_topk(tgt, src, k=k, id_col=id_col, vec_col=vec_col) \
+    bwd = _topk(tgt, src) \
         .select(F.col("query_id").alias("y"),
                 F.col("neighbor_id").alias("x"), "cos_sim", "rank")
     fwd = fwd.localCheckpoint()  # reused: best-of + neighborhood mean

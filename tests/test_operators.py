@@ -1245,6 +1245,55 @@ def test_bitext_mine_finds_planted_pairs(spark):
     assert min(planted) > max(accidental, default=0.0)
 
 
+def test_bitext_mine_lsh_kernel_finds_planted_pairs(spark):
+    """kernel='lsh' (the no-broadcast harvest shape) must still surface
+    the planted near-identical pairs: a vector and its tiny-noise copy
+    share the sign pattern on every hyperplane they don't straddle, so
+    the planted translations land in the same probe bucket and win the
+    same mutual-best contest as the exact kernel."""
+    import numpy as np
+
+    from ocr_spark.operators.similarity import bitext_mine
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(6, 16).astype("float64")
+    rows = []
+    for i in range(6):
+        rows.append((i, [float(v) for v in base[i]]))
+    for i in range(3):
+        rows.append((100 + i,
+                     [float(v) for v in base[i] + 0.01 * rng.randn(16)]))
+    for i in range(3, 6):
+        rows.append((100 + i, [float(v) for v in rng.randn(16)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    src = df.filter(df.vec_id < 100)
+    tgt = df.filter(df.vec_id >= 100)
+    got = {(r["src_id"], r["tgt_id"]): r["margin"]
+           for r in bitext_mine(src, tgt, k=3, threshold=1.05,
+                                kernel="lsh", dim=16, n_planes=4,
+                                multi_probe=1).collect()}
+    found = sum((i, 100 + i) in got for i in range(3))
+    assert found >= 2, got  # ANN recall: most planted pairs survive
+    for (s, t), m in got.items():
+        if t - 100 == s:
+            assert m > 1.05
+
+
+def test_bitext_mine_kernel_validation(spark):
+    """Unknown kernel and ivf-without-centroids fail loudly at plan
+    time, not silently mid-job."""
+    import pytest as _pytest
+
+    from ocr_spark.operators.similarity import bitext_mine
+
+    df = spark.createDataFrame([(0, [1.0, 0.0]), (1, [0.0, 1.0])],
+                               "vec_id long, embedding array<double>")
+    with _pytest.raises(ValueError, match="unknown bitext kernel"):
+        bitext_mine(df, df, kernel="hnsw")
+    with _pytest.raises(ValueError, match="requires centroids"):
+        bitext_mine(df, df, kernel="ivf")
+
+
 def test_bitext_mine_mutual_best_is_required(spark):
     """A one-directional best (x's best is y, but y's best is x') must
     not be emitted."""
