@@ -9575,10 +9575,16 @@ def oracle_sql() -> dict[str, str]:
                  ELSE NULL END AS error_msg
           FROM d
         """,
-        # image_dedup: brute-force Hamming pairs over the re-derived
-        # bit tables, then a recursive-CTE transitive closure (min
-        # reachable VARCHAR id == the star-algorithm label), sizes by
-        # plain group-count
+        # image_dedup: candidates from the SAME 4x16-bit pigeonhole
+        # the engine uses (any pair within Hamming 3 agrees exactly on
+        # >= 1 chunk — the partition needn't match the engine's bit
+        # order, only be a partition), exact-Hamming verify restricted
+        # to those candidates, then a recursive-CTE transitive closure
+        # (min reachable VARCHAR id == the star-algorithm label),
+        # sizes by plain group-count.  The former brute-force all-pairs
+        # bit join was O(n^2 * 64) and exhausted sandbox disk at the
+        # sf0.1 sweep's 5,000 images; banding makes the oracle share
+        # the engine's candidate complexity.
         "image_dedup": """
           WITH RECURSIVE dd AS (
             SELECT doc_id, doc_id - doc_id % 2 AS d0 FROM documents),
@@ -9598,12 +9604,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT blk.doc_id, blk.b,
                    CASE WHEN 64 * blk.v > t.s THEN 1 ELSE 0 END AS bit
             FROM blk JOIN tot t ON blk.doc_id = t.doc_id),
+          chunks AS (
+            SELECT doc_id, b // 16 AS band,
+                   sum(bit * (1 << (b % 16))) AS val
+            FROM bits GROUP BY doc_id, b // 16),
+          cand0 AS (
+            SELECT DISTINCT a.doc_id AS da, c.doc_id AS db
+            FROM chunks a JOIN chunks c
+              ON a.band = c.band AND a.val = c.val
+             AND a.doc_id < c.doc_id),
           cand AS (
-            SELECT CAST(a.doc_id AS VARCHAR) AS ida,
-                   CAST(c.doc_id AS VARCHAR) AS idb
-            FROM bits a JOIN bits c
-              ON a.b = c.b
-             AND CAST(a.doc_id AS VARCHAR) < CAST(c.doc_id AS VARCHAR)
+            SELECT CAST(p.da AS VARCHAR) AS ida,
+                   CAST(p.db AS VARCHAR) AS idb
+            FROM cand0 p
+            JOIN bits a ON a.doc_id = p.da
+            JOIN bits c ON c.doc_id = p.db AND c.b = a.b
             GROUP BY 1, 2
             HAVING sum(CASE WHEN a.bit <> c.bit THEN 1 ELSE 0 END) <= 3),
           edges AS (
