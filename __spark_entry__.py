@@ -1259,6 +1259,23 @@ CJK_SENTS = {
     "ur": "یہ اردو متن نکالنے کے لیے ایک آزمائشی جملہ ہے",
 }
 
+# Same-script discrimination sentences (lang_id_cyrillic): each is
+# constructed to exercise ONE decision path of the sub-script
+# classifier — ru_ortho carries ы/э (decisive letters), ru_marker
+# deliberately avoids ы/э/ё so only the disjoint marker sets decide,
+# bg carries bg function words and none of the ru markers, mr/hi
+# differ only in marker words (the script is shared).
+SUBSCRIPT_SENTS = {
+    # "это"/"языка" carry э and ы — the orthographic fast path
+    "ru_ortho": "это тестовое предложение для проверки русского языка",
+    # что/как/его/только/уже are markers; no ы/э/ё anywhere
+    "ru_marker": "не знаю что сказать как его зовут но только сегодня уже",
+    # това/със/към are bg markers; no ru markers, no ы/э/ё, no і/ї/є/ґ
+    "bg": "това е тестово изречение със думи към проверката на български",
+    # आहे/आणि/मध्ये/होते are mr markers; none of the hi set appears
+    "mr": "हे एक चाचणी वाक्य आहे आणि ते मराठी मजकूर मध्ये होते",
+}
+
 
 def q_lang_id_cjk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Script-based language-ID + script-aware token counting:
@@ -1288,6 +1305,66 @@ def q_lang_id_cjk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_lang_id(aug).select(
         "doc_id", "lang_pred", token_count_cjk("text").alias("n_tokens")
     )
+
+
+def q_lang_id_cyrillic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-script language discrimination (functions/text.py:
+    with_lang_id): locales SHARING a script — ru/uk/bg inside
+    Cyrillic, hi/mr inside Devanagari — separated by orthography
+    letters where the alphabets differ (uk і/ї/є/ґ; ru ы/э/ё, which
+    Bulgarian lacks) and by DISJOINT marker-word sets where they
+    don't (bg това/със/към vs ru что/как/его; mr आहे/आणि vs hi
+    है/और/में).  Planted sentences exercise each decision path,
+    including a Russian sentence with no ы/э/ё at all so the marker
+    vote (not the letter test) must carry it.  This mirrors the
+    reference's same-script country discrimination
+    (services/business_license_processor.py:56-116), where 'which
+    Korean-script locale' is exactly the question."""
+    from ocr_spark.functions.text import with_lang_id
+
+    docs = _t(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 7
+    text = (
+        F.when(m == 0, F.lit(SUBSCRIPT_SENTS["ru_ortho"]))
+        .when(m == 1, F.lit(SUBSCRIPT_SENTS["ru_marker"]))
+        .when(m == 2, F.lit(SUBSCRIPT_SENTS["bg"]))
+        .when(m == 3, F.lit(CJK_SENTS["uk"]))
+        .when(m == 4, F.lit(CJK_SENTS["hi"]))
+        .when(m == 5, F.lit(SUBSCRIPT_SENTS["mr"]))
+        .otherwise(F.col("text"))
+    )
+    true_lang = (
+        F.when(m == 0, F.lit("ru")).when(m == 1, F.lit("ru"))
+        .when(m == 2, F.lit("bg")).when(m == 3, F.lit("uk"))
+        .when(m == 4, F.lit("hi")).when(m == 5, F.lit("mr"))
+        .otherwise(F.col("lang"))
+    )
+    aug = docs.select("doc_id", text.alias("text"),
+                      true_lang.alias("true_lang"))
+    return (with_lang_id(aug)
+            .select("doc_id", "true_lang", "lang_pred",
+                    (F.col("true_lang") == F.col("lang_pred"))
+                    .alias("correct"))
+            .orderBy("doc_id"))
+
+
+def q_lang_confusion_script(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix over the SAME-SCRIPT label space (ru/uk/bg,
+    hi/mr + the latin corpus rows): aggregates q_lang_id_cyrillic's
+    per-doc (true, predicted) rows into per-pair counts and
+    per-true-lang hit rates — extending the latin-only lang_confusion
+    to the sub-script discrimination the round added.  A wrong marker
+    set shows up here as mass off the diagonal, not as a silent
+    flip."""
+    from pyspark.sql import Window
+
+    pred = q_lang_id_cyrillic(spark, sf_dir)
+    w = Window.partitionBy("true_lang")
+    return (pred.groupBy("true_lang", "lang_pred")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .withColumn("hit_rate",
+                        F.round(F.col("n") / F.sum("n").over(w), 6))
+            .orderBy("true_lang", "lang_pred"))
 
 
 def q_search_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6191,6 +6268,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flagship_extract": q_flagship_extract,
         "pdf_extract": q_pdf_extract,
         # --- round-5 certification front: never driver-certified
+        "lang_id_cyrillic": q_lang_id_cyrillic,
+        "lang_confusion_script": q_lang_confusion_script,
         "curate_corpus": q_curate_corpus,
         "packed_batches": q_packed_batches,
         "image_dedup": q_image_dedup,
@@ -7057,15 +7136,25 @@ def _pq_error_sql() -> str:
     """
 
 
-def _lang_id_cjk_sql() -> str:
-    """DuckDB twin of q_lang_id_cjk; script ranges imported from the
-    engine so both sides share one closed range table."""
+def _script_lang_parts() -> tuple[str, str]:
+    """Shared DuckDB fragments for the full with_lang_id classifier:
+    (sc_cols, case_expr) where sc_cols computes every script/marker
+    count over a ``text`` column and case_expr is the complete
+    decision CASE (CJK scripts -> Arabic/Cyrillic/Devanagari with
+    sub-script orthography + disjoint-marker discrimination -> latin
+    marker argmax -> und).  Script ranges, decisive letter sets, and
+    marker lists are imported from the engine so both sides share one
+    closed table.  Used by the lang_id_cjk AND lang_id_cyrillic
+    oracles — the classifier SQL exists once."""
     from ocr_spark.functions.text import (ARABIC_RANGES, CJK_ALL_RANGES,
-                                          CJK_MIN_CHARS, CYRILLIC_RANGES,
+                                          CJK_MIN_CHARS, CYRILLIC_MARKERS,
+                                          CYRILLIC_RANGES,
+                                          DEVANAGARI_MARKERS,
                                           DEVANAGARI_RANGES, FA_ONLY_CHARS,
                                           HAN_RANGES, HANGUL_RANGES,
                                           KANA_RANGES, LANG_MARKERS,
-                                          UK_ONLY_CHARS, UR_ONLY_CHARS)
+                                          RU_ONLY_CHARS, UK_ONLY_CHARS,
+                                          UR_ONLY_CHARS)
 
     def cnt(ranges: str) -> str:
         return (f"length(text) - length(regexp_replace(text, "
@@ -7077,6 +7166,55 @@ def _lang_id_cjk_sql() -> str:
         f"{[m for m in LANG_MARKERS[lang]]}, t))) AS c_{lang}"
         for lang in LANG_MARKERS
     )
+    subscript_counts = ", ".join(
+        f"len(list_filter({toks}, t -> list_contains("
+        f"{[m for m in ms]}, t))) AS m_{tag}"
+        for tag, ms in [("bg", CYRILLIC_MARKERS["bg"]),
+                        ("rum", CYRILLIC_MARKERS["ru"]),
+                        ("mr", DEVANAGARI_MARKERS["mr"]),
+                        ("him", DEVANAGARI_MARKERS["hi"])]
+    )
+    sc_cols = f"""
+          {cnt(KANA_RANGES)} AS n_kana,
+          {cnt(HANGUL_RANGES)} AS n_hangul,
+          {cnt(HAN_RANGES)} AS n_han,
+          {cnt(ARABIC_RANGES)} AS n_arab,
+          {cnt(CYRILLIC_RANGES)} AS n_cyr,
+          {cnt(DEVANAGARI_RANGES)} AS n_deva,
+          {cnt(CJK_ALL_RANGES)} AS n_cjk,
+          {cnt(UK_ONLY_CHARS)} AS n_uk,
+          {cnt(UR_ONLY_CHARS)} AS n_ur,
+          {cnt(FA_ONLY_CHARS)} AS n_fa,
+          {cnt(RU_ONLY_CHARS)} AS n_ruo,
+          {marker_counts},
+          {subscript_counts}"""
+    case_expr = f"""
+        CASE WHEN n_kana >= {CJK_MIN_CHARS} THEN 'ja'
+             WHEN n_hangul >= {CJK_MIN_CHARS} THEN 'ko'
+             WHEN n_han >= {CJK_MIN_CHARS} THEN 'zh'
+             WHEN n_arab >= {CJK_MIN_CHARS} THEN
+               (CASE WHEN n_ur > 0 THEN 'ur'
+                     WHEN n_fa > 0 THEN 'fa' ELSE 'ar' END)
+             WHEN n_cyr >= {CJK_MIN_CHARS} THEN
+               (CASE WHEN n_uk > 0 THEN 'uk'
+                     WHEN n_ruo > 0 THEN 'ru'
+                     WHEN m_bg > m_rum THEN 'bg' ELSE 'ru' END)
+             WHEN n_deva >= {CJK_MIN_CHARS} THEN
+               (CASE WHEN m_mr > m_him THEN 'mr' ELSE 'hi' END)
+             WHEN c_en > 0 AND c_en >= c_es AND c_en >= c_de AND c_en >= c_fr THEN 'en'
+             WHEN c_es > 0 AND c_es > c_en AND c_es >= c_de AND c_es >= c_fr THEN 'es'
+             WHEN c_de > 0 AND c_de > c_en AND c_de > c_es AND c_de >= c_fr THEN 'de'
+             WHEN c_fr > 0 AND c_fr > c_en AND c_fr > c_es AND c_fr > c_de THEN 'fr'
+             ELSE 'und' END"""
+    return sc_cols, case_expr
+
+
+def _lang_id_cjk_sql() -> str:
+    """DuckDB twin of q_lang_id_cjk; classifier fragments shared with
+    the lang_id_cyrillic oracle via _script_lang_parts."""
+    from ocr_spark.functions.text import CJK_ALL_RANGES
+
+    sc_cols, case_expr = _script_lang_parts()
     non_cjk = f"regexp_replace(text, '[{CJK_ALL_RANGES}]', ' ', 'g')"
     return f"""
       WITH aug AS (
@@ -7094,38 +7232,44 @@ def _lang_id_cjk_sql() -> str:
             ELSE text END AS text
         FROM documents),
       sc AS (
-        SELECT doc_id, text,
-          {cnt(KANA_RANGES)} AS n_kana,
-          {cnt(HANGUL_RANGES)} AS n_hangul,
-          {cnt(HAN_RANGES)} AS n_han,
-          {cnt(ARABIC_RANGES)} AS n_arab,
-          {cnt(CYRILLIC_RANGES)} AS n_cyr,
-          {cnt(DEVANAGARI_RANGES)} AS n_deva,
-          {cnt(CJK_ALL_RANGES)} AS n_cjk,
-          {cnt(UK_ONLY_CHARS)} AS n_uk,
-          {cnt(UR_ONLY_CHARS)} AS n_ur,
-          {cnt(FA_ONLY_CHARS)} AS n_fa,
-          {marker_counts}
+        SELECT doc_id, text, {sc_cols}
         FROM aug)
       SELECT doc_id,
-        CASE WHEN n_kana >= {CJK_MIN_CHARS} THEN 'ja'
-             WHEN n_hangul >= {CJK_MIN_CHARS} THEN 'ko'
-             WHEN n_han >= {CJK_MIN_CHARS} THEN 'zh'
-             WHEN n_arab >= {CJK_MIN_CHARS} THEN
-               (CASE WHEN n_ur > 0 THEN 'ur'
-                     WHEN n_fa > 0 THEN 'fa' ELSE 'ar' END)
-             WHEN n_cyr >= {CJK_MIN_CHARS} THEN
-               (CASE WHEN n_uk > 0 THEN 'uk' ELSE 'ru' END)
-             WHEN n_deva >= {CJK_MIN_CHARS} THEN 'hi'
-             WHEN c_en > 0 AND c_en >= c_es AND c_en >= c_de AND c_en >= c_fr THEN 'en'
-             WHEN c_es > 0 AND c_es > c_en AND c_es >= c_de AND c_es >= c_fr THEN 'es'
-             WHEN c_de > 0 AND c_de > c_en AND c_de > c_es AND c_de >= c_fr THEN 'de'
-             WHEN c_fr > 0 AND c_fr > c_en AND c_fr > c_es AND c_fr > c_de THEN 'fr'
-             ELSE 'und' END AS lang_pred,
+        {case_expr} AS lang_pred,
         (CASE WHEN len(trim({non_cjk})) = 0 THEN 0
               ELSE len(string_split_regex(trim({non_cjk}), '\\s+')) END
          + n_cjk) AS n_tokens
       FROM sc
+    """
+
+
+def _lang_id_cyrillic_sql() -> str:
+    """DuckDB twin of q_lang_id_cyrillic: the identical %7
+    sentence/true-lang substitution, then the shared classifier CASE."""
+    sc_cols, case_expr = _script_lang_parts()
+    return f"""
+      WITH aug AS (
+        SELECT doc_id,
+          CASE doc_id % 7
+            WHEN 0 THEN '{SUBSCRIPT_SENTS['ru_ortho']}'
+            WHEN 1 THEN '{SUBSCRIPT_SENTS['ru_marker']}'
+            WHEN 2 THEN '{SUBSCRIPT_SENTS['bg']}'
+            WHEN 3 THEN '{CJK_SENTS['uk']}'
+            WHEN 4 THEN '{CJK_SENTS['hi']}'
+            WHEN 5 THEN '{SUBSCRIPT_SENTS['mr']}'
+            ELSE text END AS text,
+          CASE doc_id % 7
+            WHEN 0 THEN 'ru' WHEN 1 THEN 'ru' WHEN 2 THEN 'bg'
+            WHEN 3 THEN 'uk' WHEN 4 THEN 'hi' WHEN 5 THEN 'mr'
+            ELSE lang END AS true_lang
+        FROM documents),
+      sc AS (
+        SELECT doc_id, true_lang, text, {sc_cols}
+        FROM aug)
+      SELECT doc_id, true_lang,
+        {case_expr} AS lang_pred,
+        true_lang = ({case_expr}) AS correct
+      FROM sc ORDER BY doc_id
     """
 
 
@@ -8872,6 +9016,18 @@ def oracle_sql() -> dict[str, str]:
           ORDER BY d.doc_id
         """,
         "lang_id_cjk": _lang_id_cjk_sql(),
+        "lang_id_cyrillic": _lang_id_cyrillic_sql(),
+        # confusion over the same-script label space: plain aggregation
+        # of the lang_id_cyrillic twin
+        "lang_confusion_script": f"""
+          WITH p AS ({_lang_id_cyrillic_sql()}),
+          g AS (SELECT true_lang, lang_pred, CAST(count(*) AS BIGINT) AS n
+                FROM p GROUP BY true_lang, lang_pred)
+          SELECT true_lang, lang_pred, n,
+                 round(n / sum(n) OVER (PARTITION BY true_lang), 6)
+                   AS hit_rate
+          FROM g ORDER BY true_lang, lang_pred
+        """,
         "frame_sample": """
           WITH m AS (
             SELECT CAST(doc_id AS VARCHAR) AS media_id, text,

@@ -25,6 +25,7 @@ __all__ = [
     "HAN_RANGES", "HANGUL_RANGES", "KANA_RANGES",
     "ARABIC_RANGES", "CYRILLIC_RANGES", "DEVANAGARI_RANGES",
     "UK_ONLY_CHARS", "UR_ONLY_CHARS", "FA_ONLY_CHARS",
+    "RU_ONLY_CHARS", "CYRILLIC_MARKERS", "DEVANAGARI_MARKERS",
     "search_key",
 ]
 
@@ -49,11 +50,32 @@ DEVANAGARI_RANGES = "ऀ-ॿ"        # Devanagari
 #   Persian and Arabic lack;
 # - Persian (and Urdu) add پ/چ/ژ/گ over Arabic — so Urdu is checked
 #   FIRST (its letters are unique), then Persian, then Arabic.
-# Devanagari stays hi (hi/mr/ne share the letter inventory almost
-# exactly; separating them needs marker words, documented limit).
+# - Russian uses ы/э/ё, absent from both Bulgarian and Ukrainian
+#   orthography — so after the uk letters, they decide ru vs bg
+#   without statistics.
 UK_ONLY_CHARS = "іїєґІЇЄҐ"
 UR_ONLY_CHARS = "ٹڈڑںے"
 FA_ONLY_CHARS = "پچژگ"
+RU_ONLY_CHARS = "ыэёЫЭЁ"
+
+# Same-script locales whose ALPHABETS don't separate them need marker
+# WORDS (the same-script analogue of LANG_MARKERS; the reference's
+# country-ID path faces exactly this for its same-script locales).
+# Sets are deliberately DISJOINT across the rival languages so the
+# count comparison is a clean argmax:
+# - Bulgarian function words carry ъ (със/към/във) or are unique
+#   analytic forms (че/това/са/ще) Russian doesn't use as words;
+# - Russian что/это/как/его/был are not Bulgarian words;
+# - Marathi आहे/आणि/होते vs Hindi है/और/में/का/की/के/यह/से — the
+#   copulas and conjunctions differ even though the script doesn't.
+CYRILLIC_MARKERS: dict[str, list[str]] = {
+    "bg": ["че", "това", "със", "към", "във", "са", "ще", "тъй"],
+    "ru": ["что", "это", "как", "его", "был", "только", "тоже", "уже"],
+}
+DEVANAGARI_MARKERS: dict[str, list[str]] = {
+    "mr": ["आहे", "आणि", "होते", "त्यांनी", "मध्ये", "केले"],
+    "hi": ["है", "और", "में", "का", "की", "के", "यह", "से"],
+}
 
 
 def script_char_count(col: str | Column, ranges: str) -> Column:
@@ -215,19 +237,41 @@ def with_lang_id(df: DataFrame, text_col: str = "text",
     uk = script_char_count(text_col, UK_ONLY_CHARS)
     ur = script_char_count(text_col, UR_ONLY_CHARS)
     fa = script_char_count(text_col, FA_ONLY_CHARS)
+    ru_only = script_char_count(text_col, RU_ONLY_CHARS)
     arabic_lang = (
         F.when(ur > 0, F.lit("ur"))
         .when(fa > 0, F.lit("fa"))
         .otherwise(F.lit("ar"))
     )
-    cyr_lang = F.when(uk > 0, F.lit("uk")).otherwise(F.lit("ru"))
+
+    def _marker_count(markers: list[str]) -> Column:
+        arr = F.array(*[F.lit(m) for m in markers])
+        return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+    bg_cnt = _marker_count(CYRILLIC_MARKERS["bg"])
+    ru_cnt = _marker_count(CYRILLIC_MARKERS["ru"])
+    mr_cnt = _marker_count(DEVANAGARI_MARKERS["mr"])
+    hi_cnt = _marker_count(DEVANAGARI_MARKERS["hi"])
+    # within Cyrillic: uk letters are decisive; then ы/э/ё (Russian
+    # orthography only — Bulgarian and Ukrainian lack all three); only
+    # when orthography is silent do the disjoint marker sets vote,
+    # defaulting ru (the majority Cyrillic web language)
+    cyr_lang = (
+        F.when(uk > 0, F.lit("uk"))
+        .when(ru_only > 0, F.lit("ru"))
+        .when(bg_cnt > ru_cnt, F.lit("bg"))
+        .otherwise(F.lit("ru"))
+    )
+    # within Devanagari the alphabet never decides (hi/mr share it):
+    # marker words only, defaulting hi
+    deva_lang = F.when(mr_cnt > hi_cnt, F.lit("mr")).otherwise(F.lit("hi"))
     expr = (
         F.when(kana >= CJK_MIN_CHARS, F.lit("ja"))
         .when(hangul >= CJK_MIN_CHARS, F.lit("ko"))
         .when(han >= CJK_MIN_CHARS, F.lit("zh"))
         .when(arab >= CJK_MIN_CHARS, arabic_lang)
         .when(cyr >= CJK_MIN_CHARS, cyr_lang)
-        .when(deva >= CJK_MIN_CHARS, F.lit("hi"))
+        .when(deva >= CJK_MIN_CHARS, deva_lang)
         .otherwise(expr)
     )
     return df.withColumn(out_col, expr)

@@ -336,6 +336,29 @@ def test_lang_id_shared_script_subclassification(spark):
     assert got == {1: "uk", 2: "ru", 3: "fa", 4: "ur", 5: "ar"}
 
 
+def test_lang_id_marker_subclassification(spark):
+    """Locales whose ALPHABET doesn't separate them: bg vs ru inside
+    Cyrillic (after the decisive ы/э/ё test), mr vs hi inside
+    Devanagari (letters never decide) — discriminated by disjoint
+    marker-word sets; defaults (ru, hi) hold when no marker fires."""
+    from ocr_spark.functions.text import with_lang_id
+
+    df = spark.createDataFrame(
+        [(1, "това е тестово изречение със думи към проверката"),  # bg
+         (2, "не знаю что сказать как его зовут но только"),  # ru markers,
+                                                              # no ы/э/ё
+         (3, "это предложение на русском языке"),      # ru via э/ы
+         (4, "хм саламандра протокол"),                # Cyrillic, no
+                                                       # markers -> ru
+         (5, "हे वाक्य आहे आणि मराठी मध्ये होते"),          # mr
+         (6, "यह हिंदी वाक्य है और सही में"),               # hi
+         (7, "देवनागरी अक्षर मात्र")],                     # no markers -> hi
+        "doc_id long, text string")
+    got = {r.doc_id: r.lang_pred for r in with_lang_id(df).collect()}
+    assert got == {1: "bg", 2: "ru", 3: "ru", 4: "ru",
+                   5: "mr", 6: "hi", 7: "hi"}
+
+
 def test_token_count_cjk(spark):
     from ocr_spark.functions.text import token_count, token_count_cjk
 
