@@ -4397,6 +4397,86 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_extract_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming surface through the DRIVER gate: a bounded
+    trigger(availableNow) run of streaming/stream.py's file-source ->
+    extract_stream -> checkpointed parquet-sink pipeline over the
+    wrapped-pages corpus, read back and compared against the closed
+    form.  The oracle is the BATCH invariant (extracted text ==
+    documents.text byte-identically) — certifying the module's core
+    claim that stream output is byte-identical to batch output because
+    both run the same Arrow kernel.  Unbounded-only behaviors
+    (cross-batch watermarks, idle-timeout session flush) stay
+    pytest-certified in tests/test_streaming.py; this row certifies
+    the bounded-stream path end-to-end with real source/checkpoint/
+    sink machinery."""
+    import os
+    import tempfile
+
+    from ocr_spark.streaming.stream import (read_pages_stream,
+                                            run_stream_to_parquet)
+
+    base = tempfile.mkdtemp(prefix="ocr_spark_stream_extract_")
+    src = os.path.join(base, "src")
+    out = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+    pages = _wrapped_pages(spark, sf_dir).select(
+        F.concat(F.lit("https://example.com/doc/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        F.timestamp_seconds(F.lit(1700000000) + F.col("doc_id"))
+        .alias("warc_ts"),
+        "html",
+        F.lit(None).cast("string").alias("text"),
+        "lang",
+    )
+    pages.write.mode("overwrite").parquet(src)
+    q = run_stream_to_parquet(read_pages_stream(spark, src), out, ckpt,
+                              available_now=True, with_spans=False)
+    q.awaitTermination()
+    return (spark.read.parquet(out)
+            .select(F.regexp_extract("url", r"/doc/(\d+)$", 1)
+                    .cast("long").alias("doc_id"),
+                    "text")
+            .orderBy("doc_id"))
+
+
+def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The custom stateful streaming operator through the DRIVER gate:
+    sessionize_stream (applyInPandasWithState, append mode) over the
+    events table as a bounded availableNow file stream.  Append mode
+    emits only CLOSED sessions — the trailing open session per user
+    stays in state at stream end — so the oracle is the batch
+    gaps-and-islands sessionization MINUS each user's last session:
+    the exact closed-form of the streaming semantics, not a looser
+    rows-only check.  (The idle-timeout flush that would emit those
+    trailing sessions on an unbounded stream is processing-time
+    behavior, certified in tests/test_streaming.py.)"""
+    import os
+    import tempfile
+
+    from ocr_spark.streaming.stream import sessionize_stream
+
+    base = tempfile.mkdtemp(prefix="ocr_spark_stream_sess_")
+    src = os.path.join(base, "src")
+    out = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    ev.write.mode("overwrite").parquet(src)
+    stream = (spark.readStream
+              .schema(spark.read.parquet(src).schema)
+              .parquet(src))
+    sess = sessionize_stream(stream, gap_s=1800)
+    q = (sess.writeStream.format("parquet")
+         .option("path", out)
+         .option("checkpointLocation", ckpt)
+         .outputMode("append")
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return (spark.read.parquet(out)
+            .orderBy("user_id", "session_start"))
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30-min inactivity closes a session):
     lag -> new-session flag -> running sum as session id -> per-user
@@ -6270,6 +6350,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round-5 certification front: never driver-certified
         "lang_id_cyrillic": q_lang_id_cyrillic,
         "lang_confusion_script": q_lang_confusion_script,
+        "stream_extract_parity": q_stream_extract_parity,
+        "stream_sessionize": q_stream_sessionize,
         "curate_corpus": q_curate_corpus,
         "packed_batches": q_packed_batches,
         "image_dedup": q_image_dedup,
@@ -12334,6 +12416,47 @@ def oracle_sql() -> dict[str, str]:
           WINDOW w AS (PARTITION BY user_id ORDER BY tsl
                        RANGE BETWEEN 600 PRECEDING AND CURRENT ROW)
           ORDER BY event_id
+        """,
+        # streaming extract parity: the batch invariant IS the oracle —
+        # the stream runs the same Arrow kernel over the same wrapper
+        "stream_extract_parity": (
+            "SELECT doc_id, text FROM documents ORDER BY doc_id"
+        ),
+        # streaming sessionize (append mode): batch gaps-and-islands
+        # sessions minus each user's trailing (still-open) session.
+        # tsl is FLOORED to whole epoch seconds up front (Spark's
+        # timestamp->long cast truncates; DuckDB's double->bigint cast
+        # would round) and drives gap logic and ordering, matching the
+        # engine's integer-second state machine exactly
+        "stream_sessionize": """
+          WITH e AS (
+            SELECT user_id, event_id,
+                   CAST(floor(epoch(ts)) AS BIGINT) AS tsl
+            FROM events),
+          t AS (
+            SELECT user_id, event_id, tsl,
+              CASE WHEN lag(tsl) OVER w IS NULL
+                     OR tsl - lag(tsl) OVER w > 1800
+                   THEN 1 ELSE 0 END AS new_sess
+            FROM e
+            WINDOW w AS (PARTITION BY user_id ORDER BY tsl, event_id)),
+          s AS (
+            SELECT user_id, tsl, event_id,
+              sum(new_sess) OVER (PARTITION BY user_id ORDER BY tsl, event_id
+                ROWS UNBOUNDED PRECEDING) AS sess
+            FROM t),
+          g AS (
+            SELECT user_id, sess,
+                   min(tsl) AS session_start,
+                   max(tsl) AS session_end,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM s GROUP BY 1, 2),
+          mx AS (SELECT user_id, max(sess) AS last_sess FROM g
+                 GROUP BY user_id)
+          SELECT g.user_id, g.session_start, g.session_end, g.n_events
+          FROM g JOIN mx USING (user_id)
+          WHERE g.sess < mx.last_sess
+          ORDER BY g.user_id, g.session_start
         """,
         "sessionize": """
           WITH t AS (
