@@ -138,6 +138,52 @@ def q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "text", "status", "n_blocks").orderBy("doc_id")
 
 
+def q_ocr_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Glyph-level OCR through the full driver oracle — the reference's
+    image->text capability (services/gemini_service.py:61-146) closed
+    at the pixel level: each document's first 4 tokens (ASCII-filtered,
+    uppercased, space-collapsed; 'NA' when nothing survives) are
+    TYPESET into a real greyscale PNG with the fixed 5x7 bitmap font
+    (operators/ocr.py), then READ BACK from pixels alone by the
+    projection-profile + template-match decoder inside an Arrow kernel
+    — binarize, find line bands, find glyph spans, infer spaces from
+    gap widths, match cropped patterns.  Every 17th doc ships a
+    truncated PNG -> processing_error row (O16).  The oracle is closed
+    form: decoded text == the planted string, n_glyphs == its
+    non-space length — certifying the decoder recovered the text, not
+    that it echoed an input (the decoder never sees the string)."""
+    from ocr_spark.operators.ocr import ocr_decode
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    from ocr_spark.functions.text import tokens
+
+    raw = F.upper(F.regexp_replace(
+        F.array_join(F.slice(tokens("text"), 1, 4), " "),
+        "[^A-Za-z0-9 ]", ""))
+    planted = F.trim(F.regexp_replace(raw, " +", " "))
+    planted = F.when(planted == "", F.lit("NA")).otherwise(planted)
+    docs = docs.select("doc_id", planted.alias("planted"))
+
+    def build(batches):
+        import pandas as pd
+
+        from ocr_spark.operators.ocr import render_text_png
+
+        for pdf in batches:
+            payloads = []
+            for doc_id, s in zip(pdf["doc_id"], pdf["planted"]):
+                png = render_text_png(str(s))
+                payloads.append(png[:30] if doc_id % 17 == 0 else png)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "payload": payloads})
+
+    pngs = docs.mapInPandas(build, schema="doc_id long, payload binary")
+    out = ocr_decode(pngs, payload_col="payload", id_col="doc_id")
+    return (out.select(F.col("media_id").cast("long").alias("doc_id"),
+                       "text", "n_glyphs", "status")
+            .orderBy("doc_id"))
+
+
 def q_pdf_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-column PDF reading-order reconstruction through the driver
     oracle: each document's tokens (capped to 12 chars, the shared
@@ -6348,6 +6394,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flagship_extract": q_flagship_extract,
         "pdf_extract": q_pdf_extract,
         # --- round-5 certification front: never driver-certified
+        "ocr_decode": q_ocr_decode,
         "lang_id_cyrillic": q_lang_id_cyrillic,
         "lang_confusion_script": q_lang_confusion_script,
         "stream_extract_parity": q_stream_extract_parity,
@@ -9098,6 +9145,35 @@ def oracle_sql() -> dict[str, str]:
           ORDER BY d.doc_id
         """,
         "lang_id_cjk": _lang_id_cjk_sql(),
+        # glyph OCR: closed-form — the decoder must reproduce the
+        # planted string from pixels; the oracle re-derives the string
+        # (ASCII filter BEFORE upper, so both engines' case rules
+        # agree) and its non-space glyph count
+        "ocr_decode": f"""
+          WITH tok AS (
+            SELECT doc_id,
+              CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+                   ELSE {toks} END AS tl
+            FROM documents),
+          p AS (
+            SELECT doc_id,
+              trim(regexp_replace(
+                upper(regexp_replace(array_to_string(tl[1:4], ' '),
+                                     '[^A-Za-z0-9 ]', '', 'g')),
+                ' +', ' ', 'g')) AS s
+            FROM tok),
+          pl AS (SELECT doc_id,
+                        CASE WHEN s = '' THEN 'NA' ELSE s END AS planted
+                 FROM p)
+          SELECT doc_id,
+            CASE WHEN doc_id % 17 = 0 THEN NULL ELSE planted END AS text,
+            CASE WHEN doc_id % 17 = 0 THEN NULL
+                 ELSE CAST(length(replace(planted, ' ', '')) AS INT)
+            END AS n_glyphs,
+            CASE WHEN doc_id % 17 = 0 THEN 'processing_error'
+                 ELSE 'ok' END AS status
+          FROM pl ORDER BY doc_id
+        """,
         "lang_id_cyrillic": _lang_id_cyrillic_sql(),
         # confusion over the same-script label space: plain aggregation
         # of the lang_id_cyrillic twin
