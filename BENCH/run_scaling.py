@@ -68,7 +68,8 @@ def ensure_corpus(pages: int, size_mult: int, seed: int = 42,
 
 def run_once(corpus: str, cores: int, tag: str,
              out_root: str = "/tmp/ocr_spark_bench",
-             scratch: str = "/root/spark_scratch") -> dict:
+             scratch: str = "/root/spark_scratch",
+             job_script: str = "job.py") -> dict:
     from hostmeter import cpu_delta, membw_mbps, read_cpu
     # outputs go outside the repo tree: writing many task files under
     # /root/repo is ~5x slower in this sandbox (dir appears watched).
@@ -85,7 +86,7 @@ def run_once(corpus: str, cores: int, tag: str,
     bw0 = membw_mbps()
     cpu0 = read_cpu()
     proc = subprocess.run(
-        [sys.executable, os.path.join(ROOT, "job.py"),
+        [sys.executable, os.path.join(ROOT, job_script),
          "--input", corpus, "--output", out,
          "--cores", str(cores), "--run-id", tag, "--buckets", "64"],
         capture_output=True, text=True, env=env, cwd=ROOT, timeout=3600,
@@ -165,6 +166,18 @@ def main() -> None:
                          "sample only (the after-sample anti-correlates "
                          "with contamination, see _dirty).  0 disables")
     ap.add_argument("--max-retries", type=int, default=2)
+    ap.add_argument("--job-script", default="job.py",
+                    help="job entrypoint relative to the repo root; must "
+                         "accept --input/--output/--cores/--run-id/"
+                         "--buckets and print the one-line stats JSON "
+                         "(e.g. BENCH/curate_job.py for the dedup-heavy "
+                         "curation series)")
+    ap.add_argument("--out-json", default="scaling.json",
+                    help="summary filename inside BENCH/")
+    ap.add_argument("--no-md", action="store_true",
+                    help="skip rewriting scaling_table.autogen.md (use "
+                         "for secondary series so the headline table "
+                         "is not clobbered)")
     ap.add_argument("--wait-quiet-s", type=int, default=900,
                     help="before each attempt, poll hypervisor steal in "
                          "20s windows up to this long and launch only "
@@ -203,7 +216,8 @@ def main() -> None:
                 wait_quiet(gate, args.wait_quiet_s,
                            membw_gate=args.membw_gate)
                 r = run_once(corpus, cores, f"c{cores}r{i}a{attempt}",
-                             args.out_root, args.scratch)
+                             args.out_root, args.scratch,
+                             job_script=args.job_script)
                 attempts.append(r)
                 if not _dirty(r):
                     break
@@ -258,7 +272,8 @@ def main() -> None:
         "all_attempts": {str(c): rs for c, rs in attempts_log.items()},
     }
     os.makedirs(BENCH_DIR, exist_ok=True)
-    with open(os.path.join(BENCH_DIR, "scaling.json"), "w") as f:
+    summary["job_script"] = args.job_script
+    with open(os.path.join(BENCH_DIR, args.out_json), "w") as f:
         json.dump(summary, f, indent=2)
 
     md = f"""# BENCH/BASELINE — measured scaling efficiency
@@ -288,9 +303,12 @@ size_mult={args.size_mult}).
     # BASELINE.md is maintained by hand (it carries the controls and
     # pathology analysis alongside the numbers); emit the autogen table
     # next to it for copy-in instead of clobbering.
-    with open(os.path.join(BENCH_DIR, "scaling_table.autogen.md"), "w") as f:
-        f.write(md)
-    print(json.dumps({k: v for k, v in summary.items() if k != "all_runs"}))
+    if not args.no_md:
+        with open(os.path.join(BENCH_DIR, "scaling_table.autogen.md"),
+                  "w") as f:
+            f.write(md)
+    print(json.dumps({k: v for k, v in summary.items()
+                      if k not in ("all_runs", "all_attempts")}))
 
 
 if __name__ == "__main__":

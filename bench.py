@@ -46,12 +46,12 @@ BENCH_QUERIES = [
     "simhash_near_dup", "embed_near_dup",
     "embed_near_dup_lsh", "span_qa", "cosine_topk", "ann_topk", "ann_recall", "ann_topk_ivf", "ivf_recall",
     "semantic_dedup", "pq_encode", "pq_error", "ann_topk_ivfpq",
-    "jl_project", "bitext_mine", "label_centroids", "centroid_outliers", "feature_hash", "hash_retrieval",
+    "jl_project", "bitext_mine", "bitext_mine_exact", "label_centroids", "centroid_outliers", "feature_hash", "hash_retrieval",
     "rrf_fusion", "retrieval_eval",
     "text_stats", "repetition_stats", "quality_filter", "format_signals",
     "pii_scrub", "k_anonymity", "k_suppress",
     "mojibake_fix",
-    "lang_id", "lang_id_cjk", "lang_confusion", "fingerprint", "winnowing", "winnow_pairs", "search_keys", "token_count",
+    "lang_id", "lang_id_cjk", "lang_confusion", "lang_id_cyrillic", "lang_confusion_script", "fingerprint", "winnowing", "winnow_pairs", "search_keys", "token_count",
     "chunk_text", "chunk_tokens", "sections", "texttiling", "collocations", "bpe_pairs",
     "bpe_encode",
     "table_extract", "html_markdown", "markdown_strip", "wet_export", "wat_export",
@@ -74,11 +74,11 @@ BENCH_QUERIES = [
     "lang_mismatch", "pdf_text_fix", "host_lang_entropy",
     "media_decode", "png_decode", "png_palette", "gif_structure", "srt_cues",
     "caption_align", "audio_decode", "frame_sample", "exif",
-    "image_ahash", "ahash_near_dup", "image_dhash", "image_dedup",
+    "image_ahash", "ahash_near_dup", "image_dhash", "image_dedup", "ocr_decode",
     "audio_segments",
     "pricing_summary", "top_customers", "regional_revenue",
     "customers_no_orders", "setop_except", "json_extract",
-    "running_window", "trailing_window", "daily_events", "interval_union", "funnel", "retention", "sessionize",
+    "running_window", "trailing_window", "daily_events", "interval_union", "funnel", "retention", "sessionize", "stream_extract_parity", "stream_sessionize",
     "hll_count", "percentiles", "length_outliers", "rollup_metrics", "pivot_tokens", "melt_tokens", "word_blocklist",
     "template_strip", "para_dedup",
     "cms_topk", "charset_detect", "domain_split", "revisit_policy",

@@ -60,7 +60,9 @@ RU_ONLY_CHARS = "ыэёЫЭЁ"
 
 # Same-script locales whose ALPHABETS don't separate them need marker
 # WORDS (the same-script analogue of LANG_MARKERS; the reference's
-# country-ID path faces exactly this for its same-script locales).
+# country-ID path, services/business_license_processor.py:56-116,
+# faces exactly this — 'which locale wrote this script' is the
+# question its candidate-list prompt answers).
 # Sets are deliberately DISJOINT across the rival languages so the
 # count comparison is a clean argmax:
 # - Bulgarian function words carry ъ (със/към/във) or are unique

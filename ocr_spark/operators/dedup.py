@@ -852,7 +852,17 @@ def connected_components(edges: DataFrame, src: str = "id_a",
 
     prev = sig(e)
     for _ in range(max_iterations):
-        e = _star_round(e).localCheckpoint()
+        # non-eager checkpoint: the sig() aggregate is the round's ONE
+        # action — it materializes the checkpoint blocks as a side
+        # effect (localCheckpoint caches at MEMORY_AND_DISK; no
+        # recompute) and returns the convergence signature from the
+        # same job.  The previous eager+sig pair cost two scheduled
+        # jobs per round; on a 2-core driver-bound run the saved
+        # launches are pure serial time (measured in the curate
+        # scaling series), and on a real cluster they are driver
+        # round-trips removed from every iterative operator built on
+        # this loop.
+        e = _star_round(e).localCheckpoint(eager=False)
         cur = sig(e)
         if cur == prev:
             break
