@@ -80,9 +80,19 @@ def main() -> None:
     ld = line_dedup(qual, "url", "text", min_dup_docs=2, min_line_chars=10)
     # the curated corpus feeds the LSH pair generator AND the node list
     # AND the canonical join — same single materialization barrier as
-    # q_curate_corpus (212 exchanges without it)
+    # q_curate_corpus (212 exchanges without it).  Repartition by
+    # compute BEFORE checkpointing: the join output is post-shuffle, so
+    # AQE's size-based coalescing packs ~56 MB of text into 1-2
+    # partitions and every downstream stage (MinHash signatures — the
+    # cluster phase's real work) runs near-single-threaded REGARDLESS
+    # of cores (measured: cluster phase scaled 0.51, data-proportional
+    # and cores-independent).  Size-based coalescing is right for
+    # byte-bound stages and wrong for compute-bound ones — the same
+    # principle as the pipeline's explicit-numPartitions html exchange.
+    par = spark.sparkContext.defaultParallelism * 2
     corpus = (ld.select("url", "text")
               .join(qual.select("url", "bytes_in"), "url")
+              .repartition(par)
               .localCheckpoint())
     phases["line_dedup_s"] = round(time.perf_counter() - t1, 1)
     t2 = time.perf_counter()

@@ -840,7 +840,7 @@ def connected_components(edges: DataFrame, src: str = "id_a",
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
 
     def sig(df: DataFrame) -> tuple[int, int]:
@@ -851,18 +851,19 @@ def connected_components(edges: DataFrame, src: str = "id_a",
         return (row["n"], row["h"])
 
     prev = sig(e)
-    for _ in range(max_iterations):
-        # non-eager checkpoint: the sig() aggregate is the round's ONE
-        # action — it materializes the checkpoint blocks as a side
-        # effect (localCheckpoint caches at MEMORY_AND_DISK; no
+    for _ in range((max_iterations + 1) // 2):
+        # TWO star rounds per scheduled action: the checkpoint is
+        # non-eager, so the sig() aggregate materializes the blocks as
+        # a side effect (localCheckpoint caches at MEMORY_AND_DISK; no
         # recompute) and returns the convergence signature from the
-        # same job.  The previous eager+sig pair cost two scheduled
-        # jobs per round; on a 2-core driver-bound run the saved
-        # launches are pure serial time (measured in the curate
-        # scaling series), and on a real cluster they are driver
-        # round-trips removed from every iterative operator built on
-        # this loop.
-        e = _star_round(e).localCheckpoint(eager=False)
+        # same job — and batching a second round under the same action
+        # halves the driver round-trips again.  Star rounds are no-ops
+        # at the fixpoint, so the worst case is one wasted round of
+        # tiny shuffles; real dedup graphs converge in 2-4 rounds, and
+        # the per-round job launches — not the edge shuffles — are the
+        # measured cost of CC at any parallelism (pure serial time on a
+        # 2-core run; driver round-trips on a real cluster).
+        e = _star_round(_star_round(e)).localCheckpoint(eager=False)
         cur = sig(e)
         if cur == prev:
             break
