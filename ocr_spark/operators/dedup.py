@@ -851,19 +851,20 @@ def connected_components(edges: DataFrame, src: str = "id_a",
         return (row["n"], row["h"])
 
     prev = sig(e)
-    for _ in range((max_iterations + 1) // 2):
-        # TWO star rounds per scheduled action: the checkpoint is
+    for _ in range(max_iterations):
+        # ONE star round per scheduled action: the checkpoint is
         # non-eager, so the sig() aggregate materializes the blocks as
         # a side effect (localCheckpoint caches at MEMORY_AND_DISK; no
         # recompute) and returns the convergence signature from the
-        # same job — and batching a second round under the same action
-        # halves the driver round-trips again.  Star rounds are no-ops
-        # at the fixpoint, so the worst case is one wasted round of
-        # tiny shuffles; real dedup graphs converge in 2-4 rounds, and
-        # the per-round job launches — not the edge shuffles — are the
-        # measured cost of CC at any parallelism (pure serial time on a
-        # 2-core run; driver round-trips on a real cluster).
-        e = _star_round(_star_round(e)).localCheckpoint(eager=False)
+        # same job — halving the driver round-trips vs the former
+        # eager-checkpoint-then-sig pair, which the curate scaling
+        # series measured as pure serial time at any parallelism.
+        # (Batching TWO rounds per action was tried and reverted: the
+        # convergence check then always pays a full extra no-op round
+        # of shuffles, which regressed mid-size CC queries
+        # (graph_components 2.5 s -> 5.1 s) for a saving the fused
+        # action had already banked.)
+        e = _star_round(e).localCheckpoint(eager=False)
         cur = sig(e)
         if cur == prev:
             break
